@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver-generated TESTDATA star schema. */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Collect one embedding as the query vector for k-NN entries. */
+  def queryVector(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
+    apply(spark, dir, "embeddings")
+      .where(org.apache.spark.sql.functions.col("vec_id") === vecId)
+      .select("embedding").head().getSeq[Float](0).toArray
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Bridge to Spark's private[sql] Column↔Expression converters (Spark 4.x
+ * split Column onto ColumnNode; libraries that define native Catalyst
+ * expressions need this hop). Package-injected on purpose — this is the
+ * supported-in-practice pattern used by Spark extension libraries.
+ */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
