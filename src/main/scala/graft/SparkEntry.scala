@@ -1,7 +1,10 @@
 package graft
 
-import graft.operators.KnnSearch
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Chunkers, Dedup, IREval, KnnSearch, SimilarityJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -24,10 +27,19 @@ object SparkEntry {
   //    rounded and cast back to double;
   //  * unit-scale doubles (similarities, ratios) are computed sequentially
   //    in double on both sides and rounded to 6 dp;
+  //  * event time is handled in integer nanoseconds (the parquet physical
+  //    type) on both sides — exact arithmetic, no float epochs;
   //  * every query has a deterministic total ORDER BY.
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   private def sumMoney(c: Column, as: String): Column =
     round(sum(dec2(c)), 2).cast("double").as(as)
+
+  /** events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read it as raw nanos (exact integer event-time math). */
+  private def eventsNs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(s, dir, "events")
+  }
 
   private type Q = (SparkSession, String) => DataFrame
 
@@ -82,7 +94,6 @@ object SparkEntry {
 
   /** Window ranking: top-3 orders per customer by price (W1 pattern on relational data). */
   private val q04TopOrdersPerCustomer: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val o = Tables(s, dir, "orders")
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
     o.withColumn("rn", row_number().over(w))
@@ -91,6 +102,56 @@ object SparkEntry {
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
         dec2(col("o_totalprice")).cast("double").as("o_totalprice"))
       .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // =====================================================================
+  // Events: grouped stats, time windows, sessionization, JSON (§2.10 seam)
+  // =====================================================================
+
+  private val q05EventTypeStats: Q = (s, dir) => {
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumMoney(col("value"), "total_value"),
+        round(sum(dec2(col("value"))).cast("double") / count(lit(1)), 6).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hourly tumbling-window counts — the batch shape of the streaming agg. */
+  private val q06HourlyEvents: Q = (s, dir) => {
+    eventsNs(s, dir)
+      .withColumn("hour", timestamp_seconds(expr("ts DIV 3600000000000") * 3600))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumMoney(col("value"), "total_value"))
+      .orderBy(col("hour"))
+  }
+
+  /** Sessionization: 30-min-gap sessions per user (lag + running sum). */
+  private val q07Sessionize: Q = (s, dir) => {
+    val ev = eventsNs(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts") - col("prev") > 1800L * 1000000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+      .where(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(max(col("sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Semi-structured metadata access (P2/F21): JSON prop extraction + agg. */
+  private val q08JsonProps: Q = (s, dir) => {
+    Tables(s, dir, "events")
+      .withColumn("k_bucket", get_json_object(col("props"), "$.k").cast("int") % 10)
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(dec2(col("value"))).cast("double") / count(lit(1)), 6).as("avg_value"))
+      .orderBy(col("k_bucket"))
   }
 
   // =====================================================================
@@ -121,8 +182,58 @@ object SparkEntry {
       .select(col("vec_id"), round(col("score"), 6).as("ip"))
   }
 
+  /** Batched k-NN (100-queries-vs-corpus day_6 shape) through the
+    * broadcast + per-partition-heap path. */
+  private val q13KnnBatch: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val qs = e.where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    KnnSearch.topKBatch(e, "vec_id", "embedding", qs, 5, KnnSearch.Cosine, excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("score"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Global top-20 most-similar pairs (J2/W2 — day_5 pair ranking). */
+  private val q14TopPairs: Q = (s, dir) => {
+    SimilarityJoin.topPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 20)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs at threshold (dedup primitive). */
+  private val q15NearDupPairs: Q = (s, dir) => {
+    Dedup.embeddingNearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-matrix stats (A4: value/norm statistics). */
+  private val q16NormStats: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    e.select(l2Norm(col("embedding")).as("norm"),
+        size(col("embedding")).as("dim"),
+        (dotProduct(col("embedding"), col("embedding")) / size(col("embedding"))).as("msq"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        max(col("dim")).as("dim"),
+        round(avg(col("norm")), 6).as("avg_norm"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"),
+        round(avg(col("msq")), 6).as("avg_mean_sq"))
+  }
+
+  /** L2-normalize (F1) checksum — proves the normalized vectors themselves. */
+  private val q17NormalizeChecksum: Q = (s, dir) => {
+    Tables(s, dir, "embeddings")
+      .where(col("vec_id") < 20)
+      .select(col("vec_id"),
+        round(aggregate(l2Normalize(col("embedding")), lit(0.0), (acc, x) => acc + x), 6).as("checksum"),
+        round(l2Norm(l2Normalize(col("embedding"))), 6).as("norm_after"))
+      .orderBy(col("vec_id"))
+  }
+
   // =====================================================================
-  // Documents / text (SURVEY §2.4 A1–A6)
+  // Documents / text analysis (SURVEY §2.4, §2.8; training-data pipeline)
   // =====================================================================
 
   /** Collection stats (A1: reference day_9 get_collection_stats). */
@@ -145,6 +256,123 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Corpus token stats (F6/F7: token counting at corpus scale). */
+  private val q22TokenStats: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+    val base = d.select(size(words(col("text"))).as("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        round(avg(col("n")), 6).as("avg_tokens"),
+        max(col("n")).as("max_tokens"))
+    val vocab = d.select(explode(words(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("vocab_size"))
+    base.crossJoin(vocab)
+  }
+
+  /** Per-document quality scoring (training-data pipeline operator). */
+  private val q23QualityScores: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        wordCount(col("text")).as("n_words"),
+        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(qualityScore(col("text")), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup stats over canonical fingerprints (hash groupBy). */
+  private val q24DedupStats: Q = (s, dir) =>
+    Dedup.exactStats(Tables(s, dir, "documents"), "text")
+
+  /** N-gram Jaccard near-dup pairs via inverted-index join (no cross
+    * product; maxDf=∞ here so semantics are exact for the oracle). */
+  private val q25JaccardPairs: Q = (s, dir) => {
+    Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = Long.MaxValue)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Stopword-hit language ID (F14). */
+  private val q26LangGuess: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"), langGuess(col("text")).as("guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Canonical-form md5 fingerprints (F17). */
+  private val q27Fingerprints: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash signature components (md5-based, engine-reproducible). */
+  private val q28MinhashSigs: Q = (s, dir) => {
+    val sig = minhashSignature(col("text"), numHashes = 4, shingleLen = 3)
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        element_at(sig, 1).as("mh0"), element_at(sig, 2).as("mh1"),
+        element_at(sig, 3).as("mh2"), element_at(sig, 4).as("mh3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declarative fixed-stride char chunker (G8 — posexplode form). */
+  private val q30CharChunks: Q = (s, dir) => {
+    Chunkers.fixedCharChunks(
+        Tables(s, dir, "documents").where(col("doc_id") < 50),
+        "doc_id", "text", size = 200, overlap = 50)
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
+  // =====================================================================
+  // IR evaluation (A7/W3 — day_13 engine) over label ground truth
+  // =====================================================================
+
+  private def retrievedAndTruth(s: SparkSession, dir: String, nQueries: Int, k: Int)
+      : (DataFrame, DataFrame) = {
+    val e = Tables(s, dir, "embeddings")
+    val qs = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val retrieved = KnnSearch
+      .topKBatch(e, "vec_id", "embedding", qs, k, KnnSearch.Cosine, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val lab = e.select(col("vec_id"), col("label"))
+    val truth = lab.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label"))
+      .join(lab.select(col("vec_id").as("doc_id"), col("label")), Seq("label"))
+      .where(col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"))
+    (retrieved, truth)
+  }
+
+  /** Per-query P/R/F1/AP/RR/NDCG/HitRate@10 vs same-label ground truth. */
+  private val q31IrMetrics: Q = (s, dir) => {
+    val (retrieved, truth) = retrievedAndTruth(s, dir, 50, 10)
+    IREval.perQuery(retrieved, truth, 10)
+      .select(col("query_id"),
+        round(col("precision"), 6).as("precision"), round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"), round(col("ap"), 6).as("ap"),
+        round(col("rr"), 6).as("rr"), round(col("ndcg"), 6).as("ndcg"),
+        col("hit_rate"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Macro-averaged sweep over k ∈ {1,5,10} (evaluate_at_multiple_k). */
+  private val q32IrSummary: Q = (s, dir) => {
+    val (retrieved, truth) = retrievedAndTruth(s, dir, 50, 10)
+    IREval.sweep(retrieved, truth, Seq(1, 5, 10))
+      .select(col("k"), col("n_queries"),
+        round(col("precision"), 6).as("precision"), round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"), round(col("map"), 6).as("map"),
+        round(col("mrr"), 6).as("mrr"), round(col("ndcg"), 6).as("ndcg"),
+        round(col("hit_rate"), 6).as("hit_rate"))
+      .orderBy(col("k"))
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -153,12 +381,54 @@ object SparkEntry {
     "q02_top_revenue_parts" -> q02TopRevenueParts,
     "q03_segment_stats" -> q03SegmentStats,
     "q04_top_orders_per_customer" -> q04TopOrdersPerCustomer,
+    "q05_event_type_stats" -> q05EventTypeStats,
+    "q06_hourly_events" -> q06HourlyEvents,
+    "q07_sessionize" -> q07Sessionize,
+    "q08_json_props" -> q08JsonProps,
     "q10_knn_cosine" -> q10KnnCosine,
     "q11_knn_l2" -> q11KnnL2,
     "q12_knn_dot" -> q12KnnDot,
+    "q13_knn_batch" -> q13KnnBatch,
+    "q14_top_pairs" -> q14TopPairs,
+    "q15_near_dup_pairs" -> q15NearDupPairs,
+    "q16_norm_stats" -> q16NormStats,
+    "q17_normalize_checksum" -> q17NormalizeChecksum,
     "q20_doc_stats" -> q20DocStats,
     "q21_lang_distribution" -> q21LangDistribution,
+    "q22_token_stats" -> q22TokenStats,
+    "q23_quality_scores" -> q23QualityScores,
+    "q24_dedup_stats" -> q24DedupStats,
+    "q25_jaccard_pairs" -> q25JaccardPairs,
+    "q26_lang_guess" -> q26LangGuess,
+    "q27_fingerprints" -> q27Fingerprints,
+    "q28_minhash_sigs" -> q28MinhashSigs,
+    "q30_char_chunks" -> q30CharChunks,
+    "q31_ir_metrics" -> q31IrMetrics,
+    "q32_ir_summary" -> q32IrSummary,
   )
+
+  // Shared oracle SQL fragments
+  private val ShinglesCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(len(ws)-2), i -> array_to_string(ws[(i+1):(i+3)], ' '))
+      |    ELSE [array_to_string(ws, ' ')] END) AS s
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents))""".stripMargin
+
+  private val IrCte =
+    """scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+      |    CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS is_rel,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 50),
+      |retrieved AS (SELECT * FROM scored WHERE rank <= 10),
+      |cum AS (SELECT *, sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank) AS rel_cum FROM retrieved),
+      |nrel AS (
+      |  SELECT a.vec_id AS query_id, count(*) AS n_rel
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id AND b.label = a.label
+      |  WHERE a.vec_id < 50 GROUP BY 1)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -201,6 +471,37 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rn <= 3 AND o_custkey < 100
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q05_event_type_stats" ->
+      """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q06_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q07_sessionize" ->
+      """SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id, sum(CASE WHEN prev IS NULL OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        |  FROM (SELECT user_id, ts, event_id,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM events)) t
+        |WHERE user_id < 100
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q08_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q10_knn_cosine" ->
       """SELECT b.vec_id,
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
@@ -222,6 +523,45 @@ object SparkEntry {
         |WHERE b.vec_id <> 2
         |ORDER BY list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, b.vec_id
         |LIMIT 10""".stripMargin,
+    "q13_knn_batch" ->
+      """SELECT query_id, rank, doc_id, round(score, 6) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q14_top_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, a.vec_id, b.vec_id
+        |LIMIT 20""".stripMargin,
+    "q15_near_dup_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q16_norm_stats" ->
+      """SELECT count(*) AS n_vecs, max(len(embedding)) AS dim,
+        |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+        |  round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+        |  round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm,
+        |  round(avg(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) / len(embedding)), 6) AS avg_mean_sq
+        |FROM embeddings""".stripMargin,
+    "q17_normalize_checksum" ->
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))), 6) AS checksum,
+        |  round(sqrt(list_dot_product(
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))),
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))))), 6) AS norm_after
+        |FROM embeddings
+        |WHERE vec_id < 20
+        |ORDER BY vec_id""".stripMargin,
     "q20_doc_stats" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT lang) AS n_langs,
@@ -235,5 +575,134 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "q22_token_stats" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+        |  round(avg(len(string_split_regex(text, '\s+'))), 6) AS avg_tokens,
+        |  max(len(string_split_regex(text, '\s+'))) AS max_tokens,
+        |  (SELECT count(DISTINCT w) FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents) u) AS vocab_size
+        |FROM documents""".stripMargin,
+    "q23_quality_scores" ->
+      """SELECT doc_id, n_words,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(least(n_words / 100.0, 1.0) * 0.5 + least(stop_ratio * 5.0, 1.0) * 0.3
+        |        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) * 1.0
+        |      / len(string_split_regex(lower(text), '\s+')) AS stop_ratio,
+        |    CASE WHEN length(text) > 0
+        |      THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END AS punct_ratio
+        |  FROM documents WHERE doc_id < 200) t
+        |ORDER BY doc_id""".stripMargin,
+    "q24_dedup_stats" ->
+      """SELECT CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_duplicates,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+        |FROM (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, count(*) AS n
+        |      FROM documents GROUP BY 1) g""".stripMargin,
+    "q25_jaccard_pairs" ->
+      (s"""WITH $ShinglesCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s)) * 1.0 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY id_a, id_b""").stripMargin,
+    "q26_lang_guess" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN en = g AND g >= 1 THEN 'en'
+        |       WHEN de = g AND g >= 1 THEN 'de'
+        |       WHEN fr = g AND g >= 1 THEN 'fr'
+        |       WHEN es = g AND g >= 1 THEN 'es'
+        |       ELSE 'unknown' END AS guess
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','and','of','to'], w))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['der','die','das','und','ist'], w))) AS de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['le','la','les','et','est'], w))) AS fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['el','los','las','y','es'], w))) AS es,
+        |    greatest(
+        |      len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','and','of','to'], w))),
+        |      len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['der','die','das','und','ist'], w))),
+        |      len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['le','la','les','et','est'], w))),
+        |      len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['el','los','las','y','es'], w)))) AS g
+        |  FROM documents WHERE doc_id < 200) t
+        |ORDER BY doc_id""".stripMargin,
+    "q27_fingerprints" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+    "q28_minhash_sigs" ->
+      (s"""WITH $ShinglesCte
+        |SELECT doc_id,
+        |  list_min(list_transform(s, x -> md5(x || '#0'))) AS mh0,
+        |  list_min(list_transform(s, x -> md5(x || '#1'))) AS mh1,
+        |  list_min(list_transform(s, x -> md5(x || '#2'))) AS mh2,
+        |  list_min(list_transform(s, x -> md5(x || '#3'))) AS mh3
+        |FROM sh
+        |WHERE doc_id < 50
+        |ORDER BY doc_id""").stripMargin,
+    "q30_char_chunks" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_index, CAST(i * 150 AS INTEGER) AS start_char,
+        |  substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS text
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(CAST(greatest(ceil((length(text) - 50) / 150.0), 1) AS BIGINT))) AS i
+        |      FROM documents WHERE doc_id < 50) t
+        |WHERE length(substring(text, CAST(i * 150 + 1 AS INTEGER), 200)) > 0
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+    "q31_ir_metrics" ->
+      (s"""WITH $IrCte,
+        |agg AS (
+        |  SELECT query_id, sum(is_rel) AS rel_ret, count(*) AS n_top,
+        |    sum(CASE WHEN is_rel = 1 THEN rel_cum * 1.0 / rank END) AS ap_num,
+        |    min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel,
+        |    sum(CASE WHEN is_rel = 1 THEN 1.0 / log2(rank + 1) END) AS dcg
+        |  FROM cum GROUP BY 1),
+        |mets AS (
+        |  SELECT a.query_id,
+        |    a.rel_ret * 1.0 / a.n_top AS p,
+        |    a.rel_ret * 1.0 / n.n_rel AS r,
+        |    coalesce(a.ap_num, 0.0) / n.n_rel AS ap,
+        |    CASE WHEN a.first_rel IS NOT NULL THEN 1.0 / a.first_rel ELSE 0.0 END AS rr,
+        |    coalesce(a.dcg, 0.0) / list_sum(list_transform(range(least(n.n_rel, 10)), i -> 1.0 / log2(i + 2))) AS ndcg,
+        |    CASE WHEN a.rel_ret > 0 THEN 1.0 ELSE 0.0 END AS hit
+        |  FROM agg a JOIN nrel n USING (query_id))
+        |SELECT query_id, round(p, 6) AS "precision", round(r, 6) AS recall,
+        |  round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1,
+        |  round(ap, 6) AS ap, round(rr, 6) AS rr, round(ndcg, 6) AS ndcg,
+        |  hit AS hit_rate
+        |FROM mets
+        |ORDER BY query_id""").stripMargin,
+    "q32_ir_summary" ->
+      (s"""WITH $IrCte,
+        |ks(k) AS (VALUES (1), (5), (10)),
+        |perq AS (
+        |  SELECT ks.k, c.query_id,
+        |    sum(CASE WHEN c.is_rel = 1 AND c.rank <= ks.k THEN 1 ELSE 0 END) AS rel_ret,
+        |    sum(CASE WHEN c.rank <= ks.k THEN 1 ELSE 0 END) AS n_top,
+        |    sum(CASE WHEN c.is_rel = 1 THEN c.rel_cum * 1.0 / c.rank END) AS ap_num,
+        |    min(CASE WHEN c.is_rel = 1 THEN c.rank END) AS first_rel,
+        |    sum(CASE WHEN c.is_rel = 1 AND c.rank <= ks.k THEN 1.0 / log2(c.rank + 1) END) AS dcg
+        |  FROM cum c CROSS JOIN ks GROUP BY 1, 2),
+        |mets AS (
+        |  SELECT p.k, p.query_id,
+        |    p.rel_ret * 1.0 / p.n_top AS prec,
+        |    p.rel_ret * 1.0 / n.n_rel AS rec,
+        |    coalesce(p.ap_num, 0.0) / n.n_rel AS ap,
+        |    CASE WHEN p.first_rel IS NOT NULL THEN 1.0 / p.first_rel ELSE 0.0 END AS rr,
+        |    coalesce(p.dcg, 0.0) / list_sum(list_transform(range(least(n.n_rel, p.k)), i -> 1.0 / log2(i + 2))) AS ndcg,
+        |    CASE WHEN p.rel_ret > 0 THEN 1.0 ELSE 0.0 END AS hit
+        |  FROM perq p JOIN nrel n USING (query_id))
+        |SELECT k, count(*) AS n_queries,
+        |  round(avg(prec), 6) AS "precision", round(avg(rec), 6) AS recall,
+        |  round(avg(CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END), 6) AS f1,
+        |  round(avg(ap), 6) AS "map", round(avg(rr), 6) AS mrr,
+        |  round(avg(ndcg), 6) AS ndcg, round(avg(hit), 6) AS hit_rate
+        |FROM mets
+        |GROUP BY k
+        |ORDER BY k""").stripMargin,
   )
 }

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions (SURVEY §2.8 F7/F14/F16/F17 and the
+ * training-data-pipeline operators: token counting, quality scoring,
+ * language-ID, fingerprinting). Everything here is pure `Column`
+ * composition — codegen'd builtin expressions, no UDFs — so the operators
+ * inline into whole-stage codegen and push down/prune like any native
+ * expression.
+ *
+ * Reference semantics: word/char counts day_10/utils/text_processor.py:136-153,
+ * stopword language heuristic :156-167, complexity score
+ * day_10/chunkers/token_chunker.py:237-267, md5 cache key
+ * day_10/embedders/embedding_pipeline.py:238-250.
+ */
+object TextFunctions {
+
+  /** Whitespace tokenization — the approximate tokenizer (SURVEY §7.5 risk 2:
+    * BPE parity is explicitly out of scope; counts are approximate). */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Characters of punctuation per character of text. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    when(length(text) > 0, punct.cast("double") / length(text)).otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens that are (English) stopwords — F14's hit-count
+    * heuristic expressed as a ratio. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(lower(text))
+    val hits = size(filter(ws, w => array_contains(lit(EnStopwords.toArray), w)))
+    when(size(ws) > 0, hits.cast("double") / size(ws)).otherwise(lit(0.0))
+  }
+
+  /** Mean token length (complexity-score ingredient, F16). */
+  def avgWordLen(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) > 0,
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+      .otherwise(lit(0.0))
+  }
+
+  /**
+   * Composite document quality score in [0,1] — the reference's
+   * length/stopword/punctuation recipe (day_10 chunk-quality evaluation,
+   * reference day_10/utils/evaluation.py:22-64) as one deterministic
+   * expression: reward reasonable length and stopword presence, penalize
+   * punctuation soup.
+   */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm = least(wordCount(text).cast("double") / lit(100.0), lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctTerm = lit(1.0) - least(punctRatio(text) * lit(10.0), lit(1.0))
+    lengthTerm * lit(0.5) + stopTerm * lit(0.3) + punctTerm * lit(0.2)
+  }
+
+  /** Stopword-hit language guess (F14): ≥ `minHits` hits from a language's
+    * marker list wins; ties broken by fixed language order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+  )
+
+  def langHits(text: Column, markers: Seq[String]): Column =
+    size(filter(words(lower(text)), w => array_contains(lit(markers.toArray), w)))
+
+  def langGuess(text: Column, minHits: Int = 1): Column = {
+    val scored = LangMarkers.map { case (l, ms) => (l, langHits(text, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("unknown"): Column) { case ((l, hits), acc) =>
+      when(hits === best && best >= minHits, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
+    * text (F17's md5 cache key; the exact-dedup primitive). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Sliding word n-gram shingles: ["a b c", "b c d", ...]. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /**
+   * MinHash signature over md5-hashed shingles: component i is
+   * min over shingles of md5(shingle ∥ "#" ∥ i). md5 keeps the signature
+   * reproducible in any engine (the DuckDB oracle computes the identical
+   * signature); the LSH banding in [[graft.operators.Dedup]] buckets on
+   * concatenated components.
+   */
+  def minhashSignature(text: Column, numHashes: Int, shingleLen: Int = 3): Column = {
+    val sh = array_distinct(shingles(text, shingleLen))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => md5(concat(s, lit("#"), i.cast("string"))))))
+  }
+
+  /**
+   * 64-bit SimHash of a token list: bit b of the signature is 1 iff
+   * Σ_tokens sign(bit b of hash64(token)) > 0. Near-duplicate docs (small
+   * token-set edits) agree on most bits, so blocking on 16-bit bands finds
+   * hamming≤3 pairs with 4 bands. Plain-Scala hot loop (64 bit-votes per
+   * token) — called from a typed map in [[graft.operators.Dedup]].
+   */
+  def simhash64(tokens: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      // two 32-bit murmur seeds → one deterministic 64-bit token hash
+      val lo = scala.util.hashing.MurmurHash3.stringHash(tokens(t), 0x9747b28c).toLong & 0xFFFFFFFFL
+      val hi = scala.util.hashing.MurmurHash3.stringHash(tokens(t), 0x85ebca6b).toLong & 0xFFFFFFFFL
+      val h = (hi << 32) | lo
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}

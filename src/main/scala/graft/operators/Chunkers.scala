@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A produced chunk (SURVEY §1.1 abstraction 3; metadata shape from
+  * day_10/chunkers/token_chunker.py:9-18). */
+case class Chunk(
+    doc_id: Long,
+    chunk_index: Int,
+    start_char: Int,
+    end_char: Int,
+    text: String,
+    n_tokens: Int,
+    chunk_type: String)
+
+/**
+ * Document chunkers (SURVEY §2.9 G1–G9). All are one-row→many generators:
+ * the stateful scans (overlap carry-back, boundary snapping, grouping) are
+ * genuinely imperative per-document logic, so they are typed-`Dataset`
+ * flatMaps — each document's chunks are produced on one executor, no
+ * cross-row state, embarrassingly parallel at any scale. The fixed-stride
+ * char chunker is also expressible declaratively (posexplode over a
+ * sequence) and that form is used for the SQL/oracle surface.
+ */
+object Chunkers {
+
+  /** (doc_id, text) input projection helper. */
+  private def docs(df: DataFrame, idCol: String, textCol: String): Dataset[(Long, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+  }
+
+  /**
+   * Declarative fixed-stride char chunker: windows of `size` chars every
+   * `size - overlap`. Pure builtin expressions (sequence → transform →
+   * posexplode) — stays in whole-stage codegen and is SQL-mirrorable.
+   */
+  def fixedCharChunks(df: DataFrame, idCol: String, textCol: String,
+                      size: Int, overlap: Int): DataFrame = {
+    require(overlap < size, "overlap must be < size")
+    val stride = size - overlap
+    val n = length(col("__text"))
+    val starts = sequence(lit(0), greatest(ceil((n - overlap).cast("double") / stride).cast("int") - 1, lit(0)))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .select(col("doc_id"), col("__text"), posexplode(transform(starts, i => i * stride)))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_index"),
+        col("col").cast("int").as("start_char"),
+        substring(col("__text"), col("col") + 1, lit(size)).as("text"))
+      .where(length(col("text")) > 0)
+  }
+
+  /**
+   * The capstone char chunker (day_15/main.py:81-102): 'size'-char windows
+   * with `overlap` carry-back, snapping the cut to the last '.' past the
+   * window midpoint.
+   */
+  def charChunks(df: DataFrame, idCol: String, textCol: String,
+                 size: Int = 1000, overlap: Int = 200): Dataset[Chunk] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docs(df, idCol, textCol).flatMap { case (id, text) =>
+      if (text == null || text.isEmpty) Iterator.empty
+      else {
+        val out = collection.mutable.ArrayBuffer.empty[Chunk]
+        var start = 0
+        var idx = 0
+        while (start < text.length) {
+          var end = math.min(start + size, text.length)
+          if (end < text.length) {
+            val dot = text.lastIndexOf('.', end)
+            if (dot > start + size / 2) end = dot + 1
+          }
+          val t = text.substring(start, end)
+          out += Chunk(id, idx, start, end, t, t.split("\\s+").count(_.nonEmpty), "char")
+          idx += 1
+          start = if (end >= text.length) text.length else end - overlap
+        }
+        out.iterator
+      }
+    }
+  }
+
+  /**
+   * Token chunker (G1, day_10/chunkers/token_chunker.py:60-141) with
+   * whitespace tokens (BPE counts are approximate by design — SURVEY §7.5):
+   * ≤ maxTokens per chunk, overlapTokens carried back.
+   */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  maxTokens: Int = 100, overlapTokens: Int = 20): Dataset[Chunk] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docs(df, idCol, textCol).flatMap { case (id, text) =>
+      if (text == null || text.isEmpty) Iterator.empty
+      else {
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val out = collection.mutable.ArrayBuffer.empty[Chunk]
+        var start = 0
+        var idx = 0
+        while (start < toks.length) {
+          val end = math.min(start + maxTokens, toks.length)
+          val t = toks.slice(start, end).mkString(" ")
+          out += Chunk(id, idx, start, end, t, end - start, "token")
+          idx += 1
+          start = if (end >= toks.length) toks.length else end - overlapTokens
+        }
+        out.iterator
+      }
+    }
+  }
+
+  private val SentenceSplit = "(?<=[.!?])\\s+"
+
+  /**
+   * Sentence chunker (G4, day_10/chunkers/sentence_chunker.py:140-234):
+   * regex sentence split (the reference's own non-NLTK fallback), group to
+   * ≤ maxSentences and ≤ maxWords, step back overlapSentences.
+   */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     maxSentences: Int = 5, maxWords: Int = 120,
+                     overlapSentences: Int = 1, minSentenceChars: Int = 10): Dataset[Chunk] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docs(df, idCol, textCol).flatMap { case (id, text) =>
+      if (text == null || text.isEmpty) Iterator.empty
+      else {
+        val sents = text.split(SentenceSplit).map(_.trim).filter(_.length >= minSentenceChars)
+        val out = collection.mutable.ArrayBuffer.empty[Chunk]
+        var i = 0
+        var idx = 0
+        while (i < sents.length) {
+          var j = i
+          var wordSum = 0
+          while (j < sents.length && j - i < maxSentences &&
+            (j == i || wordSum + sents(j).split("\\s+").length <= maxWords)) {
+            wordSum += sents(j).split("\\s+").length
+            j += 1
+          }
+          val t = sents.slice(i, j).mkString(" ")
+          out += Chunk(id, idx, i, j, t, t.split("\\s+").count(_.nonEmpty), "sentence")
+          idx += 1
+          i = if (j >= sents.length) sents.length else math.max(j - overlapSentences, i + 1)
+        }
+        out.iterator
+      }
+    }
+  }
+
+  /** Paragraph chunker (G6): split on blank lines, ≥ minChars, group ≤
+    * maxParagraphs per chunk. */
+  def paragraphChunks(df: DataFrame, idCol: String, textCol: String,
+                      maxParagraphs: Int = 3, minChars: Int = 50): Dataset[Chunk] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docs(df, idCol, textCol).flatMap { case (id, text) =>
+      if (text == null || text.isEmpty) Iterator.empty
+      else {
+        val paras = text.split("\n\\s*\n").map(_.trim).filter(_.length >= minChars)
+        paras.grouped(maxParagraphs).zipWithIndex.map { case (g, idx) =>
+          val t = g.mkString("\n\n")
+          Chunk(id, idx, idx * maxParagraphs, idx * maxParagraphs + g.length,
+            t, t.split("\\s+").count(_.nonEmpty), "paragraph")
+        }
+      }
+    }
+  }
+
+  /** Content-type detector (P9, day_10/chunkers/hybrid_chunker.py:27-90):
+    * regex battery classifying text as code/table/list/prose. */
+  def contentType(text: String): String =
+    if (text == null || text.isEmpty) "empty"
+    else if (text.contains("```") || text.linesIterator.count(l => l.startsWith("    ") || l.startsWith("\t")) > 2) "code"
+    else if (text.linesIterator.count(_.contains("|")) > 2) "table"
+    else if (text.linesIterator.count(l => l.trim.matches("^([-*+]|\\d+\\.)\\s.*")) > 2) "list"
+    else "prose"
+
+  /** Hybrid chunker (G7): detect content type, route code/table to
+    * line-preserving token chunks, lists/prose to sentence or token chunks;
+    * merge trailing fragments < minChunkChars. */
+  def hybridChunks(df: DataFrame, idCol: String, textCol: String,
+                   maxTokens: Int = 100, minChunkChars: Int = 50): Dataset[Chunk] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docs(df, idCol, textCol).flatMap { case (id, text) =>
+      if (text == null || text.isEmpty) Iterator.empty
+      else {
+        val ct = contentType(text)
+        val base: Seq[Chunk] = ct match {
+          case "code" | "table" =>
+            // split on lines, group preserving structure
+            val lines = text.split("\n")
+            lines.grouped(20).zipWithIndex.map { case (g, idx) =>
+              val t = g.mkString("\n")
+              Chunk(id, idx, 0, 0, t, t.split("\\s+").count(_.nonEmpty), ct)
+            }.toSeq
+          case _ =>
+            val toks = text.split("\\s+").filter(_.nonEmpty)
+            toks.grouped(maxTokens).zipWithIndex.map { case (g, idx) =>
+              val t = g.mkString(" ")
+              Chunk(id, idx, 0, 0, t, g.length, ct)
+            }.toSeq
+        }
+        // post-merge pass: fold chunks smaller than minChunkChars into the previous
+        val merged = base.foldLeft(Vector.empty[Chunk]) { (acc, c) =>
+          if (acc.nonEmpty && c.text.length < minChunkChars) {
+            val last = acc.last
+            val t = last.text + " " + c.text
+            acc.init :+ last.copy(text = t, n_tokens = t.split("\\s+").count(_.nonEmpty))
+          } else acc :+ c
+        }
+        merged.zipWithIndex.map { case (c, i) => c.copy(chunk_index = i) }.iterator
+      }
+    }
+  }
+
+  /** Chunk statistics (A5): totals and avg/min/max of token and char counts. */
+  def chunkStats(chunks: Dataset[Chunk]): DataFrame =
+    chunks.toDF().agg(
+      count(lit(1)).as("n_chunks"),
+      countDistinct(col("doc_id")).as("n_docs"),
+      round(avg(col("n_tokens")), 6).as("avg_tokens"),
+      min(col("n_tokens")).as("min_tokens"),
+      max(col("n_tokens")).as("max_tokens"),
+      round(avg(length(col("text"))), 6).as("avg_chars"),
+      max(length(col("text"))).as("max_chars"))
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for a large-scale training-data pipeline: exact,
+ * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+ *
+ * Scale design (100 TB):
+ *  - Exact dedup is a hash groupBy on a fingerprint — one shuffle on a
+ *    16-byte key, map-side combined.
+ *  - Jaccard / MinHash / SimHash all avoid the O(n²) pair space by
+ *    generating candidates from an inverted index (explode → self-join on
+ *    the posting key). The shuffle key is the shingle/band/bucket hash, so
+ *    the join is a co-partitioned equi-join Catalyst handles natively; the
+ *    only skew risk is a hot shingle, which `limitPostings` caps (drop
+ *    shingles appearing in more than `maxDf` docs — they carry no dedup
+ *    signal, exactly the stopword-df cut used by large-scale dedup
+ *    pipelines).
+ *  - Verification of candidates (exact Jaccard / cosine) happens only on
+ *    the candidate set, never all pairs.
+ */
+object Dedup {
+
+  /** Exact duplicate stats over a canonical-form fingerprint (hash groupBy). */
+  def exactStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("n")) - count(lit(1))).as("n_duplicates"),
+        sum(when(col("n") > 1, lit(1)).otherwise(lit(0))).as("n_dup_groups"))
+
+  /** Exact duplicate groups: fingerprint → ids, keep groups of ≥2. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
+      .where(col("n") > 1)
+
+  /** Keep one representative (min id) per fingerprint — the dedup transform. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    df.withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "fp")
+  }
+
+  /**
+   * All pairs with word-n-gram Jaccard ≥ threshold, via inverted index:
+   * explode distinct shingles → self-join on shingle (ids ordered) →
+   * common-shingle counts → |A∩B| / (|A|+|B|−|A∩B|).
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDf: Long = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), n)).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val postings = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    // df-cut: a shingle shared by huge numbers of docs is a stopword-gram;
+    // it explodes the candidate space without separating near-dups.
+    val rare = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf && col("df") >= 2)
+    val pruned = postings.join(rare.select("s"), Seq("s"))
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs.withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: signature of `numHashes` md5-minima,
+   * banded into `bands`; docs sharing any full band collide. Candidates
+   * are then verified with exact Jaccard.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 16, bands: Int = 4,
+                      shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"), col(textCol).as("__text"),
+      minhashSignature(col(textCol), numHashes, shingleLen).as("sig"))
+    val banded = sig.select(col("id"), col("__text"),
+      posexplode(array((0 until bands).map(b =>
+        md5(concat_ws("|", slice(col("sig"), b * rows + 1, rows)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.__text").as("text_a"), col("b.__text").as("text_b"))
+      .dropDuplicates("id_a", "id_b")
+    // verify candidates with exact Jaccard on the same shingle sets
+    val ja = array_distinct(shingles(col("text_a"), shingleLen))
+    val jb = array_distinct(shingles(col("text_b"), shingleLen))
+    cand.withColumn("jaccard",
+        size(array_intersect(ja, jb)).cast("double") / size(array_union(ja, jb)))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Per-row 64-bit SimHash signatures (typed map; deterministic murmur
+    * token hashes — see [[graft.functions.TextFunctions.simhash64]]). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = if (text == null) Array.empty[String]
+                   else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (id, simhash64(toks))
+      }
+      .toDF("id", "sig")
+  }
+
+  /** SimHash near-dup candidates: 4 × 16-bit bands of the 64-bit signature;
+    * a hamming-distance ≤ 3 pair must agree on ≥1 band (pigeonhole). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(df, idCol, textCol)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // popcount(a xor b) via bit_count builtin
+    val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), hamming.as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs; exact for broadcast-size sides,
+    * LSH-bucketed via [[SimilarityJoin.lshCosinePairs]] at scale. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame =
+    SimilarityJoin.allPairs(df, idCol, vecCol)
+      .where(col("sim") >= threshold)
+}

@@ -92,7 +92,7 @@ object KnnSearch {
    */
   def topKBatch(docs: DataFrame, idCol: String, vecCol: String,
                 queries: Seq[(Long, Array[Float])], k: Int,
-                metric: Metric = Cosine): DataFrame = {
+                metric: Metric = Cosine, excludeSelf: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val qs: Array[(Long, Array[Double])] =
@@ -123,6 +123,8 @@ object KnnSearch {
           if (vec != null) {
             var qi = 0
             while (qi < queries.length) {
+              if (excludeSelf && queries(qi)._1 == docId) { qi += 1 }
+              else {
               val s = metric.score(queries(qi)._2, vec)
               val h = heaps(qi)
               if (h.size < k) h.enqueue((s, docId))
@@ -134,6 +136,7 @@ object KnnSearch {
                 if (better) { h.dequeue(); h.enqueue((s, docId)) }
               }
               qi += 1
+              }
             }
           }
         }
