@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Chunkers
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val longText = (1 to 120).map(i => s"word$i").mkString(" ") // ~900 chars
+  private def one = Seq((0L, longText)).toDF("doc_id", "text")
+
+  test("fixedCharChunks covers the text with the right stride") {
+    val chunks = Chunkers.fixedCharChunks(one, "doc_id", "text", size = 200, overlap = 50)
+      .orderBy("chunk_index").collect()
+    assert(chunks.head.getAs[Int]("start_char") === 0)
+    chunks.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Int]("start_char") - a.getAs[Int]("start_char") === 150)
+      case _ =>
+    }
+    // overlap: consecutive chunks share their 50-char boundary region
+    val t0 = chunks(0).getAs[String]("text")
+    val t1 = chunks(1).getAs[String]("text")
+    assert(t0.substring(150) === t1.substring(0, 50))
+    // coverage: stitching de-overlapped chunks reproduces the text
+    val stitched = chunks.map(_.getAs[String]("text")).zipWithIndex.map {
+      case (t, 0) => t
+      case (t, _) => t.drop(50)
+    }.mkString
+    assert(stitched === longText)
+  }
+
+  test("charChunks (day_15 semantics) snaps to sentence boundary past midpoint") {
+    val text = ("a" * 600) + ". " + ("b" * 600)
+    val chunks = Chunkers.charChunks(Seq((0L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", size = 1000, overlap = 200).collect().sortBy(_.chunk_index)
+    assert(chunks.head.end_char === 601) // cut at the '.' (index 600) + 1
+    assert(chunks.head.text.endsWith("."))
+    // next chunk starts 200 back from the cut
+    assert(chunks(1).start_char === 401)
+  }
+
+  test("charChunks with no '.' uses hard cut and overlap") {
+    val text = "x" * 2500
+    val chunks = Chunkers.charChunks(Seq((0L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", size = 1000, overlap = 200).collect().sortBy(_.chunk_index)
+    assert(chunks.map(_.start_char).toSeq === Seq(0, 800, 1600))
+    assert(chunks.last.end_char === 2500)
+  }
+
+  test("tokenChunks respects maxTokens and overlap carry-back") {
+    val chunks = Chunkers.tokenChunks(one, "doc_id", "text", maxTokens = 50, overlapTokens = 10)
+      .collect().sortBy(_.chunk_index)
+    assert(chunks.forall(_.n_tokens <= 50))
+    assert(chunks.map(_.start_char).toSeq === Seq(0, 40, 80))  // start token idx steps by 40
+    assert(chunks.last.end_char === 120)
+    // token coverage: every token index appears in some chunk
+    val covered = chunks.flatMap(c => c.start_char until c.end_char).toSet
+    assert(covered === (0 until 120).toSet)
+  }
+
+  test("sentenceChunks groups by sentence and respects maxSentences") {
+    val text = (1 to 12).map(i => s"This is sentence number $i.").mkString(" ")
+    val chunks = Chunkers.sentenceChunks(
+        Seq((0L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", maxSentences = 5, maxWords = 1000, overlapSentences = 0)
+      .collect().sortBy(_.chunk_index)
+    assert(chunks.length === 3) // 12 sentences / 5 per chunk
+    assert(chunks.head.text.startsWith("This is sentence number 1."))
+    assert(chunks.forall(_.chunk_type === "sentence"))
+  }
+
+  test("paragraphChunks filters short paragraphs and groups") {
+    val text = Seq("p" * 60, "tiny", "q" * 60, "r" * 60, "s" * 60).mkString("\n\n")
+    val chunks = Chunkers.paragraphChunks(
+        Seq((0L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", maxParagraphs = 2, minChars = 50)
+      .collect().sortBy(_.chunk_index)
+    assert(chunks.length === 2) // 4 valid paragraphs / 2 per chunk
+    assert(!chunks.exists(_.text.contains("tiny")))
+  }
+
+  test("hybridChunks routes by content type and merges fragments") {
+    val code = (1 to 30).map(i => s"    line$i()").mkString("\n")
+    val prose = (1 to 250).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, code), (1L, prose)).toDF("doc_id", "text")
+    val chunks = Chunkers.hybridChunks(df, "doc_id", "text", maxTokens = 100).collect()
+    assert(chunks.filter(_.doc_id == 0L).forall(_.chunk_type === "code"))
+    assert(chunks.filter(_.doc_id == 1L).forall(_.chunk_type === "prose"))
+    assert(chunks.filter(_.doc_id == 1L).forall(_.text.length >= 50)) // merged fragments
+  }
+
+  test("chunkStats aggregates over real documents") {
+    val docs = Tables(spark, TestSpark.sfDir, "documents").limit(100)
+    val stats = Chunkers.chunkStats(
+      Chunkers.tokenChunks(docs, "doc_id", "text", 30, 5)).head()
+    assert(stats.getAs[Long]("n_chunks") > 0)
+    assert(stats.getAs[Long]("n_docs") === 100L)
+    assert(stats.getAs[Int]("max_tokens") <= 30)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Dedup, SimilarityJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 0
+    (2L, "The  quick brown fox JUMPS over the lazy dog"),     // canonical dup of 0
+    (3L, "the quick brown fox jumps over the sleepy dog"),    // near-dup (1 word)
+    (4L, "completely different content about spark engines"),
+    (5L, "spark engines process completely different content"),
+  ).toDF("doc_id", "text")
+
+  test("exact stats count canonical-form duplicates") {
+    val r = Dedup.exactStats(docs, "text").head()
+    assert(r.getAs[Long]("n_docs") === 6L)
+    assert(r.getAs[Long]("n_distinct") === 4L) // 0/1/2 collapse
+    assert(r.getAs[Long]("n_duplicates") === 2L)
+    assert(r.getAs[Long]("n_dup_groups") === 1L)
+  }
+
+  test("exact groups list the duplicate ids") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Seq[Long]]("ids") === Seq(0L, 1L, 2L))
+  }
+
+  test("dropExactDuplicates keeps the min-id representative") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 3L, 4L, 5L))
+  }
+
+  test("ngram jaccard finds the near-dup pair and scores exact dups 1.0") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 3L))) // 1-word edit: 4/10 shingles shared → ≥0.4
+    assert(!pairs.contains((0L, 4L)))
+  }
+
+  test("minhash LSH recovers high-jaccard pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 8, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash: identical docs share signatures; near-dups are close") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    val hamming = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(hamming <= 16, s"near-dup hamming was $hamming")
+    val far = java.lang.Long.bitCount(sigs(0L) ^ sigs(4L))
+    assert(far > hamming)
+  }
+
+  test("simhash banding finds exact-dup pairs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("embedding near-dup on real embeddings matches threshold filter") {
+    val e = Tables(spark, TestSpark.sfDir, "embeddings")
+    val viaOp = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4).count()
+    val direct = SimilarityJoin.allPairs(e, "vec_id", "embedding")
+      .where(col("sim") >= 0.4).count()
+    assert(viaOp === direct)
+  }
+
+  test("LSH cosine pairs achieve high recall vs exact at threshold") {
+    val e = Tables(spark, TestSpark.sfDir, "embeddings")
+    val exact = SimilarityJoin.allPairs(e, "vec_id", "embedding")
+      .where(col("sim") >= 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityJoin.lshCosinePairs(e, "vec_id", "embedding",
+        threshold = 0.4, numBits = 4, bands = 16, dim = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision 1.0
+    val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"LSH recall $recall over ${exact.size} pairs")
+  }
+}
