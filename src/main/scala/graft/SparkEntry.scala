@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Chunkers, Dedup, IREval, KnnSearch, SimilarityJoin}
+import graft.operators.{AnnIndex, Chunkers, Dedup, Embedder, IREval, KnnSearch, Rag, SimilarityJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -373,6 +373,41 @@ object SparkEntry {
       .orderBy(col("k"))
   }
 
+  /** IVF ANN recall vs exact oracle (day_6 protocol; no SQL oracle — the
+    * KMeans partitioning is engine-specific, so the driver's rows-only
+    * check applies; correctness is enforced by AnnIndexSpec instead). */
+  private val q33IvfRecall: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val qs = e.where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    AnnIndex.recallVsExact(e, "vec_id", "embedding", qs, k = 10, nlist = 16, nprobe = 4)
+      .select(col("query_id"), round(col("recall"), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** End-to-end embed→search slice (SURVEY §7.3): mock-embed documents,
+    * embed a query text, cosine top-5. Deterministic; rows-only check. */
+  private val q34EmbedSearch: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val embedded = Embedder.embed(docs, "doc_id", "text")
+    val qv = Embedder.MockEncoder().encodeBatch(Seq("filter join spark table")).head
+    KnnSearch.topK(embedded, "doc_id", "embedding", qv, 5, KnnSearch.Cosine)
+      .select(col("doc_id"), round(col("score"), 6).as("sim"))
+  }
+
+  /** RAG context assembly (F25/J4): top-3 docs for a stored query vector,
+    * hydrated and concatenated under a 2000-char budget. */
+  private val q50RagContext: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val qv = Tables.queryVector(s, dir, 0L)
+    val top = KnnSearch.topKBatch(e, "vec_id", "embedding",
+      Seq((0L, qv)), 3, KnnSearch.Cosine, excludeSelf = true)
+    val hydrated = Rag.hydrate(top, Tables(s, dir, "documents"), "doc_id", "text")
+    Rag.buildContext(hydrated, budgetChars = 2000, perDocChars = 500)
+      .select(col("query_id"), col("context"), col("n_docs"))
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -405,6 +440,9 @@ object SparkEntry {
     "q30_char_chunks" -> q30CharChunks,
     "q31_ir_metrics" -> q31IrMetrics,
     "q32_ir_summary" -> q32IrSummary,
+    "q33_ivf_recall" -> q33IvfRecall,
+    "q34_embed_search" -> q34EmbedSearch,
+    "q50_rag_context" -> q50RagContext,
   )
 
   // Shared oracle SQL fragments
@@ -704,5 +742,21 @@ object SparkEntry {
         |FROM mets
         |GROUP BY k
         |ORDER BY k""").stripMargin,
+    "q50_rag_context" ->
+      """WITH top AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY rank LIMIT 3),
+        |p AS (
+        |  SELECT t.rank,
+        |    'Document ' || t.rank || ':' || chr(10) || substring(d.text, 1, 500) AS piece
+        |  FROM top t JOIN documents d ON d.doc_id = t.doc_id),
+        |r AS (SELECT rank, piece, sum(length(piece) + 2) OVER (ORDER BY rank) AS running FROM p)
+        |SELECT CAST(0 AS BIGINT) AS query_id,
+        |  string_agg(piece, chr(10) || chr(10) ORDER BY rank) AS context,
+        |  count(*) AS n_docs
+        |FROM r WHERE running <= 2000""".stripMargin,
   )
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal asset columns: images/audio/video travel as opaque `binary`
+ * columns with typed metadata, and decode/feature-extraction runs as
+ * batched `mapPartitions` — the Scala/JVM equivalent of a Pandas UDF over
+ * mapInPandas. The Spark-side plumbing (schema, partitioning, batch shape,
+ * deterministic output) is real and tested; the codec call itself is a
+ * clearly-marked STUB (`fakeDecode`) because no image/audio libraries ship
+ * in this container — swap `AssetDecoder.decode` for a javacv/ffmpeg/ImageIO
+ * call and nothing else changes.
+ */
+object Multimodal {
+
+  /** Canonical asset schema: id + modality tag + raw bytes + metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Pluggable decoder: bytes → fixed-dim feature vector. */
+  trait AssetDecoder extends Serializable {
+    def dim: Int
+    def decode(modality: String, bytes: Array[Byte]): Array[Float]
+  }
+
+  /**
+   * STUB decoder — deterministic fake features derived from the byte
+   * content (seeded gaussian). A real deployment replaces this with the
+   * actual codec; everything around it (batching, schema, null handling)
+   * is production-shaped.
+   */
+  case class FakeDecoder(dim: Int = 16) extends AssetDecoder {
+    def decode(modality: String, bytes: Array[Byte]): Array[Float] = {
+      val seed = if (bytes == null) 0L
+        else java.util.Arrays.hashCode(bytes).toLong * 1315423911L ^ modality.hashCode.toLong
+      val rng = new java.util.Random(seed)
+      Array.fill(dim)(rng.nextGaussian().toFloat)
+    }
+  }
+
+  /** Deterministic synthetic asset table (fixture generator, S18 pattern). */
+  def syntheticAssets(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val mods = Array("image", "audio", "video")
+    (0 until n).map { i =>
+      val rng = new java.util.Random(seed + i)
+      val bytes = new Array[Byte](64 + rng.nextInt(192))
+      rng.nextBytes(bytes)
+      (i.toLong, mods(i % mods.length), bytes,
+        Map("w" -> (64 + i % 512).toString, "h" -> (64 + (i * 7) % 512).toString))
+    }.toDF("asset_id", "modality", "content", "meta")
+  }
+
+  /** Batched decode → feature column. Partition-parallel; each batch is a
+    * single "model call" (the GPU/codec-friendly shape). */
+  def extractFeatures(df: DataFrame, decoder: AssetDecoder = FakeDecoder(),
+                      batchSize: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("asset_id").cast("long"), col("modality"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, mod, bytes) =>
+            (id, mod, if (bytes == null) null else decoder.decode(mod, bytes))
+          }
+        }
+      }
+      .toDF("asset_id", "modality", "features")
+  }
+
+  /** Frame sampling stub for video rows: one row per sampled frame index —
+    * the explode shape a real frame extractor produces. */
+  def sampleFrames(df: DataFrame, everyNthByte: Int = 32): DataFrame =
+    df.where(col("modality") === "video")
+      .withColumn("frame_index",
+        explode(sequence(lit(0), (length(col("content")) / everyNthByte).cast("int"))))
+      .select(col("asset_id"), col("frame_index"),
+        // STUB: a real impl decodes the frame; we slice the byte window
+        substring(col("content"), col("frame_index") * everyNthByte + 1, lit(everyNthByte))
+          .as("frame_bytes"))
+
+  /** Metadata projection with typed accessors (resize targets etc.). */
+  def withDimensions(df: DataFrame): DataFrame =
+    df.withColumn("width", element_at(col("meta"), "w").cast("int"))
+      .withColumn("height", element_at(col("meta"), "h").cast("int"))
+      .withColumn("aspect", round(col("width").cast("double") / col("height"), 4))
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming ingest over the events table (SURVEY §2.10: the
+ * reference's incremental insert endpoints are the natural streaming seam).
+ * Watermarked event-time tumbling windows; the same aggregation shape as
+ * the batch q06_hourly_events so streaming results are batch-verifiable.
+ *
+ * events.ts is INT64 nanos in parquet (see SparkEntry.eventsNs); the
+ * streaming schema reads it as LongType and converts to a micro timestamp
+ * for event-time semantics.
+ */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a parquet directory of event files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Run to completion against a memory sink (local verification harness —
+    * processAllAvailable drives the finite file source synchronously). */
+  def runToMemory(agg: DataFrame, name: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Streaming upsert sink into a collection (foreachBatch latest-wins
+    * merge — the reference's batch-insert endpoint as a stream consumer). */
+  def upsertSink(updates: DataFrame, root: String, collection: String,
+                 idCol: String, versionCol: String): StreamingQuery =
+    updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = graft.sources.CollectionStore.path(root, collection)
+        val merged =
+          if (new java.io.File(target).exists())
+            graft.sources.CollectionStore.upsert(
+              spark.read.parquet(target), batch, idCol, versionCol)
+          else batch
+        merged.cache().count() // materialize before overwrite of the source
+        merged.write.mode("overwrite").parquet(target + "_tmp")
+        merged.unpersist()
+        val tmp = new java.io.File(target + "_tmp")
+        val dst = new java.io.File(target)
+        org.apache.commons.io.FileUtils.deleteQuietly(dst)
+        tmp.renameTo(dst)
+        ()
+      }
+      .start()
+}
