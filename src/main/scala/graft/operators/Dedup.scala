@@ -59,22 +59,48 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxDf: Long = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), n)).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val postings = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    // df-cut: a shingle shared by huge numbers of docs is a stopword-gram;
-    // it explodes the candidate space without separating near-dups.
-    val rare = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf && col("df") >= 2)
-    val pruned = postings.join(rare.select("s"), Seq("s"))
-    val pairs = pruned.as("a").join(pruned.as("b"),
+                        maxDf: Long = Long.MaxValue): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Shingling runs as a typed flatMap, not the `shingles` column function:
+    // higher-order array expressions (transform/slice lambdas) are
+    // CodegenFallback and re-evaluate the tokenizing split per lambda call —
+    // an order of magnitude slower on long documents. Semantics identical
+    // (distinct word n-grams; whole text when shorter than n).
+    val postings = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+")
+        val sh =
+          if (ws.length >= n) (0 to ws.length - n).iterator
+            .map(i => ws.slice(i, i + n).mkString(" ")).toSet
+          else Set(ws.mkString(" "))
+        sh.iterator.map(s => (id, s))
+      }
+      .toDF("id", "s")
+    // Optional df-cut: a shingle shared by huge numbers of docs is a
+    // stopword-gram; it explodes the candidate space without separating
+    // near-dups. Off by default (exact semantics); turn on at corpus scale.
+    val pruned =
+      if (maxDf == Long.MaxValue) postings
+      else {
+        val rare = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDf && col("df") >= 2)
+        postings.join(rare.select("s"), Seq("s"))
+      }
+    // Self equi-join on the shingle; both sides shuffle with identical
+    // plans, so Spark's ReuseExchange computes the postings subtree once.
+    // The pair groupBy key stays narrow (two longs) for fast partial aggs;
+    // set sizes re-attach afterwards via two broadcast joins.
+    val common = pruned.as("a").join(pruned.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    pairs.withColumn("jaccard",
+    val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    common
+      .join(broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), Seq("id_a"))
+      .join(broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
         col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")))
       .where(col("jaccard") >= threshold)
