@@ -232,6 +232,28 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Metadata pre-filter + k-NN (P1/P2 — the reference's filtered search:
+    * Chroma `where=` / pgvector metadata conjuncts before ORDER BY). */
+  private val q18FilteredKnn: Q = (s, dir) => {
+    val q = Tables.queryVector(s, dir, 5L)
+    KnnSearch.topK(
+        Tables(s, dir, "embeddings").where(col("label") === 3 && col("vec_id") =!= 5),
+        "vec_id", "embedding", q, 10, KnnSearch.Cosine)
+      .select(col("vec_id"), round(col("score"), 6).as("sim"))
+  }
+
+  /** Distance-threshold predicate (P4/P5): all matches above similarity t. */
+  private val q19KnnThreshold: Q = (s, dir) => {
+    val q = Tables.queryVector(s, dir, 3L)
+    Tables(s, dir, "embeddings")
+      .where(col("vec_id") =!= 3)
+      .select(col("vec_id"),
+        cosineSimilarity(typedlit(q), col("embedding")).as("score"))
+      .where(col("score") >= 0.3)
+      .select(col("vec_id"), round(col("score"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
   // =====================================================================
   // Documents / text analysis (SURVEY §2.4, §2.8; training-data pipeline)
   // =====================================================================
@@ -319,6 +341,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** 64-bit SimHash signatures (deterministic murmur token hashes; no SQL
+    * oracle — DuckDB has no murmur/xxhash — so rows-only + DedupSpec). */
+  private val q29SimhashSigs: Q = (s, dir) => {
+    Dedup.simhashSignatures(
+        Tables(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text")
+      .orderBy(col("id"))
+  }
+
+  /** Full MinHash-LSH dedup pipeline (md5 signatures → banding → candidate
+    * join → exact-Jaccard verification) — oracle-reproducible end to end. */
+  private val q35MinhashLsh: Q = (s, dir) => {
+    Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, bands = 4, shingleLen = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Declarative fixed-stride char chunker (G8 — posexplode form). */
   private val q30CharChunks: Q = (s, dir) => {
     Chunkers.fixedCharChunks(
@@ -326,6 +364,27 @@ object SparkEntry {
         "doc_id", "text", size = 200, overlap = 50)
       .orderBy(col("doc_id"), col("chunk_index"))
   }
+
+  /** clean_text chain (F9–F13) over documents with a dirty suffix appended
+    * so every stage (encoding fix, contraction, punctuation spacing,
+    * whitespace collapse) actually fires. */
+  private val q36CleanText: Q = (s, dir) => {
+    import graft.functions.TextClean
+    val dirty = concat(col("text"), lit(DirtySuffix))
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), TextClean.cleanText(dirty).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** KMeans cluster profile (A12/A13; rows-only — centroid placement is
+    * engine-specific, behavior is pinned by ClusteringSpec). */
+  private val q41KmeansProfile: Q = (s, dir) =>
+    graft.operators.Clustering.clusterProfile(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+
+  private val DirtySuffix =
+    "  Itâ€™s  great ,and   we won't stop.Really  "
 
   // =====================================================================
   // IR evaluation (A7/W3 — day_13 engine) over label ground truth
@@ -428,6 +487,8 @@ object SparkEntry {
     "q15_near_dup_pairs" -> q15NearDupPairs,
     "q16_norm_stats" -> q16NormStats,
     "q17_normalize_checksum" -> q17NormalizeChecksum,
+    "q18_filtered_knn" -> q18FilteredKnn,
+    "q19_knn_threshold" -> q19KnnThreshold,
     "q20_doc_stats" -> q20DocStats,
     "q21_lang_distribution" -> q21LangDistribution,
     "q22_token_stats" -> q22TokenStats,
@@ -437,13 +498,37 @@ object SparkEntry {
     "q26_lang_guess" -> q26LangGuess,
     "q27_fingerprints" -> q27Fingerprints,
     "q28_minhash_sigs" -> q28MinhashSigs,
+    "q29_simhash_sigs" -> q29SimhashSigs,
     "q30_char_chunks" -> q30CharChunks,
+    "q35_minhash_lsh" -> q35MinhashLsh,
+    "q36_clean_text" -> q36CleanText,
+    "q41_kmeans_profile" -> q41KmeansProfile,
     "q31_ir_metrics" -> q31IrMetrics,
     "q32_ir_summary" -> q32IrSummary,
     "q33_ivf_recall" -> q33IvfRecall,
     "q34_embed_search" -> q34EmbedSearch,
     "q50_rag_context" -> q50RagContext,
   )
+
+  // ---- clean_text oracle generator ------------------------------------
+  // Mirrors graft.functions.TextClean stage by stage (same patterns; RE2
+  // replacement refs use \1 where Java uses $1).
+  private def sq(s: String): String = s.replace("'", "''")
+  private def cleanSqlExpr(inner: String): String = {
+    import graft.functions.TextClean._
+    val enc = EncodingFixes.foldLeft(inner) { case (e, (f, t)) =>
+      s"regexp_replace($e, '${sq(java.util.regex.Pattern.quote(f))}', '${sq(t)}', 'g')"
+    }
+    val contr = Contractions.foldLeft(enc) { case (e, (f, t)) =>
+      s"regexp_replace($e, '(?i)${sq(java.util.regex.Pattern.quote(f))}', '${sq(t)}', 'g')"
+    }
+    val p1 = s"regexp_replace($contr, ' +([.,;:!?])', '\\1', 'g')"
+    val p2 = s"regexp_replace($p1, '([.,;:!?])([^\\s.,;:!?])', '\\1 \\2', 'g')"
+    val w1 = s"regexp_replace($p2, '[ \\t]+', ' ', 'g')"
+    val w2 = s"regexp_replace($w1, '(?m)^ +| +" + "$', '', 'g')"
+    val w3 = s"regexp_replace($w2, '\\n{3,}', chr(10) || chr(10), 'g')"
+    s"trim($w3)"
+  }
 
   // Shared oracle SQL fragments
   private val ShinglesCte =
@@ -600,6 +685,39 @@ object SparkEntry {
         |FROM embeddings
         |WHERE vec_id < 20
         |ORDER BY vec_id""".stripMargin,
+    "q18_filtered_knn" ->
+      """SELECT b.vec_id,
+        |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 5) q
+        |WHERE b.label = 3 AND b.vec_id <> 5
+        |ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, b.vec_id
+        |LIMIT 10""".stripMargin,
+    "q19_knn_threshold" ->
+      """SELECT b.vec_id,
+        |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 3) q
+        |WHERE b.vec_id <> 3
+        |  AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY sim DESC, b.vec_id""".stripMargin,
+    "q35_minhash_lsh" ->
+      (s"""WITH $ShinglesCte,
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(8), h -> list_min(list_transform(s, x -> md5(x || '#' || CAST(h AS VARCHAR))))) AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    md5(array_to_string(sig[(b.b*2+1):(b.b*2+2)], '|')) AS bucket
+        |  FROM sig, unnest(range(4)) AS b(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  round(len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)), 6) AS jaccard
+        |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+        |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
+        |ORDER BY c.id_a, c.id_b""").stripMargin,
     "q20_doc_stats" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT lang) AS n_langs,
@@ -742,6 +860,11 @@ object SparkEntry {
         |FROM mets
         |GROUP BY k
         |ORDER BY k""").stripMargin,
+    "q36_clean_text" ->
+      (s"""SELECT doc_id, ${cleanSqlExpr("text || '" + sq(DirtySuffix) + "'")} AS cleaned
+        |FROM documents
+        |WHERE doc_id < 50
+        |ORDER BY doc_id""").stripMargin,
     "q50_rag_context" ->
       """WITH top AS (
         |  SELECT e.vec_id AS doc_id,

@@ -107,32 +107,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Distinct word-`n`-gram shingle sets as a typed Dataset (hot-path form
+    * of [[graft.functions.TextFunctions.shingles]] — same semantics). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+")
+        val sh =
+          if (ws.length >= n) (0 to ws.length - n)
+            .map(i => ws.slice(i, i + n).mkString(" ")).distinct
+          else Seq(ws.mkString(" "))
+        (id, sh)
+      }
+  }
+
   /**
-   * MinHash-LSH candidate pairs: signature of `numHashes` md5-minima,
-   * banded into `bands`; docs sharing any full band collide. Candidates
-   * are then verified with exact Jaccard.
+   * MinHash-LSH candidate pairs: signature component h is
+   * min over shingles of md5(shingle ∥ "#" ∥ h) (engine-reproducible — the
+   * DuckDB oracle computes the identical signature); `bands` bands of
+   * numHashes/bands rows each; docs sharing any full band collide and are
+   * then verified with exact Jaccard. Runs as a typed map (md5 in a hot
+   * loop) + equi-join on (band, bucket) — the shuffle key is the bucket
+   * hash, so candidate generation is a co-partitioned join, never O(n²).
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
                       shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("__text"),
-      minhashSignature(col(textCol), numHashes, shingleLen).as("sig"))
-    val banded = sig.select(col("id"), col("__text"),
-      posexplode(array((0 until bands).map(b =>
-        md5(concat_ws("|", slice(col("sig"), b * rows + 1, rows)))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingleSets(df, idCol, textCol, shingleLen)
+    val banded = sh.flatMap { case (id, shingles) =>
+      val sig = Array.tabulate(numHashes) { h =>
+        var min: String = null
+        shingles.foreach { s =>
+          val v = md5Hex(s + "#" + h)
+          if (min == null || v < min) min = v
+        }
+        min
+      }
+      (0 until bands).iterator.map { b =>
+        (id, b, md5Hex(sig.slice(b * rows, (b + 1) * rows).mkString("|")))
+      }
+    }.toDF("id", "band", "bucket")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.__text").as("text_a"), col("b.__text").as("text_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // verify candidates with exact Jaccard on the same shingle sets
-    val ja = array_distinct(shingles(col("text_a"), shingleLen))
-    val jb = array_distinct(shingles(col("text_b"), shingleLen))
-    cand.withColumn("jaccard",
-        size(array_intersect(ja, jb)).cast("double") / size(array_union(ja, jb)))
+    // verify candidates with exact Jaccard on the full shingle sets
+    val shDf = sh.toDF("id", "sh")
+    // equi-joins on id: AQE broadcasts when the shingle table is small;
+    // at corpus scale this stays a co-partitioned shuffle join.
+    cand
+      .join(shDf.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
+      .join(shDf.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
