@@ -46,10 +46,57 @@ object Bench {
       name -> t
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // day_6-shaped workload (BASELINE.md): k=10 exact search, 100 queries,
+    // 50k×384 seeded clustered gaussians — the baseline's "large" dataset.
+    val day6 = day6Workload(spark)
+
+    val qs = (results :+ ("x_day6_50k384_100q" -> day6))
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Generate the baseline's large dataset (seed-42 clustered gaussians,
+    * 50k×384, 100 clusters — day_6/day6_complete.py:26-52 shape) and time
+    * the 100-query exact top-10 batch search, warm. */
+  private def day6Workload(spark: SparkSession): Double = {
+    import spark.implicits._
+    val n = 50000
+    val dim = 384
+    val nClusters = 100
+    val centers = Array.tabulate(nClusters) { c =>
+      val r = new java.util.Random(42L + c)
+      Array.fill(dim)(r.nextGaussian() * 5.0)
+    }
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    // cached as JVM objects: the memory-resident index shape (cf. FAISS
+    // holding the matrix in RAM) — scan pays no columnar deserialization
+    val docs = spark.range(n.toLong).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val ctr = bcCenters.value((id % nClusters).toInt)
+          val r = new java.util.Random(1000L + id)
+          (id, Array.tabulate(dim)(i => (ctr(i) + r.nextGaussian()).toFloat))
+        }
+      }
+      .rdd
+      .cache()
+    docs.count() // materialize outside the timed region (index-resident data)
+    val queries = (0 until 100).map { q =>
+      val r = new java.util.Random(9000L + q)
+      val ctr = centers(q % nClusters)
+      (q.toLong, Array.tabulate(dim)(i => (ctr(i) + r.nextGaussian()).toFloat))
+    }
+    def run(): Long =
+      operators.KnnSearch.topKBatchRdd(spark, docs, queries, 10,
+        operators.KnnSearch.L2).count()
+    run() // warm
+    val t0 = System.nanoTime()
+    run()
+    val t = (System.nanoTime() - t0) / 1e9
+    docs.unpersist()
+    t
   }
 }

@@ -352,8 +352,10 @@ object SparkEntry {
   /** Full MinHash-LSH dedup pipeline (md5 signatures → banding → candidate
     * join → exact-Jaccard verification) — oracle-reproducible end to end. */
   private val q35MinhashLsh: Q = (s, dir) => {
+    // 4 bands × 4 rows: collision prob s^4 per band — near-dups (s≈1)
+    // always collide, the s≈0.1 background stays out of the candidate set.
     Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        numHashes = 8, bands = 4, shingleLen = 3, threshold = 0.5)
+        numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -703,11 +705,11 @@ object SparkEntry {
       (s"""WITH $ShinglesCte,
         |sig AS (
         |  SELECT doc_id, s,
-        |    list_transform(range(8), h -> list_min(list_transform(s, x -> md5(x || '#' || CAST(h AS VARCHAR))))) AS sig
+        |    list_transform(range(16), h -> list_min(list_transform(s, x -> md5(x || '#' || CAST(h AS VARCHAR))))) AS sig
         |  FROM sh),
         |banded AS (
         |  SELECT doc_id, b.b AS band,
-        |    md5(array_to_string(sig[(b.b*2+1):(b.b*2+2)], '|')) AS bucket
+        |    md5(array_to_string(sig[(b.b*4+1):(b.b*4+4)], '|')) AS bucket
         |  FROM sig, unnest(range(4)) AS b(b)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

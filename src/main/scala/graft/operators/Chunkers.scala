@@ -110,6 +110,49 @@ object Chunkers {
     }
   }
 
+  /** Text-complexity score in [0,1] (F16,
+    * day_10/chunkers/token_chunker.py:237-267): average sentence length,
+    * vocabulary diversity, punctuation density — equal-weighted. */
+  def complexityScore(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return 0.0
+    val sentences = text.split(SentenceSplit).count(_.trim.nonEmpty).max(1)
+    val avgSentLen = math.min(words.length.toDouble / sentences / 30.0, 1.0)
+    val diversity = words.map(_.toLowerCase).distinct.length.toDouble / words.length
+    val punctDensity = math.min(text.count(".,;:!?".contains(_)).toDouble / text.length * 20.0, 1.0)
+    (avgSentLen + diversity + punctDensity) / 3.0
+  }
+
+  /** Adaptive token chunker (G3): complexity scales the chunk budget —
+    * complex text gets smaller chunks (×0.7), medium ×0.85, simple ×1.0
+    * (the reference's three-band rule). */
+  def adaptiveTokenChunks(df: DataFrame, idCol: String, textCol: String,
+                          maxTokens: Int = 100, overlapTokens: Int = 20): Dataset[Chunk] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docs(df, idCol, textCol).flatMap { case (id, text) =>
+      if (text == null || text.isEmpty) Iterator.empty
+      else {
+        val c = complexityScore(text)
+        val factor = if (c > 0.7) 0.7 else if (c > 0.4) 0.85 else 1.0
+        val budget = math.max((maxTokens * factor).toInt, overlapTokens + 1)
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val out = collection.mutable.ArrayBuffer.empty[Chunk]
+        var start = 0
+        var idx = 0
+        while (start < toks.length) {
+          val end = math.min(start + budget, toks.length)
+          val t = toks.slice(start, end).mkString(" ")
+          out += Chunk(id, idx, start, end, t, end - start, "adaptive")
+          idx += 1
+          start = if (end >= toks.length) toks.length else end - overlapTokens
+        }
+        out.iterator
+      }
+    }
+  }
+
   private val SentenceSplit = "(?<=[.!?])\\s+"
 
   /**

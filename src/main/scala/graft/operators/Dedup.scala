@@ -107,11 +107,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** md5 hex with a reusable digest — getInstance + format per call costs
+    * more than the hash itself in the signature hot loop. */
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Distinct word-`n`-gram shingle sets as a typed Dataset (hot-path form
@@ -148,17 +158,20 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = shingleSets(df, idCol, textCol, shingleLen)
-    val banded = sh.flatMap { case (id, shingles) =>
-      val sig = Array.tabulate(numHashes) { h =>
-        var min: String = null
-        shingles.foreach { s =>
-          val v = md5Hex(s + "#" + h)
-          if (min == null || v < min) min = v
+    val banded = sh.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, shingles) =>
+        val sig = Array.tabulate(numHashes) { h =>
+          var min: String = null
+          shingles.foreach { s =>
+            val v = md5Hex(md, s + "#" + h)
+            if (min == null || v < min) min = v
+          }
+          min
         }
-        min
-      }
-      (0 until bands).iterator.map { b =>
-        (id, b, md5Hex(sig.slice(b * rows, (b + 1) * rows).mkString("|")))
+        (0 until bands).iterator.map { b =>
+          (id, b, md5Hex(md, sig.slice(b * rows, (b + 1) * rows).mkString("|")))
+        }
       }
     }.toDF("id", "band", "bucket")
     val cand = banded.as("a").join(banded.as("b"),

@@ -27,17 +27,21 @@ object KnnSearch {
   sealed trait Metric {
     /** true ⇒ larger score is better. */
     def descending: Boolean
-    def score(q: Array[Double], v: Array[Float]): Double
+    /** Both sides pre-widened to double: the JIT auto-vectorizes the pure
+      * double-double loops; mixed float→double widening in the inner loop
+      * defeats SIMD. Accumulation order matches the Catalyst expressions
+      * (and the DuckDB oracle) bit-for-bit. */
+    def score(q: Array[Double], v: Array[Double]): Double
     def column(query: Column, doc: Column): Column
   }
 
   case object Cosine extends Metric {
     val descending = true
-    def score(q: Array[Double], v: Array[Float]): Double = {
+    def score(q: Array[Double], v: Array[Double]): Double = {
       var dot, nq, nv = 0.0
       val n = math.min(q.length, v.length)
       var i = 0
-      while (i < n) { val x = q(i); val y = v(i).toDouble; dot += x * y; nq += x * x; nv += y * y; i += 1 }
+      while (i < n) { val x = q(i); val y = v(i); dot += x * y; nq += x * x; nv += y * y; i += 1 }
       if (nq == 0.0 || nv == 0.0) 0.0 else dot / (math.sqrt(nq) * math.sqrt(nv))
     }
     def column(query: Column, doc: Column): Column = cosineSimilarity(query, doc)
@@ -45,7 +49,7 @@ object KnnSearch {
 
   case object InnerProduct extends Metric {
     val descending = true
-    def score(q: Array[Double], v: Array[Float]): Double = {
+    def score(q: Array[Double], v: Array[Double]): Double = {
       var dot = 0.0
       val n = math.min(q.length, v.length)
       var i = 0
@@ -57,7 +61,7 @@ object KnnSearch {
 
   case object L2 extends Metric {
     val descending = false
-    def score(q: Array[Double], v: Array[Float]): Double = {
+    def score(q: Array[Double], v: Array[Double]): Double = {
       var s = 0.0
       val n = math.min(q.length, v.length)
       var i = 0
@@ -95,14 +99,29 @@ object KnnSearch {
                 metric: Metric = Cosine, excludeSelf: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    topKBatchRdd(
+      spark,
+      docs.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])].rdd,
+      queries, k, metric, excludeSelf)
+  }
+
+  /**
+   * RDD-object form of [[topKBatch]]: for a memory-resident "index"
+   * (an RDD of (id, vector) cached as JVM objects) the scan skips columnar
+   * deserialization entirely — the serving shape of the day_6 workload.
+   */
+  def topKBatchRdd(spark: org.apache.spark.sql.SparkSession,
+                   docs: org.apache.spark.rdd.RDD[(Long, Array[Float])],
+                   queries: Seq[(Long, Array[Float])], k: Int,
+                   metric: Metric = Cosine, excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
     val qs: Array[(Long, Array[Double])] =
       queries.map { case (id, v) => (id, v.map(_.toDouble)) }.toArray
     val bc = spark.sparkContext.broadcast(qs)
     val desc = metric.descending
 
     val candidates = docs
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val queries = bc.value
         // one bounded heap per query; heap root = worst kept element so the
@@ -119,13 +138,18 @@ object KnnSearch {
             }
           collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst.reverse)
         }
+        var widened = new Array[Double](0)
         it.foreach { case (docId, vec) =>
           if (vec != null) {
+            // widen once per document; all queries then run double-double
+            if (widened.length != vec.length) widened = new Array[Double](vec.length)
+            var wi = 0
+            while (wi < vec.length) { widened(wi) = vec(wi); wi += 1 }
             var qi = 0
             while (qi < queries.length) {
               if (excludeSelf && queries(qi)._1 == docId) { qi += 1 }
               else {
-              val s = metric.score(queries(qi)._2, vec)
+              val s = metric.score(queries(qi)._2, widened)
               val h = heaps(qi)
               if (h.size < k) h.enqueue((s, docId))
               else {
@@ -145,14 +169,20 @@ object KnnSearch {
           h.iterator.map { case (s, d) => (qid, d, s) }
         }
       }
-      .toDF("query_id", "doc_id", "score")
 
-    // Global reduce over ≤ partitions×|Q|×k candidate rows — tiny.
-    val w = Window.partitionBy($"query_id").orderBy(
-      (if (desc) $"score".desc else $"score".asc), $"doc_id".asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
+    // Global reduce over ≤ partitions×|Q|×k candidate rows: merged on the
+    // driver (exactly what TakeOrderedAndProject does for LIMIT) — one
+    // stage, no shuffle. The merged result is tiny (|Q|×k rows) and
+    // broadcast-joins downstream.
+    val merged = candidates.collect()
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (qid, arr) =>
+        val sorted = arr.sortBy { case (_, d, s) => (if (desc) -s else s, d) }
+        sorted.take(k).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s, i + 1) }
+      }
+    merged.toDF("query_id", "doc_id", "score", "rank")
+      .orderBy($"query_id", $"rank")
   }
 
   /**

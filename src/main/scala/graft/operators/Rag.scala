@@ -50,6 +50,18 @@ object Rag {
         lit("\n\nQuestion: "), question,
         lit("\n\nAnswer:")).as("prompt"))
 
+  /** Last-N query history window (W5, day_12/api/api_server.py:196-206) —
+    * an appended log queried newest-first. */
+  def lastN(history: DataFrame, tsCol: String, n: Int): DataFrame =
+    history.orderBy(col(tsCol).desc).limit(n)
+
+  /** Query-history stats (A10): totals, success rate, latency mean. */
+  def historyStats(history: DataFrame, okCol: String, latencyCol: String): DataFrame =
+    history.agg(
+      count(lit(1)).as("total_queries"),
+      avg(when(col(okCol), 1.0).otherwise(0.0)).as("success_rate"),
+      avg(col(latencyCol)).as("avg_latency"))
+
   /** Deterministic keyword-rule mock answer (F26) — testable stand-in for
     * the LLM call, mirroring the reference's mock. */
   def mockAnswer(prompts: DataFrame, questionCol: String): DataFrame = {

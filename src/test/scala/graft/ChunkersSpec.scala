@@ -91,6 +91,25 @@ class ChunkersSpec extends AnyFunSuite {
     assert(chunks.filter(_.doc_id == 1L).forall(_.text.length >= 50)) // merged fragments
   }
 
+  test("complexity score ranks dense prose above repetitive text") {
+    val simple = ("word " * 100).trim
+    val complex = (1 to 10).map(i => s"Unique$i terms punctuate, clauses; differ!").mkString(" ")
+    assert(Chunkers.complexityScore(complex) > Chunkers.complexityScore(simple))
+    assert(Chunkers.complexityScore("") === 0.0)
+  }
+
+  test("adaptive chunker shrinks the budget for complex text (G3 bands)") {
+    val simple = ("word " * 300).trim
+    val complex = (1 to 60).map(i => s"Unique$i terms punctuate, clauses; differ now!").mkString(" ")
+    val df = Seq((0L, simple), (1L, complex)).toDF("doc_id", "text")
+    val chunks = Chunkers.adaptiveTokenChunks(df, "doc_id", "text", maxTokens = 100, overlapTokens = 10)
+      .collect()
+    val simpleMax = chunks.filter(_.doc_id == 0L).map(_.n_tokens).max
+    val complexMax = chunks.filter(_.doc_id == 1L).map(_.n_tokens).max
+    assert(simpleMax === 100)      // factor 1.0
+    assert(complexMax < 100)       // scaled down by complexity
+  }
+
   test("chunkStats aggregates over real documents") {
     val docs = Tables(spark, TestSpark.sfDir, "documents").limit(100)
     val stats = Chunkers.chunkStats(

@@ -46,6 +46,18 @@ class RagSpec extends AnyFunSuite {
     assert(ans.contains("Machine learning"))
   }
 
+  test("last-N history window and history stats (W5/A10)") {
+    val hist = Seq(
+      (1L, true, 0.05), (2L, true, 0.04), (3L, false, 0.10), (4L, true, 0.01)
+    ).toDF("ts", "ok", "latency")
+    val last2 = Rag.lastN(hist, "ts", 2).collect().map(_.getLong(0)).toSeq
+    assert(last2 === Seq(4L, 3L))
+    val stats = Rag.historyStats(hist, "ok", "latency").head()
+    assert(stats.getAs[Long]("total_queries") === 4L)
+    assert(math.abs(stats.getAs[Double]("success_rate") - 0.75) < 1e-12)
+    assert(math.abs(stats.getAs[Double]("avg_latency") - 0.05) < 1e-12)
+  }
+
   test("mock answer fallback for unmatched questions") {
     val df = Seq(Tuple1("what is the meaning of life")).toDF("question")
     val ans = Rag.mockAnswer(df, "question").head().getAs[String]("answer")
