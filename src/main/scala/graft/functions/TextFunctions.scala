@@ -84,6 +84,22 @@ object TextFunctions {
     }
   }
 
+  /** Document-id validity (F19 — `^[A-Za-z0-9_.-]+$`,
+    * day_9/models/schemas.py:20-24). */
+  def isValidDocId(c: Column): Column = c.rlike("^[A-Za-z0-9_.-]+$")
+
+  /** Truncate with ellipsis (F20, day_12/src/main.py:99). */
+  def truncateEllipsis(c: Column, maxLen: Int): Column =
+    when(length(c) > maxLen,
+      concat(substring(c, 1, maxLen - 3), lit("..."))).otherwise(c)
+
+  /** Conjunctive metadata containment over a MapType column (P3 — JSONB
+    * `@>` for flat maps): every (k,v) of `filter` must match. */
+  def metadataContains(meta: Column, filterKv: Map[String, String]): Column =
+    filterKv.map { case (k, v) => element_at(meta, k) === lit(v) }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
     * text (F17's md5 cache key; the exact-dedup primitive). */
   def fingerprint(text: Column): Column =

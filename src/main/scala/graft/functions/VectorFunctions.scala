@@ -21,6 +21,20 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = toCol(L2Norm(toExpr(a)))
   def l2Normalize(a: Column): Column = toCol(L2Normalize(toExpr(a)))
 
+  /** Reciprocal distance→similarity: 1/(1+d) (F4 variant 2 —
+    * day_10/embedders/embedding_pipeline.py:189-192, day_14/src/main.py:94). */
+  def l2Similarity(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.lit(1.0) /
+      (org.apache.spark.sql.functions.lit(1.0) + l2Distance(a, b))
+
+  /** Max-normalized distance→similarity: 1 − d/maxD, where maxD is a
+    * global aggregate supplied by the caller (F4 variant 1 —
+    * day_5/day5_complete.py:105-113 computes max over the batch first). */
+  def l2SimilarityMaxNorm(a: Column, b: Column, maxDist: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(maxDist > 0, lit(1.0) - l2Distance(a, b) / maxDist).otherwise(lit(1.0))
+  }
+
   /** Register SQL names so `spark.sql("SELECT cosine_similarity(a,b) ...")` works. */
   def registerAll(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry

@@ -190,6 +190,71 @@ object Chunkers {
     }
   }
 
+  /**
+   * Semantic sentence chunker (G5,
+   * day_10/chunkers/sentence_chunker.py:257-357): embed each sentence,
+   * greedily group consecutive candidates whose cosine to the group seed is
+   * ≥ `simThreshold`. The greedy order is the reference's (sentence order
+   * within one document), and a document's sentences always colocate in one
+   * flatMap call — deterministic at any parallelism (SURVEY §7.5 risk 6).
+   */
+  def semanticChunks(df: DataFrame, idCol: String, textCol: String,
+                     simThreshold: Double = 0.7,
+                     encoder: Embedder.TextEncoder = Embedder.MockEncoder(),
+                     minSentenceChars: Int = 10): Dataset[Chunk] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docs(df, idCol, textCol).flatMap { case (id, text) =>
+      if (text == null || text.isEmpty) Iterator.empty
+      else {
+        val sents = text.split(SentenceSplit).map(_.trim).filter(_.length >= minSentenceChars)
+        if (sents.isEmpty) Iterator.empty
+        else {
+          val embs = encoder.encodeBatch(sents.toSeq).map(_.map(_.toDouble)).toArray
+          def cos(a: Array[Double], b: Array[Double]): Double = {
+            var dot, na, nb = 0.0
+            var i = 0
+            while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+            if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+          }
+          val used = new Array[Boolean](sents.length)
+          val out = collection.mutable.ArrayBuffer.empty[Chunk]
+          var idx = 0
+          var i = 0
+          while (i < sents.length) {
+            if (!used(i)) {
+              val group = collection.mutable.ArrayBuffer(i)
+              used(i) = true
+              var j = i + 1
+              while (j < sents.length) {
+                if (!used(j) && cos(embs(i), embs(j)) >= simThreshold) {
+                  group += j; used(j) = true
+                }
+                j += 1
+              }
+              val t = group.map(sents).mkString(" ")
+              out += Chunk(id, idx, group.head, group.last + 1, t,
+                t.split("\\s+").count(_.nonEmpty), "semantic")
+              idx += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+    }
+  }
+
+  /** Chunk-id assignment (G9, day_15/main.py:104-127): `{doc_id}_{i}` plus
+    * chunk_index / total_chunks metadata columns. */
+  def withChunkIds(chunks: Dataset[Chunk]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+    chunks.toDF()
+      .withColumn("chunk_id", concat(col("doc_id"), lit("_"), col("chunk_index")))
+      .withColumn("total_chunks", count(lit(1)).over(w))
+  }
+
   /** Paragraph chunker (G6): split on blank lines, ≥ minChars, group ≤
     * maxParagraphs per chunk. */
   def paragraphChunks(df: DataFrame, idCol: String, textCol: String,
