@@ -47,9 +47,26 @@ object AnnIndex {
     IvfIndex(centroids, assignments)
   }
 
-  /** Persist the index partitioned by cluster (the on-disk inverted file). */
-  def writeIndex(index: IvfIndex, path: String): Unit =
-    index.assignments.write.mode("overwrite").partitionBy("cluster").parquet(path)
+  /** Persist the index partitioned by cluster (the on-disk inverted file)
+    * plus a tiny centroids table alongside. */
+  def writeIndex(index: IvfIndex, path: String): Unit = {
+    index.assignments.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/assignments")
+    val spark = index.assignments.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reopen a persisted index. Search through the reopened index prunes
+    * parquet partitions: only the probed cluster directories are read. */
+  def openIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    IvfIndex(centroids, spark.read.parquet(s"$path/assignments"))
+  }
 
   /**
    * Batched IVF search: per query pick the `nprobe` nearest centroids
@@ -68,7 +85,14 @@ object AnnIndex {
         .map { case (c, _) => (qid, c, qv) }
     }
     val probeDf = probes.toDF("query_id", "cluster", "qvec")
-    val scored = index.assignments.join(broadcast(probeDf), Seq("cluster"))
+    // static partition pruning: the probed cluster set is known driver-side,
+    // so push it as a literal isin — on a partitionBy("cluster") layout the
+    // scan reads only those directories (guaranteed PartitionFilters, no
+    // reliance on dynamic pruning heuristics).
+    val probedClusters = probes.map(_._2).distinct
+    val scored = index.assignments
+      .where(col("cluster").isin(probedClusters: _*))
+      .join(broadcast(probeDf), Seq("cluster"))
       .select(col("query_id"), col("id").as("doc_id"),
         cosineSimilarity(col("qvec"), col("vec")).as("score"))
       .where(col("query_id") =!= col("doc_id"))

@@ -41,16 +41,25 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ca === cb)
   }
 
-  test("write/read round-trip partitions by cluster") {
+  test("write/open round-trip; disk search prunes cluster partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     val index = AnnIndex.buildIvf(e.limit(200), "vec_id", "embedding", nlist = 4)
     AnnIndex.writeIndex(index, dir)
-    val back = spark.read.parquet(dir)
-    assert(back.count() === 200)
-    assert(back.columns.toSet === Set("id", "vec", "cluster"))
-    // partition pruning: a single-cluster read touches one directory
-    val pruned = back.where(org.apache.spark.sql.functions.col("cluster") === 0)
+    val reopened = AnnIndex.openIndex(spark, dir)
+    assert(reopened.centroids.map(_._1).toSeq === index.centroids.map(_._1).toSeq)
+    assert(reopened.assignments.count() === 200)
+    // partition pruning: a cluster filter reaches the scan as a
+    // PartitionFilter (the inverted-file lookup)
+    val pruned = reopened.assignments
+      .where(org.apache.spark.sql.functions.col("cluster") === 0)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(back.select("cluster").distinct().count() <= 4)
+    assert(plan.contains("PartitionFilters: [isnotnull(cluster"), plan.take(800))
+    // full search through the reopened index matches the in-memory index
+    val q = queries.take(3)
+    val a = AnnIndex.searchIvf(index, q, 5, 2)
+      .select("query_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = AnnIndex.searchIvf(reopened, q, 5, 2)
+      .select("query_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
   }
 }

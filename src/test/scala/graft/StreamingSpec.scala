@@ -34,6 +34,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops data later than the threshold (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val agg = mem.toDF().toDF("event_time", "event_type", "value")
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    try {
+      mem.addData((ts(5), "click", 1.0), (ts(7), "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the watermark → closes the first window
+      mem.addData((ts(40), "view", 1.0))
+      q.processAllAvailable()
+      // now send data for the long-closed 10:00 window: must be dropped
+      mem.addData((ts(6), "click", 99.0))
+      q.processAllAvailable()
+      val out = spark.table("late_test")
+        .select(col("window.start").cast("string"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(out(("2024-01-01 10:00:00", "click")) === 2L) // late row NOT counted
+    } finally q.stop()
+  }
+
   test("streaming upsert sink applies latest-wins merges across batches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sink").toString
