@@ -48,7 +48,7 @@ object Bench {
 
     // day_6-shaped workload (BASELINE.md): k=10 exact search, 100 queries,
     // 50k×384 seeded clustered gaussians — the baseline's "large" dataset.
-    val day6 = day6Workload(spark)
+    val day6 = try day6Workload(spark) catch { case _: Throwable => -1.0 }
 
     val qs = (results :+ ("x_day6_50k384_100q" -> day6))
       .map { case (k, v) => "\"" + k + "\":" + v }

@@ -104,6 +104,17 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Month rollup with date arithmetic (F22 temporal surface + A1 shape). */
+  private val q09MonthlyOrders: Q = (s, dir) => {
+    Tables(s, dir, "orders")
+      .where(col("o_orderstatus") =!= "P")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice"), "revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("month"), col("o_orderstatus"))
+  }
+
   // =====================================================================
   // Events: grouped stats, time windows, sessionization, JSON (§2.10 seam)
   // =====================================================================
@@ -477,6 +488,7 @@ object SparkEntry {
     "q02_top_revenue_parts" -> q02TopRevenueParts,
     "q03_segment_stats" -> q03SegmentStats,
     "q04_top_orders_per_customer" -> q04TopOrdersPerCustomer,
+    "q09_monthly_orders" -> q09MonthlyOrders,
     "q05_event_type_stats" -> q05EventTypeStats,
     "q06_hourly_events" -> q06HourlyEvents,
     "q07_sessionize" -> q07Sessionize,
@@ -596,6 +608,15 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rn <= 3 AND o_custkey < 100
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q09_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q05_event_type_stats" ->
       """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value,
