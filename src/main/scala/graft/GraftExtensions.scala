@@ -30,8 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("l2_normalize", "l2_normalize(a) - vector scaled to unit norm",
       es => L2Normalize(es.head)))
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // the custom k-NN join operator's physical strategy (plans.KnnJoin)
+    e.injectPlannerStrategy(_ => graft.plans.KnnJoinStrategy)
+  }
 }
