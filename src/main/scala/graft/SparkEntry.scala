@@ -205,6 +205,18 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Batched k-NN through the CUSTOM CATALYST OPERATOR (plans.KnnJoin →
+    * KnnJoinStrategy → KnnJoinExec) — same semantics as q13, planned as a
+    * first-class physical node and held to the same DuckDB oracle. */
+  private val q37KnnPlanOperator: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    graft.plans.KnnJoinPlan.knnJoin(
+        e.where(col("vec_id") >= 20 && col("vec_id") < 40), "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5, KnnSearch.Cosine, excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("score"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Global top-20 most-similar pairs (J2/W2 — day_5 pair ranking). */
   private val q14TopPairs: Q = (s, dir) => {
     SimilarityJoin.topPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 20)
@@ -516,6 +528,7 @@ object SparkEntry {
     "q30_char_chunks" -> q30CharChunks,
     "q35_minhash_lsh" -> q35MinhashLsh,
     "q36_clean_text" -> q36CleanText,
+    "q37_knn_plan_operator" -> q37KnnPlanOperator,
     "q41_kmeans_profile" -> q41KmeansProfile,
     "q31_ir_metrics" -> q31IrMetrics,
     "q32_ir_summary" -> q32IrSummary,
@@ -888,6 +901,16 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 50
         |ORDER BY doc_id""").stripMargin,
+    "q37_knn_plan_operator" ->
+      """SELECT query_id, rank, doc_id, round(score, 6) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id >= 20 AND q.vec_id < 40) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q50_rag_context" ->
       """WITH top AS (
         |  SELECT e.vec_id AS doc_id,
