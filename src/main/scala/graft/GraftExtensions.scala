@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // the custom k-NN join operator's physical strategy (plans.KnnJoin)
     e.injectPlannerStrategy(_ => graft.plans.KnnJoinStrategy)
+    // algebraic simplification of vector expressions
+    e.injectOptimizerRule(_ => graft.plans.VectorSimplification)
   }
 }

@@ -56,6 +56,54 @@ object EventStream {
     q
   }
 
+  /** Finished user session (stateful sessionization output). */
+  case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+                         start_ns: Long, end_ns: Long)
+
+  /** Running per-user session state (public: encoder codegen must reach
+    * the accessors from generated classes). */
+  case class SessionState(n: Long, value: Double, startNs: Long, lastNs: Long)
+
+  /**
+   * Stateful sessionization with `flatMapGroupsWithState` (SURVEY §2.10's
+   * custom-state tier): per-user running session, closed and emitted when
+   * a later event arrives past the `gapNs` event-time gap (within or
+   * across micro-batches; the open tail session stays in state). Input
+   * rows (user_id, ts_ns, value) are sorted per group before folding —
+   * deterministic at any parallelism. Event-time closure, not
+   * processing-time timeouts: wall-clock timeouts make the local engine
+   * spin empty micro-batches and tie emission to scheduling luck.
+   */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+                         gapNs: Long = 1800L * 1000000000L)
+      : org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[SessionState]) =>
+          val sorted = rows.toArray.sortBy(_._2)
+          val out = collection.mutable.ArrayBuffer.empty[UserSession]
+          var cur = state.getOption
+          sorted.foreach { case (_, ts, v) =>
+            cur match {
+              case Some(s) if ts - s.lastNs > gapNs =>
+                out += UserSession(userId, s.n, s.value, s.startNs, s.lastNs)
+                cur = Some(SessionState(1, v, ts, ts))
+              case Some(s) =>
+                cur = Some(SessionState(s.n + 1, s.value + v, s.startNs, ts))
+              case None =>
+                cur = Some(SessionState(1, v, ts, ts))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming upsert sink into a collection (foreachBatch latest-wins
     * merge — the reference's batch-insert endpoint as a stream consumer). */
   def upsertSink(updates: DataFrame, root: String, collection: String,
