@@ -46,11 +46,17 @@ object Bench {
       name -> t
     }
 
-    // day_6-shaped workload (BASELINE.md): k=10 exact search, 100 queries,
-    // 50k×384 seeded clustered gaussians — the baseline's "large" dataset.
-    val day6 = try day6Workload(spark) catch { case _: Throwable => -1.0 }
+    // day_6-shaped workloads (BASELINE.md): k=10 exact search, 100 queries,
+    // seeded clustered gaussians at the baseline's three dataset sizes.
+    val day6 = Seq(
+      ("x_day6_small_1k128_100q", 1000, 128),
+      ("x_day6_medium_10k256_100q", 10000, 256),
+      ("x_day6_large_50k384_100q", 50000, 384)
+    ).map { case (name, n, dim) =>
+      name -> (try day6Workload(spark, n, dim) catch { case _: Throwable => -1.0 })
+    }
 
-    val qs = (results :+ ("x_day6_50k384_100q" -> day6))
+    val qs = (results ++ day6)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -58,13 +64,12 @@ object Bench {
     spark.stop()
   }
 
-  /** Generate the baseline's large dataset (seed-42 clustered gaussians,
-    * 50k×384, 100 clusters — day_6/day6_complete.py:26-52 shape) and time
-    * the 100-query exact top-10 batch search, warm. */
-  private def day6Workload(spark: SparkSession): Double = {
+  /** Generate a baseline dataset (seed-42 clustered gaussians, 100
+    * clusters — day_6/day6_complete.py:26-52 shape) and time the 100-query
+    * exact top-10 batch search, warm, through the float32 serving kernel
+    * (FAISS's own accumulation arithmetic). */
+  private def day6Workload(spark: SparkSession, n: Int, dim: Int): Double = {
     import spark.implicits._
-    val n = 50000
-    val dim = 384
     val nClusters = 100
     val centers = Array.tabulate(nClusters) { c =>
       val r = new java.util.Random(42L + c)
@@ -90,7 +95,7 @@ object Bench {
       (q.toLong, Array.tabulate(dim)(i => (ctr(i) + r.nextGaussian()).toFloat))
     }
     def run(): Long =
-      operators.KnnSearch.topKBatchRdd(spark, docs, queries, 10,
+      operators.KnnSearch.topKBatchRddF32(spark, docs, queries, 10,
         operators.KnnSearch.L2).count()
     run() // warm
     val t0 = System.nanoTime()

@@ -32,6 +32,10 @@ object KnnSearch {
       * defeats SIMD. Accumulation order matches the Catalyst expressions
       * (and the DuckDB oracle) bit-for-bit. */
     def score(q: Array[Double], v: Array[Double]): Double
+    /** float32 accumulation — twice the SIMD lanes; same arithmetic FAISS
+      * uses. For serving/bench paths where bit-parity with the double
+      * oracle is not required. */
+    def scoreF32(q: Array[Float], v: Array[Float]): Float
     def column(query: Column, doc: Column): Column
   }
 
@@ -44,6 +48,13 @@ object KnnSearch {
       while (i < n) { val x = q(i); val y = v(i); dot += x * y; nq += x * x; nv += y * y; i += 1 }
       if (nq == 0.0 || nv == 0.0) 0.0 else dot / (math.sqrt(nq) * math.sqrt(nv))
     }
+    def scoreF32(q: Array[Float], v: Array[Float]): Float = {
+      var dot, nq, nv = 0.0f
+      val n = math.min(q.length, v.length)
+      var i = 0
+      while (i < n) { val x = q(i); val y = v(i); dot += x * y; nq += x * x; nv += y * y; i += 1 }
+      if (nq == 0.0f || nv == 0.0f) 0.0f else (dot / math.sqrt(nq.toDouble * nv)).toFloat
+    }
     def column(query: Column, doc: Column): Column = cosineSimilarity(query, doc)
   }
 
@@ -51,6 +62,13 @@ object KnnSearch {
     val descending = true
     def score(q: Array[Double], v: Array[Double]): Double = {
       var dot = 0.0
+      val n = math.min(q.length, v.length)
+      var i = 0
+      while (i < n) { dot += q(i) * v(i); i += 1 }
+      dot
+    }
+    def scoreF32(q: Array[Float], v: Array[Float]): Float = {
+      var dot = 0.0f
       val n = math.min(q.length, v.length)
       var i = 0
       while (i < n) { dot += q(i) * v(i); i += 1 }
@@ -67,6 +85,13 @@ object KnnSearch {
       var i = 0
       while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }
       math.sqrt(s)
+    }
+    def scoreF32(q: Array[Float], v: Array[Float]): Float = {
+      var s = 0.0f
+      val n = math.min(q.length, v.length)
+      var i = 0
+      while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }
+      math.sqrt(s.toDouble).toFloat
     }
     def column(query: Column, doc: Column): Column = l2Distance(query, doc)
   }
@@ -180,6 +205,69 @@ object KnnSearch {
       .flatMap { case (qid, arr) =>
         val sorted = arr.sortBy { case (_, d, s) => (if (desc) -s else s, d) }
         sorted.take(k).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s, i + 1) }
+      }
+    merged.toDF("query_id", "doc_id", "score", "rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /**
+   * Float32 serving kernel: identical structure to [[topKBatchRdd]] but
+   * accumulating in float (FAISS's arithmetic — twice the SIMD lanes).
+   * For latency-critical serving; ranking can differ from the double
+   * kernel only on near-exact score ties.
+   */
+  def topKBatchRddF32(spark: org.apache.spark.sql.SparkSession,
+                      docs: org.apache.spark.rdd.RDD[(Long, Array[Float])],
+                      queries: Seq[(Long, Array[Float])], k: Int,
+                      metric: Metric = Cosine, excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries.toArray
+    val bc = spark.sparkContext.broadcast(qs)
+    val desc = metric.descending
+
+    val candidates = docs.mapPartitions { it =>
+      val queries = bc.value
+      val heaps = queries.map { _ =>
+        val worstFirst: Ordering[(Float, Long)] = new Ordering[(Float, Long)] {
+          def compare(a: (Float, Long), b: (Float, Long)): Int = {
+            val c = if (desc) java.lang.Float.compare(a._1, b._1)
+                    else java.lang.Float.compare(b._1, a._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }
+        }
+        collection.mutable.PriorityQueue.empty[(Float, Long)](worstFirst.reverse)
+      }
+      it.foreach { case (docId, vec) =>
+        if (vec != null) {
+          var qi = 0
+          while (qi < queries.length) {
+            if (!(excludeSelf && queries(qi)._1 == docId)) {
+              val s = metric.scoreF32(queries(qi)._2, vec)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((s, docId))
+              else {
+                val worst = h.head
+                val better =
+                  if (desc) s > worst._1 || (s == worst._1 && docId < worst._2)
+                  else s < worst._1 || (s == worst._1 && docId < worst._2)
+                if (better) { h.dequeue(); h.enqueue((s, docId)) }
+              }
+            }
+            qi += 1
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (s, d) => (qs(qi)._1, d, s) }
+      }
+    }
+
+    val merged = candidates.collect()
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (qid, arr) =>
+        val sorted = arr.sortBy { case (_, d, s) => (if (desc) -s else s, d) }
+        sorted.take(k).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s.toDouble, i + 1) }
       }
     merged.toDF("query_id", "doc_id", "score", "rank")
       .orderBy($"query_id", $"rank")
