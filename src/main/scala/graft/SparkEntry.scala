@@ -230,6 +230,24 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-label top-3 most-similar pairs: window ranking OVER a similarity
+    * self-join (W1×J2 composition — group-scoped pair ranking). */
+  private val q38GroupTopPairs: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosineSimilarity(col("a.embedding"), col("b.embedding")).as("sim"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("label"), col("rn"), col("id_a"), col("id_b"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("label"), col("rn"))
+  }
+
   /** Embedding-matrix stats (A4: value/norm statistics). */
   private val q16NormStats: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
@@ -529,6 +547,7 @@ object SparkEntry {
     "q35_minhash_lsh" -> q35MinhashLsh,
     "q36_clean_text" -> q36CleanText,
     "q37_knn_plan_operator" -> q37KnnPlanOperator,
+    "q38_group_top_pairs" -> q38GroupTopPairs,
     "q41_kmeans_profile" -> q41KmeansProfile,
     "q31_ir_metrics" -> q31IrMetrics,
     "q32_ir_summary" -> q32IrSummary,
@@ -911,6 +930,16 @@ object SparkEntry {
         |  WHERE q.vec_id >= 20 AND q.vec_id < 40) t
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q38_group_top_pairs" ->
+      """SELECT label, rn, id_a, id_b, round(sim, 6) AS sim FROM (
+        |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim,
+        |    row_number() OVER (PARTITION BY a.label
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, a.vec_id, b.vec_id) AS rn
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE rn <= 3
+        |ORDER BY label, rn""".stripMargin,
     "q50_rag_context" ->
       """WITH top AS (
         |  SELECT e.vec_id AS doc_id,

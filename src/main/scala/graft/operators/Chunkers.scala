@@ -294,6 +294,7 @@ object Chunkers {
       if (text == null || text.isEmpty) Iterator.empty
       else {
         val ct = contentType(text)
+        val headerRe = "(?m)^(#{1,6} .*)$".r
         val base: Seq[Chunk] = ct match {
           case "code" | "table" =>
             // split on lines, group preserving structure
@@ -301,6 +302,25 @@ object Chunkers {
             lines.grouped(20).zipWithIndex.map { case (g, idx) =>
               val t = g.mkString("\n")
               Chunk(id, idx, 0, 0, t, t.split("\\s+").count(_.nonEmpty), ct)
+            }.toSeq
+          case _ if headerRe.findFirstIn(text).isDefined =>
+            // structure strategy (day_10 hybrid header-aware split): a new
+            // section starts at each markdown header; long sections fall
+            // back to token grouping within the section
+            val lines = text.split("\n")
+            val sections = collection.mutable.ArrayBuffer(collection.mutable.ArrayBuffer.empty[String])
+            lines.foreach { l =>
+              if (l.matches("^#{1,6} .*") && sections.last.nonEmpty)
+                sections += collection.mutable.ArrayBuffer(l)
+              else sections.last += l
+            }
+            sections.filter(_.exists(_.trim.nonEmpty)).zipWithIndex.flatMap { case (sec, _) =>
+              val t = sec.mkString("\n")
+              val toks = t.split("\\s+").filter(_.nonEmpty)
+              if (toks.length <= maxTokens) Seq(Chunk(id, 0, 0, 0, t, toks.length, "structure"))
+              else toks.grouped(maxTokens).map { g =>
+                Chunk(id, 0, 0, 0, g.mkString(" "), g.length, "structure")
+              }.toSeq
             }.toSeq
           case _ =>
             val toks = text.split("\\s+").filter(_.nonEmpty)

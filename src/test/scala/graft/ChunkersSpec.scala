@@ -110,6 +110,19 @@ class ChunkersSpec extends AnyFunSuite {
     assert(complexMax < 100)       // scaled down by complexity
   }
 
+  test("hybrid structure strategy splits at markdown headers (G7)") {
+    val text = "# Intro\nsome prose here for the intro section padding words\n" +
+      "# Methods\nmethod details with more words to fill the section\n" +
+      "# Results\nresults commentary closing the document nicely here"
+    val chunks = Chunkers.hybridChunks(Seq((0L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 100, minChunkChars = 10)
+      .collect().sortBy(_.chunk_index)
+    assert(chunks.length === 3)
+    assert(chunks.forall(_.chunk_type === "structure"))
+    assert(chunks.map(_.text.linesIterator.next()).toSeq ===
+      Seq("# Intro", "# Methods", "# Results"))
+  }
+
   test("chunkStats aggregates over real documents") {
     val docs = Tables(spark, TestSpark.sfDir, "documents").limit(100)
     val stats = Chunkers.chunkStats(
