@@ -510,6 +510,16 @@ object SparkEntry {
       .select(col("query_id"), col("context"), col("n_docs"))
   }
 
+  /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
+    * mock answer, all string-exact against the oracle. */
+  private val q51RagAnswer: Q = (s, dir) => {
+    val ctx = q50RagContext(s, dir)
+    val question = "What is machine learning?"
+    val prompt = Rag.renderPrompt(ctx, lit(question))
+    Rag.mockAnswer(prompt.withColumn("question", lit(question)), "question")
+      .select(col("query_id"), col("prompt"), col("answer"))
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -554,6 +564,7 @@ object SparkEntry {
     "q33_ivf_recall" -> q33IvfRecall,
     "q34_embed_search" -> q34EmbedSearch,
     "q50_rag_context" -> q50RagContext,
+    "q51_rag_answer" -> q51RagAnswer,
   )
 
   // ---- clean_text oracle generator ------------------------------------
@@ -940,21 +951,31 @@ object SparkEntry {
         |    ON a.label = b.label AND a.vec_id < b.vec_id) t
         |WHERE rn <= 3
         |ORDER BY label, rn""".stripMargin,
-    "q50_rag_context" ->
-      """WITH top AS (
-        |  SELECT e.vec_id AS doc_id,
-        |    row_number() OVER (ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
-        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |  WHERE e.vec_id <> 0
-        |  ORDER BY rank LIMIT 3),
-        |p AS (
-        |  SELECT t.rank,
-        |    'Document ' || t.rank || ':' || chr(10) || substring(d.text, 1, 500) AS piece
-        |  FROM top t JOIN documents d ON d.doc_id = t.doc_id),
-        |r AS (SELECT rank, piece, sum(length(piece) + 2) OVER (ORDER BY rank) AS running FROM p)
-        |SELECT CAST(0 AS BIGINT) AS query_id,
-        |  string_agg(piece, chr(10) || chr(10) ORDER BY rank) AS context,
-        |  count(*) AS n_docs
-        |FROM r WHERE running <= 2000""".stripMargin,
+    "q50_rag_context" -> Q50ContextSql,
+    "q51_rag_answer" ->
+      (s"""WITH ctx AS ($Q50ContextSql)
+        |SELECT query_id,
+        |  'Answer the question based on the context below.' || chr(10) || chr(10) ||
+        |  'Context:' || chr(10) || context || chr(10) || chr(10) ||
+        |  'Question: What is machine learning?' || chr(10) || chr(10) || 'Answer:' AS prompt,
+        |  'Machine learning is a subset of AI that learns patterns from data.' AS answer
+        |FROM ctx""").stripMargin,
   )
+
+  private lazy val Q50ContextSql: String =
+    """WITH top AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    row_number() OVER (ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+      |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  WHERE e.vec_id <> 0
+      |  ORDER BY rank LIMIT 3),
+      |p AS (
+      |  SELECT t.rank,
+      |    'Document ' || t.rank || ':' || chr(10) || substring(d.text, 1, 500) AS piece
+      |  FROM top t JOIN documents d ON d.doc_id = t.doc_id),
+      |r AS (SELECT rank, piece, sum(length(piece) + 2) OVER (ORDER BY rank) AS running FROM p)
+      |SELECT CAST(0 AS BIGINT) AS query_id,
+      |  string_agg(piece, chr(10) || chr(10) ORDER BY rank) AS context,
+      |  count(*) AS n_docs
+      |FROM r WHERE running <= 2000""".stripMargin
 }
