@@ -56,10 +56,18 @@ object Dedup {
    * All pairs with word-n-gram Jaccard ≥ threshold, via inverted index:
    * explode distinct shingles → self-join on shingle (ids ordered) →
    * common-shingle counts → |A∩B| / (|A|+|B|−|A∩B|).
+   *
+   * `prefixFilter` switches to prefix-filtered candidate generation +
+   * full-set verification — exact (measured identical results), but pays a
+   * df-table join and two windows up front, so it only wins when the
+   * posting self-join's Σdf² blows up (measured at sf0.1: simple join
+   * 3.3 s vs prefix 4.9 s — keep it OFF until candidate volume, not
+   * postings, dominates).
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxDf: Long = Long.MaxValue): DataFrame = {
+                        maxDf: Long = Long.MaxValue,
+                        prefixFilter: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Shingling runs as a typed flatMap, not the `shingles` column function:
@@ -81,30 +89,62 @@ object Dedup {
     // Optional df-cut: a shingle shared by huge numbers of docs is a
     // stopword-gram; it explodes the candidate space without separating
     // near-dups. Off by default (exact semantics); turn on at corpus scale.
-    val pruned =
+    val dfCut =
       if (maxDf == Long.MaxValue) postings
       else {
         val rare = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .where(col("df") <= maxDf && col("df") >= 2)
         postings.join(rare.select("s"), Seq("s"))
       }
-    // Self equi-join on the shingle; both sides shuffle with identical
-    // plans, so Spark's ReuseExchange computes the postings subtree once.
-    // The pair groupBy key stays narrow (two longs) for fast partial aggs;
-    // set sizes re-attach afterwards via two broadcast joins.
-    val common = pruned.as("a").join(pruned.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    common
-      .join(broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), Seq("id_a"))
-      .join(broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    if (!prefixFilter) {
+      // Self equi-join on the shingle; both sides shuffle with identical
+      // plans, so Spark's ReuseExchange computes the postings subtree once.
+      // The pair groupBy key stays narrow (two longs) for fast partial
+      // aggs; set sizes re-attach afterwards via two broadcast joins.
+      val common = dfCut.as("a").join(dfCut.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+      val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      common
+        .join(broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), Seq("id_a"))
+        .join(broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("sz_a") + col("sz_b") - col("common")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    } else {
+      // Prefix filtering (Chaudhuri et al.'s exact candidate reducer): two
+      // sets with Jaccard ≥ θ must share a shingle within each other's
+      // PREFIX of length |s| − ⌈θ·|s|⌉ + 1 under ANY global total order —
+      // ascending document frequency maximizes pruning (rare shingles
+      // first), cutting the candidate join roughly by (1−θ)². Candidates
+      // are then verified on the FULL shingle sets (the prefix-pruned
+      // postings cannot produce the true intersection size).
+      import org.apache.spark.sql.expressions.Window
+      val dfTable = dfCut.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      val w = Window.partitionBy(col("id")).orderBy(col("__df").asc, col("s").asc)
+      val szW = Window.partitionBy(col("id"))
+      val prefix = dfCut.join(dfTable, Seq("s"))
+        .withColumn("__pos", row_number().over(w))
+        .withColumn("__sz", count(lit(1)).over(szW))
+        .where(col("__pos") <= col("__sz") - ceil(col("__sz") * threshold) + 1)
+        .select(col("id"), col("s"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val shDf = shingleSets(df, idCol, textCol, n).toDF("id", "sh")
+      cand
+        .join(shDf.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
+        .join(shDf.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+            size(array_union(col("__sa"), col("__sb"))))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   private val HexChars = "0123456789abcdef".toCharArray

@@ -44,11 +44,14 @@ object SimilarityJoin {
    */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numBits: Int = 8, bands: Int = 8,
-                     dim: Int = 64, seed: Long = 42L): DataFrame = {
+                     dim: Int = -1, seed: Long = 42L): DataFrame = {
+    // infer the vector dimension from the data unless given
+    val d = if (dim > 0) dim
+            else df.select(size(col(vecCol))).head().getInt(0)
     val rng = new scala.util.Random(seed)
     // bands × numBits hyperplanes, each a dense gaussian vector
     val planes: Array[Array[Array[Double]]] =
-      Array.fill(bands, numBits)(Array.fill(dim)(rng.nextGaussian()))
+      Array.fill(bands, numBits)(Array.fill(d)(rng.nextGaussian()))
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(planes)
 

@@ -45,6 +45,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 4L)))
   }
 
+  test("prefix-filtered jaccard equals the exhaustive inverted-index result") {
+    val real = Tables(spark, TestSpark.sfDir, "documents")
+    val exact = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefixed = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.5,
+        prefixFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefixed === exact) // prefix filter is exact, never lossy
+    assert(exact.nonEmpty)
+  }
+
   test("minhash LSH recovers high-jaccard pairs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         numHashes = 16, bands = 8, threshold = 0.4)
