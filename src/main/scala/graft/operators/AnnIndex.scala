@@ -74,7 +74,7 @@ object AnnIndex {
    * and rank. Only nprobe/nlist of the corpus is scanned per query.
    */
   def searchIvf(index: IvfIndex, queries: Seq[(Long, Array[Float])],
-                k: Int, nprobe: Int): DataFrame = {
+                k: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
     val spark = index.assignments.sparkSession
     import spark.implicits._
     val probes = queries.flatMap { case (qid, qv) =>
@@ -90,12 +90,16 @@ object AnnIndex {
     // scan reads only those directories (guaranteed PartitionFilters, no
     // reliance on dynamic pruning heuristics).
     val probedClusters = probes.map(_._2).distinct
-    val scored = index.assignments
+    val scoredAll = index.assignments
       .where(col("cluster").isin(probedClusters: _*))
       .join(broadcast(probeDf), Seq("cluster"))
       .select(col("query_id"), col("id").as("doc_id"),
         cosineSimilarity(col("qvec"), col("vec")).as("score"))
-      .where(col("query_id") =!= col("doc_id"))
+    // self-exclusion is opt-in (as in KnnSearch): query ids that merely
+    // collide numerically with corpus ids must not lose a true neighbor
+    val scored =
+      if (excludeSelf) scoredAll.where(col("query_id") =!= col("doc_id"))
+      else scoredAll
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -106,7 +110,8 @@ object AnnIndex {
                     queries: Seq[(Long, Array[Float])], k: Int,
                     nlist: Int, nprobe: Int): DataFrame = {
     val index = buildIvf(df, idCol, vecCol, nlist)
-    val approx = searchIvf(index, queries, k, nprobe).select("query_id", "doc_id")
+    val approx = searchIvf(index, queries, k, nprobe, excludeSelf = true)
+      .select("query_id", "doc_id")
     val exact = KnnSearch.topKBatch(df, idCol, vecCol, queries, k,
         KnnSearch.Cosine, excludeSelf = true)
       .select("query_id", "doc_id")

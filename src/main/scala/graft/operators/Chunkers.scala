@@ -4,7 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** A produced chunk (SURVEY §1.1 abstraction 3; metadata shape from
-  * day_10/chunkers/token_chunker.py:9-18). */
+  * day_10/chunkers/token_chunker.py:9-18).
+  *
+  * `start_char`/`end_char` are strategy-scoped positions, mirroring the
+  * reference's per-strategy metadata: character offsets for char chunkers,
+  * token indices for token chunkers, sentence indices for sentence/semantic
+  * chunkers, paragraph slots for the paragraph chunker (hybrid chunks carry
+  * 0 — sections are not contiguous spans after merging). */
 case class Chunk(
     doc_id: Long,
     chunk_index: Int,
@@ -58,6 +64,9 @@ object Chunkers {
    */
   def charChunks(df: DataFrame, idCol: String, textCol: String,
                  size: Int = 1000, overlap: Int = 200): Dataset[Chunk] = {
+    // the sentence snap can pull `end` back to size/2; overlap must stay
+    // below that or `start` stops advancing (or goes negative)
+    require(overlap >= 0 && overlap < size / 2, "overlap must be in [0, size/2)")
     val spark = df.sparkSession
     import spark.implicits._
     docs(df, idCol, textCol).flatMap { case (id, text) =>
@@ -89,6 +98,8 @@ object Chunkers {
    */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
                   maxTokens: Int = 100, overlapTokens: Int = 20): Dataset[Chunk] = {
+    require(overlapTokens >= 0 && overlapTokens < maxTokens,
+      "overlapTokens must be < maxTokens (start would stop advancing)")
     val spark = df.sparkSession
     import spark.implicits._
     docs(df, idCol, textCol).flatMap { case (id, text) =>

@@ -66,6 +66,9 @@ object Embedder {
     val fp = TextFunctions.fingerprint(col(textCol))
     val cachedFp = cached.select(col(idCol), col(textCol), col("embedding"))
       .withColumn("__fp", fp)
+      // one cache row per content fingerprint: duplicate cached texts would
+      // otherwise multiply every matching incoming doc through the join
+      .dropDuplicates("__fp")
     val newFp = newDocs.select(col(idCol), col(textCol)).withColumn("__fp", fp)
     val misses = newFp.join(cachedFp.select("__fp"), Seq("__fp"), "left_anti")
     val hits = newFp.join(cachedFp.select(col("__fp"), col("embedding")), Seq("__fp"))

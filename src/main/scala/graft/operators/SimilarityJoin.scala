@@ -46,8 +46,15 @@ object SimilarityJoin {
                      threshold: Double, numBits: Int = 8, bands: Int = 8,
                      dim: Int = -1, seed: Long = 42L): DataFrame = {
     // infer the vector dimension from the data unless given
-    val d = if (dim > 0) dim
-            else df.select(size(col(vecCol))).head().getInt(0)
+    val d =
+      if (dim > 0) dim
+      else df.select(size(col(vecCol))).limit(1).collect() match {
+        case Array(row) => row.getInt(0)
+        case _ => // empty input ⇒ no pairs; avoid head() throwing
+          return df.sparkSession.emptyDataFrame
+            .withColumn("id_a", lit(0L)).withColumn("id_b", lit(0L))
+            .withColumn("sim", lit(0.0)).limit(0)
+      }
     val rng = new scala.util.Random(seed)
     // bands × numBits hyperplanes, each a dense gaussian vector
     val planes: Array[Array[Array[Double]]] =

@@ -179,14 +179,14 @@ object KnnJoinStrategy extends SparkStrategy {
 
 object KnnJoinPlan {
 
-  /** Register the strategy on an existing session (idempotent). */
-  def install(spark: SparkSession): Unit = {
-    val ss = spark.sessionState
-    if (!ss.planner.extraPlanningStrategies.contains(KnnJoinStrategy)) {
+  /** Register the strategy on an existing session (idempotent — the guard
+    * must read the same list it appends to: experimental.extraStrategies,
+    * not the extension-injected planner strategies). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(KnnJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ KnnJoinStrategy
     }
-  }
 
   /** Dataset API over the custom operator: top-k docs per query. Children
     * are ordinary DataFrames — Catalyst optimizes them independently

@@ -121,10 +121,20 @@ object EventStream {
         merged.cache().count() // materialize before overwrite of the source
         merged.write.mode("overwrite").parquet(target + "_tmp")
         merged.unpersist()
+        // crash-safe swap: move the live dir aside, promote tmp, then drop
+        // the old data — a failure at any step leaves a recoverable dir,
+        // and a failed rename aborts the batch instead of losing the table
         val tmp = new java.io.File(target + "_tmp")
         val dst = new java.io.File(target)
-        org.apache.commons.io.FileUtils.deleteQuietly(dst)
-        tmp.renameTo(dst)
+        val old = new java.io.File(target + "_old")
+        org.apache.commons.io.FileUtils.deleteQuietly(old)
+        if (dst.exists() && !dst.renameTo(old))
+          throw new java.io.IOException(s"could not move $dst aside")
+        if (!tmp.renameTo(dst)) {
+          old.renameTo(dst) // restore
+          throw new java.io.IOException(s"could not promote $tmp to $dst")
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(old)
         ()
       }
       .start()

@@ -12,7 +12,7 @@ class AnnIndexSpec extends AnyFunSuite {
 
   test("ivf with nprobe = nlist equals the exact scan") {
     val index = AnnIndex.buildIvf(e, "vec_id", "embedding", nlist = 8)
-    val full = AnnIndex.searchIvf(index, queries, k = 10, nprobe = 8)
+    val full = AnnIndex.searchIvf(index, queries, k = 10, nprobe = 8, excludeSelf = true)
       .select("query_id", "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = KnnSearch.topKBatch(e, "vec_id", "embedding", queries, 10,
