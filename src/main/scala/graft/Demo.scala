@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators._
+import graft.sources._
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end demo of the reference's user journey on this engine
+ * (SURVEY §3: ingest → index → search → RAG → evaluate):
+ *
+ *   sbt "runMain graft.Demo [testdataDir]"
+ *
+ * 1. load documents, clean text, chunk, mock-embed (day_10 pipeline)
+ * 2. store as a parquet collection + build an IVF index (day_9 pgvector)
+ * 3. exact + ANN top-k search with metadata filtering (day_4/6/8)
+ * 4. assemble a RAG context and a deterministic answer (day_11/12/15)
+ * 5. IR-evaluate retrieval against label ground truth (day_13)
+ * 6. dedup report over the corpus (training-data pipeline ops)
+ */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Graft.session("local[*]")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    println(s"== 1. ingest ($dir) ==")
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("text", graft.functions.TextClean.cleanText(col("text")))
+    val chunks = Chunkers.withChunkIds(
+      Chunkers.tokenChunks(docs, "doc_id", "text", maxTokens = 60, overlapTokens = 10))
+    val embedded = Embedder.embed(chunks, "doc_id", "text")
+    println(s"docs=${docs.count()} chunks=${chunks.count()}")
+
+    println("== 2. collection + IVF index ==")
+    val root = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    CollectionStore.write(embedded, root, "kb")
+    val coll = CollectionStore.read(spark, root, "kb")
+    val index = AnnIndex.buildIvf(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", nlist = 8)
+    AnnIndex.writeIndex(index, s"$root/ivf")
+
+    println("== 3. search ==")
+    val qv = Embedder.MockEncoder().encodeBatch(Seq("spark filter join table")).head
+    KnnSearch.topK(coll, "doc_id", "embedding", qv, 5).show(5, truncate = false)
+    val e = Tables(spark, dir, "embeddings")
+    val queries = (0L until 5L).map(id => id -> Tables.queryVector(spark, dir, id))
+    AnnIndex.searchIvf(index, queries, k = 3, nprobe = 2, excludeSelf = true)
+      .show(6, truncate = false)
+
+    println("== 4. RAG ==")
+    val hits = KnnSearch.topKBatch(coll.dropDuplicates("doc_id"), "doc_id", "embedding",
+      Seq((0L, qv)), 3)
+    val ctx = Rag.buildContext(
+      Rag.hydrate(hits, docs, "doc_id", "text"), budgetChars = 1200, perDocChars = 300)
+    val answer = Rag.mockAnswer(
+      Rag.renderPrompt(ctx, lit("What is a vector database?"))
+        .withColumn("question", lit("What is a vector database?")), "question")
+    answer.select("query_id", "answer").show(truncate = false)
+
+    println("== 5. evaluation (label ground truth) ==")
+    val retrieved = KnnSearch.topKBatch(e, "vec_id", "embedding", queries, 10,
+        KnnSearch.Cosine, excludeSelf = true)
+      .select("query_id", "doc_id", "rank")
+    val lab = e.select(col("vec_id"), col("label"))
+    val truth = lab.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label"))
+      .join(lab.select(col("vec_id").as("doc_id"), col("label")), Seq("label"))
+      .where(col("query_id") =!= col("doc_id"))
+      .select("query_id", "doc_id")
+    IREval.sweep(retrieved, truth, Seq(1, 5, 10)).show(truncate = false)
+
+    println("== 6. dedup report ==")
+    Dedup.exactStats(docs, "text").show()
+    println("near-dup pairs (jaccard>=0.5): " +
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+
+    spark.stop()
+  }
+}
