@@ -78,7 +78,9 @@ object Dedup {
     val postings = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+")
+        // limit -1 keeps trailing empty tokens, matching the column form
+        // (TextFunctions.words) and the DuckDB oracle's string_split_regex
+        val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+", -1)
         val sh =
           if (ws.length >= n) (0 to ws.length - n).iterator
             .map(i => ws.slice(i, i + n).mkString(" ")).toSet
@@ -172,7 +174,9 @@ object Dedup {
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, t) =>
-        val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+")
+        // limit -1: keep trailing empty tokens (parity with the column form
+        // and the oracle; see ngramJaccardPairs)
+        val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+", -1)
         val sh =
           if (ws.length >= n) (0 to ws.length - n)
             .map(i => ws.slice(i, i + n).mkString(" ")).distinct

@@ -49,14 +49,19 @@ object IREval {
       min(when(isRel, col("rank"))).as("first_rel"),
       sum(when(isRel && inTopK, lit(1.0) / log2(col("rank") + 1))).as("dcg"))
 
-    val idcg = aggregate(
+    // guard n_rel = 0: sequence(1, 0) would count DOWN and divide by log2(1)
+    val idcg = when(col("n_rel") > 0, aggregate(
       sequence(lit(1), least(col("n_rel"), lit(k))), lit(0.0),
-      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))).otherwise(0.0)
 
     val precision = when(col("n_top") > 0, col("rel_ret").cast("double") / col("n_top")).otherwise(0.0)
     val recall = when(col("n_rel") > 0, col("rel_ret").cast("double") / col("n_rel")).otherwise(0.0)
 
-    agg.join(nRel, Seq("query_id"))
+    // left join: a query whose relevant set is empty (no truth rows) still
+    // evaluates — with zero metrics, like the reference — instead of
+    // vanishing from the output and skewing macro averages / n_queries
+    agg.join(nRel, Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
       .withColumn("precision", precision)
       .withColumn("recall", recall)
       .withColumn("f1",

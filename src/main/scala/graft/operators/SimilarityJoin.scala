@@ -45,15 +45,20 @@ object SimilarityJoin {
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numBits: Int = 8, bands: Int = 8,
                      dim: Int = -1, seed: Long = 42L): DataFrame = {
-    // infer the vector dimension from the data unless given
+    // infer the vector dimension from the data unless given: max(size) over
+    // non-null vectors is deterministic under any row order (a limit(1)
+    // sample would NPE on a null first row and vary with ragged dims)
     val d =
       if (dim > 0) dim
-      else df.select(size(col(vecCol))).limit(1).collect() match {
-        case Array(row) => row.getInt(0)
-        case _ => // empty input ⇒ no pairs; avoid head() throwing
+      else {
+        val row = df.where(col(vecCol).isNotNull)
+          .agg(max(size(col(vecCol)))).collect()(0)
+        if (row.isNullAt(0)) { // no non-null vectors ⇒ no pairs
           return df.sparkSession.emptyDataFrame
             .withColumn("id_a", lit(0L)).withColumn("id_b", lit(0L))
             .withColumn("sim", lit(0.0)).limit(0)
+        }
+        row.getInt(0)
       }
     val rng = new scala.util.Random(seed)
     // bands × numBits hyperplanes, each a dense gaussian vector

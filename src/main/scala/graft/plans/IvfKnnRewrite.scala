@@ -60,16 +60,33 @@ object IvfKnnRewrite extends Rule[LogicalPlan] {
       }
   }
 
-  /** The docs side qualifies when its only leaf is a parquet relation over
-    * a registered path (projections/filters above it are fine — they were
-    * applied when the index was built from the same table). */
-  private def indexFor(docs: LogicalPlan): Option[AnnIndexRegistry.Entry] =
-    docs.collectLeaves() match {
-      case Seq(LogicalRelation(fs: HadoopFsRelation, _, _, _, _)) =>
+  /** The docs side qualifies ONLY when it is the bare parquet relation over
+    * a registered path, possibly under shape-only Projects (attributes /
+    * casts of attributes — the shape `knnJoin` itself inserts). Anything
+    * else — a Filter, a computed projection, a join — would be silently
+    * dropped by the rewrite (the index scan replaces the whole subtree), so
+    * we bail out and keep the exact KnnJoin node instead. */
+  private def indexFor(docs: LogicalPlan): Option[AnnIndexRegistry.Entry] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, NamedExpression}
+    def shapeOnly(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
+      case _: AttributeReference => true
+      case a: Alias => shapeOnly(a.child)
+      case c: Cast => shapeOnly(c.child)
+      case _ => false
+    }
+    def bareRelation(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case lr: LogicalRelation => Some(lr)
+      case Project(projectList, child) if projectList.forall(shapeOnly) =>
+        bareRelation(child)
+      case _ => None
+    }
+    bareRelation(docs).flatMap {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.headOption
           .flatMap(p => AnnIndexRegistry.lookup(p.toString))
       case _ => None
     }
+  }
 
   private def ivfPlan(spark: SparkSession, queries: LogicalPlan,
                       entry: AnnIndexRegistry.Entry, k: Int,

@@ -88,13 +88,17 @@ case class KnnJoinExec(
     // The query side is the broadcast side by contract (reference
     // workloads: O(100) queries vs the corpus): collect + broadcast.
     val queryRows = queriesPlan.executeCollect()
-    val queries: Array[(Long, Array[Double])] = queryRows.map { r =>
-      val arr = r.getArray(1)
-      val v = new Array[Double](arr.numElements())
-      var i = 0
-      while (i < v.length) { v(i) = arr.getFloat(i).toDouble; i += 1 }
-      (r.getLong(0), v)
-    }
+    // skip malformed query rows (null id or null vector), mirroring the
+    // docs-side isNullAt guard in the scan loop
+    val queries: Array[(Long, Array[Double])] = queryRows.iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map { r =>
+        val arr = r.getArray(1)
+        val v = new Array[Double](arr.numElements())
+        var i = 0
+        while (i < v.length) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+        (r.getLong(0), v)
+      }.toArray
     val bc = sparkContext.broadcast(queries)
     val desc = metric.descending
     val kk = k

@@ -71,6 +71,21 @@ class IREvalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("hit_rate") === 0.0)
   }
 
+  test("query with empty relevant set still evaluates with zero metrics") {
+    // q2 has retrieved rows but NO truth rows (the reference evaluates such
+    // queries with zero metrics; they must not vanish from the output)
+    val ret = Seq(("q1", "d1", 1), ("q2", "x", 1), ("q2", "y", 2))
+      .toDF("query_id", "doc_id", "rank")
+    val per = IREval.perQuery(ret, truth, 3)
+    assert(per.count() === 2)
+    val q2 = per.where($"query_id" === "q2").head()
+    Seq("precision", "recall", "f1", "ap", "rr", "ndcg", "hit_rate").foreach { c =>
+      assert(q2.getAs[Double](c) === 0.0, c)
+    }
+    val s = IREval.summary(ret, truth, 3).head()
+    assert(s.getAs[Long]("n_queries") === 2L)
+  }
+
   test("k > |retrieved| uses |top_k| = |retrieved| as precision denominator") {
     val m = metrics(10)
     assert(math.abs(m("precision") - 2.0 / 3) < 1e-12) // 3 retrieved only

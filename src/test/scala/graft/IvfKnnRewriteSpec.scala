@@ -50,6 +50,24 @@ class IvfKnnRewriteSpec extends AnyFunSuite {
     } finally AnnIndexRegistry.clear()
   }
 
+  test("filtered docs side: rewrite bails out and the filter is respected") {
+    install()
+    val docsPath = TestSpark.sfDir + "/embeddings.parquet"
+    val (indexPath, docs) = setup()
+    AnnIndexRegistry.register(docsPath, indexPath, nprobe = 8)
+    try {
+      val queries = docs.where(col("vec_id") < 5)
+      // ad-hoc predicate on the docs side: the index was built over the FULL
+      // table, so routing through it would silently drop the filter
+      val filtered = docs.where(col("vec_id") % 2 === 0)
+      val out = KnnJoinPlan.knnJoin(queries, "vec_id", "embedding",
+        filtered, "vec_id", "embedding", k = 10, KnnSearch.Cosine, excludeSelf = true)
+      assert(out.queryExecution.optimizedPlan.toString.contains("KnnJoin"))
+      val docIds = out.select("doc_id").collect().map(_.getLong(0))
+      assert(docIds.nonEmpty && docIds.forall(_ % 2 == 0))
+    } finally AnnIndexRegistry.clear()
+  }
+
   test("unregistered table: node untouched; partial probe keeps high recall") {
     install()
     val (indexPath, docs) = setup()
