@@ -96,6 +96,41 @@ object KnnSearch {
     def column(query: Column, doc: Column): Column = l2Distance(query, doc)
   }
 
+  /** Merge two best-first-sorted top-k arrays into one (two-way merge,
+    * keep k). Associative + commutative under the (score, id) total order,
+    * so it is safe as a `reduceByKey` combiner: the per-query merge runs
+    * map-side on each executor and the driver only ever sees |Q|×k rows —
+    * never the partitions×|Q|×k candidate set. */
+  private[graft] def mergeTopK(desc: Boolean, k: Int)(
+      a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] = {
+    val out = new Array[(Double, Long)](math.min(k, a.length + b.length))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length) {
+      val takeA = j >= b.length || (i < a.length && {
+        val c = java.lang.Double.compare(a(i)._1, b(j)._1)
+        if (c != 0) { if (desc) c > 0 else c < 0 } else a(i)._2 < b(j)._2
+      })
+      if (takeA) { out(o) = a(i); i += 1 } else { out(o) = b(j); j += 1 }
+      o += 1
+    }
+    out
+  }
+
+  private[graft] def mergeTopKF32(desc: Boolean, k: Int)(
+      a: Array[(Float, Long)], b: Array[(Float, Long)]): Array[(Float, Long)] = {
+    val out = new Array[(Float, Long)](math.min(k, a.length + b.length))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length) {
+      val takeA = j >= b.length || (i < a.length && {
+        val c = java.lang.Float.compare(a(i)._1, b(j)._1)
+        if (c != 0) { if (desc) c > 0 else c < 0 } else a(i)._2 < b(j)._2
+      })
+      if (takeA) { out(o) = a(i); i += 1 } else { out(o) = b(j); j += 1 }
+      o += 1
+    }
+    out
+  }
+
   /**
    * Top-k for ONE query vector: scan + scored projection + global top-k.
    * Catalyst plans the limit as TakeOrderedAndProject (no full sort) and the
@@ -189,23 +224,23 @@ object KnnSearch {
             }
           }
         }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          val qid = queries(qi)._1
-          h.iterator.map { case (s, d) => (qid, d, s) }
+        // emit ONE best-first-sorted array per query per partition
+        // (dequeueAll drains worst-first under the heap's ordering)
+        heaps.iterator.zipWithIndex.map { case (h, qi) =>
+          (queries(qi)._1, h.dequeueAll.reverse.toArray)
         }
       }
 
-    // Global reduce over ≤ partitions×|Q|×k candidate rows: merged on the
-    // driver (exactly what TakeOrderedAndProject does for LIMIT) — one
-    // stage, no shuffle. The merged result is tiny (|Q|×k rows) and
-    // broadcast-joins downstream.
-    val merged = candidates.collect()
-      .groupBy(_._1)
-      .toSeq
+    // Distributed global reduce: reduceByKey on query_id merges the bounded
+    // per-partition arrays map-side (combiner = sorted two-way merge), so
+    // each executor ships ≤ |Q| arrays of k and the driver collects exactly
+    // |Q|×k rows — at 10⁶ input splits the candidate set never converges on
+    // the driver.
+    val merged = candidates.reduceByKey(mergeTopK(desc, k))
+      .collect()
       .flatMap { case (qid, arr) =>
-        val sorted = arr.sortBy { case (_, d, s) => (if (desc) -s else s, d) }
-        sorted.take(k).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s, i + 1) }
-      }
+        arr.iterator.zipWithIndex.map { case ((s, d), i) => (qid, d, s, i + 1) }
+      }.toSeq
     merged.toDF("query_id", "doc_id", "score", "rank")
       .orderBy($"query_id", $"rank")
   }
@@ -257,18 +292,17 @@ object KnnSearch {
           }
         }
       }
-      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (s, d) => (qs(qi)._1, d, s) }
+      heaps.iterator.zipWithIndex.map { case (h, qi) =>
+        (qs(qi)._1, h.dequeueAll.reverse.toArray)
       }
     }
 
-    val merged = candidates.collect()
-      .groupBy(_._1)
-      .toSeq
+    // same distributed merge as [[topKBatchRdd]]; see the comment there
+    val merged = candidates.reduceByKey(mergeTopKF32(desc, k))
+      .collect()
       .flatMap { case (qid, arr) =>
-        val sorted = arr.sortBy { case (_, d, s) => (if (desc) -s else s, d) }
-        sorted.take(k).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s.toDouble, i + 1) }
-      }
+        arr.iterator.zipWithIndex.map { case ((s, d), i) => (qid, d, s.toDouble, i + 1) }
+      }.toSeq
     merged.toDF("query_id", "doc_id", "score", "rank")
       .orderBy($"query_id", $"rank")
   }

@@ -65,7 +65,9 @@ object IvfKnnRewrite extends Rule[LogicalPlan] {
     * casts of attributes — the shape `knnJoin` itself inserts). Anything
     * else — a Filter, a computed projection, a join — would be silently
     * dropped by the rewrite (the index scan replaces the whole subtree), so
-    * we bail out and keep the exact KnnJoin node instead. */
+    * we bail out and keep the exact KnnJoin node instead. A cached docs
+    * table (InMemoryRelation) also bails out — conservative: the exact
+    * kernel still answers the query, just without the index. */
   private def indexFor(docs: LogicalPlan): Option[AnnIndexRegistry.Entry] = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, NamedExpression}
     def shapeOnly(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {

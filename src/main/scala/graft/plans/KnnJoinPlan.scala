@@ -145,30 +145,30 @@ case class KnnJoinExec(
           }
         }
       }
-      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (s, d) => (qs(qi)._1, d, s) }
+      // one best-first-sorted array per query per partition
+      heaps.iterator.zipWithIndex.map { case (h, qi) =>
+        (qs(qi)._1, h.dequeueAll.reverse.toArray)
       }
     }
 
-    // global reduce: ≤ partitions×|Q|×k candidates merged on the driver
-    // (the TakeOrderedAndProject pattern), re-parallelized as the result.
-    val merged = candidates.collect()
-      .groupBy(_._1)
-      .toSeq
-      .flatMap { case (qid, arr) =>
-        val sorted = arr.sortBy { case (_, d, s) => (if (desc) -s else s, d) }
-        sorted.take(kk).zipWithIndex.map { case ((_, d, s), i) => (qid, d, s, i + 1) }
-      }
-      .sortBy { case (qid, _, _, r) => (qid, r) }
+    // Distributed global reduce: reduceByKey on query_id with the sorted
+    // two-way merge as a map-side combiner. The result never touches the
+    // driver — each output partition materializes its queries' rank rows
+    // directly, so the operator holds at 10⁶ input splits where a
+    // collect-based merge would funnel partitions×|Q|×k rows through the
+    // driver.
     val out = output
-    sparkContext.parallelize(merged, 1).mapPartitions { it =>
-      val proj = UnsafeProjection.create(out.map(_.dataType).toArray)
-      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
-      it.map { case (qid, d, s, r) =>
-        row.update(0, qid); row.update(1, d); row.update(2, s); row.update(3, r)
-        proj(row)
+    candidates.reduceByKey(KnnSearch.mergeTopK(desc, kk))
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(out.map(_.dataType).toArray)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+        it.flatMap { case (qid, arr) =>
+          arr.iterator.zipWithIndex.map { case ((s, d), i) =>
+            row.update(0, qid); row.update(1, d); row.update(2, s); row.update(3, i + 1)
+            proj(row)
+          }
+        }
       }
-    }
   }
 }
 

@@ -12,6 +12,11 @@ class IvfKnnRewriteSpec extends AnyFunSuite {
     val o = spark.sessionState.experimentalMethods
     if (!o.extraOptimizations.contains(IvfKnnRewrite))
       o.extraOptimizations = o.extraOptimizations :+ IvfKnnRewrite
+    // another suite may have cached the embeddings table; the cache manager
+    // would then substitute an InMemoryRelation for the parquet relation and
+    // the rewrite (correctly, conservatively) bails out — clear it so this
+    // spec exercises the rewrite itself
+    spark.catalog.clearCache()
   }
 
   private def setup(): (String, org.apache.spark.sql.DataFrame) = {
