@@ -46,14 +46,22 @@ object Bench {
       name -> t
     }
 
-    // day_6-shaped workloads (BASELINE.md): k=10 exact search, 100 queries,
+    // day_6-shaped workloads (BASELINE.md): k=10 search, 100 queries,
     // seeded clustered gaussians at the baseline's three dataset sizes.
+    // Main key = IVF-routed search at the baseline's own regime
+    // (nlist=100, nprobe=10 — day_6/day6_complete.py:105-115); _exact =
+    // fused exhaustive scan; _recall10 = IVF recall@10 vs the exact oracle
+    // (value is a ratio, not seconds).
     val day6 = Seq(
       ("x_day6_small_1k128_100q", 1000, 128),
       ("x_day6_medium_10k256_100q", 10000, 256),
       ("x_day6_large_50k384_100q", 50000, 384)
-    ).map { case (name, n, dim) =>
-      name -> (try day6Workload(spark, n, dim) catch { case _: Throwable => -1.0 })
+    ).flatMap { case (name, n, dim) =>
+      try {
+        val (ivfSec, exactSec, recall) = day6Workload(spark, n, dim)
+        Seq(name -> ivfSec, s"${name}_exact" -> exactSec,
+          s"${name}_recall10" -> recall)
+      } catch { case _: Throwable => Seq(name -> -1.0) }
     }
 
     val qs = (results ++ day6)
@@ -65,43 +73,50 @@ object Bench {
   }
 
   /** Generate a baseline dataset (seed-42 clustered gaussians, 100
-    * clusters — day_6/day6_complete.py:26-52 shape) and time the 100-query
-    * exact top-10 batch search, warm, through the float32 serving kernel
-    * (FAISS's own accumulation arithmetic). */
-  private def day6Workload(spark: SparkSession, n: Int, dim: Int): Double = {
+    * clusters — day_6/day6_complete.py:26-52 shape), build the resident
+    * flat + IVF serving indexes (outside the timed region, like FAISS's
+    * separately-timed build), and time the warm 100-query top-10 batch:
+    * (ivf seconds, exact seconds, ivf recall@10 vs exact). */
+  private def day6Workload(spark: SparkSession, n: Int, dim: Int): (Double, Double, Double) = {
     import spark.implicits._
     val nClusters = 100
+    val d = dim
     val centers = Array.tabulate(nClusters) { c =>
       val r = new java.util.Random(42L + c)
-      Array.fill(dim)(r.nextGaussian() * 5.0)
+      Array.fill(d)(r.nextGaussian() * 5.0)
     }
     val bcCenters = spark.sparkContext.broadcast(centers)
-    // cached as JVM objects: the memory-resident index shape (cf. FAISS
-    // holding the matrix in RAM) — scan pays no columnar deserialization
     val docs = spark.range(n.toLong).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val ctr = bcCenters.value((id % nClusters).toInt)
           val r = new java.util.Random(1000L + id)
-          (id, Array.tabulate(dim)(i => (ctr(i) + r.nextGaussian()).toFloat))
+          (id, Array.tabulate(d)(i => (ctr(i) + r.nextGaussian()).toFloat))
         }
       }
       .rdd
-      .cache()
-    docs.count() // materialize outside the timed region (index-resident data)
     val queries = (0 until 100).map { q =>
       val r = new java.util.Random(9000L + q)
       val ctr = centers(q % nClusters)
-      (q.toLong, Array.tabulate(dim)(i => (ctr(i) + r.nextGaussian()).toFloat))
+      (q.toLong, Array.tabulate(d)(i => (ctr(i) + r.nextGaussian()).toFloat))
+    }.toArray
+    val flat = operators.ServingIndex.buildFlat(docs, dim)
+    val ivf = operators.ServingIndex.buildIvf(docs, dim,
+      nlist = math.min(100, n / 10), iterations = 10)
+    def timed(fn: () => Unit): Double = {
+      fn() // warm
+      val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
     }
-    def run(): Long =
-      operators.KnnSearch.topKBatchRddF32(spark, docs, queries, 10,
-        operators.KnnSearch.L2).count()
-    run() // warm
-    val t0 = System.nanoTime()
-    run()
-    val t = (System.nanoTime() - t0) / 1e9
-    docs.unpersist()
-    t
+    var exactRes: Array[(Long, Array[(Float, Long)])] = null
+    var ivfRes: Array[(Long, Array[(Float, Long)])] = null
+    val exactSec = timed(() => exactRes = flat.search(queries, 10, operators.KnnSearch.L2))
+    val ivfSec = timed(() =>
+      ivfRes = ivf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
+    val exactSets = exactRes.map { case (q, arr) => q -> arr.map(_._2).toSet }.toMap
+    val recall = ivfRes.map { case (q, arr) =>
+      arr.map(_._2).count(exactSets(q).contains).toDouble / exactSets(q).size
+    }.sum / ivfRes.length
+    flat.slabs.unpersist(); ivf.slabs.unpersist()
+    (ivfSec, exactSec, recall)
   }
 }

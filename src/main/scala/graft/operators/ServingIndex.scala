@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.SparkContext
+import org.apache.spark.rdd.RDD
+
+/**
+ * Memory-resident serving indexes for the day_6 workload shape (reference:
+ * day_6/day6_complete.py:84-183 — FAISS FlatL2 / IVFFlat held in RAM and
+ * queried in-process): the corpus lives as packed per-partition float32
+ * slabs cached on the executors, and a query batch runs as ONE fused
+ * `sparkContext.runJob` — each partition returns its local top-k arrays
+ * per query and the driver merges `partitions × |Q|` bounded arrays. No
+ * DataFrame assembly, no shuffle, no extra job for counting: the entire
+ * search is a single wave of tasks over resident data.
+ *
+ * Scale shape: a 100 TB corpus is sharded across executors exactly like
+ * this (slab per partition); the driver-side merge is bounded by
+ * `partitions × |Q| × k` TUPLES ONLY of (float, long) — for serving-size
+ * |Q| (≤1k) this holds to ~10⁴ partitions, and beyond that the same slabs
+ * support a tree merge. FAISS cannot shard past one box at all — this is
+ * the scale-out trade the engine makes by design.
+ *
+ * Layout notes (why packed slabs, not Array[Array[Float]]): one
+ * contiguous `Array[Float]` per partition keeps the scan sequential
+ * (hardware prefetch), avoids per-vector object headers and pointer
+ * chases, and lets the distance loop run over a dense stripe. The query
+ * block (|Q|×dim ≤ 150 KB for the day_6 batch) stays L2-resident while
+ * each document vector streams through once.
+ */
+object ServingIndex {
+
+  /** Contiguous per-partition shard of the corpus: `ids(i)` owns
+    * `data[i*dim, (i+1)*dim)`. */
+  final case class FlatSlab(ids: Array[Long], data: Array[Float])
+
+  /** Cluster-major shard (the IVF layout): vectors are grouped by their
+    * assigned centroid; `offsets(c) until offsets(c+1)` is cluster c's
+    * vector range. A probe scans only the probed clusters' ranges — the
+    * in-memory twin of AnnIndex's partition-pruned parquet layout. */
+  final case class IvfSlab(ids: Array[Long], data: Array[Float], offsets: Array[Int])
+
+  // ---------------------------------------------------------------- flat
+
+  final class Flat private[ServingIndex] (
+      val slabs: RDD[FlatSlab], val dim: Int) extends Serializable {
+
+    /** Exact batch top-k: one job, driver merge of bounded arrays. */
+    def search(queries: Array[(Long, Array[Float])], k: Int,
+               metric: KnnSearch.Metric = KnnSearch.L2): Array[(Long, Array[(Float, Long)])] = {
+      val sc = slabs.sparkContext
+      val bc = sc.broadcast(queries.map(_._2))
+      val d = dim
+      val desc = metric.descending
+      try {
+        val perPartition: Array[Array[(Array[Float], Array[Long])]] =
+          sc.runJob(slabs, (it: Iterator[FlatSlab]) => {
+            val qs = bc.value
+            it.foldLeft(emptyTopK(qs.length, k)) { (acc, slab) =>
+              scanSlab(slab.data, slab.ids, 0, slab.ids.length, d, qs, metric, acc); acc
+            }.map(h => (h.scores.take(h.size), h.ids.take(h.size)))
+          })
+        mergeAcrossPartitions(queries, perPartition, k, desc)
+      } finally bc.destroy()
+    }
+  }
+
+  // ----------------------------------------------------------------- ivf
+
+  final class Ivf private[ServingIndex] (
+      val slabs: RDD[IvfSlab], val centroids: Array[Array[Float]],
+      val dim: Int) extends Serializable {
+
+    def nlist: Int = centroids.length
+
+    /** ANN batch top-k: the driver ranks centroids per query (|Q|×nlist
+      * distances — trivial), ships the nprobe probe lists, and each
+      * partition scans only the probed clusters' ranges: `nprobe/nlist`
+      * of the data, FAISS IVFFlat's own regime
+      * (day_6/day6_complete.py:105-115). */
+    def search(queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+               metric: KnnSearch.Metric = KnnSearch.L2): Array[(Long, Array[(Float, Long)])] = {
+      val sc = slabs.sparkContext
+      val desc = metric.descending
+      // per-query nprobe nearest centroids, best-first
+      val probes: Array[Array[Int]] = queries.map { case (_, q) =>
+        val scored = centroids.indices.map { c =>
+          (metric.scoreF32(q, centroids(c)), c)
+        }.toArray
+        val ord = if (desc) scored.sortBy(s => (-s._1, s._2))
+                  else scored.sortBy(s => (s._1, s._2))
+        ord.take(math.min(nprobe, centroids.length)).map(_._2)
+      }
+      val bc = sc.broadcast((queries.map(_._2), probes))
+      val d = dim
+      try {
+        val perPartition: Array[Array[(Array[Float], Array[Long])]] =
+          sc.runJob(slabs, (it: Iterator[IvfSlab]) => {
+            val (qs, pr) = bc.value
+            val acc = emptyTopK(qs.length, k)
+            it.foreach { slab =>
+              var qi = 0
+              while (qi < qs.length) {
+                val p = pr(qi)
+                var pi = 0
+                while (pi < p.length) {
+                  val c = p(pi)
+                  scanSlabOneQuery(slab.data, slab.ids, slab.offsets(c),
+                    slab.offsets(c + 1), d, qs(qi), qi, metric, acc)
+                  pi += 1
+                }
+                qi += 1
+              }
+            }
+            acc.map(h => (h.scores.take(h.size), h.ids.take(h.size)))
+          })
+        mergeAcrossPartitions(queries, perPartition, k, desc)
+      } finally bc.destroy()
+    }
+  }
+
+  // -------------------------------------------------------------- builds
+
+  /** Pack an (id, vector) RDD into resident flat slabs (cached +
+    * materialized — build cost paid here, not at query time). */
+  def buildFlat(vectors: RDD[(Long, Array[Float])], dim: Int): Flat = {
+    val d = dim
+    val slabs = vectors.mapPartitions({ it =>
+      val ids = Array.newBuilder[Long]
+      val data = Array.newBuilder[Float]
+      it.foreach { case (id, v) =>
+        if (v != null && v.length == d) { ids += id; data ++= v }
+      }
+      Iterator.single(FlatSlab(ids.result(), data.result()))
+    }, preservesPartitioning = true).cache()
+    slabs.count()
+    new Flat(slabs, dim)
+  }
+
+  /**
+   * Build an in-memory IVF index: distributed Lloyd training (assignment
+   * fan-out via `runJob`, centroid update on the driver — nlist×dim floats,
+   * trivially small), then cluster-major packing per partition. No shuffle:
+   * each partition keeps its own vectors, grouped locally, so probing costs
+   * `nprobe/nlist` of every partition — balanced by construction, no skewed
+   * cell hotspots across executors.
+   */
+  def buildIvf(vectors: RDD[(Long, Array[Float])], dim: Int, nlist: Int,
+               iterations: Int = 10, seed: Long = 42L): Ivf = {
+    val sc = vectors.sparkContext
+    val d = dim
+    // init: deterministic sample of nlist vectors as seeds
+    var centroids: Array[Array[Float]] =
+      vectors.takeSample(withReplacement = false, nlist, seed).map(_._2)
+    require(centroids.length == nlist,
+      s"need at least nlist=$nlist vectors to build an IVF index")
+    var iter = 0
+    while (iter < iterations) {
+      val bc = sc.broadcast(centroids)
+      // per-partition partial sums/counts per cluster — classic map-side
+      // combined Lloyd step; driver reduces nlist×(dim+1) doubles/partition
+      val partials: Array[(Array[Double], Array[Long])] =
+        sc.runJob(vectors, (it: Iterator[(Long, Array[Float])]) => {
+          val cs = bc.value
+          val sums = new Array[Double](cs.length * d)
+          val counts = new Array[Long](cs.length)
+          it.foreach { case (_, v) =>
+            if (v != null && v.length == d) {
+              val c = nearestCentroid(v, cs)
+              counts(c) += 1
+              var i = 0
+              while (i < d) { sums(c * d + i) += v(i); i += 1 }
+            }
+          }
+          (sums, counts)
+        })
+      bc.destroy()
+      val sums = new Array[Double](nlist * d)
+      val counts = new Array[Long](nlist)
+      partials.foreach { case (s, c) =>
+        var i = 0
+        while (i < sums.length) { sums(i) += s(i); i += 1 }
+        var j = 0
+        while (j < nlist) { counts(j) += c(j); j += 1 }
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c) // keep empty cells where they were
+        else Array.tabulate(d)(i => (sums(c * d + i) / counts(c)).toFloat)
+      }
+      iter += 1
+    }
+    val bcFinal = sc.broadcast(centroids)
+    val slabs = vectors.mapPartitions({ it =>
+      val cs = bcFinal.value
+      val buf = it.filter { case (_, v) => v != null && v.length == d }.toArray
+      val assign = buf.map { case (_, v) => nearestCentroid(v, cs) }
+      val counts = new Array[Int](cs.length)
+      assign.foreach(c => counts(c) += 1)
+      val offsets = new Array[Int](cs.length + 1)
+      var c = 0
+      while (c < cs.length) { offsets(c + 1) = offsets(c) + counts(c); c += 1 }
+      val ids = new Array[Long](buf.length)
+      val data = new Array[Float](buf.length * d)
+      val cursor = offsets.clone()
+      var i = 0
+      while (i < buf.length) {
+        val slot = cursor(assign(i)); cursor(assign(i)) += 1
+        ids(slot) = buf(i)._1
+        System.arraycopy(buf(i)._2, 0, data, slot * d, d)
+        i += 1
+      }
+      Iterator.single(IvfSlab(ids, data, offsets))
+    }, preservesPartitioning = true).cache()
+    slabs.count()
+    new Ivf(slabs, centroids, dim)
+  }
+
+  // ------------------------------------------------------------- kernels
+
+  private def emptyTopK(nQueries: Int, k: Int): Array[SortedTopK] =
+    Array.fill(nQueries)(new SortedTopK(k))
+
+  /** Keeps the k best (score, id) in sorted best-first order via
+    * binary-search insertion — cheap at serving k, and the output is
+    * directly mergeable. */
+  private final class SortedTopK(k: Int) {
+    var scores = new Array[Float](k)
+    var ids = new Array[Long](k)
+    var size = 0
+    private var kept = k
+
+    def insert(s: Float, id: Long, desc: Boolean): Unit = {
+      if (size == kept) {
+        // fast reject vs current worst
+        val w = size - 1
+        val worse =
+          if (desc) s < scores(w) || (s == scores(w) && id > ids(w))
+          else s > scores(w) || (s == scores(w) && id > ids(w))
+        if (worse) return
+      }
+      // binary search for insertion point under (score, id) total order
+      var lo = 0; var hi = size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = java.lang.Float.compare(scores(mid), s)
+        val before =
+          if (c != 0) { if (desc) c > 0 else c < 0 }
+          else ids(mid) < id
+        if (before) lo = mid + 1 else hi = mid
+      }
+      val last = math.min(size, kept - 1)
+      var j = last
+      while (j > lo) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
+      scores(lo) = s; ids(lo) = id
+      if (size < kept) size += 1
+    }
+  }
+
+  /** Score one slab stripe against ALL queries (flat scan). */
+  private def scanSlab(data: Array[Float], ids: Array[Long], from: Int,
+                       until: Int, d: Int, qs: Array[Array[Float]],
+                       metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit = {
+    val desc = metric.descending
+    var vi = from
+    while (vi < until) {
+      val base = vi * d
+      var qi = 0
+      while (qi < qs.length) {
+        val s = scoreStripe(metric, qs(qi), data, base, d)
+        acc(qi).insert(s, ids(vi), desc)
+        qi += 1
+      }
+      vi += 1
+    }
+  }
+
+  /** Score one slab range against ONE query (IVF probe scan). */
+  private def scanSlabOneQuery(data: Array[Float], ids: Array[Long], from: Int,
+                               until: Int, d: Int, q: Array[Float], qi: Int,
+                               metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit = {
+    val desc = metric.descending
+    var vi = from
+    while (vi < until) {
+      val s = scoreStripe(metric, q, data, vi * d, d)
+      acc(qi).insert(s, ids(vi), desc)
+      vi += 1
+    }
+  }
+
+  /** Metric against a packed stripe — avoids slicing a per-vector array. */
+  private def scoreStripe(metric: KnnSearch.Metric, q: Array[Float],
+                          data: Array[Float], base: Int, d: Int): Float =
+    metric match {
+      case KnnSearch.L2 =>
+        var s = 0.0f; var i = 0
+        while (i < d) { val df = q(i) - data(base + i); s += df * df; i += 1 }
+        math.sqrt(s.toDouble).toFloat
+      case KnnSearch.InnerProduct =>
+        var s = 0.0f; var i = 0
+        while (i < d) { s += q(i) * data(base + i); i += 1 }
+        s
+      case KnnSearch.Cosine =>
+        var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
+        while (i < d) {
+          val x = q(i); val y = data(base + i)
+          dot += x * y; nq += x * x; nv += y * y; i += 1
+        }
+        if (nq == 0.0f || nv == 0.0f) 0.0f
+        else (dot / math.sqrt(nq.toDouble * nv)).toFloat
+    }
+
+  private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Float.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      var s = 0.0f; var i = 0
+      while (i < ctr.length) { val df = v(i) - ctr(i); s += df * df; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Driver-side merge of per-partition sorted top-k arrays: bounded by
+    * partitions × |Q| × k tuples. */
+  private def mergeAcrossPartitions(
+      queries: Array[(Long, Array[Float])],
+      perPartition: Array[Array[(Array[Float], Array[Long])]],
+      k: Int, desc: Boolean): Array[(Long, Array[(Float, Long)])] = {
+    queries.indices.map { qi =>
+      var merged: Array[(Float, Long)] = Array.empty
+      var p = 0
+      while (p < perPartition.length) {
+        val (ss, ii) = perPartition(p)(qi)
+        val arr = new Array[(Float, Long)](ss.length)
+        var i = 0
+        while (i < ss.length) { arr(i) = (ss(i), ii(i)); i += 1 }
+        merged = KnnSearch.mergeTopKF32(desc, k)(merged, arr)
+        p += 1
+      }
+      (queries(qi)._1, merged)
+    }.toArray
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{KnnSearch, ServingIndex}
+import org.scalatest.funsuite.AnyFunSuite
+
+class ServingIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dim = 32
+  private val n = 2000
+
+  private def corpus = {
+    val nClusters = 20
+    val d = dim // local copy: the RDD closure must not capture the suite
+    val centers = Array.tabulate(nClusters) { c =>
+      val r = new java.util.Random(42L + c)
+      Array.fill(d)(r.nextGaussian() * 5.0)
+    }
+    spark.sparkContext.parallelize(0L until n.toLong, 8).map { id =>
+      val ctr = centers((id % nClusters).toInt)
+      val r = new java.util.Random(1000L + id)
+      (id, Array.tabulate(d)(i => (ctr(i) + r.nextGaussian()).toFloat))
+    }
+  }
+
+  private def queries = (0 until 25).map { q =>
+    val r = new java.util.Random(9000L + q)
+    (q.toLong, Array.fill(dim)(r.nextGaussian().toFloat * 5.0f))
+  }.toArray
+
+  test("flat fused search agrees with the reference F32 kernel exactly") {
+    val docs = corpus.cache(); docs.count()
+    val idx = ServingIndex.buildFlat(docs, dim)
+    for (metric <- Seq[KnnSearch.Metric](KnnSearch.L2, KnnSearch.Cosine, KnnSearch.InnerProduct)) {
+      val fused = idx.search(queries, k = 10, metric)
+        .flatMap { case (qid, arr) => arr.map { case (s, d) => (qid, d, s) } }.toSeq
+      val ref = KnnSearch.topKBatchRddF32(spark, docs, queries.toSeq, 10, metric)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2).toFloat)).toSeq
+      assert(fused === ref, metric.toString)
+    }
+    idx.slabs.unpersist(); docs.unpersist()
+  }
+
+  test("flat search: fewer docs than k returns all docs ranked") {
+    val tiny = spark.sparkContext.parallelize(
+      Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f))), 4)
+    val idx = ServingIndex.buildFlat(tiny, 2)
+    val res = idx.search(Array((0L, Array(1f, 0f))), k = 10, KnnSearch.L2)
+    assert(res.length === 1)
+    assert(res(0)._2.map(_._2).toSeq === Seq(1L, 3L, 2L))
+    idx.slabs.unpersist()
+  }
+
+  test("ivf with nprobe = nlist is exhaustive: agrees with flat exactly") {
+    val docs = corpus.cache(); docs.count()
+    val flat = ServingIndex.buildFlat(docs, dim)
+    val ivf = ServingIndex.buildIvf(docs, dim, nlist = 16, iterations = 5)
+    val a = flat.search(queries, 10, KnnSearch.L2)
+      .flatMap { case (q, arr) => arr.map { case (s, d) => (q, d, s) } }.toSeq
+    val b = ivf.search(queries, 10, nprobe = 16, KnnSearch.L2)
+      .flatMap { case (q, arr) => arr.map { case (s, d) => (q, d, s) } }.toSeq
+    assert(a === b)
+    flat.slabs.unpersist(); ivf.slabs.unpersist(); docs.unpersist()
+  }
+
+  test("ivf partial probe keeps high recall on clustered data") {
+    val docs = corpus.cache(); docs.count()
+    val flat = ServingIndex.buildFlat(docs, dim)
+    val ivf = ServingIndex.buildIvf(docs, dim, nlist = 20, iterations = 10)
+    val exact = flat.search(queries, 10, KnnSearch.L2)
+    val approx = ivf.search(queries, 10, nprobe = 5, KnnSearch.L2)
+    val exactSets = exact.map { case (q, arr) => q -> arr.map(_._2).toSet }.toMap
+    val hits = approx.map { case (q, arr) =>
+      arr.map(_._2).count(exactSets(q).contains).toDouble / exactSets(q).size
+    }
+    val recall = hits.sum / hits.length
+    assert(recall >= 0.7, s"recall@10 = $recall with nprobe 5/20")
+    flat.slabs.unpersist(); ivf.slabs.unpersist(); docs.unpersist()
+  }
+
+  test("ivf slabs are cluster-major with consistent offsets") {
+    val docs = corpus
+    val ivf = ServingIndex.buildIvf(docs, dim, nlist = 8, iterations = 3)
+    val slabs = ivf.slabs.collect()
+    assert(slabs.map(_.ids.length).sum === n)
+    slabs.foreach { s =>
+      assert(s.offsets.length === 9)
+      assert(s.offsets.head === 0 && s.offsets.last === s.ids.length)
+      assert(s.data.length === s.ids.length * dim)
+    }
+    ivf.slabs.unpersist()
+  }
+}
