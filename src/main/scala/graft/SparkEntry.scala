@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnIndex, Chunkers, Dedup, Embedder, IREval, KnnSearch, Rag, SimilarityJoin}
+import graft.operators.{AnnIndex, Chunkers, Dedup, Embedder, HnswIndex, IREval, KnnSearch, Rag, SimilarityJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -488,6 +488,32 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Sharded HNSW ANN recall vs exact oracle (day_6 HNSW tier / pgvector
+    * m=16, ef_construction=64 — day_9/database/vector_ops.py:66-73). Like
+    * q33: graph construction is engine-specific, so rows-only check here;
+    * correctness (recall bound, determinism) is enforced by HnswIndexSpec. */
+  private val q42HnswRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val typed = e.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val qs = e.where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val hnsw = HnswIndex.build(typed.rdd, dim, m = 16, efConstruction = 64,
+      KnnSearch.Cosine)
+    val approx = hnsw.search(qs, k = 10, efSearch = 64)
+      .flatMap { case (q, arr) => arr.map { case (_, d) => (q, d) } }.toSeq
+      .toDF("query_id", "doc_id")
+    hnsw.shards.unpersist()
+    val exact = KnnSearch.topKBatch(e, "vec_id", "embedding", qs.toSeq, 10,
+      KnnSearch.Cosine).select(col("query_id"), col("doc_id"))
+    IREval.recallVsExact(approx, exact)
+      .select(col("query_id"), round(col("recall"), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** End-to-end embed→search slice (SURVEY §7.3): mock-embed documents,
     * embed a query text, cosine top-5. Deterministic; rows-only check. */
   private val q34EmbedSearch: Q = (s, dir) => {
@@ -563,6 +589,7 @@ object SparkEntry {
     "q32_ir_summary" -> q32IrSummary,
     "q33_ivf_recall" -> q33IvfRecall,
     "q34_embed_search" -> q34EmbedSearch,
+    "q42_hnsw_recall" -> q42HnswRecall,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )

@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import scala.collection.mutable
+
+/**
+ * Sharded HNSW index (Malkov & Yashunin, "Efficient and robust approximate
+ * nearest neighbor search using Hierarchical Navigable Small World graphs",
+ * 2016) — the reference's best-latency index tier (FAISS HNSWFlat M=32:
+ * day_6/day6_complete.py:137-183; pgvector hnsw m=16, ef_construction=64:
+ * day_9/database/vector_ops.py:66-73).
+ *
+ * Distribution model: one INDEPENDENT graph per partition, built inside
+ * `mapPartitions` with no shuffle and no cross-partition edges; a query
+ * batch fans out as one fused `runJob` (the [[ServingIndex]] shape), each
+ * shard answers from its local graph, and the driver merges the bounded
+ * per-shard top-k arrays. Build is embarrassingly parallel — the
+ * single-node baseline pays 12 s to build large (50k×384, M=32) serially,
+ * while sharded construction divides that by the partition count — and a
+ * 100 TB corpus shards the same way (graph size per executor is bounded by
+ * its partition, merge stays partitions×|Q|×k).
+ *
+ * Recall shape: the global result is the merge of per-shard searches, so
+ * the only loss vs exact is each shard's own HNSW approximation — sharding
+ * RAISES recall at fixed ef vs one big graph (each graph is smaller and
+ * better explored), at the cost of scanning every shard.
+ */
+object HnswIndex {
+
+  /** One partition's graph: packed vectors + per-node per-level adjacency. */
+  final class Shard(
+      val ids: Array[Long],
+      val data: Array[Float],
+      val dim: Int,
+      val neighbors: Array[Array[Array[Int]]],
+      val entryPoint: Int,
+      val topLevel: Int) extends Serializable {
+
+    def size: Int = ids.length
+
+    private def dist(metric: KnnSearch.Metric, q: Array[Float], node: Int): Float = {
+      val base = node * dim
+      metric match {
+        case KnnSearch.L2 =>
+          var s = 0.0f; var i = 0
+          while (i < dim) { val d = q(i) - data(base + i); s += d * d; i += 1 }
+          s // monotone in true L2 — sqrt deferred to the reported score
+        case KnnSearch.InnerProduct =>
+          var s = 0.0f; var i = 0
+          while (i < dim) { s += q(i) * data(base + i); i += 1 }
+          -s
+        case KnnSearch.Cosine =>
+          var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
+          while (i < dim) {
+            val x = q(i); val y = data(base + i)
+            dot += x * y; nq += x * x; nv += y * y; i += 1
+          }
+          if (nq == 0.0f || nv == 0.0f) 0.0f
+          else -(dot / math.sqrt(nq.toDouble * nv)).toFloat
+      }
+    }
+
+    /** Greedy single-entry descent at one level (ef=1). */
+    private def greedy(metric: KnnSearch.Metric, q: Array[Float],
+                       start: Int, lev: Int): Int = {
+      var cur = start
+      var curD = dist(metric, q, cur)
+      var improved = true
+      while (improved) {
+        improved = false
+        val nbs = neighbors(cur)(lev)
+        var i = 0
+        while (i < nbs.length) {
+          val d = dist(metric, q, nbs(i))
+          if (d < curD) { curD = d; cur = nbs(i); improved = true }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** ef-bounded best-first search at one level; returns (dist, node)
+      * pairs, closest-first. */
+    private def searchLayer(metric: KnnSearch.Metric, q: Array[Float],
+                            entry: Int, ef: Int, lev: Int): Array[(Float, Int)] = {
+      val visited = new java.util.BitSet(size)
+      // head = CLOSEST pending candidate
+      val cand = mutable.PriorityQueue.empty[(Float, Int)](
+        Ordering.by[(Float, Int), Float](_._1).reverse)
+      // head = FURTHEST kept result
+      val res = mutable.PriorityQueue.empty[(Float, Int)](
+        Ordering.by[(Float, Int), Float](_._1))
+      val d0 = dist(metric, q, entry)
+      visited.set(entry)
+      cand.enqueue((d0, entry)); res.enqueue((d0, entry))
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (dc > res.head._1 && res.size >= ef) {
+          cand.clear() // every pending candidate is worse than the kept set
+        } else {
+          val nbs = neighbors(c)(lev)
+          var i = 0
+          while (i < nbs.length) {
+            val nb = nbs(i)
+            if (!visited.get(nb)) {
+              visited.set(nb)
+              val dn = dist(metric, q, nb)
+              if (res.size < ef || dn < res.head._1) {
+                cand.enqueue((dn, nb)); res.enqueue((dn, nb))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      res.dequeueAll.reverse.toArray
+    }
+
+    /** Local top-k, best-first, as (metric score, external id). */
+    def search(metric: KnnSearch.Metric, q: Array[Float], k: Int,
+               ef: Int): Array[(Float, Long)] = {
+      if (size == 0) return Array.empty
+      var ep = entryPoint
+      var lev = topLevel
+      while (lev > 0) { ep = greedy(metric, q, ep, lev); lev -= 1 }
+      val found = searchLayer(metric, q, ep, math.max(ef, k), 0)
+      found.take(k).map { case (d, node) =>
+        val score = metric match {
+          case KnnSearch.L2 => math.sqrt(d.toDouble).toFloat
+          case _ => -d
+        }
+        (score, ids(node))
+      }
+    }
+  }
+
+  /** Build one shard from an iterator (runs inside mapPartitions). */
+  private[operators] def buildShard(it: Iterator[(Long, Array[Float])], dim: Int,
+                                    m: Int, efConstruction: Int,
+                                    metric: KnnSearch.Metric, seed: Long): Shard = {
+    val items = it.filter { case (_, v) => v != null && v.length == dim }.toArray
+    val n = items.length
+    val data = new Array[Float](n * dim)
+    var i = 0
+    while (i < n) { System.arraycopy(items(i)._2, 0, data, i * dim, dim); i += 1 }
+    val ids = items.map(_._1)
+
+    def dist(q: Array[Float], node: Int): Float = {
+      val base = node * dim
+      metric match {
+        case KnnSearch.L2 =>
+          var s = 0.0f; var j = 0
+          while (j < dim) { val d = q(j) - data(base + j); s += d * d; j += 1 }
+          s
+        case KnnSearch.InnerProduct =>
+          var s = 0.0f; var j = 0
+          while (j < dim) { s += q(j) * data(base + j); j += 1 }
+          -s
+        case KnnSearch.Cosine =>
+          var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var j = 0
+          while (j < dim) {
+            val x = q(j); val y = data(base + j)
+            dot += x * y; nq += x * x; nv += y * y; j += 1
+          }
+          if (nq == 0.0f || nv == 0.0f) 0.0f
+          else -(dot / math.sqrt(nq.toDouble * nv)).toFloat
+      }
+    }
+
+    val rng = new java.util.Random(seed)
+    val mL = 1.0 / math.log(m.toDouble)
+    def maxConn(lev: Int): Int = if (lev == 0) 2 * m else m
+
+    // adjacency under construction: node -> level -> growable neighbor list
+    val adj = new Array[Array[mutable.ArrayBuffer[Int]]](n)
+    val levels = new Array[Int](n)
+    var entry = -1
+    var top = -1
+
+    def searchLayerB(q: Array[Float], e: Int, ef: Int, lev: Int): mutable.PriorityQueue[(Float, Int)] = {
+      val visited = new java.util.BitSet(n)
+      val cand = mutable.PriorityQueue.empty[(Float, Int)](
+        Ordering.by[(Float, Int), Float](_._1).reverse)
+      val res = mutable.PriorityQueue.empty[(Float, Int)](
+        Ordering.by[(Float, Int), Float](_._1))
+      val d0 = dist(q, e)
+      visited.set(e)
+      cand.enqueue((d0, e)); res.enqueue((d0, e))
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (dc > res.head._1 && res.size >= ef) cand.clear()
+        else {
+          val nbs = adj(c)(lev)
+          var j = 0
+          while (j < nbs.length) {
+            val nb = nbs(j)
+            if (!visited.get(nb)) {
+              visited.set(nb)
+              val dn = dist(q, nb)
+              if (res.size < ef || dn < res.head._1) {
+                cand.enqueue((dn, nb)); res.enqueue((dn, nb))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      res
+    }
+
+    var node = 0
+    while (node < n) {
+      val q = items(node)._2
+      val lvl = math.min((-math.log(math.max(rng.nextDouble(), 1e-12)) * mL).toInt, 32)
+      levels(node) = lvl
+      adj(node) = Array.fill(lvl + 1)(new mutable.ArrayBuffer[Int](maxConn(0)))
+      if (entry < 0) { entry = node; top = lvl }
+      else {
+        var ep = entry
+        var lev = top
+        // greedy descent through levels above the node's level
+        while (lev > lvl) {
+          var improved = true
+          var curD = dist(q, ep)
+          while (improved) {
+            improved = false
+            val nbs = adj(ep)(lev)
+            var j = 0
+            while (j < nbs.length) {
+              val d = dist(q, nbs(j))
+              if (d < curD) { curD = d; ep = nbs(j); improved = true }
+              j += 1
+            }
+          }
+          lev -= 1
+        }
+        // connect at each level from min(lvl, top) down to 0
+        lev = math.min(lvl, top)
+        while (lev >= 0) {
+          val found = searchLayerB(q, ep, efConstruction, lev)
+          val closest = found.dequeueAll.reverse // closest-first
+          ep = closest.head._2
+          val conns = closest.take(m).map(_._2)
+          conns.foreach { c =>
+            adj(node)(lev) += c
+            adj(c)(lev) += node
+            val cap = maxConn(lev)
+            if (adj(c)(lev).length > cap) {
+              // prune to the cap closest neighbors of c
+              val cv = new Array[Float](dim)
+              System.arraycopy(data, c * dim, cv, 0, dim)
+              val kept = adj(c)(lev).map(nb => (dist(cv, nb), nb))
+                .sortBy(_._1).take(cap).map(_._2)
+              adj(c)(lev).clear()
+              adj(c)(lev) ++= kept
+            }
+          }
+          lev -= 1
+        }
+        if (lvl > top) { top = lvl; entry = node }
+      }
+      node += 1
+    }
+
+    val frozen: Array[Array[Array[Int]]] =
+      adj.map(levelsArr => if (levelsArr == null) Array.empty[Array[Int]]
+                           else levelsArr.map(_.toArray))
+    new Shard(ids, data, dim, frozen, entry, top)
+  }
+
+  /** The distributed index: one graph per partition, cached resident. */
+  final class Hnsw(val shards: RDD[Shard], val dim: Int,
+                   val metric: KnnSearch.Metric) extends Serializable {
+
+    /** Fused batch search: one job, driver merges partitions×|Q| bounded
+      * arrays (the [[ServingIndex]] merge shape). */
+    def search(queries: Array[(Long, Array[Float])], k: Int,
+               efSearch: Int = 64): Array[(Long, Array[(Float, Long)])] = {
+      val sc = shards.sparkContext
+      val bc = sc.broadcast(queries.map(_._2))
+      val met = metric
+      val desc = metric.descending
+      try {
+        val perPartition: Array[Array[Array[(Float, Long)]]] =
+          sc.runJob(shards, (it: Iterator[Shard]) => {
+            val qs = bc.value
+            val acc = Array.fill(qs.length)(Array.empty[(Float, Long)])
+            it.foreach { shard =>
+              var qi = 0
+              while (qi < qs.length) {
+                val local = shard.search(met, qs(qi), k, efSearch)
+                acc(qi) = KnnSearch.mergeTopKF32(desc, k)(acc(qi), local)
+                qi += 1
+              }
+            }
+            acc
+          })
+        queries.indices.map { qi =>
+          var merged: Array[(Float, Long)] = Array.empty
+          var p = 0
+          while (p < perPartition.length) {
+            merged = KnnSearch.mergeTopKF32(desc, k)(merged, perPartition(p)(qi))
+            p += 1
+          }
+          (queries(qi)._1, merged)
+        }.toArray
+      } finally bc.destroy()
+    }
+  }
+
+  /**
+   * Build a sharded HNSW index over an (id, vector) RDD. Defaults follow
+   * the reference's pgvector config (m=16, ef_construction=64). Each
+   * partition's graph seeds its RNG with `seed + partitionId` so the build
+   * is deterministic for a fixed partitioning.
+   */
+  def build(vectors: RDD[(Long, Array[Float])], dim: Int, m: Int = 16,
+            efConstruction: Int = 64,
+            metric: KnnSearch.Metric = KnnSearch.L2,
+            seed: Long = 42L,
+            numShards: Int = -1): Hnsw = {
+    val d = dim
+    // graph search is sub-linear, so per-shard query cost is tiny: fewer
+    // shards cut the per-task scheduling floor without hurting latency
+    // (and larger graphs amortize better); default keeps the partitioning
+    val src =
+      if (numShards > 0 && numShards < vectors.getNumPartitions)
+        vectors.coalesce(numShards)
+      else vectors
+    val shards = src.mapPartitionsWithIndex({ (pi, it) =>
+      Iterator.single(buildShard(it, d, m, efConstruction, metric, seed + pi))
+    }, preservesPartitioning = true).cache()
+    shards.count()
+    new Hnsw(shards, dim, metric)
+  }
+}

@@ -121,10 +121,19 @@ object ServingIndex {
   // -------------------------------------------------------------- builds
 
   /** Pack an (id, vector) RDD into resident flat slabs (cached +
-    * materialized — build cost paid here, not at query time). */
-  def buildFlat(vectors: RDD[(Long, Array[Float])], dim: Int): Flat = {
+    * materialized — build cost paid here, not at query time).
+    * `numSlabs`: searches schedule one task per slab, so fewer slabs =
+    * lower scheduling floor but less scan parallelism — size to
+    * work-per-task (exhaustive scans want ≈ cores; pruned index scans
+    * want fewer). Default keeps the input partitioning. */
+  def buildFlat(vectors: RDD[(Long, Array[Float])], dim: Int,
+                numSlabs: Int = -1): Flat = {
     val d = dim
-    val slabs = vectors.mapPartitions({ it =>
+    val src =
+      if (numSlabs > 0 && numSlabs < vectors.getNumPartitions)
+        vectors.coalesce(numSlabs)
+      else vectors
+    val slabs = src.mapPartitions({ it =>
       val ids = Array.newBuilder[Long]
       val data = Array.newBuilder[Float]
       it.foreach { case (id, v) =>
@@ -144,8 +153,13 @@ object ServingIndex {
    * `nprobe/nlist` of every partition — balanced by construction, no skewed
    * cell hotspots across executors.
    */
-  def buildIvf(vectors: RDD[(Long, Array[Float])], dim: Int, nlist: Int,
-               iterations: Int = 10, seed: Long = 42L): Ivf = {
+  def buildIvf(vectors0: RDD[(Long, Array[Float])], dim: Int, nlist: Int,
+               iterations: Int = 10, seed: Long = 42L,
+               numSlabs: Int = -1): Ivf = {
+    val vectors =
+      if (numSlabs > 0 && numSlabs < vectors0.getNumPartitions)
+        vectors0.coalesce(numSlabs)
+      else vectors0
     val sc = vectors.sparkContext
     val d = dim
     // init: deterministic sample of nlist vectors as seeds
@@ -255,57 +269,100 @@ object ServingIndex {
     }
   }
 
-  /** Score one slab stripe against ALL queries (flat scan). */
+  /** Score one slab stripe against ALL queries (flat scan). The metric
+    * dispatch is hoisted OUT of the per-vector loop: each specialized loop
+    * body is a single monomorphic float kernel the JIT can unroll. */
   private def scanSlab(data: Array[Float], ids: Array[Long], from: Int,
                        until: Int, d: Int, qs: Array[Array[Float]],
-                       metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit = {
-    val desc = metric.descending
-    var vi = from
-    while (vi < until) {
-      val base = vi * d
-      var qi = 0
-      while (qi < qs.length) {
-        val s = scoreStripe(metric, qs(qi), data, base, d)
-        acc(qi).insert(s, ids(vi), desc)
-        qi += 1
-      }
-      vi += 1
-    }
-  }
-
-  /** Score one slab range against ONE query (IVF probe scan). */
-  private def scanSlabOneQuery(data: Array[Float], ids: Array[Long], from: Int,
-                               until: Int, d: Int, q: Array[Float], qi: Int,
-                               metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit = {
-    val desc = metric.descending
-    var vi = from
-    while (vi < until) {
-      val s = scoreStripe(metric, q, data, vi * d, d)
-      acc(qi).insert(s, ids(vi), desc)
-      vi += 1
-    }
-  }
-
-  /** Metric against a packed stripe — avoids slicing a per-vector array. */
-  private def scoreStripe(metric: KnnSearch.Metric, q: Array[Float],
-                          data: Array[Float], base: Int, d: Int): Float =
+                       metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit =
     metric match {
       case KnnSearch.L2 =>
-        var s = 0.0f; var i = 0
-        while (i < d) { val df = q(i) - data(base + i); s += df * df; i += 1 }
-        math.sqrt(s.toDouble).toFloat
-      case KnnSearch.InnerProduct =>
-        var s = 0.0f; var i = 0
-        while (i < d) { s += q(i) * data(base + i); i += 1 }
-        s
-      case KnnSearch.Cosine =>
-        var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
-        while (i < d) {
-          val x = q(i); val y = data(base + i)
-          dot += x * y; nq += x * x; nv += y * y; i += 1
+        var vi = from
+        while (vi < until) {
+          val base = vi * d
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)
+            var s = 0.0f; var i = 0
+            while (i < d) { val df = q(i) - data(base + i); s += df * df; i += 1 }
+            acc(qi).insert(math.sqrt(s.toDouble).toFloat, ids(vi), desc = false)
+            qi += 1
+          }
+          vi += 1
         }
-        if (nq == 0.0f || nv == 0.0f) 0.0f
-        else (dot / math.sqrt(nq.toDouble * nv)).toFloat
+      case KnnSearch.InnerProduct =>
+        var vi = from
+        while (vi < until) {
+          val base = vi * d
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)
+            var s = 0.0f; var i = 0
+            while (i < d) { s += q(i) * data(base + i); i += 1 }
+            acc(qi).insert(s, ids(vi), desc = true)
+            qi += 1
+          }
+          vi += 1
+        }
+      case KnnSearch.Cosine =>
+        var vi = from
+        while (vi < until) {
+          val base = vi * d
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)
+            var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
+            while (i < d) {
+              val x = q(i); val y = data(base + i)
+              dot += x * y; nq += x * x; nv += y * y; i += 1
+            }
+            val s = if (nq == 0.0f || nv == 0.0f) 0.0f
+                    else (dot / math.sqrt(nq.toDouble * nv)).toFloat
+            acc(qi).insert(s, ids(vi), desc = true)
+            qi += 1
+          }
+          vi += 1
+        }
+    }
+
+  /** Score one slab range against ONE query (IVF probe scan) — same
+    * hoisted-dispatch shape as [[scanSlab]]. */
+  private def scanSlabOneQuery(data: Array[Float], ids: Array[Long], from: Int,
+                               until: Int, d: Int, q: Array[Float], qi: Int,
+                               metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit =
+    metric match {
+      case KnnSearch.L2 =>
+        var vi = from
+        while (vi < until) {
+          val base = vi * d
+          var s = 0.0f; var i = 0
+          while (i < d) { val df = q(i) - data(base + i); s += df * df; i += 1 }
+          acc(qi).insert(math.sqrt(s.toDouble).toFloat, ids(vi), desc = false)
+          vi += 1
+        }
+      case KnnSearch.InnerProduct =>
+        var vi = from
+        while (vi < until) {
+          val base = vi * d
+          var s = 0.0f; var i = 0
+          while (i < d) { s += q(i) * data(base + i); i += 1 }
+          acc(qi).insert(s, ids(vi), desc = true)
+          vi += 1
+        }
+      case KnnSearch.Cosine =>
+        var vi = from
+        while (vi < until) {
+          val base = vi * d
+          var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
+          while (i < d) {
+            val x = q(i); val y = data(base + i)
+            dot += x * y; nq += x * x; nv += y * y; i += 1
+          }
+          val s = if (nq == 0.0f || nv == 0.0f) 0.0f
+                  else (dot / math.sqrt(nq.toDouble * nv)).toFloat
+          acc(qi).insert(s, ids(vi), desc = true)
+          vi += 1
+        }
     }
 
   private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
