@@ -31,6 +31,26 @@ class TextCleanSpec extends AnyFunSuite {
     assert(clean("Itâ€™s here") === "It's here")
   }
 
+  test("NFKC goldens: compatibility folds and composition (F9)") {
+    val norm = (s: String) => Seq(Tuple1(s)).toDF("t")
+      .select(normalizeUnicode($"t").as("c")).head().getString(0)
+    assert(norm("ﬁsh") === "fish")          // ﬁ ligature → fi
+    assert(norm("ＡBC") === "ABC")           // fullwidth Ａ → A
+    assert(norm("①") === "1")               // circled one → 1
+    assert(norm("é") === "é")         // e + combining acute → é
+    assert(norm("café") === "café")    // composed stays composed
+    assert(norm("plain ascii!") === "plain ascii!") // fast path: untouched
+    assert(norm(null) === null)
+  }
+
+  test("NFKC folds flow through the full chain (after mojibake repair)") {
+    // fullwidth letters + ligature survive into the cleaned output as ASCII
+    assert(clean("Ｔhe ﬁle won't load") === "The file will not load")
+    // mojibake repair still works even though â€™ ends in ™ (which NFKC
+    // would fold to TM if it ran first)
+    assert(clean("Itâ€™s ﬁne") === "It's fine")
+  }
+
   test("full chain is idempotent on clean text") {
     val once = clean("the quick brown fox. and the dog")
     assert(clean(once) === once)
