@@ -105,11 +105,20 @@ object AnnIndex {
   }
 
   /** Recall@k of this IVF configuration against the exact scan (day_6's
-    * evaluation protocol — exact search is the oracle). */
+    * evaluation protocol — exact search is the oracle). Builds a throwaway
+    * index; for repeated evaluation reuse a prebuilt/persisted index via
+    * the overload below. */
   def recallVsExact(df: DataFrame, idCol: String, vecCol: String,
                     queries: Seq[(Long, Array[Float])], k: Int,
-                    nlist: Int, nprobe: Int): DataFrame = {
-    val index = buildIvf(df, idCol, vecCol, nlist)
+                    nlist: Int, nprobe: Int): DataFrame =
+    recallVsExact(buildIvf(df, idCol, vecCol, nlist), df, idCol, vecCol,
+      queries, k, nprobe)
+
+  /** Recall@k through an EXISTING index (no rebuild — the KMeans fit is
+    * the expensive part; a bench loop or repeated eval reuses one index). */
+  def recallVsExact(index: IvfIndex, df: DataFrame, idCol: String,
+                    vecCol: String, queries: Seq[(Long, Array[Float])],
+                    k: Int, nprobe: Int): DataFrame = {
     val approx = searchIvf(index, queries, k, nprobe, excludeSelf = true)
       .select("query_id", "doc_id")
     val exact = KnnSearch.topKBatch(df, idCol, vecCol, queries, k,

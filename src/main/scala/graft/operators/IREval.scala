@@ -92,12 +92,80 @@ object IREval {
       avg(col("ndcg")).as("ndcg"),
       avg(col("hit_rate")).as("hit_rate"))
 
-  /** Multi-k sweep (reference evaluate_at_multiple_k) — one row per k. */
-  def sweep(retrieved: DataFrame, truth: DataFrame, ks: Seq[Int]): DataFrame =
-    ks.map(k => summary(retrieved, truth, k).withColumn("k", lit(k)))
-      .reduce(_ unionByName _)
+  /**
+   * Multi-k sweep (reference evaluate_at_multiple_k) — one row per k.
+   *
+   * Single-pass: the retrieved⋈truth join, the cumulative-relevance
+   * window, and the per-query groupBy run ONCE with k-suffixed
+   * conditional aggregates (`when(rank <= k, …)` per k), instead of once
+   * per k — the per-k branches then only macro-average the tiny per-query
+   * frame. Formulas mirror [[perQuery]] expression-for-expression so the
+   * results are bit-identical to the per-k path.
+   */
+  def sweep(retrieved: DataFrame, truth: DataFrame, ks: Seq[Int]): DataFrame = {
+    val rel = truth.select(col("query_id"), col("doc_id"), lit(1).as("is_rel"))
+    val nRel = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val joined = retrieved
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .na.fill(0, Seq("is_rel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val withCum = joined.withColumn("rel_cum", sum(col("is_rel")).over(w))
+    val isRel = col("is_rel") === 1
+
+    val kAggs = ks.flatMap { k =>
+      val inTopK = col("rank") <= k
+      Seq(
+        sum(when(isRel && inTopK, 1).otherwise(0)).as(s"rel_ret_$k"),
+        sum(when(inTopK, 1).otherwise(0)).as(s"n_top_$k"),
+        sum(when(isRel && inTopK, lit(1.0) / log2(col("rank") + 1))).as(s"dcg_$k"))
+    }
+    val shared = Seq(
+      sum(when(isRel, col("rel_cum").cast("double") / col("rank"))).as("ap_num"),
+      min(when(isRel, col("rank"))).as("first_rel"))
+    val allAggs = kAggs ++ shared
+    val base = withCum.groupBy(col("query_id"))
+      .agg(allAggs.head, allAggs.tail: _*)
+      .join(nRel, Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+
+    val perK = ks.map { k =>
+      val idcg = when(col("n_rel") > 0, aggregate(
+        sequence(lit(1), least(col("n_rel"), lit(k))), lit(0.0),
+        (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))).otherwise(0.0)
+      val precision = when(col(s"n_top_$k") > 0,
+        col(s"rel_ret_$k").cast("double") / col(s"n_top_$k")).otherwise(0.0)
+      val recall = when(col("n_rel") > 0,
+        col(s"rel_ret_$k").cast("double") / col("n_rel")).otherwise(0.0)
+      base
+        .withColumn("precision", precision)
+        .withColumn("recall", recall)
+        .withColumn("f1",
+          when(col("precision") + col("recall") > 0,
+            lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
+            .otherwise(0.0))
+        .withColumn("ap",
+          when(col("n_rel") > 0, coalesce(col("ap_num"), lit(0.0)) / col("n_rel")).otherwise(0.0))
+        .withColumn("rr",
+          when(col("first_rel").isNotNull, lit(1.0) / col("first_rel")).otherwise(0.0))
+        .withColumn("idcg", idcg)
+        .withColumn("ndcg",
+          when(col("idcg") > 0, coalesce(col(s"dcg_$k"), lit(0.0)) / col("idcg")).otherwise(0.0))
+        .withColumn("hit_rate", when(col(s"rel_ret_$k") > 0, 1.0).otherwise(0.0))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          avg(col("precision")).as("precision"),
+          avg(col("recall")).as("recall"),
+          avg(col("f1")).as("f1"),
+          avg(col("ap")).as("map"),
+          avg(col("rr")).as("mrr"),
+          avg(col("ndcg")).as("ndcg"),
+          avg(col("hit_rate")).as("hit_rate"))
+        .withColumn("k", lit(k))
+    }
+    perK.reduce(_ unionByName _)
       .select(col("k"), col("n_queries"), col("precision"), col("recall"),
         col("f1"), col("map"), col("mrr"), col("ndcg"), col("hit_rate"))
+  }
 
   /** Recall of an approximate result set vs the exact oracle (J5/A8 —
     * day_6's recall@k scoring of ANN indexes against FlatL2). */
