@@ -526,7 +526,9 @@ object SparkEntry {
   }
 
   /** End-to-end embed→search slice (SURVEY §7.3): mock-embed documents,
-    * embed a query text, cosine top-5. Deterministic; rows-only check. */
+    * embed a query text, cosine top-5. The mock encoder is md5-uniform
+    * (IEEE-exact arithmetic only), so the DuckDB oracle recomputes the
+    * embeddings in SQL and this query is fully hash-checked. */
   private val q34EmbedSearch: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
     val embedded = Embedder.embed(docs, "doc_id", "text")
@@ -822,6 +824,26 @@ object SparkEntry {
         |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
         |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
         |ORDER BY c.id_a, c.id_b""").stripMargin,
+    // q34: the mock encoder recomputed in SQL — component j of text t is
+    // md5(t#j)'s first 13 hex digits / 2^52 − 0.5 (cast REAL), exactly the
+    // engine's arithmetic; cosine via list_cosine_similarity on DOUBLE[]
+    // (bit-parity with the sequential double kernel, as in q10–q13).
+    "q34_embed_search" ->
+      """WITH emb AS (
+        |  SELECT doc_id,
+        |    list_transform(range(64), j ->
+        |      CAST(CAST(('0x' || substr(md5(text || '#' || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+        |           / 9007199254740992.0 - 0.5 AS REAL)) AS e
+        |  FROM documents),
+        |q AS (
+        |  SELECT list_transform(range(64), j ->
+        |      CAST(CAST(('0x' || substr(md5('filter join spark table' || '#' || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+        |           / 9007199254740992.0 - 0.5 AS REAL)) AS qe)
+        |SELECT doc_id,
+        |  round(list_cosine_similarity(CAST(e AS DOUBLE[]), CAST(qe AS DOUBLE[])), 6) AS sim
+        |FROM emb, q
+        |ORDER BY list_cosine_similarity(CAST(e AS DOUBLE[]), CAST(qe AS DOUBLE[])) DESC, doc_id
+        |LIMIT 5""".stripMargin,
     "q20_doc_stats" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT lang) AS n_langs,

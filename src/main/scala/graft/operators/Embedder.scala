@@ -21,16 +21,31 @@ object Embedder {
     def encodeBatch(texts: Seq[String]): Seq[Array[Float]]
   }
 
-  /** Deterministic mock encoder: md5(text)-seeded gaussian → L2 normalize. */
+  /** Deterministic mock encoder. Component j of text t is a 52-bit uniform
+    * drawn from md5(t + "#" + j):
+    *   u = first 13 hex digits as an integer;  x_j = u / 2^52 − 0.5
+    * Every operation is IEEE-exact (the divide is a power-of-two exponent
+    * shift; 52 bits fit a double with no rounding) and there are NO
+    * transcendentals or JVM-specific RNG streams, so any engine with md5
+    * reproduces the vectors bit-for-bit — the DuckDB oracle for q34
+    * recomputes them in SQL. Vectors are deliberately not normalized:
+    * cosine scoring normalizes, and skipping it keeps the cross-engine
+    * arithmetic to hash/divide/subtract only. */
   case class MockEncoder(dim: Int = 64) extends TextEncoder {
-    def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
-      val seed = java.nio.ByteBuffer.wrap(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(if (t == null) Array.empty[Byte] else t.getBytes("UTF-8"))).getLong
-      val rng = new java.util.Random(seed)
-      val v = Array.fill(dim)(rng.nextGaussian().toFloat)
-      val norm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x)).toFloat
-      if (norm == 0f) v else v.map(_ / norm)
+    def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      texts.map { t0 =>
+        val t = if (t0 == null) "" else t0
+        Array.tabulate(dim) { j =>
+          val digest = md.digest((t + "#" + j).getBytes("UTF-8"))
+          var u = 0L
+          var i = 0
+          while (i < 7) { u = (u << 8) | (digest(i) & 0xffL); i += 1 }
+          // 7 bytes = 56 bits; keep the top 52 (13 hex digits)
+          u >>>= 4
+          ((u / 9007199254740992.0) - 0.5).toFloat // u / 2^52 − 0.5
+        }
+      }
     }
   }
 

@@ -14,14 +14,20 @@ class EmbedderSpec extends AnyFunSuite {
     (2L, "spark engines process data")  // same text as 0
   ).toDF("doc_id", "text")
 
-  test("mock embeddings are deterministic, unit-norm, content-keyed") {
+  test("mock embeddings are deterministic, bounded, content-keyed") {
     val out = Embedder.embed(docs, "doc_id", "text", Embedder.MockEncoder(32))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
     assert(out(0L) === out(2L))      // same content → same vector
     assert(out(0L) !== out(1L))
-    val norm = math.sqrt(out(0L).map(x => x.toDouble * x).sum)
-    assert(math.abs(norm - 1.0) < 1e-5)
+    // md5-uniform components live in [-0.5, 0.5)
+    assert(out(0L).forall(x => x >= -0.5f && x < 0.5f))
     assert(out(0L).length === 32)
+    // golden: component j = int(md5(text#j)[:13], 16) / 2^52 − 0.5
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("spark engines process data#0".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 13)
+    val expected = (java.lang.Long.parseLong(hex, 16) / 9007199254740992.0 - 0.5).toFloat
+    assert(out(0L).head === expected)
   }
 
   test("batching boundary does not change results") {
