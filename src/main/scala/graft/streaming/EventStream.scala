@@ -68,39 +68,72 @@ object EventStream {
    * Stateful sessionization with `flatMapGroupsWithState` (SURVEY §2.10's
    * custom-state tier): per-user running session, closed and emitted when
    * a later event arrives past the `gapNs` event-time gap (within or
-   * across micro-batches; the open tail session stays in state). Input
-   * rows (user_id, ts_ns, value) are sorted per group before folding —
-   * deterministic at any parallelism. Event-time closure, not
-   * processing-time timeouts: wall-clock timeouts make the local engine
+   * across micro-batches). Input rows (user_id, ts_ns, value) are sorted
+   * per group before folding — deterministic at any parallelism.
+   *
+   * Tail flush: the input is watermarked (`watermarkDelay` behind max
+   * event time) and every open session arms an EventTimeTimeout at
+   * `last + gap`; when the watermark passes it, the group fires with no
+   * rows and the tail session is emitted and the state dropped — so a
+   * user who simply stops producing events still gets their last session,
+   * without waiting for another event from them. Event-time, not
+   * processing-time, timeouts: wall-clock timeouts make the local engine
    * spin empty micro-batches and tie emission to scheduling luck.
    */
   def sessionizeStateful(events: org.apache.spark.sql.Dataset[(Long, Long, Double)],
-                         gapNs: Long = 1800L * 1000000000L)
+                         gapNs: Long = 1800L * 1000000000L,
+                         watermarkDelay: String = "0 seconds")
       : org.apache.spark.sql.Dataset[UserSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    val gapMs = gapNs / 1000000L
     events
+      .toDF("user_id", "ts_ns", "value")
+      .withColumn("event_time", timestamp_micros(expr("ts_ns DIV 1000")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[(Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[SessionState]) =>
-          val sorted = rows.toArray.sortBy(_._2)
-          val out = collection.mutable.ArrayBuffer.empty[UserSession]
-          var cur = state.getOption
-          sorted.foreach { case (_, ts, v) =>
-            cur match {
-              case Some(s) if ts - s.lastNs > gapNs =>
-                out += UserSession(userId, s.n, s.value, s.startNs, s.lastNs)
-                cur = Some(SessionState(1, v, ts, ts))
-              case Some(s) =>
-                cur = Some(SessionState(s.n + 1, s.value + v, s.startNs, ts))
-              case None =>
-                cur = Some(SessionState(1, v, ts, ts))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new rows: flush the tail
+            val tail = state.getOption.map(s =>
+              UserSession(userId, s.n, s.value, s.startNs, s.lastNs))
+            state.remove()
+            tail.iterator
+          } else {
+            val sorted = rows.toArray.sortBy(_._2)
+            val out = collection.mutable.ArrayBuffer.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v, _) =>
+              cur match {
+                case Some(s) if ts - s.lastNs > gapNs =>
+                  out += UserSession(userId, s.n, s.value, s.startNs, s.lastNs)
+                  cur = Some(SessionState(1, v, ts, ts))
+                case Some(s) =>
+                  cur = Some(SessionState(s.n + 1, s.value + v, s.startNs, ts))
+                case None =>
+                  cur = Some(SessionState(1, v, ts, ts))
+              }
             }
+            cur.foreach { s =>
+              val closeAtMs = s.lastNs / 1000000L + gapMs
+              if (closeAtMs <= state.getCurrentWatermarkMs()) {
+                // the watermark already passed this session's close point
+                // (possible with late data): emit immediately — arming a
+                // timeout in the past is rejected by the state store
+                out += UserSession(userId, s.n, s.value, s.startNs, s.lastNs)
+                state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(closeAtMs)
+              }
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 
