@@ -55,10 +55,11 @@ object DocumentLoader {
   }
 
   /**
-   * STUB extractor — the container ships no PDFBox/POI; a real deployment
-   * drops in a PDFBox-backed extractor with the same signature. This stand-
-   * in deterministically recovers printable-ASCII runs (≥4 chars), which is
-   * enough to exercise the plumbing end to end.
+   * Fallback extractor for unrecognized binary formats: deterministically
+   * recovers printable-ASCII runs (≥4 chars). PDF and DOCX get REAL
+   * parsers — see [[BinaryText.PdfTextExtractor]] /
+   * [[BinaryText.DocxTextExtractor]] (pure-JVM zip+StAX / content-stream
+   * readers; no PDFBox/POI in the container).
    */
   object PrintableAsciiExtractor extends BinaryTextExtractor {
     def extract(path: String, bytes: Array[Byte]): String = {
@@ -79,9 +80,10 @@ object DocumentLoader {
   }
 
   /** Binary documents (pdf/docx/...) → text via the extractor, as a batched
-    * mapPartitions over the binaryFile source (S12/S13). */
+    * mapPartitions over the binaryFile source (S12/S13). The default
+    * routes by extension: real PDF/DOCX parsers, ASCII fallback otherwise. */
   def loadBinaryDocs(spark: SparkSession, dir: String, glob: String,
-                     extractor: BinaryTextExtractor = PrintableAsciiExtractor): DataFrame = {
+                     extractor: BinaryTextExtractor = BinaryText.ExtensionDispatchExtractor): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
