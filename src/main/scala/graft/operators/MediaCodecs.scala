@@ -1,0 +1,301 @@
+package graft.operators
+
+import java.util.zip.Inflater
+
+/**
+ * Pure-JVM media codecs for the multimodal column pipeline — the real
+ * replacements for the round-1 stub decoder, in the same spirit as the
+ * PDF/DOCX parsers ([[graft.sources.BinaryText]]): the container ships no
+ * ImageIO-native/ffmpeg codecs for lossy formats, but the LOSSLESS
+ * formats are public byte layouts parseable with the JDK alone:
+ *
+ *  - BMP: 24-bit uncompressed BI_RGB (header + padded bottom-up rows)
+ *  - PNG: 8-bit gray/RGB/RGBA, non-interlaced — zlib IDAT via
+ *    java.util.zip + the five scanline filters (None/Sub/Up/Avg/Paeth)
+ *  - WAV: RIFF PCM 16-bit (fmt + data chunks)
+ *
+ * Decoded pixels/samples feed REAL feature extraction (channel means,
+ * luminance histogram, RMS/ZCR) and a real nearest-neighbor resize.
+ * JPEG/MP3/MP4 still route to the deterministic fake — swapping in a
+ * native codec changes nothing around it.
+ */
+object MediaCodecs {
+
+  /** Decoded raster: row-major RGB triples (0-255 ints). */
+  final case class RasterImage(width: Int, height: Int, rgb: Array[Int]) {
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val base = (y * width + x) * 3
+      (rgb(base), rgb(base + 1), rgb(base + 2))
+    }
+  }
+
+  /** Decoded PCM audio: interleaved samples in [-1, 1]. */
+  final case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Float]) {
+    def durationSec: Double =
+      if (sampleRate == 0 || channels == 0) 0.0
+      else samples.length.toDouble / channels / sampleRate
+  }
+
+  // ------------------------------------------------------------------- bmp
+
+  def decodeBmp(bytes: Array[Byte]): Option[RasterImage] = {
+    try {
+      if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+        return None
+      def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def u32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      val dataOffset = u32(10)
+      val width = u32(18)
+      val heightRaw = u32(22)
+      val topDown = heightRaw < 0
+      val height = math.abs(heightRaw)
+      val bpp = u16(28)
+      val compression = u32(30)
+      if (bpp != 24 || compression != 0 || width <= 0 || height <= 0) return None
+      val rowSize = (width * 3 + 3) / 4 * 4
+      if (dataOffset + rowSize.toLong * height > bytes.length) return None
+      val rgb = new Array[Int](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (topDown) y else height - 1 - y
+        val rowBase = dataOffset + srcRow * rowSize
+        var x = 0
+        while (x < width) {
+          val p = rowBase + x * 3
+          val o = (y * width + x) * 3
+          rgb(o) = bytes(p + 2) & 0xff     // BGR on disk
+          rgb(o + 1) = bytes(p + 1) & 0xff
+          rgb(o + 2) = bytes(p) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Some(RasterImage(width, height, rgb))
+    } catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------------------- png
+
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  def decodePng(bytes: Array[Byte]): Option[RasterImage] = {
+    try {
+      if (bytes == null || bytes.length < 8 + 25) return None
+      var i = 0
+      while (i < 8) { if (bytes(i) != PngMagic(i)) return None; i += 1 }
+      def u32(o: Int): Int = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      var pos = 8
+      var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+      var interlace = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && pos + 8 <= bytes.length) {
+        val len = u32(pos)
+        val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+        val dataStart = pos + 8
+        typ match {
+          case "IHDR" =>
+            width = u32(dataStart); height = u32(dataStart + 4)
+            bitDepth = bytes(dataStart + 8) & 0xff
+            colorType = bytes(dataStart + 9) & 0xff
+            interlace = bytes(dataStart + 12) & 0xff
+          case "IDAT" => idat.write(bytes, dataStart, len)
+          case "IEND" => done = true
+          case _ =>
+        }
+        pos = dataStart + len + 4 // skip crc
+      }
+      if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0) return None
+      val channels = colorType match {
+        case 0 => 1 // gray
+        case 2 => 3 // rgb
+        case 4 => 2 // gray+alpha
+        case 6 => 4 // rgba
+        case _ => return None
+      }
+      // inflate the filtered scanlines
+      val inf = new Inflater()
+      inf.setInput(idat.toByteArray)
+      val raw = new Array[Byte](height * (1 + width * channels))
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None
+        off += n
+      }
+      inf.end()
+      if (off < raw.length) return None
+      // unfilter scanline by scanline
+      val stride = width * channels
+      val img = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        val filter = raw(y * (stride + 1)) & 0xff
+        val src = y * (stride + 1) + 1
+        val dst = y * stride
+        var x = 0
+        while (x < stride) {
+          val rawv = raw(src + x) & 0xff
+          val a = if (x >= channels) img(dst + x - channels) & 0xff else 0        // left
+          val b = if (y > 0) img(dst - stride + x) & 0xff else 0                  // up
+          val c = if (x >= channels && y > 0) img(dst - stride + x - channels) & 0xff else 0 // up-left
+          val v = filter match {
+            case 0 => rawv
+            case 1 => rawv + a
+            case 2 => rawv + b
+            case 3 => rawv + ((a + b) / 2)
+            case 4 => // Paeth
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              rawv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case _ => return None
+          }
+          img(dst + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      // expand to RGB triples
+      val rgb = new Array[Int](width * height * 3)
+      var p = 0
+      while (p < width * height) {
+        val base = p * channels
+        val (r, g, bl) = channels match {
+          case 1 => val v = img(base) & 0xff; (v, v, v)
+          case 2 => val v = img(base) & 0xff; (v, v, v)
+          case _ => (img(base) & 0xff, img(base + 1) & 0xff, img(base + 2) & 0xff)
+        }
+        rgb(p * 3) = r; rgb(p * 3 + 1) = g; rgb(p * 3 + 2) = bl
+        p += 1
+      }
+      Some(RasterImage(width, height, rgb))
+    } catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------------------- wav
+
+  def decodeWav(bytes: Array[Byte]): Option[PcmAudio] = {
+    try {
+      if (bytes == null || bytes.length < 44) return None
+      def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def u32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      var pos = 12
+      var sampleRate = 0; var channels = 0; var bits = 0
+      var samples: Array[Float] = null
+      while (pos + 8 <= bytes.length) {
+        val id = tag(pos); val len = u32(pos + 4)
+        id match {
+          case "fmt " =>
+            val fmt = u16(pos + 8)
+            channels = u16(pos + 10)
+            sampleRate = u32(pos + 12)
+            bits = u16(pos + 22)
+            if (fmt != 1 || bits != 16) return None // PCM16 only
+          case "data" =>
+            val n = math.min(len, bytes.length - pos - 8) / 2
+            samples = new Array[Float](n)
+            var s = 0
+            while (s < n) {
+              val lo = bytes(pos + 8 + s * 2) & 0xff
+              val hi = bytes(pos + 8 + s * 2 + 1).toInt
+              samples(s) = ((hi << 8) | lo).toShort / 32768.0f
+              s += 1
+            }
+          case _ =>
+        }
+        pos += 8 + len + (len & 1)
+      }
+      if (samples == null || sampleRate == 0 || channels == 0) None
+      else Some(PcmAudio(sampleRate, channels, samples))
+    } catch { case _: Exception => None }
+  }
+
+  // ----------------------------------------------------------- operations
+
+  /** Nearest-neighbor resize — the real pixel operation behind the
+    * reference pipeline's thumbnailing step. */
+  def resize(img: RasterImage, newW: Int, newH: Int): RasterImage = {
+    val out = new Array[Int](newW * newH * 3)
+    var y = 0
+    while (y < newH) {
+      val sy = math.min(img.height - 1, y * img.height / newH)
+      var x = 0
+      while (x < newW) {
+        val sx = math.min(img.width - 1, x * img.width / newW)
+        val s = (sy * img.width + sx) * 3
+        val d = (y * newW + x) * 3
+        out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    RasterImage(newW, newH, out)
+  }
+
+  /** Image features: [width, height, aspect, meanR, meanG, meanB,
+    * 8-bin luminance histogram (normalized)] = 14 dims. */
+  def imageFeatures(img: RasterImage): Array[Float] = {
+    val n = img.width * img.height
+    var r = 0.0; var g = 0.0; var b = 0.0
+    val hist = new Array[Float](8)
+    var p = 0
+    while (p < n) {
+      val pr = img.rgb(p * 3); val pg = img.rgb(p * 3 + 1); val pb = img.rgb(p * 3 + 2)
+      r += pr; g += pg; b += pb
+      val lum = (0.299 * pr + 0.587 * pg + 0.114 * pb).toInt
+      hist(math.min(7, lum >> 5)) += 1f
+      p += 1
+    }
+    val head = Array(img.width.toFloat, img.height.toFloat,
+      img.width.toFloat / img.height, (r / n).toFloat, (g / n).toFloat, (b / n).toFloat)
+    head ++ hist.map(_ / n)
+  }
+
+  /** Audio features: [durationSec, sampleRate, channels, rms, peak,
+    * zeroCrossingRate] = 6 dims. */
+  def audioFeatures(a: PcmAudio): Array[Float] = {
+    var sumSq = 0.0; var peak = 0.0f; var zc = 0
+    var i = 0
+    while (i < a.samples.length) {
+      val s = a.samples(i)
+      sumSq += s.toDouble * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && (s >= 0) != (a.samples(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    val rms = if (a.samples.isEmpty) 0.0 else math.sqrt(sumSq / a.samples.length)
+    Array(a.durationSec.toFloat, a.sampleRate.toFloat, a.channels.toFloat,
+      rms.toFloat, peak,
+      if (a.samples.length > 1) zc.toFloat / (a.samples.length - 1) else 0f)
+  }
+
+  /**
+   * Real decoder for the multimodal pipeline: sniffs the container magic
+   * (not the modality tag) and routes BMP/PNG/WAV through the real
+   * codecs; anything else (JPEG, MP3, MP4…) falls back to the
+   * deterministic fake, zero-padded/truncated to `dim` either way.
+   */
+  case class RealDecoder(dim: Int = 16) extends Multimodal.AssetDecoder {
+    private val fake = Multimodal.FakeDecoder(dim)
+    def decode(modality: String, bytes: Array[Byte]): Array[Float] = {
+      val feats =
+        if (bytes != null && bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+          decodeBmp(bytes).map(imageFeatures)
+        else if (bytes != null && bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P')
+          decodePng(bytes).map(imageFeatures)
+        else if (bytes != null && bytes.length >= 12 &&
+                 bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+          decodeWav(bytes).map(audioFeatures)
+        else None
+      feats match {
+        case Some(f) => java.util.Arrays.copyOf(f, dim)
+        case None => fake.decode(modality, bytes)
+      }
+    }
+  }
+}

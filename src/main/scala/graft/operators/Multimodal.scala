@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
  * Multimodal asset columns: images/audio/video travel as opaque `binary`
  * columns with typed metadata, and decode/feature-extraction runs as
  * batched `mapPartitions` — the Scala/JVM equivalent of a Pandas UDF over
- * mapInPandas. The Spark-side plumbing (schema, partitioning, batch shape,
- * deterministic output) is real and tested; the codec call itself is a
- * clearly-marked STUB (`fakeDecode`) because no image/audio libraries ship
- * in this container — swap `AssetDecoder.decode` for a javacv/ffmpeg/ImageIO
- * call and nothing else changes.
+ * mapInPandas. Lossless formats decode for REAL through the pure-JVM
+ * codecs in [[MediaCodecs]] (BMP, PNG, PCM WAV → pixels/samples →
+ * features/resize); lossy formats (JPEG/MP3/MP4 — no native codecs in
+ * this container) fall back to the deterministic [[FakeDecoder]]. Swap
+ * `AssetDecoder.decode` for a javacv/ffmpeg call and nothing else
+ * changes.
  */
 object Multimodal {
 
@@ -58,8 +59,9 @@ object Multimodal {
   }
 
   /** Batched decode → feature column. Partition-parallel; each batch is a
-    * single "model call" (the GPU/codec-friendly shape). */
-  def extractFeatures(df: DataFrame, decoder: AssetDecoder = FakeDecoder(),
+    * single "model call" (the GPU/codec-friendly shape). Default decoder
+    * routes BMP/PNG/WAV through the real codecs. */
+  def extractFeatures(df: DataFrame, decoder: AssetDecoder = MediaCodecs.RealDecoder(),
                       batchSize: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

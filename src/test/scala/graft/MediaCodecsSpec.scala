@@ -1,0 +1,185 @@
+package graft
+
+import graft.operators.{MediaCodecs, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaCodecsSpec extends AnyFunSuite {
+
+  // ---- fixture builders (real byte layouts) ---------------------------
+
+  /** 24-bit BI_RGB BMP, bottom-up, 4-byte padded rows. */
+  private def bmpBytes(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- h - 1 to 0 by -1) { // bottom-up
+      for (x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        out.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      out.put(new Array[Byte](rowSize - w * 3))
+    }
+    out.array()
+  }
+
+  /** 8-bit PNG with given color type; rows pre-filtered with `filters`. */
+  private def pngBytes(w: Int, h: Int, channels: Int,
+                       raw: Array[Byte], filters: Array[Int]): Array[Byte] = {
+    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val stride = w * channels
+    // apply the requested filter per row (encoder side)
+    val filtered = new Array[Byte](h * (stride + 1))
+    for (y <- 0 until h) {
+      filtered(y * (stride + 1)) = filters(y).toByte
+      for (x <- 0 until stride) {
+        val cur = raw(y * stride + x) & 0xff
+        val left = if (x >= channels) raw(y * stride + x - channels) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= channels && y > 0) raw((y - 1) * stride + x - channels) & 0xff else 0
+        val enc = filters(y) match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        filtered(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(filtered); d.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) zout.write(buf, 0, d.deflate(buf))
+    val idat = zout.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** RIFF PCM16 WAV. */
+  private def wavBytes(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+    out.put("data".getBytes).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  // ---- tests ----------------------------------------------------------
+
+  test("BMP decode: exact pixels, padding and bottom-up rows handled") {
+    val img = MediaCodecs.decodeBmp(
+      bmpBytes(3, 2, (x, y) => (x * 40, y * 100, 200))).get
+    assert(img.width === 3 && img.height === 2)
+    assert(img.pixel(0, 0) === ((0, 0, 200)))
+    assert(img.pixel(2, 1) === ((80, 100, 200)))
+  }
+
+  test("PNG decode: RGB with all five filter types round-trips exactly") {
+    val w = 4; val h = 5; val ch = 3
+    val raw = Array.tabulate(h * w * ch)(i => ((i * 31 + 7) % 256).toByte)
+    val png = pngBytes(w, h, ch, raw, Array(0, 1, 2, 3, 4))
+    val img = MediaCodecs.decodePng(png).get
+    assert(img.width === w && img.height === h)
+    val expected = raw.map(_ & 0xff)
+    assert(img.rgb.toSeq === expected.toSeq)
+  }
+
+  test("PNG decode: grayscale and RGBA expand to RGB") {
+    val gray = pngBytes(2, 2, 1, Array[Byte](10, 20, 30, 40), Array(0, 0))
+    val g = MediaCodecs.decodePng(gray).get
+    assert(g.pixel(1, 1) === ((40, 40, 40)))
+    val rgbaRaw = Array.tabulate(2 * 2 * 4)(i => (i * 10).toByte)
+    val rgba = pngBytes(2, 2, 4, rgbaRaw, Array(0, 0))
+    val a = MediaCodecs.decodePng(rgba).get
+    assert(a.pixel(0, 0) === ((0, 10, 20))) // alpha dropped
+  }
+
+  test("WAV decode: PCM16 samples, duration, stereo") {
+    val a = MediaCodecs.decodeWav(
+      wavBytes(8000, 2, Array[Short](0, 16384, -16384, 32767))).get
+    assert(a.sampleRate === 8000 && a.channels === 2)
+    assert(a.samples.length === 4)
+    assert(math.abs(a.samples(1) - 0.5f) < 1e-6)
+    assert(math.abs(a.durationSec - 2.0 / 8000) < 1e-9)
+  }
+
+  test("resize: nearest neighbor doubles and halves") {
+    val img = MediaCodecs.decodeBmp(
+      bmpBytes(2, 2, (x, y) => (x * 255, y * 255, 0))).get
+    val up = MediaCodecs.resize(img, 4, 4)
+    assert(up.pixel(0, 0) === img.pixel(0, 0))
+    assert(up.pixel(3, 3) === img.pixel(1, 1))
+    val down = MediaCodecs.resize(up, 2, 2)
+    assert(down.rgb.toSeq === img.rgb.toSeq)
+  }
+
+  test("feature extraction: image means/histogram and audio rms/zcr") {
+    val img = MediaCodecs.decodeBmp(bmpBytes(2, 1, (_, _) => (100, 150, 200))).get
+    val f = MediaCodecs.imageFeatures(img)
+    assert(f.length === 14)
+    assert(f(3) === 100f && f(4) === 150f && f(5) === 200f)
+    assert(math.abs(f.drop(6).sum - 1.0f) < 1e-6) // histogram normalized
+    val audio = MediaCodecs.decodeWav(
+      wavBytes(8000, 1, Array[Short](16384, -16384, 16384, -16384))).get
+    val af = MediaCodecs.audioFeatures(audio)
+    assert(math.abs(af(3) - 0.5f) < 1e-3)  // rms of +-0.5 square wave
+    assert(af(5) === 1.0f)                 // alternating signs: zcr 1
+  }
+
+  test("RealDecoder routes by magic and falls back to fake for unknown bytes") {
+    val dec = MediaCodecs.RealDecoder(16)
+    val bmp = dec.decode("image", bmpBytes(2, 2, (_, _) => (1, 2, 3)))
+    assert(bmp.take(6).toSeq === Seq(2f, 2f, 1f, 1f, 2f, 3f))
+    assert(bmp.length === 16)
+    val wav = dec.decode("audio", wavBytes(8000, 1, Array[Short](0, 100)))
+    assert(wav(1) === 8000f)
+    val junk = "definitely not an image".getBytes
+    assert(dec.decode("image", junk).toSeq ===
+      Multimodal.FakeDecoder(16).decode("image", junk).toSeq)
+  }
+
+  test("Multimodal.extractFeatures end-to-end with the real decoder") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val assets = Seq(
+      (1L, "image", bmpBytes(2, 2, (x, y) => (x, y, 100)), Map("w" -> "2", "h" -> "2")),
+      (2L, "audio", wavBytes(8000, 1, Array[Short](1000, -1000)), Map.empty[String, String]),
+      (3L, "video", Array[Byte](9, 9, 9), Map.empty[String, String])
+    ).toDF("asset_id", "modality", "content", "meta")
+    val out = Multimodal.extractFeatures(assets, MediaCodecs.RealDecoder(16))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(out(1L)(0) === 2f)        // width
+    assert(out(2L)(1) === 8000f)     // sample rate
+    assert(out(3L).length === 16)    // fake fallback still shaped
+  }
+}
