@@ -48,6 +48,19 @@ object Demo {
     AnnIndex.searchIvf(index, queries, k = 3, nprobe = 2, excludeSelf = true)
       .show(6, truncate = false)
 
+    println("== 3b. serving tier (resident slabs + sharded HNSW) ==")
+    val typedVecs = e.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].rdd
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val servingQs = queries.map { case (id, v) => (id, v) }.toArray
+    val flat = ServingIndex.buildFlat(typedVecs, dim)
+    val hnsw = HnswIndex.build(typedVecs, dim, metric = KnnSearch.Cosine)
+    val exactTop = flat.search(servingQs, k = 3, KnnSearch.Cosine)
+    val hnswTop = hnsw.search(servingQs, k = 3)
+    println("fused exact top-3 for q0: " + exactTop.head._2.toSeq)
+    println("hnsw  top-3 for q0:       " + hnswTop.head._2.toSeq)
+    flat.slabs.unpersist(); hnsw.shards.unpersist()
+
     println("== 4. RAG ==")
     val hits = KnnSearch.topKBatch(coll.dropDuplicates("doc_id"), "doc_id", "embedding",
       Seq((0L, qv)), 3)

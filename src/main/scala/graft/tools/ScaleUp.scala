@@ -75,8 +75,12 @@ object ScaleUp {
       .withColumn("event_id", col("event_id") + lit(i * eStride))
       .withColumn("user_id", col("user_id") + lit(i * uStride)))
     replicate("documents")((df, i) => {
+      // suffix EVERY token with the replica tag: cross-replica shingle
+      // sets become disjoint (a prefix-only salt would leave replicas
+      // ~identical and blow up near-dup pair counts combinatorially)
       val salted = if (i == 0) df
-        else df.withColumn("text", concat(lit(s"rep$i "), col("text")))
+        else df.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1$i"))
       salted
         .withColumn("doc_id", col("doc_id") + lit(i * dStride))
         .withColumn("n_chars", length(col("text")).cast("long"))
