@@ -96,6 +96,8 @@ object Bench {
         }
       }
       .rdd
+      .cache()
+    docs.count() // materialize once: the builds below make ~14 passes
     val queries = (0 until 100).map { q =>
       val r = new java.util.Random(9000L + q)
       val ctr = centers(q % nClusters)
@@ -110,6 +112,7 @@ object Bench {
     // FAISS HNSWFlat M=32 (recall@10 large = 0.485 — ours must beat it)
     val hnsw = operators.HnswIndex.build(docs, dim, m = 16,
       efConstruction = 64, operators.KnnSearch.L2, numShards = 16)
+    docs.unpersist() // the indexes hold their own resident slabs now
     System.gc() // drain build garbage outside the timed region
     // warm once, then min of 5 — a single ~30 ms measurement is at the
     // mercy of one straggler task wakeup or a neighboring tenant; the min

@@ -27,6 +27,39 @@ import scala.collection.mutable
  */
 object HnswIndex {
 
+  /** Shared comparison-distance kernel over a packed slab, selected ONCE
+    * per search/build so the metric dispatch is hoisted out of the hot
+    * loop (the [[ServingIndex]] kernels hoist the same way). Smaller =
+    * closer for every metric: IP/cosine are negated, L2 is the squared
+    * distance — sqrt deferred to the reported score. Build and query use
+    * THIS one kernel, so graph construction and scoring cannot diverge. */
+  private[operators] def distKernel(metric: KnnSearch.Metric, data: Array[Float],
+                                    dim: Int): (Array[Float], Int) => Float =
+    metric match {
+      case KnnSearch.L2 => (q, node) => {
+        val base = node * dim
+        var s = 0.0f; var i = 0
+        while (i < dim) { val d = q(i) - data(base + i); s += d * d; i += 1 }
+        s
+      }
+      case KnnSearch.InnerProduct => (q, node) => {
+        val base = node * dim
+        var s = 0.0f; var i = 0
+        while (i < dim) { s += q(i) * data(base + i); i += 1 }
+        -s
+      }
+      case KnnSearch.Cosine => (q, node) => {
+        val base = node * dim
+        var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
+        while (i < dim) {
+          val x = q(i); val y = data(base + i)
+          dot += x * y; nq += x * x; nv += y * y; i += 1
+        }
+        if (nq == 0.0f || nv == 0.0f) 0.0f
+        else -(dot / math.sqrt(nq.toDouble * nv)).toFloat
+      }
+    }
+
   /** One partition's graph: packed vectors + per-node per-level adjacency. */
   final class Shard(
       val ids: Array[Long],
@@ -38,40 +71,18 @@ object HnswIndex {
 
     def size: Int = ids.length
 
-    private def dist(metric: KnnSearch.Metric, q: Array[Float], node: Int): Float = {
-      val base = node * dim
-      metric match {
-        case KnnSearch.L2 =>
-          var s = 0.0f; var i = 0
-          while (i < dim) { val d = q(i) - data(base + i); s += d * d; i += 1 }
-          s // monotone in true L2 — sqrt deferred to the reported score
-        case KnnSearch.InnerProduct =>
-          var s = 0.0f; var i = 0
-          while (i < dim) { s += q(i) * data(base + i); i += 1 }
-          -s
-        case KnnSearch.Cosine =>
-          var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
-          while (i < dim) {
-            val x = q(i); val y = data(base + i)
-            dot += x * y; nq += x * x; nv += y * y; i += 1
-          }
-          if (nq == 0.0f || nv == 0.0f) 0.0f
-          else -(dot / math.sqrt(nq.toDouble * nv)).toFloat
-      }
-    }
-
     /** Greedy single-entry descent at one level (ef=1). */
-    private def greedy(metric: KnnSearch.Metric, q: Array[Float],
+    private def greedy(dist: (Array[Float], Int) => Float, q: Array[Float],
                        start: Int, lev: Int): Int = {
       var cur = start
-      var curD = dist(metric, q, cur)
+      var curD = dist(q, cur)
       var improved = true
       while (improved) {
         improved = false
         val nbs = neighbors(cur)(lev)
         var i = 0
         while (i < nbs.length) {
-          val d = dist(metric, q, nbs(i))
+          val d = dist(q, nbs(i))
           if (d < curD) { curD = d; cur = nbs(i); improved = true }
           i += 1
         }
@@ -81,7 +92,7 @@ object HnswIndex {
 
     /** ef-bounded best-first search at one level; returns (dist, node)
       * pairs, closest-first. */
-    private def searchLayer(metric: KnnSearch.Metric, q: Array[Float],
+    private def searchLayer(dist: (Array[Float], Int) => Float, q: Array[Float],
                             entry: Int, ef: Int, lev: Int): Array[(Float, Int)] = {
       val visited = new java.util.BitSet(size)
       // head = CLOSEST pending candidate
@@ -90,7 +101,7 @@ object HnswIndex {
       // head = FURTHEST kept result
       val res = mutable.PriorityQueue.empty[(Float, Int)](
         Ordering.by[(Float, Int), Float](_._1))
-      val d0 = dist(metric, q, entry)
+      val d0 = dist(q, entry)
       visited.set(entry)
       cand.enqueue((d0, entry)); res.enqueue((d0, entry))
       while (cand.nonEmpty) {
@@ -104,7 +115,7 @@ object HnswIndex {
             val nb = nbs(i)
             if (!visited.get(nb)) {
               visited.set(nb)
-              val dn = dist(metric, q, nb)
+              val dn = dist(q, nb)
               if (res.size < ef || dn < res.head._1) {
                 cand.enqueue((dn, nb)); res.enqueue((dn, nb))
                 if (res.size > ef) res.dequeue()
@@ -121,10 +132,11 @@ object HnswIndex {
     def search(metric: KnnSearch.Metric, q: Array[Float], k: Int,
                ef: Int): Array[(Float, Long)] = {
       if (size == 0) return Array.empty
+      val dist = distKernel(metric, data, dim)
       var ep = entryPoint
       var lev = topLevel
-      while (lev > 0) { ep = greedy(metric, q, ep, lev); lev -= 1 }
-      val found = searchLayer(metric, q, ep, math.max(ef, k), 0)
+      while (lev > 0) { ep = greedy(dist, q, ep, lev); lev -= 1 }
+      val found = searchLayer(dist, q, ep, math.max(ef, k), 0)
       found.take(k).map { case (d, node) =>
         val score = metric match {
           case KnnSearch.L2 => math.sqrt(d.toDouble).toFloat
@@ -146,27 +158,8 @@ object HnswIndex {
     while (i < n) { System.arraycopy(items(i)._2, 0, data, i * dim, dim); i += 1 }
     val ids = items.map(_._1)
 
-    def dist(q: Array[Float], node: Int): Float = {
-      val base = node * dim
-      metric match {
-        case KnnSearch.L2 =>
-          var s = 0.0f; var j = 0
-          while (j < dim) { val d = q(j) - data(base + j); s += d * d; j += 1 }
-          s
-        case KnnSearch.InnerProduct =>
-          var s = 0.0f; var j = 0
-          while (j < dim) { s += q(j) * data(base + j); j += 1 }
-          -s
-        case KnnSearch.Cosine =>
-          var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var j = 0
-          while (j < dim) {
-            val x = q(j); val y = data(base + j)
-            dot += x * y; nq += x * x; nv += y * y; j += 1
-          }
-          if (nq == 0.0f || nv == 0.0f) 0.0f
-          else -(dot / math.sqrt(nq.toDouble * nv)).toFloat
-      }
-    }
+    // the SAME kernel the query path uses — see distKernel's scaladoc
+    val dist: (Array[Float], Int) => Float = distKernel(metric, data, dim)
 
     val rng = new java.util.Random(seed)
     val mL = 1.0 / math.log(m.toDouble)

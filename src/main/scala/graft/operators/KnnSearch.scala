@@ -235,8 +235,11 @@ object KnnSearch {
     // per-partition arrays map-side (combiner = sorted two-way merge), so
     // each executor ships ≤ |Q| arrays of k and the driver collects exactly
     // |Q|×k rows — at 10⁶ input splits the candidate set never converges on
-    // the driver.
-    val merged = candidates.reduceByKey(mergeTopK(desc, k))
+    // the driver. The reduce side has only |Q| distinct keys, so cap its
+    // partition count there — inheriting the doc RDD's (possibly 10⁶)
+    // partition count would schedule that many near-empty reduce tasks.
+    val reduceParts = math.max(1, math.min(queries.size, candidates.getNumPartitions))
+    val merged = candidates.reduceByKey(mergeTopK(desc, k)(_, _), reduceParts)
       .collect()
       .flatMap { case (qid, arr) =>
         arr.iterator.zipWithIndex.map { case ((s, d), i) => (qid, d, s, i + 1) }
@@ -298,7 +301,8 @@ object KnnSearch {
     }
 
     // same distributed merge as [[topKBatchRdd]]; see the comment there
-    val merged = candidates.reduceByKey(mergeTopKF32(desc, k))
+    val reduceParts = math.max(1, math.min(qs.length, candidates.getNumPartitions))
+    val merged = candidates.reduceByKey(mergeTopKF32(desc, k)(_, _), reduceParts)
       .collect()
       .flatMap { case (qid, arr) =>
         arr.iterator.zipWithIndex.map { case ((s, d), i) => (qid, d, s.toDouble, i + 1) }

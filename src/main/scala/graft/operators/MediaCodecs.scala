@@ -95,6 +95,9 @@ object MediaCodecs {
         val len = u32(pos)
         val typ = new String(bytes, pos + 4, 4, "US-ASCII")
         val dataStart = pos + 8
+        // A negative or truncated length field would stall or reverse the
+        // walk; treat it as malformed input.
+        if (len < 0 || len > bytes.length - dataStart) return None
         typ match {
           case "IHDR" =>
             width = u32(dataStart); height = u32(dataStart + 4)
@@ -208,7 +211,11 @@ object MediaCodecs {
             }
           case _ =>
         }
-        pos += 8 + len + (len & 1)
+        if (len < 0) return None
+        // Advance in Long space: a huge length would overflow Int and move
+        // pos backwards; clamp to the end of the buffer instead.
+        val next = pos.toLong + 8L + len.toLong + (len & 1)
+        pos = if (next > bytes.length) bytes.length else next.toInt
       }
       if (samples == null || sampleRate == 0 || channels == 0) None
       else Some(PcmAudio(sampleRate, channels, samples))

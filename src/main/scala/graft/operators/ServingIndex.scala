@@ -76,18 +76,26 @@ object ServingIndex {
       * distances — trivial), ships the nprobe probe lists, and each
       * partition scans only the probed clusters' ranges: `nprobe/nlist`
       * of the data, FAISS IVFFlat's own regime
-      * (day_6/day6_complete.py:105-115). */
+      * (day_6/day6_complete.py:105-115).
+      *
+      * Probe cells are ranked by L2 distance to the query — the SAME
+      * geometry [[buildIvf]] used to assign vectors to cells. Ranking by
+      * the query metric instead would probe cells that need not contain
+      * the metric's best matches (e.g. inner-product favors large-norm
+      * centroids far from where the vectors were stored). For cosine /
+      * inner-product searches, normalize vectors at build AND query time
+      * (L2 order == cosine order on the unit sphere); genuinely
+      * unnormalized MIPS should use the Flat index. */
     def search(queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
                metric: KnnSearch.Metric = KnnSearch.L2): Array[(Long, Array[(Float, Long)])] = {
       val sc = slabs.sparkContext
       val desc = metric.descending
-      // per-query nprobe nearest centroids, best-first
+      // per-query nprobe assignment-nearest (L2) centroids, best-first
       val probes: Array[Array[Int]] = queries.map { case (_, q) =>
         val scored = centroids.indices.map { c =>
-          (metric.scoreF32(q, centroids(c)), c)
+          (KnnSearch.L2.scoreF32(q, centroids(c)), c)
         }.toArray
-        val ord = if (desc) scored.sortBy(s => (-s._1, s._2))
-                  else scored.sortBy(s => (s._1, s._2))
+        val ord = scored.sortBy(s => (s._1, s._2))
         ord.take(math.min(nprobe, centroids.length)).map(_._2)
       }
       val bc = sc.broadcast((queries.map(_._2), probes))
@@ -162,9 +170,12 @@ object ServingIndex {
       else vectors0
     val sc = vectors.sparkContext
     val d = dim
-    // init: deterministic sample of nlist vectors as seeds
+    // init: deterministic sample of nlist vectors as seeds (same
+    // null/dimension tolerance as the assignment loops — a dirty row must
+    // be skipped, not crash the build)
     var centroids: Array[Array[Float]] =
-      vectors.takeSample(withReplacement = false, nlist, seed).map(_._2)
+      vectors.filter { case (_, v) => v != null && v.length == d }
+        .takeSample(withReplacement = false, nlist, seed).map(_._2)
     require(centroids.length == nlist,
       s"need at least nlist=$nlist vectors to build an IVF index")
     var iter = 0

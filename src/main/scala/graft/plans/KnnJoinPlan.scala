@@ -157,8 +157,11 @@ case class KnnJoinExec(
     // directly, so the operator holds at 10⁶ input splits where a
     // collect-based merge would funnel partitions×|Q|×k rows through the
     // driver.
+    // Only |Q| distinct keys exist, so cap the reduce-side partition count
+    // there rather than inheriting the doc side's split count.
     val out = output
-    candidates.reduceByKey(KnnSearch.mergeTopK(desc, kk))
+    val reduceParts = math.max(1, math.min(queries.length, candidates.getNumPartitions))
+    candidates.reduceByKey(KnnSearch.mergeTopK(desc, kk)(_, _), reduceParts)
       .mapPartitions { it =>
         val proj = UnsafeProjection.create(out.map(_.dataType).toArray)
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)

@@ -195,7 +195,10 @@ object BinaryText {
         } else { // operator token
           val start = i
           while (i < n && !isDelim(s.charAt(i))) i += 1
-          s.substring(start, i) match {
+          // A stray unmatched delimiter (')', '{', '}') yields a width-0
+          // token; skip the character so the scan always advances.
+          if (i == start) i += 1
+          s.substring(start, math.min(i, n)) match {
             case "Tj" =>
               strings.lastOption.foreach(sb.append)
               strings.clear()

@@ -79,19 +79,29 @@ object EventStream {
    * without waiting for another event from them. Event-time, not
    * processing-time, timeouts: wall-clock timeouts make the local engine
    * spin empty micro-batches and tie emission to scheduling luck.
+   *
+   * Lateness: Spark's stateful late-row filter drops input rows older
+   * than the watermark BEFORE they reach the state function, so the
+   * watermark delay is the cross-batch disorder tolerance. The default
+   * is one full session gap — an event arriving later than that would
+   * target a session the timeout may already have flushed. Pass a larger
+   * `watermarkDelay` for streams with deeper disorder (trades state
+   * retention and flush latency for tolerance); `"0 seconds"` drops any
+   * event that arrives out-of-order across micro-batches.
    */
   def sessionizeStateful(events: org.apache.spark.sql.Dataset[(Long, Long, Double)],
                          gapNs: Long = 1800L * 1000000000L,
-                         watermarkDelay: String = "0 seconds")
+                         watermarkDelay: String = null)
       : org.apache.spark.sql.Dataset[UserSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapNs / 1000000L
+    val delay = if (watermarkDelay == null) s"$gapMs milliseconds" else watermarkDelay
     events
       .toDF("user_id", "ts_ns", "value")
       .withColumn("event_time", timestamp_micros(expr("ts_ns DIV 1000")))
-      .withWatermark("event_time", watermarkDelay)
+      .withWatermark("event_time", delay)
       .as[(Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, UserSession](

@@ -153,6 +153,15 @@ class DocumentLoaderSpec extends AnyFunSuite {
     assert(df.head().getAs[String]("text") === "Real DOCX heading\nBody with\ttab")
   }
 
+  test("PDF content stream with stray unmatched delimiters still terminates") {
+    // a bare ')' (and '{' '}') is a delimiter, so the operator-token scan
+    // consumes zero chars — this must advance past it, not spin forever
+    val content = "BT (ok) Tj ) } { (fine) Tj ET"
+    val text = sources.BinaryText.PdfTextExtractor
+      .extract("stray.pdf", pdfBytes(content, flate = false))
+    assert(text === "okfine")
+  }
+
   test("malformed binaries degrade to empty text, not exceptions") {
     val dir = tmpDir()
     java.nio.file.Files.write(new java.io.File(dir, "bad.pdf").toPath,

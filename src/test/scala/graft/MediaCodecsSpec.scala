@@ -168,6 +168,29 @@ class MediaCodecsSpec extends AnyFunSuite {
       Multimodal.FakeDecoder(16).decode("image", junk).toSeq)
   }
 
+  test("PNG decode: truncated/oversized chunk length terminates with None") {
+    // valid signature, then an IHDR whose length field claims far more
+    // bytes than the buffer holds — must return None, not loop or throw
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val lying = sig ++ java.nio.ByteBuffer.allocate(8)
+      .putInt(0x7ffffff0).put("IHDR".getBytes("US-ASCII")).array()
+    assert(MediaCodecs.decodePng(lying).isEmpty)
+    // a real PNG truncated mid-IDAT (length field intact, data cut off:
+    // drop the 12-byte IEND, the 4-byte IDAT crc, and 4 data bytes)
+    val whole = pngBytes(2, 2, 3, Array.fill[Byte](12)(7), Array(0, 0))
+    assert(MediaCodecs.decodePng(whole.take(whole.length - 20)).isEmpty)
+  }
+
+  test("WAV decode: huge chunk length cannot overflow the scan position") {
+    // RIFF/WAVE header followed by a junk chunk whose length would push
+    // the Int position negative — the scan must clamp and return None
+    val out = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(12).put("WAVE".getBytes)
+    out.put("junk".getBytes).putInt(0x7fffffff)
+    assert(MediaCodecs.decodeWav(out.array()).isEmpty)
+  }
+
   test("Multimodal.extractFeatures end-to-end with the real decoder") {
     val spark = TestSpark.spark
     import spark.implicits._
