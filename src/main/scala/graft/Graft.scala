@@ -35,6 +35,7 @@ object Graft {
     // getOrCreate may return a pre-existing session whose builder never saw
     // our extensions — make function registration idempotent either way
     functions.VectorFunctions.registerAll(spark)
+    functions.TextFunctions.registerAll(spark)
     plans.KnnJoinPlan.install(spark)
     spark
   }

@@ -420,6 +420,71 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Conjunctive JSON-metadata containment (P3 — the JSONB `@>` shape,
+    * day_9 metadata filters): parse props into a map, then require every
+    * (k,v) of the filter to match via [[metadataContains]]. */
+  private val q39PropsContains: Q = (s, dir) => {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    eventsNs(s, dir)
+      .withColumn("meta", from_json(col("props"), MapType(StringType, StringType)))
+      .where(metadataContains(col("meta"), Map("k" -> "69")))
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Paragraph chunker (G6) oracle-gated: the corpus has no blank lines,
+    * so first synthesize 50 multi-paragraph docs (doc_id % 50 groups,
+    * texts joined with blank lines, id-ordered — deterministic in both
+    * engines), then chunk 3 paragraphs per chunk with the min-length
+    * filter live (7 short docs fall out). */
+  private val q40ParagraphChunks: Q = (s, dir) => {
+    val combined = Tables(s, dir, "documents")
+      .groupBy((col("doc_id") % 50).as("gid"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n\n").as("text"))
+    Chunkers.paragraphChunks(combined, "gid", "text", maxParagraphs = 3, minChars = 50)
+      .toDF()
+      .select(col("doc_id").as("gid"), col("chunk_index"),
+        col("start_char").as("p_start"), col("end_char").as("p_end"),
+        col("n_tokens").as("n_words"), col("text"))
+      .orderBy(col("gid"), col("chunk_index"))
+  }
+
+  /** Rolling-hash document fingerprints (the codegen'd [[graft.functions.RollingHash]]
+    * Rabin–Karp expression — the incremental fingerprint family winnowing
+    * pipelines use, alongside the md5 canonical form of q27). */
+  private val q43RollingFp: Q = (s, dir) => {
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 200 && length(col("text")) > 0)
+      .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-dedup TRANSFORM (not just the q24 stats): duplicate ~1/7 of the
+    * corpus under shifted ids, then keep the min-id row per canonical
+    * fingerprint — the output is the surviving id set. */
+  private val q44DedupKeep: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val dupes = docs.where(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    Dedup.dropExactDuplicates(docs.unionByName(dupes), "doc_id", "text")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Latest-wins upsert merge (S16, ON CONFLICT DO UPDATE) as a query:
+    * version-1 updates for every 5th doc overlay the version-0 base. */
+  private val q45UpsertMerge: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val base = docs.select(col("doc_id"), col("text"), lit(0).as("version"))
+    val updates = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), upper(col("text")).as("text"), lit(1).as("version"))
+    graft.sources.CollectionStore.upsert(base, updates, "doc_id", "version")
+      .select(col("doc_id"), col("version"), md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** KMeans cluster profile (A12/A13; rows-only — centroid placement is
     * engine-specific, behavior is pinned by ClusteringSpec). */
   private val q41KmeansProfile: Q = (s, dir) =>
@@ -597,6 +662,11 @@ object SparkEntry {
     "q36_clean_text" -> q36CleanText,
     "q37_knn_plan_operator" -> q37KnnPlanOperator,
     "q38_group_top_pairs" -> q38GroupTopPairs,
+    "q39_props_contains" -> q39PropsContains,
+    "q40_paragraph_chunks" -> q40ParagraphChunks,
+    "q43_rolling_fp" -> q43RollingFp,
+    "q44_dedup_keep" -> q44DedupKeep,
+    "q45_upsert_merge" -> q45UpsertMerge,
     "q41_kmeans_profile" -> q41KmeansProfile,
     "q31_ir_metrics" -> q31IrMetrics,
     "q32_ir_summary" -> q32IrSummary,
@@ -1011,6 +1081,60 @@ object SparkEntry {
         |    ON a.label = b.label AND a.vec_id < b.vec_id) t
         |WHERE rn <= 3
         |ORDER BY label, rn""".stripMargin,
+    "q39_props_contains" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE json_extract_string(props, '$.k') = '69'
+        |ORDER BY event_id""".stripMargin,
+    "q40_paragraph_chunks" ->
+      """WITH combined AS (
+        |  SELECT doc_id % 50 AS gid,
+        |    string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1),
+        |paras AS (
+        |  SELECT gid, unnest(arr) AS p, unnest(range(1, len(arr) + 1)) AS i
+        |  FROM (SELECT gid,
+        |          list_transform(regexp_split_to_array(text, '\n\s*\n'), x -> trim(x)) AS arr
+        |        FROM combined) t),
+        |kept AS (
+        |  SELECT gid, p, row_number() OVER (PARTITION BY gid ORDER BY i) AS rn
+        |  FROM paras WHERE length(p) >= 50),
+        |grp AS (
+        |  SELECT gid, CAST((rn - 1) // 3 AS INTEGER) AS chunk_index,
+        |    string_agg(p, chr(10) || chr(10) ORDER BY rn) AS text, count(*) AS n
+        |  FROM kept GROUP BY 1, 2)
+        |SELECT gid, chunk_index, chunk_index * 3 AS p_start,
+        |  chunk_index * 3 + CAST(n AS INTEGER) AS p_end,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS INTEGER) AS n_words,
+        |  text
+        |FROM grp
+        |ORDER BY gid, chunk_index""".stripMargin,
+    "q43_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents
+        |WHERE doc_id < 200 AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q44_dedup_keep" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM all_docs) t
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q45_upsert_merge" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS version,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS text_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q50_rag_context" -> Q50ContextSql,
     "q51_rag_answer" ->
       (s"""WITH ctx AS ($Q50ContextSql)

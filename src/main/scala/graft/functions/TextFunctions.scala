@@ -105,6 +105,19 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Polynomial rolling-hash fingerprint (codegen'd [[RollingHash]]
+    * expression — codepoint Rabin–Karp, base 31 mod 1e9+7). */
+  def rollingFingerprint(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(RollingHash(expression(text)))
+  }
+
+  /** Register SQL names (`SELECT rolling_hash(text) ...`). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
+  }
+
   /** Sliding word n-gram shingles: ["a b c", "b c d", ...]. */
   def shingles(text: Column, n: Int): Column = {
     val ws = words(text)
