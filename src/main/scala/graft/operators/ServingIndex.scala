@@ -126,6 +126,172 @@ object ServingIndex {
     }
   }
 
+  // ------------------------------------------------------------- mutable
+
+  /**
+   * LSM-shaped mutable serving index — the day_8 insert/delete/search
+   * loop (reference day_8/endpoints.py:13-49,168-208 single/batch insert,
+   * :210-260 delete) over a resident distributed base:
+   *
+   *  - the immutable BASE ([[Flat]] or [[Ivf]]) holds the bulk corpus on
+   *    the executors;
+   *  - upserts land in a driver-local DELTA memtable (insertion-ordered,
+   *    O(1) upsert) and mask any base copy via a TOMBSTONE set;
+   *  - deletes tombstone the base and evict from the delta;
+   *  - a search = base search over-fetched to k + |tombstones| (a masked
+   *    vector can occupy at most one result slot, so k survivors are
+   *    guaranteed — the hot scan kernels stay untouched), tombstones
+   *    filtered, then merged with a driver-side delta scan;
+   *  - [[Mutable.compact]] folds delta + tombstones into a freshly built
+   *    base (the LSM flush); it fires automatically when either side
+   *    outgrows its threshold, so the over-fetch and the delta scan stay
+   *    bounded no matter how long the mutation stream runs.
+   *
+   * Scale shape: mutations between compactions are serving-sized (the
+   * thresholds bound them); the 100 TB bulk stays distributed and
+   * immutable, exactly how an LSM keeps its L1+ levels. Mutations are
+   * driver-side state — callers serialize them (single serving driver),
+   * as with any index writer.
+   */
+  final class Mutable private[ServingIndex] (
+      private var base: Either[Flat, Ivf],
+      val dim: Int,
+      rebuild: RDD[(Long, Array[Float])] => Either[Flat, Ivf],
+      maxDelta: Int,
+      maxTombstones: Int) {
+
+    private val delta = new java.util.LinkedHashMap[java.lang.Long, Array[Float]]
+    private val tombstones = new java.util.HashSet[java.lang.Long]
+
+    def deltaSize: Int = delta.size
+    def tombstoneCount: Int = tombstones.size
+
+    /** Insert or replace one vector (ON CONFLICT DO UPDATE semantics). */
+    def upsert(id: Long, v: Array[Float]): Unit = {
+      require(v != null && v.length == dim, s"vector must have dim=$dim")
+      tombstones.add(id) // mask any base copy; harmless if absent
+      delta.put(id, v)
+      maybeCompact()
+    }
+
+    def upsertAll(batch: Iterable[(Long, Array[Float])]): Unit =
+      batch.foreach { case (id, v) => upsert(id, v) }
+
+    /** Delete by id (from base via tombstone, from delta by eviction). */
+    def delete(id: Long): Unit = {
+      tombstones.add(id)
+      delta.remove(id)
+      maybeCompact()
+    }
+
+    /** Merged-view batch search: base minus tombstones, plus delta. */
+    def search(queries: Array[(Long, Array[Float])], k: Int,
+               metric: KnnSearch.Metric = KnnSearch.L2,
+               nprobe: Int = 8): Array[(Long, Array[(Float, Long)])] = {
+      val desc = metric.descending
+      val kBase = k + tombstones.size
+      val fromBase = base match {
+        case Left(flat) => flat.search(queries, kBase, metric)
+        case Right(ivf) => ivf.search(queries, kBase, nprobe, metric)
+      }
+      val deltaHits = scanDelta(queries, k, metric)
+      queries.indices.map { qi =>
+        val kept = fromBase(qi)._2.filter { case (_, id) => !tombstones.contains(id) }
+        val merged = KnnSearch.mergeTopKF32(desc, k)(kept.take(k), deltaHits(qi))
+        (queries(qi)._1, merged)
+      }.toArray
+    }
+
+    /** Fold delta + tombstones into a fresh base (LSM flush). No-op when
+      * there is nothing to fold. */
+    def compact(): Unit = {
+      if (delta.isEmpty && tombstones.isEmpty) return
+      val survivors = baseVectors()
+      val sc = survivors.sparkContext
+      val deltaRows: Seq[(Long, Array[Float])] = {
+        val it = delta.entrySet().iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        while (it.hasNext) { val e = it.next(); buf += ((e.getKey.longValue(), e.getValue)) }
+        buf.toSeq
+      }
+      val merged =
+        if (deltaRows.isEmpty) survivors
+        else survivors.union(sc.parallelize(deltaRows, 1))
+      val old = base
+      base = rebuild(merged)
+      old.fold(_.slabs.unpersist(false), _.slabs.unpersist(false))
+      delta.clear()
+      tombstones.clear()
+    }
+
+    /** Base rows that survive the tombstone mask, unpacked from slabs. */
+    private def baseVectors(): RDD[(Long, Array[Float])] = {
+      val d = dim
+      val tomb = tombstones.toArray(new Array[java.lang.Long](tombstones.size))
+        .map(_.longValue()).sorted
+      def live(ids: Array[Long], data: Array[Float]): Iterator[(Long, Array[Float])] =
+        ids.indices.iterator.collect {
+          case i if java.util.Arrays.binarySearch(tomb, ids(i)) < 0 =>
+            (ids(i), java.util.Arrays.copyOfRange(data, i * d, (i + 1) * d))
+        }
+      base match {
+        case Left(flat) => flat.slabs.flatMap(s => live(s.ids, s.data))
+        case Right(ivf) => ivf.slabs.flatMap(s => live(s.ids, s.data))
+      }
+    }
+
+    private def maybeCompact(): Unit =
+      if (delta.size > maxDelta || tombstones.size > maxTombstones) compact()
+
+    /** Driver-local memtable scan with the same bounded-heap kernel the
+      * executors run. */
+    private def scanDelta(queries: Array[(Long, Array[Float])], k: Int,
+                          metric: KnnSearch.Metric): Array[Array[(Float, Long)]] = {
+      val acc = emptyTopK(queries.length, k)
+      if (!delta.isEmpty) {
+        val n = delta.size
+        val ids = new Array[Long](n)
+        val data = new Array[Float](n * dim)
+        val it = delta.entrySet().iterator()
+        var i = 0
+        while (it.hasNext) {
+          val e = it.next()
+          ids(i) = e.getKey.longValue()
+          System.arraycopy(e.getValue, 0, data, i * dim, dim)
+          i += 1
+        }
+        scanSlab(data, ids, 0, n, dim, queries.map(_._2), metric, acc)
+      }
+      acc.map { h =>
+        val out = new Array[(Float, Long)](h.size)
+        var i = 0
+        while (i < h.size) { out(i) = (h.scores(i), h.ids(i)); i += 1 }
+        out
+      }
+    }
+  }
+
+  /** Mutable wrapper over a flat base; compaction repacks into the same
+    * slab count. */
+  def mutableFlat(baseVectors: RDD[(Long, Array[Float])], dim: Int,
+                  numSlabs: Int = -1, maxDelta: Int = 4096,
+                  maxTombstones: Int = 512): Mutable = {
+    val d = dim
+    new Mutable(Left(buildFlat(baseVectors, d, numSlabs)), d,
+      rows => Left(buildFlat(rows, d, numSlabs)), maxDelta, maxTombstones)
+  }
+
+  /** Mutable wrapper over an IVF base; compaction re-trains with the same
+    * nlist/seed (deterministic rebuild). */
+  def mutableIvf(baseVectors: RDD[(Long, Array[Float])], dim: Int, nlist: Int,
+                 iterations: Int = 10, seed: Long = 42L, numSlabs: Int = -1,
+                 maxDelta: Int = 4096, maxTombstones: Int = 512): Mutable = {
+    val d = dim
+    new Mutable(Right(buildIvf(baseVectors, d, nlist, iterations, seed, numSlabs)), d,
+      rows => Right(buildIvf(rows, d, nlist, iterations, seed, numSlabs)),
+      maxDelta, maxTombstones)
+  }
+
   // -------------------------------------------------------------- builds
 
   /** Pack an (id, vector) RDD into resident flat slabs (cached +

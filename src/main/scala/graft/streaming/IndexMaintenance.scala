@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.operators.ServingIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Streaming maintenance of a resident serving index — the reference's
+ * incremental single/batch insert and delete endpoints
+ * (day_8/endpoints.py:13-49,168-208 insert, :210-260 delete) consumed as
+ * a stream: each micro-batch is applied against the LSM-shaped
+ * [[ServingIndex.Mutable]] as upserts (vector present) and deletes (null
+ * vector = tombstone row), so streamed vectors are searchable at the next
+ * batch boundary.
+ *
+ * The micro-batch lands on the driver: the WRITER side of a serving index
+ * is driver-held state by design (see [[ServingIndex.Mutable]]'s scale
+ * note) — mutation batches are serving-sized, the bulk corpus stays
+ * distributed, and the compaction thresholds bound resident mutation
+ * state no matter how long the stream runs. Per-id ordering WITHIN one
+ * micro-batch follows row order, which Spark does not define across
+ * partitions — streams carrying multiple versions of an id per batch
+ * should pre-compact (e.g. the latest-wins pattern of
+ * [[EventStream.upsertSink]]) before this sink.
+ */
+object IndexMaintenance {
+
+  /** Apply one batch of (id, vec) rows: null vec ⇒ delete, else upsert. */
+  def applyBatch(batch: DataFrame, idx: ServingIndex.Mutable,
+                 idCol: String, vecCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    batch.select(col(idCol).cast("long"), col(vecCol)).collect().foreach { r =>
+      val id = r.getLong(0)
+      if (r.isNullAt(1)) idx.delete(id)
+      else idx.upsert(id, r.getSeq[Float](1).toArray)
+    }
+  }
+
+  /** Attach a mutable index to a streaming (id, vec) frame. */
+  def maintain(updates: DataFrame, idx: ServingIndex.Mutable,
+               idCol: String = "id", vecCol: String = "vec"): StreamingQuery =
+    updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, idx, idCol, vecCol)
+      }
+      .start()
+}

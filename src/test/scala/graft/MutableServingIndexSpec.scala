@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{KnnSearch, ServingIndex}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+class MutableServingIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dim = 16
+  private val n = 400
+
+  private def vec(seed: Long): Array[Float] = {
+    val r = new java.util.Random(seed)
+    Array.fill(dim)(r.nextGaussian().toFloat)
+  }
+
+  private def baseRows: Seq[(Long, Array[Float])] =
+    (0L until n.toLong).map(id => (id, vec(100L + id)))
+
+  private def baseRdd = spark.sparkContext.parallelize(baseRows, 4)
+
+  private def queries = (0 until 10).map(q => (q.toLong, vec(9000L + q))).toArray
+
+  /** Brute-force truth over a mutable id→vector map, same float kernel and
+    * (score, id) tie order the index uses. */
+  private def expect(truth: mutable.Map[Long, Array[Float]],
+                     qs: Array[(Long, Array[Float])], k: Int,
+                     metric: KnnSearch.Metric): Seq[(Long, Seq[(Float, Long)])] =
+    qs.toSeq.map { case (qid, q) =>
+      val scored = truth.toSeq.map { case (id, v) => (metric.scoreF32(q, v), id) }
+      val sorted =
+        if (metric.descending) scored.sortBy { case (s, id) => (-s, id) }
+        else scored.sortBy(identity)
+      (qid, sorted.take(k))
+    }
+
+  private def got(res: Array[(Long, Array[(Float, Long)])]): Seq[(Long, Seq[(Float, Long)])] =
+    res.toSeq.map { case (qid, arr) => (qid, arr.toSeq) }
+
+  test("unmutated mutable index equals the immutable flat base") {
+    val docs = baseRdd.cache(); docs.count()
+    val idx = ServingIndex.mutableFlat(docs, dim)
+    val flat = ServingIndex.buildFlat(docs, dim)
+    for (metric <- Seq[KnnSearch.Metric](KnnSearch.L2, KnnSearch.Cosine)) {
+      assert(got(idx.search(queries, 10, metric)) === got(flat.search(queries, 10, metric)))
+    }
+    flat.slabs.unpersist(); docs.unpersist()
+  }
+
+  test("upsert/replace/delete stream matches brute force at every step") {
+    val truth = mutable.LinkedHashMap(baseRows: _*)
+    val idx = ServingIndex.mutableFlat(baseRdd, dim)
+
+    def check(label: String): Unit =
+      for (metric <- Seq[KnnSearch.Metric](KnnSearch.L2, KnnSearch.Cosine)) {
+        assert(got(idx.search(queries, 10, metric)) === expect(truth, queries, 10, metric),
+          s"$label / $metric")
+      }
+
+    // fresh inserts
+    (1000L to 1019L).foreach { id =>
+      val v = vec(5000L + id); idx.upsert(id, v); truth(id) = v
+    }
+    check("after inserts")
+    // replacements of base ids (old copy must be masked)
+    Seq(3L, 77L, 250L).foreach { id =>
+      val v = vec(7000L + id); idx.upsert(id, v); truth(id) = v
+    }
+    check("after replace")
+    // deletes from base and from delta
+    Seq(0L, 77L, 1005L).foreach { id => idx.delete(id); truth.remove(id) }
+    check("after delete")
+    assert(idx.search(queries, 10, KnnSearch.L2).forall(_._2.length == 10),
+      "k results still returned after deletes")
+    // compaction folds everything into a fresh base with identical answers
+    val before = got(idx.search(queries, 10, KnnSearch.L2))
+    idx.compact()
+    assert(idx.deltaSize === 0 && idx.tombstoneCount === 0)
+    assert(got(idx.search(queries, 10, KnnSearch.L2)) === before)
+    check("after compact")
+  }
+
+  test("auto-compaction keeps delta and tombstones bounded") {
+    val idx = ServingIndex.mutableFlat(baseRdd, dim, maxDelta = 4, maxTombstones = 3)
+    (2000L until 2012L).foreach(id => idx.upsert(id, vec(id)))
+    assert(idx.deltaSize <= 4, "delta flushed by threshold")
+    (0L until 8L).foreach(idx.delete)
+    assert(idx.tombstoneCount <= 3, "tombstones flushed by threshold")
+    // everything still correct after the automatic flushes
+    val truth = mutable.LinkedHashMap(baseRows: _*)
+    (2000L until 2012L).foreach(id => truth(id) = vec(id))
+    (0L until 8L).foreach(truth.remove)
+    assert(got(idx.search(queries, 10, KnnSearch.L2)) === expect(truth, queries, 10, KnnSearch.L2))
+  }
+
+  test("streamed micro-batches maintain the index via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = ServingIndex.mutableFlat(baseRdd, dim)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Option[Array[Float]])]
+    val q = graft.streaming.IndexMaintenance.maintain(
+      mem.toDF().toDF("id", "vec"), idx)
+    try {
+      // batch 1: two inserts land and are searchable at the batch boundary
+      val v1 = vec(8001L); val v2 = vec(8002L)
+      mem.addData((9001L, Some(v1)), (9002L, Some(v2)))
+      q.processAllAvailable()
+      val truth = mutable.LinkedHashMap(baseRows: _*)
+      truth(9001L) = v1; truth(9002L) = v2
+      assert(got(idx.search(queries, 10, KnnSearch.L2)) === expect(truth, queries, 10, KnnSearch.L2))
+      // batch 2: a delete (null vec) and a replacement
+      val v3 = vec(8003L)
+      mem.addData((9001L, None), (42L, Some(v3)))
+      q.processAllAvailable()
+      truth.remove(9001L); truth(42L) = v3
+      assert(got(idx.search(queries, 10, KnnSearch.L2)) === expect(truth, queries, 10, KnnSearch.L2))
+    } finally q.stop()
+  }
+
+  test("mutable IVF at nprobe = nlist agrees with mutable flat") {
+    val flat = ServingIndex.mutableFlat(baseRdd, dim)
+    val ivf = ServingIndex.mutableIvf(baseRdd, dim, nlist = 8, iterations = 5)
+    Seq(5L, 9L).foreach(id => { flat.delete(id); ivf.delete(id) })
+    (3000L to 3009L).foreach { id =>
+      val v = vec(id); flat.upsert(id, v); ivf.upsert(id, v)
+    }
+    val a = got(flat.search(queries, 10, KnnSearch.L2))
+    val b = got(ivf.search(queries, 10, KnnSearch.L2, nprobe = 8))
+    assert(a === b)
+    ivf.compact()
+    assert(got(ivf.search(queries, 10, KnnSearch.L2, nprobe = 8)) === a)
+  }
+}
