@@ -136,8 +136,13 @@ object ServingIndex {
    *  - the immutable BASE ([[Flat]] or [[Ivf]]) holds the bulk corpus on
    *    the executors;
    *  - upserts land in a driver-local DELTA memtable (insertion-ordered,
-   *    O(1) upsert) and mask any base copy via a TOMBSTONE set;
-   *  - deletes tombstone the base and evict from the delta;
+   *    O(1) upsert); a base copy, when one may exist (a Bloom filter over
+   *    base ids decides — no false negatives, so every real base copy IS
+   *    masked; a false positive only adds a harmless extra tombstone), is
+   *    masked via a TOMBSTONE set. Fresh inserts therefore do NOT grow
+   *    the tombstone set or the search over-fetch;
+   *  - deletes tombstone the base copy (same Bloom gate) and evict from
+   *    the delta;
    *  - a search = base search over-fetched to k + |tombstones| (a masked
    *    vector can occupy at most one result slot, so k survivors are
    *    guaranteed — the hot scan kernels stay untouched), tombstones
@@ -145,13 +150,18 @@ object ServingIndex {
    *  - [[Mutable.compact]] folds delta + tombstones into a freshly built
    *    base (the LSM flush); it fires automatically when either side
    *    outgrows its threshold, so the over-fetch and the delta scan stay
-   *    bounded no matter how long the mutation stream runs.
+   *    bounded. The rebuilt slabs are `localCheckpoint`ed: the lineage is
+   *    cut at each flush, so neither DAG depth nor retained
+   *    prior-generation state grows with the number of compactions.
    *
    * Scale shape: mutations between compactions are serving-sized (the
    * thresholds bound them); the 100 TB bulk stays distributed and
-   * immutable, exactly how an LSM keeps its L1+ levels. Mutations are
-   * driver-side state — callers serialize them (single serving driver),
-   * as with any index writer.
+   * immutable, exactly how an LSM keeps its L1+ levels. The Bloom filter
+   * costs ~1.2 bytes per base id at 1% fpp — size the serving driver (or
+   * shard the index) accordingly. All public methods are synchronized:
+   * readers and the (single) writer can interleave safely; a search
+   * holds the lock for its fused job, which is the serving trade — a
+   * mutation never observes a half-applied batch.
    */
   final class Mutable private[ServingIndex] (
       private var base: Either[Flat, Ivf],
@@ -162,24 +172,27 @@ object ServingIndex {
 
     private val delta = new java.util.LinkedHashMap[java.lang.Long, Array[Float]]
     private val tombstones = new java.util.HashSet[java.lang.Long]
+    private var baseIds: org.apache.spark.util.sketch.BloomFilter = buildBloom()
 
-    def deltaSize: Int = delta.size
-    def tombstoneCount: Int = tombstones.size
+    def deltaSize: Int = synchronized(delta.size)
+    def tombstoneCount: Int = synchronized(tombstones.size)
 
     /** Insert or replace one vector (ON CONFLICT DO UPDATE semantics). */
-    def upsert(id: Long, v: Array[Float]): Unit = {
+    def upsert(id: Long, v: Array[Float]): Unit = synchronized {
       require(v != null && v.length == dim, s"vector must have dim=$dim")
-      tombstones.add(id) // mask any base copy; harmless if absent
+      if (baseIds.mightContainLong(id)) tombstones.add(id) // mask base copy
       delta.put(id, v)
       maybeCompact()
     }
 
-    def upsertAll(batch: Iterable[(Long, Array[Float])]): Unit =
+    def upsertAll(batch: Iterable[(Long, Array[Float])]): Unit = synchronized {
       batch.foreach { case (id, v) => upsert(id, v) }
+    }
 
-    /** Delete by id (from base via tombstone, from delta by eviction). */
-    def delete(id: Long): Unit = {
-      tombstones.add(id)
+    /** Delete by id (from base via tombstone, from delta by eviction).
+      * Deleting an id that was never inserted is a no-op. */
+    def delete(id: Long): Unit = synchronized {
+      if (baseIds.mightContainLong(id)) tombstones.add(id)
       delta.remove(id)
       maybeCompact()
     }
@@ -187,7 +200,7 @@ object ServingIndex {
     /** Merged-view batch search: base minus tombstones, plus delta. */
     def search(queries: Array[(Long, Array[Float])], k: Int,
                metric: KnnSearch.Metric = KnnSearch.L2,
-               nprobe: Int = 8): Array[(Long, Array[(Float, Long)])] = {
+               nprobe: Int = 8): Array[(Long, Array[(Float, Long)])] = synchronized {
       val desc = metric.descending
       val kBase = k + tombstones.size
       val fromBase = base match {
@@ -204,7 +217,7 @@ object ServingIndex {
 
     /** Fold delta + tombstones into a fresh base (LSM flush). No-op when
       * there is nothing to fold. */
-    def compact(): Unit = {
+    def compact(): Unit = synchronized {
       if (delta.isEmpty && tombstones.isEmpty) return
       val survivors = baseVectors()
       val sc = survivors.sparkContext
@@ -218,10 +231,40 @@ object ServingIndex {
         if (deltaRows.isEmpty) survivors
         else survivors.union(sc.parallelize(deltaRows, 1))
       val old = base
+      // rebuild closures pass localCheckpoint=true to the builders: the
+      // mark must land BEFORE the slabs' first action (Spark checkpoints
+      // only on the first job of an RDD), and without it each generation's
+      // slabs would reference the previous generation's (flatMap over old
+      // slabs ∪ parallelized delta) — DAG depth and retained driver state
+      // growing with every flush on a long mutation stream
       base = rebuild(merged)
+      baseIds = buildBloom()
       old.fold(_.slabs.unpersist(false), _.slabs.unpersist(false))
       delta.clear()
       tombstones.clear()
+    }
+
+    /** Test hook: lineage depth of the current base slabs (compaction
+      * must keep this flat — see the checkpoint note in [[compact]]). */
+    private[graft] def lineageDepth: Int = synchronized {
+      val s = base match {
+        case Left(f) => f.slabs.toDebugString
+        case Right(i) => i.slabs.toDebugString
+      }
+      s.linesIterator.size
+    }
+
+    /** Bloom over the base's ids (no false negatives — every id actually
+      * in the base tests positive, which is what masking requires). */
+    private def buildBloom(): org.apache.spark.util.sketch.BloomFilter = {
+      import org.apache.spark.util.sketch.BloomFilter
+      val idArrays = base.fold(_.slabs.map(_.ids), _.slabs.map(_.ids))
+      val n = math.max(idArrays.map(_.length.toLong).fold(0L)(_ + _), 64L)
+      idArrays.mapPartitions { it =>
+        val bf = BloomFilter.create(n, 0.01)
+        it.foreach(ids => ids.foreach(bf.putLong))
+        Iterator.single(bf)
+      }.fold(BloomFilter.create(n, 0.01)) { (a, b) => a.mergeInPlace(b); a }
     }
 
     /** Base rows that survive the tombstone mask, unpacked from slabs. */
@@ -278,18 +321,30 @@ object ServingIndex {
                   maxTombstones: Int = 512): Mutable = {
     val d = dim
     new Mutable(Left(buildFlat(baseVectors, d, numSlabs)), d,
-      rows => Left(buildFlat(rows, d, numSlabs)), maxDelta, maxTombstones)
+      rows => Left(buildFlat(rows, d, numSlabs, localCheckpoint = true)),
+      maxDelta, maxTombstones)
   }
 
   /** Mutable wrapper over an IVF base; compaction re-trains with the same
-    * nlist/seed (deterministic rebuild). */
+    * nlist/seed (deterministic rebuild). When deletions shrink the live
+    * set below nlist, the rebuild clamps nlist to the survivor count (an
+    * empty survivor set degrades to a flat base) instead of wedging the
+    * index on `buildIvf`'s seed requirement. */
   def mutableIvf(baseVectors: RDD[(Long, Array[Float])], dim: Int, nlist: Int,
                  iterations: Int = 10, seed: Long = 42L, numSlabs: Int = -1,
                  maxDelta: Int = 4096, maxTombstones: Int = 512): Mutable = {
     val d = dim
+    val rebuild: RDD[(Long, Array[Float])] => Either[Flat, Ivf] = rows0 => {
+      val rows = rows0.cache()
+      try {
+        val n = rows.count()
+        if (n == 0) Left(buildFlat(rows, d, numSlabs, localCheckpoint = true))
+        else Right(buildIvf(rows, d, math.min(nlist.toLong, n).toInt,
+          iterations, seed, numSlabs, localCheckpoint = true))
+      } finally rows.unpersist(false)
+    }
     new Mutable(Right(buildIvf(baseVectors, d, nlist, iterations, seed, numSlabs)), d,
-      rows => Right(buildIvf(rows, d, nlist, iterations, seed, numSlabs)),
-      maxDelta, maxTombstones)
+      rebuild, maxDelta, maxTombstones)
   }
 
   // -------------------------------------------------------------- builds
@@ -301,7 +356,7 @@ object ServingIndex {
     * work-per-task (exhaustive scans want ≈ cores; pruned index scans
     * want fewer). Default keeps the input partitioning. */
   def buildFlat(vectors: RDD[(Long, Array[Float])], dim: Int,
-                numSlabs: Int = -1): Flat = {
+                numSlabs: Int = -1, localCheckpoint: Boolean = false): Flat = {
     val d = dim
     val src =
       if (numSlabs > 0 && numSlabs < vectors.getNumPartitions)
@@ -315,6 +370,10 @@ object ServingIndex {
       }
       Iterator.single(FlatSlab(ids.result(), data.result()))
     }, preservesPartitioning = true).cache()
+    // lineage cut for rebuild-from-rebuild chains (Mutable.compact): must
+    // be marked before the materializing count — Spark checkpoints only on
+    // an RDD's FIRST job
+    if (localCheckpoint) slabs.localCheckpoint()
     slabs.count()
     new Flat(slabs, dim)
   }
@@ -329,7 +388,7 @@ object ServingIndex {
    */
   def buildIvf(vectors0: RDD[(Long, Array[Float])], dim: Int, nlist: Int,
                iterations: Int = 10, seed: Long = 42L,
-               numSlabs: Int = -1): Ivf = {
+               numSlabs: Int = -1, localCheckpoint: Boolean = false): Ivf = {
     val vectors =
       if (numSlabs > 0 && numSlabs < vectors0.getNumPartitions)
         vectors0.coalesce(numSlabs)
@@ -401,6 +460,8 @@ object ServingIndex {
       }
       Iterator.single(IvfSlab(ids, data, offsets))
     }, preservesPartitioning = true).cache()
+    // see buildFlat: the mark must precede the slabs' first job
+    if (localCheckpoint) slabs.localCheckpoint()
     slabs.count()
     new Ivf(slabs, centroids, dim)
   }

@@ -29,7 +29,11 @@ object IndexMaintenance {
   def applyBatch(batch: DataFrame, idx: ServingIndex.Mutable,
                  idCol: String, vecCol: String): Unit = {
     import org.apache.spark.sql.functions.col
-    batch.select(col(idCol).cast("long"), col(vecCol)).collect().foreach { r =>
+    // cast the vector side too: array<double> sources (JSON/CSV-parsed or
+    // Double-computed vectors) must not ClassCastException at getSeq[Float];
+    // nulls survive the cast, so delete rows are unaffected
+    batch.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect().foreach { r =>
       val id = r.getLong(0)
       if (r.isNullAt(1)) idx.delete(id)
       else idx.upsert(id, r.getSeq[Float](1).toArray)

@@ -119,6 +119,64 @@ class MutableServingIndexSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("insert-only workload adds no tombstones (no over-fetch inflation)") {
+    val idx = ServingIndex.mutableFlat(baseRdd, dim, maxTombstones = 50)
+    // 100 fresh ids: with unconditional tombstoning this would blow past
+    // maxTombstones=50 and force spurious full rebuilds; the Bloom gate on
+    // base membership must keep the tombstone set empty
+    (5000L until 5100L).foreach(id => idx.upsert(id, vec(id)))
+    assert(idx.tombstoneCount === 0)
+    // deleting an id that never existed is a no-op, not a tombstone
+    idx.delete(999999L)
+    assert(idx.tombstoneCount === 0)
+  }
+
+  test("IVF compaction survives the live set shrinking below nlist") {
+    val idx = ServingIndex.mutableIvf(baseRdd, dim, nlist = 16, iterations = 3,
+      maxTombstones = 1000)
+    (0L until (n - 5).toLong).foreach(idx.delete)
+    idx.compact() // 5 survivors < nlist=16: rebuild must clamp, not wedge
+    assert(idx.deltaSize === 0 && idx.tombstoneCount === 0)
+    val truth = mutable.LinkedHashMap(baseRows.drop(n - 5): _*)
+    assert(got(idx.search(queries, 10, KnnSearch.L2, nprobe = 16)) ===
+      expect(truth, queries, 10, KnnSearch.L2))
+    // all the way to empty: degrades to a flat base, returns no rows
+    (0L until n.toLong).foreach(idx.delete)
+    idx.compact()
+    assert(idx.search(queries, 3, KnnSearch.L2).forall(_._2.isEmpty))
+    // and the index still accepts writes afterwards
+    idx.upsert(7L, vec(7L))
+    assert(idx.search(queries, 1, KnnSearch.L2).forall(_._2.map(_._2).sameElements(Array(7L))))
+  }
+
+  test("compaction cuts lineage: DAG depth stays flat across many flushes") {
+    val idx = ServingIndex.mutableFlat(baseRdd, dim)
+    idx.upsert(6000L, vec(6000L)); idx.compact()
+    val depthAfterFirst = idx.lineageDepth
+    (1 to 5).foreach { g => idx.upsert(6000L + g, vec(6000L + g)); idx.compact() }
+    assert(idx.lineageDepth <= depthAfterFirst,
+      s"lineage grew: ${idx.lineageDepth} vs $depthAfterFirst after 5 more flushes")
+  }
+
+  test("array<double> vector streams are cast, not crashed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = ServingIndex.mutableFlat(baseRdd, dim)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Option[Array[Double]])]
+    val q = graft.streaming.IndexMaintenance.maintain(
+      mem.toDF().toDF("id", "vec"), idx)
+    try {
+      val v = vec(8100L)
+      mem.addData((9100L, Some(v.map(_.toDouble))), (3L, None))
+      q.processAllAvailable()
+      val truth = mutable.LinkedHashMap(baseRows: _*)
+      truth(9100L) = v; truth.remove(3L)
+      assert(got(idx.search(queries, 10, KnnSearch.L2)) ===
+        expect(truth, queries, 10, KnnSearch.L2))
+    } finally q.stop()
+  }
+
   test("mutable IVF at nprobe = nlist agrees with mutable flat") {
     val flat = ServingIndex.mutableFlat(baseRdd, dim)
     val ivf = ServingIndex.mutableIvf(baseRdd, dim, nlist = 8, iterations = 5)
