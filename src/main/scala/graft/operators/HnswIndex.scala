@@ -34,31 +34,17 @@ object HnswIndex {
     * distance — sqrt deferred to the reported score. Build and query use
     * THIS one kernel, so graph construction and scoring cannot diverge. */
   private[operators] def distKernel(metric: KnnSearch.Metric, data: Array[Float],
-                                    dim: Int): (Array[Float], Int) => Float =
+                                    dim: Int): (Array[Float], Int) => Float = {
+    import KnnSearch.F32Kernels
     metric match {
-      case KnnSearch.L2 => (q, node) => {
-        val base = node * dim
-        var s = 0.0f; var i = 0
-        while (i < dim) { val d = q(i) - data(base + i); s += d * d; i += 1 }
-        s
-      }
-      case KnnSearch.InnerProduct => (q, node) => {
-        val base = node * dim
-        var s = 0.0f; var i = 0
-        while (i < dim) { s += q(i) * data(base + i); i += 1 }
-        -s
-      }
-      case KnnSearch.Cosine => (q, node) => {
-        val base = node * dim
-        var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
-        while (i < dim) {
-          val x = q(i); val y = data(base + i)
-          dot += x * y; nq += x * x; nv += y * y; i += 1
-        }
-        if (nq == 0.0f || nv == 0.0f) 0.0f
-        else -(dot / math.sqrt(nq.toDouble * nv)).toFloat
-      }
+      case KnnSearch.L2 =>
+        (q, node) => F32Kernels.l2sq(q, data, node * dim, dim)
+      case KnnSearch.InnerProduct =>
+        (q, node) => -F32Kernels.dot(q, data, node * dim, dim)
+      case KnnSearch.Cosine =>
+        (q, node) => -F32Kernels.cosine(q, data, node * dim, dim)
     }
+  }
 
   /** One partition's graph: packed vectors + per-node per-level adjacency. */
   final class Shard(

@@ -24,6 +24,81 @@ import org.apache.spark.sql.functions._
  */
 object KnnSearch {
 
+  /**
+   * The ONE float32 distance kernel family every F32 consumer shares
+   * (`Metric.scoreF32`, the [[ServingIndex]] slab scans, the
+   * [[HnswIndex]] graph kernel) — so bench/serving scores are identical
+   * across all of them by construction.
+   *
+   * Loops run 4 independent accumulators: strict left-to-right float
+   * summation serializes the FP pipeline (each add waits ~4 cycles on the
+   * previous), which is the dominant cost of a dim-384 scan; four
+   * parallel partial sums expose the ILP/SIMD the JIT can actually use,
+   * measured ~2× on the day_6 exact kernel. The combine order
+   * ((s0+s1)+(s2+s3), tail folded into s0) is fixed and shared. The
+   * DOUBLE kernels (`Metric.score`) keep strict sequential order — they
+   * are the DuckDB-oracle-parity path and must stay bit-identical to
+   * `list_*` semantics.
+   */
+  private[operators] object F32Kernels {
+    /** Σ(q(i)−v(off+i))² — squared L2 over n dims. */
+    def l2sq(q: Array[Float], v: Array[Float], off: Int, n: Int): Float = {
+      var s0, s1, s2, s3 = 0.0f
+      var i = 0
+      val lim = n - 3
+      while (i < lim) {
+        val d0 = q(i) - v(off + i); val d1 = q(i + 1) - v(off + i + 1)
+        val d2 = q(i + 2) - v(off + i + 2); val d3 = q(i + 3) - v(off + i + 3)
+        s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+        i += 4
+      }
+      while (i < n) { val d = q(i) - v(off + i); s0 += d * d; i += 1 }
+      (s0 + s1) + (s2 + s3)
+    }
+
+    /** Σ q(i)·v(off+i) over n dims. */
+    def dot(q: Array[Float], v: Array[Float], off: Int, n: Int): Float = {
+      var s0, s1, s2, s3 = 0.0f
+      var i = 0
+      val lim = n - 3
+      while (i < lim) {
+        s0 += q(i) * v(off + i); s1 += q(i + 1) * v(off + i + 1)
+        s2 += q(i + 2) * v(off + i + 2); s3 += q(i + 3) * v(off + i + 3)
+        i += 4
+      }
+      while (i < n) { s0 += q(i) * v(off + i); i += 1 }
+      (s0 + s1) + (s2 + s3)
+    }
+
+    /** Cosine similarity with the shared zero-norm guard. */
+    def cosine(q: Array[Float], v: Array[Float], off: Int, n: Int): Float = {
+      var d0, d1, d2, d3 = 0.0f
+      var x0, x1, x2, x3 = 0.0f
+      var y0, y1, y2, y3 = 0.0f
+      var i = 0
+      val lim = n - 3
+      while (i < lim) {
+        val a0 = q(i); val b0 = v(off + i)
+        val a1 = q(i + 1); val b1 = v(off + i + 1)
+        val a2 = q(i + 2); val b2 = v(off + i + 2)
+        val a3 = q(i + 3); val b3 = v(off + i + 3)
+        d0 += a0 * b0; d1 += a1 * b1; d2 += a2 * b2; d3 += a3 * b3
+        x0 += a0 * a0; x1 += a1 * a1; x2 += a2 * a2; x3 += a3 * a3
+        y0 += b0 * b0; y1 += b1 * b1; y2 += b2 * b2; y3 += b3 * b3
+        i += 4
+      }
+      while (i < n) {
+        val a = q(i); val b = v(off + i)
+        d0 += a * b; x0 += a * a; y0 += b * b; i += 1
+      }
+      val dd = (d0 + d1) + (d2 + d3)
+      val nq = (x0 + x1) + (x2 + x3)
+      val nv = (y0 + y1) + (y2 + y3)
+      if (nq == 0.0f || nv == 0.0f) 0.0f
+      else (dd / math.sqrt(nq.toDouble * nv)).toFloat
+    }
+  }
+
   sealed trait Metric {
     /** true ⇒ larger score is better. */
     def descending: Boolean
@@ -48,13 +123,8 @@ object KnnSearch {
       while (i < n) { val x = q(i); val y = v(i); dot += x * y; nq += x * x; nv += y * y; i += 1 }
       if (nq == 0.0 || nv == 0.0) 0.0 else dot / (math.sqrt(nq) * math.sqrt(nv))
     }
-    def scoreF32(q: Array[Float], v: Array[Float]): Float = {
-      var dot, nq, nv = 0.0f
-      val n = math.min(q.length, v.length)
-      var i = 0
-      while (i < n) { val x = q(i); val y = v(i); dot += x * y; nq += x * x; nv += y * y; i += 1 }
-      if (nq == 0.0f || nv == 0.0f) 0.0f else (dot / math.sqrt(nq.toDouble * nv)).toFloat
-    }
+    def scoreF32(q: Array[Float], v: Array[Float]): Float =
+      F32Kernels.cosine(q, v, 0, math.min(q.length, v.length))
     def column(query: Column, doc: Column): Column = cosineSimilarity(query, doc)
   }
 
@@ -67,13 +137,8 @@ object KnnSearch {
       while (i < n) { dot += q(i) * v(i); i += 1 }
       dot
     }
-    def scoreF32(q: Array[Float], v: Array[Float]): Float = {
-      var dot = 0.0f
-      val n = math.min(q.length, v.length)
-      var i = 0
-      while (i < n) { dot += q(i) * v(i); i += 1 }
-      dot
-    }
+    def scoreF32(q: Array[Float], v: Array[Float]): Float =
+      F32Kernels.dot(q, v, 0, math.min(q.length, v.length))
     def column(query: Column, doc: Column): Column = dotProduct(query, doc)
   }
 
@@ -86,13 +151,8 @@ object KnnSearch {
       while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }
       math.sqrt(s)
     }
-    def scoreF32(q: Array[Float], v: Array[Float]): Float = {
-      var s = 0.0f
-      val n = math.min(q.length, v.length)
-      var i = 0
-      while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }
-      math.sqrt(s.toDouble).toFloat
-    }
+    def scoreF32(q: Array[Float], v: Array[Float]): Float =
+      math.sqrt(F32Kernels.l2sq(q, v, 0, math.min(q.length, v.length)).toDouble).toFloat
     def column(query: Column, doc: Column): Column = l2Distance(query, doc)
   }
 

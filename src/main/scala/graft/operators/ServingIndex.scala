@@ -508,11 +508,13 @@ object ServingIndex {
   }
 
   /** Score one slab stripe against ALL queries (flat scan). The metric
-    * dispatch is hoisted OUT of the per-vector loop: each specialized loop
-    * body is a single monomorphic float kernel the JIT can unroll. */
+    * dispatch is hoisted OUT of the per-vector loop; the per-vector math
+    * is the shared 4-way-unrolled [[KnnSearch.F32Kernels]] family, so
+    * slab scans score identically to `Metric.scoreF32` by construction. */
   private def scanSlab(data: Array[Float], ids: Array[Long], from: Int,
                        until: Int, d: Int, qs: Array[Array[Float]],
-                       metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit =
+                       metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit = {
+    import KnnSearch.F32Kernels
     metric match {
       case KnnSearch.L2 =>
         var vi = from
@@ -520,10 +522,8 @@ object ServingIndex {
           val base = vi * d
           var qi = 0
           while (qi < qs.length) {
-            val q = qs(qi)
-            var s = 0.0f; var i = 0
-            while (i < d) { val df = q(i) - data(base + i); s += df * df; i += 1 }
-            acc(qi).insert(math.sqrt(s.toDouble).toFloat, ids(vi), desc = false)
+            val s = math.sqrt(F32Kernels.l2sq(qs(qi), data, base, d).toDouble).toFloat
+            acc(qi).insert(s, ids(vi), desc = false)
             qi += 1
           }
           vi += 1
@@ -534,10 +534,7 @@ object ServingIndex {
           val base = vi * d
           var qi = 0
           while (qi < qs.length) {
-            val q = qs(qi)
-            var s = 0.0f; var i = 0
-            while (i < d) { s += q(i) * data(base + i); i += 1 }
-            acc(qi).insert(s, ids(vi), desc = true)
+            acc(qi).insert(F32Kernels.dot(qs(qi), data, base, d), ids(vi), desc = true)
             qi += 1
           }
           vi += 1
@@ -548,60 +545,42 @@ object ServingIndex {
           val base = vi * d
           var qi = 0
           while (qi < qs.length) {
-            val q = qs(qi)
-            var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
-            while (i < d) {
-              val x = q(i); val y = data(base + i)
-              dot += x * y; nq += x * x; nv += y * y; i += 1
-            }
-            val s = if (nq == 0.0f || nv == 0.0f) 0.0f
-                    else (dot / math.sqrt(nq.toDouble * nv)).toFloat
-            acc(qi).insert(s, ids(vi), desc = true)
+            acc(qi).insert(F32Kernels.cosine(qs(qi), data, base, d), ids(vi), desc = true)
             qi += 1
           }
           vi += 1
         }
     }
+  }
 
   /** Score one slab range against ONE query (IVF probe scan) — same
-    * hoisted-dispatch shape as [[scanSlab]]. */
+    * hoisted-dispatch shape and shared kernels as [[scanSlab]]. */
   private def scanSlabOneQuery(data: Array[Float], ids: Array[Long], from: Int,
                                until: Int, d: Int, q: Array[Float], qi: Int,
-                               metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit =
+                               metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit = {
+    import KnnSearch.F32Kernels
     metric match {
       case KnnSearch.L2 =>
         var vi = from
         while (vi < until) {
-          val base = vi * d
-          var s = 0.0f; var i = 0
-          while (i < d) { val df = q(i) - data(base + i); s += df * df; i += 1 }
-          acc(qi).insert(math.sqrt(s.toDouble).toFloat, ids(vi), desc = false)
+          val s = math.sqrt(F32Kernels.l2sq(q, data, vi * d, d).toDouble).toFloat
+          acc(qi).insert(s, ids(vi), desc = false)
           vi += 1
         }
       case KnnSearch.InnerProduct =>
         var vi = from
         while (vi < until) {
-          val base = vi * d
-          var s = 0.0f; var i = 0
-          while (i < d) { s += q(i) * data(base + i); i += 1 }
-          acc(qi).insert(s, ids(vi), desc = true)
+          acc(qi).insert(F32Kernels.dot(q, data, vi * d, d), ids(vi), desc = true)
           vi += 1
         }
       case KnnSearch.Cosine =>
         var vi = from
         while (vi < until) {
-          val base = vi * d
-          var dot = 0.0f; var nq = 0.0f; var nv = 0.0f; var i = 0
-          while (i < d) {
-            val x = q(i); val y = data(base + i)
-            dot += x * y; nq += x * x; nv += y * y; i += 1
-          }
-          val s = if (nq == 0.0f || nv == 0.0f) 0.0f
-                  else (dot / math.sqrt(nq.toDouble * nv)).toFloat
-          acc(qi).insert(s, ids(vi), desc = true)
+          acc(qi).insert(F32Kernels.cosine(q, data, vi * d, d), ids(vi), desc = true)
           vi += 1
         }
     }
+  }
 
   private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0
