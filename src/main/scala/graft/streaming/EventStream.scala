@@ -147,6 +147,29 @@ object EventStream {
       }
   }
 
+  /**
+   * Streaming exact dedup — the batch `Dedup.dropExactDuplicates`
+   * operator over an unbounded document stream: keep the FIRST arrival
+   * of each canonical fingerprint ([[graft.functions.TextFunctions.fingerprint]]:
+   * md5 of lowercased, whitespace-collapsed text), drop later copies.
+   *
+   * State is bounded by the watermark: `dropDuplicatesWithinWatermark`
+   * evicts a fingerprint once the event-time watermark passes its last
+   * sighting + the delay, so a 100 TB/day stream holds only the horizon's
+   * fingerprints (16 bytes each) in the state store — the streaming twin
+   * of the hash-groupBy dedup's shuffle key. A duplicate arriving AFTER
+   * its original's state evicted is re-emitted (that is the contract:
+   * dedup WITHIN the horizon; cross-horizon dedup is the batch job's
+   * business).
+   */
+  def dedupStream(docs: DataFrame, textCol: String, timeCol: String,
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Streaming upsert sink into a collection (foreachBatch latest-wins
     * merge — the reference's batch-insert endpoint as a stream consumer). */
   def upsertSink(updates: DataFrame, root: String, collection: String,

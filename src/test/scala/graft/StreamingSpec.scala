@@ -78,4 +78,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(out === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
     } finally q.stop()
   }
+
+  test("streaming exact dedup keeps first arrival within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = EventStream.dedupStream(
+      mem.toDF().toDF("event_time", "doc_id", "text"), "text", "event_time",
+      watermarkDelay = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      // batch 1: "Hello World" twice (differing case/whitespace — same
+      // canonical fingerprint) + one distinct doc
+      mem.addData((ts(10), 1L, "Hello  World"), (ts(10), 2L, "hello world"),
+        (ts(10), 3L, "another doc"))
+      q.processAllAvailable()
+      // batch 2: another copy inside the horizon — still suppressed
+      mem.addData((ts(10), 4L, "HELLO WORLD"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select($"doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 3L), "first arrival per fingerprint within horizon")
+      // jump event time far past the horizon. The watermark only advances
+      // AFTER a batch, so doc 5 is still judged against the live ts(10)
+      // state (suppressed) while its batch moves the watermark to 19:00,
+      // evicting that state — doc 6 then re-emits (the documented
+      // within-horizon contract), and doc 7 is suppressed by doc 6's state.
+      mem.addData((ts(20), 5L, "hello world"))
+      q.processAllAvailable()
+      mem.addData((ts(20), 6L, "hello world"))
+      q.processAllAvailable()
+      mem.addData((ts(20), 7L, "hello world"))
+      q.processAllAvailable()
+      val kept2 = spark.table("dedup_stream").select($"doc_id").as[Long].collect().toSet
+      assert(kept2 === Set(1L, 3L, 6L), "re-emitted after horizon eviction, copies suppressed")
+    } finally q.stop()
+  }
 }
