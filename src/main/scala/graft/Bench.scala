@@ -114,12 +114,13 @@ object Bench {
       efConstruction = 64, operators.KnnSearch.L2, numShards = 16)
     docs.unpersist() // the indexes hold their own resident slabs now
     System.gc() // drain build garbage outside the timed region
-    // warm once, then min of 5 — a single ~30 ms measurement is at the
+    // warm twice, then min of 9 — a single ~30 ms measurement is at the
     // mercy of one straggler task wakeup or a neighboring tenant; the min
-    // is the standard steady-state latency estimator at this scale
+    // is the standard steady-state latency estimator at this scale, and
+    // more reps only tighten it (total cost still well under a second)
     def timed(fn: () => Unit): Double = {
-      fn() // warm
-      Array.fill(5) {
+      fn(); fn() // warm (JIT tiers + scheduler pools)
+      Array.fill(9) {
         val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
       }.min
     }
