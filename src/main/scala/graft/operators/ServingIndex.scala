@@ -42,7 +42,8 @@ object ServingIndex {
   // ---------------------------------------------------------------- flat
 
   final class Flat private[ServingIndex] (
-      val slabs: RDD[FlatSlab], val dim: Int) extends Serializable {
+      val slabs: RDD[FlatSlab], val dim: Int,
+      val numVectors: Long) extends Serializable {
 
     /** Exact batch top-k: one job, driver merge of bounded arrays. */
     def search(queries: Array[(Long, Array[Float])], k: Int,
@@ -68,7 +69,7 @@ object ServingIndex {
 
   final class Ivf private[ServingIndex] (
       val slabs: RDD[IvfSlab], val centroids: Array[Array[Float]],
-      val dim: Int) extends Serializable {
+      val dim: Int, val numVectors: Long) extends Serializable {
 
     def nlist: Int = centroids.length
 
@@ -172,7 +173,13 @@ object ServingIndex {
 
     private val delta = new java.util.LinkedHashMap[java.lang.Long, Array[Float]]
     private val tombstones = new java.util.HashSet[java.lang.Long]
-    private var baseIds: org.apache.spark.util.sketch.BloomFilter = buildBloom()
+    // built on first mutation (read-only usage never pays the job); only
+    // accessed under the instance lock
+    private var baseIdsOrNull: org.apache.spark.util.sketch.BloomFilter = null
+    private def baseIds: org.apache.spark.util.sketch.BloomFilter = {
+      if (baseIdsOrNull == null) baseIdsOrNull = bloomOf(base)
+      baseIdsOrNull
+    }
 
     def deltaSize: Int = synchronized(delta.size)
     def tombstoneCount: Int = synchronized(tombstones.size)
@@ -230,15 +237,27 @@ object ServingIndex {
       val merged =
         if (deltaRows.isEmpty) survivors
         else survivors.union(sc.parallelize(deltaRows, 1))
-      val old = base
       // rebuild closures pass localCheckpoint=true to the builders: the
       // mark must land BEFORE the slabs' first action (Spark checkpoints
       // only on the first job of an RDD), and without it each generation's
       // slabs would reference the previous generation's (flatMap over old
       // slabs ∪ parallelized delta) — DAG depth and retained driver state
-      // growing with every flush on a long mutation stream
-      base = rebuild(merged)
-      baseIds = buildBloom()
+      // growing with every flush on a long mutation stream.
+      // ALL fallible work (rebuild + bloom, both Spark jobs) happens
+      // before any state is touched: a failure leaves the old base, delta
+      // and tombstones fully intact, so a retry is safe and a search in
+      // between sees a consistent view.
+      val newBase = rebuild(merged)
+      val newBloom =
+        try bloomOf(newBase)
+        catch { case t: Throwable =>
+          newBase.fold(_.slabs.unpersist(false), _.slabs.unpersist(false))
+          throw t
+        }
+      // commit point — nothing below can throw
+      val old = base
+      base = newBase
+      baseIdsOrNull = newBloom
       old.fold(_.slabs.unpersist(false), _.slabs.unpersist(false))
       delta.clear()
       tombstones.clear()
@@ -254,12 +273,17 @@ object ServingIndex {
       s.linesIterator.size
     }
 
-    /** Bloom over the base's ids (no false negatives — every id actually
-      * in the base tests positive, which is what masking requires). */
-    private def buildBloom(): org.apache.spark.util.sketch.BloomFilter = {
+    /** Bloom over a base's ids (no false negatives — every id actually
+      * in the base tests positive, which is what masking requires). One
+      * Spark job: the capacity comes from the count the build already
+      * materialized. */
+    private def bloomOf(of: Either[Flat, Ivf]): org.apache.spark.util.sketch.BloomFilter = {
       import org.apache.spark.util.sketch.BloomFilter
-      val idArrays = base.fold(_.slabs.map(_.ids), _.slabs.map(_.ids))
-      val n = math.max(idArrays.map(_.length.toLong).fold(0L)(_ + _), 64L)
+      val (idArrays, count) = of match {
+        case Left(f) => (f.slabs.map(_.ids), f.numVectors)
+        case Right(i) => (i.slabs.map(_.ids), i.numVectors)
+      }
+      val n = math.max(count, 64L)
       idArrays.mapPartitions { it =>
         val bf = BloomFilter.create(n, 0.01)
         it.foreach(ids => ids.foreach(bf.putLong))
@@ -371,11 +395,13 @@ object ServingIndex {
       Iterator.single(FlatSlab(ids.result(), data.result()))
     }, preservesPartitioning = true).cache()
     // lineage cut for rebuild-from-rebuild chains (Mutable.compact): must
-    // be marked before the materializing count — Spark checkpoints only on
-    // an RDD's FIRST job
+    // be marked before the materializing action — Spark checkpoints only
+    // on an RDD's FIRST job
     if (localCheckpoint) slabs.localCheckpoint()
-    slabs.count()
-    new Flat(slabs, dim)
+    // the materializing action doubles as the vector count (one job, and
+    // Mutable's Bloom sizing reads it back without a second pass)
+    val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
+    new Flat(slabs, dim, nv)
   }
 
   /**
@@ -460,10 +486,11 @@ object ServingIndex {
       }
       Iterator.single(IvfSlab(ids, data, offsets))
     }, preservesPartitioning = true).cache()
-    // see buildFlat: the mark must precede the slabs' first job
+    // see buildFlat: the mark must precede the slabs' first job, and the
+    // materializing action doubles as the vector count
     if (localCheckpoint) slabs.localCheckpoint()
-    slabs.count()
-    new Ivf(slabs, centroids, dim)
+    val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
+    new Ivf(slabs, centroids, dim, nv)
   }
 
   // ------------------------------------------------------------- kernels
@@ -582,14 +609,17 @@ object ServingIndex {
     }
   }
 
+  /** Same unrolled kernel as the probe ranking (`L2.scoreF32`): cell
+    * assignment and cell probing must round distances identically, or a
+    * vector on a cell boundary could be stored in one cell and probed in
+    * the other at low nprobe. */
   private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0
     var bestD = Float.MaxValue
     var c = 0
     while (c < cs.length) {
       val ctr = cs(c)
-      var s = 0.0f; var i = 0
-      while (i < ctr.length) { val df = v(i) - ctr(i); s += df * df; i += 1 }
+      val s = KnnSearch.F32Kernels.l2sq(v, ctr, 0, math.min(v.length, ctr.length))
       if (s < bestD) { bestD = s; best = c }
       c += 1
     }

