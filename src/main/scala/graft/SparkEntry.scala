@@ -485,6 +485,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** ID point lookup (P6 — the get-by-ids endpoint): pushed-down isin
+    * filter through CollectionStore.get. */
+  private val q46PointLookup: Q = (s, dir) =>
+    graft.sources.CollectionStore.get(
+        Tables(s, dir, "documents"), "doc_id", Seq(3L, 77L, 141L, 420L))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Doc-id validation + truncate-with-ellipsis (F19/F20) as a projection
+    * over the corpus — both sides run the identical regex/arithmetic. */
+  private val q47DocHygiene: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        isValidDocId(concat(lit("doc_"), col("doc_id"))).as("id_ok"),
+        isValidDocId(concat(lit("doc "), col("doc_id"))).as("id_bad"),
+        truncateEllipsis(col("text"), 80).as("preview"))
+      .orderBy(col("doc_id"))
+
   /** KMeans cluster profile (A12/A13; rows-only — centroid placement is
     * engine-specific, behavior is pinned by ClusteringSpec). */
   private val q41KmeansProfile: Q = (s, dir) =>
@@ -667,6 +686,8 @@ object SparkEntry {
     "q43_rolling_fp" -> q43RollingFp,
     "q44_dedup_keep" -> q44DedupKeep,
     "q45_upsert_merge" -> q45UpsertMerge,
+    "q46_point_lookup" -> q46PointLookup,
+    "q47_doc_hygiene" -> q47DocHygiene,
     "q41_kmeans_profile" -> q41KmeansProfile,
     "q31_ir_metrics" -> q31IrMetrics,
     "q32_ir_summary" -> q32IrSummary,
@@ -1134,6 +1155,18 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS version,
         |  md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS text_md5
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q46_point_lookup" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (3, 77, 141, 420)
+        |ORDER BY doc_id""".stripMargin,
+    "q47_doc_hygiene" ->
+      """SELECT doc_id,
+        |  regexp_matches('doc_' || doc_id, '^[A-Za-z0-9_.-]+$') AS id_ok,
+        |  regexp_matches('doc ' || doc_id, '^[A-Za-z0-9_.-]+$') AS id_bad,
+        |  CASE WHEN length(text) > 80 THEN substring(text, 1, 77) || '...' ELSE text END AS preview
+        |FROM documents
+        |WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
     "q50_rag_context" -> Q50ContextSql,
     "q51_rag_answer" ->
