@@ -281,6 +281,78 @@ object MediaCodecs {
       if (a.samples.length > 1) zc.toFloat / (a.samples.length - 1) else 0f)
   }
 
+  // ----------------------------------------------------------- dim probe
+
+  /**
+   * JPEG frame-header scan: walks the marker segments to the first SOFn
+   * (C0–CF except DHT C4 / JPG C8 / DAC CC) and reads (width, height,
+   * components) — REAL metadata for a format whose entropy-coded pixels
+   * we deliberately do not decode. Stops at SOS; clamps every length
+   * field (malformed input returns None, never loops or overflows).
+   */
+  def jpegDims(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    try {
+      if (bytes == null || bytes.length < 4 ||
+          (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8) return None
+      var pos = 2
+      while (pos + 2 <= bytes.length) {
+        if ((bytes(pos) & 0xff) != 0xFF) return None
+        var p = pos
+        while (p < bytes.length && (bytes(p) & 0xff) == 0xFF) p += 1 // fill bytes
+        if (p >= bytes.length) return None
+        val marker = bytes(p) & 0xff
+        p += 1
+        if (marker == 0xD8 || marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+          pos = p // standalone marker, no length field
+        } else {
+          if (p + 2 > bytes.length) return None
+          val len = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+          if (len < 2 || p + len > bytes.length) return None
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            if (len < 8) return None
+            val h = ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
+            val w = ((bytes(p + 5) & 0xff) << 8) | (bytes(p + 6) & 0xff)
+            val nc = bytes(p + 7) & 0xff
+            return if (w > 0 && h > 0 && nc > 0) Some((w, h, nc)) else None
+          }
+          if (marker == 0xDA) return None // SOS reached with no SOF: malformed
+          pos = p + len
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** Header-only (width, height, channels) probe across the supported
+    * image containers — no pixel decode, so it also covers JPEG. */
+  def probeDims(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    try {
+      if (bytes == null || bytes.length < 26) None
+      else if (bytes(0) == 'B' && bytes(1) == 'M') {
+        def u32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+        val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+        val w = u32(18); val h = math.abs(u32(22))
+        if (w > 0 && h > 0 && bpp % 8 == 0 && bpp > 0) Some((w, h, bpp / 8)) else None
+      } else if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+        def u32(o: Int) = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+          ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+        // IHDR is mandatory-first: length at 8, type at 12, data at 16
+        if (new String(bytes, 12, 4, "US-ASCII") != "IHDR") None
+        else {
+          val w = u32(16); val h = u32(20)
+          val channels = (bytes(25) & 0xff) match {
+            case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+            case _ => -1
+          }
+          if (w > 0 && h > 0 && channels > 0) Some((w, h, channels)) else None
+        }
+      } else jpegDims(bytes)
+    } catch { case _: Exception => None }
+  }
+
   /**
    * Real decoder for the multimodal pipeline: sniffs the container magic
    * (not the modality tag) and routes BMP/PNG/WAV through the real

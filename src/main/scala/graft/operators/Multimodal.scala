@@ -93,4 +93,26 @@ object Multimodal {
     df.withColumn("width", element_at(col("meta"), "w").cast("int"))
       .withColumn("height", element_at(col("meta"), "h").cast("int"))
       .withColumn("aspect", round(col("width").cast("double") / col("height"), 4))
+
+  /** REAL dimensions probed from the container headers of the binary
+    * column itself (BMP/PNG/JPEG — [[MediaCodecs.probeDims]]; JPEG needs
+    * no pixel decode, only the SOF frame header). Unknown containers get
+    * null dims. Typed mapPartitions: partition-parallel, no driver hop. */
+  def probeDimensions(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("asset_id").cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        MediaCodecs.probeDims(bytes) match {
+          case Some((w, h, c)) => (id, w, h, c)
+          case None => (id, -1, -1, -1)
+        }
+      }
+      .toDF("asset_id", "probed_w", "probed_h", "probed_channels")
+      .select(col("asset_id"),
+        when(col("probed_w") > 0, col("probed_w")).as("probed_w"),
+        when(col("probed_h") > 0, col("probed_h")).as("probed_h"),
+        when(col("probed_channels") > 0, col("probed_channels")).as("probed_channels"))
+  }
 }

@@ -191,6 +191,63 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeWav(out.array()).isEmpty)
   }
 
+  private def jpegBytes(w: Int, h: Int, nComp: Int, sofMarker: Int = 0xC0): Array[Byte] = {
+    val sofLen = 8 + 3 * nComp
+    val out = java.nio.ByteBuffer.allocate(2 + 18 + 2 + 2 + sofLen)
+    out.put(0xFF.toByte).put(0xD8.toByte)                       // SOI
+    out.put(0xFF.toByte).put(0xE0.toByte).putShort(16)          // APP0, len 16
+    out.put("JFIF".getBytes("US-ASCII")).put(new Array[Byte](10))
+    out.put(0xFF.toByte).put(sofMarker.toByte).putShort(sofLen.toShort)
+    out.put(8.toByte)                                           // precision
+    out.putShort(h.toShort).putShort(w.toShort).put(nComp.toByte)
+    for (c <- 0 until nComp) { out.put((c + 1).toByte).put(0x11.toByte).put(0.toByte) }
+    out.array()
+  }
+
+  test("JPEG SOF frame-header probe: baseline, progressive, grayscale, malformed") {
+    assert(MediaCodecs.jpegDims(jpegBytes(640, 480, 3)) === Some((640, 480, 3)))
+    assert(MediaCodecs.jpegDims(jpegBytes(31, 17, 3, sofMarker = 0xC2)) === Some((31, 17, 3)))
+    assert(MediaCodecs.jpegDims(jpegBytes(100, 50, 1)) === Some((100, 50, 1)))
+    // DHT (C4) must NOT be mistaken for a SOF
+    val withDht = {
+      val b = jpegBytes(8, 8, 3)
+      val dht = Array[Byte](0xFF.toByte, 0xC4.toByte, 0, 4, 0, 0)
+      b.take(20) ++ dht ++ b.drop(20) // splice after APP0
+    }
+    assert(MediaCodecs.jpegDims(withDht) === Some((8, 8, 3)))
+    assert(MediaCodecs.jpegDims(jpegBytes(640, 480, 3).take(10)) === None)
+    assert(MediaCodecs.jpegDims("nope".getBytes) === None)
+    // a length field pointing past the buffer must not loop or throw
+    val lying = jpegBytes(8, 8, 3)
+    lying(4) = 0x7F; lying(5) = 0xFF.toByte // APP0 len = 32767
+    assert(MediaCodecs.jpegDims(lying) === None)
+  }
+
+  test("probeDims reads header dims for BMP, PNG and JPEG without decoding") {
+    val bmp = bmpBytes(5, 3, (_, _) => (1, 2, 3))
+    assert(MediaCodecs.probeDims(bmp) === Some((5, 3, 3)))
+    val png = pngBytes(4, 2, 3, new Array[Byte](4 * 2 * 3), Array(0, 0))
+    assert(MediaCodecs.probeDims(png) === Some((4, 2, 3)))
+    assert(MediaCodecs.probeDims(jpegBytes(320, 200, 3)) === Some((320, 200, 3)))
+    assert(MediaCodecs.probeDims(Array.fill[Byte](64)(7)) === None)
+  }
+
+  test("Multimodal.probeDimensions over a binary column (real + unknown)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "image", jpegBytes(64, 32, 3)),
+      (1L, "image", bmpBytes(5, 3, (_, _) => (0, 0, 0))),
+      (2L, "audio", Array.fill[Byte](32)(1))) // unknown container
+    val out = Multimodal.probeDimensions(
+        rows.toDF("asset_id", "modality", "content"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getInt(3))))).toMap
+    assert(out(0L) === Some((64, 32, 3)))
+    assert(out(1L) === Some((5, 3, 3)))
+    assert(out(2L) === None)
+  }
+
   test("Multimodal.extractFeatures end-to-end with the real decoder") {
     val spark = TestSpark.spark
     import spark.implicits._
