@@ -61,6 +61,17 @@ object Demo {
     println("hnsw  top-3 for q0:       " + hnswTop.head._2.toSeq)
     flat.slabs.unpersist(); hnsw.shards.unpersist()
 
+    println("== 3c. mutable serving loop (insert -> search -> delete -> compact) ==")
+    val mutable = ServingIndex.mutableFlat(typedVecs, dim)
+    val q0 = servingQs.head._2
+    mutable.upsert(900001L, q0) // insert a vector equal to query 0
+    val afterInsert = mutable.search(servingQs.take(1), k = 3, KnnSearch.Cosine)
+    println("after insert, q0 top-3:   " + afterInsert.head._2.toSeq)
+    mutable.delete(900001L)
+    mutable.compact()
+    val afterDelete = mutable.search(servingQs.take(1), k = 3, KnnSearch.Cosine)
+    println("after delete+compact:     " + afterDelete.head._2.toSeq)
+
     println("== 4. RAG ==")
     val hits = KnnSearch.topKBatch(coll.dropDuplicates("doc_id"), "doc_id", "embedding",
       Seq((0L, qv)), 3)
@@ -87,6 +98,9 @@ object Demo {
     Dedup.exactStats(docs, "text").show()
     println("near-dup pairs (jaccard>=0.5): " +
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+    docs.select(col("doc_id"),
+        graft.functions.TextFunctions.rollingFingerprint(col("text")).as("rolling_fp"))
+      .show(3, truncate = false)
 
     spark.stop()
   }
