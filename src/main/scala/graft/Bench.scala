@@ -58,10 +58,12 @@ object Bench {
       ("x_day6_large_50k384_100q", 50000, 384)
     ).flatMap { case (name, n, dim) =>
       try {
-        val (ivfSec, exactSec, recall, hnswSec, hnswRecall) = day6Workload(spark, n, dim)
+        val (ivfSec, exactSec, recall, hnswSec, hnswRecall, sq8Sec, sq8Recall) =
+          day6Workload(spark, n, dim)
         Seq(name -> ivfSec, s"${name}_exact" -> exactSec,
           s"${name}_recall10" -> recall,
-          s"${name}_hnsw" -> hnswSec, s"${name}_hnsw_recall10" -> hnswRecall)
+          s"${name}_hnsw" -> hnswSec, s"${name}_hnsw_recall10" -> hnswRecall,
+          s"${name}_sq8" -> sq8Sec, s"${name}_sq8_recall10" -> sq8Recall)
       } catch { case _: Throwable => Seq(name -> -1.0) }
     }
 
@@ -75,10 +77,12 @@ object Bench {
 
   /** Generate a baseline dataset (seed-42 clustered gaussians, 100
     * clusters — day_6/day6_complete.py:26-52 shape), build the resident
-    * flat + IVF serving indexes (outside the timed region, like FAISS's
-    * separately-timed build), and time the warm 100-query top-10 batch:
-    * (ivf seconds, exact seconds, ivf recall@10 vs exact). */
-  private def day6Workload(spark: SparkSession, n: Int, dim: Int): (Double, Double, Double, Double, Double) = {
+    * flat + IVF + HNSW + SQ8 serving indexes (outside the timed region,
+    * like FAISS's separately-timed build), and time the warm 100-query
+    * top-10 batch: (ivf sec, exact sec, ivf recall@10, hnsw sec, hnsw
+    * recall@10, sq8 sec, sq8 recall@10) — recalls vs the exact oracle. */
+  private def day6Workload(spark: SparkSession, n: Int, dim: Int)
+      : (Double, Double, Double, Double, Double, Double, Double) = {
     import spark.implicits._
     val nClusters = 100
     val d = dim
@@ -112,6 +116,8 @@ object Bench {
     // FAISS HNSWFlat M=32 (recall@10 large = 0.485 — ours must beat it)
     val hnsw = operators.HnswIndex.build(docs, dim, m = 16,
       efConstruction = 64, operators.KnnSearch.L2, numShards = 16)
+    // SQ8: the 4×-less-memory tier; exhaustive ADC scan over uint8 codes
+    val sq8 = operators.ServingIndex.buildSq8(docs, dim)
     docs.unpersist() // the indexes hold their own resident slabs now
     System.gc() // drain build garbage outside the timed region
     // warm twice, then min of 9 — a single ~30 ms measurement is at the
@@ -127,10 +133,12 @@ object Bench {
     var exactRes: Array[(Long, Array[(Float, Long)])] = null
     var ivfRes: Array[(Long, Array[(Float, Long)])] = null
     var hnswRes: Array[(Long, Array[(Float, Long)])] = null
+    var sq8Res: Array[(Long, Array[(Float, Long)])] = null
     val exactSec = timed(() => exactRes = flat.search(queries, 10, operators.KnnSearch.L2))
     val ivfSec = timed(() =>
       ivfRes = ivf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
     val hnswSec = timed(() => hnswRes = hnsw.search(queries, 10, efSearch = 64))
+    val sq8Sec = timed(() => sq8Res = sq8.search(queries, 10, operators.KnnSearch.L2))
     val exactSets = exactRes.map { case (q, arr) => q -> arr.map(_._2).toSet }.toMap
     def recallOf(res: Array[(Long, Array[(Float, Long)])]): Double =
       res.map { case (q, arr) =>
@@ -138,7 +146,9 @@ object Bench {
       }.sum / res.length
     val recall = recallOf(ivfRes)
     val hnswRecall = recallOf(hnswRes)
+    val sq8Recall = recallOf(sq8Res)
     flat.slabs.unpersist(); ivf.slabs.unpersist(); hnsw.shards.unpersist()
-    (ivfSec, exactSec, recall, hnswSec, hnswRecall)
+    sq8.slabs.unpersist()
+    (ivfSec, exactSec, recall, hnswSec, hnswRecall, sq8Sec, sq8Recall)
   }
 }

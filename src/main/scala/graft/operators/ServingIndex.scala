@@ -39,6 +39,11 @@ object ServingIndex {
     * in-memory twin of AnnIndex's partition-pruned parquet layout. */
   final case class IvfSlab(ids: Array[Long], data: Array[Float], offsets: Array[Int])
 
+  /** Scalar-quantized shard: `codes[i*dim, (i+1)*dim)` are uint8 codes for
+    * `ids(i)`; dequantization params (per-dim min + step) live on the
+    * index, not the slab — they are trained once over the whole corpus. */
+  final case class Sq8Slab(ids: Array[Long], codes: Array[Byte])
+
   // ---------------------------------------------------------------- flat
 
   final class Flat private[ServingIndex] (
@@ -57,7 +62,7 @@ object ServingIndex {
           sc.runJob(slabs, (it: Iterator[FlatSlab]) => {
             val qs = bc.value
             it.foldLeft(emptyTopK(qs.length, k)) { (acc, slab) =>
-              scanSlab(slab.data, slab.ids, 0, slab.ids.length, d, qs, metric, acc); acc
+              scanSlab(slab.data, slab.ids, 0, 0, slab.ids.length, d, qs, metric, acc); acc
             }.map(h => (h.scores.take(h.size), h.ids.take(h.size)))
           })
         mergeAcrossPartitions(queries, perPartition, k, desc)
@@ -125,6 +130,148 @@ object ServingIndex {
         mergeAcrossPartitions(queries, perPartition, k, desc)
       } finally bc.destroy()
     }
+  }
+
+  // ----------------------------------------------------------------- sq8
+
+  /**
+   * Scalar-quantized (SQ8) flat index — FAISS's `IndexScalarQuantizer`
+   * regime (reference day_6 benchmarks FAISS index families; SQ8 is the
+   * standard memory tier below Flat): each dimension is affinely mapped to
+   * a uint8 code via per-dim `[min, max]` trained over the corpus, so a
+   * vector costs `dim` bytes instead of `4·dim` — 4× less resident memory,
+   * which at 100 TB of float32 is the difference between 25 TB and 100 TB
+   * of executor RAM. Search is asymmetric (ADC): the query stays float32,
+   * each document vector is dequantized on the fly into a thread-local
+   * stripe buffer and scored with the SAME [[KnnSearch.F32Kernels]] the
+   * exact index uses — so SQ8 scores equal Flat scores on the dequantized
+   * corpus by construction, and the only error vs exact is the ≤ step/2
+   * per-dim rounding. Recall@10 is measured in the bench (`_sq8_recall10`).
+   */
+  final class Sq8 private[ServingIndex] (
+      val slabs: RDD[Sq8Slab], val dim: Int, val numVectors: Long,
+      val vmin: Array[Float], val vstep: Array[Float]) extends Serializable {
+
+    /** Bytes per resident vector (id + codes) — the 4× story vs Flat. */
+    def bytesPerVector: Int = 8 + dim
+
+    /** Batch top-k over the quantized corpus: one fused job, driver merge
+      * of bounded arrays — identical shape to [[Flat.search]]. */
+    def search(queries: Array[(Long, Array[Float])], k: Int,
+               metric: KnnSearch.Metric = KnnSearch.L2): Array[(Long, Array[(Float, Long)])] = {
+      val sc = slabs.sparkContext
+      val bc = sc.broadcast((queries.map(_._2), vmin, vstep))
+      val d = dim
+      val desc = metric.descending
+      try {
+        val perPartition: Array[Array[(Array[Float], Array[Long])]] =
+          sc.runJob(slabs, (it: Iterator[Sq8Slab]) => {
+            val (qs, mn, st) = bc.value
+            val acc = emptyTopK(qs.length, k)
+            val buf = new Array[Float](d)
+            it.foreach { slab =>
+              var vi = 0
+              val nv = slab.ids.length
+              while (vi < nv) {
+                dequant(slab.codes, vi * d, d, mn, st, buf)
+                scanSlab(buf, slab.ids, vi, 0, 1, d, qs, metric, acc)
+                vi += 1
+              }
+            }
+            acc.map(h => (h.scores.take(h.size), h.ids.take(h.size)))
+          })
+        mergeAcrossPartitions(queries, perPartition, k, desc)
+      } finally bc.destroy()
+    }
+  }
+
+  /** Dequantize one code stripe into `out`: `min(i) + code·step(i)`. */
+  private def dequant(codes: Array[Byte], base: Int, d: Int,
+                      mn: Array[Float], st: Array[Float], out: Array[Float]): Unit = {
+    var i = 0
+    while (i < d) {
+      out(i) = mn(i) + (codes(base + i) & 0xFF) * st(i)
+      i += 1
+    }
+  }
+
+  /**
+   * Train per-dim `[min, max]` over the corpus (one map-side-combined
+   * fold — nlist-free, single pass) and pack uint8 codes per partition.
+   * `step = (max−min)/255`; a constant dimension gets step 0 and
+   * dequantizes exactly. Rows with null/mis-dimensioned vectors are
+   * dropped, matching [[buildFlat]].
+   */
+  def buildSq8(vectors0: RDD[(Long, Array[Float])], dim: Int,
+               numSlabs: Int = -1): Sq8 = {
+    val d = dim
+    val vectors =
+      if (numSlabs > 0 && numSlabs < vectors0.getNumPartitions)
+        vectors0.coalesce(numSlabs)
+      else vectors0
+    val sc = vectors.sparkContext
+    // pass 1: per-dim min/max — 2·dim floats per partition to the driver
+    val (mins, maxs) = {
+      val partials: Array[(Array[Float], Array[Float])] =
+        sc.runJob(vectors, (it: Iterator[(Long, Array[Float])]) => {
+          val mn = Array.fill(d)(Float.PositiveInfinity)
+          val mx = Array.fill(d)(Float.NegativeInfinity)
+          it.foreach { case (_, v) =>
+            if (v != null && v.length == d) {
+              var i = 0
+              while (i < d) {
+                if (v(i) < mn(i)) mn(i) = v(i)
+                if (v(i) > mx(i)) mx(i) = v(i)
+                i += 1
+              }
+            }
+          }
+          (mn, mx)
+        })
+      val mn = Array.fill(d)(Float.PositiveInfinity)
+      val mx = Array.fill(d)(Float.NegativeInfinity)
+      partials.foreach { case (pmn, pmx) =>
+        var i = 0
+        while (i < d) {
+          if (pmn(i) < mn(i)) mn(i) = pmn(i)
+          if (pmx(i) > mx(i)) mx(i) = pmx(i)
+          i += 1
+        }
+      }
+      (mn, mx)
+    }
+    require(mins.forall(_ != Float.PositiveInfinity),
+      "cannot train an SQ8 index on an empty corpus")
+    val step = Array.tabulate(d) { i =>
+      val r = maxs(i) - mins(i)
+      if (r > 0f) r / 255f else 0f
+    }
+    val bc = sc.broadcast((mins, step))
+    // pass 2: pack codes — round((v−min)/step) clamped to [0,255]
+    val slabs = vectors.mapPartitions({ it =>
+      val (mn, st) = bc.value
+      val ids = Array.newBuilder[Long]
+      val codes = Array.newBuilder[Byte]
+      it.foreach { case (id, v) =>
+        if (v != null && v.length == d) {
+          ids += id
+          var i = 0
+          while (i < d) {
+            val c =
+              if (st(i) == 0f) 0
+              else {
+                val q = Math.round((v(i) - mn(i)) / st(i))
+                if (q < 0) 0 else if (q > 255) 255 else q
+              }
+            codes += c.toByte
+            i += 1
+          }
+        }
+      }
+      Iterator.single(Sq8Slab(ids.result(), codes.result()))
+    }, preservesPartitioning = true).cache()
+    val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
+    new Sq8(slabs, d, nv, mins, step)
   }
 
   // ------------------------------------------------------------- mutable
@@ -327,7 +474,7 @@ object ServingIndex {
           System.arraycopy(e.getValue, 0, data, i * dim, dim)
           i += 1
         }
-        scanSlab(data, ids, 0, n, dim, queries.map(_._2), metric, acc)
+        scanSlab(data, ids, 0, 0, n, dim, queries.map(_._2), metric, acc)
       }
       acc.map { h =>
         val out = new Array[(Float, Long)](h.size)
@@ -537,9 +684,12 @@ object ServingIndex {
   /** Score one slab stripe against ALL queries (flat scan). The metric
     * dispatch is hoisted OUT of the per-vector loop; the per-vector math
     * is the shared 4-way-unrolled [[KnnSearch.F32Kernels]] family, so
-    * slab scans score identically to `Metric.scoreF32` by construction. */
-  private def scanSlab(data: Array[Float], ids: Array[Long], from: Int,
-                       until: Int, d: Int, qs: Array[Array[Float]],
+    * slab scans score identically to `Metric.scoreF32` by construction.
+    * `idOff` decouples the data index from the id index so a caller can
+    * score a staging buffer (the SQ8 dequant stripe) under the right id:
+    * vector `vi` reads `data[vi·d, …)` and inserts `ids(idOff + vi)`. */
+  private def scanSlab(data: Array[Float], ids: Array[Long], idOff: Int,
+                       from: Int, until: Int, d: Int, qs: Array[Array[Float]],
                        metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit = {
     import KnnSearch.F32Kernels
     metric match {
@@ -550,7 +700,7 @@ object ServingIndex {
           var qi = 0
           while (qi < qs.length) {
             val s = math.sqrt(F32Kernels.l2sq(qs(qi), data, base, d).toDouble).toFloat
-            acc(qi).insert(s, ids(vi), desc = false)
+            acc(qi).insert(s, ids(idOff + vi), desc = false)
             qi += 1
           }
           vi += 1
@@ -561,7 +711,7 @@ object ServingIndex {
           val base = vi * d
           var qi = 0
           while (qi < qs.length) {
-            acc(qi).insert(F32Kernels.dot(qs(qi), data, base, d), ids(vi), desc = true)
+            acc(qi).insert(F32Kernels.dot(qs(qi), data, base, d), ids(idOff + vi), desc = true)
             qi += 1
           }
           vi += 1
@@ -572,7 +722,7 @@ object ServingIndex {
           val base = vi * d
           var qi = 0
           while (qi < qs.length) {
-            acc(qi).insert(F32Kernels.cosine(qs(qi), data, base, d), ids(vi), desc = true)
+            acc(qi).insert(F32Kernels.cosine(qs(qi), data, base, d), ids(idOff + vi), desc = true)
             qi += 1
           }
           vi += 1

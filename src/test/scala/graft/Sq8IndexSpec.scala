@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{KnnSearch, ServingIndex}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQ8 scalar-quantized serving tier: per-dim affine uint8 codes, ADC
+  * search over dequantized stripes (FAISS IndexScalarQuantizer regime —
+  * the 4×-less-memory tier under the day_6 serving benchmarks). */
+class Sq8IndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dim = 32
+  private val n = 2000
+
+  private def corpus = {
+    val nClusters = 20
+    val d = dim // local copy: the RDD closure must not capture the suite
+    val centers = Array.tabulate(nClusters) { c =>
+      val r = new java.util.Random(42L + c)
+      Array.fill(d)(r.nextGaussian() * 5.0)
+    }
+    spark.sparkContext.parallelize(0L until n.toLong, 8).map { id =>
+      val ctr = centers((id % nClusters).toInt)
+      val r = new java.util.Random(1000L + id)
+      (id, Array.tabulate(d)(i => (ctr(i) + r.nextGaussian()).toFloat))
+    }
+  }
+
+  private def queries = (0 until 25).map { q =>
+    val r = new java.util.Random(9000L + q)
+    (q.toLong, Array.fill(dim)(r.nextGaussian().toFloat * 5.0f))
+  }.toArray
+
+  test("quantization round-trip error is bounded by step/2 per dimension") {
+    val docs = corpus.cache(); docs.count()
+    val idx = ServingIndex.buildSq8(docs, dim)
+    val originals = docs.collect().toMap
+    val decoded = idx.slabs.collect().flatMap { slab =>
+      slab.ids.indices.map { i =>
+        val v = Array.tabulate(dim)(j =>
+          idx.vmin(j) + (slab.codes(i * dim + j) & 0xFF) * idx.vstep(j))
+        (slab.ids(i), v)
+      }
+    }
+    assert(decoded.length === n)
+    decoded.foreach { case (id, v) =>
+      val orig = originals(id)
+      for (j <- 0 until dim) {
+        val tol = math.max(idx.vstep(j) / 2f, 1e-6f) * 1.001f // rounding slack
+        assert(math.abs(v(j) - orig(j)) <= tol,
+          s"id=$id dim=$j decoded=${v(j)} orig=${orig(j)} step=${idx.vstep(j)}")
+      }
+    }
+    docs.unpersist(); idx.slabs.unpersist()
+  }
+
+  test("SQ8 search recall@10 vs exact is high on clustered data, all metrics") {
+    val docs = corpus.cache(); docs.count()
+    val flat = ServingIndex.buildFlat(docs, dim)
+    val sq8 = ServingIndex.buildSq8(docs, dim)
+    for (metric <- Seq[KnnSearch.Metric](KnnSearch.L2, KnnSearch.Cosine, KnnSearch.InnerProduct)) {
+      val exact = flat.search(queries, 10, metric).map { case (q, a) => q -> a.map(_._2).toSet }.toMap
+      val quant = sq8.search(queries, 10, metric)
+      val recall = quant.map { case (q, arr) =>
+        arr.map(_._2).count(exact(q).contains).toDouble / exact(q).size
+      }.sum / quant.length
+      assert(recall >= 0.9, s"$metric recall@10 = $recall")
+    }
+    docs.unpersist(); flat.slabs.unpersist(); sq8.slabs.unpersist()
+  }
+
+  test("constant dimensions dequantize exactly and memory is 1 byte/dim") {
+    val sc = spark.sparkContext
+    val d = 4
+    val rows = sc.parallelize(Seq(
+      (1L, Array(7.5f, 1.0f, 0.0f, -3.0f)),
+      (2L, Array(7.5f, 2.0f, 0.0f, 5.0f)),
+      (3L, Array(7.5f, 3.0f, 0.0f, 13.0f))), 2)
+    val idx = ServingIndex.buildSq8(rows, d)
+    assert(idx.numVectors === 3)
+    assert(idx.bytesPerVector === 8 + d)
+    assert(idx.vstep(0) === 0f) // constant dim → exact
+    assert(idx.vstep(2) === 0f)
+    val res = idx.search(Array((0L, Array(7.5f, 1.1f, 0.0f, -2.9f))), 1, KnnSearch.L2)
+    assert(res.head._2.head._2 === 1L)
+    idx.slabs.unpersist()
+  }
+
+  test("dirty rows (null / wrong dim) are dropped like buildFlat") {
+    val sc = spark.sparkContext
+    val rows = sc.parallelize(Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, null: Array[Float]),
+      (3L, Array(1.0f)),
+      (4L, Array(3.0f, 4.0f))), 2)
+    val idx = ServingIndex.buildSq8(rows, 2)
+    assert(idx.numVectors === 2)
+    assert(idx.slabs.collect().flatMap(_.ids).toSet === Set(1L, 4L))
+    idx.slabs.unpersist()
+  }
+}
