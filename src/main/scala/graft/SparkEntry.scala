@@ -390,6 +390,15 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** 60-bit md5-based SimHash signatures — the oracle-checkable twin of
+    * q29 (md5 is in DuckDB; murmur is not). */
+  private val q48SimhashMd5: Q = (s, dir) => {
+    Dedup.simhashMd5Signatures(
+        Tables(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Full MinHash-LSH dedup pipeline (md5 signatures → banding → candidate
     * join → exact-Jaccard verification) — oracle-reproducible end to end. */
   private val q35MinhashLsh: Q = (s, dir) => {
@@ -677,6 +686,7 @@ object SparkEntry {
     "q28_minhash_sigs" -> q28MinhashSigs,
     "q29_simhash_sigs" -> q29SimhashSigs,
     "q30_char_chunks" -> q30CharChunks,
+    "q48_simhash_md5" -> q48SimhashMd5,
     "q35_minhash_lsh" -> q35MinhashLsh,
     "q36_clean_text" -> q36CleanText,
     "q37_knn_plan_operator" -> q37KnnPlanOperator,
@@ -1018,6 +1028,28 @@ object SparkEntry {
         |FROM sh
         |WHERE doc_id < 50
         |ORDER BY doc_id""").stripMargin,
+    "q48_simhash_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w
+        |  FROM documents WHERE doc_id < 100),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substring(md5(w), 1, 15), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (h, c) -> h * 16 + c) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((h >> CAST(b AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS tot
+        |  FROM th, (SELECT unnest(range(60)) AS b) bs
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        |FROM bits
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q30_char_chunks" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_index, CAST(i * 150 AS INTEGER) AS start_char,
         |  substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS text

@@ -252,6 +252,50 @@ object Dedup {
       .toDF("id", "sig")
   }
 
+  /**
+   * 60-bit md5-based SimHash signatures — same algorithm as
+   * [[simhashSignatures]] but with token hashes drawn from md5 (the first
+   * 15 hex chars → a 60-bit non-negative value), which DuckDB can
+   * reproduce exactly (fold over `string_split(substring(md5(w),1,15),'')`)
+   * — so unlike the murmur variant this one is oracle-checkable end to
+   * end. Tokens are a multiset (each occurrence votes); bit b of the
+   * signature is 1 iff the Σ±1 vote over tokens is strictly positive.
+   * Docs with no tokens are dropped (they have no signature), matching
+   * the oracle's unnest semantics.
+   */
+  def simhashMd5Signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String]
+                     else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val tot = new Array[Int](60)
+            toks.foreach { w =>
+              val hex = md5Hex(md, w)
+              var h = 0L
+              var i = 0
+              while (i < 15) { h = h * 16 + Character.digit(hex.charAt(i), 16); i += 1 }
+              var b = 0
+              while (b < 60) {
+                if (((h >> b) & 1L) == 1L) tot(b) += 1 else tot(b) -= 1
+                b += 1
+              }
+            }
+            var sig = 0L
+            var b = 0
+            while (b < 60) { if (tot(b) > 0) sig |= (1L << b); b += 1 }
+            Iterator.single((id, sig))
+          }
+        }
+      }.toDF("id", "sig")
+  }
+
   /** SimHash near-dup candidates: 4 × 16-bit bands of the 64-bit signature;
     * a hamming-distance ≤ 3 pair must agree on ≥1 band (pigeonhole). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -73,6 +73,26 @@ class DedupSpec extends AnyFunSuite {
     assert(far > hamming)
   }
 
+  test("md5 simhash: 60-bit signatures, identical docs match, hand-check") {
+    val sigs = Dedup.simhashMd5Signatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(1L)) // identical text ⇒ identical signature
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << 60))) // 60-bit range
+    // hand-computed reference for one doc: fold md5-hex[0,15) per token,
+    // ±1 vote per bit, strictly-positive wins
+    val text = docs.where(col("doc_id") === 0).select("text").head.getString(0)
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tot = new Array[Int](60)
+    toks.foreach { w =>
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      for (b <- 0 until 60) if (((h >> b) & 1L) == 1L) tot(b) += 1 else tot(b) -= 1
+    }
+    val expected = (0 until 60).foldLeft(0L)((s, b) => if (tot(b) > 0) s | (1L << b) else s)
+    assert(sigs(0L) === expected)
+  }
+
   test("simhash banding finds exact-dup pairs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
