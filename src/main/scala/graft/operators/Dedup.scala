@@ -166,23 +166,44 @@ object Dedup {
     new String(out)
   }
 
-  /** Distinct word-`n`-gram shingle sets as a typed Dataset (hot-path form
-    * of [[graft.functions.TextFunctions.shingles]] — same semantics). */
+  /** Distinct word-`n`-gram shingles of one text (hot-path twin of
+    * [[graft.functions.TextFunctions.shingles]] — same semantics,
+    * including trailing-empty-token parity with the oracle). */
+  private[graft] def shinglesOf(t: String, n: Int): Seq[String] = {
+    val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+", -1)
+    if (ws.length >= n) (0 to ws.length - n)
+      .map(i => ws.slice(i, i + n).mkString(" ")).distinct
+    else Seq(ws.mkString(" "))
+  }
+
+  /** Distinct word-`n`-gram shingle sets as a typed Dataset. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, t) =>
-        // limit -1: keep trailing empty tokens (parity with the column form
-        // and the oracle; see ngramJaccardPairs)
-        val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+", -1)
-        val sh =
-          if (ws.length >= n) (0 to ws.length - n)
-            .map(i => ws.slice(i, i + n).mkString(" ")).distinct
-          else Seq(ws.mkString(" "))
-        (id, sh)
+      .map { case (id, t) => (id, shinglesOf(t, n)) }
+  }
+
+  /** LSH band buckets of one shingle set: minhash component h =
+    * min over shingles of md5(shingle ∥ "#" ∥ h); bucket b = md5 of its
+    * band's signature slice. Shared by the batch candidate join
+    * ([[minhashLshPairs]]) and the streaming near-dup filter
+    * ([[graft.streaming.EventStream.nearDupBandVerdicts]]) so both tiers
+    * bucket identically. */
+  private[graft] def bandBucketsOf(md: java.security.MessageDigest,
+                                   shingles: Seq[String],
+                                   numHashes: Int, bands: Int): Array[String] = {
+    val rows = numHashes / bands
+    val sig = Array.tabulate(numHashes) { h =>
+      var min: String = null
+      shingles.foreach { s =>
+        val v = md5Hex(md, s + "#" + h)
+        if (min == null || v < min) min = v
       }
+      min
+    }
+    Array.tabulate(bands)(b => md5Hex(md, sig.slice(b * rows, (b + 1) * rows).mkString("|")))
   }
 
   /**
@@ -198,24 +219,14 @@ object Dedup {
                       numHashes: Int = 16, bands: Int = 4,
                       shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val spark = df.sparkSession
     import spark.implicits._
     val sh = shingleSets(df, idCol, textCol, shingleLen)
     val banded = sh.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (id, shingles) =>
-        val sig = Array.tabulate(numHashes) { h =>
-          var min: String = null
-          shingles.foreach { s =>
-            val v = md5Hex(md, s + "#" + h)
-            if (min == null || v < min) min = v
-          }
-          min
-        }
-        (0 until bands).iterator.map { b =>
-          (id, b, md5Hex(md, sig.slice(b * rows, (b + 1) * rows).mkString("|")))
-        }
+        val buckets = bandBucketsOf(md, shingles, numHashes, bands)
+        (0 until bands).iterator.map(b => (id, b, buckets(b)))
       }
     }.toDF("id", "band", "bucket")
     val cand = banded.as("a").join(banded.as("b"),

@@ -171,6 +171,112 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Per-(band,bucket) LSH claim: the first doc to hash into the bucket
+    * within the horizon owns it (public: encoder codegen). */
+  case class BandClaim(claimant: Long, claimMs: Long)
+
+  /** One doc × band verdict: `dup` ⇔ the bucket was already claimed by a
+    * DIFFERENT doc inside the horizon. */
+  case class BandVerdict(doc_id: Long, band: Int, dup: Boolean)
+
+  /** Exploded doc × band row (public: encoder codegen must reach the
+    * accessors from generated classes). */
+  case class BandRow(doc_id: Long, band: Int, bucket: String,
+                     tsMs: Long, event_time: java.sql.Timestamp)
+
+  /**
+   * Streaming MinHash near-dup filter — the batch
+   * [[graft.operators.Dedup.minhashLshPairs]] candidate generator over an
+   * unbounded document stream. Each doc is shingled and banded with the
+   * SAME md5 minhash banding as the batch operator
+   * (`Dedup.bandBucketsOf`), then each (band, bucket) key runs a stateful
+   * first-arrival claim: the first doc (by event time, ties by id) inside
+   * the horizon owns the bucket; later docs hashing into it are flagged
+   * `dup` for that band. A doc is a near-duplicate iff ANY of its bands
+   * is flagged — collapse with [[keptOf]] inside `foreachBatch` (the
+   * per-doc reduction is batch-local because a doc's `bands` rows always
+   * travel in one micro-batch; keeping it out of the streaming plan also
+   * avoids chaining a second stateful operator after
+   * `flatMapGroupsWithState`, which Spark does not support).
+   *
+   * Like the exact [[dedupStream]], state is horizon-bounded: a claim
+   * expires when the watermark passes its FIRST sighting + the horizon
+   * (an EventTimeTimeout armed once at claim — duplicates do not extend
+   * it), so an unbounded stream holds only the horizon's buckets
+   * (bands × 32-byte hashes per doc). This is candidate-level dedup: a
+   * NEW doc that collides in a band is dropped without exact-Jaccard
+   * verification — the streaming trade (no doc store to verify against);
+   * tune bands/rows for the candidate precision the pipeline needs, and
+   * leave cross-horizon dedup to the batch job.
+   */
+  def nearDupBandVerdicts(docs: DataFrame, idCol: String, textCol: String,
+                          timeCol: String, numHashes: Int = 16, bands: Int = 4,
+                          shingleLen: Int = 3, horizonMs: Long = 3600000L)
+      : org.apache.spark.sql.Dataset[BandVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nh = numHashes
+    val nb = bands
+    val sl = shingleLen
+    val horizon = horizonMs
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+        col(timeCol).cast("timestamp").as("event_time"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text, t) =>
+          val buckets = graft.operators.Dedup.bandBucketsOf(
+            md, graft.operators.Dedup.shinglesOf(text, sl), nh, nb)
+          (0 until nb).iterator.map(b => BandRow(id, b, buckets(b), t.getTime, t))
+        }
+      }
+      .withWatermark("event_time", s"$horizon milliseconds")
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BandClaim, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BandClaim]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic first-arrival order at any parallelism
+            val sorted = rows.toArray.sortBy(r => (r.tsMs, r.doc_id))
+            var claim = state.getOption
+            val newClaim = claim.isEmpty
+            val out = sorted.map { r =>
+              claim match {
+                case Some(c) => BandVerdict(r.doc_id, key._1, dup = r.doc_id != c.claimant)
+                case None =>
+                  claim = Some(BandClaim(r.doc_id, r.tsMs))
+                  BandVerdict(r.doc_id, key._1, dup = false)
+              }
+            }
+            if (newClaim) claim.foreach { c =>
+              // first-sighting + horizon expiry, armed once (duplicates do
+              // not extend it — dropDuplicatesWithinWatermark's contract);
+              // a claim already past the watermark is not stored at all
+              // (the state store rejects timeouts in the past)
+              if (c.claimMs + horizon > state.getCurrentWatermarkMs()) {
+                state.update(c)
+                state.setTimeoutTimestamp(c.claimMs + horizon)
+              }
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Batch-local collapse of [[nearDupBandVerdicts]] output: docs none of
+    * whose bands were claimed by another doc. Use inside `foreachBatch`. */
+  def keptOf(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("doc_id"))
+      .agg(max(when(col("dup"), lit(1)).otherwise(lit(0))).as("__any_dup"))
+      .where(col("__any_dup") === 0)
+      .select(col("doc_id"))
+
   /** Streaming upsert sink into a collection (foreachBatch latest-wins
     * merge — the reference's batch-insert endpoint as a stream consumer). */
   def upsertSink(updates: DataFrame, root: String, collection: String,
