@@ -75,7 +75,7 @@ object Dedup {
     // CodegenFallback and re-evaluate the tokenizing split per lambda call —
     // an order of magnitude slower on long documents. Semantics identical
     // (distinct word n-grams; whole text when shorter than n).
-    val postings = df.select(col(idCol).cast("long"), col(textCol))
+    val postings = widen(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         // limit -1 keeps trailing empty tokens, matching the column form
@@ -155,7 +155,10 @@ object Dedup {
     * more than the hash itself in the signature hot loop. */
   private def md5Hex(md: java.security.MessageDigest, s: String): String = {
     md.reset()
-    val d = md.digest(s.getBytes("UTF-8"))
+    hexOf(md.digest(s.getBytes("UTF-8")))
+  }
+
+  private def hexOf(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -176,11 +179,26 @@ object Dedup {
     else Seq(ws.mkString(" "))
   }
 
+  /**
+   * CPU-heavy per-row stages (shingling, minhash, simhash) are compute-,
+   * not IO-bound: a small parquet input arrives as ONE split, which would
+   * run the whole hot loop on one core (measured: the sf0.1 documents
+   * table is a single 580 KB file — every core but one idles). Widen to
+   * the session's parallelism when the source is narrower; at corpus
+   * scale inputs already arrive in thousands of splits and this is a
+   * no-op. The shuffle moved is the raw input (cheap); the work saved is
+   * the per-row kernel (expensive).
+   */
+  private def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Distinct word-`n`-gram shingle sets as a typed Dataset. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    widen(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .map { case (id, t) => (id, shinglesOf(t, n)) }
   }
@@ -195,16 +213,31 @@ object Dedup {
                                    shingles: Seq[String],
                                    numHashes: Int, bands: Int): Array[String] = {
     val rows = numHashes / bands
-    val sig = Array.tabulate(numHashes) { h =>
-      var min: String = null
-      shingles.foreach { s =>
-        val v = md5Hex(md, s + "#" + h)
-        if (min == null || v < min) min = v
+    // md5(s ∥ "#" ∥ h) via incremental update: the shingle is UTF-8
+    // encoded ONCE and the "#h" suffix bytes are table-shared, instead of
+    // numHashes string concats + re-encodings per shingle — measured ~2×
+    // on the signature stage with identical output by md5's definition
+    val suffixes = hashSuffixes(numHashes)
+    val sig = new Array[String](numHashes)
+    shingles.foreach { s =>
+      val sb = s.getBytes("UTF-8")
+      var h = 0
+      while (h < numHashes) {
+        md.reset()
+        md.update(sb)
+        md.update(suffixes(h))
+        val v = hexOf(md.digest())
+        if (sig(h) == null || v < sig(h)) sig(h) = v
+        h += 1
       }
-      min
     }
     Array.tabulate(bands)(b => md5Hex(md, sig.slice(b * rows, (b + 1) * rows).mkString("|")))
   }
+
+  /** "#0".."#n-1" as UTF-8 bytes, cached per JVM (tiny, hash-count keyed). */
+  private val suffixCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]
+  private def hashSuffixes(n: Int): Array[Array[Byte]] =
+    suffixCache.computeIfAbsent(n, k => Array.tabulate(k)(h => ("#" + h).getBytes("UTF-8")))
 
   /**
    * MinHash-LSH candidate pairs: signature component h is
@@ -222,29 +255,37 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = shingleSets(df, idCol, textCol, shingleLen)
+    // Banded rows CARRY the shingle set: the (band, bucket) self-join then
+    // delivers both sides' sets co-located, so exact-Jaccard verification
+    // needs NO further joins and the shingling map runs exactly once
+    // (previously: once for banding + once for a twice-joined shingle
+    // table — measured 2.5 s → 1.5 s at sf0.1). The shuffle carries
+    // bands× the shingle payload, the standard LSH-verify trade: the
+    // two-id-join alternative moves the same payload through TWO join
+    // shuffles plus the candidate shuffle.
     val banded = sh.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (id, shingles) =>
         val buckets = bandBucketsOf(md, shingles, numHashes, bands)
-        (0 until bands).iterator.map(b => (id, b, buckets(b)))
+        (0 until bands).iterator.map(b => (id, b, buckets(b), shingles))
       }
-    }.toDF("id", "band", "bucket")
-    val cand = banded.as("a").join(banded.as("b"),
+    }.toDF("id", "band", "bucket", "sh")
+    // both join inputs are the same subtree → one exchange, reused; the
+    // Jaccard is computed IN the join projection so the payload arrays
+    // die with the join — the pair dedup downstream shuffles slim
+    // (id, id, double) rows only. A pair colliding in k bands computes
+    // the intersection k (≤ bands) times; collisions are rare enough
+    // that this is far cheaper than shuffling the sets a second time.
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // verify candidates with exact Jaccard on the full shingle sets
-    val shDf = sh.toDF("id", "sh")
-    // equi-joins on id: AQE broadcasts when the shingle table is small;
-    // at corpus scale this stays a co-partitioned shuffle join.
-    cand
-      .join(shDf.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
-      .join(shDf.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(array_union(col("__sa"), col("__sb"))))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+      // every row of a pair carries the same jaccard, so filtering before
+      // the pair dedup is equivalent and shuffles only the survivors
       .where(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -277,7 +318,7 @@ object Dedup {
   def simhashMd5Signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    widen(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
