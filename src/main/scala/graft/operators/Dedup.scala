@@ -75,7 +75,7 @@ object Dedup {
     // CodegenFallback and re-evaluate the tokenizing split per lambda call —
     // an order of magnitude slower on long documents. Semantics identical
     // (distinct word n-grams; whole text when shorter than n).
-    val postings = widen(df.select(col(idCol).cast("long"), col(textCol)))
+    val postings = Par.widen(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         // limit -1 keeps trailing empty tokens, matching the column form
@@ -179,26 +179,13 @@ object Dedup {
     else Seq(ws.mkString(" "))
   }
 
-  /**
-   * CPU-heavy per-row stages (shingling, minhash, simhash) are compute-,
-   * not IO-bound: a small parquet input arrives as ONE split, which would
-   * run the whole hot loop on one core (measured: the sf0.1 documents
-   * table is a single 580 KB file — every core but one idles). Widen to
-   * the session's parallelism when the source is narrower; at corpus
-   * scale inputs already arrive in thousands of splits and this is a
-   * no-op. The shuffle moved is the raw input (cheap); the work saved is
-   * the per-row kernel (expensive).
-   */
-  private def widen(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+
 
   /** Distinct word-`n`-gram shingle sets as a typed Dataset. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) = {
     val spark = df.sparkSession
     import spark.implicits._
-    widen(df.select(col(idCol).cast("long"), col(textCol)))
+    Par.widen(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .map { case (id, t) => (id, shinglesOf(t, n)) }
   }
@@ -318,7 +305,7 @@ object Dedup {
   def simhashMd5Signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    widen(df.select(col(idCol).cast("long"), col(textCol)))
+    Par.widen(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

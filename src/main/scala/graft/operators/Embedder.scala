@@ -32,12 +32,26 @@ object Embedder {
     * cosine scoring normalizes, and skipping it keeps the cross-engine
     * arithmetic to hash/divide/subtract only. */
   case class MockEncoder(dim: Int = 64) extends TextEncoder {
+    // "#0".."#dim-1" suffix bytes, built once per (deserialized) encoder
+    @transient private lazy val suffixes: Array[Array[Byte]] =
+      Array.tabulate(dim)(j => ("#" + j).getBytes("UTF-8"))
+
     def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      // md5(t ∥ "#" ∥ j) for all j, but the document bytes are absorbed
+      // ONCE and the digest state cloned per component — a 1 KB doc costs
+      // ~16 block compressions + dim clones instead of dim×16
+      // compressions + dim full re-encodings. Bit-identical output by
+      // md5's definition (clone preserves exact state); the SUN provider
+      // MD5 is cloneable.
+      val mdBase = java.security.MessageDigest.getInstance("MD5")
       texts.map { t0 =>
         val t = if (t0 == null) "" else t0
+        mdBase.reset()
+        mdBase.update(t.getBytes("UTF-8"))
         Array.tabulate(dim) { j =>
-          val digest = md.digest((t + "#" + j).getBytes("UTF-8"))
+          val md = mdBase.clone().asInstanceOf[java.security.MessageDigest]
+          md.update(suffixes(j))
+          val digest = md.digest()
           var u = 0L
           var i = 0
           while (i < 7) { u = (u << 8) | (digest(i) & 0xffL); i += 1 }
@@ -58,7 +72,7 @@ object Embedder {
             encoder: TextEncoder = MockEncoder(), batchSize: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    Par.widen(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
