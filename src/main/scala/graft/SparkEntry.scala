@@ -460,6 +460,28 @@ object SparkEntry {
       .orderBy(col("gid"), col("chunk_index"))
   }
 
+  /** Sentence chunker (G4) over synthesized sentence-structured groups:
+    * the corpus has no punctuation, so each source doc's text becomes one
+    * sentence of a 25-group document (same in-query synthesis on the
+    * oracle side) — the word cap, sentence cap, and overlap stepping all
+    * bind. The oracle reproduces the sequential grouping loop with a
+    * prefix-sum extension bound (monotone, so first-failure = max
+    * qualifying end) and a recursive CTE for the overlap chain. */
+  private val q49SentenceChunks: Q = (s, dir) => {
+    val combined = Tables(s, dir, "documents")
+      .groupBy((col("doc_id") % 25).as("gid"))
+      .agg(concat(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), ". "), lit(".")).as("text"))
+    Chunkers.sentenceChunks(combined, "gid", "text",
+        maxSentences = 3, maxWords = 120, overlapSentences = 1, minSentenceChars = 10)
+      .toDF()
+      .select(col("doc_id").as("gid"), col("chunk_index"),
+        col("start_char").as("start_sent"), col("end_char").as("end_sent"),
+        col("n_tokens").as("n_words"), col("text"))
+      .orderBy(col("gid"), col("chunk_index"))
+  }
+
   /** Rolling-hash document fingerprints (the codegen'd [[graft.functions.RollingHash]]
     * Rabin–Karp expression — the incremental fingerprint family winnowing
     * pipelines use, alongside the md5 canonical form of q27). */
@@ -687,6 +709,7 @@ object SparkEntry {
     "q29_simhash_sigs" -> q29SimhashSigs,
     "q30_char_chunks" -> q30CharChunks,
     "q48_simhash_md5" -> q48SimhashMd5,
+    "q49_sentence_chunks" -> q49SentenceChunks,
     "q35_minhash_lsh" -> q35MinhashLsh,
     "q36_clean_text" -> q36CleanText,
     "q37_knn_plan_operator" -> q37KnnPlanOperator,
@@ -1050,6 +1073,52 @@ object SparkEntry {
         |FROM bits
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q49_sentence_chunks" ->
+      """WITH RECURSIVE
+        |grp AS (
+        |  SELECT doc_id % 25 AS gid, string_agg(text, '. ' ORDER BY doc_id) || '.' AS text
+        |  FROM documents GROUP BY 1),
+        |marked AS (
+        |  SELECT gid, regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g') AS t FROM grp),
+        |sents0 AS (
+        |  SELECT gid, trim(s) AS s, pos
+        |  FROM (SELECT gid, unnest(string_split(t, chr(1))) AS s,
+        |               unnest(range(1, len(string_split(t, chr(1))) + 1)) AS pos
+        |        FROM marked)
+        |  WHERE length(trim(s)) >= 10),
+        |sents AS (
+        |  SELECT gid, s,
+        |    CAST(row_number() OVER (PARTITION BY gid ORDER BY pos) - 1 AS INTEGER) AS sno,
+        |    len(string_split_regex(s, '\s+')) AS nw
+        |  FROM sents0),
+        |pre AS (
+        |  SELECT gid, sno, s, nw,
+        |    sum(nw) OVER (PARTITION BY gid ORDER BY sno) AS wcum,
+        |    CAST(count(*) OVER (PARTITION BY gid) AS INTEGER) AS n
+        |  FROM sents),
+        |ends AS (
+        |  SELECT a.gid, a.sno AS i, a.n, CAST(max(b.sno) + 1 AS INTEGER) AS j
+        |  FROM pre a JOIN pre b ON a.gid = b.gid
+        |    AND b.sno >= a.sno AND b.sno < a.sno + 3
+        |    AND (b.sno = a.sno OR b.wcum - (a.wcum - a.nw) <= 120)
+        |  GROUP BY a.gid, a.sno, a.n),
+        |chain AS (
+        |  SELECT gid, 0 AS idx, 0 AS i FROM pre WHERE sno = 0
+        |  UNION ALL
+        |  SELECT c.gid, c.idx + 1,
+        |    CASE WHEN e.j >= e.n THEN e.n ELSE greatest(e.j - 1, c.i + 1) END
+        |  FROM chain c JOIN ends e ON e.gid = c.gid AND e.i = c.i
+        |  WHERE (CASE WHEN e.j >= e.n THEN e.n ELSE greatest(e.j - 1, c.i + 1) END) < e.n),
+        |chunks AS (
+        |  SELECT c.gid, c.idx, c.i, e.j
+        |  FROM chain c JOIN ends e ON e.gid = c.gid AND e.i = c.i)
+        |SELECT ch.gid, CAST(ch.idx AS INTEGER) AS chunk_index,
+        |  CAST(ch.i AS INTEGER) AS start_sent, CAST(ch.j AS INTEGER) AS end_sent,
+        |  CAST(len(list_filter(string_split_regex(string_agg(p.s, ' ' ORDER BY p.sno), '\s+'), w -> w <> '')) AS INTEGER) AS n_words,
+        |  string_agg(p.s, ' ' ORDER BY p.sno) AS text
+        |FROM chunks ch JOIN pre p ON p.gid = ch.gid AND p.sno >= ch.i AND p.sno < ch.j
+        |GROUP BY ch.gid, ch.idx, ch.i, ch.j
+        |ORDER BY ch.gid, chunk_index""".stripMargin,
     "q30_char_chunks" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_index, CAST(i * 150 AS INTEGER) AS start_char,
         |  substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS text
