@@ -78,6 +78,20 @@ object ServingIndex {
 
     def nlist: Int = centroids.length
 
+    /** Driver-local HNSW graph over the CENTROIDS (m=16/efc=64 —
+      * pgvector's config), built lazily on first routed search. Routing
+      * cost per query drops from O(nlist) exact distances to a graph
+      * walk — the difference between 10⁷ and ~10³ kernel calls per query
+      * batch once nlist reaches the 10⁴–10⁵ a 100 TB corpus wants
+      * (nlist ≈ √n). Approximate by nature: route with `routeEf` ≥
+      * 4×nprobe and the probe set matches the exact ranking with
+      * near-certainty (verified in ServingIndexSpec). Driver-only state,
+      * excluded from serialization. */
+    @transient private lazy val centroidRouter: HnswIndex.Shard =
+      HnswIndex.buildShard(
+        centroids.iterator.zipWithIndex.map { case (c, i) => (i.toLong, c) },
+        dim, m = 16, efConstruction = 64, KnnSearch.L2, seed = 42L)
+
     /** ANN batch top-k: the driver ranks centroids per query (|Q|×nlist
       * distances — trivial), ships the nprobe probe lists, and each
       * partition scans only the probed clusters' ranges: `nprobe/nlist`
@@ -93,17 +107,29 @@ object ServingIndex {
       * (L2 order == cosine order on the unit sphere); genuinely
       * unnormalized MIPS should use the Flat index. */
     def search(queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
-               metric: KnnSearch.Metric = KnnSearch.L2): Array[(Long, Array[(Float, Long)])] = {
+               metric: KnnSearch.Metric = KnnSearch.L2,
+               routed: Boolean = false, routeEf: Int = 0): Array[(Long, Array[(Float, Long)])] = {
       val sc = slabs.sparkContext
       val desc = metric.descending
-      // per-query nprobe assignment-nearest (L2) centroids, best-first
-      val probes: Array[Array[Int]] = queries.map { case (_, q) =>
-        val scored = centroids.indices.map { c =>
-          (KnnSearch.L2.scoreF32(q, centroids(c)), c)
-        }.toArray
-        val ord = scored.sortBy(s => (s._1, s._2))
-        ord.take(math.min(nprobe, centroids.length)).map(_._2)
-      }
+      // per-query nprobe assignment-nearest (L2) centroids, best-first:
+      // exact linear ranking by default (nlist distances per query —
+      // trivial at serving nlist); `routed` walks the lazy HNSW graph
+      // over centroids instead, the scale path once nlist × |Q| driver
+      // kernel calls dominate (see centroidRouter)
+      val probes: Array[Array[Int]] =
+        if (routed) {
+          val ef = if (routeEf > 0) routeEf else math.max(4 * nprobe, 32)
+          queries.map { case (_, q) =>
+            centroidRouter.search(KnnSearch.L2, q, math.min(nprobe, centroids.length), ef)
+              .map(_._2.toInt)
+          }
+        } else queries.map { case (_, q) =>
+          val scored = centroids.indices.map { c =>
+            (KnnSearch.L2.scoreF32(q, centroids(c)), c)
+          }.toArray
+          val ord = scored.sortBy(s => (s._1, s._2))
+          ord.take(math.min(nprobe, centroids.length)).map(_._2)
+        }
       val bc = sc.broadcast((queries.map(_._2), probes))
       val d = dim
       try {

@@ -78,6 +78,27 @@ class ServingIndexSpec extends AnyFunSuite {
     flat.slabs.unpersist(); ivf.slabs.unpersist(); docs.unpersist()
   }
 
+  test("HNSW-routed probe selection matches the exact centroid ranking") {
+    val docs = corpus.cache(); docs.count()
+    val ivf = ServingIndex.buildIvf(docs, dim, nlist = 20, iterations = 10)
+    val exact = ivf.search(queries, 10, nprobe = 5, KnnSearch.L2)
+    // generous ef → the router's probe set should reproduce the exact
+    // ranking on 20 centroids, making results identical
+    val routed = ivf.search(queries, 10, nprobe = 5, KnnSearch.L2,
+      routed = true, routeEf = 64)
+    val exactRes = exact.map { case (q, a) => q -> a.toSeq }.toMap
+    val same = routed.count { case (q, a) => a.toSeq == exactRes(q) }
+    assert(same >= queries.length - 1, s"only $same/${queries.length} matched")
+    // default ef still reaches high recall vs the exact-probe search
+    val routedDef = ivf.search(queries, 10, nprobe = 5, KnnSearch.L2, routed = true)
+    val exactSets2 = exact.map { case (q, a) => q -> a.map(_._2).toSet }.toMap
+    val rec = routedDef.map { case (q, a) =>
+      a.map(_._2).count(exactSets2(q).contains).toDouble / exactSets2(q).size
+    }.sum / queries.length
+    assert(rec >= 0.9, s"routed recall vs exact-probe = $rec")
+    ivf.slabs.unpersist(); docs.unpersist()
+  }
+
   test("ivf slabs are cluster-major with consistent offsets") {
     val docs = corpus
     val ivf = ServingIndex.buildIvf(docs, dim, nlist = 8, iterations = 3)
