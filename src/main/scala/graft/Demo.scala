@@ -61,6 +61,13 @@ object Demo {
     println("hnsw  top-3 for q0:       " + hnswTop.head._2.toSeq)
     flat.slabs.unpersist(); hnsw.shards.unpersist()
 
+    println("== 3b'. SQ8 quantized tier (1 byte/dim, ADC search) ==")
+    val sq8 = ServingIndex.buildSq8(typedVecs, dim)
+    val sq8Top = sq8.search(servingQs, k = 3, KnnSearch.Cosine)
+    println(s"sq8 top-3 for q0 (${sq8.bytesPerVector} B/vec vs ${8 + 4 * dim} flat): "
+      + sq8Top.head._2.toSeq)
+    sq8.slabs.unpersist()
+
     println("== 3c. mutable serving loop (insert -> search -> delete -> compact) ==")
     val mutable = ServingIndex.mutableFlat(typedVecs, dim)
     val q0 = servingQs.head._2
@@ -101,6 +108,30 @@ object Demo {
     docs.select(col("doc_id"),
         graft.functions.TextFunctions.rollingFingerprint(col("text")).as("rolling_fp"))
       .show(3, truncate = false)
+    println("md5-simhash signatures (oracle-checked variant):")
+    Dedup.simhashMd5Signatures(docs, "doc_id", "text").show(3)
+
+    println("== 7. streaming near-dup filter (LSH bucket claims) ==")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val src = mem.toDS().toDF("doc_id", "text", "ts_ms")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+    val verdicts = graft.streaming.EventStream.nearDupBandVerdicts(
+      src, "doc_id", "text", "event_time")
+    val keptBatches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val sq = verdicts.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = graft.streaming.EventStream.keptOf(b).collect().map(_.getLong(0)).toSeq.sorted
+        if (ids.nonEmpty) keptBatches.synchronized { keptBatches += ids }
+        ()
+      }.start()
+    val t0 = docs.select("text").head.getString(0)
+    mem.addData((1L, t0, 1000000L))
+    sq.processAllAvailable()
+    mem.addData((2L, t0 + " tail", 1060000L), (3L, "an entirely different streaming document body", 1060000L))
+    sq.processAllAvailable()
+    sq.stop()
+    println(s"kept per batch (doc 2 is a near-dup of doc 1): $keptBatches")
 
     spark.stop()
   }
