@@ -130,7 +130,7 @@ object Chunkers {
     if (words.isEmpty) return 0.0
     val sentences = text.split(SentenceSplit).count(_.trim.nonEmpty).max(1)
     val avgSentLen = math.min(words.length.toDouble / sentences / 30.0, 1.0)
-    val diversity = words.map(_.toLowerCase).distinct.length.toDouble / words.length
+    val diversity = words.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.length.toDouble / words.length
     val punctDensity = math.min(text.count(".,;:!?".contains(_)).toDouble / text.length * 20.0, 1.0)
     (avgSentLen + diversity + punctDensity) / 3.0
   }

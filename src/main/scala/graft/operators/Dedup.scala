@@ -77,16 +77,7 @@ object Dedup {
     // (distinct word n-grams; whole text when shorter than n).
     val postings = Par.widen(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        // limit -1 keeps trailing empty tokens, matching the column form
-        // (TextFunctions.words) and the DuckDB oracle's string_split_regex
-        val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+", -1)
-        val sh =
-          if (ws.length >= n) (0 to ws.length - n).iterator
-            .map(i => ws.slice(i, i + n).mkString(" ")).toSet
-          else Set(ws.mkString(" "))
-        sh.iterator.map(s => (id, s))
-      }
+      .flatMap { case (id, t) => shinglesOf(t, n).iterator.map(s => (id, s)) }
       .toDF("id", "s")
     // Optional df-cut: a shingle shared by huge numbers of docs is a
     // stopword-gram; it explodes the candidate space without separating
@@ -263,7 +254,11 @@ object Dedup {
     // (id, id, double) rows only. A pair colliding in k bands computes
     // the intersection k (≤ bands) times; collisions are rare enough
     // that this is far cheaper than shuffling the sets a second time.
-    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+    // Deliberately NO shuffle_hash hint: it saves ~0.25 s at sf0.1 by
+    // skipping the sorts, but the hash build side would hold a whole
+    // partition's shingle payloads in memory — a skewed (band, bucket)
+    // cell OOMs where sort-merge spills. Scale safety wins.
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -285,7 +280,7 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, text) =>
         val toks = if (text == null) Array.empty[String]
-                   else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+                   else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         (id, simhash64(toks))
       }
       .toDF("id", "sig")
@@ -311,7 +306,7 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
           val toks = if (text == null) Array.empty[String]
-                     else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+                     else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
           if (toks.isEmpty) Iterator.empty
           else {
             val tot = new Array[Int](60)

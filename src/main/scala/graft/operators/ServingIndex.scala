@@ -235,6 +235,14 @@ object ServingIndex {
       if (numSlabs > 0 && numSlabs < vectors0.getNumPartitions)
         vectors0.coalesce(numSlabs)
       else vectors0
+    // pin the input across the two passes: the quantizer trained in
+    // pass 1 MUST see the same realization pass 2 encodes — an uncached
+    // nondeterministic lineage (sample, recomputed shuffle) would
+    // otherwise clamp out-of-range values with unbounded error, and even
+    // a deterministic one would recompute its whole lineage twice. A
+    // caller-owned cache is respected (not re-pinned, never unpersisted).
+    val pinned = vectors.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (pinned) vectors.cache()
     val sc = vectors.sparkContext
     // pass 1: per-dim min/max — 2·dim floats per partition to the driver
     val (mins, maxs) = {
@@ -296,7 +304,9 @@ object ServingIndex {
       }
       Iterator.single(Sq8Slab(ids.result(), codes.result()))
     }, preservesPartitioning = true).cache()
-    val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
+    val nv =
+      try slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
+      finally if (pinned) vectors.unpersist(false) // slabs materialized; drop the staging pin
     new Sq8(slabs, d, nv, mins, step)
   }
 

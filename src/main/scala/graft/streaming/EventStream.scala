@@ -180,9 +180,10 @@ object EventStream {
   case class BandVerdict(doc_id: Long, band: Int, dup: Boolean)
 
   /** Exploded doc × band row (public: encoder codegen must reach the
-    * accessors from generated classes). */
+    * accessors from generated classes). The event time lives only in
+    * `event_time` (the watermark column); millis are derived at use. */
   case class BandRow(doc_id: Long, band: Int, bucket: String,
-                     tsMs: Long, event_time: java.sql.Timestamp)
+                     event_time: java.sql.Timestamp)
 
   /**
    * Streaming MinHash near-dup filter — the batch
@@ -230,7 +231,7 @@ object EventStream {
         it.flatMap { case (id, text, t) =>
           val buckets = graft.operators.Dedup.bandBucketsOf(
             md, graft.operators.Dedup.shinglesOf(text, sl), nh, nb)
-          (0 until nb).iterator.map(b => BandRow(id, b, buckets(b), t.getTime, t))
+          (0 until nb).iterator.map(b => BandRow(id, b, buckets(b), t))
         }
       }
       .withWatermark("event_time", s"$horizon milliseconds")
@@ -243,14 +244,14 @@ object EventStream {
             Iterator.empty
           } else {
             // deterministic first-arrival order at any parallelism
-            val sorted = rows.toArray.sortBy(r => (r.tsMs, r.doc_id))
+            val sorted = rows.toArray.sortBy(r => (r.event_time.getTime, r.doc_id))
             var claim = state.getOption
             val newClaim = claim.isEmpty
             val out = sorted.map { r =>
               claim match {
                 case Some(c) => BandVerdict(r.doc_id, key._1, dup = r.doc_id != c.claimant)
                 case None =>
-                  claim = Some(BandClaim(r.doc_id, r.tsMs))
+                  claim = Some(BandClaim(r.doc_id, r.event_time.getTime))
                   BandVerdict(r.doc_id, key._1, dup = false)
               }
             }

@@ -12,24 +12,8 @@ class Sq8IndexSpec extends AnyFunSuite {
   private val dim = 32
   private val n = 2000
 
-  private def corpus = {
-    val nClusters = 20
-    val d = dim // local copy: the RDD closure must not capture the suite
-    val centers = Array.tabulate(nClusters) { c =>
-      val r = new java.util.Random(42L + c)
-      Array.fill(d)(r.nextGaussian() * 5.0)
-    }
-    spark.sparkContext.parallelize(0L until n.toLong, 8).map { id =>
-      val ctr = centers((id % nClusters).toInt)
-      val r = new java.util.Random(1000L + id)
-      (id, Array.tabulate(d)(i => (ctr(i) + r.nextGaussian()).toFloat))
-    }
-  }
-
-  private def queries = (0 until 25).map { q =>
-    val r = new java.util.Random(9000L + q)
-    (q.toLong, Array.fill(dim)(r.nextGaussian().toFloat * 5.0f))
-  }.toArray
+  private def corpus = ClusteredFixture.corpus(spark, n, dim)
+  private def queries = ClusteredFixture.queries(25, dim)
 
   test("quantization round-trip error is bounded by step/2 per dimension") {
     val docs = corpus.cache(); docs.count()
