@@ -5,19 +5,21 @@ import java.util.zip.Inflater
 /**
  * Pure-JVM media codecs for the multimodal column pipeline — the real
  * replacements for the round-1 stub decoder, in the same spirit as the
- * PDF/DOCX parsers ([[graft.sources.BinaryText]]): the container ships no
- * ImageIO-native/ffmpeg codecs for lossy formats, but the LOSSLESS
- * formats are public byte layouts parseable with the JDK alone:
+ * PDF/DOCX parsers ([[graft.sources.BinaryText]]). The lossless formats
+ * are public byte layouts parsed by hand with the JDK alone, and JPEG
+ * decodes through the JDK's own `javax.imageio` reader (part of
+ * `java.desktop` — no external libraries):
  *
  *  - BMP: 24-bit uncompressed BI_RGB (header + padded bottom-up rows)
  *  - PNG: 8-bit gray/RGB/RGBA, non-interlaced — zlib IDAT via
  *    java.util.zip + the five scanline filters (None/Sub/Up/Avg/Paeth)
  *  - WAV: RIFF PCM 16-bit (fmt + data chunks)
+ *  - JPEG: baseline+progressive via ImageIO ([[decodeJpeg]])
  *
  * Decoded pixels/samples feed REAL feature extraction (channel means,
  * luminance histogram, RMS/ZCR) and a real nearest-neighbor resize.
- * JPEG/MP3/MP4 still route to the deterministic fake — swapping in a
- * native codec changes nothing around it.
+ * MP3/MP4 still route to the deterministic fake — swapping in a native
+ * codec changes nothing around it.
  */
 object MediaCodecs {
 
@@ -34,6 +36,45 @@ object MediaCodecs {
     def durationSec: Double =
       if (sampleRate == 0 || channels == 0) 0.0
       else samples.length.toDouble / channels / sampleRate
+  }
+
+  // ------------------------------------------------------------------ jpeg
+
+  /**
+   * JPEG via the JDK's OWN codec: `java.desktop` ships a full
+   * baseline+progressive JPEG reader behind `javax.imageio.ImageIO` —
+   * no external libraries, works headless. (Round 1 assumed no image
+   * codecs in the container; that is true of native/ffmpeg ones, but
+   * the ImageIO JPEG reader is part of the JDK itself.) Pixels are
+   * converted to the same row-major RGB layout the hand-written BMP/PNG
+   * decoders produce, so features/resize downstream are format-blind.
+   */
+  def decodeJpeg(bytes: Array[Byte]): Option[RasterImage] = {
+    try {
+      if (bytes == null || bytes.length < 3 || (bytes(0) & 0xff) != 0xff ||
+          (bytes(1) & 0xff) != 0xd8 || (bytes(2) & 0xff) != 0xff) return None
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = new Array[Int](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val base = (y * w + x) * 3
+            rgb(base) = (p >> 16) & 0xff
+            rgb(base + 1) = (p >> 8) & 0xff
+            rgb(base + 2) = p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some(RasterImage(w, h, rgb))
+      }
+    } catch { case _: Throwable => None }
   }
 
   // ------------------------------------------------------------------- bmp
@@ -355,9 +396,10 @@ object MediaCodecs {
 
   /**
    * Real decoder for the multimodal pipeline: sniffs the container magic
-   * (not the modality tag) and routes BMP/PNG/WAV through the real
-   * codecs; anything else (JPEG, MP3, MP4…) falls back to the
-   * deterministic fake, zero-padded/truncated to `dim` either way.
+   * (not the modality tag) and routes BMP/PNG/WAV through the
+   * hand-written codecs and JPEG through the JDK's ImageIO reader;
+   * anything else (MP3, MP4…) falls back to the deterministic fake,
+   * zero-padded/truncated to `dim` either way.
    */
   case class RealDecoder(dim: Int = 16) extends Multimodal.AssetDecoder {
     private val fake = Multimodal.FakeDecoder(dim)
@@ -367,6 +409,9 @@ object MediaCodecs {
           decodeBmp(bytes).map(imageFeatures)
         else if (bytes != null && bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P')
           decodePng(bytes).map(imageFeatures)
+        else if (bytes != null && bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+                 (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff)
+          decodeJpeg(bytes).map(imageFeatures)
         else if (bytes != null && bytes.length >= 12 &&
                  bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
           decodeWav(bytes).map(audioFeatures)

@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
  * Multimodal asset columns: images/audio/video travel as opaque `binary`
  * columns with typed metadata, and decode/feature-extraction runs as
  * batched `mapPartitions` — the Scala/JVM equivalent of a Pandas UDF over
- * mapInPandas. Lossless formats decode for REAL through the pure-JVM
- * codecs in [[MediaCodecs]] (BMP, PNG, PCM WAV → pixels/samples →
- * features/resize); lossy formats (JPEG/MP3/MP4 — no native codecs in
- * this container) fall back to the deterministic [[FakeDecoder]]. Swap
- * `AssetDecoder.decode` for a javacv/ffmpeg call and nothing else
+ * mapInPandas. Images and PCM audio decode for REAL — BMP/PNG/WAV
+ * through the hand-written pure-JVM codecs in [[MediaCodecs]], JPEG
+ * through the JDK's own ImageIO reader — into pixels/samples →
+ * features/resize; remaining lossy formats (MP3/MP4 — no native codecs
+ * in this container) fall back to the deterministic [[FakeDecoder]].
+ * Swap `AssetDecoder.decode` for a javacv/ffmpeg call and nothing else
  * changes.
  */
 object Multimodal {

@@ -168,6 +168,31 @@ class MediaCodecsSpec extends AnyFunSuite {
       Multimodal.FakeDecoder(16).decode("image", junk).toSeq)
   }
 
+  test("JPEG decode: real pixels via the JDK ImageIO codec") {
+    // author a 16×8 solid-color JPEG with the same codec family; lossy,
+    // so assert channel means within quantization tolerance
+    val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, 0xC04020)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xd8)
+    val decoded = MediaCodecs.decodeJpeg(bytes)
+    assert(decoded.isDefined)
+    val d = decoded.get
+    assert(d.width === 16 && d.height === 8)
+    val feats = MediaCodecs.imageFeatures(d)
+    assert(feats(0) === 16f && feats(1) === 8f)
+    assert(math.abs(feats(3) - 0xC0) < 13f, s"meanR=${feats(3)}") // 0-255 scale, ±5%
+    assert(math.abs(feats(4) - 0x40) < 13f, s"meanG=${feats(4)}")
+    assert(math.abs(feats(5) - 0x20) < 13f, s"meanB=${feats(5)}")
+    // the probe and the decode agree on dimensions
+    assert(MediaCodecs.jpegDims(bytes).map(t => (t._1, t._2)) === Some((16, 8)))
+    // RealDecoder sniffs the JPEG magic and produces the same features
+    val viaDecoder = MediaCodecs.RealDecoder(16).decode("image", bytes)
+    assert(viaDecoder.take(14).toSeq === feats.toSeq)
+  }
+
   test("PNG decode: truncated/oversized chunk length terminates with None") {
     // valid signature, then an IHDR whose length field claims far more
     // bytes than the buffer holds — must return None, not loop or throw
