@@ -58,12 +58,13 @@ object Bench {
       ("x_day6_large_50k384_100q", 50000, 384)
     ).flatMap { case (name, n, dim) =>
       try {
-        val (ivfSec, exactSec, recall, hnswSec, hnswRecall, sq8Sec, sq8Recall) =
-          day6Workload(spark, n, dim)
+        val (ivfSec, exactSec, recall, hnswSec, hnswRecall,
+             sq8Sec, sq8Recall, ivfSq8Sec, ivfSq8Recall) = day6Workload(spark, n, dim)
         Seq(name -> ivfSec, s"${name}_exact" -> exactSec,
           s"${name}_recall10" -> recall,
           s"${name}_hnsw" -> hnswSec, s"${name}_hnsw_recall10" -> hnswRecall,
-          s"${name}_sq8" -> sq8Sec, s"${name}_sq8_recall10" -> sq8Recall)
+          s"${name}_sq8" -> sq8Sec, s"${name}_sq8_recall10" -> sq8Recall,
+          s"${name}_ivfsq8" -> ivfSq8Sec, s"${name}_ivfsq8_recall10" -> ivfSq8Recall)
       } catch { case _: Throwable => Seq(name -> -1.0) }
     }
 
@@ -80,9 +81,10 @@ object Bench {
     * flat + IVF + HNSW + SQ8 serving indexes (outside the timed region,
     * like FAISS's separately-timed build), and time the warm 100-query
     * top-10 batch: (ivf sec, exact sec, ivf recall@10, hnsw sec, hnsw
-    * recall@10, sq8 sec, sq8 recall@10) — recalls vs the exact oracle. */
+    * recall@10, sq8 sec, sq8 recall@10, ivf+sq8 sec, ivf+sq8 recall@10)
+    * — recalls vs the exact oracle. */
   private def day6Workload(spark: SparkSession, n: Int, dim: Int)
-      : (Double, Double, Double, Double, Double, Double, Double) = {
+      : (Double, Double, Double, Double, Double, Double, Double, Double, Double) = {
     import spark.implicits._
     val nClusters = 100
     val d = dim
@@ -118,6 +120,9 @@ object Bench {
       efConstruction = 64, operators.KnnSearch.L2, numShards = 16)
     // SQ8: the 4×-less-memory tier; exhaustive ADC scan over uint8 codes
     val sq8 = operators.ServingIndex.buildSq8(docs, dim)
+    // IVF+SQ8: cluster pruning AND quantized memory (the 100 TB tier)
+    val ivfSq8 = operators.ServingIndex.buildIvfSq8(docs, dim,
+      nlist = math.min(100, n / 10), iterations = 10, numSlabs = 16)
     docs.unpersist() // the indexes hold their own resident slabs now
     System.gc() // drain build garbage outside the timed region
     // warm twice, then min of 9 — a single ~30 ms measurement is at the
@@ -139,6 +144,9 @@ object Bench {
       ivfRes = ivf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
     val hnswSec = timed(() => hnswRes = hnsw.search(queries, 10, efSearch = 64))
     val sq8Sec = timed(() => sq8Res = sq8.search(queries, 10, operators.KnnSearch.L2))
+    var ivfSq8Res: Array[(Long, Array[(Float, Long)])] = null
+    val ivfSq8Sec = timed(() =>
+      ivfSq8Res = ivfSq8.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
     val exactSets = exactRes.map { case (q, arr) => q -> arr.map(_._2).toSet }.toMap
     def recallOf(res: Array[(Long, Array[(Float, Long)])]): Double =
       res.map { case (q, arr) =>
@@ -147,8 +155,10 @@ object Bench {
     val recall = recallOf(ivfRes)
     val hnswRecall = recallOf(hnswRes)
     val sq8Recall = recallOf(sq8Res)
+    val ivfSq8Recall = recallOf(ivfSq8Res)
     flat.slabs.unpersist(); ivf.slabs.unpersist(); hnsw.shards.unpersist()
-    sq8.slabs.unpersist()
-    (ivfSec, exactSec, recall, hnswSec, hnswRecall, sq8Sec, sq8Recall)
+    sq8.slabs.unpersist(); ivfSq8.slabs.unpersist()
+    (ivfSec, exactSec, recall, hnswSec, hnswRecall, sq8Sec, sq8Recall,
+     ivfSq8Sec, ivfSq8Recall)
   }
 }

@@ -44,6 +44,10 @@ object ServingIndex {
     * index, not the slab — they are trained once over the whole corpus. */
   final case class Sq8Slab(ids: Array[Long], codes: Array[Byte])
 
+  /** Cluster-major scalar-quantized shard: the [[IvfSlab]] layout with
+    * uint8 codes instead of floats. */
+  final case class IvfSq8Slab(ids: Array[Long], codes: Array[Byte], offsets: Array[Int])
+
   // ---------------------------------------------------------------- flat
 
   final class Flat private[ServingIndex] (
@@ -244,42 +248,7 @@ object ServingIndex {
     val pinned = vectors.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (pinned) vectors.cache()
     val sc = vectors.sparkContext
-    // pass 1: per-dim min/max — 2·dim floats per partition to the driver
-    val (mins, maxs) = {
-      val partials: Array[(Array[Float], Array[Float])] =
-        sc.runJob(vectors, (it: Iterator[(Long, Array[Float])]) => {
-          val mn = Array.fill(d)(Float.PositiveInfinity)
-          val mx = Array.fill(d)(Float.NegativeInfinity)
-          it.foreach { case (_, v) =>
-            if (v != null && v.length == d) {
-              var i = 0
-              while (i < d) {
-                if (v(i) < mn(i)) mn(i) = v(i)
-                if (v(i) > mx(i)) mx(i) = v(i)
-                i += 1
-              }
-            }
-          }
-          (mn, mx)
-        })
-      val mn = Array.fill(d)(Float.PositiveInfinity)
-      val mx = Array.fill(d)(Float.NegativeInfinity)
-      partials.foreach { case (pmn, pmx) =>
-        var i = 0
-        while (i < d) {
-          if (pmn(i) < mn(i)) mn(i) = pmn(i)
-          if (pmx(i) > mx(i)) mx(i) = pmx(i)
-          i += 1
-        }
-      }
-      (mn, mx)
-    }
-    require(mins.forall(_ != Float.PositiveInfinity),
-      "cannot train an SQ8 index on an empty corpus")
-    val step = Array.tabulate(d) { i =>
-      val r = maxs(i) - mins(i)
-      if (r > 0f) r / 255f else 0f
-    }
+    val (mins, step) = trainQuantizer(vectors, d)
     val bc = sc.broadcast((mins, step))
     // pass 2: pack codes — round((v−min)/step) clamped to [0,255]
     val slabs = vectors.mapPartitions({ it =>
@@ -308,6 +277,137 @@ object ServingIndex {
       try slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
       finally if (pinned) vectors.unpersist(false) // slabs materialized; drop the staging pin
     new Sq8(slabs, d, nv, mins, step)
+  }
+
+  // ------------------------------------------------------------- ivf+sq8
+
+  /**
+   * IVF over SQ8 codes — FAISS's `IndexIVFScalarQuantizer` regime and the
+   * tier a 100 TB resident corpus actually runs: cluster pruning cuts the
+   * scan to `nprobe/nlist` of every slab AND each vector costs 1 byte/dim.
+   * Centroids stay float32 (nlist×dim — trivially small) so probe ranking
+   * is exact; probed ranges dequantize per vector ONCE into a stripe
+   * buffer shared across every query probing that cluster, then score
+   * with the shared F32 kernels.
+   */
+  final class IvfSq8 private[ServingIndex] (
+      val slabs: RDD[IvfSq8Slab], val centroids: Array[Array[Float]],
+      val dim: Int, val numVectors: Long,
+      val vmin: Array[Float], val vstep: Array[Float]) extends Serializable {
+
+    def nlist: Int = centroids.length
+    def bytesPerVector: Int = 8 + dim
+
+    def search(queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+               metric: KnnSearch.Metric = KnnSearch.L2): Array[(Long, Array[(Float, Long)])] = {
+      val sc = slabs.sparkContext
+      val desc = metric.descending
+      // exact L2 probe ranking vs the float centroids (see Ivf.search's
+      // geometry note — assignment and probing must share a metric)
+      val probes: Array[Array[Int]] = queries.map { case (_, q) =>
+        val scored = centroids.indices.map { c =>
+          (KnnSearch.L2.scoreF32(q, centroids(c)), c)
+        }.toArray
+        val ord = scored.sortBy(s => (s._1, s._2))
+        ord.take(math.min(nprobe, centroids.length)).map(_._2)
+      }
+      val bc = sc.broadcast((queries.map(_._2), probes, vmin, vstep))
+      val d = dim
+      try {
+        val perPartition: Array[Array[(Array[Float], Array[Long])]] =
+          sc.runJob(slabs, (it: Iterator[IvfSq8Slab]) => {
+            val (qs, pr, mn, st) = bc.value
+            val acc = emptyTopK(qs.length, k)
+            val buf = new Array[Float](d)
+            it.foreach { slab =>
+              val ncl = slab.offsets.length - 1
+              // invert probe lists so each probed vector dequantizes once
+              // and scores against every query probing its cluster
+              val byCluster = Array.fill(ncl)(List.empty[Int])
+              var qi = 0
+              while (qi < qs.length) {
+                pr(qi).foreach { c =>
+                  if (c < ncl) byCluster(c) = qi :: byCluster(c)
+                }
+                qi += 1
+              }
+              var c = 0
+              while (c < ncl) {
+                if (byCluster(c).nonEmpty) {
+                  val qids = byCluster(c).toArray
+                  val qsub = qids.map(qs)
+                  val accSub = qids.map(acc) // views onto the shared heaps
+                  var vi = slab.offsets(c)
+                  val until = slab.offsets(c + 1)
+                  while (vi < until) {
+                    dequant(slab.codes, vi * d, d, mn, st, buf)
+                    scanSlab(buf, slab.ids, vi, 0, 1, d, qsub, metric, accSub)
+                    vi += 1
+                  }
+                }
+                c += 1
+              }
+            }
+            acc.map(h => (h.scores.take(h.size), h.ids.take(h.size)))
+          })
+        mergeAcrossPartitions(queries, perPartition, k, desc)
+      } finally bc.destroy()
+    }
+  }
+
+  /** Build the composed index: Lloyd centroids (shared trainer), SQ8
+    * quantizer (shared trainer), then per-partition cluster-major uint8
+    * packing. Input pinned across the passes like [[buildSq8]]. */
+  def buildIvfSq8(vectors0: RDD[(Long, Array[Float])], dim: Int, nlist: Int,
+                  iterations: Int = 10, seed: Long = 42L,
+                  numSlabs: Int = -1): IvfSq8 = {
+    val d = dim
+    val vectors =
+      if (numSlabs > 0 && numSlabs < vectors0.getNumPartitions)
+        vectors0.coalesce(numSlabs)
+      else vectors0
+    val pinned = vectors.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (pinned) vectors.cache()
+    val sc = vectors.sparkContext
+    val centroids = trainCentroids(vectors, d, nlist, iterations, seed)
+    val (mins, step) = trainQuantizer(vectors, d)
+    val bc = sc.broadcast((centroids, mins, step))
+    val slabs = vectors.mapPartitions({ it =>
+      val (cs, mn, st) = bc.value
+      val buf = it.filter { case (_, v) => v != null && v.length == d }.toArray
+      val assign = buf.map { case (_, v) => nearestCentroid(v, cs) }
+      val counts = new Array[Int](cs.length)
+      assign.foreach(c => counts(c) += 1)
+      val offsets = new Array[Int](cs.length + 1)
+      var c = 0
+      while (c < cs.length) { offsets(c + 1) = offsets(c) + counts(c); c += 1 }
+      val ids = new Array[Long](buf.length)
+      val codes = new Array[Byte](buf.length * d)
+      val cursor = offsets.clone()
+      var i = 0
+      while (i < buf.length) {
+        val slot = cursor(assign(i)); cursor(assign(i)) += 1
+        ids(slot) = buf(i)._1
+        val v = buf(i)._2
+        var j = 0
+        while (j < d) {
+          val code =
+            if (st(j) == 0f) 0
+            else {
+              val q = Math.round((v(j) - mn(j)) / st(j))
+              if (q < 0) 0 else if (q > 255) 255 else q
+            }
+          codes(slot * d + j) = code.toByte
+          j += 1
+        }
+        i += 1
+      }
+      Iterator.single(IvfSq8Slab(ids, codes, offsets))
+    }, preservesPartitioning = true).cache()
+    val nv =
+      try slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
+      finally if (pinned) vectors.unpersist(false)
+    new IvfSq8(slabs, centroids, d, nv, mins, step)
   }
 
   // ------------------------------------------------------------- mutable
@@ -604,9 +704,87 @@ object ServingIndex {
       else vectors0
     val sc = vectors.sparkContext
     val d = dim
-    // init: deterministic sample of nlist vectors as seeds (same
-    // null/dimension tolerance as the assignment loops — a dirty row must
-    // be skipped, not crash the build)
+    val centroids = trainCentroids(vectors, d, nlist, iterations, seed)
+    val bcFinal = sc.broadcast(centroids)
+    val slabs = vectors.mapPartitions({ it =>
+      val cs = bcFinal.value
+      val buf = it.filter { case (_, v) => v != null && v.length == d }.toArray
+      val assign = buf.map { case (_, v) => nearestCentroid(v, cs) }
+      val counts = new Array[Int](cs.length)
+      assign.foreach(c => counts(c) += 1)
+      val offsets = new Array[Int](cs.length + 1)
+      var c = 0
+      while (c < cs.length) { offsets(c + 1) = offsets(c) + counts(c); c += 1 }
+      val ids = new Array[Long](buf.length)
+      val data = new Array[Float](buf.length * d)
+      val cursor = offsets.clone()
+      var i = 0
+      while (i < buf.length) {
+        val slot = cursor(assign(i)); cursor(assign(i)) += 1
+        ids(slot) = buf(i)._1
+        System.arraycopy(buf(i)._2, 0, data, slot * d, d)
+        i += 1
+      }
+      Iterator.single(IvfSlab(ids, data, offsets))
+    }, preservesPartitioning = true).cache()
+    // see buildFlat: the mark must precede the slabs' first job, and the
+    // materializing action doubles as the vector count
+    if (localCheckpoint) slabs.localCheckpoint()
+    val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
+    new Ivf(slabs, centroids, dim, nv)
+  }
+
+  /** Per-dim `[min, step]` quantizer training (one map-side-combined
+    * pass; 2·dim floats per partition to the driver) — shared by
+    * [[buildSq8]] and [[buildIvfSq8]]. `step = (max−min)/255`; a
+    * constant dimension gets step 0 and dequantizes exactly. */
+  private def trainQuantizer(vectors: RDD[(Long, Array[Float])],
+                             d: Int): (Array[Float], Array[Float]) = {
+    val sc = vectors.sparkContext
+    val partials: Array[(Array[Float], Array[Float])] =
+      sc.runJob(vectors, (it: Iterator[(Long, Array[Float])]) => {
+        val mn = Array.fill(d)(Float.PositiveInfinity)
+        val mx = Array.fill(d)(Float.NegativeInfinity)
+        it.foreach { case (_, v) =>
+          if (v != null && v.length == d) {
+            var i = 0
+            while (i < d) {
+              if (v(i) < mn(i)) mn(i) = v(i)
+              if (v(i) > mx(i)) mx(i) = v(i)
+              i += 1
+            }
+          }
+        }
+        (mn, mx)
+      })
+    val mn = Array.fill(d)(Float.PositiveInfinity)
+    val mx = Array.fill(d)(Float.NegativeInfinity)
+    partials.foreach { case (pmn, pmx) =>
+      var i = 0
+      while (i < d) {
+        if (pmn(i) < mn(i)) mn(i) = pmn(i)
+        if (pmx(i) > mx(i)) mx(i) = pmx(i)
+        i += 1
+      }
+    }
+    require(mn.forall(_ != Float.PositiveInfinity),
+      "cannot train an SQ8 quantizer on an empty corpus")
+    val step = Array.tabulate(d) { i =>
+      val r = mx(i) - mn(i)
+      if (r > 0f) r / 255f else 0f
+    }
+    (mn, step)
+  }
+
+  /** Distributed Lloyd training shared by [[buildIvf]] and
+    * [[buildIvfSq8]]: deterministic seed sample init, per-iteration
+    * map-side combined partial sums (runJob fan-out), nlist×dim centroid
+    * update on the driver. Dirty rows (null / wrong dim) are skipped in
+    * both init and assignment. */
+  private def trainCentroids(vectors: RDD[(Long, Array[Float])], d: Int,
+                             nlist: Int, iterations: Int,
+                             seed: Long): Array[Array[Float]] = {
+    val sc = vectors.sparkContext
     var centroids: Array[Array[Float]] =
       vectors.filter { case (_, v) => v != null && v.length == d }
         .takeSample(withReplacement = false, nlist, seed).map(_._2)
@@ -615,8 +793,6 @@ object ServingIndex {
     var iter = 0
     while (iter < iterations) {
       val bc = sc.broadcast(centroids)
-      // per-partition partial sums/counts per cluster — classic map-side
-      // combined Lloyd step; driver reduces nlist×(dim+1) doubles/partition
       val partials: Array[(Array[Double], Array[Long])] =
         sc.runJob(vectors, (it: Iterator[(Long, Array[Float])]) => {
           val cs = bc.value
@@ -647,33 +823,7 @@ object ServingIndex {
       }
       iter += 1
     }
-    val bcFinal = sc.broadcast(centroids)
-    val slabs = vectors.mapPartitions({ it =>
-      val cs = bcFinal.value
-      val buf = it.filter { case (_, v) => v != null && v.length == d }.toArray
-      val assign = buf.map { case (_, v) => nearestCentroid(v, cs) }
-      val counts = new Array[Int](cs.length)
-      assign.foreach(c => counts(c) += 1)
-      val offsets = new Array[Int](cs.length + 1)
-      var c = 0
-      while (c < cs.length) { offsets(c + 1) = offsets(c) + counts(c); c += 1 }
-      val ids = new Array[Long](buf.length)
-      val data = new Array[Float](buf.length * d)
-      val cursor = offsets.clone()
-      var i = 0
-      while (i < buf.length) {
-        val slot = cursor(assign(i)); cursor(assign(i)) += 1
-        ids(slot) = buf(i)._1
-        System.arraycopy(buf(i)._2, 0, data, slot * d, d)
-        i += 1
-      }
-      Iterator.single(IvfSlab(ids, data, offsets))
-    }, preservesPartitioning = true).cache()
-    // see buildFlat: the mark must precede the slabs' first job, and the
-    // materializing action doubles as the vector count
-    if (localCheckpoint) slabs.localCheckpoint()
-    val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
-    new Ivf(slabs, centroids, dim, nv)
+    centroids
   }
 
   // ------------------------------------------------------------- kernels

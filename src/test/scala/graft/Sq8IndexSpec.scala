@@ -70,6 +70,29 @@ class Sq8IndexSpec extends AnyFunSuite {
     idx.slabs.unpersist()
   }
 
+  test("IVF+SQ8 exhaustive probe equals flat SQ8 exactly; partial probe keeps recall") {
+    val docs = corpus.cache(); docs.count()
+    val sq8 = ServingIndex.buildSq8(docs, dim)
+    val ivfSq8 = ServingIndex.buildIvfSq8(docs, dim, nlist = 20, iterations = 10)
+    // same quantizer + exhaustive probes ⇒ identical results, any metric
+    for (metric <- Seq[KnnSearch.Metric](KnnSearch.L2, KnnSearch.Cosine)) {
+      val flatRes = sq8.search(queries, 10, metric).map { case (q, a) => q -> a.toSeq }.toMap
+      val ivfRes = ivfSq8.search(queries, 10, nprobe = 20, metric)
+      ivfRes.foreach { case (q, a) => assert(a.toSeq === flatRes(q), s"$metric q=$q") }
+    }
+    // pruned probes keep high recall on clustered data vs the exact flat
+    val flat = ServingIndex.buildFlat(docs, dim)
+    val exact = flat.search(queries, 10, KnnSearch.L2)
+      .map { case (q, a) => q -> a.map(_._2).toSet }.toMap
+    val pruned = ivfSq8.search(queries, 10, nprobe = 5, KnnSearch.L2)
+    val recall = pruned.map { case (q, a) =>
+      a.map(_._2).count(exact(q).contains).toDouble / exact(q).size
+    }.sum / pruned.length
+    assert(recall >= 0.7, s"ivf+sq8 recall@10 = $recall with nprobe 5/20")
+    assert(ivfSq8.bytesPerVector === 8 + dim)
+    docs.unpersist(); sq8.slabs.unpersist(); ivfSq8.slabs.unpersist(); flat.slabs.unpersist()
+  }
+
   test("dirty rows (null / wrong dim) are dropped like buildFlat") {
     val sc = spark.sparkContext
     val rows = sc.parallelize(Seq(
