@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnIndex, Chunkers, Dedup, Embedder, HnswIndex, IREval, KnnSearch, Rag, SimilarityJoin}
+import graft.operators.{AnnIndex, Chunkers, Dedup, Embedder, HnswIndex, IREval, KnnSearch, Rag, SimilarityJoin, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -670,6 +670,34 @@ object SparkEntry {
       .select(col("query_id"), col("context"), col("n_docs"))
   }
 
+  /** BM25 keyword retrieval (training-data pipeline addition — the
+    * reference is vector-only): inverted-index tf/df scoring with the
+    * Lucene-form idf, oracle-checked end to end. Every fractional
+    * constant is double on both sides (DuckDB bare decimals are DECIMAL
+    * — a decimal-exact tf×2.2 converts to a different double than
+    * double(tf)×double(2.2)). */
+  private val q52Bm25: Q = (s, dir) => {
+    TextSearch.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "join", "window"), k = 20)
+  }
+
+  /** Hybrid keyword+vector retrieval: BM25 top-10 and cosine top-10
+    * fused by reciprocal rank (RRF, k=60). Rank-only fusion — the two
+    * score scales never mix, so parity needs only rank parity (cosine
+    * ranks via the q50-proven kernel, BM25 ranks over the 6-dp-rounded
+    * score on both sides). */
+  private val q53HybridRrf: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val qv = Tables.queryVector(s, dir, 0L)
+    val vecRank = KnnSearch.topKBatch(e, "vec_id", "embedding",
+        Seq((0L, qv)), 10, KnnSearch.Cosine, excludeSelf = true)
+      .select(col("doc_id"), col("rank"))
+    val bmRank = TextSearch.asRanking(
+      TextSearch.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"), k = 10))
+    TextSearch.rrfFuse(Seq(vecRank, bmRank), k = 10)
+  }
+
   /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
     * mock answer, all string-exact against the oracle. */
   private val q51RagAnswer: Q = (s, dir) => {
@@ -733,6 +761,8 @@ object SparkEntry {
     "q33_ivf_recall" -> q33IvfRecall,
     "q34_embed_search" -> q34EmbedSearch,
     "q42_hnsw_recall" -> q42HnswRecall,
+    "q52_bm25" -> q52Bm25,
+    "q53_hybrid_rrf" -> q53HybridRrf,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1275,6 +1305,30 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
+    "q52_bm25" ->
+      (s"""WITH $Bm25Cte
+        |SELECT doc_id, round(sum(contrib), 6) AS score
+        |FROM sc GROUP BY 1
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""").stripMargin,
+    "q53_hybrid_rrf" ->
+      (s"""WITH $Bm25Cte,
+        |bm AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY round(sum(contrib), 6) DESC, doc_id) AS rank
+        |  FROM sc GROUP BY doc_id
+        |  ORDER BY rank LIMIT 10),
+        |vec AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY rank LIMIT 10),
+        |u AS (SELECT doc_id, rank FROM bm UNION ALL SELECT doc_id, rank FROM vec)
+        |SELECT doc_id, round(sum(1.0::DOUBLE / (60 + rank)), 6) AS score
+        |FROM u GROUP BY 1
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""").stripMargin,
     "q50_rag_context" -> Q50ContextSql,
     "q51_rag_answer" ->
       (s"""WITH ctx AS ($Q50ContextSql)
@@ -1285,6 +1339,27 @@ object SparkEntry {
         |  'Machine learning is a subset of AI that learns patterns from data.' AS answer
         |FROM ctx""").stripMargin,
   )
+
+  /** Shared BM25 CTE chain (q52/q53): tokenize → doc lengths → corpus
+    * stats → query-term tf → df → per-(doc,term) contribution. Every
+    * fractional constant is ::DOUBLE so DuckDB's decimal arithmetic
+    * cannot diverge from the engine's double math. */
+  private lazy val Bm25Cte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS t
+      |  FROM documents),
+      |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n, avg(len) AS avgdl FROM lens),
+      |tf AS (
+      |  SELECT doc_id, t, count(*) AS tf FROM toks
+      |  WHERE t IN ('spark', 'join', 'window') GROUP BY 1, 2),
+      |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    ln((s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE) + 1.0::DOUBLE) *
+      |      (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      |      (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * l.len / s.avgdl)) AS contrib
+      |  FROM tf JOIN dft d USING (t) JOIN lens l USING (doc_id), stats s)""".stripMargin
 
   private lazy val Q50ContextSql: String =
     """WITH top AS (
