@@ -482,6 +482,21 @@ object SparkEntry {
       .orderBy(col("gid"), col("chunk_index"))
   }
 
+  /** Token chunker (G1/G2): fixed ≤maxTokens windows with overlap
+    * carry-back. The stride is constant (maxTokens − overlap), so the
+    * oracle enumerates chunk starts arithmetically (range + list_slice)
+    * — no recursion needed, unlike q49's data-dependent stepping. */
+  private val q54TokenChunks: Q = (s, dir) => {
+    Chunkers.tokenChunks(
+        Tables(s, dir, "documents").where(col("doc_id") < 60),
+        "doc_id", "text", maxTokens = 30, overlapTokens = 5)
+      .toDF()
+      .select(col("doc_id"), col("chunk_index"),
+        col("start_char").as("start_tok"), col("end_char").as("end_tok"),
+        col("n_tokens"), col("text"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
   /** Rolling-hash document fingerprints (the codegen'd [[graft.functions.RollingHash]]
     * Rabin–Karp expression — the incremental fingerprint family winnowing
     * pipelines use, alongside the md5 canonical form of q27). */
@@ -744,6 +759,7 @@ object SparkEntry {
     "q30_char_chunks" -> q30CharChunks,
     "q48_simhash_md5" -> q48SimhashMd5,
     "q49_sentence_chunks" -> q49SentenceChunks,
+    "q54_token_chunks" -> q54TokenChunks,
     "q35_minhash_lsh" -> q35MinhashLsh,
     "q36_clean_text" -> q36CleanText,
     "q37_knn_plan_operator" -> q37KnnPlanOperator,
@@ -1155,6 +1171,22 @@ object SparkEntry {
         |FROM chunks ch JOIN pre p ON p.gid = ch.gid AND p.sno >= ch.i AND p.sno < ch.j
         |GROUP BY ch.gid, ch.idx, ch.i, ch.j
         |ORDER BY ch.gid, chunk_index""".stripMargin,
+    "q54_token_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+        |  FROM documents WHERE doc_id < 60),
+        |base AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CAST(greatest(ceil((len(toks) - 30) / 25.0), 0) AS BIGINT) + 1 AS m
+        |  FROM t WHERE len(toks) > 0),
+        |ix AS (SELECT doc_id, toks, n, unnest(range(m)) AS i FROM base)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+        |  CAST(i * 25 AS INTEGER) AS start_tok,
+        |  CAST(least(i * 25 + 30, n) AS INTEGER) AS end_tok,
+        |  CAST(least(i * 25 + 30, n) - i * 25 AS INTEGER) AS n_tokens,
+        |  array_to_string(list_slice(toks, i * 25 + 1, least(i * 25 + 30, n)), ' ') AS text
+        |FROM ix
+        |ORDER BY doc_id, chunk_index""".stripMargin,
     "q30_char_chunks" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_index, CAST(i * 150 AS INTEGER) AS start_char,
         |  substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS text
