@@ -482,6 +482,27 @@ object SparkEntry {
       .orderBy(col("gid"), col("chunk_index"))
   }
 
+  /** Capstone char chunker WITH the day_15 sentence snap (G8's primary
+    * form; q30 covers the fixed-stride variant): the cut snaps back to
+    * the last '.' past the window midpoint, so stepping is
+    * data-dependent — the oracle walks it with a recursive CTE over a
+    * precomputed dot-position list (correlated list_filter + list_max
+    * reproduces Java's lastIndexOf('.', end) exactly). Same 25-group
+    * sentence synthesis as q49. */
+  private val q55CharSnapChunks: Q = (s, dir) => {
+    val combined = Tables(s, dir, "documents")
+      .groupBy((col("doc_id") % 25).as("gid"))
+      .agg(concat(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), ". "), lit(".")).as("text"))
+    Chunkers.charChunks(combined, "gid", "text", size = 400, overlap = 80)
+      .toDF()
+      .select(col("doc_id").as("gid"), col("chunk_index"),
+        col("start_char"), col("end_char"),
+        col("n_tokens").as("n_words"), col("text"))
+      .orderBy(col("gid"), col("chunk_index"))
+  }
+
   /** Token chunker (G1/G2): fixed ≤maxTokens windows with overlap
     * carry-back. The stride is constant (maxTokens − overlap), so the
     * oracle enumerates chunk starts arithmetically (range + list_slice)
@@ -760,6 +781,7 @@ object SparkEntry {
     "q48_simhash_md5" -> q48SimhashMd5,
     "q49_sentence_chunks" -> q49SentenceChunks,
     "q54_token_chunks" -> q54TokenChunks,
+    "q55_char_snap_chunks" -> q55CharSnapChunks,
     "q35_minhash_lsh" -> q35MinhashLsh,
     "q36_clean_text" -> q36CleanText,
     "q37_knn_plan_operator" -> q37KnnPlanOperator,
@@ -1187,6 +1209,47 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, i * 25 + 1, least(i * 25 + 30, n)), ' ') AS text
         |FROM ix
         |ORDER BY doc_id, chunk_index""".stripMargin,
+    "q55_char_snap_chunks" ->
+      ("""WITH RECURSIVE
+        |grp AS (
+        |  SELECT doc_id % 25 AS gid, string_agg(text, '. ' ORDER BY doc_id) || '.' AS t
+        |  FROM documents GROUP BY 1),
+        |chars AS (
+        |  SELECT gid, unnest(string_split(t, '')) AS c, unnest(range(1, length(t) + 1)) AS pos
+        |  FROM grp),
+        |dots AS (
+        |  SELECT gid, coalesce(list(pos - 1 ORDER BY pos) FILTER (WHERE c = '.'), []) AS ds
+        |  FROM chars GROUP BY gid),
+        |chain(gid, idx, strt) AS (
+        |  SELECT gid, 0, 0 FROM grp WHERE length(t) > 0
+        |  UNION ALL
+        |  SELECT c.gid, c.idx + 1,
+        |    CASE WHEN e >= length(g.t) THEN length(g.t) ELSE e - 80 END
+        |  FROM (
+        |    SELECT c.gid, c.idx, c.strt,
+        |      CASE WHEN least(c.strt + 400, length(g.t)) < length(g.t)
+        |                AND list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) IS NOT NULL
+        |           THEN list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) + 1
+        |           ELSE least(c.strt + 400, length(g.t)) END AS e
+        |    FROM chain c
+        |    JOIN grp g ON g.gid = c.gid
+        |    JOIN dots d ON d.gid = c.gid) c
+        |  JOIN grp g ON g.gid = c.gid
+        |  WHERE (CASE WHEN c.e >= length(g.t) THEN length(g.t) ELSE c.e - 80 END) < length(g.t)),
+        |ends AS (
+        |  SELECT c.gid, c.idx, c.strt,
+        |    CASE WHEN least(c.strt + 400, length(g.t)) < length(g.t)
+        |              AND list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) IS NOT NULL
+        |         THEN list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) + 1
+        |         ELSE least(c.strt + 400, length(g.t)) END AS e,
+        |    g.t AS t
+        |  FROM chain c JOIN grp g ON g.gid = c.gid JOIN dots d ON d.gid = c.gid)
+        |SELECT gid, CAST(idx AS INTEGER) AS chunk_index,
+        |  CAST(strt AS INTEGER) AS start_char, CAST(e AS INTEGER) AS end_char,
+        |  CAST(len(list_filter(string_split_regex(substring(t, strt + 1, e - strt), '\s+'), w -> w <> '')) AS INTEGER) AS n_words,
+        |  substring(t, strt + 1, e - strt) AS text
+        |FROM ends
+        |ORDER BY gid, chunk_index""").stripMargin,
     "q30_char_chunks" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_index, CAST(i * 150 AS INTEGER) AS start_char,
         |  substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS text
