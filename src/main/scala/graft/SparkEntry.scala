@@ -503,6 +503,32 @@ object SparkEntry {
       .orderBy(col("gid"), col("chunk_index"))
   }
 
+  /** Adaptive token chunker (G3): the complexity score (avg sentence
+    * length, vocabulary diversity, punctuation density — equal-weighted)
+    * picks the per-doc chunk budget, then stepping is arithmetic like
+    * q54. The oracle mirrors the score's exact double expression tree
+    * (every fractional constant ::DOUBLE; same association order), so
+    * the 0.4/0.7 factor branches agree bit-for-bit. Inputs union the
+    * q49 sentence groups (factor 1.0 regime) with raw docs (higher
+    * diversity → factor 0.85), exercising both branches. */
+  private val q56AdaptiveChunks: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val combined = docs
+      .groupBy((col("doc_id") % 25).as("gid"))
+      .agg(concat(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), ". "), lit(".")).as("text"))
+      .unionByName(docs.where(col("doc_id") < 60)
+        .select((col("doc_id") + 100).as("gid"), col("text")))
+    Chunkers.adaptiveTokenChunks(combined, "gid", "text",
+        maxTokens = 30, overlapTokens = 5)
+      .toDF()
+      .select(col("doc_id").as("gid"), col("chunk_index"),
+        col("start_char").as("start_tok"), col("end_char").as("end_tok"),
+        col("n_tokens"), col("text"))
+      .orderBy(col("gid"), col("chunk_index"))
+  }
+
   /** Token chunker (G1/G2): fixed ≤maxTokens windows with overlap
     * carry-back. The stride is constant (maxTokens − overlap), so the
     * oracle enumerates chunk starts arithmetically (range + list_slice)
@@ -782,6 +808,7 @@ object SparkEntry {
     "q49_sentence_chunks" -> q49SentenceChunks,
     "q54_token_chunks" -> q54TokenChunks,
     "q55_char_snap_chunks" -> q55CharSnapChunks,
+    "q56_adaptive_chunks" -> q56AdaptiveChunks,
     "q35_minhash_lsh" -> q35MinhashLsh,
     "q36_clean_text" -> q36CleanText,
     "q37_knn_plan_operator" -> q37KnnPlanOperator,
@@ -1249,6 +1276,42 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split_regex(substring(t, strt + 1, e - strt), '\s+'), w -> w <> '')) AS INTEGER) AS n_words,
         |  substring(t, strt + 1, e - strt) AS text
         |FROM ends
+        |ORDER BY gid, chunk_index""").stripMargin,
+    "q56_adaptive_chunks" ->
+      ("""WITH
+        |grp AS (
+        |  SELECT doc_id % 25 AS gid, string_agg(text, '. ' ORDER BY doc_id) || '.' AS t
+        |  FROM documents GROUP BY 1
+        |  UNION ALL
+        |  SELECT doc_id + 100 AS gid, text AS t FROM documents WHERE doc_id < 60),
+        |feats AS (
+        |  SELECT gid, t,
+        |    list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS words,
+        |    greatest(len(list_filter(string_split(regexp_replace(t, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)), x -> trim(x) <> '')), 1) AS sents
+        |  FROM grp),
+        |cx AS (
+        |  SELECT gid, t, words, len(words) AS wc,
+        |    (least(len(words)::DOUBLE / sents / 30.0::DOUBLE, 1.0::DOUBLE)
+        |     + len(list_distinct(list_transform(words, w -> lower(w))))::DOUBLE / len(words)
+        |     + least((length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g')))::DOUBLE / length(t) * 20.0::DOUBLE, 1.0::DOUBLE)
+        |    ) / 3.0::DOUBLE AS c
+        |  FROM feats WHERE len(words) > 0),
+        |budgets AS (
+        |  SELECT gid, t, words, wc,
+        |    greatest(CAST(trunc(30 * (CASE WHEN c > 0.7::DOUBLE THEN 0.7::DOUBLE
+        |                                   WHEN c > 0.4::DOUBLE THEN 0.85::DOUBLE
+        |                                   ELSE 1.0::DOUBLE END)) AS BIGINT), 6) AS budget
+        |  FROM cx),
+        |ix AS (
+        |  SELECT gid, words, wc, budget,
+        |    unnest(range(CAST(greatest(ceil((wc - budget) / (budget - 5.0::DOUBLE)), 0) AS BIGINT) + 1)) AS i
+        |  FROM budgets)
+        |SELECT gid, CAST(i AS INTEGER) AS chunk_index,
+        |  CAST(i * (budget - 5) AS INTEGER) AS start_tok,
+        |  CAST(least(i * (budget - 5) + budget, wc) AS INTEGER) AS end_tok,
+        |  CAST(least(i * (budget - 5) + budget, wc) - i * (budget - 5) AS INTEGER) AS n_tokens,
+        |  array_to_string(list_slice(words, i * (budget - 5) + 1, least(i * (budget - 5) + budget, wc)), ' ') AS text
+        |FROM ix
         |ORDER BY gid, chunk_index""").stripMargin,
     "q30_char_chunks" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_index, CAST(i * 150 AS INTEGER) AS start_char,
