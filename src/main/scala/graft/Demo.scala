@@ -79,6 +79,17 @@ object Demo {
     val afterDelete = mutable.search(servingQs.take(1), k = 3, KnnSearch.Cosine)
     println("after delete+compact:     " + afterDelete.head._2.toSeq)
 
+    println("== 3d. keyword + hybrid retrieval (BM25 / RRF) ==")
+    val bm = TextSearch.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "join", "window"), k = 5)
+    bm.show(5, truncate = false)
+    val vecRank = KnnSearch.topKBatch(e, "vec_id", "embedding",
+        queries.take(1), 5, KnnSearch.Cosine, excludeSelf = true)
+      .select(col("doc_id"), col("rank"))
+    val fused = TextSearch.rrfFuse(Seq(vecRank, TextSearch.asRanking(bm)), k = 5)
+    println("hybrid RRF top-5: " + fused.collect().map(r =>
+      s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", "))
+
     println("== 4. RAG ==")
     val hits = KnnSearch.topKBatch(coll.dropDuplicates("doc_id"), "doc_id", "embedding",
       Seq((0L, qv)), 3)
