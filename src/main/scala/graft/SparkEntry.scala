@@ -666,6 +666,11 @@ object SparkEntry {
     val qs = e.where(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // drop a memo whose SparkContext has been stopped (a fresh session
+    // in the same JVM would otherwise get an unusable cached index)
+    ivfIndexCache.get(dir).foreach { idx =>
+      if (idx.assignments.sparkSession.sparkContext.isStopped) ivfIndexCache.remove(dir)
+    }
     val index = ivfIndexCache.getOrElseUpdate(dir, {
       val idx = AnnIndex.buildIvf(e, "vec_id", "embedding", nlist = 16)
       idx.assignments.persist().count()
@@ -691,6 +696,10 @@ object SparkEntry {
     val qs = e.where(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // same stale-context guard as q33's IVF memo
+    hnswIndexCache.get(dir).foreach { h =>
+      if (h.shards.sparkContext.isStopped) hnswIndexCache.remove(dir)
+    }
     val hnsw = hnswIndexCache.getOrElseUpdate(dir, {
       val typed = e.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
         .as[(Long, Array[Float])]

@@ -53,28 +53,38 @@ object MediaCodecs {
     try {
       if (bytes == null || bytes.length < 3 || (bytes(0) & 0xff) != 0xff ||
           (bytes(1) & 0xff) != 0xd8 || (bytes(2) & 0xff) != 0xff) return None
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // memory-backed image stream: the default ImageIO path wraps the
+      // (already in-memory) bytes in a FileCacheImageInputStream — a
+      // temp-file write per decode on every executor
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself on
+      // completion; the quiet re-close only covers the exception path
+      val img =
+        try javax.imageio.ImageIO.read(stream)
+        finally {
+          try stream.close() catch { case _: java.io.IOException => () }
+        }
       if (img == null) None
       else {
         val w = img.getWidth
         val h = img.getHeight
+        // one bulk conversion pass — per-pixel getRGB pays a virtual
+        // dispatch + ColorModel conversion per call
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
         val rgb = new Array[Int](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            val base = (y * w + x) * 3
-            rgb(base) = (p >> 16) & 0xff
-            rgb(base + 1) = (p >> 8) & 0xff
-            rgb(base + 2) = p & 0xff
-            x += 1
-          }
-          y += 1
+        var p = 0
+        while (p < argb.length) {
+          val v = argb(p)
+          rgb(p * 3) = (v >> 16) & 0xff
+          rgb(p * 3 + 1) = (v >> 8) & 0xff
+          rgb(p * 3 + 2) = v & 0xff
+          p += 1
         }
         Some(RasterImage(w, h, rgb))
       }
-    } catch { case _: Throwable => None }
+    } catch { case _: Exception => None } // Exception, not Throwable: match
+    // the other decoders — a VM error must fail the task, not fake features
   }
 
   // ------------------------------------------------------------------- bmp

@@ -127,13 +127,7 @@ object ServingIndex {
             centroidRouter.search(KnnSearch.L2, q, math.min(nprobe, centroids.length), ef)
               .map(_._2.toInt)
           }
-        } else queries.map { case (_, q) =>
-          val scored = centroids.indices.map { c =>
-            (KnnSearch.L2.scoreF32(q, centroids(c)), c)
-          }.toArray
-          val ord = scored.sortBy(s => (s._1, s._2))
-          ord.take(math.min(nprobe, centroids.length)).map(_._2)
-        }
+        } else rankProbes(queries, centroids, nprobe)
       val bc = sc.broadcast((queries.map(_._2), probes))
       val d = dim
       try {
@@ -304,13 +298,7 @@ object ServingIndex {
       val desc = metric.descending
       // exact L2 probe ranking vs the float centroids (see Ivf.search's
       // geometry note — assignment and probing must share a metric)
-      val probes: Array[Array[Int]] = queries.map { case (_, q) =>
-        val scored = centroids.indices.map { c =>
-          (KnnSearch.L2.scoreF32(q, centroids(c)), c)
-        }.toArray
-        val ord = scored.sortBy(s => (s._1, s._2))
-        ord.take(math.min(nprobe, centroids.length)).map(_._2)
-      }
+      val probes = rankProbes(queries, centroids, nprobe)
       val bc = sc.broadcast((queries.map(_._2), probes, vmin, vstep))
       val d = dim
       try {
@@ -372,6 +360,11 @@ object ServingIndex {
     val centroids = trainCentroids(vectors, d, nlist, iterations, seed)
     val (mins, step) = trainQuantizer(vectors, d)
     val bc = sc.broadcast((centroids, mins, step))
+    // cluster-major packing mirrors buildIvf's loop with a quantizing
+    // inner write (buildSq8's clamp). Kept inline rather than shared
+    // through a per-element writer closure: the write runs n×dim times
+    // and a megamorphic call site there costs more than the duplication
+    // saves — change buildIvf/buildSq8 packing and THIS together.
     val slabs = vectors.mapPartitions({ it =>
       val (cs, mn, st) = bc.value
       val buf = it.filter { case (_, v) => v != null && v.length == d }.toArray
@@ -733,6 +726,21 @@ object ServingIndex {
     val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
     new Ivf(slabs, centroids, dim, nv)
   }
+
+  /** Exact per-query probe ranking: nprobe assignment-nearest (L2)
+    * centroids, best-first, ties by index — shared by [[Ivf.search]]
+    * (unrouted branch) and [[IvfSq8.search]] so probe tie-breaking can
+    * never diverge between the float and quantized tiers. */
+  private def rankProbes(queries: Array[(Long, Array[Float])],
+                         centroids: Array[Array[Float]],
+                         nprobe: Int): Array[Array[Int]] =
+    queries.map { case (_, q) =>
+      val scored = centroids.indices.map { c =>
+        (KnnSearch.L2.scoreF32(q, centroids(c)), c)
+      }.toArray
+      val ord = scored.sortBy(s => (s._1, s._2))
+      ord.take(math.min(nprobe, centroids.length)).map(_._2)
+    }
 
   /** Per-dim `[min, step]` quantizer training (one map-side-combined
     * pass; 2·dim floats per partition to the driver) — shared by
