@@ -529,6 +529,29 @@ object SparkEntry {
       .orderBy(col("gid"), col("chunk_index"))
   }
 
+  /** Semantic chunker (G5): mock-embed each sentence, greedily group
+    * later unused sentences whose cosine to the group seed clears the
+    * threshold. The oracle recomputes the per-sentence embeddings in SQL
+    * (q34's encoder form), builds a seed→qualifying-neighbors table, and
+    * walks the greedy loop as a recursive CTE carrying the used-set as a
+    * list. θ = 0.76 sits inside the mock encoder's actual cosine range
+    * (~0.58–0.87 — components are all negative; see MockEncoder), so
+    * groupings are non-trivial in both directions. */
+  private val q57SemanticChunks: Q = (s, dir) => {
+    val combined = Tables(s, dir, "documents")
+      .groupBy((col("doc_id") % 25).as("gid"))
+      .agg(concat(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), ". "), lit(".")).as("text"))
+    Chunkers.semanticChunks(combined, "gid", "text",
+        simThreshold = 0.76, minSentenceChars = 10)
+      .toDF()
+      .select(col("doc_id").as("gid"), col("chunk_index"),
+        col("start_char").as("start_sent"), col("end_char").as("end_sent"),
+        col("n_tokens").as("n_words"), col("text"))
+      .orderBy(col("gid"), col("chunk_index"))
+  }
+
   /** Token chunker (G1/G2): fixed ≤maxTokens windows with overlap
     * carry-back. The stride is constant (maxTokens − overlap), so the
     * oracle enumerates chunk starts arithmetically (range + list_slice)
@@ -818,6 +841,7 @@ object SparkEntry {
     "q54_token_chunks" -> q54TokenChunks,
     "q55_char_snap_chunks" -> q55CharSnapChunks,
     "q56_adaptive_chunks" -> q56AdaptiveChunks,
+    "q57_semantic_chunks" -> q57SemanticChunks,
     "q35_minhash_lsh" -> q35MinhashLsh,
     "q36_clean_text" -> q36CleanText,
     "q37_knn_plan_operator" -> q37KnnPlanOperator,
@@ -1322,6 +1346,65 @@ object SparkEntry {
         |  array_to_string(list_slice(words, i * (budget - 5) + 1, least(i * (budget - 5) + budget, wc)), ' ') AS text
         |FROM ix
         |ORDER BY gid, chunk_index""").stripMargin,
+    "q57_semantic_chunks" ->
+      ("""WITH RECURSIVE
+        |grp AS (
+        |  SELECT doc_id % 25 AS gid, string_agg(text, '. ' ORDER BY doc_id) || '.' AS text
+        |  FROM documents GROUP BY 1),
+        |marked AS (
+        |  SELECT gid, regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g') AS t FROM grp),
+        |sents0 AS (
+        |  SELECT gid, trim(s) AS s, pos
+        |  FROM (SELECT gid, unnest(string_split(t, chr(1))) AS s,
+        |               unnest(range(1, len(string_split(t, chr(1))) + 1)) AS pos
+        |        FROM marked)
+        |  WHERE length(trim(s)) >= 10),
+        |sents AS (
+        |  SELECT gid, s, row_number() OVER (PARTITION BY gid ORDER BY pos) - 1 AS sno
+        |  FROM sents0),
+        |emb AS (
+        |  SELECT gid, sno,
+        |    list_transform(range(64), j ->
+        |      CAST(CAST(('0x' || substr(md5(s || '#' || CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)
+        |           / 9007199254740992.0 - 0.5 AS REAL)) AS e
+        |  FROM sents),
+        |pairs AS (
+        |  SELECT a.gid, a.sno AS i, b.sno AS j,
+        |    list_dot_product(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(a.e AS DOUBLE[]), CAST(a.e AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(b.e AS DOUBLE[]), CAST(b.e AS DOUBLE[])))) AS cs
+        |  FROM emb a JOIN emb b ON a.gid = b.gid AND b.sno > a.sno),
+        |nbrs AS (
+        |  SELECT gid, i, list(j ORDER BY j) FILTER (WHERE cs >= 0.76::DOUBLE) AS ns
+        |  FROM pairs GROUP BY gid, i),
+        |counts AS (SELECT gid, count(*) AS n FROM sents GROUP BY 1),
+        |chain(gid, idx, used, members) AS (
+        |  SELECT c.gid, 0,
+        |    list_sort(list_prepend(CAST(0 AS BIGINT), coalesce(nb.ns, []))),
+        |    list_sort(list_prepend(CAST(0 AS BIGINT), coalesce(nb.ns, [])))
+        |  FROM counts c LEFT JOIN nbrs nb ON nb.gid = c.gid AND nb.i = 0
+        |  UNION ALL
+        |  SELECT s.gid, s.idx + 1,
+        |    list_sort(list_concat(s.used, s.newm)), s.newm
+        |  FROM (
+        |    SELECT q.gid, q.idx, q.used,
+        |      list_sort(list_prepend(q.seed,
+        |        list_filter(coalesce(nb.ns, []), j -> NOT list_contains(q.used, j)))) AS newm
+        |    FROM (
+        |      SELECT c.gid, c.idx, c.used,
+        |        list_min(list_filter(range(ct.n), x -> NOT list_contains(c.used, x))) AS seed
+        |      FROM chain c JOIN counts ct ON ct.gid = c.gid
+        |      WHERE len(c.used) < ct.n) q
+        |    LEFT JOIN nbrs nb ON nb.gid = q.gid AND nb.i = q.seed) s)
+        |SELECT x.gid, CAST(x.idx AS INTEGER) AS chunk_index,
+        |  CAST(min(st.sno) AS INTEGER) AS start_sent,
+        |  CAST(max(st.sno) + 1 AS INTEGER) AS end_sent,
+        |  CAST(len(list_filter(string_split_regex(string_agg(st.s, ' ' ORDER BY st.sno), '\s+'), w -> w <> '')) AS INTEGER) AS n_words,
+        |  string_agg(st.s, ' ' ORDER BY st.sno) AS text
+        |FROM (SELECT gid, idx, unnest(members) AS m FROM chain) x
+        |JOIN sents st ON st.gid = x.gid AND st.sno = x.m
+        |GROUP BY x.gid, x.idx
+        |ORDER BY x.gid, chunk_index""").stripMargin,
     "q30_char_chunks" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_index, CAST(i * 150 AS INTEGER) AS start_char,
         |  substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS text

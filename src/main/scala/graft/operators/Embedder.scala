@@ -21,16 +21,19 @@ object Embedder {
     def encodeBatch(texts: Seq[String]): Seq[Array[Float]]
   }
 
-  /** Deterministic mock encoder. Component j of text t is a 52-bit uniform
-    * drawn from md5(t + "#" + j):
-    *   u = first 13 hex digits as an integer;  x_j = u / 2^52 − 0.5
-    * Every operation is IEEE-exact (the divide is a power-of-two exponent
-    * shift; 52 bits fit a double with no rounding) and there are NO
-    * transcendentals or JVM-specific RNG streams, so any engine with md5
-    * reproduces the vectors bit-for-bit — the DuckDB oracle for q34
-    * recomputes them in SQL. Vectors are deliberately not normalized:
-    * cosine scoring normalizes, and skipping it keeps the cross-engine
-    * arithmetic to hash/divide/subtract only. */
+  /** Deterministic mock encoder. Component j of text t is drawn from
+    * md5(t + "#" + j):
+    *   u = first 13 hex digits (52 bits);  x_j = u / 2^53 − 0.5
+    * Note the divisor is 2^53, so x_j ∈ [−0.5, 0): components are all
+    * negative and cosines between any two texts sit near 0.75 — a quirk,
+    * but the q34 oracle hash-locks this exact arithmetic, so it is
+    * documented rather than changed (semantic-chunker thresholds must be
+    * chosen inside the real cosine range — see q57). Every operation is
+    * IEEE-exact (power-of-two divide; 52 bits fit a double exactly) with
+    * NO transcendentals or JVM RNG streams, so any engine with md5
+    * reproduces the vectors bit-for-bit. Vectors are deliberately not
+    * normalized: cosine scoring normalizes, and skipping it keeps the
+    * cross-engine arithmetic to hash/divide/subtract only. */
   case class MockEncoder(dim: Int = 64) extends TextEncoder {
     // "#0".."#dim-1" suffix bytes, built once per (deserialized) encoder
     @transient private lazy val suffixes: Array[Array[Byte]] =
@@ -57,7 +60,7 @@ object Embedder {
           while (i < 7) { u = (u << 8) | (digest(i) & 0xffL); i += 1 }
           // 7 bytes = 56 bits; keep the top 52 (13 hex digits)
           u >>>= 4
-          ((u / 9007199254740992.0) - 0.5).toFloat // u / 2^52 − 0.5
+          ((u / 9007199254740992.0) - 0.5).toFloat // u / 2^53 − 0.5 ∈ [−0.5, 0)
         }
       }
     }
