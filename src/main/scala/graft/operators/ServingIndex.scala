@@ -539,6 +539,13 @@ object ServingIndex {
       tombstones.clear()
     }
 
+    /** Test hook: slab (partition) count of the current base (compaction
+      * must keep this flat too — the delta arrives as one extra union
+      * partition that the rebuild has to fold back in, not keep). */
+    private[graft] def slabCount: Int = synchronized {
+      base.fold(_.slabs.getNumPartitions, _.slabs.getNumPartitions)
+    }
+
     /** Test hook: lineage depth of the current base slabs (compaction
       * must keep this flat — see the checkpoint note in [[compact]]). */
     private[graft] def lineageDepth: Int = synchronized {
@@ -620,8 +627,15 @@ object ServingIndex {
                   numSlabs: Int = -1, maxDelta: Int = 4096,
                   maxTombstones: Int = 512): Mutable = {
     val d = dim
-    new Mutable(Left(buildFlat(baseVectors, d, numSlabs)), d,
-      rows => Left(buildFlat(rows, d, numSlabs, localCheckpoint = true)),
+    val base = buildFlat(baseVectors, d, numSlabs)
+    // compact() unions the delta as one extra partition; a rebuild that
+    // merely "keeps the input partitioning" (numSlabs = -1) would therefore
+    // add a slab per insert-bearing flush — unbounded task count and driver
+    // merge width on a long mutation stream. Pin every rebuild to the slab
+    // count the base actually materialized with.
+    val effSlabs = if (numSlabs > 0) numSlabs else base.slabs.getNumPartitions
+    new Mutable(Left(base), d,
+      rows => Left(buildFlat(rows, d, effSlabs, localCheckpoint = true)),
       maxDelta, maxTombstones)
   }
 
@@ -634,17 +648,20 @@ object ServingIndex {
                  iterations: Int = 10, seed: Long = 42L, numSlabs: Int = -1,
                  maxDelta: Int = 4096, maxTombstones: Int = 512): Mutable = {
     val d = dim
+    val base = buildIvf(baseVectors, d, nlist, iterations, seed, numSlabs)
+    // see mutableFlat: rebuilds must not inherit the delta's extra union
+    // partition, or the slab count grows by one per compaction
+    val effSlabs = if (numSlabs > 0) numSlabs else base.slabs.getNumPartitions
     val rebuild: RDD[(Long, Array[Float])] => Either[Flat, Ivf] = rows0 => {
       val rows = rows0.cache()
       try {
         val n = rows.count()
-        if (n == 0) Left(buildFlat(rows, d, numSlabs, localCheckpoint = true))
+        if (n == 0) Left(buildFlat(rows, d, effSlabs, localCheckpoint = true))
         else Right(buildIvf(rows, d, math.min(nlist.toLong, n).toInt,
-          iterations, seed, numSlabs, localCheckpoint = true))
+          iterations, seed, effSlabs, localCheckpoint = true))
       } finally rows.unpersist(false)
     }
-    new Mutable(Right(buildIvf(baseVectors, d, nlist, iterations, seed, numSlabs)), d,
-      rebuild, maxDelta, maxTombstones)
+    new Mutable(Right(base), d, rebuild, maxDelta, maxTombstones)
   }
 
   // -------------------------------------------------------------- builds
@@ -849,6 +866,7 @@ object ServingIndex {
     private var kept = k
 
     def insert(s: Float, id: Long, desc: Boolean): Unit = {
+      if (kept == 0) return // k = 0: nothing to keep (scores(-1) otherwise)
       if (size == kept) {
         // fast reject vs current worst
         val w = size - 1

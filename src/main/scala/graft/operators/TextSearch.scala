@@ -30,7 +30,10 @@ object TextSearch {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val termsArr = terms.toArray
+    // bag-of-terms BM25: a duplicated query term must not score twice
+    // (each element gets its own tf slot below, and the oracle SQL
+    // GROUPs BY term) — dedupe at entry
+    val termsArr = terms.distinct.toArray
     // ONE tokenize pass per doc emits (len, per-term tf) — doc lengths
     // ride with the tf rows, so no lens join and no term-row explosion.
     val perDoc = Par.widen(docs.select(col(idCol).cast("long"), col(textCol)))

@@ -124,7 +124,13 @@ object EventStream {
                   out += UserSession(userId, s.n, s.value, s.startNs, s.lastNs)
                   cur = Some(SessionState(1, v, ts, ts))
                 case Some(s) =>
-                  cur = Some(SessionState(s.n + 1, s.value + v, s.startNs, ts))
+                  // an out-of-order row from a later micro-batch (still
+                  // inside the watermark delay) may carry ts < lastNs:
+                  // widen the session bounds, never regress them — an
+                  // overwrite would pull the re-armed timeout backwards
+                  // and could split the session on the next in-order row
+                  cur = Some(SessionState(s.n + 1, s.value + v,
+                    math.min(s.startNs, ts), math.max(s.lastNs, ts)))
                 case None =>
                   cur = Some(SessionState(1, v, ts, ts))
               }

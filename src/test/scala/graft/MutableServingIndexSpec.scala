@@ -162,6 +162,39 @@ class MutableServingIndexSpec extends AnyFunSuite {
       s"lineage grew: ${idx.lineageDepth} vs $depthAfterFirst after 5 more flushes")
   }
 
+  test("insert-bearing compactions keep the slab count flat (flat and IVF)") {
+    // each compact() unions the delta as one extra partition; the rebuild
+    // must coalesce back to the base's slab count or tasks-per-search and
+    // the driver merge grow one slab per flush forever
+    val flat = ServingIndex.mutableFlat(baseRdd, dim)
+    val ivf = ServingIndex.mutableIvf(baseRdd, dim, nlist = 8, iterations = 3)
+    val flatSlabs0 = flat.slabCount
+    val ivfSlabs0 = ivf.slabCount
+    (1 to 5).foreach { g =>
+      flat.upsert(7000L + g, vec(7000L + g)); flat.compact()
+      ivf.upsert(7000L + g, vec(7000L + g)); ivf.compact()
+    }
+    assert(flat.slabCount === flatSlabs0,
+      s"flat slabs grew ${flatSlabs0} -> ${flat.slabCount} over 5 flushes")
+    assert(ivf.slabCount === ivfSlabs0,
+      s"ivf slabs grew ${ivfSlabs0} -> ${ivf.slabCount} over 5 flushes")
+    // and answers are still right
+    val truth = mutable.LinkedHashMap(baseRows: _*)
+    (1 to 5).foreach(g => truth(7000L + g) = vec(7000L + g))
+    assert(got(flat.search(queries, 10, KnnSearch.L2)) ===
+      expect(truth, queries, 10, KnnSearch.L2))
+    assert(got(ivf.search(queries, 10, KnnSearch.L2, nprobe = 8)) ===
+      expect(truth, queries, 10, KnnSearch.L2))
+  }
+
+  test("k = 0 returns empty results instead of throwing") {
+    val idx = ServingIndex.mutableFlat(baseRdd, dim)
+    assert(idx.search(queries, 0, KnnSearch.L2).forall(_._2.isEmpty))
+    val flat = ServingIndex.buildFlat(baseRdd, dim)
+    assert(flat.search(queries, 0, KnnSearch.Cosine).forall(_._2.isEmpty))
+    flat.slabs.unpersist()
+  }
+
   test("array<double> vector streams are cast, not crashed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

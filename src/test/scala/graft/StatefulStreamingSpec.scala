@@ -70,4 +70,35 @@ class StatefulStreamingSpec extends AnyFunSuite {
       // (user 99's own session stays open: nothing outruns its close point)
     } finally q.stop()
   }
+
+  test("out-of-order event inside the watermark widens, never regresses, the open session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val sessions = EventStream.sessionizeStateful(mem.toDS(), gap)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_ooo").start()
+    try {
+      val B = 100000L * NS
+      // batch 1: open session [B, B+1000s]
+      mem.addData((5L, B, 1.0), (5L, B + 1000L * NS, 2.0))
+      q.processAllAvailable()
+      // batch 2: a LATE row at B+500s — inside the session and well above
+      // the watermark (B+1000s − 1800s). It must merge without pulling the
+      // session's end time back to B+500s
+      mem.addData((5L, B + 500L * NS, 4.0))
+      q.processAllAvailable()
+      // batch 3: in-order row at B+2400s — 1400s after the true end
+      // (inside the gap). Under the regression bug the end would read
+      // B+500s, the 1900s delta would exceed the gap, and the session
+      // would spuriously split here
+      mem.addData((5L, B + 2400L * NS, 8.0))
+      q.processAllAvailable()
+      assert(rows("sessions_ooo").isEmpty, "no spurious split")
+      // sentinel flushes the tail: one session covering all four events
+      mem.addData((99L, B + 999999L * NS, 0.0))
+      q.processAllAvailable()
+      eventuallyRows("sessions_ooo", Set((5L, 4L, 15.0, B + 2400L * NS)))
+    } finally q.stop()
+  }
 }

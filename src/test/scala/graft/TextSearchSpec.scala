@@ -30,6 +30,21 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: duplicated query terms score once (bag-of-terms, not per-element)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry apple")).toDF("doc_id", "text")
+    val once = TextSearch.bm25TopK(docs, "doc_id", "text",
+        Seq("apple", "cherry"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val duped = TextSearch.bm25TopK(docs, "doc_id", "text",
+        Seq("apple", "cherry", "apple", "apple"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(duped === once)
+  }
+
   test("bm25: query terms absent from the corpus yield no rows") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
