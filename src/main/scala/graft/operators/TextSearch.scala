@@ -57,29 +57,38 @@ object TextSearch {
         }
       }
       .toDF("doc_id", "len", "tfs")
-      // the exchange makes this subtree REUSABLE: the three consumers
-      // below (stats, tf→df, tf→contrib) read one shuffle output
-      // instead of re-running the tokenize per consumer. At sf0.1 the
-      // query is stage-floor-bound (~0.1 s saved); at corpus scale the
-      // saving is two full tokenize passes. Slim rows (id, int, array).
+      // the exchange makes this subtree REUSABLE: both consumers below
+      // (corpus stats, per-doc scoring) read one shuffle output instead
+      // of re-running the tokenize per consumer. At sf0.1 the query is
+      // stage-floor-bound; at corpus scale the saving is a full
+      // tokenize pass. Slim rows (id, int, array).
       .repartition(col("doc_id"))
-    // corpus stats: one row (N docs-with-tokens, mean doc length)
-    val stats = perDoc.agg(count(lit(1)).as("n"), avg(col("len")).as("avgdl"))
-    val tf = perDoc
-      .select(col("doc_id"), col("len"), posexplode(col("tfs")))
-      .toDF("doc_id", "len", "ti", "tf")
-      .where(col("tf") > 0)
-    val dft = tf.groupBy(col("ti")).agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(dft), Seq("ti"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avgdl"))))
-    contrib.groupBy(col("doc_id"))
-      .agg(round(sum(col("contrib")), 6).as("score"))
+    // ONE corpus-stats row: N docs-with-tokens, mean doc length, and the
+    // per-term document frequency (df_i = docs where term i occurs) —
+    // folding df into this aggregate removes the explode→groupBy(term)
+    // pass and its broadcast job that a separate df table would cost
+    val aggCols = Seq(count(lit(1)).as("n"), avg(col("len")).as("avgdl")) ++
+      termsArr.indices.map(i =>
+        sum(when(col("tfs")(i) > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    // per-doc score in a single projection: the query-term list is tiny
+    // and static, so the Σ over terms unrolls into a codegen'd expression
+    // (term-index order — the order the oracle's hash was proven under;
+    // absent terms contribute exactly +0.0, which cannot perturb the sum)
+    // and the k-limit plans as TakeOrderedAndProject — no per-(doc,term)
+    // rows, no df join, no final groupBy(doc_id) shuffle
+    val contribs = termsArr.indices.map { i =>
+      val tf = col("tfs")(i)
+      val df = col(s"df_$i")
+      val idf = log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
+      when(tf > 0,
+        idf * (tf * (k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .where(termsArr.indices.map(i => col("tfs")(i) > 0).reduce(_ || _))
+      .select(col("doc_id"), round(contribs.reduce(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
