@@ -792,6 +792,37 @@ object SparkEntry {
     TextSearch.rrfFuse(Seq(vecRank, bmRank), k = 10)
   }
 
+  /** Hybrid chunker (G7) oracle-gated end to end: four content types are
+    * synthesized deterministically from the corpus — the raw prose doc, a
+    * fenced code block re-lined two words per line, a pipe table three
+    * words per line, and a two-section markdown doc — then routed through
+    * content detection, the per-type chunking strategies, and the
+    * short-fragment merge pass. The synthesis is pure string arithmetic
+    * (split/slice/join), so the oracle rebuilds byte-identical inputs and
+    * the whole pipeline is hash-checked. */
+  private val q58HybridChunks: Q = (s, dir) => {
+    import s.implicits._
+    val synth = Tables(s, dir, "documents").where(col("doc_id") < 48)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        val t = (id % 4) match {
+          case 0L => text
+          case 1L => "```\n" + ws.grouped(2).map(_.mkString(" ")).mkString("\n")
+          case 2L => ws.grouped(3).map(_.mkString(" | ")).mkString("\n")
+          case _  => "# Intro\n" + ws.take(10).mkString(" ") +
+                     "\n# Body\n" + ws.drop(10).mkString(" ")
+        }
+        (id, t)
+      }.toDF("doc_id", "text")
+    Chunkers.hybridChunks(synth, "doc_id", "text",
+        maxTokens = 12, minChunkChars = 50)
+      .toDF()
+      .select(col("doc_id"), col("chunk_index"), col("text"),
+        col("n_tokens"), col("chunk_type"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
   /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
     * mock answer, all string-exact against the oracle. */
   private val q51RagAnswer: Q = (s, dir) => {
@@ -861,6 +892,7 @@ object SparkEntry {
     "q42_hnsw_recall" -> q42HnswRecall,
     "q52_bm25" -> q52Bm25,
     "q53_hybrid_rrf" -> q53HybridRrf,
+    "q58_hybrid_chunks" -> q58HybridChunks,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1579,6 +1611,73 @@ object SparkEntry {
         |FROM u GROUP BY 1
         |ORDER BY score DESC, doc_id
         |LIMIT 10""").stripMargin,
+    "q58_hybrid_chunks" ->
+      """WITH src AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+        |  FROM documents WHERE doc_id < 48),
+        |sized AS (SELECT doc_id, ws, len(ws) AS nw FROM src WHERE len(ws) > 0),
+        |prose_g AS (
+        |  SELECT doc_id, ws, nw, unnest(range((nw + 11) // 12)) AS gi
+        |  FROM sized WHERE doc_id % 4 = 0),
+        |prose_c AS (
+        |  SELECT doc_id, gi + 1 AS rn,
+        |    array_to_string(list_slice(ws, gi * 12 + 1, least(gi * 12 + 12, nw)), ' ') AS ctext
+        |  FROM prose_g),
+        |codes AS (
+        |  SELECT doc_id,
+        |    list_prepend('```', list_transform(range((nw + 1) // 2),
+        |      p -> array_to_string(list_slice(ws, p * 2 + 1, least(p * 2 + 2, nw)), ' '))) AS lines
+        |  FROM sized WHERE doc_id % 4 = 1),
+        |tbls AS (
+        |  SELECT doc_id,
+        |    list_transform(range((nw + 2) // 3),
+        |      p -> array_to_string(list_slice(ws, p * 3 + 1, least(p * 3 + 3, nw)), ' | ')) AS lines
+        |  FROM sized WHERE doc_id % 4 = 2),
+        |linedocs AS (SELECT * FROM codes UNION ALL SELECT * FROM tbls),
+        |line_g AS (
+        |  SELECT doc_id, lines, unnest(range((len(lines) + 19) // 20)) AS gi FROM linedocs),
+        |line_c AS (
+        |  SELECT doc_id, gi + 1 AS rn,
+        |    array_to_string(list_slice(lines, gi * 20 + 1, least(gi * 20 + 20, len(lines))), chr(10)) AS ctext
+        |  FROM line_g),
+        |struct_base AS (
+        |  SELECT doc_id, ws, nw,
+        |    list_concat(['#', 'Body'], list_slice(ws, 11, nw)) AS t2
+        |  FROM sized WHERE doc_id % 4 = 3),
+        |struct_1 AS (
+        |  SELECT doc_id, 1 AS rn,
+        |    '# Intro' || chr(10) || array_to_string(list_slice(ws, 1, 10), ' ') AS ctext
+        |  FROM struct_base),
+        |struct_short AS (
+        |  SELECT doc_id, 2 AS rn,
+        |    '# Body' || chr(10) || array_to_string(list_slice(ws, 11, nw), ' ') AS ctext
+        |  FROM struct_base WHERE len(t2) <= 12),
+        |struct_long_g AS (
+        |  SELECT doc_id, t2, unnest(range((len(t2) + 11) // 12)) AS gi
+        |  FROM struct_base WHERE len(t2) > 12),
+        |struct_long AS (
+        |  SELECT doc_id, gi + 2 AS rn,
+        |    array_to_string(list_slice(t2, gi * 12 + 1, least(gi * 12 + 12, len(t2))), ' ') AS ctext
+        |  FROM struct_long_g),
+        |chunks AS (
+        |  SELECT * FROM prose_c UNION ALL SELECT * FROM line_c
+        |  UNION ALL SELECT * FROM struct_1 UNION ALL SELECT * FROM struct_short
+        |  UNION ALL SELECT * FROM struct_long),
+        |grp AS (
+        |  SELECT doc_id, rn, ctext,
+        |    sum(CASE WHEN rn = 1 OR length(ctext) >= 50 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY rn) AS g
+        |  FROM chunks),
+        |merged AS (
+        |  SELECT doc_id, CAST(g - 1 AS INTEGER) AS chunk_index,
+        |    string_agg(ctext, ' ' ORDER BY rn) AS text
+        |  FROM grp GROUP BY 1, 2)
+        |SELECT doc_id, chunk_index, text,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS INTEGER) AS n_tokens,
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'prose' WHEN 1 THEN 'code'
+        |       WHEN 2 THEN 'table' ELSE 'structure' END AS chunk_type
+        |FROM merged
+        |ORDER BY doc_id, chunk_index""".stripMargin,
     "q50_rag_context" -> Q50ContextSql,
     "q51_rag_answer" ->
       (s"""WITH ctx AS ($Q50ContextSql)
