@@ -241,10 +241,25 @@ object ServingIndex {
     // caller-owned cache is respected (not re-pinned, never unpersisted).
     val pinned = vectors.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (pinned) vectors.cache()
-    val sc = vectors.sparkContext
-    val (mins, step) = trainQuantizer(vectors, d)
-    val bc = sc.broadcast((mins, step))
-    // pass 2: pack codes — round((v−min)/step) clamped to [0,255]
+    try {
+      val (mins, step) = trainQuantizer(vectors, d)
+      packSq8(vectors, d, mins, step, -1, localCheckpoint = false)
+    } finally if (pinned) vectors.unpersist(false) // pack materialized the slabs
+  }
+
+  /** Encode under a PRE-TRAINED quantizer — [[buildSq8]]'s pass 2, also
+    * the compaction path of [[mutableSq8]] (the frozen quantizer makes
+    * re-encoding surviving grid points exact). Single pass, no pin
+    * needed. Codes: `round((v−min)/step)` clamped to [0,255]. */
+  private def packSq8(vectors0: RDD[(Long, Array[Float])], dim: Int,
+                      mins: Array[Float], step: Array[Float],
+                      numSlabs: Int, localCheckpoint: Boolean): Sq8 = {
+    val d = dim
+    val vectors =
+      if (numSlabs > 0 && numSlabs < vectors0.getNumPartitions)
+        vectors0.coalesce(numSlabs)
+      else vectors0
+    val bc = vectors.sparkContext.broadcast((mins, step))
     val slabs = vectors.mapPartitions({ it =>
       val (mn, st) = bc.value
       val ids = Array.newBuilder[Long]
@@ -267,9 +282,10 @@ object ServingIndex {
       }
       Iterator.single(Sq8Slab(ids.result(), codes.result()))
     }, preservesPartitioning = true).cache()
-    val nv =
-      try slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
-      finally if (pinned) vectors.unpersist(false) // slabs materialized; drop the staging pin
+    // see buildFlat: the mark must precede the slabs' first job, and the
+    // materializing action doubles as the vector count
+    if (localCheckpoint) slabs.localCheckpoint()
+    val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
     new Sq8(slabs, d, nv, mins, step)
   }
 
@@ -356,15 +372,30 @@ object ServingIndex {
       else vectors0
     val pinned = vectors.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (pinned) vectors.cache()
-    val sc = vectors.sparkContext
-    val centroids = trainCentroids(vectors, d, nlist, iterations, seed)
-    val (mins, step) = trainQuantizer(vectors, d)
-    val bc = sc.broadcast((centroids, mins, step))
-    // cluster-major packing mirrors buildIvf's loop with a quantizing
-    // inner write (buildSq8's clamp). Kept inline rather than shared
-    // through a per-element writer closure: the write runs n×dim times
-    // and a megamorphic call site there costs more than the duplication
-    // saves — change buildIvf/buildSq8 packing and THIS together.
+    try {
+      val centroids = trainCentroids(vectors, d, nlist, iterations, seed)
+      val (mins, step) = trainQuantizer(vectors, d)
+      packIvfSq8(vectors, d, centroids, mins, step, -1, localCheckpoint = false)
+    } finally if (pinned) vectors.unpersist(false) // pack materialized the slabs
+  }
+
+  /** Cluster-major packing under PRE-TRAINED centroids + quantizer —
+    * [[buildIvfSq8]]'s pack pass, also the compaction path of
+    * [[mutableIvfSq8]]. Mirrors buildIvf's loop with a quantizing inner
+    * write (packSq8's clamp). Kept inline rather than shared through a
+    * per-element writer closure: the write runs n×dim times and a
+    * megamorphic call site there costs more than the duplication saves —
+    * change buildIvf/packSq8 packing and THIS together. */
+  private def packIvfSq8(vectors0: RDD[(Long, Array[Float])], dim: Int,
+                         centroids: Array[Array[Float]],
+                         mins: Array[Float], step: Array[Float],
+                         numSlabs: Int, localCheckpoint: Boolean): IvfSq8 = {
+    val d = dim
+    val vectors =
+      if (numSlabs > 0 && numSlabs < vectors0.getNumPartitions)
+        vectors0.coalesce(numSlabs)
+      else vectors0
+    val bc = vectors.sparkContext.broadcast((centroids, mins, step))
     val slabs = vectors.mapPartitions({ it =>
       val (cs, mn, st) = bc.value
       val buf = it.filter { case (_, v) => v != null && v.length == d }.toArray
@@ -397,9 +428,10 @@ object ServingIndex {
       }
       Iterator.single(IvfSq8Slab(ids, codes, offsets))
     }, preservesPartitioning = true).cache()
-    val nv =
-      try slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
-      finally if (pinned) vectors.unpersist(false)
+    // see buildFlat: the mark must precede the slabs' first job, and the
+    // materializing action doubles as the vector count
+    if (localCheckpoint) slabs.localCheckpoint()
+    val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
     new IvfSq8(slabs, centroids, d, nv, mins, step)
   }
 
@@ -410,8 +442,10 @@ object ServingIndex {
    * loop (reference day_8/endpoints.py:13-49,168-208 single/batch insert,
    * :210-260 delete) over a resident distributed base:
    *
-   *  - the immutable BASE ([[Flat]] or [[Ivf]]) holds the bulk corpus on
-   *    the executors;
+   *  - the immutable BASE (any tier: [[Flat]], [[Ivf]], [[Sq8]],
+   *    [[IvfSq8]]) holds the bulk corpus on the executors; quantized
+   *    bases freeze their scalar quantizer at construction so compaction
+   *    re-encodes surviving codes exactly (see [[mutableSq8]]);
    *  - upserts land in a driver-local DELTA memtable (insertion-ordered,
    *    O(1) upsert); a base copy, when one may exist (a Bloom filter over
    *    base ids decides — no false negatives, so every real base copy IS
@@ -440,10 +474,80 @@ object ServingIndex {
    * holds the lock for its fused job, which is the serving trade — a
    * mutation never observes a half-applied batch.
    */
+  /** Uniform view of the four immutable tiers as a [[Mutable]] base.
+    * `liveVectors` reconstructs the survivors for compaction: exact
+    * floats for the float tiers; for the SQ8 tiers the quantizer's grid
+    * points — re-encoding a grid point under the SAME (frozen) quantizer
+    * is exact, so quantized compaction never compounds error. */
+  private[graft] sealed trait MutableBase {
+    def searchBase(queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+                   metric: KnnSearch.Metric): Array[(Long, Array[(Float, Long)])]
+    def anySlabs: RDD[_ <: AnyRef]
+    def idArrays: RDD[Array[Long]]
+    def numVectors: Long
+    /** Rows surviving the (sorted) tombstone mask, unpacked from slabs. */
+    def liveVectors(dim: Int, tomb: Array[Long]): RDD[(Long, Array[Float])]
+  }
+  private def liveOf(ids: Array[Long], data: Array[Float], d: Int,
+                     tomb: Array[Long]): Iterator[(Long, Array[Float])] =
+    ids.indices.iterator.collect {
+      case i if java.util.Arrays.binarySearch(tomb, ids(i)) < 0 =>
+        (ids(i), java.util.Arrays.copyOfRange(data, i * d, (i + 1) * d))
+    }
+  private def liveOfCodes(ids: Array[Long], codes: Array[Byte], d: Int,
+                          mn: Array[Float], st: Array[Float],
+                          tomb: Array[Long]): Iterator[(Long, Array[Float])] =
+    ids.indices.iterator.collect {
+      case i if java.util.Arrays.binarySearch(tomb, ids(i)) < 0 =>
+        val out = new Array[Float](d)
+        dequant(codes, i * d, d, mn, st, out)
+        (ids(i), out)
+    }
+  private[graft] final case class FlatBase(f: Flat) extends MutableBase {
+    def searchBase(qs: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+                   m: KnnSearch.Metric) = f.search(qs, k, m)
+    def anySlabs: RDD[_ <: AnyRef] = f.slabs
+    def idArrays: RDD[Array[Long]] = f.slabs.map(_.ids)
+    def numVectors: Long = f.numVectors
+    def liveVectors(d: Int, tomb: Array[Long]) =
+      f.slabs.flatMap(s => liveOf(s.ids, s.data, d, tomb))
+  }
+  private[graft] final case class IvfBase(i: Ivf) extends MutableBase {
+    def searchBase(qs: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+                   m: KnnSearch.Metric) = i.search(qs, k, nprobe, m)
+    def anySlabs: RDD[_ <: AnyRef] = i.slabs
+    def idArrays: RDD[Array[Long]] = i.slabs.map(_.ids)
+    def numVectors: Long = i.numVectors
+    def liveVectors(d: Int, tomb: Array[Long]) =
+      i.slabs.flatMap(s => liveOf(s.ids, s.data, d, tomb))
+  }
+  private[graft] final case class Sq8Base(s: Sq8) extends MutableBase {
+    def searchBase(qs: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+                   m: KnnSearch.Metric) = s.search(qs, k, m)
+    def anySlabs: RDD[_ <: AnyRef] = s.slabs
+    def idArrays: RDD[Array[Long]] = s.slabs.map(_.ids)
+    def numVectors: Long = s.numVectors
+    def liveVectors(d: Int, tomb: Array[Long]) = {
+      val (mn, st) = (s.vmin, s.vstep)
+      s.slabs.flatMap(sl => liveOfCodes(sl.ids, sl.codes, d, mn, st, tomb))
+    }
+  }
+  private[graft] final case class IvfSq8Base(s: IvfSq8) extends MutableBase {
+    def searchBase(qs: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+                   m: KnnSearch.Metric) = s.search(qs, k, nprobe, m)
+    def anySlabs: RDD[_ <: AnyRef] = s.slabs
+    def idArrays: RDD[Array[Long]] = s.slabs.map(_.ids)
+    def numVectors: Long = s.numVectors
+    def liveVectors(d: Int, tomb: Array[Long]) = {
+      val (mn, st) = (s.vmin, s.vstep)
+      s.slabs.flatMap(sl => liveOfCodes(sl.ids, sl.codes, d, mn, st, tomb))
+    }
+  }
+
   final class Mutable private[ServingIndex] (
-      private var base: Either[Flat, Ivf],
+      private var base: MutableBase,
       val dim: Int,
-      rebuild: RDD[(Long, Array[Float])] => Either[Flat, Ivf],
+      rebuild: RDD[(Long, Array[Float])] => MutableBase,
       maxDelta: Int,
       maxTombstones: Int) {
 
@@ -486,10 +590,7 @@ object ServingIndex {
                nprobe: Int = 8): Array[(Long, Array[(Float, Long)])] = synchronized {
       val desc = metric.descending
       val kBase = k + tombstones.size
-      val fromBase = base match {
-        case Left(flat) => flat.search(queries, kBase, metric)
-        case Right(ivf) => ivf.search(queries, kBase, nprobe, metric)
-      }
+      val fromBase = base.searchBase(queries, kBase, nprobe, metric)
       val deltaHits = scanDelta(queries, k, metric)
       queries.indices.map { qi =>
         val kept = fromBase(qi)._2.filter { case (_, id) => !tombstones.contains(id) }
@@ -527,14 +628,14 @@ object ServingIndex {
       val newBloom =
         try bloomOf(newBase)
         catch { case t: Throwable =>
-          newBase.fold(_.slabs.unpersist(false), _.slabs.unpersist(false))
+          newBase.anySlabs.unpersist(false)
           throw t
         }
       // commit point — nothing below can throw
       val old = base
       base = newBase
       baseIdsOrNull = newBloom
-      old.fold(_.slabs.unpersist(false), _.slabs.unpersist(false))
+      old.anySlabs.unpersist(false)
       delta.clear()
       tombstones.clear()
     }
@@ -543,31 +644,23 @@ object ServingIndex {
       * must keep this flat too — the delta arrives as one extra union
       * partition that the rebuild has to fold back in, not keep). */
     private[graft] def slabCount: Int = synchronized {
-      base.fold(_.slabs.getNumPartitions, _.slabs.getNumPartitions)
+      base.anySlabs.getNumPartitions
     }
 
     /** Test hook: lineage depth of the current base slabs (compaction
       * must keep this flat — see the checkpoint note in [[compact]]). */
     private[graft] def lineageDepth: Int = synchronized {
-      val s = base match {
-        case Left(f) => f.slabs.toDebugString
-        case Right(i) => i.slabs.toDebugString
-      }
-      s.linesIterator.size
+      base.anySlabs.toDebugString.linesIterator.size
     }
 
     /** Bloom over a base's ids (no false negatives — every id actually
       * in the base tests positive, which is what masking requires). One
       * Spark job: the capacity comes from the count the build already
       * materialized. */
-    private def bloomOf(of: Either[Flat, Ivf]): org.apache.spark.util.sketch.BloomFilter = {
+    private def bloomOf(of: MutableBase): org.apache.spark.util.sketch.BloomFilter = {
       import org.apache.spark.util.sketch.BloomFilter
-      val (idArrays, count) = of match {
-        case Left(f) => (f.slabs.map(_.ids), f.numVectors)
-        case Right(i) => (i.slabs.map(_.ids), i.numVectors)
-      }
-      val n = math.max(count, 64L)
-      idArrays.mapPartitions { it =>
+      val n = math.max(of.numVectors, 64L)
+      of.idArrays.mapPartitions { it =>
         val bf = BloomFilter.create(n, 0.01)
         it.foreach(ids => ids.foreach(bf.putLong))
         Iterator.single(bf)
@@ -576,18 +669,9 @@ object ServingIndex {
 
     /** Base rows that survive the tombstone mask, unpacked from slabs. */
     private def baseVectors(): RDD[(Long, Array[Float])] = {
-      val d = dim
       val tomb = tombstones.toArray(new Array[java.lang.Long](tombstones.size))
         .map(_.longValue()).sorted
-      def live(ids: Array[Long], data: Array[Float]): Iterator[(Long, Array[Float])] =
-        ids.indices.iterator.collect {
-          case i if java.util.Arrays.binarySearch(tomb, ids(i)) < 0 =>
-            (ids(i), java.util.Arrays.copyOfRange(data, i * d, (i + 1) * d))
-        }
-      base match {
-        case Left(flat) => flat.slabs.flatMap(s => live(s.ids, s.data))
-        case Right(ivf) => ivf.slabs.flatMap(s => live(s.ids, s.data))
-      }
+      base.liveVectors(dim, tomb)
     }
 
     private def maybeCompact(): Unit =
@@ -634,8 +718,8 @@ object ServingIndex {
     // merge width on a long mutation stream. Pin every rebuild to the slab
     // count the base actually materialized with.
     val effSlabs = if (numSlabs > 0) numSlabs else base.slabs.getNumPartitions
-    new Mutable(Left(base), d,
-      rows => Left(buildFlat(rows, d, effSlabs, localCheckpoint = true)),
+    new Mutable(FlatBase(base), d,
+      rows => FlatBase(buildFlat(rows, d, effSlabs, localCheckpoint = true)),
       maxDelta, maxTombstones)
   }
 
@@ -652,16 +736,60 @@ object ServingIndex {
     // see mutableFlat: rebuilds must not inherit the delta's extra union
     // partition, or the slab count grows by one per compaction
     val effSlabs = if (numSlabs > 0) numSlabs else base.slabs.getNumPartitions
-    val rebuild: RDD[(Long, Array[Float])] => Either[Flat, Ivf] = rows0 => {
+    val rebuild: RDD[(Long, Array[Float])] => MutableBase = rows0 => {
       val rows = rows0.cache()
       try {
         val n = rows.count()
-        if (n == 0) Left(buildFlat(rows, d, effSlabs, localCheckpoint = true))
-        else Right(buildIvf(rows, d, math.min(nlist.toLong, n).toInt,
+        if (n == 0) FlatBase(buildFlat(rows, d, effSlabs, localCheckpoint = true))
+        else IvfBase(buildIvf(rows, d, math.min(nlist.toLong, n).toInt,
           iterations, seed, effSlabs, localCheckpoint = true))
       } finally rows.unpersist(false)
     }
-    new Mutable(Right(base), d, rebuild, maxDelta, maxTombstones)
+    new Mutable(IvfBase(base), d, rebuild, maxDelta, maxTombstones)
+  }
+
+  /** Mutable wrapper over an SQ8 base — the delta memtable stays float32
+    * (fresh writes search exactly); compaction re-encodes under the
+    * quantizer FROZEN at construction, so surviving base codes round-trip
+    * exactly and only newly folded delta rows pay quantization (as a
+    * fresh build would). A drifting value distribution therefore needs a
+    * new [[buildSq8]], not more compactions. */
+  def mutableSq8(baseVectors: RDD[(Long, Array[Float])], dim: Int,
+                 numSlabs: Int = -1, maxDelta: Int = 4096,
+                 maxTombstones: Int = 512): Mutable = {
+    val d = dim
+    val base = buildSq8(baseVectors, d, numSlabs)
+    val effSlabs = if (numSlabs > 0) numSlabs else base.slabs.getNumPartitions
+    val (mins, step) = (base.vmin, base.vstep)
+    new Mutable(Sq8Base(base), d,
+      rows => Sq8Base(packSq8(rows, d, mins, step, effSlabs, localCheckpoint = true)),
+      maxDelta, maxTombstones)
+  }
+
+  /** Mutable wrapper over an IVF+SQ8 base: centroids re-train per
+    * compaction (same seed — deterministic, recall adapts to the live
+    * set) while the scalar quantizer stays frozen (see [[mutableSq8]]).
+    * An emptied live set degrades to a flat SQ8 base. */
+  def mutableIvfSq8(baseVectors: RDD[(Long, Array[Float])], dim: Int, nlist: Int,
+                    iterations: Int = 10, seed: Long = 42L, numSlabs: Int = -1,
+                    maxDelta: Int = 4096, maxTombstones: Int = 512): Mutable = {
+    val d = dim
+    val base = buildIvfSq8(baseVectors, d, nlist, iterations, seed, numSlabs)
+    val effSlabs = if (numSlabs > 0) numSlabs else base.slabs.getNumPartitions
+    val (mins, step) = (base.vmin, base.vstep)
+    val rebuild: RDD[(Long, Array[Float])] => MutableBase = rows0 => {
+      val rows = rows0.cache()
+      try {
+        val n = rows.count()
+        if (n == 0) Sq8Base(packSq8(rows, d, mins, step, effSlabs, localCheckpoint = true))
+        else {
+          val cs = trainCentroids(rows, d, math.min(nlist.toLong, n).toInt,
+            iterations, seed)
+          IvfSq8Base(packIvfSq8(rows, d, cs, mins, step, effSlabs, localCheckpoint = true))
+        }
+      } finally rows.unpersist(false)
+    }
+    new Mutable(IvfSq8Base(base), d, rebuild, maxDelta, maxTombstones)
   }
 
   // -------------------------------------------------------------- builds

@@ -214,6 +214,63 @@ class MutableServingIndexSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mutable SQ8: delta is exact, deletes mask, delete-only compaction is lossless") {
+    val idx = ServingIndex.mutableSq8(baseRdd, dim)
+    val sq8 = ServingIndex.buildSq8(baseRdd, dim)
+    // unmutated: identical to the immutable quantized tier
+    assert(got(idx.search(queries, 10, KnnSearch.L2)) ===
+      got(sq8.search(queries, 10, KnnSearch.L2)))
+    sq8.slabs.unpersist()
+    // a fresh upsert lives in the float delta: searching for the exact
+    // vector must return it at distance 0 (no quantization on the memtable)
+    val probe = vec(123456L)
+    idx.upsert(424242L, probe)
+    val hit = idx.search(Array((0L, probe)), 1, KnnSearch.L2).head._2.head
+    assert(hit._2 === 424242L && hit._1 === 0f)
+    idx.delete(424242L)
+    // delete-only compaction: surviving codes re-encode under the frozen
+    // quantizer — results must be bit-identical before and after
+    Seq(1L, 2L, 3L).foreach(idx.delete)
+    val before = got(idx.search(queries, 10, KnnSearch.L2))
+    idx.compact()
+    assert(idx.deltaSize === 0 && idx.tombstoneCount === 0)
+    assert(got(idx.search(queries, 10, KnnSearch.L2)) === before)
+  }
+
+  test("mutable SQ8/IvfSq8: mutation stream keeps high recall vs float truth") {
+    val truth = mutable.LinkedHashMap(baseRows: _*)
+    val sq8 = ServingIndex.mutableSq8(baseRdd, dim)
+    val ivfsq = ServingIndex.mutableIvfSq8(baseRdd, dim, nlist = 8, iterations = 5)
+    (4000L to 4019L).foreach { id =>
+      val v = vec(id); sq8.upsert(id, v); ivfsq.upsert(id, v); truth(id) = v
+    }
+    Seq(0L, 7L, 4005L).foreach { id =>
+      sq8.delete(id); ivfsq.delete(id); truth.remove(id)
+    }
+    def recall(res: Array[(Long, Array[(Float, Long)])]): Double = {
+      val exact = expect(truth, queries, 10, KnnSearch.L2)
+        .map { case (qid, hits) => qid -> hits.map(_._2).toSet }.toMap
+      val fracs = res.map { case (qid, hits) =>
+        hits.map(_._2).count(exact(qid)) / 10.0
+      }
+      fracs.sum / fracs.length
+    }
+    assert(recall(sq8.search(queries, 10, KnnSearch.L2)) >= 0.9)
+    assert(recall(ivfsq.search(queries, 10, KnnSearch.L2, nprobe = 8)) >= 0.9)
+    // compaction folds the delta through the frozen quantizer: recall
+    // holds, state drains, slab count stays flat
+    val slabs0 = ivfsq.slabCount
+    sq8.compact(); ivfsq.compact()
+    assert(sq8.deltaSize === 0 && ivfsq.tombstoneCount === 0)
+    assert(ivfsq.slabCount === slabs0)
+    assert(recall(sq8.search(queries, 10, KnnSearch.L2)) >= 0.9)
+    assert(recall(ivfsq.search(queries, 10, KnnSearch.L2, nprobe = 8)) >= 0.9)
+    // deleted ids never resurface after the rebuild
+    val gone = Set(0L, 7L, 4005L)
+    assert(sq8.search(queries, 10, KnnSearch.L2)
+      .forall(_._2.forall(h => !gone(h._2))))
+  }
+
   test("mutable IVF at nprobe = nlist agrees with mutable flat") {
     val flat = ServingIndex.mutableFlat(baseRdd, dim)
     val ivf = ServingIndex.mutableIvf(baseRdd, dim, nlist = 8, iterations = 5)
