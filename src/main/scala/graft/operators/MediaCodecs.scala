@@ -15,6 +15,7 @@ import java.util.zip.Inflater
  *    java.util.zip + the five scanline filters (None/Sub/Up/Avg/Paeth)
  *  - WAV: RIFF PCM 16-bit (fmt + data chunks)
  *  - JPEG: baseline+progressive via ImageIO ([[decodeJpeg]])
+ *  - GIF: 87a/89a via ImageIO, first frame ([[decodeGif]])
  *
  * Decoded pixels/samples feed REAL feature extraction (channel means,
  * luminance histogram, RMS/ZCR) and a real nearest-neighbor resize.
@@ -50,9 +51,22 @@ object MediaCodecs {
    * decoders produce, so features/resize downstream are format-blind.
    */
   def decodeJpeg(bytes: Array[Byte]): Option[RasterImage] = {
+    if (bytes == null || bytes.length < 3 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8 || (bytes(2) & 0xff) != 0xff) None
+    else imageIORead(bytes)
+  }
+
+  /** GIF via the same JDK ImageIO reader (87a/89a; an animated GIF
+    * decodes as its first frame — the frame-sample story for stills). */
+  def decodeGif(bytes: Array[Byte]): Option[RasterImage] = {
+    if (bytes == null || bytes.length < 6 || bytes(0) != 'G' ||
+        bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != '8' ||
+        (bytes(4) != '7' && bytes(4) != '9') || bytes(5) != 'a') None
+    else imageIORead(bytes)
+  }
+
+  private def imageIORead(bytes: Array[Byte]): Option[RasterImage] = {
     try {
-      if (bytes == null || bytes.length < 3 || (bytes(0) & 0xff) != 0xff ||
-          (bytes(1) & 0xff) != 0xd8 || (bytes(2) & 0xff) != 0xff) return None
       // memory-backed image stream: the default ImageIO path wraps the
       // (already in-memory) bytes in a FileCacheImageInputStream — a
       // temp-file write per decode on every executor
@@ -400,6 +414,11 @@ object MediaCodecs {
           }
           if (w > 0 && h > 0 && channels > 0) Some((w, h, channels)) else None
         }
+      } else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') {
+        // logical screen descriptor: u16le width at 6, height at 8
+        val w = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+        val h = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+        if (w > 0 && h > 0) Some((w, h, 3)) else None
       } else jpegDims(bytes)
     } catch { case _: Exception => None }
   }
@@ -422,6 +441,9 @@ object MediaCodecs {
         else if (bytes != null && bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
                  (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff)
           decodeJpeg(bytes).map(imageFeatures)
+        else if (bytes != null && bytes.length >= 6 && bytes(0) == 'G' &&
+                 bytes(1) == 'I' && bytes(2) == 'F')
+          decodeGif(bytes).map(imageFeatures)
         else if (bytes != null && bytes.length >= 12 &&
                  bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
           decodeWav(bytes).map(audioFeatures)

@@ -193,6 +193,25 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(viaDecoder.take(14).toSeq === feats.toSeq)
   }
 
+  test("GIF decode: real pixels via the JDK ImageIO codec, lossless") {
+    val img = new java.awt.image.BufferedImage(12, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 12) img.setRGB(x, y, 0x30A070)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val bytes = bos.toByteArray
+    assert(bytes(0) === 'G'.toByte && bytes(3) === '8'.toByte)
+    val d = MediaCodecs.decodeGif(bytes).get
+    assert(d.width === 12 && d.height === 6)
+    // GIF is palette-lossless for a solid color: exact channel means
+    val feats = MediaCodecs.imageFeatures(d)
+    assert(feats(3) === 0x30.toFloat && feats(4) === 0xA0.toFloat && feats(5) === 0x70.toFloat)
+    // probe agrees without decoding; router sniffs the magic
+    assert(MediaCodecs.probeDims(bytes) === Some((12, 6, 3)))
+    assert(MediaCodecs.RealDecoder(16).decode("image", bytes).take(14).toSeq === feats.toSeq)
+    // malformed: magic but truncated body → None, not a throw
+    assert(MediaCodecs.decodeGif(bytes.take(10)) === None)
+  }
+
   test("PNG decode: truncated/oversized chunk length terminates with None") {
     // valid signature, then an IHDR whose length field claims far more
     // bytes than the buffer holds — must return None, not loop or throw
