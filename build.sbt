@@ -24,7 +24,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // serving-tier SIMD kernels (graft.simd.VectorF32); the Scala side
+  // probes availability at runtime and falls back to the scalar kernels,
+  // so a JVM launched without this flag still runs everything correctly
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// the Vector API lives in an incubator module: javac needs it added
+// explicitly; bodies use fully-qualified names so joint compilation
+// (scalac's .java signature pass) never has to resolve the module
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")

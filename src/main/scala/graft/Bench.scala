@@ -48,23 +48,31 @@ object Bench {
 
     // day_6-shaped workloads (BASELINE.md): k=10 search, 100 queries,
     // seeded clustered gaussians at the baseline's three dataset sizes.
-    // Main key = IVF-routed search at the baseline's own regime
-    // (nlist=100, nprobe=10 — day_6/day6_complete.py:105-115); _exact =
-    // fused exhaustive scan; _recall10 = IVF recall@10 vs the exact oracle
-    // (value is a ratio, not seconds).
+    // The baseline (FAISS) is a single process with the corpus resident in
+    // RAM, so the apples-to-apples serving numbers are the DRIVER-RESIDENT
+    // LocalServing tiers (same kernels and results as the distributed
+    // slabs — LocalServingSpec asserts identity — minus the ~10-20 ms
+    // Spark job-scheduling floor a corpus this small should never pay).
+    // Main key = local IVF at the baseline's own regime (nlist=100,
+    // nprobe=10 — day_6/day6_complete.py:105-115); _exact = local flat
+    // exhaustive; _hnsw = local HNSW (pgvector m=16/efc=64); _sq8 = local
+    // scalar-quantized; _ivfsq8 = the DISTRIBUTED quantized tier and
+    // _dist/_exact_dist the distributed IVF/flat — the 100 TB scale path,
+    // reported alongside so the job floor is visible, not hidden.
+    // _recall10 keys are ratios vs the exact oracle, not seconds.
     val day6 = Seq(
       ("x_day6_small_1k128_100q", 1000, 128),
       ("x_day6_medium_10k256_100q", 10000, 256),
       ("x_day6_large_50k384_100q", 50000, 384)
     ).flatMap { case (name, n, dim) =>
       try {
-        val (ivfSec, exactSec, recall, hnswSec, hnswRecall,
-             sq8Sec, sq8Recall, ivfSq8Sec, ivfSq8Recall) = day6Workload(spark, n, dim)
-        Seq(name -> ivfSec, s"${name}_exact" -> exactSec,
-          s"${name}_recall10" -> recall,
-          s"${name}_hnsw" -> hnswSec, s"${name}_hnsw_recall10" -> hnswRecall,
-          s"${name}_sq8" -> sq8Sec, s"${name}_sq8_recall10" -> sq8Recall,
-          s"${name}_ivfsq8" -> ivfSq8Sec, s"${name}_ivfsq8_recall10" -> ivfSq8Recall)
+        val r = day6Workload(spark, n, dim)
+        Seq(name -> r.ivfSec, s"${name}_exact" -> r.exactSec,
+          s"${name}_recall10" -> r.ivfRecall,
+          s"${name}_hnsw" -> r.hnswSec, s"${name}_hnsw_recall10" -> r.hnswRecall,
+          s"${name}_sq8" -> r.sq8Sec, s"${name}_sq8_recall10" -> r.sq8Recall,
+          s"${name}_ivfsq8" -> r.ivfSq8Sec, s"${name}_ivfsq8_recall10" -> r.ivfSq8Recall,
+          s"${name}_dist" -> r.ivfDistSec, s"${name}_exact_dist" -> r.exactDistSec)
       } catch { case _: Throwable => Seq(name -> -1.0) }
     }
 
@@ -76,15 +84,21 @@ object Bench {
     spark.stop()
   }
 
+  private final case class Day6(
+      ivfSec: Double, exactSec: Double, ivfRecall: Double,
+      hnswSec: Double, hnswRecall: Double,
+      sq8Sec: Double, sq8Recall: Double,
+      ivfSq8Sec: Double, ivfSq8Recall: Double,
+      ivfDistSec: Double, exactDistSec: Double)
+
   /** Generate a baseline dataset (seed-42 clustered gaussians, 100
     * clusters — day_6/day6_complete.py:26-52 shape), build the resident
-    * flat + IVF + HNSW + SQ8 serving indexes (outside the timed region,
-    * like FAISS's separately-timed build), and time the warm 100-query
-    * top-10 batch: (ivf sec, exact sec, ivf recall@10, hnsw sec, hnsw
-    * recall@10, sq8 sec, sq8 recall@10, ivf+sq8 sec, ivf+sq8 recall@10)
-    * — recalls vs the exact oracle. */
-  private def day6Workload(spark: SparkSession, n: Int, dim: Int)
-      : (Double, Double, Double, Double, Double, Double, Double, Double, Double) = {
+    * serving indexes (outside the timed region, like FAISS's
+    * separately-timed build), collect the sub-budget corpus into the
+    * LocalServing tiers, and time the warm 100-query top-10 batches on
+    * both the local (headline) and distributed (scale-path) tiers —
+    * recalls vs the exact oracle. */
+  private def day6Workload(spark: SparkSession, n: Int, dim: Int): Day6 = {
     import spark.implicits._
     val nClusters = 100
     val d = dim
@@ -123,6 +137,12 @@ object Bench {
     // IVF+SQ8: cluster pruning AND quantized memory (the 100 TB tier)
     val ivfSq8 = operators.ServingIndex.buildIvfSq8(docs, dim,
       nlist = math.min(100, n / 10), iterations = 10, numSlabs = 16)
+    // local serving tiers: one collect each of the already-built slabs —
+    // results identical to the distributed tiers (LocalServingSpec)
+    val localFlat = operators.LocalServing.flatFrom(flat)
+    val localIvf = operators.LocalServing.ivfFrom(ivf)
+    val localHnsw = operators.LocalServing.hnswFrom(hnsw)
+    val localSq8 = operators.LocalServing.sq8From(sq8)
     docs.unpersist() // the indexes hold their own resident slabs now
     System.gc() // drain build garbage outside the timed region
     // warm twice, then min of 9 — a single ~30 ms measurement is at the
@@ -139,12 +159,17 @@ object Bench {
     var ivfRes: Array[(Long, Array[(Float, Long)])] = null
     var hnswRes: Array[(Long, Array[(Float, Long)])] = null
     var sq8Res: Array[(Long, Array[(Float, Long)])] = null
-    val exactSec = timed(() => exactRes = flat.search(queries, 10, operators.KnnSearch.L2))
-    val ivfSec = timed(() =>
-      ivfRes = ivf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
-    val hnswSec = timed(() => hnswRes = hnsw.search(queries, 10, efSearch = 64))
-    val sq8Sec = timed(() => sq8Res = sq8.search(queries, 10, operators.KnnSearch.L2))
     var ivfSq8Res: Array[(Long, Array[(Float, Long)])] = null
+    // headline: the local (single-node-resident) tiers — FAISS's regime
+    val exactSec = timed(() => exactRes = localFlat.search(queries, 10, operators.KnnSearch.L2))
+    val ivfSec = timed(() =>
+      ivfRes = localIvf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
+    val hnswSec = timed(() => hnswRes = localHnsw.search(queries, 10, efSearch = 64))
+    val sq8Sec = timed(() => sq8Res = localSq8.search(queries, 10, operators.KnnSearch.L2))
+    // scale path: distributed slab tiers (pay the job-scheduling floor)
+    val exactDistSec = timed(() => flat.search(queries, 10, operators.KnnSearch.L2))
+    val ivfDistSec = timed(() =>
+      ivf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
     val ivfSq8Sec = timed(() =>
       ivfSq8Res = ivfSq8.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
     val exactSets = exactRes.map { case (q, arr) => q -> arr.map(_._2).toSet }.toMap
@@ -158,7 +183,7 @@ object Bench {
     val ivfSq8Recall = recallOf(ivfSq8Res)
     flat.slabs.unpersist(); ivf.slabs.unpersist(); hnsw.shards.unpersist()
     sq8.slabs.unpersist(); ivfSq8.slabs.unpersist()
-    (ivfSec, exactSec, recall, hnswSec, hnswRecall, sq8Sec, sq8Recall,
-     ivfSq8Sec, ivfSq8Recall)
+    Day6(ivfSec, exactSec, recall, hnswSec, hnswRecall, sq8Sec, sq8Recall,
+      ivfSq8Sec, ivfSq8Recall, ivfDistSec, exactDistSec)
   }
 }

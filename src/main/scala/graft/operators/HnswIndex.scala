@@ -35,14 +35,17 @@ object HnswIndex {
     * THIS one kernel, so graph construction and scoring cannot diverge. */
   private[operators] def distKernel(metric: KnnSearch.Metric, data: Array[Float],
                                     dim: Int): (Array[Float], Int) => Float = {
-    import KnnSearch.F32Kernels
+    // serving tier → SimdSupport (Vector API when available, scalar
+    // fallback otherwise); HNSW has no DuckDB-oracle path, so lane-order
+    // rounding is free to differ from the scalar family
+    val ops = SimdSupport.ops
     metric match {
       case KnnSearch.L2 =>
-        (q, node) => F32Kernels.l2sq(q, data, node * dim, dim)
+        (q, node) => ops.l2sq(q, data, node * dim, dim)
       case KnnSearch.InnerProduct =>
-        (q, node) => -F32Kernels.dot(q, data, node * dim, dim)
+        (q, node) => -ops.dot(q, data, node * dim, dim)
       case KnnSearch.Cosine =>
-        (q, node) => -F32Kernels.cosine(q, data, node * dim, dim)
+        (q, node) => -ops.cosine(q, data, node * dim, dim)
     }
   }
 

@@ -210,7 +210,7 @@ object ServingIndex {
   }
 
   /** Dequantize one code stripe into `out`: `min(i) + code·step(i)`. */
-  private def dequant(codes: Array[Byte], base: Int, d: Int,
+  private[operators] def dequant(codes: Array[Byte], base: Int, d: Int,
                       mn: Array[Float], st: Array[Float], out: Array[Float]): Unit = {
     var i = 0
     while (i < d) {
@@ -876,7 +876,7 @@ object ServingIndex {
     * centroids, best-first, ties by index — shared by [[Ivf.search]]
     * (unrouted branch) and [[IvfSq8.search]] so probe tie-breaking can
     * never diverge between the float and quantized tiers. */
-  private def rankProbes(queries: Array[(Long, Array[Float])],
+  private[operators] def rankProbes(queries: Array[(Long, Array[Float])],
                          centroids: Array[Array[Float]],
                          nprobe: Int): Array[Array[Int]] =
     queries.map { case (_, q) =>
@@ -981,13 +981,13 @@ object ServingIndex {
 
   // ------------------------------------------------------------- kernels
 
-  private def emptyTopK(nQueries: Int, k: Int): Array[SortedTopK] =
+  private[operators] def emptyTopK(nQueries: Int, k: Int): Array[SortedTopK] =
     Array.fill(nQueries)(new SortedTopK(k))
 
   /** Keeps the k best (score, id) in sorted best-first order via
     * binary-search insertion — cheap at serving k, and the output is
     * directly mergeable. */
-  private final class SortedTopK(k: Int) {
+  private[operators] final class SortedTopK(k: Int) {
     var scores = new Array[Float](k)
     var ids = new Array[Long](k)
     var size = 0
@@ -1028,10 +1028,12 @@ object ServingIndex {
     * `idOff` decouples the data index from the id index so a caller can
     * score a staging buffer (the SQ8 dequant stripe) under the right id:
     * vector `vi` reads `data[vi·d, …)` and inserts `ids(idOff + vi)`. */
-  private def scanSlab(data: Array[Float], ids: Array[Long], idOff: Int,
+  private[operators] def scanSlab(data: Array[Float], ids: Array[Long], idOff: Int,
                        from: Int, until: Int, d: Int, qs: Array[Array[Float]],
                        metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit = {
-    import KnnSearch.F32Kernels
+    // SIMD when the JVM has the Vector API module, else the scalar family
+    // (same interface; serving tier is not an oracle-parity path)
+    val ops = SimdSupport.ops
     metric match {
       case KnnSearch.L2 =>
         var vi = from
@@ -1039,7 +1041,7 @@ object ServingIndex {
           val base = vi * d
           var qi = 0
           while (qi < qs.length) {
-            val s = math.sqrt(F32Kernels.l2sq(qs(qi), data, base, d).toDouble).toFloat
+            val s = math.sqrt(ops.l2sq(qs(qi), data, base, d).toDouble).toFloat
             acc(qi).insert(s, ids(idOff + vi), desc = false)
             qi += 1
           }
@@ -1051,7 +1053,7 @@ object ServingIndex {
           val base = vi * d
           var qi = 0
           while (qi < qs.length) {
-            acc(qi).insert(F32Kernels.dot(qs(qi), data, base, d), ids(idOff + vi), desc = true)
+            acc(qi).insert(ops.dot(qs(qi), data, base, d), ids(idOff + vi), desc = true)
             qi += 1
           }
           vi += 1
@@ -1062,7 +1064,7 @@ object ServingIndex {
           val base = vi * d
           var qi = 0
           while (qi < qs.length) {
-            acc(qi).insert(F32Kernels.cosine(qs(qi), data, base, d), ids(idOff + vi), desc = true)
+            acc(qi).insert(ops.cosine(qs(qi), data, base, d), ids(idOff + vi), desc = true)
             qi += 1
           }
           vi += 1
@@ -1072,28 +1074,28 @@ object ServingIndex {
 
   /** Score one slab range against ONE query (IVF probe scan) — same
     * hoisted-dispatch shape and shared kernels as [[scanSlab]]. */
-  private def scanSlabOneQuery(data: Array[Float], ids: Array[Long], from: Int,
+  private[operators] def scanSlabOneQuery(data: Array[Float], ids: Array[Long], from: Int,
                                until: Int, d: Int, q: Array[Float], qi: Int,
                                metric: KnnSearch.Metric, acc: Array[SortedTopK]): Unit = {
-    import KnnSearch.F32Kernels
+    val ops = SimdSupport.ops
     metric match {
       case KnnSearch.L2 =>
         var vi = from
         while (vi < until) {
-          val s = math.sqrt(F32Kernels.l2sq(q, data, vi * d, d).toDouble).toFloat
+          val s = math.sqrt(ops.l2sq(q, data, vi * d, d).toDouble).toFloat
           acc(qi).insert(s, ids(vi), desc = false)
           vi += 1
         }
       case KnnSearch.InnerProduct =>
         var vi = from
         while (vi < until) {
-          acc(qi).insert(F32Kernels.dot(q, data, vi * d, d), ids(vi), desc = true)
+          acc(qi).insert(ops.dot(q, data, vi * d, d), ids(vi), desc = true)
           vi += 1
         }
       case KnnSearch.Cosine =>
         var vi = from
         while (vi < until) {
-          acc(qi).insert(F32Kernels.cosine(q, data, vi * d, d), ids(vi), desc = true)
+          acc(qi).insert(ops.cosine(q, data, vi * d, d), ids(vi), desc = true)
           vi += 1
         }
     }
@@ -1118,7 +1120,7 @@ object ServingIndex {
 
   /** Driver-side merge of per-partition sorted top-k arrays: bounded by
     * partitions × |Q| × k tuples. */
-  private def mergeAcrossPartitions(
+  private[operators] def mergeAcrossPartitions(
       queries: Array[(Long, Array[Float])],
       perPartition: Array[Array[(Array[Float], Array[Long])]],
       k: Int, desc: Boolean): Array[(Long, Array[(Float, Long)])] = {

@@ -38,6 +38,22 @@ class MutableServingIndexSpec extends AnyFunSuite {
   private def got(res: Array[(Long, Array[(Float, Long)])]): Seq[(Long, Seq[(Float, Long)])] =
     res.toSeq.map { case (qid, arr) => (qid, arr.toSeq) }
 
+  /** ids must match exactly; scores within 1e-4 — the serving scans pick
+    * the SIMD kernels when available (lane-order float reassociation)
+    * while `expect` uses the scalar family, so last-ulp score drift
+    * between the two is expected and harmless. */
+  private def assertSame(actual: Seq[(Long, Seq[(Float, Long)])],
+                         expected: Seq[(Long, Seq[(Float, Long)])],
+                         label: String = ""): Unit = {
+    assert(actual.map(_._1) === expected.map(_._1), label)
+    actual.zip(expected).foreach { case ((q, a), (_, e)) =>
+      assert(a.map(_._2) === e.map(_._2), s"$label query $q ids")
+      a.zip(e).foreach { case ((sa, ia), (se, _)) =>
+        assert(math.abs(sa - se) <= 1e-4f, s"$label query $q id $ia: $sa vs $se")
+      }
+    }
+  }
+
   test("unmutated mutable index equals the immutable flat base") {
     val docs = baseRdd.cache(); docs.count()
     val idx = ServingIndex.mutableFlat(docs, dim)
@@ -54,8 +70,8 @@ class MutableServingIndexSpec extends AnyFunSuite {
 
     def check(label: String): Unit =
       for (metric <- Seq[KnnSearch.Metric](KnnSearch.L2, KnnSearch.Cosine)) {
-        assert(got(idx.search(queries, 10, metric)) === expect(truth, queries, 10, metric),
-          s"$label / $metric")
+        assertSame(got(idx.search(queries, 10, metric)),
+          expect(truth, queries, 10, metric), s"$label / $metric")
       }
 
     // fresh inserts
@@ -91,7 +107,8 @@ class MutableServingIndexSpec extends AnyFunSuite {
     val truth = mutable.LinkedHashMap(baseRows: _*)
     (2000L until 2012L).foreach(id => truth(id) = vec(id))
     (0L until 8L).foreach(truth.remove)
-    assert(got(idx.search(queries, 10, KnnSearch.L2)) === expect(truth, queries, 10, KnnSearch.L2))
+    assertSame(got(idx.search(queries, 10, KnnSearch.L2)),
+      expect(truth, queries, 10, KnnSearch.L2))
   }
 
   test("streamed micro-batches maintain the index via foreachBatch") {
@@ -109,13 +126,15 @@ class MutableServingIndexSpec extends AnyFunSuite {
       q.processAllAvailable()
       val truth = mutable.LinkedHashMap(baseRows: _*)
       truth(9001L) = v1; truth(9002L) = v2
-      assert(got(idx.search(queries, 10, KnnSearch.L2)) === expect(truth, queries, 10, KnnSearch.L2))
+      assertSame(got(idx.search(queries, 10, KnnSearch.L2)),
+        expect(truth, queries, 10, KnnSearch.L2))
       // batch 2: a delete (null vec) and a replacement
       val v3 = vec(8003L)
       mem.addData((9001L, None), (42L, Some(v3)))
       q.processAllAvailable()
       truth.remove(9001L); truth(42L) = v3
-      assert(got(idx.search(queries, 10, KnnSearch.L2)) === expect(truth, queries, 10, KnnSearch.L2))
+      assertSame(got(idx.search(queries, 10, KnnSearch.L2)),
+        expect(truth, queries, 10, KnnSearch.L2))
     } finally q.stop()
   }
 
@@ -142,7 +161,7 @@ class MutableServingIndexSpec extends AnyFunSuite {
     idx.compact() // 5 survivors < nlist=16: rebuild must clamp, not wedge
     assert(idx.deltaSize === 0 && idx.tombstoneCount === 0)
     val truth = mutable.LinkedHashMap(baseRows.drop(n - 5): _*)
-    assert(got(idx.search(queries, 10, KnnSearch.L2, nprobe = 16)) ===
+    assertSame(got(idx.search(queries, 10, KnnSearch.L2, nprobe = 16)),
       expect(truth, queries, 10, KnnSearch.L2))
     // all the way to empty: degrades to a flat base, returns no rows
     (0L until n.toLong).foreach(idx.delete)
@@ -181,9 +200,9 @@ class MutableServingIndexSpec extends AnyFunSuite {
     // and answers are still right
     val truth = mutable.LinkedHashMap(baseRows: _*)
     (1 to 5).foreach(g => truth(7000L + g) = vec(7000L + g))
-    assert(got(flat.search(queries, 10, KnnSearch.L2)) ===
+    assertSame(got(flat.search(queries, 10, KnnSearch.L2)),
       expect(truth, queries, 10, KnnSearch.L2))
-    assert(got(ivf.search(queries, 10, KnnSearch.L2, nprobe = 8)) ===
+    assertSame(got(ivf.search(queries, 10, KnnSearch.L2, nprobe = 8)),
       expect(truth, queries, 10, KnnSearch.L2))
   }
 
@@ -209,7 +228,7 @@ class MutableServingIndexSpec extends AnyFunSuite {
       q.processAllAvailable()
       val truth = mutable.LinkedHashMap(baseRows: _*)
       truth(9100L) = v; truth.remove(3L)
-      assert(got(idx.search(queries, 10, KnnSearch.L2)) ===
+      assertSame(got(idx.search(queries, 10, KnnSearch.L2)),
         expect(truth, queries, 10, KnnSearch.L2))
     } finally q.stop()
   }

@@ -12,7 +12,7 @@ class ServingIndexSpec extends AnyFunSuite {
   private def corpus = ClusteredFixture.corpus(spark, n, dim)
   private def queries = ClusteredFixture.queries(25, dim)
 
-  test("flat fused search agrees with the reference F32 kernel exactly") {
+  test("flat fused search agrees with the reference F32 kernel") {
     val docs = corpus.cache(); docs.count()
     val idx = ServingIndex.buildFlat(docs, dim)
     for (metric <- Seq[KnnSearch.Metric](KnnSearch.L2, KnnSearch.Cosine, KnnSearch.InnerProduct)) {
@@ -20,7 +20,13 @@ class ServingIndexSpec extends AnyFunSuite {
         .flatMap { case (qid, arr) => arr.map { case (s, d) => (qid, d, s) } }.toSeq
       val ref = KnnSearch.topKBatchRddF32(spark, docs, queries.toSeq, 10, metric)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2).toFloat)).toSeq
-      assert(fused === ref, metric.toString)
+      // ids/order exact; scores to 1e-4 — the fused scan uses the SIMD
+      // kernels when available, whose lane-order reassociation drifts
+      // from the scalar family by last ulps
+      assert(fused.map(t => (t._1, t._2)) === ref.map(t => (t._1, t._2)), metric.toString)
+      fused.zip(ref).foreach { case ((q, d, sf), (_, _, sr)) =>
+        assert(math.abs(sf - sr) <= 1e-4f, s"$metric q=$q doc=$d: $sf vs $sr")
+      }
     }
     idx.slabs.unpersist(); docs.unpersist()
   }
