@@ -72,6 +72,10 @@ object Bench {
           s"${name}_hnsw" -> r.hnswSec, s"${name}_hnsw_recall10" -> r.hnswRecall,
           s"${name}_sq8" -> r.sq8Sec, s"${name}_sq8_recall10" -> r.sq8Recall,
           s"${name}_ivfsq8" -> r.ivfSq8Sec, s"${name}_ivfsq8_recall10" -> r.ivfSq8Recall,
+          s"${name}_pq" -> r.pqSec, s"${name}_pq_recall10" -> r.pqRecall,
+          s"${name}_pq_refined" -> r.pqRefSec,
+          s"${name}_pq_refined_recall10" -> r.pqRefRecall,
+          s"${name}_ivfpq" -> r.ivfPqSec, s"${name}_ivfpq_recall10" -> r.ivfPqRecall,
           s"${name}_dist" -> r.ivfDistSec, s"${name}_exact_dist" -> r.exactDistSec)
       } catch { case _: Throwable => Seq(name -> -1.0) }
     }
@@ -89,6 +93,9 @@ object Bench {
       hnswSec: Double, hnswRecall: Double,
       sq8Sec: Double, sq8Recall: Double,
       ivfSq8Sec: Double, ivfSq8Recall: Double,
+      pqSec: Double, pqRecall: Double,
+      pqRefSec: Double, pqRefRecall: Double,
+      ivfPqSec: Double, ivfPqRecall: Double,
       ivfDistSec: Double, exactDistSec: Double)
 
   /** Generate a baseline dataset (seed-42 clustered gaussians, 100
@@ -137,12 +144,26 @@ object Bench {
     // IVF+SQ8: cluster pruning AND quantized memory (the 100 TB tier)
     val ivfSq8 = operators.ServingIndex.buildIvfSq8(docs, dim,
       nlist = math.min(100, n / 10), iterations = 10, numSlabs = 16)
+    // PQ tiers at dim/4 subspaces (4 dims/codeword, 16x below float32):
+    // flat PQ + candidate-refine, and the residual IVF+PQ composition —
+    // the RAM-constrained 100 TB configurations. Isotropic gaussians are
+    // PQ's hard case (recall keys tell it honestly); the _pq_refined key
+    // is the production pattern (4x over-fetch + exact rerank, FAISS
+    // IndexRefineFlat) and recovers ~exact recall
+    val pqM = dim / 4
+    val pq = operators.PqIndex.buildPq(docs, dim, m = pqM, iterations = 10,
+      numSlabs = 16)
+    val ivfPq = operators.PqIndex.buildIvfPq(docs, dim,
+      nlist = math.min(100, n / 10), m = pqM, iterations = 10, numSlabs = 16)
     // local serving tiers: one collect each of the already-built slabs —
     // results identical to the distributed tiers (LocalServingSpec)
     val localFlat = operators.LocalServing.flatFrom(flat)
     val localIvf = operators.LocalServing.ivfFrom(ivf)
     val localHnsw = operators.LocalServing.hnswFrom(hnsw)
     val localSq8 = operators.LocalServing.sq8From(sq8)
+    val localPq = operators.PqIndex.localFrom(pq)
+    val localIvfPq = operators.PqIndex.localIvfPqFrom(ivfPq)
+    val refineLookup = operators.PqIndex.flatLookup(localFlat)
     docs.unpersist() // the indexes hold their own resident slabs now
     System.gc() // drain build garbage outside the timed region
     // warm twice, then min of 9 — a single ~30 ms measurement is at the
@@ -166,6 +187,14 @@ object Bench {
       ivfRes = localIvf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
     val hnswSec = timed(() => hnswRes = localHnsw.search(queries, 10, efSearch = 64))
     val sq8Sec = timed(() => sq8Res = localSq8.search(queries, 10, operators.KnnSearch.L2))
+    var pqRes: Array[(Long, Array[(Float, Long)])] = null
+    var pqRefRes: Array[(Long, Array[(Float, Long)])] = null
+    var ivfPqRes: Array[(Long, Array[(Float, Long)])] = null
+    val pqSec = timed(() => pqRes = localPq.search(queries, 10, operators.KnnSearch.L2))
+    val pqRefSec = timed(() => pqRefRes = operators.PqIndex.searchRefined(
+      localPq, queries, 10, kCand = 400, refineLookup, operators.KnnSearch.L2))
+    val ivfPqSec = timed(() =>
+      ivfPqRes = localIvfPq.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
     // scale path: distributed slab tiers (pay the job-scheduling floor)
     val exactDistSec = timed(() => flat.search(queries, 10, operators.KnnSearch.L2))
     val ivfDistSec = timed(() =>
@@ -181,9 +210,14 @@ object Bench {
     val hnswRecall = recallOf(hnswRes)
     val sq8Recall = recallOf(sq8Res)
     val ivfSq8Recall = recallOf(ivfSq8Res)
+    val pqRecall = recallOf(pqRes)
+    val pqRefRecall = recallOf(pqRefRes)
+    val ivfPqRecall = recallOf(ivfPqRes)
     flat.slabs.unpersist(); ivf.slabs.unpersist(); hnsw.shards.unpersist()
     sq8.slabs.unpersist(); ivfSq8.slabs.unpersist()
+    pq.slabs.unpersist(); ivfPq.slabs.unpersist()
     Day6(ivfSec, exactSec, recall, hnswSec, hnswRecall, sq8Sec, sq8Recall,
-      ivfSq8Sec, ivfSq8Recall, ivfDistSec, exactDistSec)
+      ivfSq8Sec, ivfSq8Recall, pqSec, pqRecall, pqRefSec, pqRefRecall,
+      ivfPqSec, ivfPqRecall, ivfDistSec, exactDistSec)
   }
 }

@@ -934,7 +934,7 @@ object ServingIndex {
     * map-side combined partial sums (runJob fan-out), nlist×dim centroid
     * update on the driver. Dirty rows (null / wrong dim) are skipped in
     * both init and assignment. */
-  private def trainCentroids(vectors: RDD[(Long, Array[Float])], d: Int,
+  private[operators] def trainCentroids(vectors: RDD[(Long, Array[Float])], d: Int,
                              nlist: Int, iterations: Int,
                              seed: Long): Array[Array[Float]] = {
     val sc = vectors.sparkContext
@@ -1105,7 +1105,7 @@ object ServingIndex {
     * assignment and cell probing must round distances identically, or a
     * vector on a cell boundary could be stored in one cell and probed in
     * the other at low nprobe. */
-  private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
+  private[operators] def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0
     var bestD = Float.MaxValue
     var c = 0
