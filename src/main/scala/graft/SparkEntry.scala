@@ -823,6 +823,24 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_index"))
   }
 
+  /** Gopher/C4 quality-filter battery (training-data pipeline addition)
+    * oracle-gated end to end: multi-line documents are synthesized
+    * deterministically (the corpus token `line` becomes a newline, then
+    * doc_id%4 routes to bullet-prefixed / ellipsis-suffixed / duplicated
+    * / plain variants — pure replace/concat, byte-identical in SQL), and
+    * every rejection-rule metric plus the keep verdict is hash-checked. */
+  private val q59QualityFilters: Q = (s, dir) => {
+    val nl = replace(col("text"), lit(" line "), lit("\n"))
+    val cls = pmod(col("doc_id"), lit(4))
+    val synth = Tables(s, dir, "documents").select(col("doc_id"),
+      when(cls === 0, concat(lit("- "), replace(nl, lit("\n"), lit("\n- "))))
+        .when(cls === 1, concat(replace(nl, lit("\n"), lit("...\n")), lit("...")))
+        .when(cls === 2, concat(nl, lit("\n"), nl))
+        .otherwise(nl).as("text"))
+    graft.operators.QualityFilters.gopherMetrics(synth, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
     * mock answer, all string-exact against the oracle. */
   private val q51RagAnswer: Q = (s, dir) => {
@@ -893,6 +911,7 @@ object SparkEntry {
     "q52_bm25" -> q52Bm25,
     "q53_hybrid_rrf" -> q53HybridRrf,
     "q58_hybrid_chunks" -> q58HybridChunks,
+    "q59_quality_filters" -> q59QualityFilters,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1678,6 +1697,51 @@ object SparkEntry {
         |       WHEN 2 THEN 'table' ELSE 'structure' END AS chunk_type
         |FROM merged
         |ORDER BY doc_id, chunk_index""".stripMargin,
+    "q59_quality_filters" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN '- ' || replace(nl, chr(10), chr(10) || '- ')
+        |      WHEN 1 THEN replace(nl, chr(10), '...' || chr(10)) || '...'
+        |      WHEN 2 THEN nl || chr(10) || nl
+        |      ELSE nl
+        |    END AS t
+        |  FROM (SELECT doc_id, replace(text, ' line ', chr(10)) AS nl FROM documents)
+        |), base AS (
+        |  SELECT doc_id, t,
+        |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+        |                l -> length(l) > 0) AS lines,
+        |    list_filter(string_split_regex(trim(t), '\s+'), w -> length(w) > 0) AS ws
+        |  FROM synth
+        |), metrics AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    len(lines) AS n_lines,
+        |    round(CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+        |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE), 6) AS alpha_word_ratio,
+        |    round(CAST((length(t) - length(replace(t, '#', '')))
+        |               + (length(t) - length(replace(t, '...', ''))) / 3 AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE), 6) AS symbol_word_ratio,
+        |    round(CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE), 6) AS bullet_line_ratio,
+        |    round(CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_line_ratio,
+        |    round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE), 6) AS dup_line_ratio,
+        |    len(list_intersect(list_transform(ws, w -> lower(w)),
+        |        ['the','a','and','of','to','in','is','that'])) AS stopword_hits
+        |  FROM base
+        |)
+        |SELECT doc_id, n_words, n_lines, mean_word_len, alpha_word_ratio,
+        |  symbol_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
+        |  dup_line_ratio, stopword_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND alpha_word_ratio >= 0.8 AND symbol_word_ratio <= 0.1
+        |   AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
+        |   AND dup_line_ratio <= 0.3 AND stopword_hits >= 2) AS keep
+        |FROM metrics ORDER BY doc_id""".stripMargin,
     "q50_rag_context" -> Q50ContextSql,
     "q51_rag_answer" ->
       (s"""WITH ctx AS ($Q50ContextSql)
