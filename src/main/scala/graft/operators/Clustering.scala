@@ -38,19 +38,34 @@ object Clustering {
     } finally feats.unpersist()
   }
 
-  /** Cluster sizes + per-cluster mean vector norm (A13 cluster centers
-    * reduce to a grouped vector mean — Summarizer shape). */
-  def clusterProfile(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                     seed: Long = 42L): DataFrame = {
+  /** Fit alone — exposed so a serving caller (or the bench) can reuse
+    * one fitted model across repeated profiles; the seeded fit is
+    * deterministic, so reuse cannot change results. The model's centers
+    * live on the driver: it stays valid across sessions. */
+  def fitKmeans(df: DataFrame, vecCol: String, k: Int,
+                seed: Long = 42L): org.apache.spark.ml.clustering.KMeansModel = {
+    val feats = df.select(array_to_vector(col(vecCol)).as("features"))
+    new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cluster").fit(feats)
+  }
+
+  /** Profile under an ALREADY-FITTED model (assignment + aggregation
+    * only — no Lloyd iterations). */
+  def profileWith(model: org.apache.spark.ml.clustering.KMeansModel,
+                  df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val feats = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vec"),
       array_to_vector(col(vecCol)).as("features"))
-    val m = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("features").setPredictionCol("cluster").fit(feats)
-    m.transform(feats)
+    model.transform(feats)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"),
         round(avg(graft.functions.VectorFunctions.l2Norm(col("vec"))), 6).as("avg_norm"))
       .orderBy(col("cluster"))
   }
+
+  /** Cluster sizes + per-cluster mean vector norm (A13 cluster centers
+    * reduce to a grouped vector mean — Summarizer shape). */
+  def clusterProfile(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     seed: Long = 42L): DataFrame =
+    profileWith(fitKmeans(df, vecCol, k, seed), df, idCol, vecCol)
 }

@@ -252,9 +252,11 @@ object HnswIndex {
     new Shard(ids, data, dim, frozen, entry, top)
   }
 
-  /** The distributed index: one graph per partition, cached resident. */
+  /** The distributed index: one graph per partition, cached resident.
+    * `m` is carried so memory-budget gates can price the adjacency
+    * (~4·m ints/node) without collecting a shard first. */
   final class Hnsw(val shards: RDD[Shard], val dim: Int,
-                   val metric: KnnSearch.Metric) extends Serializable {
+                   val metric: KnnSearch.Metric, val m: Int = 16) extends Serializable {
 
     /** Fused batch search: one job, driver merges partitions×|Q| bounded
       * arrays (the [[ServingIndex]] merge shape). */
@@ -315,6 +317,6 @@ object HnswIndex {
       Iterator.single(buildShard(it, d, m, efConstruction, metric, seed + pi))
     }, preservesPartitioning = true).cache()
     shards.count()
-    new Hnsw(shards, dim, metric)
+    new Hnsw(shards, dim, metric, m)
   }
 }

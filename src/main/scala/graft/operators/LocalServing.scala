@@ -28,10 +28,10 @@ import java.util.stream.IntStream
  */
 object LocalServing {
 
-  private def commonPar: Int =
+  private[operators] def commonPar: Int =
     math.max(1, java.util.concurrent.ForkJoinPool.getCommonPoolParallelism)
 
-  private def checkBudget(nVectors: Long, bytesPerVector: Long, maxBytes: Long): Unit = {
+  private[operators] def checkBudget(nVectors: Long, bytesPerVector: Long, maxBytes: Long): Unit = {
     val need = nVectors * bytesPerVector
     require(need <= maxBytes,
       s"corpus needs $need resident bytes > local serving budget $maxBytes — " +
@@ -241,9 +241,12 @@ object LocalServing {
   /** Collect a distributed HNSW index's shard graphs into the local tier
     * (graph adjacency ≈ 4·m ints/node on top of the vectors). */
   def hnswFrom(index: HnswIndex.Hnsw, maxBytes: Long = 2L << 30): LocalHnsw = {
-    // count BEFORE the collect so an over-budget corpus is refused, not OOMed
+    // count BEFORE the collect so an over-budget corpus is refused, not
+    // OOMed; adjacency is ~4·m ints/node (2m at level 0 + ~m across the
+    // geometric upper levels, stored bidirectionally), priced at the
+    // index's OWN m
     val nv = index.shards.map(_.size.toLong).fold(0L)(_ + _)
-    checkBudget(nv, 8L + 4L * index.dim + 16L * 4L, maxBytes)
+    checkBudget(nv, 8L + 4L * index.dim + 16L * index.m, maxBytes)
     new LocalHnsw(index.shards.collect(), index.dim, index.metric)
   }
 }

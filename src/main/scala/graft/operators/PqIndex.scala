@@ -383,13 +383,26 @@ object PqIndex {
    */
   def trainCodebooks(vectors: RDD[(Long, Array[Float])], dim: Int, m: Int,
                      iterations: Int = 10, sampleSize: Int = 16384,
-                     seed: Long = 42L): Codebooks = {
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val sd = dim / m
-    val sample = vectors
+                     seed: Long = 42L): Codebooks =
+    trainCodebooksOnSample(
+      sampleVectors(vectors, dim, sampleSize, seed), dim, m, iterations, seed)
+
+  /** The seeded, validity-filtered training sample — shared by the flat
+    * and IVF builds so both pay exactly ONE sampling job. */
+  private def sampleVectors(vectors: RDD[(Long, Array[Float])], dim: Int,
+                            sampleSize: Int, seed: Long): Array[Array[Float]] =
+    vectors
       .filter { case (_, v) => v != null && v.length == dim }
       .map(_._2)
       .takeSample(withReplacement = false, sampleSize, seed)
+
+  /** Lloyd over an in-memory sample (the driver-side core of
+    * [[trainCodebooks]]) — lets [[buildIvfPq]] residualize just the
+    * sample instead of materializing a full-corpus residuals RDD. */
+  private def trainCodebooksOnSample(sample: Array[Array[Float]], dim: Int, m: Int,
+                                     iterations: Int, seed: Long): Codebooks = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sd = dim / m
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
     val ksub = math.min(256, sample.length)
     val cents = new Array[Float](m * 256 * sd)
@@ -503,18 +516,19 @@ object PqIndex {
       val coarse = ServingIndex.trainCentroids(vectors, d, nlist, iterations, seed)
       val sc = vectors.sparkContext
       val bcCoarse = sc.broadcast(coarse)
-      // residuals v − nearest coarse centroid, sampled for codebook training
-      val residuals = vectors.mapPartitions { it =>
-        val cs = bcCoarse.value
-        it.collect { case (id, v) if v != null && v.length == d =>
-          val c = ServingIndex.nearestCentroid(v, cs)
-          val r = new Array[Float](d)
-          var i = 0
-          while (i < d) { r(i) = v(i) - cs(c)(i); i += 1 }
-          (id, r)
-        }
+      // codebooks train on residuals of the SAMPLE only: one sampling job
+      // over the cached vectors, then driver-parallel residualization —
+      // not a full-corpus residuals RDD whose every sampling/count pass
+      // would redo the O(n·nlist·dim) assignment the encode pass below
+      // already has to pay once
+      val sampleRaw = sampleVectors(vectors, d, sampleSize, seed)
+      val sampleRes = new Array[Array[Float]](sampleRaw.length)
+      IntStream.range(0, sampleRaw.length).parallel().forEach { i =>
+        val v = sampleRaw(i)
+        val cc = coarse(ServingIndex.nearestCentroid(v, coarse))
+        sampleRes(i) = Array.tabulate(d)(x => v(x) - cc(x))
       }
-      val books = trainCodebooks(residuals, d, m, iterations, sampleSize, seed)
+      val books = trainCodebooksOnSample(sampleRes, d, m, iterations, seed)
       val bcBooks = sc.broadcast(books)
       val slabs = vectors.mapPartitions({ it =>
         val cs = bcCoarse.value
@@ -567,7 +581,7 @@ object PqIndex {
       val m = books.m
       val qs = queries.map(_._2)
       val tabs = qs.map(q => books.adcTable(q, metric))
-      val par = math.max(1, java.util.concurrent.ForkJoinPool.getCommonPoolParallelism)
+      val par = LocalServing.commonPar
       // serving k → SortedTopK (cache-line array, fast reject); candidate
       // k′ (over-fetch) → HeapTopK, or the stripe degenerates into an
       // insertion sort of itself (see HeapTopK's scaladoc)
@@ -729,10 +743,7 @@ object PqIndex {
     * cluster ranges concatenated cell-by-cell (the
     * [[LocalServing.ivfFrom]] layout, code-width m instead of dim). */
   def localIvfPqFrom(index: IvfPq, maxBytes: Long = 2L << 30): LocalIvfPq = {
-    val need = index.numVectors * (8L + index.books.m)
-    require(need <= maxBytes,
-      s"corpus needs $need resident bytes > local serving budget $maxBytes — " +
-        "serve from the distributed slab tier instead")
+    LocalServing.checkBudget(index.numVectors, 8L + index.books.m, maxBytes)
     val slabs = index.slabs.collect()
     val m = index.books.m
     val nlist = index.nlist
@@ -766,10 +777,7 @@ object PqIndex {
   /** Collect a distributed PQ index into the local tier (budget-gated —
     * codes are m bytes/vector, so the budget is rarely the constraint). */
   def localFrom(index: Pq, maxBytes: Long = 2L << 30): LocalPq = {
-    val need = index.numVectors * (8L + index.books.m)
-    require(need <= maxBytes,
-      s"corpus needs $need resident bytes > local serving budget $maxBytes — " +
-        "serve from the distributed slab tier instead")
+    LocalServing.checkBudget(index.numVectors, 8L + index.books.m, maxBytes)
     val slabs = index.slabs.collect()
     val n = slabs.map(_.ids.length).sum
     val ids = new Array[Long](n)

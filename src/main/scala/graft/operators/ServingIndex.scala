@@ -1023,8 +1023,11 @@ object ServingIndex {
 
   /** Score one slab stripe against ALL queries (flat scan). The metric
     * dispatch is hoisted OUT of the per-vector loop; the per-vector math
-    * is the shared 4-way-unrolled [[KnnSearch.F32Kernels]] family, so
-    * slab scans score identically to `Metric.scoreF32` by construction.
+    * goes through [[SimdSupport.ops]] — the Vector API kernels when the
+    * JVM has the module, else the scalar [[KnnSearch.F32Kernels]] family.
+    * Under SIMD, lane-order accumulation drifts from `Metric.scoreF32` by
+    * last ulps, which is why serving scans are never wired into
+    * oracle-parity paths (those call the scalar family directly).
     * `idOff` decouples the data index from the id index so a caller can
     * score a staging buffer (the SQ8 dequant stripe) under the right id:
     * vector `vi` reads `data[vi·d, …)` and inserts `ids(idOff + vi)`. */

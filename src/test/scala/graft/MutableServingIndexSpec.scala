@@ -38,18 +38,22 @@ class MutableServingIndexSpec extends AnyFunSuite {
   private def got(res: Array[(Long, Array[(Float, Long)])]): Seq[(Long, Seq[(Float, Long)])] =
     res.toSeq.map { case (qid, arr) => (qid, arr.toSeq) }
 
-  /** ids must match exactly; scores within 1e-4 — the serving scans pick
-    * the SIMD kernels when available (lane-order float reassociation)
-    * while `expect` uses the scalar family, so last-ulp score drift
-    * between the two is expected and harmless. */
+  /** Scores within 1e-4 at every rank — the serving scans pick the SIMD
+    * kernels when available (lane-order float reassociation) while
+    * `expect` uses the scalar family, so last-ulp score drift between
+    * the two is expected and harmless. An id may differ at a rank ONLY
+    * inside that drift window (a legitimate near-tie swap), never on a
+    * real score gap. */
   private def assertSame(actual: Seq[(Long, Seq[(Float, Long)])],
                          expected: Seq[(Long, Seq[(Float, Long)])],
                          label: String = ""): Unit = {
     assert(actual.map(_._1) === expected.map(_._1), label)
     actual.zip(expected).foreach { case ((q, a), (_, e)) =>
-      assert(a.map(_._2) === e.map(_._2), s"$label query $q ids")
-      a.zip(e).foreach { case ((sa, ia), (se, _)) =>
-        assert(math.abs(sa - se) <= 1e-4f, s"$label query $q id $ia: $sa vs $se")
+      assert(a.length === e.length, s"$label query $q size")
+      a.zip(e).foreach { case ((sa, ia), (se, ie)) =>
+        assert(math.abs(sa - se) <= 1e-4f,
+          if (ia == ie) s"$label query $q id $ia: $sa vs $se"
+          else s"$label query $q swap $ia vs $ie outside drift: $sa vs $se")
       }
     }
   }

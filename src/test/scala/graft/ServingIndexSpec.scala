@@ -20,12 +20,16 @@ class ServingIndexSpec extends AnyFunSuite {
         .flatMap { case (qid, arr) => arr.map { case (s, d) => (qid, d, s) } }.toSeq
       val ref = KnnSearch.topKBatchRddF32(spark, docs, queries.toSeq, 10, metric)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2).toFloat)).toSeq
-      // ids/order exact; scores to 1e-4 — the fused scan uses the SIMD
+      // scores to 1e-4 at every rank — the fused scan uses the SIMD
       // kernels when available, whose lane-order reassociation drifts
-      // from the scalar family by last ulps
-      assert(fused.map(t => (t._1, t._2)) === ref.map(t => (t._1, t._2)), metric.toString)
-      fused.zip(ref).foreach { case ((q, d, sf), (_, _, sr)) =>
-        assert(math.abs(sf - sr) <= 1e-4f, s"$metric q=$q doc=$d: $sf vs $sr")
+      // from the scalar family by last ulps; an id may differ at a rank
+      // ONLY when the two entries are inside that drift (a legitimate
+      // near-tie swap), never on a real score gap
+      assert(fused.map(_._1) === ref.map(_._1), metric.toString)
+      fused.zip(ref).foreach { case ((q, d, sf), (_, dr, sr)) =>
+        assert(math.abs(sf - sr) <= 1e-4f,
+          if (d == dr) s"$metric q=$q doc=$d: $sf vs $sr"
+          else s"$metric q=$q swap $d vs $dr outside drift: $sf vs $sr")
       }
     }
     idx.slabs.unpersist(); docs.unpersist()
