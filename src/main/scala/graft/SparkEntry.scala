@@ -850,6 +850,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher repetition rules (training-data pipeline addition): word
+    * bigram/trigram duplicate and top-multiplicity fractions per
+    * document over the raw corpus (the vocabulary-dense synthetic docs
+    * exercise real repetition), relational explode→group-by shape, fully
+    * hash-checked. */
+  private val q60Repetition: Q = (s, dir) =>
+    graft.operators.QualityFilters.repetitionMetrics(
+        Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
     * mock answer, all string-exact against the oracle. */
   private val q51RagAnswer: Q = (s, dir) => {
@@ -921,6 +931,7 @@ object SparkEntry {
     "q53_hybrid_rrf" -> q53HybridRrf,
     "q58_hybrid_chunks" -> q58HybridChunks,
     "q59_quality_filters" -> q59QualityFilters,
+    "q60_repetition" -> q60Repetition,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1751,6 +1762,39 @@ object SparkEntry {
         |   AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
         |   AND dup_line_ratio <= 0.3 AND stopword_hits >= 2) AS keep
         |FROM metrics ORDER BY doc_id""".stripMargin,
+    "q60_repetition" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                w -> length(w) > 0) AS w
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+        |      i -> array_to_string(list_slice(w, i + 1, i + 2), ' '))) AS g
+        |  FROM ws WHERE len(w) >= 2
+        |), c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT doc_id, sum(c) AS n_bigrams,
+        |    round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac,
+        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+        |  FROM c2 GROUP BY 1
+        |), g3 AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |      i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS g
+        |  FROM ws WHERE len(w) >= 3
+        |), c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |a3 AS (
+        |  SELECT doc_id, sum(c) AS n_trigrams,
+        |    round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_trigram_frac,
+        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_trigram_frac
+        |  FROM c3 GROUP BY 1
+        |)
+        |SELECT a2.doc_id, n_bigrams, dup_bigram_frac, top_bigram_frac,
+        |  n_trigrams, dup_trigram_frac, top_trigram_frac,
+        |  (dup_bigram_frac <= 0.05 AND top_bigram_frac <= 0.06
+        |   AND dup_trigram_frac <= 0.02) AS keep_repetition
+        |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+        |ORDER BY a2.doc_id""".stripMargin,
     "q50_rag_context" -> Q50ContextSql,
     "q51_rag_answer" ->
       (s"""WITH ctx AS ($Q50ContextSql)

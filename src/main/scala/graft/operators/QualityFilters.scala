@@ -99,4 +99,54 @@ object QualityFilters {
       .where(col("keep")).select(col(idCol))
     docs.join(verdicts, Seq(idCol), "left_semi")
   }
+
+  // ------------------------------------------------------- repetition
+
+  /**
+   * Gopher's repetition rules (Rae et al. 2021 appendix A: documents
+   * dominated by repeated n-grams are boilerplate/spam): per document,
+   * the DUPLICATE n-gram fraction `(total − distinct) / total` and the
+   * TOP n-gram fraction `max-multiplicity / total`, for word bigrams and
+   * trigrams. (Gopher measures character fractions on web text; the
+   * word-count form here is the same signal with exact SQL parity.)
+   *
+   * Shape at scale: counting a gram's multiplicity needs a group-by, so
+   * this is deliberately RELATIONAL — explode to (doc, gram), two
+   * map-side-combined hash aggregations on narrow keys — rather than a
+   * per-row array combinator, whose max-multiplicity scan would be
+   * O(words²) per document and blow up on a single 100k-word document.
+   * The shuffle key (doc_id, gram) is fine-grained, so one huge document
+   * spreads across reducers instead of hot-spotting one.
+   *
+   * Thresholds default to this corpus's split points and are
+   * parameters — Gopher's own (0.2 top-2-gram, char basis) are web-text
+   * calibrations, not universal constants.
+   */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
+                        maxDupBigramFrac: Double = 0.05,
+                        maxTopBigramFrac: Double = 0.06,
+                        maxDupTrigramFrac: Double = 0.02): DataFrame = {
+    val ratio = (num: Column, den: Column) =>
+      round(num.cast("double") / den.cast("double"), 6)
+
+    def ngramAgg(n: Int, pfx: String): DataFrame = {
+      val ws = words(lower(col(textCol)))
+      val grams = when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+      ).otherwise(array().cast("array<string>"))
+      docs.select(col(idCol), explode(grams).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg(sum(col("c")).as(s"n_${pfx}s"),
+          ratio(sum(col("c")) - count(lit(1)), sum(col("c"))).as(s"dup_${pfx}_frac"),
+          ratio(max(col("c")), sum(col("c"))).as(s"top_${pfx}_frac"))
+    }
+
+    ngramAgg(2, "bigram").join(ngramAgg(3, "trigram"), Seq(idCol))
+      .withColumn("keep_repetition",
+        col("dup_bigram_frac") <= maxDupBigramFrac &&
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("dup_trigram_frac") <= maxDupTrigramFrac)
+  }
 }
