@@ -860,6 +860,15 @@ object SparkEntry {
         Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Bucketed greedy sequence packing (training-data pipeline addition):
+    * documents packed into 120-word training sequences within 16-doc
+    * buckets — the full greedy state (seq index + running total +
+    * oversize flag) is hash-checked against a recursive-CTE oracle. */
+  private val q61Packing: Q = (s, dir) =>
+    graft.operators.Packing.packGreedy(Tables(s, dir, "documents"),
+        "doc_id", "text", budgetWords = 120, bucketSize = 16)
+      .toDF().orderBy(col("doc_id"))
+
   /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
     * mock answer, all string-exact against the oracle. */
   private val q51RagAnswer: Q = (s, dir) => {
@@ -932,6 +941,7 @@ object SparkEntry {
     "q58_hybrid_chunks" -> q58HybridChunks,
     "q59_quality_filters" -> q59QualityFilters,
     "q60_repetition" -> q60Repetition,
+    "q61_seq_packing" -> q61Packing,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1795,6 +1805,25 @@ object SparkEntry {
         |   AND dup_trigram_frac <= 0.02) AS keep_repetition
         |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
         |ORDER BY a2.doc_id""".stripMargin,
+    "q61_seq_packing" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, doc_id // 16 AS bucket,
+        |    CAST(row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id) AS INTEGER) AS rn,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         w -> length(w) > 0)) AS INTEGER) AS nw
+        |  FROM documents
+        |), rec AS (
+        |  SELECT bucket, rn, doc_id, nw, 0 AS seq, nw AS acc
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.bucket, d.rn, d.doc_id, d.nw,
+        |    CASE WHEN r.acc + d.nw <= 120 THEN r.seq ELSE r.seq + 1 END,
+        |    CASE WHEN r.acc + d.nw <= 120 THEN r.acc + d.nw ELSE d.nw END
+        |  FROM rec r JOIN docs d ON d.bucket = r.bucket AND d.rn = r.rn + 1
+        |)
+        |SELECT doc_id, bucket, seq AS seq_index, nw AS n_words,
+        |  acc AS acc_words, nw > 120 AS oversize
+        |FROM rec ORDER BY doc_id""".stripMargin,
     "q50_rag_context" -> Q50ContextSql,
     "q51_rag_answer" ->
       (s"""WITH ctx AS ($Q50ContextSql)
