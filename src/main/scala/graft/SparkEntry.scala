@@ -869,6 +869,18 @@ object SparkEntry {
         "doc_id", "text", budgetWords = 120, bucketSize = 16)
       .toDF().orderBy(col("doc_id"))
 
+  /** Dataset mixing (training-data pipeline addition): deterministic
+    * weighted source sampling — keep iff the first 48 md5 bits of the
+    * doc_id, scaled to [0,1), fall under the source's weight (derived
+    * here from the source number: srcN → (N%4+1)/4). The per-source
+    * audit (configured weight vs achieved rate) is hash-checked. */
+  private val q62Mixing: Q = (s, dir) => {
+    val weight = (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(4.0)
+    graft.operators.Mixing.mixingReport(
+        Tables(s, dir, "documents"), "doc_id", "source", weight)
+      .orderBy(col("source"))
+  }
+
   /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
     * mock answer, all string-exact against the oracle. */
   private val q51RagAnswer: Q = (s, dir) => {
@@ -942,6 +954,7 @@ object SparkEntry {
     "q59_quality_filters" -> q59QualityFilters,
     "q60_repetition" -> q60Repetition,
     "q61_seq_packing" -> q61Packing,
+    "q62_dataset_mixing" -> q62Mixing,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1824,6 +1837,22 @@ object SparkEntry {
         |SELECT doc_id, bucket, seq AS seq_index, nw AS n_words,
         |  acc AS acc_words, nw > 120 AS oversize
         |FROM rec ORDER BY doc_id""".stripMargin,
+    "q62_dataset_mixing" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    (CAST(substr(source, 4) AS INTEGER) % 4 + 1) / CAST(4 AS DOUBLE) AS weight,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 12), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (h, c) -> h * 16 + c) / CAST(281474976710656 AS DOUBLE) AS u
+        |  FROM documents
+        |)
+        |SELECT source, min(weight) AS weight,
+        |  count(*) AS n_total,
+        |  CAST(sum(CASE WHEN u < weight THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN u < weight THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
     "q50_rag_context" -> Q50ContextSql,
     "q51_rag_answer" ->
       (s"""WITH ctx AS ($Q50ContextSql)

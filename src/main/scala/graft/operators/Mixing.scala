@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Dataset mixing — deterministic weighted source sampling, the step that
+ * composes a training corpus from heterogeneous sources at chosen
+ * proportions (e.g. 100% of a curated source, 25% of a crawl dump).
+ *
+ * The keep decision is a pure function of the row id: `u(id) < weight`,
+ * where `u(id)` is the first 48 bits of `md5(id)` scaled to [0, 1). No
+ * RNG state, no `rand()` — the same row is kept or dropped on every
+ * run, on every cluster, and in the DuckDB oracle (q62), which is what
+ * makes ablation reruns and incremental pipeline re-executions
+ * reproducible. Column-expression only: the sample is a pushdown-friendly
+ * `WHERE` over a codegen'd hash, one streaming pass at 100 TB with no
+ * shuffle; the report is one hash aggregation on the source key.
+ */
+object Mixing {
+
+  /** Deterministic uniform in [0, 1): first 48 md5 bits of the id. */
+  def hashUniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") /
+      lit(281474976710656.0) // 2^48
+
+  /** Rows kept under per-row `weight` (a Column in [0, 1] — typically
+    * derived from the source column or joined from a weights table). */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column): DataFrame =
+    docs.where(hashUniform(col(idCol)) < weight)
+
+  /** Per-source audit of a mixing run: configured weight vs achieved
+    * keep rate (they converge as sources grow; the report is how a
+    * pipeline VERIFIES its mix instead of trusting it). */
+  def mixingReport(docs: DataFrame, idCol: String, sourceCol: String,
+                   weight: Column): DataFrame = {
+    val kept = (hashUniform(col(idCol)) < weight).cast("long")
+    docs.groupBy(col(sourceCol))
+      .agg(first(weight).as("weight"),
+        count(lit(1)).as("n_total"),
+        sum(kept).as("n_kept"),
+        round(sum(kept).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("keep_rate"))
+  }
+}
