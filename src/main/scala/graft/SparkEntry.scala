@@ -881,6 +881,19 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Benchmark decontamination (training-data pipeline addition): docs
+    * with doc_id%97==0 act as the held-out benchmark; any training doc
+    * sharing a word trigram with them is flagged with its distinct
+    * shared-gram count. (Production uses 8-grams; the synthetic corpus's
+    * overlap structure surfaces at n=3.) Hash-checked end to end. */
+  private val q63Decontaminate: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val train = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    graft.operators.Decontaminate.contaminated(train, bench, "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
     * mock answer, all string-exact against the oracle. */
   private val q51RagAnswer: Q = (s, dir) => {
@@ -955,6 +968,7 @@ object SparkEntry {
     "q60_repetition" -> q60Repetition,
     "q61_seq_packing" -> q61Packing,
     "q62_dataset_mixing" -> q62Mixing,
+    "q63_decontaminate" -> q63Decontaminate,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1853,6 +1867,22 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN u < weight THEN 1 ELSE 0 END) AS DOUBLE)
         |        / CAST(count(*) AS DOUBLE), 6) AS keep_rate
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "q63_decontaminate" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                w -> length(w) > 0) AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |      i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')))) AS g
+        |  FROM ws WHERE len(w) >= 3
+        |), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT t.doc_id, count(DISTINCT t.g) AS n_shared
+        |FROM grams t JOIN bench b ON t.g = b.g
+        |WHERE t.doc_id % 97 <> 0
+        |GROUP BY 1
+        |ORDER BY t.doc_id""".stripMargin,
     "q50_rag_context" -> Q50ContextSql,
     "q51_rag_answer" ->
       (s"""WITH ctx AS ($Q50ContextSql)
