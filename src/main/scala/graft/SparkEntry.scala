@@ -894,6 +894,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The composed curation DAG (quality → exact dedup → decontaminate →
+    * mix → pack) as a per-stage attrition report, hash-checked end to
+    * end. Input = the training split plus q44-style injected exact
+    * duplicates (so the dedup stage demonstrably bites); benchmark =
+    * the doc_id%97 held-out split. */
+  private val q64Curation: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val base = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val dups = base.where(pmod(col("doc_id"), lit(7)) === 3)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val weight = (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(4.0)
+    graft.operators.CurationPipeline.report(base.unionByName(dups), bench,
+        "doc_id", "text", weight)
+      .orderBy(col("stage_index"))
+  }
+
   /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
     * mock answer, all string-exact against the oracle. */
   private val q51RagAnswer: Q = (s, dir) => {
@@ -969,6 +986,7 @@ object SparkEntry {
     "q61_seq_packing" -> q61Packing,
     "q62_dataset_mixing" -> q62Mixing,
     "q63_decontaminate" -> q63Decontaminate,
+    "q64_curation_report" -> q64Curation,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1883,6 +1901,101 @@ object SparkEntry {
         |WHERE t.doc_id % 97 <> 0
         |GROUP BY 1
         |ORDER BY t.doc_id""".stripMargin,
+    "q64_curation_report" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+        |), train AS (
+        |  SELECT doc_id, text, source FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, source FROM base WHERE doc_id % 7 = 3
+        |), bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+        |), qbase AS (
+        |  SELECT doc_id, text, source,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> length(l) > 0) AS lines,
+        |    list_filter(string_split_regex(trim(text), '\s+'), w -> length(w) > 0) AS ws
+        |  FROM train
+        |), qmetrics AS (
+        |  SELECT doc_id, text, source,
+        |    len(ws) AS n_words,
+        |    round(CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+        |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE), 6) AS alpha_word_ratio,
+        |    round(CAST((length(text) - length(replace(text, '#', '')))
+        |               + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE), 6) AS symbol_word_ratio,
+        |    round(CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE), 6) AS bullet_line_ratio,
+        |    round(CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_line_ratio,
+        |    round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE), 6) AS dup_line_ratio,
+        |    len(list_intersect(list_transform(ws, w -> lower(w)),
+        |        ['the','a','and','of','to','in','is','that'])) AS stopword_hits
+        |  FROM qbase
+        |), q AS (
+        |  SELECT doc_id, text, source FROM qmetrics
+        |  WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND alpha_word_ratio >= 0.8 AND symbol_word_ratio <= 0.1
+        |    AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
+        |    AND dup_line_ratio <= 0.3 AND stopword_hits >= 2
+        |), d AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT doc_id, text, source, row_number() OVER (
+        |        PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |        ORDER BY doc_id) AS rn
+        |    FROM q) t WHERE rn = 1
+        |), dgrams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |      i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')))) AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                      w -> length(w) > 0) AS w FROM d)
+        |  WHERE len(w) >= 3
+        |), bgrams AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(len(w) - 2),
+        |      i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')))) AS g
+        |  FROM (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |               w -> length(w) > 0) AS w FROM bench)
+        |  WHERE len(w) >= 3
+        |), contaminated AS (
+        |  SELECT DISTINCT t.doc_id FROM dgrams t JOIN bgrams b ON t.g = b.g
+        |), dec AS (
+        |  SELECT d.* FROM d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL
+        |), mix AS (
+        |  SELECT doc_id, text FROM dec
+        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 12), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (h, c) -> h * 16 + c) / CAST(281474976710656 AS DOUBLE)
+        |    < (CAST(substr(source, 4) AS INTEGER) % 4 + 1) / CAST(4 AS DOUBLE)
+        |), pdocs AS (
+        |  SELECT doc_id, doc_id // 16 AS bucket,
+        |    CAST(row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id) AS INTEGER) AS rn,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         w -> length(w) > 0)) AS INTEGER) AS nw
+        |  FROM mix
+        |), rec AS (
+        |  SELECT bucket, rn, doc_id, nw, 0 AS seq, nw AS acc FROM pdocs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.bucket, p.rn, p.doc_id, p.nw,
+        |    CASE WHEN r.acc + p.nw <= 120 THEN r.seq ELSE r.seq + 1 END,
+        |    CASE WHEN r.acc + p.nw <= 120 THEN r.acc + p.nw ELSE p.nw END
+        |  FROM rec r JOIN pdocs p ON p.bucket = r.bucket AND p.rn = r.rn + 1
+        |), seqs AS (
+        |  SELECT bucket, seq FROM rec GROUP BY bucket, seq
+        |)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_index, 'input' AS stage, count(*) AS n FROM train
+        |  UNION ALL SELECT 1, 'quality', count(*) FROM q
+        |  UNION ALL SELECT 2, 'exact_dedup', count(*) FROM d
+        |  UNION ALL SELECT 3, 'decontaminated', count(*) FROM dec
+        |  UNION ALL SELECT 4, 'mixed', count(*) FROM mix
+        |  UNION ALL SELECT 5, 'packed_sequences', count(*) FROM seqs
+        |) ORDER BY stage_index""".stripMargin,
     "q50_rag_context" -> Q50ContextSql,
     "q51_rag_answer" ->
       (s"""WITH ctx AS ($Q50ContextSql)
