@@ -907,7 +907,7 @@ object SparkEntry {
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val weight = (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(4.0)
     graft.operators.CurationPipeline.report(base.unionByName(dups), bench,
-        "doc_id", "text", weight)
+        "doc_id", "text", weight, decontamN = 3) // 3: synthetic-corpus overlap scale
       .orderBy(col("stage_index"))
   }
 

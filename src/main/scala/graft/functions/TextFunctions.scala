@@ -22,6 +22,14 @@ object TextFunctions {
     * BPE parity is explicitly out of scope; counts are approximate). */
   def words(text: Column): Column = split(text, "\\s+")
 
+  /** Blank-filtered word tokens — THE shared tokenizer of the curation
+    * operators (QualityFilters / Packing / Decontaminate) and their
+    * DuckDB oracles (`list_filter(string_split_regex(trim(text),'\s+'),
+    * w -> length(w) > 0)`): change it here and the oracle SQL together,
+    * never in one operator alone. Null-safe (null text → no tokens). */
+  def wordTokens(text: Column): Column =
+    filter(split(trim(coalesce(text, lit(""))), "\\s+"), w => length(w) > 0)
+
   def wordCount(text: Column): Column = size(words(text))
 
   def charCount(text: Column): Column = length(text)

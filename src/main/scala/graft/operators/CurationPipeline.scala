@@ -23,24 +23,37 @@ import org.apache.spark.sql.functions._
  */
 object CurationPipeline {
 
-  /** Per-stage attrition report: `(stage_index, stage, n)` — document
-    * counts after each stage, then the packed-sequence count. One Spark
-    * action over a union of count aggregates (not driver-side counts). */
-  def report(train: DataFrame, benchmark: DataFrame,
-             idCol: String, textCol: String, mixWeight: Column,
-             decontamN: Int = 3, budgetWords: Int = 120,
-             bucketSize: Int = 16): DataFrame = {
+  /** The staged DataFrames, built ONCE so [[report]] always audits the
+    * exact pipeline [[curate]] emits — the two can never diverge. */
+  private final case class Stages(quality: DataFrame, deduped: DataFrame,
+                                  decontaminated: DataFrame, mixed: DataFrame)
+
+  private def stages(train: DataFrame, benchmark: DataFrame,
+                     idCol: String, textCol: String, mixWeight: Column,
+                     decontamN: Int): Stages = {
     val q = QualityFilters.keepDocuments(train, idCol, textCol)
     val d = Dedup.dropExactDuplicates(q, idCol, textCol)
     val dec = Decontaminate.decontaminate(d, benchmark, idCol, textCol, decontamN)
-    val mix = Mixing.weightedSample(dec, idCol, mixWeight)
-    val seqs = Packing.packGreedy(mix, idCol, textCol, budgetWords, bucketSize)
+    Stages(q, d, dec, Mixing.weightedSample(dec, idCol, mixWeight))
+  }
+
+  /** Per-stage attrition report: `(stage_index, stage, n)` — document
+    * counts after each stage, then the packed-sequence count. One Spark
+    * action over a union of count aggregates (not driver-side counts).
+    * `decontamN` defaults to [[Decontaminate]]'s production 8 — q64
+    * passes 3 explicitly for the synthetic corpus. */
+  def report(train: DataFrame, benchmark: DataFrame,
+             idCol: String, textCol: String, mixWeight: Column,
+             decontamN: Int = 8, budgetWords: Int = 120,
+             bucketSize: Int = 16): DataFrame = {
+    val s = stages(train, benchmark, idCol, textCol, mixWeight, decontamN)
+    val seqs = Packing.packGreedy(s.mixed, idCol, textCol, budgetWords, bucketSize)
       .toDF().select(col("bucket"), col("seq_index")).distinct()
-    val stages = Seq(
-      (0, "input", train), (1, "quality", q), (2, "exact_dedup", d),
-      (3, "decontaminated", dec), (4, "mixed", mix),
-      (5, "packed_sequences", seqs))
-    stages.map { case (i, name, df) =>
+    val rows = Seq(
+      (0, "input", train), (1, "quality", s.quality),
+      (2, "exact_dedup", s.deduped), (3, "decontaminated", s.decontaminated),
+      (4, "mixed", s.mixed), (5, "packed_sequences", seqs))
+    rows.map { case (i, name, df) =>
       df.agg(count(lit(1)).as("n"))
         .select(lit(i).as("stage_index"), lit(name).as("stage"), col("n"))
     }.reduce(_ unionByName _)
@@ -50,14 +63,11 @@ object CurationPipeline {
     * with its packed sequence assignment attached). */
   def curate(train: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String, mixWeight: Column,
-             decontamN: Int = 3, budgetWords: Int = 120,
+             decontamN: Int = 8, budgetWords: Int = 120,
              bucketSize: Int = 16): DataFrame = {
-    val q = QualityFilters.keepDocuments(train, idCol, textCol)
-    val d = Dedup.dropExactDuplicates(q, idCol, textCol)
-    val dec = Decontaminate.decontaminate(d, benchmark, idCol, textCol, decontamN)
-    val mix = Mixing.weightedSample(dec, idCol, mixWeight)
-    val packed = Packing.packGreedy(mix, idCol, textCol, budgetWords, bucketSize)
+    val s = stages(train, benchmark, idCol, textCol, mixWeight, decontamN)
+    val packed = Packing.packGreedy(s.mixed, idCol, textCol, budgetWords, bucketSize)
       .toDF().withColumnRenamed("doc_id", "__pid")
-    mix.join(packed, col(idCol) === col("__pid")).drop("__pid")
+    s.mixed.join(packed, col(idCol) === col("__pid")).drop("__pid")
   }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   private def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val ws = filter(split(trim(lower(col(textCol))), "\\s+"), w => length(w) > 0)
+    val ws = graft.functions.TextFunctions.wordTokens(lower(col(textCol)))
     val gs = when(size(ws) >= n,
       array_distinct(transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
@@ -34,10 +34,14 @@ object Decontaminate {
                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
     val bench = broadcast(grams(benchmark, idCol, textCol, n)
       .select(col("gram")).distinct())
+    // both sides are already distinct (per-doc array_distinct on train,
+    // .distinct() on bench), so the join emits one row per (doc, gram) —
+    // a plain count equals count-distinct without the extra dedup
+    // aggregate exchange
     grams(train, idCol, textCol, n)
       .join(bench, Seq("gram"))
       .groupBy(col(idCol))
-      .agg(countDistinct(col("gram")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** The transform: training set minus contaminated docs (anti-join). */

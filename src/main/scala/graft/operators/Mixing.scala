@@ -35,8 +35,11 @@ object Mixing {
   def mixingReport(docs: DataFrame, idCol: String, sourceCol: String,
                    weight: Column): DataFrame = {
     val kept = (hashUniform(col(idCol)) < weight).cast("long")
+    // min, not first(): first() without ordering is partition-arrival
+    // nondeterministic if a caller's weight ever varies within a source
+    // group — and it must match the oracle's min(weight)
     docs.groupBy(col(sourceCol))
-      .agg(first(weight).as("weight"),
+      .agg(min(weight).as("weight"),
         count(lit(1)).as("n_total"),
         sum(kept).as("n_kept"),
         round(sum(kept).cast("double") / count(lit(1)).cast("double"), 6)

@@ -45,17 +45,25 @@ object Packing {
     import spark.implicits._
     val counted = docs.select(
         col(idCol).cast("long").as("doc_id"),
-        size(filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0))
+        size(graft.functions.TextFunctions.wordTokens(col(textCol)))
           .as("n_words"))
-      .withColumn("bucket", floor(col("doc_id") / bucketSize))
+      // integer `div`, not floor(a/b): the double quotient loses exactness
+      // above 2^53, so hash/snowflake-scale ids near bucket boundaries
+      // would land in the wrong bucket (the oracle uses integer `//`)
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
       .as[(Long, Int, Long)]
     counted.groupByKey(_._3).flatMapGroups { (bucket, it) =>
       // bucket groups are ≤ bucketSize rows — the sort is tiny
       val docsSorted = it.toArray.sortBy(_._1)
       var seq = 0
       var acc = 0
+      var started = false
       docsSorted.iterator.map { case (id, nw, _) =>
-        if (acc == 0) acc = nw // first doc of the bucket/sequence
+        // explicit first-doc flag, NOT acc == 0: a zero-word document
+        // must leave the greedy state exactly like the oracle's
+        // recursive CTE does (acc stays 0, next doc still compares
+        // acc + nw against the budget), not re-trigger the first branch
+        if (!started) { started = true; acc = nw }
         else if (acc + nw <= budgetWords) acc += nw
         else { seq += 1; acc = nw }
         PackedDoc(id, bucket, seq, nw, acc, nw > budgetWords)

@@ -40,7 +40,7 @@ object QualityFilters {
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
 
   private def words(text: Column): Column =
-    filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    graft.functions.TextFunctions.wordTokens(text)
 
   /**
    * Per-document quality metrics + the keep verdict. Output columns:
