@@ -42,15 +42,10 @@ object QualityFilters {
   private def words(text: Column): Column =
     graft.functions.TextFunctions.wordTokens(text)
 
-  /**
-   * Per-document quality metrics + the keep verdict. Output columns:
-   * `n_words, n_lines, mean_word_len, alpha_word_ratio,
-   * symbol_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
-   * dup_line_ratio, stopword_hits, keep` — ratios rounded to 6 dp (the
-   * oracle-parity convention), `keep` = conjunction of every rule.
-   */
-  def gopherMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text = col(textCol)
+  /** The nine metric expressions, in output order — the ONE definition
+    * both [[gopherMetrics]] and [[keepPredicate]] build from, so the
+    * verdict can never diverge from the reported metrics. */
+  private def metricExprs(text: Column): Seq[(String, Column)] = {
     val ws = words(text)
     val lines = nonBlankLines(text)
     val nWords = size(ws)
@@ -67,38 +62,54 @@ object QualityFilters {
     val dupLines = nLines - size(array_distinct(lines))
     val stopHits = size(array_intersect(
       transform(ws, w => lower(w)), lit(Stopwords.toArray)))
-
     val ratio = (num: Column, den: Column) =>
       round(num.cast("double") / den.cast("double"), 6)
-
-    docs.select(
-        col(idCol),
-        nWords.as("n_words"),
-        nLines.as("n_lines"),
-        ratio(sumLen, nWords).as("mean_word_len"),
-        ratio(alphaWords, nWords).as("alpha_word_ratio"),
-        ratio(hashes + ellipses, nWords).as("symbol_word_ratio"),
-        ratio(bulletLines, nLines).as("bullet_line_ratio"),
-        ratio(ellipsisLines, nLines).as("ellipsis_line_ratio"),
-        ratio(dupLines, nLines).as("dup_line_ratio"),
-        stopHits.as("stopword_hits"))
-      .withColumn("keep",
-        col("n_words").between(MinWords, MaxWords) &&
-        col("mean_word_len").between(MinMeanWordLen, MaxMeanWordLen) &&
-        col("alpha_word_ratio") >= MinAlphaWordRatio &&
-        col("symbol_word_ratio") <= MaxSymbolWordRatio &&
-        col("bullet_line_ratio") <= MaxBulletLineRatio &&
-        col("ellipsis_line_ratio") <= MaxEllipsisLineRatio &&
-        col("dup_line_ratio") <= MaxDupLineRatio &&
-        col("stopword_hits") >= MinStopwordHits)
+    Seq(
+      "n_words" -> nWords,
+      "n_lines" -> nLines,
+      "mean_word_len" -> ratio(sumLen, nWords),
+      "alpha_word_ratio" -> ratio(alphaWords, nWords),
+      "symbol_word_ratio" -> ratio(hashes + ellipses, nWords),
+      "bullet_line_ratio" -> ratio(bulletLines, nLines),
+      "ellipsis_line_ratio" -> ratio(ellipsisLines, nLines),
+      "dup_line_ratio" -> ratio(dupLines, nLines),
+      "stopword_hits" -> stopHits)
   }
 
-  /** The transform form: documents that pass every rule. */
-  def keepDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val verdicts = gopherMetrics(docs, idCol, textCol)
-      .where(col("keep")).select(col(idCol))
-    docs.join(verdicts, Seq(idCol), "left_semi")
+  private def keepOf(m: Map[String, Column]): Column =
+    m("n_words").between(MinWords, MaxWords) &&
+    m("mean_word_len").between(MinMeanWordLen, MaxMeanWordLen) &&
+    m("alpha_word_ratio") >= MinAlphaWordRatio &&
+    m("symbol_word_ratio") <= MaxSymbolWordRatio &&
+    m("bullet_line_ratio") <= MaxBulletLineRatio &&
+    m("ellipsis_line_ratio") <= MaxEllipsisLineRatio &&
+    m("dup_line_ratio") <= MaxDupLineRatio &&
+    m("stopword_hits") >= MinStopwordHits
+
+  /**
+   * Per-document quality metrics + the keep verdict. Output columns:
+   * `n_words, n_lines, mean_word_len, alpha_word_ratio,
+   * symbol_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
+   * dup_line_ratio, stopword_hits, keep` — ratios rounded to 6 dp (the
+   * oracle-parity convention), `keep` = conjunction of every rule.
+   */
+  def gopherMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ms = metricExprs(col(textCol))
+    docs.select(col(idCol) +: ms.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", keepOf(ms.map { case (n, _) => n -> col(n) }.toMap))
   }
+
+  /** The full battery as ONE predicate over the raw text column —
+    * stateless, so it applies unchanged to Structured Streaming ingest
+    * ([[graft.streaming.EventStream.qualityFilterStream]]) and filters
+    * without any join. */
+  def keepPredicate(text: Column): Column =
+    keepOf(metricExprs(text).toMap)
+
+  /** The transform form: documents that pass every rule — a plain WHERE
+    * on [[keepPredicate]] (one streaming pass, no join, no shuffle). */
+  def keepDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.where(keepPredicate(col(textCol)))
 
   // ------------------------------------------------------- repetition
 

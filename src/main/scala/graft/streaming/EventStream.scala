@@ -177,6 +177,17 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming quality gate — [[graft.operators.QualityFilters]]'s
+    * Gopher/C4 battery applied at INGEST time, before documents ever
+    * land in the collection. The battery is pure stateless column
+    * expressions, so it runs on an unbounded stream unchanged (no
+    * watermark, no state store) and is batch-identical by construction:
+    * the verdict for a document depends on that document alone. Chains
+    * ahead of [[dedupStream]] in a streaming curation pipeline — reject
+    * cheap-to-test garbage before paying dedup state for it. */
+  def qualityFilterStream(docs: DataFrame, textCol: String): DataFrame =
+    docs.where(graft.operators.QualityFilters.keepPredicate(col(textCol)))
+
   /** Per-(band,bucket) LSH claim: the first doc to hash into the bucket
     * within the horizon owns it (public: encoder codegen). */
   case class BandClaim(claimant: Long, claimMs: Long)

@@ -116,4 +116,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(kept2 === Set(1L, 3L, 6L), "re-emitted after horizon eviction, copies suppressed")
     } finally q.stop()
   }
+
+  test("streaming quality gate equals the batch battery, batch by batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = (("the quick brown fox jumps over a lazy dog near the river " +
+      "bank and waits in that shade for food ") * 3).trim
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val gated = graft.streaming.EventStream.qualityFilterStream(
+      mem.toDF().toDF("doc_id", "text"), "text")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("quality_stream").start()
+    try {
+      mem.addData((1L, good), (2L, "way too short"), (3L, good + " extra"))
+      q.processAllAvailable()
+      mem.addData((4L, Array.fill(60)("kubernetes docker jenkins").mkString(" ")))
+      q.processAllAvailable()
+      val kept = spark.table("quality_stream").select($"doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 3L), "stateless battery: same verdicts as batch")
+      // batch twin agrees on the identical input
+      val batchKept = graft.operators.QualityFilters.keepDocuments(
+          Seq((1L, good), (2L, "way too short"), (3L, good + " extra"),
+            (4L, Array.fill(60)("kubernetes docker jenkins").mkString(" ")))
+            .toDF("doc_id", "text"), "doc_id", "text")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(batchKept === kept)
+    } finally q.stop()
+  }
 }
