@@ -482,20 +482,36 @@ object PqIndex {
     if (pinned) vectors.cache()
     try {
       val books = trainCodebooks(vectors, dim, m, iterations, sampleSize, seed)
-      val bc = vectors.sparkContext.broadcast(books)
-      val d = dim
-      val slabs = vectors.mapPartitions({ it =>
-        val bks = bc.value
-        val ids = Array.newBuilder[Long]
-        val codes = Array.newBuilder[Byte]
-        it.foreach { case (id, v) =>
-          if (v != null && v.length == d) { ids += id; codes ++= bks.encode(v) }
-        }
-        Iterator.single(PqSlab(ids.result(), codes.result()))
-      }, preservesPartitioning = true).cache()
-      val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
-      new Pq(slabs, books, nv)
+      packPq(vectors, books, numSlabs = -1, localCheckpoint = false)
     } finally if (pinned) vectors.unpersist(false)
+  }
+
+  /** Encode under PRE-TRAINED (frozen) codebooks — buildPq's pack pass,
+    * also the compaction path of [[ServingIndex.mutablePq]]: re-encoding
+    * a decoded reconstruction under the SAME codebooks is exact, so
+    * quantized compaction never compounds error (the [[ServingIndex]]
+    * frozen-quantizer rule). */
+  private[operators] def packPq(vectors0: RDD[(Long, Array[Float])], books: Codebooks,
+                                numSlabs: Int, localCheckpoint: Boolean): Pq = {
+    val vectors =
+      if (numSlabs > 0 && numSlabs < vectors0.getNumPartitions)
+        vectors0.coalesce(numSlabs)
+      else vectors0
+    val bc = vectors.sparkContext.broadcast(books)
+    val d = books.dim
+    val slabs = vectors.mapPartitions({ it =>
+      val bks = bc.value
+      val ids = Array.newBuilder[Long]
+      val codes = Array.newBuilder[Byte]
+      it.foreach { case (id, v) =>
+        if (v != null && v.length == d) { ids += id; codes ++= bks.encode(v) }
+      }
+      Iterator.single(PqSlab(ids.result(), codes.result()))
+    }, preservesPartitioning = true).cache()
+    // the lineage mark must precede the slabs' first job (buildFlat rule)
+    if (localCheckpoint) slabs.localCheckpoint()
+    val nv = slabs.map(_.ids.length.toLong).fold(0L)(_ + _)
+    new Pq(slabs, books, nv)
   }
 
   /** Coarse Lloyd centroids (shared [[ServingIndex]] trainer), residual

@@ -543,6 +543,27 @@ object ServingIndex {
       s.slabs.flatMap(sl => liveOfCodes(sl.ids, sl.codes, d, mn, st, tomb))
     }
   }
+  private[graft] final case class PqBase(p: PqIndex.Pq) extends MutableBase {
+    def searchBase(qs: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+                   m: KnnSearch.Metric) = p.search(qs, k, m)
+    def anySlabs: RDD[_ <: AnyRef] = p.slabs
+    def idArrays: RDD[Array[Long]] = p.slabs.map(_.ids)
+    def numVectors: Long = p.numVectors
+    /** Decoded reconstructions: the vectors the ADC scan effectively
+      * scores, and exact under re-encode (frozen codebooks — a decoded
+      * point's nearest codeword is itself). */
+    def liveVectors(d: Int, tomb: Array[Long]) = {
+      val bks = p.books
+      p.slabs.flatMap { sl =>
+        val mm = bks.m
+        sl.ids.indices.iterator.collect {
+          case i if java.util.Arrays.binarySearch(tomb, sl.ids(i)) < 0 =>
+            (sl.ids(i), bks.decode(
+              java.util.Arrays.copyOfRange(sl.codes, i * mm, (i + 1) * mm)))
+        }
+      }
+    }
+  }
 
   final class Mutable private[ServingIndex] (
       private var base: MutableBase,
@@ -763,6 +784,25 @@ object ServingIndex {
     val (mins, step) = (base.vmin, base.vstep)
     new Mutable(Sq8Base(base), d,
       rows => Sq8Base(packSq8(rows, d, mins, step, effSlabs, localCheckpoint = true)),
+      maxDelta, maxTombstones)
+  }
+
+  /** Mutable wrapper over a product-quantized base: codebooks train once
+    * and FREEZE (the [[mutableSq8]] rule — compaction re-encodes decoded
+    * reconstructions exactly, so quantized state never degrades across
+    * flushes); the delta memtable stays float, so freshly upserted
+    * vectors are searched exactly until the next flush quantizes them.
+    * L2 / inner-product only (the PQ tier's metric surface). */
+  def mutablePq(baseVectors: RDD[(Long, Array[Float])], dim: Int, m: Int,
+                iterations: Int = 10, sampleSize: Int = 16384, seed: Long = 42L,
+                numSlabs: Int = -1, maxDelta: Int = 4096,
+                maxTombstones: Int = 512): Mutable = {
+    val base = PqIndex.buildPq(baseVectors, dim, m, iterations, sampleSize,
+      seed, numSlabs)
+    val effSlabs = if (numSlabs > 0) numSlabs else base.slabs.getNumPartitions
+    val books = base.books
+    new Mutable(PqBase(base), dim,
+      rows => PqBase(PqIndex.packPq(rows, books, effSlabs, localCheckpoint = true)),
       maxDelta, maxTombstones)
   }
 

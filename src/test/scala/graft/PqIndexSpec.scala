@@ -191,4 +191,31 @@ class PqIndexSpec extends AnyFunSuite {
     assert(pq.search(q, 50, KnnSearch.L2)(0)._2.length === 10)
     pq.slabs.unpersist()
   }
+
+  test("mutable PQ: float delta is exact, frozen-codebook compaction is lossless") {
+    val docs = corpus.cache(); docs.count()
+    val idx = ServingIndex.mutablePq(docs, dim, m, iterations = 5)
+    val base = PqIndex.buildPq(docs, dim, m, iterations = 5)
+    def flat(res: Array[(Long, Array[(Float, Long)])]) =
+      res.toSeq.map { case (q, arr) => (q, arr.toSeq) }
+    // unmutated: identical to the immutable quantized tier
+    assert(flat(idx.search(queries, 10, KnnSearch.L2)) ===
+      flat(base.search(queries, 10, KnnSearch.L2)))
+    base.slabs.unpersist()
+    // a fresh upsert lives in the float delta: searching its exact vector
+    // returns it at distance 0 (no quantization on the memtable)
+    val probe = ClusteredFixture.queries(1, dim).head._2
+    idx.upsert(777777L, probe)
+    val hit = idx.search(Array((0L, probe)), 1, KnnSearch.L2).head._2.head
+    assert(hit._2 === 777777L && hit._1 === 0f)
+    // delete-only compaction: surviving codes re-encode under the frozen
+    // codebooks — results bit-identical before and after
+    idx.delete(777777L)
+    Seq(1L, 2L, 3L).foreach(idx.delete)
+    val before = flat(idx.search(queries, 10, KnnSearch.L2))
+    idx.compact()
+    assert(idx.deltaSize === 0 && idx.tombstoneCount === 0)
+    assert(flat(idx.search(queries, 10, KnnSearch.L2)) === before)
+    docs.unpersist()
+  }
 }
