@@ -38,25 +38,31 @@ object CurationPipeline {
   }
 
   /** Per-stage attrition report: `(stage_index, stage, n)` — document
-    * counts after each stage, then the packed-sequence count. One Spark
-    * action over a union of count aggregates (not driver-side counts).
-    * `decontamN` defaults to [[Decontaminate]]'s production 8 — q64
-    * passes 3 explicitly for the synthetic corpus. */
+    * counts after each stage, then the packed-sequence count. The two
+    * expensive stage prefixes (dedup's fingerprint window, the
+    * decontamination gram join) are cached while counting so each stage
+    * computes ONCE — a lazy union of the six aggregates would recompute
+    * stage N's whole prefix for every later branch. `decontamN` defaults
+    * to [[Decontaminate]]'s production 8 — q64 passes 3 explicitly for
+    * the synthetic corpus. */
   def report(train: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String, mixWeight: Column,
              decontamN: Int = 8, budgetWords: Int = 120,
              bucketSize: Int = 16): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
     val s = stages(train, benchmark, idCol, textCol, mixWeight, decontamN)
-    val seqs = Packing.packGreedy(s.mixed, idCol, textCol, budgetWords, bucketSize)
-      .toDF().select(col("bucket"), col("seq_index")).distinct()
-    val rows = Seq(
-      (0, "input", train), (1, "quality", s.quality),
-      (2, "exact_dedup", s.deduped), (3, "decontaminated", s.decontaminated),
-      (4, "mixed", s.mixed), (5, "packed_sequences", seqs))
-    rows.map { case (i, name, df) =>
-      df.agg(count(lit(1)).as("n"))
-        .select(lit(i).as("stage_index"), lit(name).as("stage"), col("n"))
-    }.reduce(_ unionByName _)
+    s.deduped.cache(); s.decontaminated.cache()
+    try {
+      val seqs = Packing.packGreedy(s.mixed, idCol, textCol, budgetWords, bucketSize)
+        .toDF().select(col("bucket"), col("seq_index")).distinct()
+      Seq(
+        (0, "input", train.count()), (1, "quality", s.quality.count()),
+        (2, "exact_dedup", s.deduped.count()),
+        (3, "decontaminated", s.decontaminated.count()),
+        (4, "mixed", s.mixed.count()), (5, "packed_sequences", seqs.count()))
+        .toDF("stage_index", "stage", "n")
+    } finally { s.deduped.unpersist(false); s.decontaminated.unpersist(false) }
   }
 
   /** The curated corpus itself (everything the report counts at stage 4,

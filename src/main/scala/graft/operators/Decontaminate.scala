@@ -25,7 +25,9 @@ object Decontaminate {
       array_distinct(transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(gs).as("gram"))
+    // gram construction is compute-bound: widen a narrow file scan so the
+    // training side doesn't shingle on one core (no-op at corpus scale)
+    Par.widen(df).select(col(idCol), explode(gs).as("gram"))
   }
 
   /** Contaminated training docs: `(idCol, n_shared)` — the count of

@@ -95,7 +95,9 @@ object QualityFilters {
    */
   def gopherMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ms = metricExprs(col(textCol))
-    docs.select(col(idCol) +: ms.map { case (n, c) => c.as(n) }: _*)
+    // the battery is compute-bound array work per row: widen a narrow
+    // file scan so it doesn't run on one core (no-op at corpus scale)
+    Par.widen(docs).select(col(idCol) +: ms.map { case (n, c) => c.as(n) }: _*)
       .withColumn("keep", keepOf(ms.map { case (n, _) => n -> col(n) }.toMap))
   }
 
@@ -107,9 +109,10 @@ object QualityFilters {
     keepOf(metricExprs(text).toMap)
 
   /** The transform form: documents that pass every rule — a plain WHERE
-    * on [[keepPredicate]] (one streaming pass, no join, no shuffle). */
+    * on [[keepPredicate]] (one streaming pass, no join; the only
+    * exchange is [[Par.widen]]'s narrow-scan guard, a no-op at scale). */
   def keepDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.where(keepPredicate(col(textCol)))
+    Par.widen(docs).where(keepPredicate(col(textCol)))
 
   // ------------------------------------------------------- repetition
 
@@ -140,13 +143,16 @@ object QualityFilters {
     val ratio = (num: Column, den: Column) =>
       round(num.cast("double") / den.cast("double"), 6)
 
+    // gram construction is the hot loop — widen a narrow file scan once
+    // for both n-gram passes (no-op at corpus scale)
+    val src = Par.widen(docs)
     def ngramAgg(n: Int, pfx: String): DataFrame = {
       val ws = words(lower(col(textCol)))
       val grams = when(size(ws) >= n,
         transform(sequence(lit(0), size(ws) - n),
           i => concat_ws(" ", slice(ws, i + 1, lit(n))))
       ).otherwise(array().cast("array<string>"))
-      docs.select(col(idCol), explode(grams).as("g"))
+      src.select(col(idCol), explode(grams).as("g"))
         .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col(idCol))
         .agg(sum(col("c")).as(s"n_${pfx}s"),
