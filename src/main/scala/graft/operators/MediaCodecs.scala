@@ -454,4 +454,123 @@ object MediaCodecs {
       }
     }
   }
+
+  // --------------------------------------------------------- mp3 / mp4
+
+  /** MPEG-audio stream metadata from frame headers (no PCM decode —
+    * that genuinely needs a codec library this container lacks; the
+    * header walk is plain byte parsing and REAL). */
+  final case class Mp3Info(version: Int, layer: Int, bitrateKbps: Int,
+                           sampleRate: Int, channels: Int,
+                           nFrames: Int, durationMs: Long)
+
+  /** ISO-BMFF (MP4/M4A/MOV) metadata from the box structure: major
+    * brand from `ftyp`, timescale/duration from `moov/mvhd`, track
+    * count from `moov/trak` children. */
+  final case class Mp4Info(brand: String, timescale: Long,
+                           durationMs: Long, nTracks: Int)
+
+  private val Mp3Bitrates = // MPEG1 Layer III column of the bitrate table
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /**
+   * Walk MPEG-1 Layer III frames: skip an ID3v2 tag if present (syncsafe
+   * size), then parse each 4-byte frame header (sync, bitrate index,
+   * sample-rate index, padding, channel mode) and hop
+   * `144·bitrate/rate + padding` bytes to the next frame. Reports the
+   * FIRST frame's parameters plus the frame count and the exact
+   * 1152-samples-per-frame duration. Truncated/never-synced input → None.
+   */
+  def probeMp3(bytes: Array[Byte]): Option[Mp3Info] = {
+    try {
+      if (bytes == null || bytes.length < 4) return None
+      var pos = 0
+      // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe u28 size
+      if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3' && bytes.length >= 10) {
+        val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        pos = 10 + size
+      }
+      var first: Option[(Int, Int, Int)] = None // (kbps, rate, channels)
+      var frames = 0
+      while (pos + 4 <= bytes.length) {
+        val b1 = bytes(pos) & 0xff; val b2 = bytes(pos + 1) & 0xff
+        // MPEG1 Layer III sync: 11 set bits, version 11, layer 01
+        if (b1 != 0xff || (b2 & 0xfe) != 0xfa) return finishMp3(first, frames)
+        val brIdx = (bytes(pos + 2) & 0xf0) >>> 4
+        val srIdx = (bytes(pos + 2) & 0x0c) >>> 2
+        val padding = (bytes(pos + 2) & 0x02) >>> 1
+        val chMode = (bytes(pos + 3) & 0xc0) >>> 6
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return finishMp3(first, frames)
+        val kbps = Mp3Bitrates(brIdx)
+        val rate = Mp3Rates(srIdx)
+        val channels = if (chMode == 3) 1 else 2
+        if (first.isEmpty) first = Some((kbps, rate, channels))
+        frames += 1
+        val frameLen = 144 * kbps * 1000 / rate + padding
+        if (frameLen <= 4) return finishMp3(first, frames)
+        pos += frameLen
+      }
+      finishMp3(first, frames)
+    } catch { case _: Exception => None }
+  }
+
+  private def finishMp3(first: Option[(Int, Int, Int)], frames: Int): Option[Mp3Info] =
+    first.map { case (kbps, rate, ch) =>
+      Mp3Info(1, 3, kbps, rate, ch, frames, frames.toLong * 1152L * 1000L / rate)
+    }
+
+  /** Top-level + `moov`-children box walk. Box = u32 big-endian size
+    * (1 → u64 extended size follows) + 4-char type. */
+  def probeMp4(bytes: Array[Byte]): Option[Mp4Info] = {
+    try {
+      if (bytes == null || bytes.length < 16) return None
+      def u32(o: Int): Long =
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      def boxType(o: Int) = new String(bytes, o + 4, 4, "US-ASCII")
+      def boxSize(o: Int): Long = {
+        val s = u32(o)
+        if (s == 1 && o + 16 <= bytes.length)
+          (u32(o + 8) << 32) | u32(o + 12)
+        else s
+      }
+      if (boxType(0) != "ftyp") return None
+      val brand = new String(bytes, 8, 4, "US-ASCII")
+      var brandOk = brand.forall(c => c >= ' ' && c < 127)
+      if (!brandOk) return None
+      var timescale = 0L; var duration = 0L; var tracks = 0
+      var pos = 0L
+      while (pos + 8 <= bytes.length) {
+        val size = boxSize(pos.toInt)
+        if (size < 8) return Some(Mp4Info(brand, timescale,
+          if (timescale > 0) duration * 1000L / timescale else 0L, tracks))
+        if (boxType(pos.toInt) == "moov") {
+          var p = pos + 8
+          val end = math.min(pos + size, bytes.length.toLong)
+          while (p + 8 <= end) {
+            val cs = boxSize(p.toInt)
+            if (cs < 8) return None
+            boxType(p.toInt) match {
+              case "mvhd" if p + 28 <= end =>
+                val ver = bytes(p.toInt + 8) & 0xff
+                if (ver == 0) { // v0: ..., timescale u32 @+20, duration u32 @+24
+                  timescale = u32(p.toInt + 20); duration = u32(p.toInt + 24)
+                } else if (p + 40 <= end) { // v1: 64-bit times
+                  timescale = u32(p.toInt + 28)
+                  duration = (u32(p.toInt + 32) << 32) | u32(p.toInt + 36)
+                }
+              case "trak" => tracks += 1
+              case _ =>
+            }
+            p += cs
+          }
+        }
+        pos += size
+      }
+      Some(Mp4Info(brand, timescale,
+        if (timescale > 0) duration * 1000L / timescale else 0L, tracks))
+    } catch { case _: Exception => None }
+  }
 }

@@ -116,4 +116,41 @@ object Multimodal {
         when(col("probed_h") > 0, col("probed_h")).as("probed_h"),
         when(col("probed_channels") > 0, col("probed_channels")).as("probed_channels"))
   }
+
+  /** REAL audio/video stream metadata from the containers themselves:
+    * MP3 frame headers ([[MediaCodecs.probeMp3]]) and ISO-BMFF box
+    * structure ([[MediaCodecs.probeMp4]]). Full PCM/pixel decode for
+    * these codecs genuinely needs libraries this environment lacks (the
+    * documented stub boundary) — but duration/bitrate/track metadata is
+    * plain byte parsing and the pipeline fields below are real. Unknown
+    * containers → null columns. */
+  def probeAvMetadata(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("asset_id").cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        MediaCodecs.probeMp3(bytes) match {
+          case Some(m) =>
+            (id, "mp3", m.bitrateKbps, m.sampleRate, m.channels,
+              m.nFrames, m.durationMs, null.asInstanceOf[String])
+          case None =>
+            MediaCodecs.probeMp4(bytes) match {
+              case Some(v) =>
+                (id, "mp4", -1, -1, v.nTracks, -1, v.durationMs, v.brand)
+              case None => (id, null.asInstanceOf[String], -1, -1, -1, -1, -1L,
+                null.asInstanceOf[String])
+            }
+        }
+      }
+      .toDF("asset_id", "container", "bitrate_kbps", "sample_rate",
+        "channels_or_tracks", "n_frames", "duration_ms", "brand")
+      .select(col("asset_id"), col("container"),
+        when(col("bitrate_kbps") > 0, col("bitrate_kbps")).as("bitrate_kbps"),
+        when(col("sample_rate") > 0, col("sample_rate")).as("sample_rate"),
+        when(col("channels_or_tracks") >= 0, col("channels_or_tracks")).as("channels_or_tracks"),
+        when(col("n_frames") >= 0, col("n_frames")).as("n_frames"),
+        when(col("duration_ms") >= 0, col("duration_ms")).as("duration_ms"),
+        col("brand"))
+  }
 }

@@ -42,4 +42,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.where(col("width").isNull || col("height").isNull).count() === 0)
     assert(d.where(col("aspect") <= 0).count() === 0)
   }
+
+  test("probeAvMetadata: real MP3/MP4 stream metadata over the binary column") {
+    import spark.implicits._
+    val frame = new Array[Byte](417)
+    frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte; frame(2) = 0x90.toByte
+    val mp3 = frame ++ frame
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val mvhdPayload = new Array[Byte](100)
+    System.arraycopy(u32(600), 0, mvhdPayload, 12, 4)
+    System.arraycopy(u32(900), 0, mvhdPayload, 16, 4)
+    val mp4 = u32(16) ++ "ftyp".getBytes ++ "M4A ".getBytes ++ u32(0) ++
+      u32(8L + 108) ++ "moov".getBytes ++ u32(108) ++ "mvhd".getBytes ++ mvhdPayload
+    val df = Seq((1L, "audio", mp3), (2L, "video", mp4),
+      (3L, "audio", "junk".getBytes)).toDF("asset_id", "modality", "content")
+    val probed = graft.operators.Multimodal.probeAvMetadata(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(probed(1L).getAs[String]("container") === "mp3")
+    assert(probed(1L).getAs[Int]("bitrate_kbps") === 128)
+    assert(probed(1L).getAs[Int]("n_frames") === 2)
+    assert(probed(2L).getAs[String]("container") === "mp4")
+    assert(probed(2L).getAs[String]("brand") === "M4A ")
+    assert(probed(2L).getAs[Long]("duration_ms") === 1500L)
+    assert(probed(3L).getAs[String]("container") === null)
+  }
 }
