@@ -52,7 +52,7 @@ object CurationPipeline {
     val spark = train.sparkSession
     import spark.implicits._
     val s = stages(train, benchmark, idCol, textCol, mixWeight, decontamN)
-    s.deduped.cache(); s.decontaminated.cache()
+    s.quality.cache(); s.deduped.cache(); s.decontaminated.cache()
     try {
       val seqs = Packing.packGreedy(s.mixed, idCol, textCol, budgetWords, bucketSize)
         .toDF().select(col("bucket"), col("seq_index")).distinct()
@@ -62,7 +62,11 @@ object CurationPipeline {
         (3, "decontaminated", s.decontaminated.count()),
         (4, "mixed", s.mixed.count()), (5, "packed_sequences", seqs.count()))
         .toDF("stage_index", "stage", "n")
-    } finally { s.deduped.unpersist(false); s.decontaminated.unpersist(false) }
+    } finally {
+      s.quality.unpersist(false)
+      s.deduped.unpersist(false)
+      s.decontaminated.unpersist(false)
+    }
   }
 
   /** The curated corpus itself (everything the report counts at stage 4,

@@ -486,12 +486,18 @@ object MediaCodecs {
     try {
       if (bytes == null || bytes.length < 4) return None
       var pos = 0
-      // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe u28 size
+      // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe u28 size; the v2.4
+      // footer flag (0x10) adds a trailing 10-byte footer to the tag
       if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3' && bytes.length >= 10) {
         val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
           ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-        pos = 10 + size
+        pos = 10 + size + (if ((bytes(5) & 0x10) != 0) 10 else 0)
       }
+      // initial sync acquisition tolerates inter-tag padding: scan forward
+      // (bounded) for the first 0xFF sync byte; frames after the first
+      // must be contiguous per the spec, so only this first hop scans
+      val scanLimit = math.min(bytes.length - 4, pos + 65536)
+      while (pos <= scanLimit && (bytes(pos) & 0xff) != 0xff) pos += 1
       var first: Option[(Int, Int, Int)] = None // (kbps, rate, channels)
       var frames = 0
       while (pos + 4 <= bytes.length) {
@@ -547,12 +553,17 @@ object MediaCodecs {
         if (size < 8) return Some(Mp4Info(brand, timescale,
           if (timescale > 0) duration * 1000L / timescale else 0L, tracks))
         if (boxType(pos.toInt) == "moov") {
-          var p = pos + 8
+          // children start after the box header: 8 bytes, or 16 when the
+          // size field is 1 (64-bit largesize follows the type)
+          var p = pos + (if (u32(pos.toInt) == 1) 16 else 8)
           val end = math.min(pos + size, bytes.length.toLong)
-          while (p + 8 <= end) {
+          var ok = true
+          while (ok && p + 8 <= end) {
             val cs = boxSize(p.toInt)
-            if (cs < 8) return None
-            boxType(p.toInt) match {
+            // a corrupt child size ends the moov walk but KEEPS whatever
+            // was already parsed (the top-level walk's partial rule)
+            if (cs < 8) ok = false
+            else boxType(p.toInt) match {
               case "mvhd" if p + 28 <= end =>
                 val ver = bytes(p.toInt + 8) & 0xff
                 if (ver == 0) { // v0: ..., timescale u32 @+20, duration u32 @+24

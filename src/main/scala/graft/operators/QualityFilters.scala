@@ -104,15 +104,26 @@ object QualityFilters {
   /** The full battery as ONE predicate over the raw text column —
     * stateless, so it applies unchanged to Structured Streaming ingest
     * ([[graft.streaming.EventStream.qualityFilterStream]]) and filters
-    * without any join. */
+    * without any join. Cost note: inside a bare Filter the shared
+    * tokenization subtree is re-evaluated per conjunct (FilterExec does
+    * no common-subexpression elimination) — fine for per-row streaming
+    * micro-batches; BATCH callers should use [[keepDocuments]], whose
+    * project-then-filter shape tokenizes once under ProjectExec CSE. */
   def keepPredicate(text: Column): Column =
     keepOf(metricExprs(text).toMap)
 
-  /** The transform form: documents that pass every rule — a plain WHERE
-    * on [[keepPredicate]] (one streaming pass, no join; the only
-    * exchange is [[Par.widen]]'s narrow-scan guard, a no-op at scale). */
-  def keepDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    Par.widen(docs).where(keepPredicate(col(textCol)))
+  /** The transform form: documents whose ID passes every rule
+    * (id-membership semantics — a semi-join on the verdicts, like the
+    * other curation transforms). The metrics projection computes the
+    * tokenization ONCE per row (ProjectExec subexpression elimination)
+    * and sits above [[Par.widen]]'s narrow-scan guard, where a plain
+    * pushed-down WHERE would slide below the repartition and run the
+    * battery on one core. */
+  def keepDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val verdicts = gopherMetrics(docs, idCol, textCol)
+      .where(col("keep")).select(col(idCol))
+    docs.join(verdicts, Seq(idCol), "left_semi")
+  }
 
   // ------------------------------------------------------- repetition
 

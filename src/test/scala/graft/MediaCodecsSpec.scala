@@ -308,13 +308,8 @@ class MediaCodecsSpec extends AnyFunSuite {
   }
 
   test("mp3 probe: frame-header walk with ID3v2 skip, exact duration math") {
-    // three MPEG1 Layer III frames: 0xFFFB 0x90 = bitrate idx 9 (128 kbps),
-    // rate idx 0 (44100), no padding -> frame length 144*128000/44100 = 417
-    val frame = new Array[Byte](417)
-    frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte; frame(2) = 0x90.toByte; frame(3) = 0x00
-    // ID3v2 header with syncsafe size 5 + 5 tag bytes, then 3 frames
-    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 5) ++ new Array[Byte](5)
-    val bytes = id3 ++ frame ++ frame ++ frame
+    val frame = MediaFixtures.mp3Frame
+    val bytes = MediaFixtures.id3v2(5) ++ frame ++ frame ++ frame
     val info = MediaCodecs.probeMp3(bytes).get
     assert(info.bitrateKbps === 128)
     assert(info.sampleRate === 44100)
@@ -330,18 +325,8 @@ class MediaCodecsSpec extends AnyFunSuite {
   }
 
   test("mp4 probe: ftyp brand, mvhd timescale/duration, trak count") {
-    def u32(v: Long): Array[Byte] =
-      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    val ftyp = u32(20) ++ "ftyp".getBytes ++ "isom".getBytes ++ u32(512) ++ "mp41".getBytes
-    // mvhd v0: ver/flags + ctime + mtime + timescale(600) + duration(1200) + rest
-    val mvhdPayload = new Array[Byte](100)
-    System.arraycopy(u32(600), 0, mvhdPayload, 12, 4)
-    System.arraycopy(u32(1200), 0, mvhdPayload, 16, 4)
-    val mvhd = u32(108) ++ "mvhd".getBytes ++ mvhdPayload
-    val trak = u32(8) ++ "trak".getBytes
-    val moov = u32(8L + 108 + 8 + 8) ++ "moov".getBytes ++ mvhd ++ trak ++ trak
-    val info = MediaCodecs.probeMp4(ftyp ++ moov).get
+    val info = MediaCodecs.probeMp4(
+      MediaFixtures.mp4("isom", timescale = 600, duration = 1200, nTraks = 2)).get
     assert(info.brand === "isom")
     assert(info.timescale === 600L)
     assert(info.durationMs === 2000L) // 1200 / 600 s

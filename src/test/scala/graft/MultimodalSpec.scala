@@ -45,17 +45,9 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("probeAvMetadata: real MP3/MP4 stream metadata over the binary column") {
     import spark.implicits._
-    val frame = new Array[Byte](417)
-    frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte; frame(2) = 0x90.toByte
+    val frame = MediaFixtures.mp3Frame
     val mp3 = frame ++ frame
-    def u32(v: Long): Array[Byte] =
-      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    val mvhdPayload = new Array[Byte](100)
-    System.arraycopy(u32(600), 0, mvhdPayload, 12, 4)
-    System.arraycopy(u32(900), 0, mvhdPayload, 16, 4)
-    val mp4 = u32(16) ++ "ftyp".getBytes ++ "M4A ".getBytes ++ u32(0) ++
-      u32(8L + 108) ++ "moov".getBytes ++ u32(108) ++ "mvhd".getBytes ++ mvhdPayload
+    val mp4 = MediaFixtures.mp4("M4A ", timescale = 600, duration = 900)
     val df = Seq((1L, "audio", mp3), (2L, "video", mp4),
       (3L, "audio", "junk".getBytes)).toDF("asset_id", "modality", "content")
     val probed = graft.operators.Multimodal.probeAvMetadata(df)
