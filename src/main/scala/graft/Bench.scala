@@ -70,6 +70,8 @@ object Bench {
         Seq(name -> r.ivfSec, s"${name}_exact" -> r.exactSec,
           s"${name}_recall10" -> r.ivfRecall,
           s"${name}_hnsw" -> r.hnswSec, s"${name}_hnsw_recall10" -> r.hnswRecall,
+          s"${name}_hnsw_ef256" -> r.hnswHiSec,
+          s"${name}_hnsw_ef256_recall10" -> r.hnswHiRecall,
           s"${name}_sq8" -> r.sq8Sec, s"${name}_sq8_recall10" -> r.sq8Recall,
           s"${name}_ivfsq8" -> r.ivfSq8Sec, s"${name}_ivfsq8_recall10" -> r.ivfSq8Recall,
           s"${name}_pq" -> r.pqSec, s"${name}_pq_recall10" -> r.pqRecall,
@@ -91,6 +93,7 @@ object Bench {
   private final case class Day6(
       ivfSec: Double, exactSec: Double, ivfRecall: Double,
       hnswSec: Double, hnswRecall: Double,
+      hnswHiSec: Double, hnswHiRecall: Double,
       sq8Sec: Double, sq8Recall: Double,
       ivfSq8Sec: Double, ivfSq8Recall: Double,
       pqSec: Double, pqRecall: Double,
@@ -186,6 +189,10 @@ object Bench {
     val ivfSec = timed(() =>
       ivfRes = localIvf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
     val hnswSec = timed(() => hnswRes = localHnsw.search(queries, 10, efSearch = 64))
+    // the ef knob is HNSW's recall/latency dial — one higher-accuracy
+    // point shows the curve (hnswlib's own bench sweeps ef the same way)
+    var hnswHiRes: Array[(Long, Array[(Float, Long)])] = null
+    val hnswHiSec = timed(() => hnswHiRes = localHnsw.search(queries, 10, efSearch = 256))
     val sq8Sec = timed(() => sq8Res = localSq8.search(queries, 10, operators.KnnSearch.L2))
     var pqRes: Array[(Long, Array[(Float, Long)])] = null
     var pqRefRes: Array[(Long, Array[(Float, Long)])] = null
@@ -208,6 +215,7 @@ object Bench {
       }.sum / res.length
     val recall = recallOf(ivfRes)
     val hnswRecall = recallOf(hnswRes)
+    val hnswHiRecall = recallOf(hnswHiRes)
     val sq8Recall = recallOf(sq8Res)
     val ivfSq8Recall = recallOf(ivfSq8Res)
     val pqRecall = recallOf(pqRes)
@@ -216,8 +224,8 @@ object Bench {
     flat.slabs.unpersist(); ivf.slabs.unpersist(); hnsw.shards.unpersist()
     sq8.slabs.unpersist(); ivfSq8.slabs.unpersist()
     pq.slabs.unpersist(); ivfPq.slabs.unpersist()
-    Day6(ivfSec, exactSec, recall, hnswSec, hnswRecall, sq8Sec, sq8Recall,
-      ivfSq8Sec, ivfSq8Recall, pqSec, pqRecall, pqRefSec, pqRefRecall,
-      ivfPqSec, ivfPqRecall, ivfDistSec, exactDistSec)
+    Day6(ivfSec, exactSec, recall, hnswSec, hnswRecall, hnswHiSec, hnswHiRecall,
+      sq8Sec, sq8Recall, ivfSq8Sec, ivfSq8Recall, pqSec, pqRecall,
+      pqRefSec, pqRefRecall, ivfPqSec, ivfPqRecall, ivfDistSec, exactDistSec)
   }
 }
