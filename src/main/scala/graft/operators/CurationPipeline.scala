@@ -76,8 +76,14 @@ object CurationPipeline {
              decontamN: Int = 8, budgetWords: Int = 120,
              bucketSize: Int = 16): DataFrame = {
     val s = stages(train, benchmark, idCol, textCol, mixWeight, decontamN)
-    val packed = Packing.packGreedy(s.mixed, idCol, textCol, budgetWords, bucketSize)
+    // the mixed frame feeds BOTH join sides below; a lazy localCheckpoint
+    // materializes the four-stage prefix once at first use and truncates
+    // the lineage, instead of re-running the quality battery, the dedup
+    // window, and the gram join per branch (blocks are released by the
+    // ContextCleaner when the result frame is no longer referenced)
+    val mixed = s.mixed.localCheckpoint(false)
+    val packed = Packing.packGreedy(mixed, idCol, textCol, budgetWords, bucketSize)
       .toDF().withColumnRenamed("doc_id", "__pid")
-    s.mixed.join(packed, col(idCol) === col("__pid")).drop("__pid")
+    mixed.join(packed, col(idCol) === col("__pid")).drop("__pid")
   }
 }

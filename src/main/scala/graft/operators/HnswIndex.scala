@@ -37,7 +37,12 @@ object HnswIndex {
                                     dim: Int): (Array[Float], Int) => Float = {
     // serving tier → SimdSupport (Vector API when available, scalar
     // fallback otherwise); HNSW has no DuckDB-oracle path, so lane-order
-    // rounding is free to differ from the scalar family
+    // rounding is free to differ from the scalar family. NOTE: kernel
+    // selection is per-JVM — graph build (executors) and any driver-side
+    // search (LocalServing.hnswFrom) must run under the SAME --add-modules
+    // configuration, or near-tie graph walks can diverge between the two
+    // tiers; configure driver and executors uniformly (local mode and any
+    // uniformly-launched cluster satisfy this by construction)
     val ops = SimdSupport.ops
     metric match {
       case KnnSearch.L2 =>

@@ -130,14 +130,19 @@ object Multimodal {
     df.select(col("asset_id").cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        MediaCodecs.probeMp3(bytes) match {
-          case Some(m) =>
-            (id, "mp3", m.bitrateKbps, m.sampleRate, m.channels,
-              m.nFrames, m.durationMs, null.asInstanceOf[String])
+        // exact-magic container first: probeMp4 keys on the 'ftyp' box, a
+        // deterministic signature, while probeMp3's sync scan is a
+        // heuristic that can false-positive on 0xFFFA/0xFFFB bytes inside
+        // an MP4's coded payload — consulting it first would mislabel a
+        // fraction of any real MP4 corpus
+        MediaCodecs.probeMp4(bytes) match {
+          case Some(v) =>
+            (id, "mp4", -1, -1, v.nTracks, -1, v.durationMs, v.brand)
           case None =>
-            MediaCodecs.probeMp4(bytes) match {
-              case Some(v) =>
-                (id, "mp4", -1, -1, v.nTracks, -1, v.durationMs, v.brand)
+            MediaCodecs.probeMp3(bytes) match {
+              case Some(m) =>
+                (id, "mp3", m.bitrateKbps, m.sampleRate, m.channels,
+                  m.nFrames, m.durationMs, null.asInstanceOf[String])
               case None => (id, null.asInstanceOf[String], -1, -1, -1, -1, -1L,
                 null.asInstanceOf[String])
             }

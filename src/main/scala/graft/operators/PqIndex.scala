@@ -311,12 +311,14 @@ object PqIndex {
       // the residuals were taken under (Ivf.search's note)
       val probes = ServingIndex.rankProbes(queries, coarse, nprobe)
       // residual ADC tables depend only on (query, probed cell). Shipping
-      // them would cost |Q|·nprobe·m·1 KB of broadcast (≈ 100 MB at 100
-      // queries × 10 probes × m=96) per batch, so each task derives its
-      // own copy instead: |Q|·nprobe·m·256·subDim flops — tens of ms,
-      // overlapped across tasks, and at cluster scale per-EXECUTOR work
-      // that needs no fat broadcast. Built up front as a dense array (a
-      // lazy map would put a hash probe in the scan's inner loop).
+      // them all would cost |Q|·nprobe·m·1 KB of broadcast (≈ 100 MB at
+      // 100 queries × 10 probes × m=96) per batch; deriving ALL of them
+      // up front per task would transiently hold that same ~100 MB in
+      // EVERY concurrent task. So each task derives tables one QUERY at
+      // a time — peak nprobe·m·1 KB (≈ 1 MB) per task, same total flops,
+      // and at cluster scale per-executor work with no fat broadcast.
+      // The slab loop nests INSIDE the query loop so a query's tables
+      // are built once across all of the task's slabs.
       val bks = books
       val ctr = coarse
       val d = bks.dim
@@ -327,32 +329,27 @@ object PqIndex {
             val (qs, pr) = bc.value
             val m = bks.m
             val nq = pr.length
-            val tabs: Array[Array[Array[Float]]] = {
-              val out = new Array[Array[Array[Float]]](nq)
-              val res = new Array[Float](d)
-              var qi = 0
-              while (qi < nq) {
-                out(qi) = pr(qi).map { c =>
-                  val cc = ctr(c)
-                  var i = 0
-                  while (i < d) { res(i) = qs(qi)(i) - cc(i); i += 1 }
-                  bks.adcTable(res, KnnSearch.L2)
-                }
-                qi += 1
-              }
-              out
-            }
+            val slabArr = it.toArray // resident cached objects, no copy
             val acc = ServingIndex.emptyTopK(nq, k)
-            it.foreach { slab =>
-              val ncl = slab.offsets.length - 1
-              var qi = 0
-              while (qi < nq) {
-                val p = pr(qi)
+            val res = new Array[Float](d)
+            var qi = 0
+            while (qi < nq) {
+              val p = pr(qi)
+              val tabs = p.map { c =>
+                val cc = ctr(c)
+                var i = 0
+                while (i < d) { res(i) = qs(qi)(i) - cc(i); i += 1 }
+                bks.adcTable(res, KnnSearch.L2)
+              }
+              var si = 0
+              while (si < slabArr.length) {
+                val slab = slabArr(si)
+                val ncl = slab.offsets.length - 1
                 var pi = 0
                 while (pi < p.length) {
                   val c = p(pi)
                   if (c < ncl && slab.offsets(c + 1) > slab.offsets(c)) {
-                    val tab = tabs(qi)(pi)
+                    val tab = tabs(pi)
                     var vi = slab.offsets(c)
                     val until = slab.offsets(c + 1)
                     while (vi < until) {
@@ -363,8 +360,9 @@ object PqIndex {
                   }
                   pi += 1
                 }
-                qi += 1
+                si += 1
               }
+              qi += 1
             }
             acc.map(h => (h.scores.take(h.size), h.ids.take(h.size)))
           })

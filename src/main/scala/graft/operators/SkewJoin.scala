@@ -34,12 +34,16 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     val spark = big.sparkSession
-    // per-row deterministic scatter: hash every big-side column so two
-    // identical rows may share a salt but a hot KEY's many distinct rows
-    // spread uniformly; no rand() — reruns produce the same shuffle
+    // per-row scatter via the row index — type-agnostic (hashing all
+    // columns would reject map columns a plain join accepts) and a
+    // perfect round-robin spread of the hot key. The join RESULT is
+    // independent of which salt a row gets (each row matches exactly
+    // its replica), so task-retry id instability cannot change output.
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val saltRange = spark.range(salts).select(col("id").cast("int").as("__salt"))
     val smallS = small.crossJoin(broadcast(saltRange))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")

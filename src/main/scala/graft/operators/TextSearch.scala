@@ -34,6 +34,11 @@ object TextSearch {
     // (each element gets its own tf slot below, and the oracle SQL
     // GROUPs BY term) — dedupe at entry
     val termsArr = terms.distinct.toArray
+    // no terms → no matches (the contribs/where reduces below are over
+    // the term list and would throw on empty)
+    if (termsArr.isEmpty)
+      return docs.select(col(idCol).cast("long").as("doc_id"),
+        lit(0.0).as("score")).where(lit(false))
     // ONE tokenize pass per doc emits (len, per-term tf) — doc lengths
     // ride with the tf rows, so no lens join and no term-row explosion.
     val perDoc = Par.widen(docs.select(col(idCol).cast("long"), col(textCol)))

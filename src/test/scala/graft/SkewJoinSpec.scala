@@ -33,9 +33,10 @@ class SkewJoinSpec extends AnyFunSuite {
     // the physical shuffle must partition on (key, __salt), not key alone
     val plan = salted.queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), s"salt column must reach the exchange:\n$plan")
-    // all 8 salt values are actually used by 1000 distinct hot-key rows
+    // all 8 salt values are actually used by 1000 hot-key rows (the
+    // operator's own round-robin scatter expression)
     val saltsUsed = big.withColumn("__salt",
-        pmod(xxhash64(struct(col("key"), col("payload"))), lit(8)).cast("int"))
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
       .select("__salt").distinct().count()
     assert(saltsUsed === 8)
     assert(salted.count() === 1000)
