@@ -911,6 +911,19 @@ object SparkEntry {
       .orderBy(col("stage_index"))
   }
 
+  /** Chunk statistics (A5) oracle-gated: `Chunkers.chunkStats` over the
+    * q55-proven snap char chunker — the oracle aggregates exactly the
+    * rows q55 hash-checks, so the stats surface is bit-gated too. */
+  private val q65ChunkStats: Q = (s, dir) => {
+    val combined = Tables(s, dir, "documents")
+      .groupBy((col("doc_id") % 25).as("gid"))
+      .agg(concat(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), ". "), lit(".")).as("text"))
+    Chunkers.chunkStats(
+      Chunkers.charChunks(combined, "gid", "text", size = 400, overlap = 80))
+  }
+
   /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
     * mock answer, all string-exact against the oracle. */
   private val q51RagAnswer: Q = (s, dir) => {
@@ -987,6 +1000,7 @@ object SparkEntry {
     "q62_dataset_mixing" -> q62Mixing,
     "q63_decontaminate" -> q63Decontaminate,
     "q64_curation_report" -> q64Curation,
+    "q65_chunk_stats" -> q65ChunkStats,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1395,47 +1409,15 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, i * 25 + 1, least(i * 25 + 30, n)), ' ') AS text
         |FROM ix
         |ORDER BY doc_id, chunk_index""".stripMargin,
-    "q55_char_snap_chunks" ->
-      ("""WITH RECURSIVE
-        |grp AS (
-        |  SELECT doc_id % 25 AS gid, string_agg(text, '. ' ORDER BY doc_id) || '.' AS t
-        |  FROM documents GROUP BY 1),
-        |chars AS (
-        |  SELECT gid, unnest(string_split(t, '')) AS c, unnest(range(1, length(t) + 1)) AS pos
-        |  FROM grp),
-        |dots AS (
-        |  SELECT gid, coalesce(list(pos - 1 ORDER BY pos) FILTER (WHERE c = '.'), []) AS ds
-        |  FROM chars GROUP BY gid),
-        |chain(gid, idx, strt) AS (
-        |  SELECT gid, 0, 0 FROM grp WHERE length(t) > 0
-        |  UNION ALL
-        |  SELECT c.gid, c.idx + 1,
-        |    CASE WHEN e >= length(g.t) THEN length(g.t) ELSE e - 80 END
-        |  FROM (
-        |    SELECT c.gid, c.idx, c.strt,
-        |      CASE WHEN least(c.strt + 400, length(g.t)) < length(g.t)
-        |                AND list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) IS NOT NULL
-        |           THEN list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) + 1
-        |           ELSE least(c.strt + 400, length(g.t)) END AS e
-        |    FROM chain c
-        |    JOIN grp g ON g.gid = c.gid
-        |    JOIN dots d ON d.gid = c.gid) c
-        |  JOIN grp g ON g.gid = c.gid
-        |  WHERE (CASE WHEN c.e >= length(g.t) THEN length(g.t) ELSE c.e - 80 END) < length(g.t)),
-        |ends AS (
-        |  SELECT c.gid, c.idx, c.strt,
-        |    CASE WHEN least(c.strt + 400, length(g.t)) < length(g.t)
-        |              AND list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) IS NOT NULL
-        |         THEN list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) + 1
-        |         ELSE least(c.strt + 400, length(g.t)) END AS e,
-        |    g.t AS t
-        |  FROM chain c JOIN grp g ON g.gid = c.gid JOIN dots d ON d.gid = c.gid)
-        |SELECT gid, CAST(idx AS INTEGER) AS chunk_index,
-        |  CAST(strt AS INTEGER) AS start_char, CAST(e AS INTEGER) AS end_char,
-        |  CAST(len(list_filter(string_split_regex(substring(t, strt + 1, e - strt), '\s+'), w -> w <> '')) AS INTEGER) AS n_words,
-        |  substring(t, strt + 1, e - strt) AS text
-        |FROM ends
-        |ORDER BY gid, chunk_index""").stripMargin,
+    "q55_char_snap_chunks" -> Q55ChunkSql,
+    "q65_chunk_stats" ->
+      (s"""WITH base AS ($Q55ChunkSql)
+        |SELECT count(*) AS n_chunks, count(DISTINCT gid) AS n_docs,
+        |  round(avg(n_words), 6) AS avg_tokens,
+        |  min(n_words) AS min_tokens, max(n_words) AS max_tokens,
+        |  round(avg(length(text)), 6) AS avg_chars,
+        |  CAST(max(length(text)) AS INTEGER) AS max_chars
+        |FROM base""").stripMargin,
     "q56_adaptive_chunks" ->
       ("""WITH
         |grp AS (
@@ -2006,6 +1988,50 @@ object SparkEntry {
         |  'Machine learning is a subset of AI that learns patterns from data.' AS answer
         |FROM ctx""").stripMargin,
   )
+
+  /** The q55 snap char chunker oracle (recursive CTE) — shared so the
+    * q65 chunk-stats oracle aggregates EXACTLY the rows q55 hash-checks. */
+  private lazy val Q55ChunkSql: String =
+    ("""WITH RECURSIVE
+        |grp AS (
+        |  SELECT doc_id % 25 AS gid, string_agg(text, '. ' ORDER BY doc_id) || '.' AS t
+        |  FROM documents GROUP BY 1),
+        |chars AS (
+        |  SELECT gid, unnest(string_split(t, '')) AS c, unnest(range(1, length(t) + 1)) AS pos
+        |  FROM grp),
+        |dots AS (
+        |  SELECT gid, coalesce(list(pos - 1 ORDER BY pos) FILTER (WHERE c = '.'), []) AS ds
+        |  FROM chars GROUP BY gid),
+        |chain(gid, idx, strt) AS (
+        |  SELECT gid, 0, 0 FROM grp WHERE length(t) > 0
+        |  UNION ALL
+        |  SELECT c.gid, c.idx + 1,
+        |    CASE WHEN e >= length(g.t) THEN length(g.t) ELSE e - 80 END
+        |  FROM (
+        |    SELECT c.gid, c.idx, c.strt,
+        |      CASE WHEN least(c.strt + 400, length(g.t)) < length(g.t)
+        |                AND list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) IS NOT NULL
+        |           THEN list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) + 1
+        |           ELSE least(c.strt + 400, length(g.t)) END AS e
+        |    FROM chain c
+        |    JOIN grp g ON g.gid = c.gid
+        |    JOIN dots d ON d.gid = c.gid) c
+        |  JOIN grp g ON g.gid = c.gid
+        |  WHERE (CASE WHEN c.e >= length(g.t) THEN length(g.t) ELSE c.e - 80 END) < length(g.t)),
+        |ends AS (
+        |  SELECT c.gid, c.idx, c.strt,
+        |    CASE WHEN least(c.strt + 400, length(g.t)) < length(g.t)
+        |              AND list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) IS NOT NULL
+        |         THEN list_max(list_filter(d.ds, p -> p <= least(c.strt + 400, length(g.t)) AND p > c.strt + 200)) + 1
+        |         ELSE least(c.strt + 400, length(g.t)) END AS e,
+        |    g.t AS t
+        |  FROM chain c JOIN grp g ON g.gid = c.gid JOIN dots d ON d.gid = c.gid)
+        |SELECT gid, CAST(idx AS INTEGER) AS chunk_index,
+        |  CAST(strt AS INTEGER) AS start_char, CAST(e AS INTEGER) AS end_char,
+        |  CAST(len(list_filter(string_split_regex(substring(t, strt + 1, e - strt), '\s+'), w -> w <> '')) AS INTEGER) AS n_words,
+        |  substring(t, strt + 1, e - strt) AS text
+        |FROM ends
+        |ORDER BY gid, chunk_index""").stripMargin
 
   /** Shared BM25 CTE chain (q52/q53): tokenize → doc lengths → corpus
     * stats → query-term tf → df → per-(doc,term) contribution. Every
