@@ -924,6 +924,24 @@ object SparkEntry {
       Chunkers.charChunks(combined, "gid", "text", size = 400, overlap = 80))
   }
 
+  /** Word-set coverage chunk-quality report (reference
+    * day_10/utils/evaluation.py:145-169) over the q55-proven snap char
+    * chunker: per group, character and word-set coverage of the chunks
+    * against the source text plus the conservative min score — every
+    * ratio an exact int/int quotient, fully hash-gated. */
+  private val q66ChunkCoverage: Q = (s, dir) => {
+    val combined = Tables(s, dir, "documents")
+      .groupBy((col("doc_id") % 25).as("gid"))
+      .agg(concat(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), ". "), lit(".")).as("text"))
+    val chunks = Chunkers.charChunks(combined, "gid", "text",
+        size = 400, overlap = 80)
+      .toDF().select(col("doc_id").as("gid"), col("text"))
+    Chunkers.coverageReport(chunks, combined, "gid")
+      .orderBy(col("gid"))
+  }
+
   /** Full RAG tail (F24–F26): context → rendered prompt → deterministic
     * mock answer, all string-exact against the oracle. */
   private val q51RagAnswer: Q = (s, dir) => {
@@ -1001,6 +1019,7 @@ object SparkEntry {
     "q63_decontaminate" -> q63Decontaminate,
     "q64_curation_report" -> q64Curation,
     "q65_chunk_stats" -> q65ChunkStats,
+    "q66_chunk_coverage" -> q66ChunkCoverage,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1410,6 +1429,32 @@ object SparkEntry {
         |FROM ix
         |ORDER BY doc_id, chunk_index""".stripMargin,
     "q55_char_snap_chunks" -> Q55ChunkSql,
+    "q66_chunk_coverage" ->
+      (s"""WITH chunks AS ($Q55ChunkSql),
+        |orig AS (
+        |  SELECT doc_id % 25 AS gid, string_agg(text, '. ' ORDER BY doc_id) || '.' AS t
+        |  FROM documents GROUP BY 1),
+        |cagg AS (
+        |  SELECT gid, CAST(sum(length(text)) AS BIGINT) AS total_chunk_chars,
+        |    list_distinct(flatten(list(regexp_extract_all(lower(text), '\\w+')))) AS cw
+        |  FROM chunks GROUP BY gid),
+        |oagg AS (
+        |  SELECT gid, CAST(length(t) AS INTEGER) AS total_original_chars,
+        |    list_distinct(regexp_extract_all(lower(t), '\\w+')) AS ow
+        |  FROM orig),
+        |r AS (
+        |  SELECT o.gid, total_original_chars, total_chunk_chars,
+        |    CASE WHEN total_original_chars > 0
+        |         THEN CAST(total_chunk_chars AS DOUBLE) / CAST(total_original_chars AS DOUBLE)
+        |         ELSE CAST(0 AS DOUBLE) END AS character_coverage_ratio,
+        |    CASE WHEN len(ow) > 0
+        |         THEN CAST(len(list_intersect(cw, ow)) AS DOUBLE) / CAST(len(ow) AS DOUBLE)
+        |         ELSE CAST(0 AS DOUBLE) END AS word_coverage_ratio
+        |  FROM oagg o JOIN cagg c ON o.gid = c.gid)
+        |SELECT gid, total_original_chars, total_chunk_chars,
+        |  character_coverage_ratio, word_coverage_ratio,
+        |  least(character_coverage_ratio, word_coverage_ratio) AS coverage_score
+        |FROM r ORDER BY gid""").stripMargin,
     "q65_chunk_stats" ->
       (s"""WITH base AS ($Q55ChunkSql)
         |SELECT count(*) AS n_chunks, count(DISTINCT gid) AS n_docs,
@@ -1774,19 +1819,19 @@ object SparkEntry {
         |  SELECT doc_id,
         |    len(ws) AS n_words,
         |    len(lines) AS n_lines,
-        |    round(CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE)
-        |          / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
-        |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-        |          / CAST(len(ws) AS DOUBLE), 6) AS alpha_word_ratio,
-        |    round(CAST((length(t) - length(replace(t, '#', '')))
+        |    CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE) AS alpha_word_ratio,
+        |    CAST((length(t) - length(replace(t, '#', '')))
         |               + (length(t) - length(replace(t, '...', ''))) / 3 AS DOUBLE)
-        |          / CAST(len(ws) AS DOUBLE), 6) AS symbol_word_ratio,
-        |    round(CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
-        |          / CAST(len(lines) AS DOUBLE), 6) AS bullet_line_ratio,
-        |    round(CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
-        |          / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_line_ratio,
-        |    round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-        |          / CAST(len(lines) AS DOUBLE), 6) AS dup_line_ratio,
+        |          / CAST(len(ws) AS DOUBLE) AS symbol_word_ratio,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE) AS bullet_line_ratio,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE) AS ellipsis_line_ratio,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE) AS dup_line_ratio,
         |    len(list_intersect(list_transform(ws, w -> lower(w)),
         |        ['the','a','and','of','to','in','is','that'])) AS stopword_hits
         |  FROM base
@@ -1811,9 +1856,9 @@ object SparkEntry {
         |  FROM ws WHERE len(w) >= 2
         |), c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
         |a2 AS (
-        |  SELECT doc_id, sum(c) AS n_bigrams,
-        |    round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac,
-        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(c) - count(*) AS BIGINT) AS n_dup_bigrams,
+        |    CAST(max(c) AS BIGINT) AS n_top_bigram
         |  FROM c2 GROUP BY 1
         |), g3 AS (
         |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
@@ -1821,15 +1866,15 @@ object SparkEntry {
         |  FROM ws WHERE len(w) >= 3
         |), c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
         |a3 AS (
-        |  SELECT doc_id, sum(c) AS n_trigrams,
-        |    round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_trigram_frac,
-        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_trigram_frac
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+        |    CAST(sum(c) - count(*) AS BIGINT) AS n_dup_trigrams,
+        |    CAST(max(c) AS BIGINT) AS n_top_trigram
         |  FROM c3 GROUP BY 1
         |)
-        |SELECT a2.doc_id, n_bigrams, dup_bigram_frac, top_bigram_frac,
-        |  n_trigrams, dup_trigram_frac, top_trigram_frac,
-        |  (dup_bigram_frac <= 0.05 AND top_bigram_frac <= 0.06
-        |   AND dup_trigram_frac <= 0.02) AS keep_repetition
+        |SELECT a2.doc_id, n_bigrams, n_dup_bigrams, n_top_bigram,
+        |  n_trigrams, n_dup_trigrams, n_top_trigram,
+        |  (n_dup_bigrams <= 0.05 * n_bigrams AND n_top_bigram <= 0.06 * n_bigrams
+        |   AND n_dup_trigrams <= 0.02 * n_trigrams) AS keep_repetition
         |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
         |ORDER BY a2.doc_id""".stripMargin,
     "q61_seq_packing" ->
@@ -1864,8 +1909,8 @@ object SparkEntry {
         |SELECT source, min(weight) AS weight,
         |  count(*) AS n_total,
         |  CAST(sum(CASE WHEN u < weight THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  round(CAST(sum(CASE WHEN u < weight THEN 1 ELSE 0 END) AS DOUBLE)
-        |        / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        |  CAST(sum(CASE WHEN u < weight THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE) AS keep_rate
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
     "q63_decontaminate" ->
       """WITH ws AS (
@@ -1901,19 +1946,19 @@ object SparkEntry {
         |), qmetrics AS (
         |  SELECT doc_id, text, source,
         |    len(ws) AS n_words,
-        |    round(CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE)
-        |          / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
-        |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-        |          / CAST(len(ws) AS DOUBLE), 6) AS alpha_word_ratio,
-        |    round(CAST((length(text) - length(replace(text, '#', '')))
+        |    CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / CAST(len(ws) AS DOUBLE) AS alpha_word_ratio,
+        |    CAST((length(text) - length(replace(text, '#', '')))
         |               + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
-        |          / CAST(len(ws) AS DOUBLE), 6) AS symbol_word_ratio,
-        |    round(CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
-        |          / CAST(len(lines) AS DOUBLE), 6) AS bullet_line_ratio,
-        |    round(CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
-        |          / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_line_ratio,
-        |    round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-        |          / CAST(len(lines) AS DOUBLE), 6) AS dup_line_ratio,
+        |          / CAST(len(ws) AS DOUBLE) AS symbol_word_ratio,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE) AS bullet_line_ratio,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE) AS ellipsis_line_ratio,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |          / CAST(len(lines) AS DOUBLE) AS dup_line_ratio,
         |    len(list_intersect(list_transform(ws, w -> lower(w)),
         |        ['the','a','and','of','to','in','is','that'])) AS stopword_hits
         |  FROM qbase

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** A produced chunk (SURVEY §1.1 abstraction 3; metadata shape from
@@ -363,4 +363,45 @@ object Chunkers {
       max(col("n_tokens")).as("max_tokens"),
       round(avg(length(col("text"))), 6).as("avg_chars"),
       max(length(col("text"))).as("max_chars"))
+
+  /**
+   * Word-set coverage of a chunking run (reference
+   * day_10/utils/evaluation.py:145-169): per source document, the
+   * character coverage ratio `Σ|chunk| / |original|`, the word coverage
+   * ratio `|chunk_words ∩ original_words| / |original_words|` over
+   * lowercase `\w+` word SETS, and the reference's conservative
+   * `coverage_score = min(char, word)`. Character coverage > 1 means
+   * overlap regions were double-counted (expected for overlapping
+   * chunkers); word coverage < 1 means the chunker DROPPED content.
+   *
+   * Scale shape: one hash aggregation over the chunk rows (map-side
+   * combined on the doc key) joined to the originals on that same key —
+   * per-document word sets are bounded by document size, so the arrays
+   * never exceed what a single original document already holds. All
+   * ratios are exact int/int quotients — bit-identical across engines,
+   * no rounding.
+   */
+  def coverageReport(chunks: DataFrame, docs: DataFrame, idCol: String,
+                     chunkTextCol: String = "text",
+                     docTextCol: String = "text"): DataFrame = {
+    val wordSet = (t: Column) =>
+      array_distinct(regexp_extract_all(lower(t), lit("\\w+"), lit(0)))
+    val perDoc = chunks.groupBy(col(idCol))
+      .agg(sum(length(col(chunkTextCol))).as("total_chunk_chars"),
+        array_distinct(flatten(collect_list(wordSet(col(chunkTextCol)))))
+          .as("__cw"))
+    val orig = docs.select(col(idCol),
+      length(col(docTextCol)).as("total_original_chars"),
+      wordSet(col(docTextCol)).as("__ow"))
+    val ratio = (num: Column, den: Column) =>
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    orig.join(perDoc, Seq(idCol))
+      .withColumn("character_coverage_ratio",
+        ratio(col("total_chunk_chars"), col("total_original_chars")))
+      .withColumn("word_coverage_ratio",
+        ratio(size(array_intersect(col("__cw"), col("__ow"))), size(col("__ow"))))
+      .withColumn("coverage_score",
+        least(col("character_coverage_ratio"), col("word_coverage_ratio")))
+      .drop("__cw", "__ow")
+  }
 }

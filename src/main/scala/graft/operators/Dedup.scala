@@ -349,10 +349,29 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-duplicate pairs; exact for broadcast-size sides,
-    * LSH-bucketed via [[SimilarityJoin.lshCosinePairs]] at scale. */
+  /**
+   * Embedding-cosine near-duplicate pairs. Routes on corpus size: at or
+   * under `exactLimit` rows the pair set is EXACT
+   * ([[SimilarityJoin.allPairs]], O(n²) — fine for broadcast-size
+   * sides); above it the quadratic join would be a cartesian product at
+   * corpus scale, so the scale path is
+   * [[SimilarityJoin.lshCosinePairs]] — random-hyperplane buckets make
+   * the join an equi-join on the band key and candidates are verified
+   * with exact cosine, trading bounded recall (tuned by
+   * `numBits`×`bands`) for a pair space that never materializes n².
+   * The one `count()` spent deciding is a metadata-cheap scan next to
+   * either join. Callers needing a guaranteed-exact result at any size
+   * pass `exactLimit = Long.MaxValue` (and own the n² cost).
+   */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double): DataFrame =
-    SimilarityJoin.allPairs(df, idCol, vecCol)
-      .where(col("sim") >= threshold)
+                            threshold: Double,
+                            exactLimit: Long = 10000L,
+                            numBits: Int = 8, bands: Int = 8,
+                            seed: Long = 42L): DataFrame =
+    if (df.count() <= exactLimit)
+      SimilarityJoin.allPairs(df, idCol, vecCol)
+        .where(col("sim") >= threshold)
+    else
+      SimilarityJoin.lshCosinePairs(df, idCol, vecCol, threshold,
+        numBits = numBits, bands = bands, seed = seed)
 }

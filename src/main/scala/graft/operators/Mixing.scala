@@ -38,11 +38,14 @@ object Mixing {
     // min, not first(): first() without ordering is partition-arrival
     // nondeterministic if a caller's weight ever varies within a source
     // group — and it must match the oracle's min(weight)
+    // keep_rate is the RAW IEEE quotient, not round(x, 6): float64
+    // division is bit-identical across engines, while round() straddles
+    // HALF_UP/HALF_EVEN on …5e-7 boundaries and breaks value-hash parity
     docs.groupBy(col(sourceCol))
       .agg(min(weight).as("weight"),
         count(lit(1)).as("n_total"),
         sum(kept).as("n_kept"),
-        round(sum(kept).cast("double") / count(lit(1)).cast("double"), 6)
+        (sum(kept).cast("double") / count(lit(1)).cast("double"))
           .as("keep_rate"))
   }
 }

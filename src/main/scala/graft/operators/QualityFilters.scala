@@ -62,8 +62,11 @@ object QualityFilters {
     val dupLines = nLines - size(array_distinct(lines))
     val stopHits = size(array_intersect(
       transform(ws, w => lower(w)), lit(Stopwords.toArray)))
+    // raw IEEE quotient, not round(x, 6): float64 division is
+    // bit-identical across engines, while round() straddles
+    // HALF_UP/HALF_EVEN on …5e-7 boundaries and breaks hash parity
     val ratio = (num: Column, den: Column) =>
-      round(num.cast("double") / den.cast("double"), 6)
+      num.cast("double") / den.cast("double")
     Seq(
       "n_words" -> nWords,
       "n_lines" -> nLines,
@@ -90,8 +93,9 @@ object QualityFilters {
    * Per-document quality metrics + the keep verdict. Output columns:
    * `n_words, n_lines, mean_word_len, alpha_word_ratio,
    * symbol_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
-   * dup_line_ratio, stopword_hits, keep` — ratios rounded to 6 dp (the
-   * oracle-parity convention), `keep` = conjunction of every rule.
+   * dup_line_ratio, stopword_hits, keep` — ratios are raw float64
+   * quotients (bit-identical across engines; see [[metricExprs]]),
+   * `keep` = conjunction of every rule.
    */
   def gopherMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ms = metricExprs(col(textCol))
@@ -146,14 +150,19 @@ object QualityFilters {
    * Thresholds default to this corpus's split points and are
    * parameters — Gopher's own (0.2 top-2-gram, char basis) are web-text
    * calibrations, not universal constants.
+   *
+   * Fractions are emitted as exact LONG numerator/denominator pairs
+   * (`n_dup_bigrams` / `n_bigrams`, …), never as rounded doubles: a
+   * ratio landing on a `…5e-7` rounding boundary renders differently
+   * across engines, so the exactly-representable integers are the only
+   * cross-engine-stable contract. The keep verdict compares
+   * `numerator <= threshold * denominator` — one double product both
+   * engines evaluate identically.
    */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
                         maxDupBigramFrac: Double = 0.05,
                         maxTopBigramFrac: Double = 0.06,
                         maxDupTrigramFrac: Double = 0.02): DataFrame = {
-    val ratio = (num: Column, den: Column) =>
-      round(num.cast("double") / den.cast("double"), 6)
-
     // gram construction is the hot loop — widen a narrow file scan once
     // for both n-gram passes (no-op at corpus scale)
     val src = Par.widen(docs)
@@ -167,14 +176,14 @@ object QualityFilters {
         .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col(idCol))
         .agg(sum(col("c")).as(s"n_${pfx}s"),
-          ratio(sum(col("c")) - count(lit(1)), sum(col("c"))).as(s"dup_${pfx}_frac"),
-          ratio(max(col("c")), sum(col("c"))).as(s"top_${pfx}_frac"))
+          (sum(col("c")) - count(lit(1))).as(s"n_dup_${pfx}s"),
+          max(col("c")).as(s"n_top_$pfx"))
     }
 
     ngramAgg(2, "bigram").join(ngramAgg(3, "trigram"), Seq(idCol))
       .withColumn("keep_repetition",
-        col("dup_bigram_frac") <= maxDupBigramFrac &&
-        col("top_bigram_frac") <= maxTopBigramFrac &&
-        col("dup_trigram_frac") <= maxDupTrigramFrac)
+        col("n_dup_bigrams") <= lit(maxDupBigramFrac) * col("n_bigrams") &&
+        col("n_top_bigram") <= lit(maxTopBigramFrac) * col("n_bigrams") &&
+        col("n_dup_trigrams") <= lit(maxDupTrigramFrac) * col("n_trigrams"))
   }
 }

@@ -131,4 +131,29 @@ class ChunkersSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("n_docs") === 100L)
     assert(stats.getAs[Int]("max_tokens") <= 30)
   }
+
+  test("coverageReport: hand-computed word and char coverage") {
+    // original: 6 distinct words, 35 chars; chunks drop "fox" entirely
+    // and repeat "the quick" -> chunk words {the,quick,brown,dog,runs}
+    val docs = Seq((1L, "the quick brown fox the dog runs on")).toDF("doc_id", "text")
+    val chunks = Seq(
+      (1L, "the quick brown"),
+      (1L, "the quick dog runs on")).toDF("doc_id", "text")
+    val r = Chunkers.coverageReport(chunks, docs, "doc_id").head()
+    assert(r.getAs[Int]("total_original_chars") === 35)
+    assert(r.getAs[Long]("total_chunk_chars") === 36L)
+    // original words: {the,quick,brown,fox,dog,runs,on} = 7; chunks cover 6
+    assert(r.getAs[Double]("word_coverage_ratio") === 6.0 / 7)
+    assert(r.getAs[Double]("character_coverage_ratio") === 36.0 / 35)
+    assert(r.getAs[Double]("coverage_score") === 6.0 / 7) // min of the two
+  }
+
+  test("coverageReport: lossless chunking scores full word coverage") {
+    val chunks = Chunkers.fixedCharChunks(one, "doc_id", "text", 200, 50)
+      .toDF().select($"doc_id", $"text")
+    val r = Chunkers.coverageReport(chunks, one, "doc_id").head()
+    assert(r.getAs[Double]("word_coverage_ratio") === 1.0)
+    assert(r.getAs[Double]("character_coverage_ratio") >= 1.0) // overlap double-counts
+    assert(r.getAs[Double]("coverage_score") === 1.0)
+  }
 }

@@ -107,6 +107,21 @@ class DedupSpec extends AnyFunSuite {
     assert(viaOp === direct)
   }
 
+  test("embedding near-dup routes to LSH above exactLimit with recall floor") {
+    val e = Tables(spark, TestSpark.sfDir, "embeddings")
+    val exact = SimilarityJoin.allPairs(e, "vec_id", "embedding")
+      .where(col("sim") >= 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactLimit = 0 forces the over-limit branch on the small corpus
+    val routed = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4,
+        exactLimit = 0L, numBits = 4, bands = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed.subsetOf(exact)) // cosine verification ⇒ precision 1.0
+    val recall =
+      if (exact.isEmpty) 1.0 else routed.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"routed LSH recall $recall over ${exact.size} pairs")
+  }
+
   test("LSH cosine pairs achieve high recall vs exact at threshold") {
     val e = Tables(spark, TestSpark.sfDir, "embeddings")
     val exact = SimilarityJoin.allPairs(e, "vec_id", "embedding")

@@ -74,10 +74,10 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(!m.getAs[Boolean]("keep"))
   }
 
-  test("repetition metrics: hand-computed n-gram fractions") {
+  test("repetition metrics: hand-computed n-gram counts") {
     import spark.implicits._
     // "a b a b a b" -> bigrams [a b, b a, a b, b a, a b]: total 5,
-    // distinct 2, max 3 -> dup 0.6, top 0.6
+    // distinct 2, max 3 -> dup 3/5, top 3/5
     // trigrams [a b a, b a b, a b a, b a b]: total 4, distinct 2, max 2
     val rows = Seq(
       (1L, "a b a b a b"),
@@ -85,13 +85,15 @@ class QualityFiltersSpec extends AnyFunSuite {
     val m = QualityFilters.repetitionMetrics(rows, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(m(1L).getAs[Long]("n_bigrams") === 5L)
-    assert(m(1L).getAs[Double]("dup_bigram_frac") === 0.6)
-    assert(m(1L).getAs[Double]("top_bigram_frac") === 0.6)
+    assert(m(1L).getAs[Long]("n_dup_bigrams") === 3L)
+    assert(m(1L).getAs[Long]("n_top_bigram") === 3L)
     assert(m(1L).getAs[Long]("n_trigrams") === 4L)
-    assert(m(1L).getAs[Double]("dup_trigram_frac") === 0.5)
+    assert(m(1L).getAs[Long]("n_dup_trigrams") === 2L)
+    assert(m(1L).getAs[Long]("n_top_trigram") === 2L)
     assert(!m(1L).getAs[Boolean]("keep_repetition"))
-    assert(m(2L).getAs[Double]("dup_bigram_frac") === 0.0)
-    assert(m(2L).getAs[Double]("top_bigram_frac") === round6(1.0 / 7))
+    assert(m(2L).getAs[Long]("n_dup_bigrams") === 0L)
+    assert(m(2L).getAs[Long]("n_bigrams") === 7L)
+    assert(m(2L).getAs[Long]("n_top_bigram") === 1L)
     // distinct-token doc still fails the top-bigram threshold at only 7
     // bigrams (1/7 > 0.06) — thresholds are corpus calibrations, so pass
     // custom ones to assert the verdict both ways
@@ -101,9 +103,6 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(loose(2L).getAs[Boolean]("keep_repetition"))
     assert(!loose(1L).getAs[Boolean]("keep_repetition"))
   }
-
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("keepDocuments is the semi-join transform of the verdicts") {
     import spark.implicits._
