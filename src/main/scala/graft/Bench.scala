@@ -78,7 +78,17 @@ object Bench {
           s"${name}_pq_refined" -> r.pqRefSec,
           s"${name}_pq_refined_recall10" -> r.pqRefRecall,
           s"${name}_ivfpq" -> r.ivfPqSec, s"${name}_ivfpq_recall10" -> r.ivfPqRecall,
-          s"${name}_dist" -> r.ivfDistSec, s"${name}_exact_dist" -> r.exactDistSec)
+          s"${name}_dist" -> r.ivfDistSec, s"${name}_exact_dist" -> r.exactDistSec,
+          // build-time keys (BASELINE.md publishes FAISS build times too:
+          // exact/IVF/HNSW per dataset) — one-shot wall time of the
+          // distributed index build, reported separately from search
+          s"${name}_exact_build" -> r.buildFlatSec,
+          s"${name}_build" -> r.buildIvfSec,
+          s"${name}_hnsw_build" -> r.buildHnswSec,
+          s"${name}_sq8_build" -> r.buildSq8Sec,
+          s"${name}_ivfsq8_build" -> r.buildIvfSq8Sec,
+          s"${name}_pq_build" -> r.buildPqSec,
+          s"${name}_ivfpq_build" -> r.buildIvfPqSec)
       } catch { case _: Throwable => Seq(name -> -1.0) }
     }
 
@@ -99,15 +109,18 @@ object Bench {
       pqSec: Double, pqRecall: Double,
       pqRefSec: Double, pqRefRecall: Double,
       ivfPqSec: Double, ivfPqRecall: Double,
-      ivfDistSec: Double, exactDistSec: Double)
+      ivfDistSec: Double, exactDistSec: Double,
+      buildFlatSec: Double, buildIvfSec: Double, buildHnswSec: Double,
+      buildSq8Sec: Double, buildIvfSq8Sec: Double,
+      buildPqSec: Double, buildIvfPqSec: Double)
 
   /** Generate a baseline dataset (seed-42 clustered gaussians, 100
     * clusters — day_6/day6_complete.py:26-52 shape), build the resident
-    * serving indexes (outside the timed region, like FAISS's
-    * separately-timed build), collect the sub-budget corpus into the
-    * LocalServing tiers, and time the warm 100-query top-10 batches on
-    * both the local (headline) and distributed (scale-path) tiers —
-    * recalls vs the exact oracle. */
+    * serving indexes (each build separately timed into a `_build` key,
+    * like FAISS's separately-published build times), collect the
+    * sub-budget corpus into the LocalServing tiers, and time the warm
+    * 100-query top-10 batches on both the local (headline) and
+    * distributed (scale-path) tiers — recalls vs the exact oracle. */
   private def day6Workload(spark: SparkSession, n: Int, dim: Int): Day6 = {
     import spark.implicits._
     val nClusters = 100
@@ -133,20 +146,27 @@ object Bench {
       val ctr = centers(q % nClusters)
       (q.toLong, Array.tabulate(d)(i => (ctr(i) + r.nextGaussian()).toFloat))
     }.toArray
-    val flat = operators.ServingIndex.buildFlat(docs, dim)
+    // builds are timed one-shot (no warmup): FAISS's published build
+    // numbers are the same single train+add wall time on resident data
+    def buildTimed[T](fn: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = fn
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (flat, buildFlatSec) = buildTimed(operators.ServingIndex.buildFlat(docs, dim))
     // IVF scans ~nprobe/nlist of each slab: per-task work is small, so
     // fewer slabs trade unused parallelism for a lower scheduling floor
-    val ivf = operators.ServingIndex.buildIvf(docs, dim,
-      nlist = math.min(100, n / 10), iterations = 10, numSlabs = 16)
+    val (ivf, buildIvfSec) = buildTimed(operators.ServingIndex.buildIvf(docs, dim,
+      nlist = math.min(100, n / 10), iterations = 10, numSlabs = 16))
     // pgvector's config (m=16, ef_construction=64); baseline HNSW rows are
     // FAISS HNSWFlat M=32 (recall@10 large = 0.485 — ours must beat it)
-    val hnsw = operators.HnswIndex.build(docs, dim, m = 16,
-      efConstruction = 64, operators.KnnSearch.L2, numShards = 16)
+    val (hnsw, buildHnswSec) = buildTimed(operators.HnswIndex.build(docs, dim, m = 16,
+      efConstruction = 64, operators.KnnSearch.L2, numShards = 16))
     // SQ8: the 4×-less-memory tier; exhaustive ADC scan over uint8 codes
-    val sq8 = operators.ServingIndex.buildSq8(docs, dim)
+    val (sq8, buildSq8Sec) = buildTimed(operators.ServingIndex.buildSq8(docs, dim))
     // IVF+SQ8: cluster pruning AND quantized memory (the 100 TB tier)
-    val ivfSq8 = operators.ServingIndex.buildIvfSq8(docs, dim,
-      nlist = math.min(100, n / 10), iterations = 10, numSlabs = 16)
+    val (ivfSq8, buildIvfSq8Sec) = buildTimed(operators.ServingIndex.buildIvfSq8(docs, dim,
+      nlist = math.min(100, n / 10), iterations = 10, numSlabs = 16))
     // PQ tiers at dim/4 subspaces (4 dims/codeword, 16x below float32):
     // flat PQ + candidate-refine, and the residual IVF+PQ composition —
     // the RAM-constrained 100 TB configurations. Isotropic gaussians are
@@ -154,10 +174,10 @@ object Bench {
     // is the production pattern (4x over-fetch + exact rerank, FAISS
     // IndexRefineFlat) and recovers ~exact recall
     val pqM = dim / 4
-    val pq = operators.PqIndex.buildPq(docs, dim, m = pqM, iterations = 10,
-      numSlabs = 16)
-    val ivfPq = operators.PqIndex.buildIvfPq(docs, dim,
-      nlist = math.min(100, n / 10), m = pqM, iterations = 10, numSlabs = 16)
+    val (pq, buildPqSec) = buildTimed(operators.PqIndex.buildPq(docs, dim, m = pqM,
+      iterations = 10, numSlabs = 16))
+    val (ivfPq, buildIvfPqSec) = buildTimed(operators.PqIndex.buildIvfPq(docs, dim,
+      nlist = math.min(100, n / 10), m = pqM, iterations = 10, numSlabs = 16))
     // local serving tiers: one collect each of the already-built slabs —
     // results identical to the distributed tiers (LocalServingSpec)
     val localFlat = operators.LocalServing.flatFrom(flat)
@@ -226,6 +246,8 @@ object Bench {
     pq.slabs.unpersist(); ivfPq.slabs.unpersist()
     Day6(ivfSec, exactSec, recall, hnswSec, hnswRecall, hnswHiSec, hnswHiRecall,
       sq8Sec, sq8Recall, ivfSq8Sec, ivfSq8Recall, pqSec, pqRecall,
-      pqRefSec, pqRefRecall, ivfPqSec, ivfPqRecall, ivfDistSec, exactDistSec)
+      pqRefSec, pqRefRecall, ivfPqSec, ivfPqRecall, ivfDistSec, exactDistSec,
+      buildFlatSec, buildIvfSec, buildHnswSec,
+      buildSq8Sec, buildIvfSq8Sec, buildPqSec, buildIvfPqSec)
   }
 }

@@ -382,8 +382,9 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** 64-bit SimHash signatures (deterministic murmur token hashes; no SQL
-    * oracle — DuckDB has no murmur/xxhash — so rows-only + DedupSpec). */
+  /** 64-bit SimHash signatures (deterministic murmur token hashes) —
+    * hash-gated: the oracle re-derives Scala's MurmurHash3.stringHash in
+    * DuckDB SQL bit ops (see [[Q29SimhashSql]]). */
   private val q29SimhashSigs: Q = (s, dir) => {
     Dedup.simhashSignatures(
         Tables(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text")
@@ -1344,6 +1345,7 @@ object SparkEntry {
         |FROM sh
         |WHERE doc_id < 50
         |ORDER BY doc_id""").stripMargin,
+    "q29_simhash_sigs" -> Q29SimhashSql,
     "q48_simhash_md5" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w
@@ -2036,6 +2038,78 @@ object SparkEntry {
 
   /** The q55 snap char chunker oracle (recursive CTE) — shared so the
     * q65 chunk-stats oracle aggregates EXACTLY the rows q55 hash-checks. */
+  // ---- murmur3 (q29) oracle generator ---------------------------------
+  // Scala's MurmurHash3.stringHash re-expressed as DuckDB SQL text: all
+  // arithmetic is unsigned mod-2^32 (a BIGINT masked to 32 bits; the two
+  // big multiplies route through HUGEINT because BIGINT multiplication
+  // overflow is an ERROR in DuckDB, not a wrap). The per-token fold is a
+  // list_reduce over UTF-16 char-pair words; the avalanche tail is staged
+  // through chained CTE columns so no subexpression explodes textually.
+  private def mm32(x: String, c: String): String =
+    s"CAST((CAST($x AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
+  private def rot32(x: String, r: Int): String =
+    s"(((($x) << $r) & 4294967295) | (($x) >> ${32 - r}))"
+  // mixLast's k-transform: k = rotl15(k * 0xcc9e2d51) * 0x1b873593
+  private def k3Sql(d: String): String =
+    mm32(rot32(mm32(d, "3432918353"), 15), "461845907")
+  // full mix step: h = rotl13(h ^ k3(d)) * 5 + 0xe6546b64
+  private def mixSql(h: String, d: String): String = {
+    val hh = s"xor($h, ${k3Sql(d)})"
+    s"((${rot32(hh, 13)} * 5 + 3864292196) & 4294967295)"
+  }
+  // fold seed over the 2-char words of token char-list `c` (1-indexed)
+  private def murmurBodySql(seed: Long): String = {
+    val ds = "list_transform(range(len(c) // 2), i -> c[2*i+1] * 65536 + c[2*i+2])"
+    s"list_reduce(list_prepend(CAST($seed AS BIGINT), $ds), (h, d) -> ${mixSql("h", "d")})"
+  }
+
+  /** q29 oracle: 64-bit murmur SimHash — lo/hi 32-bit murmur hashes per
+    * token (seeds 0x9747b28c / 0x85ebca6b), ±1 votes per bit, signed
+    * two's-complement assembly of the 64-bit signature (bit 63 adds
+    * −2^63). */
+  private lazy val Q29SimhashSql: String =
+    (s"""WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS w
+      |  FROM documents WHERE doc_id < 100),
+      |chars AS (
+      |  SELECT doc_id, list_transform(string_split(w, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS c
+      |  FROM toks),
+      |body AS (
+      |  SELECT doc_id, len(c) AS n,
+      |    ${murmurBodySql(0x9747b28cL)} AS lo,
+      |    ${murmurBodySql(0x85ebca6bL)} AS hi,
+      |    CASE WHEN len(c) % 2 = 1 THEN ${k3Sql("c[len(c)]")} ELSE CAST(0 AS BIGINT) END AS ktail
+      |  FROM chars),
+      |odd AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN n % 2 = 1 THEN xor(lo, ktail) ELSE lo END AS lo,
+      |    CASE WHEN n % 2 = 1 THEN xor(hi, ktail) ELSE hi END AS hi
+      |  FROM body),
+      |f0 AS (SELECT doc_id, xor(lo, n) AS lo, xor(hi, n) AS hi FROM odd),
+      |a1 AS (SELECT doc_id, xor(lo, lo >> 16) AS lo, xor(hi, hi >> 16) AS hi FROM f0),
+      |a2 AS (SELECT doc_id, ${mm32("lo", "2246822507")} AS lo, ${mm32("hi", "2246822507")} AS hi FROM a1),
+      |a3 AS (SELECT doc_id, xor(lo, lo >> 13) AS lo, xor(hi, hi >> 13) AS hi FROM a2),
+      |a4 AS (SELECT doc_id, ${mm32("lo", "3266489909")} AS lo, ${mm32("hi", "3266489909")} AS hi FROM a3),
+      |th AS (SELECT doc_id, xor(lo, lo >> 16) AS lo, xor(hi, hi >> 16) AS hi FROM a4),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN ((CASE WHEN b < 32 THEN lo >> CAST(b AS INTEGER)
+      |                         ELSE hi >> CAST(b - 32 AS INTEGER) END) & 1) = 1
+      |        THEN 1 ELSE -1 END) AS tot
+      |  FROM th, (SELECT unnest(range(64)) AS b) bs
+      |  GROUP BY 1, 2),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN tot > 0 THEN
+      |        (CASE WHEN b = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |              ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END)
+      |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY doc_id)
+      |SELECT d.doc_id AS id, coalesce(s.sig, CAST(0 AS BIGINT)) AS sig
+      |FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+      |LEFT JOIN sigs s ON d.doc_id = s.doc_id
+      |ORDER BY id""").stripMargin
+
   private lazy val Q55ChunkSql: String =
     ("""WITH RECURSIVE
         |grp AS (

@@ -66,6 +66,139 @@ object Embedder {
     }
   }
 
+  // ------------------------------------------------- real-model seam
+
+  /** One loaded model: the tensor contract of a transformer encoder
+    * session (ONNX Runtime / TorchScript shape). `run` takes the batch's
+    * token-id and attention-mask tensors `[batch][seqLen]` and returns
+    * last-hidden-state `[batch][seqLen][hidden]`. NOT Serializable by
+    * design — real sessions hold native handles; only the factory ships
+    * to executors. */
+  trait ModelSession {
+    def hiddenSize: Int
+    def run(inputIds: Array[Array[Long]],
+            attentionMask: Array[Array[Long]]): Array[Array[Array[Float]]]
+    def close(): Unit = ()
+  }
+
+  /** Ships to executors and opens (or looks up) the JVM-wide session. */
+  trait ModelSessionFactory extends Serializable {
+    /** Cache key — one session per (executor JVM, key). */
+    def key: String
+    def open(): ModelSession
+  }
+
+  /** Executor-JVM session cache: a real encoder session costs seconds to
+    * load and hundreds of MB — it must be opened ONCE per executor and
+    * shared across all tasks/partitions, never per partition. */
+  private object SessionCache {
+    private val sessions =
+      new java.util.concurrent.ConcurrentHashMap[String, ModelSession]
+    def getOrOpen(factory: ModelSessionFactory): ModelSession =
+      sessions.computeIfAbsent(factory.key, _ => factory.open())
+  }
+
+  /**
+   * DETERMINISTIC STAND-IN for a real transformer forward pass — this
+   * container has no ONNX Runtime jar (zero-egress build), so the
+   * session produced here fakes the hidden states as a seeded hash
+   * projection of (tokenId, position-parity, component). Everything
+   * AROUND it — factory serialization, JVM-wide caching, tensor shapes,
+   * masking — is the real plumbing a production
+   * `OrtSession.run("input_ids", "attention_mask")` drops into.
+   */
+  case class HashProjectionFactory(modelPath: String, hidden: Int = 64)
+      extends ModelSessionFactory {
+    def key: String = s"hashproj:$modelPath:$hidden"
+    def open(): ModelSession = {
+      openCount.incrementAndGet() // observable by the session-cache spec
+      new ModelSession {
+        def hiddenSize: Int = hidden
+        def run(inputIds: Array[Array[Long]],
+                attentionMask: Array[Array[Long]]): Array[Array[Array[Float]]] =
+          inputIds.zip(attentionMask).map { case (ids, mask) =>
+            ids.zip(mask).map { case (t, m) =>
+              Array.tabulate(hidden) { h =>
+                if (m == 0L) 0f
+                else {
+                  // cheap seeded mix of (token, component) — a FAKE weight
+                  // matrix lookup, stable across JVMs and runs
+                  val z = scala.util.hashing.MurmurHash3
+                    .productHash((t, h), 0x2545F491)
+                  (z.toDouble / Int.MaxValue).toFloat
+                }
+              }
+            }
+          }
+      }
+    }
+  }
+  private val openCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def sessionOpenCount: Int = openCount.get()
+
+  /**
+   * Real-model text encoder (F23's production seam): hash-vocab
+   * whitespace tokenizer → pad/truncate to `seqLen` with attention mask
+   * → ONE batched forward pass per `encodeBatch` through the JVM-cached
+   * [[ModelSession]] → masked mean-pooling over token states → L2
+   * normalization (the sentence-transformers output contract). Null
+   * texts tokenize to an all-padding row (mask all 0) and fall back to
+   * the zero vector rather than crashing the partition.
+   */
+  case class SessionEncoder(factory: ModelSessionFactory, dim: Int = 64,
+                            seqLen: Int = 64, vocabSize: Int = 30522)
+      extends TextEncoder {
+
+    private def tokenize(t0: String): (Array[Long], Array[Long]) = {
+      val ids = new Array[Long](seqLen)
+      val mask = new Array[Long](seqLen)
+      if (t0 != null) {
+        val toks = t0.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").iterator.filter(_.nonEmpty).take(seqLen)
+        var i = 0
+        toks.foreach { w =>
+          // hash-vocab id ∈ [1, vocabSize): 0 is the padding id
+          val h = scala.util.hashing.MurmurHash3.stringHash(w, 0x7f4a7c15)
+          ids(i) = 1L + java.lang.Integer.toUnsignedLong(h) % (vocabSize - 1)
+          mask(i) = 1L
+          i += 1
+        }
+      }
+      (ids, mask)
+    }
+
+    def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = {
+      val session = SessionCache.getOrOpen(factory)
+      require(session.hiddenSize == dim,
+        s"model hidden size ${session.hiddenSize} != declared dim $dim")
+      val (ids, masks) = texts.map(tokenize).unzip
+      val hidden = session.run(ids.toArray, masks.toArray)
+      hidden.zip(masks).map { case (states, mask) =>
+        val pooled = new Array[Float](dim)
+        var n = 0
+        var p = 0
+        while (p < seqLen) {
+          if (mask(p) == 1L) {
+            n += 1
+            var h = 0
+            while (h < dim) { pooled(h) += states(p)(h); h += 1 }
+          }
+          p += 1
+        }
+        if (n == 0) pooled // null/empty text → zero vector fallback
+        else {
+          var h = 0
+          var ss = 0.0
+          while (h < dim) { pooled(h) /= n; ss += pooled(h) * pooled(h); h += 1 }
+          val inv = if (ss > 0) (1.0 / math.sqrt(ss)).toFloat else 0f
+          h = 0
+          while (h < dim) { pooled(h) *= inv; h += 1 }
+          pooled
+        }
+      }.toSeq
+    }
+  }
+
   /**
    * Embed a text column: mapPartitions with `batchSize` batching (the
    * reference encodes in batches of 32 — day_10 embedding_pipeline:105-119).

@@ -585,6 +585,13 @@ object ServingIndex {
     def deltaSize: Int = synchronized(delta.size)
     def tombstoneCount: Int = synchronized(tombstones.size)
 
+    // A11 serving counters — observability only, attached post-hoc so the
+    // builder signatures stay counter-free and results are unaffected
+    @volatile private var countersOrNull: ServingCounters = null
+
+    /** Attach serving counters; every subsequent [[search]] is counted. */
+    def withCounters(c: ServingCounters): this.type = { countersOrNull = c; this }
+
     /** Insert or replace one vector (ON CONFLICT DO UPDATE semantics). */
     def upsert(id: Long, v: Array[Float]): Unit = synchronized {
       require(v != null && v.length == dim, s"vector must have dim=$dim")
@@ -608,7 +615,15 @@ object ServingIndex {
     /** Merged-view batch search: base minus tombstones, plus delta. */
     def search(queries: Array[(Long, Array[Float])], k: Int,
                metric: KnnSearch.Metric = KnnSearch.L2,
-               nprobe: Int = 8): Array[(Long, Array[(Float, Long)])] = synchronized {
+               nprobe: Int = 8): Array[(Long, Array[(Float, Long)])] = {
+      val c = countersOrNull
+      if (c == null) doSearch(queries, k, metric, nprobe)
+      else c.observe(queries.length)(doSearch(queries, k, metric, nprobe))
+    }
+
+    private def doSearch(queries: Array[(Long, Array[Float])], k: Int,
+                         metric: KnnSearch.Metric,
+                         nprobe: Int): Array[(Long, Array[(Float, Long)])] = synchronized {
       val desc = metric.descending
       val kBase = k + tombstones.size
       val fromBase = base.searchBase(queries, kBase, nprobe, metric)

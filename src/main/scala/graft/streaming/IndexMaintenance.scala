@@ -25,15 +25,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object IndexMaintenance {
 
-  /** Apply one batch of (id, vec) rows: null vec ⇒ delete, else upsert. */
+  /** Default per-batch row budget: mutation batches at serving rates are
+    * thousands of rows; a million-row batch means a backfill replaying
+    * history into the driver-resident writer, which must be REFUSED (and
+    * bulk-loaded through the distributed builders instead), in the same
+    * spirit as [[graft.operators.LocalServing]]'s byte budget. */
+  val DefaultMaxBatchRows: Long = 1000000L
+
+  /** Apply one batch of (id, vec) rows: null vec ⇒ delete, else upsert.
+    * Refuses batches over `maxBatchRows` — the micro-batch lands on the
+    * driver, so an unbounded batch (a backfill replay, a misrouted bulk
+    * load) would otherwise OOM the writer. The count is one cheap job
+    * next to the collect it guards. */
   def applyBatch(batch: DataFrame, idx: ServingIndex.Mutable,
-                 idCol: String, vecCol: String): Unit = {
+                 idCol: String, vecCol: String,
+                 maxBatchRows: Long = DefaultMaxBatchRows): Unit = {
     import org.apache.spark.sql.functions.col
     // cast the vector side too: array<double> sources (JSON/CSV-parsed or
     // Double-computed vectors) must not ClassCastException at getSeq[Float];
     // nulls survive the cast, so delete rows are unaffected
-    batch.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .collect().foreach { r =>
+    val rows = batch.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    val n = rows.count()
+    require(n <= maxBatchRows,
+      s"micro-batch has $n rows > maintenance budget $maxBatchRows — " +
+        "bulk-load through the distributed index builders instead")
+    rows.collect().foreach { r =>
       val id = r.getLong(0)
       if (r.isNullAt(1)) idx.delete(id)
       else idx.upsert(id, r.getSeq[Float](1).toArray)
@@ -42,11 +58,12 @@ object IndexMaintenance {
 
   /** Attach a mutable index to a streaming (id, vec) frame. */
   def maintain(updates: DataFrame, idx: ServingIndex.Mutable,
-               idCol: String = "id", vecCol: String = "vec"): StreamingQuery =
+               idCol: String = "id", vecCol: String = "vec",
+               maxBatchRows: Long = DefaultMaxBatchRows): StreamingQuery =
     updates.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, idx, idCol, vecCol)
+        applyBatch(batch, idx, idCol, vecCol, maxBatchRows)
       }
       .start()
 }

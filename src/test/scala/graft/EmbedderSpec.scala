@@ -39,6 +39,54 @@ class EmbedderSpec extends AnyFunSuite {
     assert(b1 === b2)
   }
 
+  test("session encoder: deterministic, batch-invariant, unit-norm, null-safe") {
+    val enc = Embedder.SessionEncoder(
+      Embedder.HashProjectionFactory("models/test-a", hidden = 32), dim = 32)
+    val big = (0L until 60L).map(i => (i, s"document number $i words")).toDF("doc_id", "text")
+    val b1 = Embedder.embed(big, "doc_id", "text", enc, batchSize = 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val b2 = Embedder.embed(big, "doc_id", "text", enc, batchSize = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(b1 === b2) // one forward pass per batch, but batch-independent
+    assert(b1(0L).length === 32)
+    val norm = math.sqrt(b1(0L).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4) // sentence-transformers contract
+    // null and empty texts fall back to the zero vector, no crash
+    val weird = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "ok text")).toDF("doc_id", "text")
+    val w = Embedder.embed(weird, "doc_id", "text", enc)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(w(0L).forall(_ === 0f) && w(1L).forall(_ === 0f))
+    assert(w(2L).exists(_ !== 0f))
+  }
+
+  test("session encoder: one session per JVM per model, not per partition") {
+    val before = Embedder.sessionOpenCount
+    val enc = Embedder.SessionEncoder(
+      Embedder.HashProjectionFactory("models/test-b", hidden = 16), dim = 16)
+    // 8 partitions × 2 actions — a per-partition open would show ≥ 16
+    val big = (0L until 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text").repartition(8)
+    Embedder.embed(big, "doc_id", "text", enc).count()
+    Embedder.embed(big, "doc_id", "text", enc).count()
+    assert(Embedder.sessionOpenCount - before === 1)
+  }
+
+  test("incremental embed reuses the cache with the session encoder too") {
+    val enc = Embedder.SessionEncoder(
+      Embedder.HashProjectionFactory("models/test-a", hidden = 32), dim = 32)
+    val cached = Embedder.embed(docs.where($"doc_id" < 2), "doc_id", "text", enc)
+    val incoming = Seq(
+      (10L, "spark engines process data"), // hit
+      (11L, "a brand new document")        // miss
+    ).toDF("doc_id", "text")
+    val out = Embedder.embedIncremental(incoming, cached, "doc_id", "text", enc)
+    val m = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toList).toMap
+    val orig = cached.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toList).toMap
+    assert(m(10L) === orig(0L))
+    assert(m.contains(11L) && m(11L).exists(_ !== 0f))
+  }
+
   test("incremental embed reuses the cache for known fingerprints") {
     val cached = Embedder.embed(docs.where($"doc_id" < 2), "doc_id", "text")
     val incoming = Seq(

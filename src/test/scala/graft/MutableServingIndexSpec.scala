@@ -142,6 +142,44 @@ class MutableServingIndexSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("serving counters tally requests, queries, errors (A11)") {
+    val counters = new graft.operators.ServingCounters(spark.sparkContext, "t")
+    val idx = ServingIndex.mutableFlat(baseRdd, dim).withCounters(counters)
+    val before = got(idx.search(queries, 10, KnnSearch.L2))
+    idx.search(queries.take(3), 5, KnnSearch.L2)
+    assert(counters.requestsTotal.value === 2L)
+    assert(counters.queriesTotal.value === (queries.length + 3).toLong)
+    assert(counters.errorsTotal.value === 0L)
+    assert(counters.latencyNanosTotal.value > 0L)
+    // a failing request increments errors and rethrows
+    intercept[Throwable] { idx.search(Array((0L, null)), 10, KnnSearch.L2) }
+    assert(counters.errorsTotal.value === 1L)
+    // counters never change results
+    assert(got(idx.search(queries, 10, KnnSearch.L2)) === before)
+    assert(counters.render.contains("t_requests_total 3"))
+  }
+
+  test("applyBatch refuses an over-budget micro-batch (backfill guard)") {
+    import spark.implicits._
+    val idx = ServingIndex.mutableFlat(baseRdd, dim)
+    val big = (10000L until 10010L).map(id => (id, Some(vec(id)))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.IndexMaintenance.applyBatch(big, idx, "id", "vec",
+        maxBatchRows = 5L)
+    }
+    assert(e.getMessage.contains("maintenance budget"))
+    // the refused batch must not have been partially applied
+    val truth = mutable.LinkedHashMap(baseRows: _*)
+    assertSame(got(idx.search(queries, 10, KnnSearch.L2)),
+      expect(truth, queries, 10, KnnSearch.L2))
+    // under budget the same rows apply cleanly
+    graft.streaming.IndexMaintenance.applyBatch(big, idx, "id", "vec",
+      maxBatchRows = 10L)
+    (10000L until 10010L).foreach(id => truth(id) = vec(id))
+    assertSame(got(idx.search(queries, 10, KnnSearch.L2)),
+      expect(truth, queries, 10, KnnSearch.L2))
+  }
+
   test("insert-only workload adds no tombstones (no over-fetch inflation)") {
     val idx = ServingIndex.mutableFlat(baseRdd, dim, maxTombstones = 50)
     // 100 fresh ids: with unconditional tombstoning this would blow past
