@@ -301,11 +301,13 @@ object SparkEntry {
 
   /** Collection stats (A1: reference day_9 get_collection_stats). */
   private val q20DocStats: Q = (s, dir) => {
+    // integer-sum averages are raw sum/count quotients (exact; round()
+    // would reintroduce the q60 cross-engine boundary risk)
     Tables(s, dir, "documents").agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"),
-      round(avg(col("n_chars")), 6).as("avg_chars"),
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"))
   }
@@ -315,7 +317,7 @@ object SparkEntry {
     Tables(s, dir, "documents")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars")), 6).as("avg_chars"))
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
       .orderBy(col("lang"))
   }
 
@@ -325,7 +327,7 @@ object SparkEntry {
     val base = d.select(size(words(col("text"))).as("n"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n")).as("total_tokens"),
-        round(avg(col("n")), 6).as("avg_tokens"),
+        (sum(col("n")).cast("double") / count(lit(1))).as("avg_tokens"),
         max(col("n")).as("max_tokens"))
     val vocab = d.select(explode(words(col("text"))).as("w"))
       .agg(countDistinct(col("w")).as("vocab_size"))
@@ -1266,19 +1268,20 @@ object SparkEntry {
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT lang) AS n_langs,
         |  count(DISTINCT source) AS n_sources,
-        |  round(avg(n_chars), 6) AS avg_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
         |  min(n_chars) AS min_chars,
         |  max(n_chars) AS max_chars
         |FROM documents""".stripMargin,
     "q21_lang_distribution" ->
-      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
     "q22_token_stats" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
-        |  round(avg(len(string_split_regex(text, '\s+'))), 6) AS avg_tokens,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE) / count(*) AS avg_tokens,
         |  max(len(string_split_regex(text, '\s+'))) AS max_tokens,
         |  (SELECT count(DISTINCT w) FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents) u) AS vocab_size
         |FROM documents""".stripMargin,
@@ -1460,9 +1463,9 @@ object SparkEntry {
     "q65_chunk_stats" ->
       (s"""WITH base AS ($Q55ChunkSql)
         |SELECT count(*) AS n_chunks, count(DISTINCT gid) AS n_docs,
-        |  round(avg(n_words), 6) AS avg_tokens,
+        |  CAST(sum(n_words) AS DOUBLE) / count(*) AS avg_tokens,
         |  min(n_words) AS min_tokens, max(n_words) AS max_tokens,
-        |  round(avg(length(text)), 6) AS avg_chars,
+        |  CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
         |  CAST(max(length(text)) AS INTEGER) AS max_chars
         |FROM base""").stripMargin,
     "q56_adaptive_chunks" ->

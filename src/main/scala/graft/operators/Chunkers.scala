@@ -353,15 +353,19 @@ object Chunkers {
     }
   }
 
-  /** Chunk statistics (A5): totals and avg/min/max of token and char counts. */
+  /** Chunk statistics (A5): totals and avg/min/max of token and char
+    * counts. Averages are `sum(int)/count` raw quotients, not
+    * `round(avg, 6)`: the integer sums are exact, so the single double
+    * division is bit-identical across engines, while round() diverges on
+    * …5e-7 boundaries (the q60 lesson). */
   def chunkStats(chunks: Dataset[Chunk]): DataFrame =
     chunks.toDF().agg(
       count(lit(1)).as("n_chunks"),
       countDistinct(col("doc_id")).as("n_docs"),
-      round(avg(col("n_tokens")), 6).as("avg_tokens"),
+      (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
       min(col("n_tokens")).as("min_tokens"),
       max(col("n_tokens")).as("max_tokens"),
-      round(avg(length(col("text"))), 6).as("avg_chars"),
+      (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_chars"),
       max(length(col("text"))).as("max_chars"))
 
   /**

@@ -31,6 +31,21 @@ object LocalServing {
   private[operators] def commonPar: Int =
     math.max(1, java.util.concurrent.ForkJoinPool.getCommonPoolParallelism)
 
+  /** Below this estimated multiply-accumulate count the ForkJoin fan-out
+    * costs more than it buys (tens of µs of dispatch + join against a
+    * scan that one core finishes in ~1 ms) — run inline on the calling
+    * thread. The stripe decomposition and merge code path is IDENTICAL
+    * either way, so results cannot differ (LocalServingSpec pins them to
+    * the distributed tiers regardless of stripe count); this is the
+    * FAISS-regime fix for tiny corpora where the baseline's single
+    * in-process loop has no scheduling floor at all. */
+  private[operators] val SerialWorkFloor: Long = 1L << 24
+
+  /** Run stripe bodies inline (serial) or on the common pool. */
+  private[operators] def forStripes(nStripes: Int, serial: Boolean)(body: Int => Unit): Unit =
+    if (serial) { var s = 0; while (s < nStripes) { body(s); s += 1 } }
+    else IntStream.range(0, nStripes).parallel().forEach(s => body(s))
+
   private[operators] def checkBudget(nVectors: Long, bytesPerVector: Long, maxBytes: Long): Unit = {
     val need = nVectors * bytesPerVector
     require(need <= maxBytes,
@@ -53,11 +68,12 @@ object LocalServing {
                metric: KnnSearch.Metric = KnnSearch.L2): Array[(Long, Array[(Float, Long)])] = {
       val n = ids.length
       val qs = queries.map(_._2)
+      val serial = n.toLong * qs.length * dim < SerialWorkFloor
       // ~4 stripes per pool thread: fine enough to balance, coarse enough
       // that the per-stripe heap merge stays negligible
-      val nStripes = math.max(1, math.min(n, 4 * commonPar))
+      val nStripes = if (serial) 1 else math.max(1, math.min(n, 4 * commonPar))
       val perStripe = new Array[Array[(Array[Float], Array[Long])]](nStripes)
-      IntStream.range(0, nStripes).parallel().forEach { s =>
+      forStripes(nStripes, serial) { s =>
         val from = (n.toLong * s / nStripes).toInt
         val until = (n.toLong * (s + 1) / nStripes).toInt
         val acc = ServingIndex.emptyTopK(qs.length, k)
@@ -101,7 +117,10 @@ object LocalServing {
                metric: KnnSearch.Metric = KnnSearch.L2): Array[(Long, Array[(Float, Long)])] = {
       val probes = ServingIndex.rankProbes(queries, centroids, nprobe)
       val out = new Array[(Long, Array[(Float, Long)])](queries.length)
-      IntStream.range(0, queries.length).parallel().forEach { qi =>
+      // scanned ≈ |Q| × nprobe × (n / nlist) vectors of `dim` mults
+      val serial = queries.length.toLong * nprobe *
+        math.max(1L, ids.length.toLong / math.max(1, nlist)) * dim < SerialWorkFloor
+      forStripes(queries.length, serial) { qi =>
         val acc = ServingIndex.emptyTopK(1, k)
         val q = queries(qi)._2
         val p = probes(qi)
@@ -172,9 +191,10 @@ object LocalServing {
       val n = ids.length
       val qs = queries.map(_._2)
       val d = dim
-      val nStripes = math.max(1, math.min(n, 4 * commonPar))
+      val serial = n.toLong * qs.length * d < SerialWorkFloor
+      val nStripes = if (serial) 1 else math.max(1, math.min(n, 4 * commonPar))
       val perStripe = new Array[Array[(Array[Float], Array[Long])]](nStripes)
-      IntStream.range(0, nStripes).parallel().forEach { s =>
+      forStripes(nStripes, serial) { s =>
         val from = (n.toLong * s / nStripes).toInt
         val until = (n.toLong * (s + 1) / nStripes).toInt
         val acc = ServingIndex.emptyTopK(qs.length, k)
@@ -223,7 +243,11 @@ object LocalServing {
                efSearch: Int = 64): Array[(Long, Array[(Float, Long)])] = {
       val desc = metric.descending
       val out = new Array[(Long, Array[(Float, Long)])](queries.length)
-      IntStream.range(0, queries.length).parallel().forEach { qi =>
+      // HNSW stays parallel-always: walk cost is dominated by the boxed
+      // candidate/result queues, not dim-mults, so a flop estimate would
+      // serialize walks that are ~10× costlier than it predicts (measured:
+      // small-corpus serial walks were 20× slower than the fan-out)
+      forStripes(queries.length, serial = false) { qi =>
         val q = queries(qi)._2
         var merged: Array[(Float, Long)] = Array.empty
         var s = 0

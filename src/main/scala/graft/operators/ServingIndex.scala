@@ -931,15 +931,36 @@ object ServingIndex {
     * centroids, best-first, ties by index — shared by [[Ivf.search]]
     * (unrouted branch) and [[IvfSq8.search]] so probe tie-breaking can
     * never diverge between the float and quantized tiers. */
+  /** nprobe closest centroids per query, ties broken by centroid index
+    * ascending (the order a (score, index) sort would give). Primitive
+    * O(nprobe·nlist) selection — no boxed tuples or sort allocations;
+    * this runs per query on every serving search, and the boxed form
+    * dominated small-corpus IVF latency. */
   private[operators] def rankProbes(queries: Array[(Long, Array[Float])],
                          centroids: Array[Array[Float]],
                          nprobe: Int): Array[Array[Int]] =
     queries.map { case (_, q) =>
-      val scored = centroids.indices.map { c =>
-        (KnnSearch.L2.scoreF32(q, centroids(c)), c)
-      }.toArray
-      val ord = scored.sortBy(s => (s._1, s._2))
-      ord.take(math.min(nprobe, centroids.length)).map(_._2)
+      val nlist = centroids.length
+      val k = math.min(nprobe, nlist)
+      val ds = new Array[Float](nlist)
+      var c = 0
+      while (c < nlist) { ds(c) = KnnSearch.L2.scoreF32(q, centroids(c)); c += 1 }
+      val sel = new Array[Int](k)
+      val used = new Array[Boolean](nlist)
+      var s = 0
+      while (s < k) {
+        var best = -1
+        var bd = Float.PositiveInfinity
+        var i = 0
+        while (i < nlist) {
+          // strict < keeps the EARLIEST index among equal scores — the
+          // same order as sorting by (score, index)
+          if (!used(i) && ds(i) < bd) { bd = ds(i); best = i }
+          i += 1
+        }
+        used(best) = true; sel(s) = best; s += 1
+      }
+      sel
     }
 
   /** Per-dim `[min, step]` quantizer training (one map-side-combined
