@@ -85,23 +85,96 @@ object HnswIndex {
     }
 
     /** ef-bounded best-first search at one level; returns (dist, node)
-      * pairs, closest-first. */
+      * pairs, closest-first. Primitive array heaps — this is the
+      * query-time hot loop and boxed `PriorityQueue[(Float, Int)]`
+      * tuples dominated its cost (the comparisons and accept/terminate
+      * conditions are unchanged, so the visited set and kept set are the
+      * same as the boxed form's up to equal-distance tie order). The
+      * BUILD-side twin keeps its boxed queues on purpose: its tie order
+      * shapes the graph, and regressing that would shift every committed
+      * recall number. */
     private def searchLayer(dist: (Array[Float], Int) => Float, q: Array[Float],
                             entry: Int, ef: Int, lev: Int): Array[(Float, Int)] = {
       val visited = new java.util.BitSet(size)
-      // head = CLOSEST pending candidate
-      val cand = mutable.PriorityQueue.empty[(Float, Int)](
-        Ordering.by[(Float, Int), Float](_._1).reverse)
-      // head = FURTHEST kept result
-      val res = mutable.PriorityQueue.empty[(Float, Int)](
-        Ordering.by[(Float, Int), Float](_._1))
+      // results: bounded MAX-heap, head = furthest kept (capacity ef+1:
+      // push-then-evict)
+      val rD = new Array[Float](ef + 1)
+      val rN = new Array[Int](ef + 1)
+      var rSize = 0
+      def rPush(d: Float, node: Int): Unit = {
+        var i = rSize; rD(i) = d; rN(i) = node; rSize += 1
+        while (i > 0 && rD((i - 1) / 2) < rD(i)) {
+          val p = (i - 1) / 2
+          val td = rD(p); rD(p) = rD(i); rD(i) = td
+          val tn = rN(p); rN(p) = rN(i); rN(i) = tn
+          i = p
+        }
+      }
+      def rPopMax(): Unit = {
+        rSize -= 1
+        rD(0) = rD(rSize); rN(0) = rN(rSize)
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var big = i
+          if (l < rSize && rD(l) > rD(big)) big = l
+          if (r < rSize && rD(r) > rD(big)) big = r
+          if (big == i) done = true
+          else {
+            val td = rD(big); rD(big) = rD(i); rD(i) = td
+            val tn = rN(big); rN(big) = rN(i); rN(i) = tn
+            i = big
+          }
+        }
+      }
+      // candidates: growable MIN-heap, head = closest pending
+      var cD = new Array[Float](math.max(32, math.min(size, 2 * ef)))
+      var cN = new Array[Int](cD.length)
+      var cSize = 0
+      def cPush(d: Float, node: Int): Unit = {
+        if (cSize == cD.length) {
+          cD = java.util.Arrays.copyOf(cD, cD.length * 2)
+          cN = java.util.Arrays.copyOf(cN, cN.length * 2)
+        }
+        var i = cSize; cD(i) = d; cN(i) = node; cSize += 1
+        while (i > 0 && cD((i - 1) / 2) > cD(i)) {
+          val p = (i - 1) / 2
+          val td = cD(p); cD(p) = cD(i); cD(i) = td
+          val tn = cN(p); cN(p) = cN(i); cN(i) = tn
+          i = p
+        }
+      }
+      def cPopMin(): Unit = {
+        cSize -= 1
+        cD(0) = cD(cSize); cN(0) = cN(cSize)
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var small = i
+          if (l < cSize && cD(l) < cD(small)) small = l
+          if (r < cSize && cD(r) < cD(small)) small = r
+          if (small == i) done = true
+          else {
+            val td = cD(small); cD(small) = cD(i); cD(i) = td
+            val tn = cN(small); cN(small) = cN(i); cN(i) = tn
+            i = small
+          }
+        }
+      }
       val d0 = dist(q, entry)
       visited.set(entry)
-      cand.enqueue((d0, entry)); res.enqueue((d0, entry))
-      while (cand.nonEmpty) {
-        val (dc, c) = cand.dequeue()
-        if (dc > res.head._1 && res.size >= ef) {
-          cand.clear() // every pending candidate is worse than the kept set
+      cPush(d0, entry); rPush(d0, entry)
+      var stop = false
+      while (cSize > 0 && !stop) {
+        val dc = cD(0)
+        val c = cN(0)
+        cPopMin()
+        if (dc > rD(0) && rSize >= ef) {
+          stop = true // every pending candidate is worse than the kept set
         } else {
           val nbs = neighbors(c)(lev)
           var i = 0
@@ -110,16 +183,25 @@ object HnswIndex {
             if (!visited.get(nb)) {
               visited.set(nb)
               val dn = dist(q, nb)
-              if (res.size < ef || dn < res.head._1) {
-                cand.enqueue((dn, nb)); res.enqueue((dn, nb))
-                if (res.size > ef) res.dequeue()
+              if (rSize < ef || dn < rD(0)) {
+                cPush(dn, nb)
+                rPush(dn, nb)
+                if (rSize > ef) rPopMax()
               }
             }
             i += 1
           }
         }
       }
-      res.dequeueAll.reverse.toArray
+      // drain the max-heap backwards → closest-first
+      val out = new Array[(Float, Int)](rSize)
+      var oi = rSize - 1
+      while (oi >= 0) {
+        out(oi) = (rD(0), rN(0))
+        rPopMax()
+        oi -= 1
+      }
+      out
     }
 
     /** Local top-k, best-first, as (metric score, external id). */
