@@ -92,7 +92,11 @@ object Bench {
       } catch { case _: Throwable => Seq(name -> -1.0) }
     }
 
-    val qs = (results ++ day6)
+    // one-time artifact builds the memoized queries paid on their cold
+    // run (q33 IVF, q41 KMeans, q42 HNSW) — reported so memoization
+    // amortizes without hiding construction cost
+    val artifactBuilds = SparkEntry.artifactBuildSeconds.toSeq.sortBy(_._1)
+    val qs = (results ++ artifactBuilds ++ day6)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

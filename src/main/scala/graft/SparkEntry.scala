@@ -633,9 +633,23 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
   private val q41KmeansProfile: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
-    val m = kmeansModelCache.getOrElseUpdate(dir,
-      graft.operators.Clustering.fitKmeans(e, "embedding", k = 8))
+    val m = kmeansModelCache.getOrElseUpdate(dir, recordBuild("q41_kmeans_build") {
+      graft.operators.Clustering.fitKmeans(e, "embedding", k = 8)
+    })
     graft.operators.Clustering.profileWith(m, e, "vec_id", "embedding")
+  }
+
+  /** One-time artifact build walls recorded by the memoized queries
+    * (q33 IVF / q41 KMeans / q42 HNSW) — `Bench` appends these as
+    * `<q>_build` keys, so memoization amortizes repeated runs without
+    * HIDING construction cost from the published numbers. */
+  private val artifactBuild = scala.collection.concurrent.TrieMap.empty[String, Double]
+  def artifactBuildSeconds: Map[String, Double] = artifactBuild.toMap
+  private def recordBuild[T](key: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    artifactBuild.put(key, (System.nanoTime() - t0) / 1e9)
+    r
   }
 
   private val DirtySuffix =
@@ -706,7 +720,7 @@ object SparkEntry {
     ivfIndexCache.get(dir).foreach { idx =>
       if (idx.assignments.sparkSession.sparkContext.isStopped) ivfIndexCache.remove(dir)
     }
-    val index = ivfIndexCache.getOrElseUpdate(dir, {
+    val index = ivfIndexCache.getOrElseUpdate(dir, recordBuild("q33_ivf_build") {
       val idx = AnnIndex.buildIvf(e, "vec_id", "embedding", nlist = 16)
       idx.assignments.persist().count()
       idx
@@ -735,7 +749,7 @@ object SparkEntry {
     hnswIndexCache.get(dir).foreach { h =>
       if (h.shards.sparkContext.isStopped) hnswIndexCache.remove(dir)
     }
-    val hnsw = hnswIndexCache.getOrElseUpdate(dir, {
+    val hnsw = hnswIndexCache.getOrElseUpdate(dir, recordBuild("q42_hnsw_build") {
       val typed = e.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
         .as[(Long, Array[Float])]
       val dim = e.select(size(col("embedding"))).head().getInt(0)
