@@ -600,39 +600,50 @@ object PqIndex {
       // k′ (over-fetch) → HeapTopK, or the stripe degenerates into an
       // insertion sort of itself (see HeapTopK's scaladoc)
       val useHeap = k > 64
+      // small scans skip the fan-out entirely (LocalServing's serial
+      // floor): stripe dispatch + per-stripe×query accumulator allocs +
+      // the cross-stripe merge dominate a scan one core finishes in ~2 ms
+      val serial = n.toLong * qs.length * m < LocalServing.SerialWorkFloor
       // big-k stripes stay ≥ 4k vectors so per-stripe heap capacity (and
       // the per-stripe×query allocation) is amortized, not dominant
-      val nStripes = math.max(1, math.min(
+      val nStripes = if (serial) 1 else math.max(1, math.min(
         if (useHeap) math.min(4 * par, n / (4 * k) + 1) else 4 * par, n))
       val perStripe = new Array[Array[(Array[Float], Array[Long])]](nStripes)
-      IntStream.range(0, nStripes).parallel().forEach { s =>
+      // QUERY-outer, vector-inner: one query's 256·m ADC table stays
+      // L2-resident while the code rows stream sequentially — the
+      // vector-outer order would cycle every query's table (|Q| × 100 KB)
+      // through cache per vector. Per query the vi scan order is
+      // unchanged, so tie order and results are identical either way.
+      LocalServing.forStripes(nStripes, serial) { s =>
         val from = (n.toLong * s / nStripes).toInt
         val until = (n.toLong * (s + 1) / nStripes).toInt
         if (useHeap) {
           val acc = Array.fill(qs.length)(new HeapTopK(k, desc = !l2))
-          var vi = from
-          while (vi < until) {
-            val base = vi * m
-            var qi = 0
-            while (qi < qs.length) {
-              acc(qi).insert(reportScore(adcScore(tabs(qi), codes, base, m), l2), ids(vi))
-              qi += 1
+          var qi = 0
+          while (qi < qs.length) {
+            val tab = tabs(qi)
+            val a = acc(qi)
+            var vi = from
+            while (vi < until) {
+              a.insert(reportScore(adcScore(tab, codes, vi * m, m), l2), ids(vi))
+              vi += 1
             }
-            vi += 1
+            qi += 1
           }
           perStripe(s) = acc.map(_.drainSorted())
         } else {
           val acc = ServingIndex.emptyTopK(qs.length, k)
-          var vi = from
-          while (vi < until) {
-            val base = vi * m
-            var qi = 0
-            while (qi < qs.length) {
-              acc(qi).insert(reportScore(adcScore(tabs(qi), codes, base, m), l2),
+          var qi = 0
+          while (qi < qs.length) {
+            val tab = tabs(qi)
+            val a = acc(qi)
+            var vi = from
+            while (vi < until) {
+              a.insert(reportScore(adcScore(tab, codes, vi * m, m), l2),
                 ids(vi), desc = !l2)
-              qi += 1
+              vi += 1
             }
-            vi += 1
+            qi += 1
           }
           perStripe(s) = acc.map(h => (h.scores.take(h.size), h.ids.take(h.size)))
         }
