@@ -334,6 +334,21 @@ object SparkEntry {
     base.crossJoin(vocab)
   }
 
+  /** Whitespace vs BPE-ish token counts per document (training-data
+    * pipeline: token-budget estimation needs the sharper BPE-style
+    * count — digits/punctuation split off). Both counts are exact ints,
+    * and the pre-tokenizer pattern is lookahead-free so the oracle runs
+    * the IDENTICAL regex in DuckDB's RE2. */
+  private val q67TokenCounts: Q = (s, dir) => {
+    import graft.functions.TextFunctions
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        size(TextFunctions.wordTokens(col("text"))).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality scoring (training-data pipeline operator). */
   private val q23QualityScores: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -1037,6 +1052,7 @@ object SparkEntry {
     "q64_curation_report" -> q64Curation,
     "q65_chunk_stats" -> q65ChunkStats,
     "q66_chunk_coverage" -> q66ChunkCoverage,
+    "q67_token_counts" -> q67TokenCounts,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1363,6 +1379,13 @@ object SparkEntry {
         |WHERE doc_id < 50
         |ORDER BY doc_id""").stripMargin,
     "q29_simhash_sigs" -> Q29SimhashSql,
+    "q67_token_counts" ->
+      (s"""SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |       w -> length(w) > 0)) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '${sq(graft.functions.TextFunctions.BpeIshPattern)}')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""").stripMargin,
     "q48_simhash_md5" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w

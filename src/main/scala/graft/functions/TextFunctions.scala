@@ -32,6 +32,23 @@ object TextFunctions {
 
   def wordCount(text: Column): Column = size(words(text))
 
+  /** GPT-2-style BPE pre-tokenizer pattern (the published pattern minus
+    * its `\s+(?!\S)` lookahead — RE2/DuckDB has no lookahead, and the
+    * whole point is ONE pattern both engines run identically):
+    * contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs, whitespace runs. Counts land much closer to a real BPE
+    * tokenizer's than whitespace counts do (digits and punctuation
+    * split off), which is what a token-budget estimate needs. */
+  val BpeIshPattern: String =
+    "'[sdmt]|'ll|'ve|'re| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pre-tokens of `text` (see [[BpeIshPattern]]); null-safe. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(BpeIshPattern), lit(0))
+
+  /** Approximate BPE token count — the whitespace count's sharper twin. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   def charCount(text: Column): Column = length(text)
 
   /** Characters of punctuation per character of text. */

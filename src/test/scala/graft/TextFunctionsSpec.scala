@@ -68,4 +68,19 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(simhash64(t) === simhash64(t.clone()))
     assert(simhash64(Array.empty[String]) === 0L)
   }
+
+  test("BPE-ish pre-tokenizer: hand-traced GPT-2 pattern semantics") {
+    // "I'll pay $12.50, ok!" →
+    //   I | 'll | ␣pay | ␣$ | 12 | . | 50 | , | ␣ok | !
+    val toks = evalOn("I'll pay $12.50, ok!", c => bpeTokens(c))
+      .getSeq[String](0)
+    assert(toks === Seq("I", "'ll", " pay", " $", "12", ".", "50", ",", " ok", "!"))
+    assert(evalOn("I'll pay $12.50, ok!", c => bpeTokenCount(c)).getInt(0) === 10)
+    // whitespace counting sees only 4 "words" — the BPE-ish count is the
+    // sharper token-budget estimate
+    assert(evalOn("I'll pay $12.50, ok!", c => wordCount(c)).getInt(0) === 4)
+    // null-safe, and pure whitespace is one whitespace-run token
+    assert(evalOn(null, c => bpeTokenCount(c)).getInt(0) === 0)
+    assert(evalOn("   ", c => bpeTokenCount(c)).getInt(0) === 1)
+  }
 }
