@@ -958,6 +958,12 @@ object ServingIndex {
           if (!used(i) && ds(i) < bd) { bd = ds(i); best = i }
           i += 1
         }
+        if (best < 0) {
+          // every remaining distance is NaN (degenerate query/centroid):
+          // fall back to lowest unused index, matching a NaN-last sort
+          var j = 0
+          while (best < 0 && j < nlist) { if (!used(j)) best = j; j += 1 }
+        }
         used(best) = true; sel(s) = best; s += 1
       }
       sel
