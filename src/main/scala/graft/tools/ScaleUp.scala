@@ -25,7 +25,6 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, copiesStr) = args.take(3)
-    val copies = copiesStr.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -33,7 +32,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, copiesStr.toInt)
+    spark.stop()
+  }
 
+  /** Session-borrowing form (the CLI `main` owns its session; tests pass
+    * the shared one — `run` never stops it). */
+  def run(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
@@ -95,6 +100,5 @@ object ScaleUp {
         .drop("embedding").withColumnRenamed("__e", "embedding")
         .select("vec_id", "embedding", "label")
     })
-    spark.stop()
   }
 }
