@@ -349,6 +349,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-trigram language ID (training-data pipeline: the n-gram
+    * heuristic complement to q26's word-marker guess — per-language
+    * distinct-trigram overlap scores plus the winner, all exact ints /
+    * fixed tie order, fully hash-gated). */
+  private val q68LangNgram: Q = (s, dir) => {
+    import graft.functions.TextFunctions._
+    val scores = TrigramProfiles.map { case (l, p) =>
+      trigramScore(col("text"), p).as(s"score_$l")
+    }
+    Tables(s, dir, "documents")
+      .where(col("doc_id") < 200)
+      .select(col("doc_id") +: scores :+
+        langGuessNgram(col("text")).as("lang_guess"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality scoring (training-data pipeline operator). */
   private val q23QualityScores: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -1053,6 +1069,7 @@ object SparkEntry {
     "q65_chunk_stats" -> q65ChunkStats,
     "q66_chunk_coverage" -> q66ChunkCoverage,
     "q67_token_counts" -> q67TokenCounts,
+    "q68_lang_ngram" -> q68LangNgram,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1379,6 +1396,7 @@ object SparkEntry {
         |WHERE doc_id < 50
         |ORDER BY doc_id""").stripMargin,
     "q29_simhash_sigs" -> Q29SimhashSql,
+    "q68_lang_ngram" -> Q68LangSql,
     "q67_token_counts" ->
       (s"""SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -2149,6 +2167,35 @@ object SparkEntry {
       |FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
       |LEFT JOIN sigs s ON d.doc_id = s.doc_id
       |ORDER BY id""").stripMargin
+
+  /** q68 oracle, generated from [[graft.functions.TextFunctions.TrigramProfiles]]
+    * so the SQL profiles can never drift from the Scala ones. */
+  private lazy val Q68LangSql: String = {
+    import graft.functions.TextFunctions.TrigramProfiles
+    val scoreCols = TrigramProfiles.map { case (l, p) =>
+      val arr = p.map(t => s"'${sq(t)}'").mkString("[", ", ", "]")
+      s"CAST(len(list_intersect(gs, $arr)) AS INTEGER) AS score_$l"
+    }.mkString(",\n    ")
+    val names = TrigramProfiles.map(_._1)
+    val best = names.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val cases = names.init.map(l => s"WHEN score_$l = $best THEN '$l'").mkString("\n       ")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(lower(text)) >= 3
+       |         THEN list_distinct(list_transform(range(length(lower(text)) - 2),
+       |              i -> substr(lower(text), i + 1, 3)))
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM documents WHERE doc_id < 200),
+       |s AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM g)
+       |SELECT doc_id, ${names.map(l => s"score_$l").mkString(", ")},
+       |  CASE WHEN $best < 1 THEN 'unknown'
+       |       $cases
+       |       ELSE '${names.last}' END AS lang_guess
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   private lazy val Q55ChunkSql: String =
     ("""WITH RECURSIVE

@@ -109,6 +109,44 @@ object TextFunctions {
     }
   }
 
+  /** Distinct character n-grams of lowercased text (spaces included —
+    * they carry word-boundary signal, the core of the Cavnar–Trenkle
+    * n-gram language-ID method). Null/short text → empty set. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(coalesce(text, lit("")))
+    when(length(t) >= n,
+      array_distinct(transform(sequence(lit(0), length(t) - n),
+        i => t.substr(i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-language marker TRIGRAM profiles (hand-picked high-frequency
+    * trigrams incl. boundary spaces, ASCII-only so every engine agrees
+    * on case folding). Word markers catch clean prose; trigram profiles
+    * also catch text where tokenization is unreliable (no spaces
+    * around punctuation, concatenations) — the n-gram heuristic's
+    * reason to exist. */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", "ing", " an", "nd ", "and", "ed "),
+    "de" -> Seq("er ", "en ", "ch ", "der", "ie ", "sch", "ein", "und"),
+    "fr" -> Seq(" de", "es ", "le ", "ent", "de ", "ion", "que", "les"),
+    "es" -> Seq(" de", "de ", "os ", "la ", "el ", "que", "ado", " la"),
+  )
+
+  /** Character-trigram overlap score against one profile. */
+  def trigramScore(text: Column, profile: Seq[String]): Column =
+    size(array_intersect(charNgrams(text, 3), lit(profile.toArray)))
+
+  /** n-gram language guess: highest distinct-trigram overlap wins, ties
+    * broken by profile order, below `minScore` → "unknown". */
+  def langGuessNgram(text: Column, minScore: Int = 1): Column = {
+    val scored = TrigramProfiles.map { case (l, p) => (l, trigramScore(text, p)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("unknown"): Column) { case ((l, s), acc) =>
+      when(s === best && best >= minScore, lit(l)).otherwise(acc)
+    }
+  }
+
   /** Document-id validity (F19 — `^[A-Za-z0-9_.-]+$`,
     * day_9/models/schemas.py:20-24). */
   def isValidDocId(c: Column): Column = c.rlike("^[A-Za-z0-9_.-]+$")

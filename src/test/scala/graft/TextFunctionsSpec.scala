@@ -69,6 +69,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(simhash64(Array.empty[String]) === 0L)
   }
 
+  test("char-trigram language ID: hand-checked grams and guesses") {
+    // "the cat" → distinct trigrams {the, he , e c,  ca, cat}
+    val grams = evalOn("the cat", c => charNgrams(c, 3)).getSeq[String](0)
+    assert(grams.toSet === Set("the", "he ", "e c", " ca", "cat"))
+    assert(evalOn("ab", c => charNgrams(c, 3)).getSeq[String](0).isEmpty)
+    assert(evalOn(null, c => charNgrams(c, 3)).getSeq[String](0).isEmpty)
+    // profile overlap picks the obvious language
+    assert(evalOn("the thing and the other thing",
+      c => langGuessNgram(c)).getString(0) === "en")
+    assert(evalOn("der schneider und die schule",
+      c => langGuessNgram(c)).getString(0) === "de")
+    assert(evalOn("zzz qqq", c => langGuessNgram(c)).getString(0) === "unknown")
+  }
+
   test("BPE-ish pre-tokenizer: hand-traced GPT-2 pattern semantics") {
     // "I'll pay $12.50, ok!" →
     //   I | 'll | ␣pay | ␣$ | 12 | . | 50 | , | ␣ok | !
