@@ -83,6 +83,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(evalOn("zzz qqq", c => langGuessNgram(c)).getString(0) === "unknown")
   }
 
+  test("BPE-ish tokens PARTITION the input: concat identity on 500 random strings") {
+    // the pattern's alternation must consume every character exactly
+    // once (letters, digits, punctuation, whitespace runs, unicode
+    // letters) — if any char were skipped or double-matched, token
+    // counts would silently drift
+    val rng = new scala.util.Random(7)
+    val alphabet = "abz AB09.,!?'\t\n$#éß"
+    val texts = Seq.fill(500)(
+      (0 until rng.nextInt(60)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val rows = df.select($"t", concat_ws("", bpeTokens($"t")).as("r")).collect()
+    rows.foreach(r => assert(r.getString(1) === r.getString(0)))
+    // and charNgrams agrees with a plain sliding-window reference
+    val gs = df.select($"t", charNgrams($"t", 3).as("g")).collect()
+    gs.foreach { r =>
+      val t = r.getString(0).toLowerCase(java.util.Locale.ROOT)
+      val want = if (t.length < 3) Seq.empty else t.sliding(3).toSeq.distinct
+      assert(r.getSeq[String](1) === want)
+    }
+  }
+
   test("BPE-ish pre-tokenizer: hand-traced GPT-2 pattern semantics") {
     // "I'll pay $12.50, ok!" →
     //   I | 'll | ␣pay | ␣$ | 12 | . | 50 | , | ␣ok | !
