@@ -1011,42 +1011,55 @@ object ServingIndex {
     (mn, step)
   }
 
-  /** Distributed Lloyd training shared by [[buildIvf]] and
-    * [[buildIvfSq8]]: deterministic seed sample init, per-iteration
-    * map-side combined partial sums (runJob fan-out), nlist×dim centroid
-    * update on the driver. Dirty rows (null / wrong dim) are skipped in
-    * both init and assignment. */
+  /** SAMPLE-trained Lloyd shared by [[buildIvf]] and [[buildIvfSq8]] —
+    * the FAISS regime: k-means never iterates over the full corpus.
+    * A deterministic seeded sample (≤ `samplePerList`·nlist vectors,
+    * FAISS's own 256/list heuristic) is collected ONCE, then Lloyd runs
+    * driver-local and thread-parallel with the SIMD l2 kernel — so
+    * training cost is bounded by nlist, not corpus size, and the only
+    * full-corpus pass is the single assignment+pack job in the builder.
+    * (The previous form ran one runJob per iteration: 10 job floors,
+    * and at 100 TB ten full-corpus passes nobody needs.) Dirty rows
+    * (null / wrong dim) are skipped in both sampling and assignment;
+    * empty cells keep their previous centroid. */
   private[operators] def trainCentroids(vectors: RDD[(Long, Array[Float])], d: Int,
                              nlist: Int, iterations: Int,
-                             seed: Long): Array[Array[Float]] = {
-    val sc = vectors.sparkContext
-    var centroids: Array[Array[Float]] =
+                             seed: Long,
+                             samplePerList: Int = 256): Array[Array[Float]] = {
+    val cap = math.max(nlist, nlist * samplePerList)
+    val sample: Array[Array[Float]] =
       vectors.filter { case (_, v) => v != null && v.length == d }
-        .takeSample(withReplacement = false, nlist, seed).map(_._2)
-    require(centroids.length == nlist,
+        .takeSample(withReplacement = false, cap, seed).map(_._2)
+    require(sample.length >= nlist,
       s"need at least nlist=$nlist vectors to build an IVF index")
+    var centroids: Array[Array[Float]] = sample.take(nlist).map(_.clone())
+    val n = sample.length
+    val nThreads = math.max(1, math.min(LocalServing.commonPar, n / 1024 + 1))
     var iter = 0
     while (iter < iterations) {
-      val bc = sc.broadcast(centroids)
-      val partials: Array[(Array[Double], Array[Long])] =
-        sc.runJob(vectors, (it: Iterator[(Long, Array[Float])]) => {
-          val cs = bc.value
-          val sums = new Array[Double](cs.length * d)
-          val counts = new Array[Long](cs.length)
-          it.foreach { case (_, v) =>
-            if (v != null && v.length == d) {
-              val c = nearestCentroid(v, cs)
-              counts(c) += 1
-              var i = 0
-              while (i < d) { sums(c * d + i) += v(i); i += 1 }
-            }
-          }
-          (sums, counts)
-        })
-      bc.destroy()
+      val cs = centroids
+      // contiguous per-thread blocks; partials merged in thread order so
+      // the double summation is deterministic run-to-run
+      val partial = new Array[(Array[Double], Array[Long])](nThreads)
+      java.util.stream.IntStream.range(0, nThreads).parallel().forEach { t =>
+        val sums = new Array[Double](nlist * d)
+        val counts = new Array[Long](nlist)
+        val from = (n.toLong * t / nThreads).toInt
+        val until = (n.toLong * (t + 1) / nThreads).toInt
+        var p = from
+        while (p < until) {
+          val v = sample(p)
+          val c = nearestCentroid(v, cs)
+          counts(c) += 1
+          var i = 0
+          while (i < d) { sums(c * d + i) += v(i); i += 1 }
+          p += 1
+        }
+        partial(t) = (sums, counts)
+      }
       val sums = new Array[Double](nlist * d)
       val counts = new Array[Long](nlist)
-      partials.foreach { case (s, c) =>
+      partial.foreach { case (s, c) =>
         var i = 0
         while (i < sums.length) { sums(i) += s(i); i += 1 }
         var j = 0
