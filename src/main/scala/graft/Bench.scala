@@ -96,12 +96,32 @@ object Bench {
     // run (q33 IVF, q41 KMeans, q42 HNSW) — reported so memoization
     // amortizes without hiding construction cost
     val artifactBuilds = SparkEntry.artifactBuildSeconds.toSeq.sortBy(_._1)
-    val qs = (results ++ artifactBuilds ++ day6)
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    def jsonMap(kvs: Seq[(String, Double)], fmt: Double => String): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // Full-precision detail (all q* + artifact builds + x_day6 serving
+    // keys) goes to a sidecar file and a first stdout line. The LAST
+    // stdout line is a compact per-query map kept under the driver's
+    // 2000-char tail-capture window (rounds 1–5 emitted one ~6 KB line
+    // whose opening brace fell outside the window → `parsed: null`).
+    val detail = line(jsonMap(results ++ artifactBuilds ++ day6, _.toString))
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    spark.stop() // stop first: nothing may print after the compact line
+
+    println(detail)
+    // compact line: ms precision; degrade further if the line would
+    // still overflow the tail window (it must parse or the round is blind)
+    val compact = Seq(3, 2, 1).map(p => line(jsonMap(results, v => s"%.${p}f".format(v))))
+      .find(_.length <= 1800)
+      .getOrElse(line(jsonMap(results.filter(_._2 >= 0), v => "%.1f".format(v))))
+    println(compact)
   }
 
   private final case class Day6(
@@ -191,7 +211,10 @@ object Bench {
     val localPq = operators.PqIndex.localFrom(pq)
     val localIvfPq = operators.PqIndex.localIvfPqFrom(ivfPq)
     val refineLookup = operators.PqIndex.flatLookup(localFlat)
-    docs.unpersist() // the indexes hold their own resident slabs now
+    // blocking: a lazy unpersist can evict blocks DURING the timed loops
+    // below (the r5 driver run showed a 26x exact_dist outlier from
+    // build-phase interference) — drain it fully before measuring
+    docs.unpersist(blocking = true) // the indexes hold their own resident slabs
     System.gc() // drain build garbage outside the timed region
     // warm twice, then min of 9 — a single ~30 ms measurement is at the
     // mercy of one straggler task wakeup or a neighboring tenant; the min
@@ -226,7 +249,10 @@ object Bench {
       localPq, queries, 10, kCand = 400, refineLookup, operators.KnnSearch.L2))
     val ivfPqSec = timed(() =>
       ivfPqRes = localIvfPq.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
-    // scale path: distributed slab tiers (pay the job-scheduling floor)
+    // scale path: distributed slab tiers (pay the job-scheduling floor).
+    // GC first: the local-tier loops above allocate result garbage, and a
+    // collection landing inside a ~20 ms distributed batch dominates it
+    System.gc()
     val exactDistSec = timed(() => flat.search(queries, 10, operators.KnnSearch.L2))
     val ivfDistSec = timed(() =>
       ivf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
