@@ -230,19 +230,15 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Per-label top-3 most-similar pairs: window ranking OVER a similarity
-    * self-join (W1×J2 composition — group-scoped pair ranking). */
+  /** Per-label top-3 most-similar pairs (W1×J2 composition — group-scoped
+    * pair ranking). Runs the blocked bounded-heap operator: a hot label
+    * fans out over block-pair tasks (each emitting ≤3 pairs) instead of
+    * the one-reducer window-over-theta-join it replaces, so the plan
+    * survives label skew at 100×. Same total order as the oracle's
+    * row_number() (sim desc, id_a, id_b). */
   private val q38GroupTopPairs: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"),
-        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosineSimilarity(col("a.embedding"), col("b.embedding")).as("sim"))
-    val w = Window.partitionBy(col("label"))
-      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
-    pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
+    SimilarityJoin.groupedTopPairs(e, "label", "vec_id", "embedding", 3)
       .select(col("label"), col("rn"), col("id_a"), col("id_b"),
         round(col("sim"), 6).as("sim"))
       .orderBy(col("label"), col("rn"))

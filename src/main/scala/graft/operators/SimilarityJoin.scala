@@ -9,12 +9,22 @@ import org.apache.spark.sql.functions._
  * day_2/noramalization.py:121-205 and day_5 pair ranking, re-expressed as
  * pair ROWS, never a materialized n×n matrix).
  *
- * Scale design: the exact form is a self-join (O(n²) pair space) and is
- * only for broadcast-size inputs; the scale path is
- * [[lshCosinePairs]] — deterministic random-hyperplane signatures bucket
- * the join so the pair space is per-bucket, then candidates are verified
- * with exact cosine. Bucket key is the shuffle key: co-partitioned
- * equi-join, no cross product.
+ * Scale design, three tiers:
+ *  - [[allPairs]] / [[topPairsJoin]]: the exact theta self-join — O(n²)
+ *    MATERIALIZED pair rows through the shuffle, broadcast-size inputs only.
+ *  - [[topPairs]] / [[groupedTopPairs]]: exact blocked bounded-heap scan.
+ *    Same answer, but the shuffle carries O(n·√tasks) replicated vectors
+ *    instead of O(n²) pair rows, every task emits ≤ k rows, and a hot
+ *    group fans out over block-pair tasks instead of landing on one
+ *    reducer. This is the default (the compute is intrinsically O(n²)
+ *    dot products for an exact answer; what must NOT be O(n²) at scale
+ *    is shuffle volume, task skew, and driver/result size).
+ *  - [[lshCosinePairs]]: approximate candidate generation for
+ *    threshold-style near-neighbor pairs — deterministic random-hyperplane
+ *    signatures bucket the join so the pair space is per-bucket, then
+ *    candidates are verified with exact cosine. Bucket key is the shuffle
+ *    key: co-partitioned equi-join, no cross product. The 100× path when
+ *    even O(n²) compute is off the table and bounded recall is acceptable.
  */
 object SimilarityJoin {
 
@@ -27,11 +37,248 @@ object SimilarityJoin {
         cosineSimilarity(col("__va"), col("__vb")).as("sim"))
   }
 
-  /** Global top-k most similar pairs (day_5's top-5 pair ranking, W2). */
-  def topPairs(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+  /** Global top-k pairs as a theta self-join (reference cross-check only —
+    * materializes all n² pair rows; use [[topPairs]] instead). */
+  def topPairsJoin(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     allPairs(df, idCol, vecCol)
       .orderBy(col("sim").desc, col("id_a"), col("id_b"))
       .limit(k)
+
+  /**
+   * Global top-k most similar pairs (day_5's top-5 pair ranking, W2) —
+   * EXACT, via the blocked bounded-heap scan (see [[groupedTopPairs]] for
+   * the mechanics; this is the single-group case). Bit-identical to
+   * [[topPairsJoin]] including tie order (sim desc, id_a, id_b).
+   */
+  def topPairs(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               blockRows: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    blockedTopPairs(df, None, idCol, vecCol, k, blockRows)
+      .flatMap { case (_, arr) => arr.iterator.map(p => (p.idA, p.idB, p.sim)) }
+      .toDF("id_a", "id_b", "sim")
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+  }
+
+  /**
+   * Per-group top-k most similar pairs (W1×J2 — group-scoped pair
+   * ranking), EXACT and skew-safe. Output columns: (groupCol, rn, id_a,
+   * id_b, sim), rn = 1-based rank under (sim desc, id_a, id_b) — the same
+   * total order as `row_number()` over the theta-join form.
+   *
+   * Plan shape: per-group counts size a block grid (a group with m rows
+   * splits into nb = ⌈m/blockRows⌉ id-hashed blocks); each row is
+   * replicated to the nb block-pair tasks that need it; every task scans
+   * its ≤ blockRows² pair space with a bounded k-heap and emits ≤ k pairs;
+   * a per-group reduce merges the heaps. So a HOT group becomes nb(nb+1)/2
+   * independent tasks instead of one O(m²) reducer, shuffle volume is
+   * Σ m·nb (not Σ m²), and no stage materializes pair rows.
+   *
+   * Inside a task the scan carries a Cauchy–Schwarz prune: with per-vector
+   * head/tail norms, sim(a,b) ≤ (headDot + ‖a_tail‖‖b_tail‖)/(‖a‖‖b‖), so
+   * once the heap holds k pairs a candidate whose bound (plus a 1e-9 FP
+   * margin — skips are provably safe) is below the heap floor skips the
+   * tail dims. On energy-concentrated embeddings (PCA'd / Matryoshka) this
+   * cuts most of the work; on isotropic vectors the bound rarely fires and
+   * honestly degrades to the plain scan (one extra multiply per pair).
+   *
+   * Driver state is O(#groups) (the per-group counts — same order as the
+   * result itself). Vector arithmetic replicates the Catalyst
+   * [[graft.functions.CosineSimilarity]] expression bit-for-bit
+   * (sequential double accumulation over widened floats, zero-norm → 0.0),
+   * so results hash-match the DuckDB oracle.
+   */
+  def groupedTopPairs(df: DataFrame, groupCol: String, idCol: String,
+                      vecCol: String, k: Int, blockRows: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = blockedTopPairs(df, Some(groupCol), idCol, vecCol, k, blockRows)
+      .flatMap { case (g, arr) =>
+        arr.iterator.zipWithIndex.map { case (p, i) => (g, i + 1, p.idA, p.idB, p.sim) }
+      }
+      .toDF("__g", "rn", "id_a", "id_b", "sim")
+    // restore the group column's ORIGINAL type via its string form — the
+    // join is over the (≤ #groups × k)-row result, broadcast by size
+    val groups = df.select(col(groupCol)).distinct()
+      .withColumn("__g", col(groupCol).cast("string"))
+    ranked.join(broadcast(groups), Seq("__g"))
+      .select(col(groupCol), col("rn"), col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** One ranked pair; fields ordered for the (sim desc, idA, idB) total order. */
+  private final case class RankedPair(sim: Double, idA: Long, idB: Long)
+
+  /** a strictly better than b under (sim desc, id_a asc, id_b asc). */
+  private def betterPair(a: RankedPair, b: RankedPair): Boolean =
+    a.sim > b.sim || (a.sim == b.sim &&
+      (a.idA < b.idA || (a.idA == b.idA && a.idB < b.idB)))
+
+  /**
+   * Core of [[topPairs]]/[[groupedTopPairs]]: RDD of
+   * (group-string, best-first top-k array). `blockRows = -1` auto-sizes the
+   * grid to ~8× the session parallelism in block-pair tasks (min block
+   * 1024 rows so small groups stay single-task).
+   */
+  private def blockedTopPairs(df: DataFrame, groupCol: Option[String],
+                              idCol: String, vecCol: String, k: Int,
+                              blockRows: Int): org.apache.spark.rdd.RDD[(String, Array[RankedPair])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k > 0, "k must be positive")
+    val keyed = groupCol match {
+      case Some(g) => df.select(col(g).cast("string"), col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      case None => df.select(lit("").cast("string"), col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    }
+    // null vectors can never produce a scored pair (the Catalyst expression
+    // is null-intolerant and DESC ordering puts null sims last)
+    val rows = keyed.as[(String, Long, Array[Float])]
+      .filter(_._3 != null)
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    // counts per group → block grid; driver state O(#groups)
+    val counts: Map[String, Long] =
+      rows.rdd.map(r => (r._1, 1L)).reduceByKey(_ + _).collect().toMap
+    val targetNb = math.max(1, math.ceil(math.sqrt(8.0 * parallelism)).toInt)
+    val nbOf: Map[String, Int] = counts.map { case (g, m) =>
+      val nb =
+        if (blockRows > 0) ((m + blockRows - 1) / blockRows).toInt
+        else math.min(targetNb.toLong, (m + 1023) / 1024).toInt
+      (g, math.max(1, nb))
+    }
+    val bcNb = spark.sparkContext.broadcast(nbOf)
+
+    val replicated = rows.rdd.flatMap { case (g, id, v) =>
+      val nb = bcNb.value.getOrElse(g, 1)
+      if (nb == 1) Iterator(((g, 0, 0), (0, id, v)))
+      else {
+        // deterministic block from the id, not the row order
+        val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
+        (0 until nb).iterator.map(x => ((g, math.min(b, x), math.max(b, x)), (b, id, v)))
+      }
+    }
+    val taskParts = math.max(parallelism,
+      math.min(nbOf.valuesIterator.map(nb => nb.toLong * (nb + 1) / 2).sum, 4L * parallelism).toInt)
+    replicated
+      .groupByKey(taskParts)
+      .map { case ((g, ba, bb), it) =>
+        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach { case (b, id, v) =>
+          if (b == ba) aBuf += ((id, v))
+          else if (b == bb) bBuf += ((id, v))
+        }
+        (g, scanBlockPair(aBuf.toArray, if (ba == bb) null else bBuf.toArray, k))
+      }
+      .reduceByKey(mergeRanked(k, _, _), math.max(1, math.min(counts.size, parallelism)))
+  }
+
+  /** Merge two best-first arrays keeping the k best (two-way merge). */
+  private def mergeRanked(k: Int, x: Array[RankedPair], y: Array[RankedPair]): Array[RankedPair] = {
+    val out = new Array[RankedPair](math.min(k, x.length + y.length))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length) {
+      out(o) =
+        if (j >= y.length || (i < x.length && betterPair(x(i), y(j)))) { i += 1; x(i - 1) }
+        else { j += 1; y(j - 1) }
+      o += 1
+    }
+    out
+  }
+
+  /** Pre-widened view of one block: ids, double vectors, full/tail norms. */
+  private final class Block(rows: Array[(Long, Array[Float])], head: Int) {
+    val n: Int = rows.length
+    val ids: Array[Long] = rows.map(_._1)
+    val vecs: Array[Array[Double]] = rows.map { r =>
+      val v = r._2; val w = new Array[Double](v.length)
+      var i = 0; while (i < v.length) { w(i) = v(i).toDouble; i += 1 }; w
+    }
+    // norms accumulate sequentially over the SAME index order as the
+    // Catalyst foldPair (x*x additions are independent of the interleaved
+    // accumulators, so the sums are bit-identical)
+    val norms: Array[Double] = vecs.map { w =>
+      var s = 0.0; var i = 0; while (i < w.length) { s += w(i) * w(i); i += 1 }
+      math.sqrt(s)
+    }
+    val tails: Array[Double] = vecs.map { w =>
+      var s = 0.0; var i = head; while (i < w.length) { s += w(i) * w(i); i += 1 }
+      math.sqrt(s)
+    }
+    def uniformDim: Int =
+      if (n == 0) 0
+      else { val d = vecs(0).length; if (vecs.forall(_.length == d)) d else -1 }
+  }
+
+  /**
+   * Bounded-heap scan of one block pair (`bs == null` → within-block i<j).
+   * Exact cosine in the Catalyst expression's arithmetic; emits the task's
+   * best-first top-k.
+   */
+  private def scanBlockPair(as: Array[(Long, Array[Float])],
+                            bs: Array[(Long, Array[Float])], k: Int): Array[RankedPair] = {
+    val sampleDim = if (as.nonEmpty) as(0)._2.length else 0
+    val head = math.max(1, math.min(32, sampleDim / 4))
+    val A = new Block(as, head)
+    val B = if (bs == null) A else new Block(bs, head)
+    // the prune needs one uniform dim so min-length truncation never bites;
+    // ragged inputs take the per-pair fold identical to Catalyst foldPair
+    val uniform = A.uniformDim >= 0 && B.uniformDim == A.uniformDim && A.n > 0 && B.n > 0
+
+    // worst-kept at head so the floor is O(1); reverse of betterPair
+    implicit val worstFirst: Ordering[RankedPair] = new Ordering[RankedPair] {
+      def compare(a: RankedPair, b: RankedPair): Int =
+        if (betterPair(a, b)) 1 else if (betterPair(b, a)) -1 else 0
+    }
+    val heap = collection.mutable.PriorityQueue.empty[RankedPair](worstFirst.reverse)
+
+    def offer(sim: Double, ia: Long, ib: Long): Unit = {
+      val p = if (ia < ib) RankedPair(sim, ia, ib) else RankedPair(sim, ib, ia)
+      if (heap.size < k) heap.enqueue(p)
+      else if (betterPair(p, heap.head)) { heap.dequeue(); heap.enqueue(p) }
+    }
+
+    val d = if (uniform) A.vecs(0).length else 0
+    var i = 0
+    while (i < A.n) {
+      val va = A.vecs(i); val na = A.norms(i); val ta = A.tails(i)
+      var j = if (B eq A) i + 1 else 0
+      while (j < B.n) {
+        val vb = B.vecs(j)
+        if (uniform) {
+          val nb = B.norms(j)
+          if (na == 0.0 || nb == 0.0) offer(0.0, A.ids(i), B.ids(j))
+          else {
+            var dot = 0.0
+            var x = 0
+            while (x < head) { dot += va(x) * vb(x); x += 1 }
+            val denom = na * nb
+            val full = heap.size < k || {
+              val bound = (dot + ta * B.tails(j)) / denom + 1e-9
+              bound >= heap.head.sim
+            }
+            if (full) {
+              while (x < d) { dot += va(x) * vb(x); x += 1 }
+              offer(dot / denom, A.ids(i), B.ids(j))
+            }
+          }
+        } else {
+          // ragged fallback: exact replica of VectorPairExpression.foldPair
+          val n = math.min(va.length, vb.length)
+          var dot = 0.0; var nx = 0.0; var ny = 0.0
+          var x = 0
+          while (x < n) {
+            val xa = va(x); val yb = vb(x)
+            dot += xa * yb; nx += xa * xa; ny += yb * yb
+            x += 1
+          }
+          val sim = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+          offer(sim, A.ids(i), B.ids(j))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    heap.dequeueAll.reverse.toArray
+  }
 
   /**
    * Approximate near-neighbor pairs via random-hyperplane LSH: `numBits`
