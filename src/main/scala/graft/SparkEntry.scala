@@ -376,11 +376,14 @@ object SparkEntry {
   private val q24DedupStats: Q = (s, dir) =>
     Dedup.exactStats(Tables(s, dir, "documents"), "text")
 
-  /** N-gram Jaccard near-dup pairs via inverted-index join (no cross
-    * product; maxDf=∞ here so semantics are exact for the oracle). */
+  /** N-gram Jaccard near-dup pairs via the grouped-emit inverted index
+    * (no cross product, sizes ride the postings, no broadcast state),
+    * with measured Σdf²/P routing to the prefix-filtered plan when hot
+    * shingles blow up the pair space — both routes are exact, so the
+    * oracle hash holds whichever plan runs. */
   private val q25JaccardPairs: Q = (s, dir) => {
-    Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, maxDf = Long.MaxValue)
+    Dedup.ngramJaccardPairsAuto(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -56,6 +56,31 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("auto-routed jaccard matches the direct result (either route is exact)") {
+    val real = Tables(spark, TestSpark.sfDir, "documents")
+    val direct = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val auto = Dedup.ngramJaccardPairsAuto(real, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto === direct)
+    // force the OTHER route too: blowupFactor = -1 makes any corpus "hot",
+    // sampleFraction = 1 so the tiny corpus clears the posting floor...
+    val forcedPrefix = Dedup.ngramJaccardPairsAuto(real, "doc_id", "text", 3, 0.5,
+        blowupFactor = -1.0, sampleFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(forcedPrefix === direct)
+  }
+
+  test("jaccardSafeMaxDf is the lossless candidate bound (and usually vacuous)") {
+    // θ=0.5, minSz=20, P=2.6e6 → D ≥ P·1.5/20 — far above real shingle dfs
+    assert(Dedup.jaccardSafeMaxDf(0.5, 20, 2600000) === 195000L)
+    // a corpus where EVERY doc is tiny and postings few: bound bites
+    assert(Dedup.jaccardSafeMaxDf(1.0, 1, 10) === 10L)
+    // monotone: looser threshold needs a higher (safer) cut
+    assert(Dedup.jaccardSafeMaxDf(0.3, 20, 2600000) >
+      Dedup.jaccardSafeMaxDf(0.9, 20, 2600000))
+  }
+
   test("minhash LSH recovers high-jaccard pairs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         numHashes = 16, bands = 8, threshold = 0.4)
