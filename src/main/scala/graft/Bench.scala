@@ -78,6 +78,8 @@ object Bench {
           s"${name}_pq_refined" -> r.pqRefSec,
           s"${name}_pq_refined_recall10" -> r.pqRefRecall,
           s"${name}_ivfpq" -> r.ivfPqSec, s"${name}_ivfpq_recall10" -> r.ivfPqRecall,
+          s"${name}_ivfpq_refined" -> r.ivfPqRefSec,
+          s"${name}_ivfpq_refined_recall10" -> r.ivfPqRefRecall,
           s"${name}_dist" -> r.ivfDistSec, s"${name}_exact_dist" -> r.exactDistSec,
           // build-time keys (BASELINE.md publishes FAISS build times too:
           // exact/IVF/HNSW per dataset) — one-shot wall time of the
@@ -133,6 +135,7 @@ object Bench {
       pqSec: Double, pqRecall: Double,
       pqRefSec: Double, pqRefRecall: Double,
       ivfPqSec: Double, ivfPqRecall: Double,
+      ivfPqRefSec: Double, ivfPqRefRecall: Double,
       ivfDistSec: Double, exactDistSec: Double,
       buildFlatSec: Double, buildIvfSec: Double, buildHnswSec: Double,
       buildSq8Sec: Double, buildIvfSq8Sec: Double,
@@ -249,6 +252,11 @@ object Bench {
       localPq, queries, 10, kCand = 400, refineLookup, operators.KnnSearch.L2))
     val ivfPqSec = timed(() =>
       ivfPqRes = localIvfPq.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
+    // the refined composition: nprobe bounds cell recall, the exact
+    // rerank undoes PQ blur within the fetched candidates
+    var ivfPqRefRes: Array[(Long, Array[(Float, Long)])] = null
+    val ivfPqRefSec = timed(() => ivfPqRefRes = operators.PqIndex.searchRefinedIvf(
+      localIvfPq, queries, 10, kCand = 400, nprobe = 10, refineLookup))
     // scale path: distributed slab tiers (pay the job-scheduling floor).
     // GC first: the local-tier loops above allocate result garbage, and a
     // collection landing inside a ~20 ms distributed batch dominates it
@@ -271,12 +279,14 @@ object Bench {
     val pqRecall = recallOf(pqRes)
     val pqRefRecall = recallOf(pqRefRes)
     val ivfPqRecall = recallOf(ivfPqRes)
+    val ivfPqRefRecall = recallOf(ivfPqRefRes)
     flat.slabs.unpersist(); ivf.slabs.unpersist(); hnsw.shards.unpersist()
     sq8.slabs.unpersist(); ivfSq8.slabs.unpersist()
     pq.slabs.unpersist(); ivfPq.slabs.unpersist()
     Day6(ivfSec, exactSec, recall, hnswSec, hnswRecall, hnswHiSec, hnswHiRecall,
       sq8Sec, sq8Recall, ivfSq8Sec, ivfSq8Recall, pqSec, pqRecall,
-      pqRefSec, pqRefRecall, ivfPqSec, ivfPqRecall, ivfDistSec, exactDistSec,
+      pqRefSec, pqRefRecall, ivfPqSec, ivfPqRecall, ivfPqRefSec, ivfPqRefRecall,
+      ivfDistSec, exactDistSec,
       buildFlatSec, buildIvfSec, buildHnswSec,
       buildSq8Sec, buildIvfSq8Sec, buildPqSec, buildIvfPqSec)
   }

@@ -673,7 +673,32 @@ object PqIndex {
                     lookup: Long => Array[Float],
                     metric: KnnSearch.Metric = KnnSearch.L2): Array[(Long, Array[(Float, Long)])] = {
     val l2 = checkMetric(metric)
-    val cands = pq.search(queries, kCand, metric)
+    refineCandidates(pq.search(queries, kCand, metric), queries, k, lookup, l2)
+  }
+
+  /**
+   * IVF-routed PQ + exact refine — [[searchRefined]]'s over-fetch/rerank
+   * composed onto the [[LocalIvfPq]] tier. The coarse router and the
+   * refine step fix INDEPENDENT errors: nprobe bounds which cells are
+   * seen (cell recall), while the exact rerank undoes PQ's ranking blur
+   * WITHIN the fetched candidates — so refined recall ≈ cell recall
+   * (measured on the day_6 large set: IVF flat recall 1.0 at nprobe=10,
+   * direct IVFPQ 0.46, refined IVFPQ back to ≈1.0). Cost stays
+   * `kCand · dim` exact flops per query on top of the quantized probe
+   * scan — the 16× code compression still does the corpus-wide work.
+   */
+  def searchRefinedIvf(ivfPq: LocalIvfPq, queries: Array[(Long, Array[Float])],
+                       k: Int, kCand: Int, nprobe: Int,
+                       lookup: Long => Array[Float]): Array[(Long, Array[(Float, Long)])] =
+    refineCandidates(ivfPq.search(queries, kCand, nprobe), queries, k, lookup, l2 = true)
+
+  /** Exact rerank of per-query candidate lists (the refine step shared by
+    * flat-PQ and IVF-PQ refine): re-score each candidate with true float
+    * distance via `lookup`, keep the top-k. */
+  private def refineCandidates(cands: Array[(Long, Array[(Float, Long)])],
+                               queries: Array[(Long, Array[Float])], k: Int,
+                               lookup: Long => Array[Float],
+                               l2: Boolean): Array[(Long, Array[(Float, Long)])] = {
     val out = new Array[(Long, Array[(Float, Long)])](queries.length)
     IntStream.range(0, queries.length).parallel().forEach { qi =>
       val q = queries(qi)._2

@@ -122,6 +122,36 @@ class PqIndexSpec extends AnyFunSuite {
     flat.slabs.unpersist(); pq.slabs.unpersist(); docs.unpersist()
   }
 
+  test("IVF-routed PQ + exact refine recovers cell recall (the ivfpq_refined tier)") {
+    val docs = corpus.cache(); docs.count()
+    val flat = ServingIndex.buildFlat(docs, dim)
+    val localFlat = graft.operators.LocalServing.flatFrom(flat)
+    val ivfpq = PqIndex.buildIvfPq(docs, dim, nlist = 20, m = m, iterations = 10)
+    val localIvfPq = PqIndex.localIvfPqFrom(ivfpq)
+    val exact = localFlat.search(queries, 10, KnnSearch.L2)
+    val exactSets = exact.map { case (q, arr) => q -> arr.map(_._2).toSet }.toMap
+    def recallOf(res: Array[(Long, Array[(Float, Long)])]): Double =
+      res.map { case (q, arr) =>
+        arr.map(_._2).count(exactSets(q).contains).toDouble / exactSets(q).size
+      }.sum / res.length
+    // full probe isolates the refine effect: direct IVFPQ is blurred by
+    // quantization; the refined composition must recover near-exact
+    val direct = recallOf(localIvfPq.search(queries, 10, nprobe = 20))
+    val refined = PqIndex.searchRefinedIvf(localIvfPq, queries, 10,
+      kCand = 200, nprobe = 20, PqIndex.flatLookup(localFlat))
+    val rRef = recallOf(refined)
+    assert(rRef >= 0.95, s"refined IVFPQ recall@10 = $rRef (direct was $direct)")
+    assert(rRef >= direct - 1e-9, "refine must never lose to the direct scan")
+    // partial probe: refined recall is bounded by cell recall, not PQ blur
+    val refinedPartial = recallOf(PqIndex.searchRefinedIvf(localIvfPq, queries, 10,
+      kCand = 200, nprobe = 5, PqIndex.flatLookup(localFlat)))
+    val cellRecall = recallOf(localIvfPq.search(queries, 200, nprobe = 5)
+      .map { case (q, arr) => (q, arr.take(200)) })
+    assert(refinedPartial >= 0.5, s"partial-probe refined recall $refinedPartial")
+    flat.slabs.unpersist(); ivfpq.slabs.unpersist(); docs.unpersist()
+    assert(cellRecall >= refinedPartial - 0.05)
+  }
+
   test("local PQ equals distributed PQ") {
     val docs = corpus.cache(); docs.count()
     val dist = PqIndex.buildPq(docs, dim, m, iterations = 5)
