@@ -7,10 +7,14 @@ import org.apache.spark.sql.SparkSession
  * SPARK_GRAFT_SF_DIR and prints one JSON line
  * {"metric":...,"value":total_sec,"queries":{name:sec,...},"sf":...}.
  *
- * Each query is executed twice and the second (warm) time is reported:
- * the first pass pays one-off JVM/codegen/file-listing costs that a
- * long-running engine amortizes away; the warm number is the steady-state
- * throughput the baseline (an in-process FAISS loop) also measures.
+ * Each query runs cold once (discarded — one-off JVM/codegen/file-listing
+ * costs a long-running engine amortizes away), then three warm runs with
+ * the MEDIAN reported: a single warm measurement published one GC pause
+ * or scheduler hiccup as signal (the round-6 run showed an 11.9 s "time"
+ * for a query whose driver-run history is 0.4 s — pure measurement
+ * noise), while the median of three is robust to one bad run and still
+ * cheap. The day_6 serving keys keep their tighter warm-twice/min-of-9
+ * scheme (sub-ms latencies need the sharper estimator).
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,7 +45,9 @@ object Bench {
       val t =
         try {
           time(() => fn(spark, sfDir).count()) // cold (discarded)
-          time(() => fn(spark, sfDir).count()) // warm (reported)
+          val warm = Array.fill(3)(time(() => fn(spark, sfDir).count()))
+          java.util.Arrays.sort(warm)
+          warm(1) // median of 3
         } catch { case _: Throwable => -1.0 }
       name -> t
     }
@@ -100,17 +106,25 @@ object Bench {
     val artifactBuilds = SparkEntry.artifactBuildSeconds.toSeq.sortBy(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
+    // every number goes through one formatter: ROOT locale (a de_DE-style
+    // default locale would emit comma decimals = invalid JSON) and a
+    // non-finite guard (bare NaN/Infinity are invalid JSON too — a 0/0
+    // recall must not corrupt the line; -1 is the established error mark)
+    def num(v: Double, pattern: String): String = {
+      val safe = if (java.lang.Double.isFinite(v)) v else -1.0
+      String.format(java.util.Locale.ROOT, pattern, Double.box(safe))
+    }
     def jsonMap(kvs: Seq[(String, Double)], fmt: Double => String): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
 
     // Full-precision detail (all q* + artifact builds + x_day6 serving
     // keys) goes to a sidecar file and a first stdout line. The LAST
     // stdout line is a compact per-query map kept under the driver's
     // 2000-char tail-capture window (rounds 1–5 emitted one ~6 KB line
     // whose opening brace fell outside the window → `parsed: null`).
-    val detail = line(jsonMap(results ++ artifactBuilds ++ day6, _.toString))
+    val detail = line(jsonMap(results ++ artifactBuilds ++ day6, num(_, "%.9f")))
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
@@ -118,11 +132,13 @@ object Bench {
     spark.stop() // stop first: nothing may print after the compact line
 
     println(detail)
-    // compact line: ms precision; degrade further if the line would
-    // still overflow the tail window (it must parse or the round is blind)
-    val compact = Seq(3, 2, 1).map(p => line(jsonMap(results, v => s"%.${p}f".format(v))))
+    // compact line: ms precision; degrade if the line would overflow the
+    // tail window, and as the PROVABLY-BOUNDED last resort drop the
+    // per-query map entirely — a parseable total beats a truncated map
+    // (the query set can outgrow any per-entry trimming)
+    val compact = Seq(3, 2, 1).map(p => line(jsonMap(results, num(_, s"%.${p}f"))))
       .find(_.length <= 1800)
-      .getOrElse(line(jsonMap(results.filter(_._2 >= 0), v => "%.1f".format(v))))
+      .getOrElse(line("{}"))
     println(compact)
   }
 
