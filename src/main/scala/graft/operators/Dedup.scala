@@ -474,19 +474,29 @@ object Dedup {
    * the join an equi-join on the band key and candidates are verified
    * with exact cosine, trading bounded recall (tuned by
    * `numBits`×`bands`) for a pair space that never materializes n².
-   * The one `count()` spent deciding is a metadata-cheap scan next to
-   * either join. Callers needing a guaranteed-exact result at any size
-   * pass `exactLimit = Long.MaxValue` (and own the n² cost).
+   * The count() spent deciding runs over the pruned id column only (the
+   * vector payload never moves for the decision), and the switch is NOT
+   * silent: crossing onto the bounded-recall path logs the route and its
+   * parameters, so a caller reading results knows which contract they
+   * got. Callers needing a guaranteed-exact result at any size pass
+   * `exactLimit = Long.MaxValue` (and own the n² cost).
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double,
                             exactLimit: Long = 10000L,
                             numBits: Int = 8, bands: Int = 8,
-                            seed: Long = 42L): DataFrame =
-    if (df.count() <= exactLimit)
+                            seed: Long = 42L): DataFrame = {
+    val n = df.select(col(idCol)).count()
+    if (n <= exactLimit)
       SimilarityJoin.allPairs(df, idCol, vecCol)
         .where(col("sim") >= threshold)
-    else
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"embeddingNearDupPairs: $n rows > exactLimit=$exactLimit — routing to " +
+          s"LSH candidates (numBits=$numBits, bands=$bands): recall is bounded, " +
+          s"precision stays 1.0 (exact cosine verification)")
       SimilarityJoin.lshCosinePairs(df, idCol, vecCol, threshold,
         numBits = numBits, bands = bands, seed = seed)
+    }
+  }
 }

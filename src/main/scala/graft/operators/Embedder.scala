@@ -90,13 +90,31 @@ object Embedder {
 
   /** Executor-JVM session cache: a real encoder session costs seconds to
     * load and hundreds of MB — it must be opened ONCE per executor and
-    * shared across all tasks/partitions, never per partition. */
+    * shared across all tasks/partitions, never per partition. Sessions
+    * hold NATIVE handles (an ORT session is off-heap memory the GC never
+    * sees), so the cache owns their release: [[Embedder.closeAllSessions]]
+    * for explicit lifecycle points (model hot-swap, tests) plus a JVM
+    * shutdown hook so a normal executor exit frees them too. */
   private object SessionCache {
     private val sessions =
       new java.util.concurrent.ConcurrentHashMap[String, ModelSession]
+    sys.addShutdownHook(closeAll())
     def getOrOpen(factory: ModelSessionFactory): ModelSession =
       sessions.computeIfAbsent(factory.key, _ => factory.open())
+    def closeAll(): Unit = {
+      val it = sessions.entrySet().iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        it.remove()
+        // release the rest even if one native close throws
+        try s.getValue.close() catch { case _: Throwable => () }
+      }
+    }
   }
+
+  /** Close and forget every JVM-cached model session; the next
+    * encodeBatch reopens through its factory. */
+  def closeAllSessions(): Unit = SessionCache.closeAll()
 
   /**
    * DETERMINISTIC STAND-IN for a real transformer forward pass — this

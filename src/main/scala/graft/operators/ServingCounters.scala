@@ -19,35 +19,36 @@ import org.apache.spark.util.LongAccumulator
  */
 final class ServingCounters(sc: SparkContext, name: String = "serving") {
 
-  /** One per search CALL (a batch of queries = one request). */
+  /** One per search CALL (a batch of queries = one request) — ALL
+    * requests, failed ones included (the prometheus contract: error
+    * rate = errors_total / requests_total; a success-only denominator
+    * made that ratio read as zero errors under full outage). */
   val requestsTotal: LongAccumulator = sc.longAccumulator(s"${name}_requests_total")
 
-  /** One per QUERY routed through a search call. */
+  /** One per QUERY routed through a search call (counted on arrival,
+    * like requestsTotal). */
   val queriesTotal: LongAccumulator = sc.longAccumulator(s"${name}_queries_total")
 
   /** Search calls that threw (counted, then rethrown — observing an
     * error is not handling it). */
   val errorsTotal: LongAccumulator = sc.longAccumulator(s"${name}_errors_total")
 
-  /** Σ wall nanos across successful search calls (histogram-lite: with
+  /** Σ wall nanos across ALL search calls, failures included (with
     * requestsTotal it yields the mean; the full distribution belongs to
     * a metrics sink, not an accumulator). */
   val latencyNanosTotal: LongAccumulator = sc.longAccumulator(s"${name}_latency_nanos_total")
 
   /** Run one serving request under the counters. */
   def observe[T](nQueries: Int)(body: => T): T = {
+    requestsTotal.add(1L)
+    queriesTotal.add(nQueries.toLong)
     val t0 = System.nanoTime()
-    try {
-      val r = body
-      requestsTotal.add(1L)
-      queriesTotal.add(nQueries.toLong)
-      latencyNanosTotal.add(System.nanoTime() - t0)
-      r
-    } catch {
+    try body
+    catch {
       case t: Throwable =>
         errorsTotal.add(1L)
         throw t
-    }
+    } finally latencyNanosTotal.add(System.nanoTime() - t0)
   }
 
   /** Prometheus-exposition-style snapshot (day_14 serves

@@ -1034,12 +1034,14 @@ object ServingIndex {
       s"need at least nlist=$nlist vectors to build an IVF index")
     var centroids: Array[Array[Float]] = sample.take(nlist).map(_.clone())
     val n = sample.length
-    val nThreads = math.max(1, math.min(LocalServing.commonPar, n / 1024 + 1))
+    // FIXED-SIZE blocks (≤1024 samples), merged in block order: the
+    // summation sequence depends only on the data, never on how many
+    // cores the host happens to have — a commonPar-derived block count
+    // made centroids (and every downstream cell layout) machine-dependent
+    val nThreads = n / 1024 + 1
     var iter = 0
     while (iter < iterations) {
       val cs = centroids
-      // contiguous per-thread blocks; partials merged in thread order so
-      // the double summation is deterministic run-to-run
       val partial = new Array[(Array[Double], Array[Long])](nThreads)
       java.util.stream.IntStream.range(0, nThreads).parallel().forEach { t =>
         val sums = new Array[Double](nlist * d)

@@ -35,8 +35,11 @@ object IndexMaintenance {
   /** Apply one batch of (id, vec) rows: null vec ⇒ delete, else upsert.
     * Refuses batches over `maxBatchRows` — the micro-batch lands on the
     * driver, so an unbounded batch (a backfill replay, a misrouted bulk
-    * load) would otherwise OOM the writer. The count is one cheap job
-    * next to the collect it guards. */
+    * load) would otherwise OOM the writer. The guard and the fetch are
+    * ONE evaluation: collecting `limit(budget+1)` both bounds driver
+    * memory and detects the overflow (a separate count() evaluated the
+    * whole batch plan twice per micro-batch — and had to scan ALL of a
+    * runaway batch just to refuse it, where the limit short-circuits). */
   def applyBatch(batch: DataFrame, idx: ServingIndex.Mutable,
                  idCol: String, vecCol: String,
                  maxBatchRows: Long = DefaultMaxBatchRows): Unit = {
@@ -45,11 +48,12 @@ object IndexMaintenance {
     // Double-computed vectors) must not ClassCastException at getSeq[Float];
     // nulls survive the cast, so delete rows are unaffected
     val rows = batch.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-    val n = rows.count()
-    require(n <= maxBatchRows,
-      s"micro-batch has $n rows > maintenance budget $maxBatchRows — " +
+    val cap = math.min(maxBatchRows, (Int.MaxValue - 1).toLong).toInt
+    val collected = rows.limit(cap + 1).collect()
+    require(collected.length <= cap,
+      s"micro-batch exceeds the maintenance budget $maxBatchRows — " +
         "bulk-load through the distributed index builders instead")
-    rows.collect().foreach { r =>
+    collected.foreach { r =>
       val id = r.getLong(0)
       if (r.isNullAt(1)) idx.delete(id)
       else idx.upsert(id, r.getSeq[Float](1).toArray)

@@ -4,6 +4,31 @@ import graft.operators.Embedder
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+object EmbedderSpec {
+  val openCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closeCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Counts opens/closes through JVM-static state — local-mode executors
+    * share the JVM, so the spec can observe the cache's release path. */
+  case class CountingFactory(hidden: Int) extends Embedder.ModelSessionFactory {
+    def key: String = s"counting:$hidden"
+    def open(): Embedder.ModelSession = {
+      openCount.incrementAndGet()
+      new Embedder.ModelSession {
+        def hiddenSize: Int = hidden
+        def run(inputIds: Array[Array[Long]],
+                attentionMask: Array[Array[Long]]): Array[Array[Array[Float]]] =
+          inputIds.zip(attentionMask).map { case (ids, mask) =>
+            ids.zip(mask).map { case (t, m) =>
+              Array.tabulate(hidden)(h => if (m == 0L) 0f else (t % 7 + h).toFloat)
+            }
+          }
+        override def close(): Unit = closeCount.incrementAndGet()
+      }
+    }
+  }
+}
+
 class EmbedderSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -68,6 +93,56 @@ class EmbedderSpec extends AnyFunSuite {
     Embedder.embed(big, "doc_id", "text", enc).count()
     Embedder.embed(big, "doc_id", "text", enc).count()
     assert(Embedder.sessionOpenCount - before === 1)
+  }
+
+  test("closeAllSessions releases native handles; next encode reopens") {
+    EmbedderSpec.closeCount.set(0)
+    val enc = Embedder.SessionEncoder(EmbedderSpec.CountingFactory(16), dim = 16)
+    val d = Seq((0L, "a doc")).toDF("doc_id", "text")
+    Embedder.embed(d, "doc_id", "text", enc).count()
+    val opensBefore = EmbedderSpec.openCount.get()
+    assert(opensBefore >= 1)
+    Embedder.closeAllSessions()
+    // every cached session's close() actually ran (native release path)
+    assert(EmbedderSpec.closeCount.get() >= 1)
+    // the cache is really empty: the next batch must reopen via the factory
+    Embedder.embed(d, "doc_id", "text", enc).count()
+    assert(EmbedderSpec.openCount.get() === opensBefore + 1)
+    // idempotent: closing twice must not throw or double-close
+    Embedder.closeAllSessions()
+    val closes = EmbedderSpec.closeCount.get()
+    Embedder.closeAllSessions()
+    assert(EmbedderSpec.closeCount.get() === closes)
+  }
+
+  test("masking edge cases: seqLen truncation, whitespace-only, mask-aware pooling") {
+    val enc = Embedder.SessionEncoder(
+      Embedder.HashProjectionFactory("models/test-mask", hidden = 16),
+      dim = 16, seqLen = 4)
+    // whitespace-only text tokenizes to an all-zero mask → zero vector,
+    // exactly like null/empty
+    val d = Seq(
+      (0L, "   \t  \n "),
+      (1L, "one two three four"),            // exactly seqLen tokens
+      (2L, "one two three four five six"),   // truncates to the first seqLen
+      (3L, "one two three four seven eight") // same prefix → same vector
+    ).toDF("doc_id", "text")
+    val m = Embedder.embed(d, "doc_id", "text", enc)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2).toList).toMap
+    assert(m(0L).forall(_ === 0f))
+    // truncation is by token position: past-seqLen tokens cannot matter
+    assert(m(2L) === m(1L))
+    assert(m(3L) === m(1L))
+    // short text = fewer unmasked positions: pooling must average over
+    // the MASK count, not seqLen — a padded row equals its unpadded twin
+    val encWide = Embedder.SessionEncoder(
+      Embedder.HashProjectionFactory("models/test-mask", hidden = 16),
+      dim = 16, seqLen = 32)
+    val short = Seq((0L, "hello world")).toDF("doc_id", "text")
+    val v = Embedder.embed(short, "doc_id", "text", encWide)
+      .collect().head.getSeq[Float](2)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4) // normalized over 2 real tokens, not 32 pads
   }
 
   test("incremental embed reuses the cache with the session encoder too") {

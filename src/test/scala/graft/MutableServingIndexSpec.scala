@@ -151,12 +151,14 @@ class MutableServingIndexSpec extends AnyFunSuite {
     assert(counters.queriesTotal.value === (queries.length + 3).toLong)
     assert(counters.errorsTotal.value === 0L)
     assert(counters.latencyNanosTotal.value > 0L)
-    // a failing request increments errors and rethrows
+    // a failing request increments errors AND still counts as a request
+    // (error rate = errors/requests must see the denominator)
     intercept[Throwable] { idx.search(Array((0L, null)), 10, KnnSearch.L2) }
     assert(counters.errorsTotal.value === 1L)
+    assert(counters.requestsTotal.value === 3L)
     // counters never change results
     assert(got(idx.search(queries, 10, KnnSearch.L2)) === before)
-    assert(counters.render.contains("t_requests_total 3"))
+    assert(counters.render.contains("t_requests_total 4"))
   }
 
   test("applyBatch refuses an over-budget micro-batch (backfill guard)") {
