@@ -103,6 +103,31 @@ class TopPairsSpec extends AnyFunSuite {
     assert(!blocked.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("property: blocked == theta-join over random corpora (sizes, dims, duplicates)") {
+    // randomized corpora stress tie order, block-boundary cases, and the
+    // Cauchy–Schwarz prune margin; deterministic seeds so failures replay
+    val rng = new scala.util.Random(0xC0FFEE)
+    (0 until 6).foreach { trial =>
+      val n = 5 + rng.nextInt(60)
+      val d = 2 + rng.nextInt(12)
+      val dupEvery = 2 + rng.nextInt(4)
+      val rows = (0 until n).map { i =>
+        val v =
+          if (i % dupEvery == 0 && i > 0) // seeded duplicates force 1.0-ties
+            Array.fill(d)(((i / dupEvery) % 3).toFloat + 0.5f)
+          else Array.fill(d)((rng.nextGaussian() * 2).toFloat)
+        (i.toLong, v)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val k = 1 + rng.nextInt(12)
+      val blockRows = 1 + rng.nextInt(16)
+      val expect = collectPairs(SimilarityJoin.topPairsJoin(df, "vec_id", "embedding", k))
+      val got = collectPairs(SimilarityJoin.topPairs(df, "vec_id", "embedding", k, blockRows))
+      assert(got === expect,
+        s"trial=$trial n=$n d=$d k=$k blockRows=$blockRows dupEvery=$dupEvery")
+    }
+  }
+
   test("k larger than the pair count returns every pair; empty input returns none") {
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 1.0f))).toDF("vec_id", "embedding")
     assert(SimilarityJoin.topPairs(df, "vec_id", "embedding", 50).count() === 1L)
