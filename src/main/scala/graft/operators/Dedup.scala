@@ -488,8 +488,10 @@ object Dedup {
                             seed: Long = 42L): DataFrame = {
     val n = df.select(col(idCol)).count()
     if (n <= exactLimit)
-      SimilarityJoin.allPairs(df, idCol, vecCol)
-        .where(col("sim") >= threshold)
+      // exact branch runs the blocked threshold scan: same answer as
+      // filtering the theta-join, but no n² pair rows ever materialize
+      // and only survivors leave a task
+      SimilarityJoin.thresholdPairs(df, idCol, vecCol, threshold)
     else {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"embeddingNearDupPairs: $n rows > exactLimit=$exactLimit — routing to " +

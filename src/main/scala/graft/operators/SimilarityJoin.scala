@@ -105,6 +105,84 @@ object SimilarityJoin {
       .select(col(groupCol), col("rn"), col("id_a"), col("id_b"), col("sim"))
   }
 
+  /**
+   * All pairs with cosine ≥ threshold — EXACT, same answer as filtering
+   * [[allPairs]], but via the blocked scan: the shuffle carries
+   * O(n·√tasks) replicated vectors instead of n² materialized pair rows,
+   * and only SURVIVORS leave a task. Unlike the top-k form the prune
+   * floor is static (the threshold itself), so the Cauchy–Schwarz
+   * head/tail bound prunes from the first pair. Output: (id_a, id_b,
+   * sim), id_a < id_b, unordered (callers sort).
+   */
+  def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, blockRows: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    replicateToBlocks(df, None, idCol, vecCol, blockRows)
+      .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
+      .flatMap { case ((_, ba, bb), it) =>
+        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach { case (b, id, v) =>
+          if (b == ba) aBuf += ((id, v))
+          else if (b == bb) bBuf += ((id, v))
+        }
+        scanBlockPairThreshold(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
+      }
+      .toDF("id_a", "id_b", "sim")
+  }
+
+  /** Emit all qualifying pairs of one block pair (`bs == null` → within-block). */
+  private def scanBlockPairThreshold(as: Array[(Long, Array[Float])],
+                                     bs: Array[(Long, Array[Float])],
+                                     threshold: Double): Iterator[(Long, Long, Double)] = {
+    val sampleDim = if (as.nonEmpty) as(0)._2.length else 0
+    val head = math.max(1, math.min(32, sampleDim / 4))
+    val A = new Block(as, head)
+    val B = if (bs == null) A else new Block(bs, head)
+    val uniform = A.uniformDim >= 0 && B.uniformDim == A.uniformDim && A.n > 0 && B.n > 0
+    val d = if (uniform) A.vecs(0).length else 0
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    def emit(sim: Double, ia: Long, ib: Long): Unit =
+      if (sim >= threshold) out += (if (ia < ib) (ia, ib, sim) else (ib, ia, sim))
+    var i = 0
+    while (i < A.n) {
+      val va = A.vecs(i); val na = A.norms(i); val ta = A.tails(i)
+      var j = if (B eq A) i + 1 else 0
+      while (j < B.n) {
+        val vb = B.vecs(j)
+        if (uniform) {
+          val nb = B.norms(j)
+          if (na == 0.0 || nb == 0.0) emit(0.0, A.ids(i), B.ids(j))
+          else {
+            var dot = 0.0
+            var x = 0
+            while (x < head) { dot += va(x) * vb(x); x += 1 }
+            val denom = na * nb
+            if ((dot + ta * B.tails(j)) / denom + 1e-9 >= threshold) {
+              while (x < d) { dot += va(x) * vb(x); x += 1 }
+              emit(dot / denom, A.ids(i), B.ids(j))
+            }
+          }
+        } else {
+          val n = math.min(va.length, vb.length)
+          var dot = 0.0; var nx = 0.0; var ny = 0.0
+          var x = 0
+          while (x < n) {
+            val xa = va(x); val yb = vb(x)
+            dot += xa * yb; nx += xa * xa; ny += yb * yb
+            x += 1
+          }
+          val sim = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+          emit(sim, A.ids(i), B.ids(j))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
   /** One ranked pair; fields ordered for the (sim desc, idA, idB) total order. */
   private final case class RankedPair(sim: Double, idA: Long, idB: Long)
 
@@ -119,12 +197,14 @@ object SimilarityJoin {
    * grid to ~8× the session parallelism in block-pair tasks (min block
    * 1024 rows so small groups stay single-task).
    */
-  private def blockedTopPairs(df: DataFrame, groupCol: Option[String],
-                              idCol: String, vecCol: String, k: Int,
-                              blockRows: Int): org.apache.spark.rdd.RDD[(String, Array[RankedPair])] = {
+  /** Shared replication stage: per-group counts size the block grid and
+    * each row ships to its nb block-pair task keys. Driver state is the
+    * per-group count map, O(#groups). */
+  private def replicateToBlocks(df: DataFrame, groupCol: Option[String],
+                                idCol: String, vecCol: String, blockRows: Int)
+      : org.apache.spark.rdd.RDD[((String, Int, Int), (Int, Long, Array[Float]))] = {
     val spark = df.sparkSession
     import spark.implicits._
-    require(k > 0, "k must be positive")
     val keyed = groupCol match {
       case Some(g) => df.select(col(g).cast("string"), col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       case None => df.select(lit("").cast("string"), col(idCol).cast("long"), col(vecCol).cast("array<float>"))
@@ -145,8 +225,7 @@ object SimilarityJoin {
       (g, math.max(1, nb))
     }
     val bcNb = spark.sparkContext.broadcast(nbOf)
-
-    val replicated = rows.rdd.flatMap { case (g, id, v) =>
+    rows.rdd.flatMap { case (g, id, v) =>
       val nb = bcNb.value.getOrElse(g, 1)
       if (nb == 1) Iterator(((g, 0, 0), (0, id, v)))
       else {
@@ -155,10 +234,16 @@ object SimilarityJoin {
         (0 until nb).iterator.map(x => ((g, math.min(b, x), math.max(b, x)), (b, id, v)))
       }
     }
-    val taskParts = math.max(parallelism,
-      math.min(nbOf.valuesIterator.map(nb => nb.toLong * (nb + 1) / 2).sum, 4L * parallelism).toInt)
-    replicated
-      .groupByKey(taskParts)
+  }
+
+  private def blockedTopPairs(df: DataFrame, groupCol: Option[String],
+                              idCol: String, vecCol: String, k: Int,
+                              blockRows: Int): org.apache.spark.rdd.RDD[(String, Array[RankedPair])] = {
+    val spark = df.sparkSession
+    require(k > 0, "k must be positive")
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    replicateToBlocks(df, groupCol, idCol, vecCol, blockRows)
+      .groupByKey(4 * parallelism)
       .map { case ((g, ba, bb), it) =>
         val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
         val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
@@ -168,7 +253,7 @@ object SimilarityJoin {
         }
         (g, scanBlockPair(aBuf.toArray, if (ba == bb) null else bBuf.toArray, k))
       }
-      .reduceByKey(mergeRanked(k, _, _), math.max(1, math.min(counts.size, parallelism)))
+      .reduceByKey(mergeRanked(k, _, _), parallelism)
   }
 
   /** Merge two best-first arrays keeping the k best (two-way merge). */

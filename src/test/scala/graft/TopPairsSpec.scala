@@ -128,6 +128,21 @@ class TopPairsSpec extends AnyFunSuite {
     }
   }
 
+  test("thresholdPairs equals the filtered theta-join, including forced blocking") {
+    val e = embeddings
+    val expect = SimilarityJoin.allPairs(e, "vec_id", "embedding")
+      .where(col("sim") >= 0.4)
+      .select("id_a", "id_b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = SimilarityJoin.thresholdPairs(e, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    val blocked = SimilarityJoin.thresholdPairs(e, "vec_id", "embedding", 0.4, blockRows = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked === expect)
+    assert(expect.nonEmpty)
+  }
+
   test("k larger than the pair count returns every pair; empty input returns none") {
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 1.0f))).toDF("vec_id", "embedding")
     assert(SimilarityJoin.topPairs(df, "vec_id", "embedding", 50).count() === 1L)
