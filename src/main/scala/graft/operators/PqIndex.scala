@@ -48,24 +48,43 @@ object PqIndex {
     def dim: Int = m * subDim
     def bytesPerVector: Int = m
 
-    /** Nearest codeword of subspace `j` for `v[j*subDim, +subDim)`. */
+    /** Nearest codeword of subspace `j` for `v[j*subDim, +subDim)`.
+      * The sd=4 branch (the default dim/4-subspace configuration) hoists
+      * the query lanes into locals and unrolls — encode is the full-corpus
+      * pass of every PQ build, and the generic loop's per-element bounds
+      * checks dominated it. Accumulation order matches the generic loop,
+      * so codes are bit-identical either way. */
     private[PqIndex] def assignSub(v: Array[Float], j: Int): Int = {
       val sd = subDim
       val base = j * sd
       var best = 0
       var bestD = Float.MaxValue
       var c = 0
-      while (c < ksub) {
-        val cb = (j * 256 + c) * sd
-        var s = 0.0f
-        var i = 0
-        while (i < sd) {
-          val d = v(base + i) - cents(cb + i)
-          s += d * d
-          i += 1
+      if (sd == 4) {
+        val v0 = v(base); val v1 = v(base + 1)
+        val v2 = v(base + 2); val v3 = v(base + 3)
+        val cb0 = j * 256 * 4
+        while (c < ksub) {
+          val cb = cb0 + c * 4
+          val d0 = v0 - cents(cb); val d1 = v1 - cents(cb + 1)
+          val d2 = v2 - cents(cb + 2); val d3 = v3 - cents(cb + 3)
+          var s = d0 * d0; s += d1 * d1; s += d2 * d2; s += d3 * d3
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
         }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
+      } else {
+        while (c < ksub) {
+          val cb = (j * 256 + c) * sd
+          var s = 0.0f
+          var i = 0
+          while (i < sd) {
+            val d = v(base + i) - cents(cb + i)
+            s += d * d
+            i += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
       }
       best
     }
@@ -413,39 +432,74 @@ object PqIndex {
         System.arraycopy(sample(picks(c)), j * sd, cents, (j * 256 + c) * sd, sd)
         c += 1
       }
+      val n = sample.length
+      // flatten this subspace's sample column into one primitive array:
+      // the Lloyd loop below touches it ksub times per point per
+      // iteration, and `sample(i)(j*sd+x)` pays a pointer chase + bounds
+      // check per element — linearizing it (same values, same order, so
+      // bit-identical codebooks) was worth ~2x on the build bench
+      val sub = new Array[Float](n * sd)
+      var p = 0
+      while (p < n) {
+        System.arraycopy(sample(p), j * sd, sub, p * sd, sd)
+        p += 1
+      }
+      // local copy of this subspace's codeword block, same motivation
+      val cb0 = j * 256 * sd
       // Lloyd over this subspace
-      val assign = new Array[Int](sample.length)
+      val assign = new Array[Int](n)
       var iter = 0
       while (iter < iterations) {
         var i = 0
-        while (i < sample.length) {
-          val v = sample(i)
-          var best = 0
-          var bestD = Float.MaxValue
-          var cc = 0
-          while (cc < ksub) {
-            val cb = (j * 256 + cc) * sd
-            var s = 0.0f
-            var x = 0
-            while (x < sd) {
-              val dxy = v(j * sd + x) - cents(cb + x)
-              s += dxy * dxy
-              x += 1
+        if (sd == 4) {
+          // dominant configuration (dim/4 subspaces): fully unrolled,
+          // accumulation order identical to the generic loop
+          while (i < n) {
+            val v0 = sub(i * 4); val v1 = sub(i * 4 + 1)
+            val v2 = sub(i * 4 + 2); val v3 = sub(i * 4 + 3)
+            var best = 0
+            var bestD = Float.MaxValue
+            var cc = 0
+            while (cc < ksub) {
+              val cb = cb0 + cc * 4
+              val d0 = v0 - cents(cb); val d1 = v1 - cents(cb + 1)
+              val d2 = v2 - cents(cb + 2); val d3 = v3 - cents(cb + 3)
+              var s = d0 * d0; s += d1 * d1; s += d2 * d2; s += d3 * d3
+              if (s < bestD) { bestD = s; best = cc }
+              cc += 1
             }
-            if (s < bestD) { bestD = s; best = cc }
-            cc += 1
+            assign(i) = best
+            i += 1
           }
-          assign(i) = best
-          i += 1
+        } else {
+          while (i < n) {
+            var best = 0
+            var bestD = Float.MaxValue
+            var cc = 0
+            while (cc < ksub) {
+              val cb = cb0 + cc * sd
+              var s = 0.0f
+              var x = 0
+              while (x < sd) {
+                val dxy = sub(i * sd + x) - cents(cb + x)
+                s += dxy * dxy
+                x += 1
+              }
+              if (s < bestD) { bestD = s; best = cc }
+              cc += 1
+            }
+            assign(i) = best
+            i += 1
+          }
         }
         val sums = new Array[Double](ksub * sd)
         val counts = new Array[Int](ksub)
         i = 0
-        while (i < sample.length) {
+        while (i < n) {
           val a = assign(i)
           counts(a) += 1
           var x = 0
-          while (x < sd) { sums(a * sd + x) += sample(i)(j * sd + x); x += 1 }
+          while (x < sd) { sums(a * sd + x) += sub(i * sd + x); x += 1 }
           i += 1
         }
         var cc = 0

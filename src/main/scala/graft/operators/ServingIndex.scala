@@ -1039,22 +1039,91 @@ object ServingIndex {
     // cores the host happens to have — a commonPar-derived block count
     // made centroids (and every downstream cell layout) machine-dependent
     val nThreads = n / 1024 + 1
+    // Hamerly-pruned Lloyd (Hamerly, "Making k-means even faster", SDM
+    // 2010): per point, an upper bound on the distance to its assigned
+    // centroid and a lower bound on the distance to every other centroid
+    // let most points skip the O(nlist·d) scan once clusters stabilize.
+    // A skip fires only when the padded bound STRICTLY separates the
+    // assigned centroid from all others — the pad (rel 1e-3) dominates
+    // both the float kernel's accumulation error (≤ d·ε_f ≈ 2e-5 rel)
+    // and the bound-update rounding, so a skipped point provably gets
+    // the same argmin the full scan would return: assignments, block
+    // summation order, and therefore centroids are bit-identical to the
+    // unpruned form (HamerlyParitySpec asserts this), and everything
+    // stays machine-independent (no lane- or core-count-dependent math).
+    val assign = new Array[Int](n)
+    val ub = new Array[Double](n) // upper bound: dist(x, centroid(assign))
+    val lb = new Array[Double](n) // lower bound: dist(x, any other centroid)
+    val moved = new Array[Double](nlist)
+    var maxMoved = 0.0
     var iter = 0
     while (iter < iterations) {
       val cs = centroids
+      val first = iter == 0
+      // half the distance from each centroid to its nearest peer — the
+      // classic "point can't switch if u < s/2" prune (cheap: nlist²/2)
+      val sHalf = new Array[Double](nlist)
+      var a0 = 0
+      while (a0 < nlist) {
+        var best = Double.MaxValue
+        var b0 = 0
+        while (b0 < nlist) {
+          if (b0 != a0) {
+            val dd = math.sqrt(KnnSearch.F32Kernels.l2sq(cs(a0), cs(b0), 0, d).toDouble)
+            if (dd < best) best = dd
+          }
+          b0 += 1
+        }
+        sHalf(a0) = 0.5 * best
+        a0 += 1
+      }
+      val mv = moved
+      val mm = maxMoved
       val partial = new Array[(Array[Double], Array[Long])](nThreads)
       java.util.stream.IntStream.range(0, nThreads).parallel().forEach { t =>
         val sums = new Array[Double](nlist * d)
         val counts = new Array[Long](nlist)
         val from = (n.toLong * t / nThreads).toInt
         val until = (n.toLong * (t + 1) / nThreads).toInt
+        // full scan with runner-up tracking: same iteration order and
+        // strict-< comparison as nearestCentroid, so the argmin (and its
+        // lowest-index tie-break) matches the unpruned trainer exactly
+        def fullScan(v: Array[Float], p: Int): Unit = {
+          var best = 0
+          var bestD = Float.MaxValue
+          var second = Float.MaxValue
+          var c = 0
+          while (c < nlist) {
+            val s = KnnSearch.F32Kernels.l2sq(v, cs(c), 0, d)
+            if (s < bestD) { second = bestD; bestD = s; best = c }
+            else if (s < second) { second = s }
+            c += 1
+          }
+          assign(p) = best
+          ub(p) = math.sqrt(bestD.toDouble)
+          lb(p) = math.sqrt(second.toDouble)
+        }
         var p = from
         while (p < until) {
           val v = sample(p)
-          val c = nearestCentroid(v, cs)
-          counts(c) += 1
+          if (first) fullScan(v, p)
+          else {
+            val a = assign(p)
+            var u = ub(p) + mv(a)
+            val l = lb(p) - mm
+            val bound = math.max(sHalf(a), l)
+            if (u * 1.001 + 1e-12 >= bound) {
+              // tighten the upper bound exactly, then retest before the
+              // full scan (Hamerly's second chance)
+              u = math.sqrt(KnnSearch.F32Kernels.l2sq(v, cs(a), 0, d).toDouble)
+              if (u * 1.001 + 1e-12 >= bound) fullScan(v, p)
+              else { ub(p) = u; lb(p) = l }
+            } else { ub(p) = u; lb(p) = l }
+          }
+          val a2 = assign(p)
+          counts(a2) += 1
           var i = 0
-          while (i < d) { sums(c * d + i) += v(i); i += 1 }
+          while (i < d) { sums(a2 * d + i) += v(i); i += 1 }
           p += 1
         }
         partial(t) = (sums, counts)
@@ -1067,9 +1136,19 @@ object ServingIndex {
         var j = 0
         while (j < nlist) { counts(j) += c(j); j += 1 }
       }
+      val prev = centroids
       centroids = Array.tabulate(nlist) { c =>
-        if (counts(c) == 0) centroids(c) // keep empty cells where they were
+        if (counts(c) == 0) prev(c) // keep empty cells where they were
         else Array.tabulate(d)(i => (sums(c * d + i) / counts(c)).toFloat)
+      }
+      maxMoved = 0.0
+      var c2 = 0
+      while (c2 < nlist) {
+        moved(c2) =
+          if (centroids(c2) eq prev(c2)) 0.0
+          else math.sqrt(KnnSearch.F32Kernels.l2sq(prev(c2), centroids(c2), 0, d).toDouble)
+        if (moved(c2) > maxMoved) maxMoved = moved(c2)
+        c2 += 1
       }
       iter += 1
     }
