@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * bench's large dataset (50k x 384 clustered gaussians) and times each
   * build several times so the hot phase is visible. Not part of the
   * driver contract — run by hand via
-  * `sbt -batch "runMain graft.tools.ProfileBuild [n] [dim]"`.
+  * `sbt -batch "runMain graft.operators.ProfileBuild [n] [dim]"`.
   */
 object ProfileBuild {
   def main(args: Array[String]): Unit = {

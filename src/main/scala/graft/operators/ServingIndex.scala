@@ -935,16 +935,26 @@ object ServingIndex {
     * ascending (the order a (score, index) sort would give). Primitive
     * O(nprobe·nlist) selection — no boxed tuples or sort allocations;
     * this runs per query on every serving search, and the boxed form
-    * dominated small-corpus IVF latency. */
+    * dominated small-corpus IVF latency. Ranks on SQUARED L2 through
+    * the serving SIMD ops (selection only — sqrt is monotonic, so the
+    * probe order is the euclidean order; at serving nlist the ranking
+    * is half the per-query work on small corpora). Every tier routes
+    * through here, so probe tie-breaking still cannot diverge between
+    * the float and quantized paths. */
   private[operators] def rankProbes(queries: Array[(Long, Array[Float])],
                          centroids: Array[Array[Float]],
-                         nprobe: Int): Array[Array[Int]] =
+                         nprobe: Int): Array[Array[Int]] = {
+    val ops = SimdSupport.ops
     queries.map { case (_, q) =>
       val nlist = centroids.length
       val k = math.min(nprobe, nlist)
       val ds = new Array[Float](nlist)
       var c = 0
-      while (c < nlist) { ds(c) = KnnSearch.L2.scoreF32(q, centroids(c)); c += 1 }
+      while (c < nlist) {
+        val ctr = centroids(c)
+        ds(c) = ops.l2sq(q, ctr, 0, math.min(q.length, ctr.length))
+        c += 1
+      }
       val sel = new Array[Int](k)
       val used = new Array[Boolean](nlist)
       var s = 0
@@ -968,6 +978,7 @@ object ServingIndex {
       }
       sel
     }
+  }
 
   /** Per-dim `[min, step]` quantizer training (one map-side-combined
     * pass; 2·dim floats per partition to the driver) — shared by
@@ -1015,7 +1026,8 @@ object ServingIndex {
     * the FAISS regime: k-means never iterates over the full corpus.
     * A deterministic seeded sample (≤ `samplePerList`·nlist vectors,
     * FAISS's own 256/list heuristic) is collected ONCE, then Lloyd runs
-    * driver-local and thread-parallel with the SIMD l2 kernel — so
+    * driver-local and thread-parallel with the scalar f32 kernel
+    * (machine-independent by design — no SIMD lane reassociation) — so
     * training cost is bounded by nlist, not corpus size, and the only
     * full-corpus pass is the single assignment+pack job in the builder.
     * (The previous form ran one runJob per iteration: 10 job floors,
