@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnIndex, Chunkers, Dedup, Embedder, HnswIndex, IREval, KnnSearch, Rag, SimilarityJoin, TextSearch}
+import graft.operators.{AnnIndex, Chunkers, Dedup, Embedder, HnswIndex, IREval, KnnSearch, Multimodal, Rag, SimilarityJoin, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -358,6 +358,23 @@ object SparkEntry {
       .where(col("doc_id") < 200)
       .select(col("doc_id") +: scores :+
         langGuessNgram(col("text")).as("lang_guess"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q69: multimodal encode→decode round trip. ASCII doc bytes become a
+    * grayscale BMP raster and an 8 kHz PCM16 WAV through the REAL
+    * pure-JVM writers+readers in [[graft.operators.MediaCodecs]], and
+    * every reported feature is computed from the DECODED pixels/samples
+    * — while the oracle recomputes the same features in closed form from
+    * the text bytes in SQL. This hash-gates the image+audio codec path
+    * end to end (header layout, row padding, bottom-up order, sample
+    * scale). The ASCII filter exists so SQL `ord(char)` equals the
+    * UTF-8 byte; it matches 300/300 candidate docs in the testdata. */
+  private val q69MediaRoundtrip: Q = (s, dir) => {
+    Multimodal.textMediaRoundTrip(
+      Tables(s, dir, "documents")
+        .where(col("doc_id") < 300 &&
+          col("text").rlike("\\A[\\x09\\x0A\\x0D\\x20-\\x7E]+\\z")))
       .orderBy(col("doc_id"))
   }
 
@@ -1069,6 +1086,7 @@ object SparkEntry {
     "q66_chunk_coverage" -> q66ChunkCoverage,
     "q67_token_counts" -> q67TokenCounts,
     "q68_lang_ngram" -> q68LangNgram,
+    "q69_media_roundtrip" -> q69MediaRoundtrip,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1396,6 +1414,41 @@ object SparkEntry {
         |ORDER BY doc_id""").stripMargin,
     "q29_simhash_sigs" -> Q29SimhashSql,
     "q68_lang_ngram" -> Q68LangSql,
+    // q69: the closed-form twin of the BMP/WAV round trip. `ord(char)` =
+    // UTF-8 byte under the ASCII filter; the raster is w=ceil(sqrt(n)),
+    // h=ceil(n/w) zero-padded; BMP rows pad to 4 bytes; samples are
+    // (b-128)/128 — exact multiples of 2^-7, so double sums never round
+    // and the means compare bit-exactly.
+    "q69_media_roundtrip" ->
+      """WITH ascii_docs AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE doc_id < 300
+        |    AND regexp_full_match(text, '[\x09\x0A\x0D\x20-\x7E]+')
+        |), dims AS (
+        |  SELECT doc_id, text, n,
+        |    CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+        |  FROM ascii_docs
+        |), dims2 AS (
+        |  SELECT doc_id, text, n, w, (n + w - 1) // w AS h FROM dims
+        |), b AS (
+        |  SELECT doc_id, n, w, h,
+        |    list_transform(string_split(text, ''), c -> ord(c)) AS bs
+        |  FROM dims2
+        |)
+        |SELECT doc_id,
+        |  n AS n_bytes,
+        |  w AS img_w,
+        |  h AS img_h,
+        |  CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS bmp_bytes,
+        |  CAST(list_sum(bs) AS DOUBLE) / (w * h) AS mean_lum,
+        |  CAST(44 + 2 * n AS BIGINT) AS wav_bytes,
+        |  n AS n_samples,
+        |  list_sum(list_transform(bs, x -> (x - 128) / 128.0)) / n AS mean_amp,
+        |  CAST(list_max(list_transform(bs, x -> abs(x - 128))) AS DOUBLE) / 128.0 AS peak_amp,
+        |  CAST(n AS DOUBLE) / 8000.0 AS duration_sec
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
     "q67_token_counts" ->
       (s"""SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),

@@ -287,6 +287,73 @@ object MediaCodecs {
     } catch { case _: Exception => None }
   }
 
+  // -------------------------------------------------------------- writers
+
+  /** 24-bit uncompressed BMP writer — the exact inverse of the layout
+    * [[decodeBmp]] accepts: 54-byte BITMAPFILEHEADER+BITMAPINFOHEADER,
+    * bottom-up rows, BGR sample order, rows padded to 4-byte boundaries.
+    * The sink half of the image round trip: what [[decodeBmp]] reads,
+    * this writes, byte for byte — which is what lets q69 gate the whole
+    * image path on a SQL oracle. */
+  def encodeBmp(img: RasterImage): Array[Byte] = {
+    val rowSize = (img.width * 3 + 3) / 4 * 4
+    val dataSize = rowSize * img.height
+    val out = new Array[Byte](54 + dataSize)
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(o: Int, v: Int): Unit = { p16(o, v); p16(o + 2, v >>> 16) }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, 54 + dataSize)      // file size
+    p32(10, 54)                // pixel data offset
+    p32(14, 40)                // BITMAPINFOHEADER size
+    p32(18, img.width)
+    p32(22, img.height)        // positive height = bottom-up rows
+    p16(26, 1)                 // color planes
+    p16(28, 24)                // bits per pixel
+    p32(30, 0)                 // BI_RGB (uncompressed)
+    p32(34, dataSize)
+    var y = 0
+    while (y < img.height) {
+      val dstRow = 54 + (img.height - 1 - y) * rowSize
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        val d = dstRow + x * 3
+        out(d) = img.rgb(s + 2).toByte     // B
+        out(d + 1) = img.rgb(s + 1).toByte // G
+        out(d + 2) = img.rgb(s).toByte     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Canonical 44-byte-header PCM16 WAV writer — inverse of
+    * [[decodeWav]]'s accepted shape (RIFF/WAVE, fmt tag 1, 16-bit
+    * little-endian interleaved data chunk). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
+                     channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def tag(o: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(o: Int, v: Int): Unit = { p16(o, v); p16(o + 2, v >>> 16) }
+    tag(0, "RIFF"); p32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, channels)
+    p32(24, sampleRate); p32(28, sampleRate * channels * 2)
+    p16(32, channels * 2); p16(34, 16)
+    tag(36, "data"); p32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { p16(44 + i * 2, samples(i) & 0xffff); i += 1 }
+    out
+  }
+
   // ----------------------------------------------------------- operations
 
   /** Nearest-neighbor resize — the real pixel operation behind the

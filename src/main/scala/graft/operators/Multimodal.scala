@@ -158,4 +158,74 @@ object Multimodal {
         when(col("duration_ms") >= 0, col("duration_ms")).as("duration_ms"),
         col("brand"))
   }
+
+  /**
+   * Encode→decode ROUND TRIP over a text corpus: each row's UTF-8 bytes
+   * are laid out as a near-square grayscale raster (zero-padded to
+   * `ceil(sqrt(n)) × ceil(n/w)`) and as an 8 kHz PCM16 waveform, pushed
+   * through the REAL [[MediaCodecs]] BMP/WAV writers and readers, and
+   * summarized FROM THE DECODED pixels/samples — never from the source
+   * bytes. Every emitted feature is also a closed-form function of the
+   * original bytes, so the whole image+audio codec path gates on a SQL
+   * oracle (q69): a wrong header field, row-padding slip, or sample
+   * scale error surfaces as a hash mismatch instead of a silent feature
+   * drift. Partition-parallel typed mapPartitions (the mapInPandas
+   * shape — swap the codec calls for a real model/codec batch and
+   * nothing else changes); no shuffle beyond the caller's ordering, so
+   * at corpus scale this runs embarrassingly parallel over the scan.
+   */
+  def textMediaRoundTrip(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Par.widen(docs.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = bytes.length
+          val w = math.ceil(math.sqrt(n.toDouble)).toInt
+          val h = (n + w - 1) / w
+          val rgb = new Array[Int](w * h * 3)
+          var i = 0
+          while (i < n) {
+            val v = bytes(i) & 0xff
+            val o = i * 3
+            rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+            i += 1
+          }
+          val bmp = MediaCodecs.encodeBmp(MediaCodecs.RasterImage(w, h, rgb))
+          val img = MediaCodecs.decodeBmp(bmp).getOrElse(
+            sys.error(s"BMP round trip failed for doc $id"))
+          val np = img.width * img.height
+          var lum = 0L
+          var p = 0
+          while (p < np) { lum += img.rgb(p * 3); p += 1 }
+          val pcm = new Array[Short](n)
+          i = 0
+          while (i < n) { pcm(i) = (((bytes(i) & 0xff) - 128) << 8).toShort; i += 1 }
+          val wav = MediaCodecs.encodeWavPcm16(pcm, sampleRate = 8000)
+          val audio = MediaCodecs.decodeWav(wav).getOrElse(
+            sys.error(s"WAV round trip failed for doc $id"))
+          // samples are exact multiples of 2^-7, so the running double sum
+          // never rounds — bit-identical to the oracle's list_sum
+          var amp = 0.0
+          var peak = 0f
+          i = 0
+          while (i < audio.samples.length) {
+            val sVal = audio.samples(i)
+            amp += sVal.toDouble
+            val a = math.abs(sVal)
+            if (a > peak) peak = a
+            i += 1
+          }
+          (id, n.toLong, img.width.toLong, img.height.toLong, bmp.length.toLong,
+            lum.toDouble / np, wav.length.toLong, audio.samples.length.toLong,
+            amp / audio.samples.length, peak.toDouble,
+            audio.samples.length.toDouble / audio.sampleRate)
+        }
+      }
+      .toDF(idCol, "n_bytes", "img_w", "img_h", "bmp_bytes", "mean_lum",
+        "wav_bytes", "n_samples", "mean_amp", "peak_amp", "duration_sec")
+  }
 }

@@ -60,4 +60,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(probed(2L).getAs[Long]("duration_ms") === 1500L)
     assert(probed(3L).getAs[String]("container") === null)
   }
+
+  test("encodeBmp is the exact inverse of decodeBmp (incl. row padding)") {
+    import graft.operators.MediaCodecs
+    // width 3 → rowSize 12 with 3 pad bytes per row: the padding path
+    for ((w, h) <- Seq((3, 2), (4, 1), (1, 5))) {
+      val rgb = Array.tabulate(w * h * 3)(i => (i * 37 + 11) % 256)
+      val img = MediaCodecs.RasterImage(w, h, rgb)
+      val decoded = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(img))
+      assert(decoded.isDefined, s"decode failed at ${w}x$h")
+      assert(decoded.get.width === w)
+      assert(decoded.get.height === h)
+      assert(decoded.get.rgb.toSeq === rgb.toSeq, s"pixels at ${w}x$h")
+    }
+  }
+
+  test("encodeWavPcm16 is the exact inverse of decodeWav") {
+    import graft.operators.MediaCodecs
+    val pcm = Array.tabulate(300)(i => ((i * 991 + 7) % 65536 - 32768).toShort)
+    val decoded = MediaCodecs.decodeWav(MediaCodecs.encodeWavPcm16(pcm, 8000))
+    assert(decoded.isDefined)
+    assert(decoded.get.sampleRate === 8000)
+    assert(decoded.get.channels === 1)
+    assert(decoded.get.samples.toSeq === pcm.toSeq.map(_ / 32768.0f))
+  }
+
+  test("textMediaRoundTrip: hand-computed features for a known doc") {
+    import spark.implicits._
+    val df = Seq((7L, "abcd")).toDF("doc_id", "text")
+    val r = Multimodal.textMediaRoundTrip(df).head()
+    assert(r.getAs[Long]("n_bytes") === 4L)
+    assert(r.getAs[Long]("img_w") === 2L)      // ceil(sqrt(4))
+    assert(r.getAs[Long]("img_h") === 2L)
+    // rowSize = (2*3+3)/4*4 = 8; 54 + 8*2
+    assert(r.getAs[Long]("bmp_bytes") === 70L)
+    assert(r.getAs[Double]("mean_lum") === (97 + 98 + 99 + 100) / 4.0)
+    assert(r.getAs[Long]("wav_bytes") === 44L + 8L)
+    assert(r.getAs[Long]("n_samples") === 4L)
+    assert(r.getAs[Double]("mean_amp") === (-31 - 30 - 29 - 28) / 4.0 / 128.0)
+    assert(r.getAs[Double]("peak_amp") === 31.0 / 128.0)
+    assert(r.getAs[Double]("duration_sec") === 4.0 / 8000.0)
+  }
+
+  test("textMediaRoundTrip survives padding-heavy and single-byte docs") {
+    import spark.implicits._
+    // n=5 → w=3,h=2: one padded pixel; n=1 → 1x1; n=9 → exact square
+    val df = Seq((1L, "abcde"), (2L, "Z"), (3L, "123456789"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.textMediaRoundTrip(df)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("img_w") === 3L)
+    assert(rows(1L).getAs[Long]("img_h") === 2L)
+    // padding zeros dilute the mean over w*h pixels
+    assert(rows(1L).getAs[Double]("mean_lum") ===
+      (97 + 98 + 99 + 100 + 101) / 6.0)
+    assert(rows(2L).getAs[Long]("img_w") === 1L)
+    assert(rows(2L).getAs[Double]("mean_lum") === 90.0)
+    assert(rows(3L).getAs[Long]("img_w") === 3L)
+    assert(rows(3L).getAs[Long]("img_h") === 3L)
+  }
 }
