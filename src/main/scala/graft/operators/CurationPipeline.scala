@@ -38,11 +38,29 @@ object CurationPipeline {
   }
 
   /** Per-stage attrition report: `(stage_index, stage, n)` — document
-    * counts after each stage, then the packed-sequence count. The two
-    * expensive stage prefixes (dedup's fingerprint window, the
-    * decontamination gram join) are cached while counting so each stage
-    * computes ONCE — a lazy union of the six aggregates would recompute
-    * stage N's whole prefix for every later branch. `decontamN` defaults
+    * counts after each stage, then the packed-sequence count.
+    *
+    * Counting strategy (this is a REPORT — it needs stage cardinalities,
+    * not stage frames, so it never caches a corpus-sized intermediate):
+    *
+    *  - Stages 0–2 are ONE aggregate over the raw corpus. The quality
+    *    battery is a pure per-row predicate, and the dedup survivor
+    *    count equals the number of distinct fingerprints among quality
+    *    rows ([[Dedup.dropExactDuplicates]] keeps exactly one row per
+    *    fingerprint) — so input/quality/dedup counts cost one streaming
+    *    pass plus the same fingerprint shuffle dedup itself pays,
+    *    instead of three actions over two cached stage frames. (Stage
+    *    semantics are id-membership, so ids are assumed unique — the
+    *    same assumption every semi/anti-join stage already makes.)
+    *  - Stages 3–4 are one aggregate over the decontaminated frame:
+    *    mixing is a deterministic per-row hash predicate, so its count
+    *    rides the same job. Only this frame is cached — it is the
+    *    smallest surviving stage, and the packing job (stage 5) reads
+    *    it again.
+    *
+    * Six stage counts, three jobs, one cache of the final pool — at
+    * corpus scale the dominant cost is the decontamination gram join,
+    * paid once, exactly as [[curate]] pays it. `decontamN` defaults
     * to [[Decontaminate]]'s production 8 — q64 passes 3 explicitly for
     * the synthetic corpus. */
   def report(train: DataFrame, benchmark: DataFrame,
@@ -51,20 +69,32 @@ object CurationPipeline {
              bucketSize: Int = 16): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
+    // count(when(p, 1)) not sum(when(p, 1L)): count is never NULL on an
+    // empty corpus, so the Row getters below are total
+    val head = Par.widen(train)
+      .select(QualityFilters.keepPredicate(col(textCol)).as("keep"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_input"),
+        count(when(col("keep"), lit(1))).as("n_quality"),
+        countDistinct(when(col("keep"), col("fp"))).as("n_dedup"))
+      .head()
     val s = stages(train, benchmark, idCol, textCol, mixWeight, decontamN)
-    s.quality.cache(); s.deduped.cache(); s.decontaminated.cache()
+    s.decontaminated.cache()
     try {
+      val decRow = s.decontaminated
+        .agg(count(lit(1)).as("n_dec"),
+          count(when(Mixing.hashUniform(col(idCol)) < mixWeight, lit(1)))
+            .as("n_mixed"))
+        .head()
       val seqs = Packing.packGreedy(s.mixed, idCol, textCol, budgetWords, bucketSize)
         .toDF().select(col("bucket"), col("seq_index")).distinct()
       Seq(
-        (0, "input", train.count()), (1, "quality", s.quality.count()),
-        (2, "exact_dedup", s.deduped.count()),
-        (3, "decontaminated", s.decontaminated.count()),
-        (4, "mixed", s.mixed.count()), (5, "packed_sequences", seqs.count()))
+        (0, "input", head.getLong(0)), (1, "quality", head.getLong(1)),
+        (2, "exact_dedup", head.getLong(2)),
+        (3, "decontaminated", decRow.getLong(0)),
+        (4, "mixed", decRow.getLong(1)), (5, "packed_sequences", seqs.count()))
         .toDF("stage_index", "stage", "n")
     } finally {
-      s.quality.unpersist(false)
-      s.deduped.unpersist(false)
       s.decontaminated.unpersist(false)
     }
   }
