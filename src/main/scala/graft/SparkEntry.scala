@@ -34,11 +34,23 @@ object SparkEntry {
   private def sumMoney(c: Column, as: String): Column =
     round(sum(dec2(c)), 2).cast("double").as(as)
 
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as raw nanos (exact integer event-time math). */
+  /** events.ts has shipped in two physical layouts: INT64 TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects — read as raw nanos) and
+    * plain timestamp[us] (TIMESTAMP_NTZ). Normalize BOTH to BIGINT epoch
+    * nanos so downstream event-time math stays exact integer arithmetic;
+    * the DuckDB oracles are layout-generic (date_trunc/epoch_ns on the
+    * timestamp column) and agree bit-for-bit either way. */
   private def eventsNs(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(s, dir, "events")
+    // NTZ→timestamp cast goes through the session zone; pin it so the
+    // wall-clock readings are epoch-exact regardless of launcher flags
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = Tables(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
   }
 
   private type Q = (SparkSession, String) => DataFrame

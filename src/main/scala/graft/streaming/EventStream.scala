@@ -11,28 +11,57 @@ import org.apache.spark.sql.types._
  * Watermarked event-time tumbling windows; the same aggregation shape as
  * the batch q06_hourly_events so streaming results are batch-verifiable.
  *
- * events.ts is INT64 nanos in parquet (see SparkEntry.eventsNs); the
- * streaming schema reads it as LongType and converts to a micro timestamp
- * for event-time semantics.
+ * events.ts has shipped as INT64 nanos (read as LongType via nanosAsLong)
+ * and as timestamp[us] (TIMESTAMP_NTZ); [[readEvents]] probes the files'
+ * actual layout and normalizes to the canonical [[eventSchema]] shape —
+ * `ts` as BIGINT epoch nanos plus a derived `event_time` timestamp.
  */
 object EventStream {
 
+  /** Canonical post-normalization schema (ts = BIGINT epoch nanos). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (nanosAsLong)
+    StructField("ts", LongType), // epoch nanos
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a parquet directory of event files. */
+  /** Streaming source over a parquet directory of event files. A one-off
+    * batch footer read decides which ts layout the directory carries (a
+    * streaming source needs its schema up front); both layouts come out
+    * as the canonical nanos-long `ts` + `event_time` timestamp. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val fileSchema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("event_time", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("event_time")) * lit(1000L))
+    }
+  }
+
+  /** Batch twin of [[readEvents]]'s layout normalization: read an events
+    * parquet path and come out with `ts` as BIGINT epoch nanos whichever
+    * physical layout the files carry. */
+  def normalizedBatch(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = spark.read.parquet(path)
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
   }
 
   /** Watermarked tumbling-window counts per event type. */

@@ -23,8 +23,7 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
         .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
 
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batch = spark.read.parquet(s"$dir/events.parquet")
+      val batch = EventStream.normalizedBatch(spark, s"$dir/events.parquet")
         .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
         .groupBy(date_trunc("hour", col("event_time")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
