@@ -390,6 +390,60 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q70: line-level exact dedup (RefinedWeb/CCNet boilerplate-line
+    * removal). The corpus is single-line, so the query first reshapes
+    * each doc into 4-word lines (deterministic in both engines: the
+    * word list sliced on fixed strides), then strips every line that
+    * recurs in ≥2 distinct docs via [[Dedup.stripDuplicatedLines]] —
+    * frequency agg keyed by the line, co-partitioned join, positional
+    * reassembly all hash-gated. */
+  private val q70LineDedup: Q = (s, dir) => {
+    val lined = Tables(s, dir, "documents")
+      .withColumn("__ws", split(col("text"), " "))
+      .withColumn("text", concat_ws("\n",
+        transform(sequence(lit(0L), ((size(col("__ws")) + 3) / 4).cast("long") - 1),
+          i => concat_ws(" ", slice(col("__ws"), (i * 4 + 1).cast("int"), lit(4))))))
+      .select(col("doc_id"), col("text"))
+    Dedup.stripDuplicatedLines(lined, "doc_id", "text", minDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q71: PII redaction audit. The corpus has no PII, so the query
+    * plants a deterministic email/phone/IPv4 per doc (same string
+    * algebra in the oracle), then counts and redacts with the RE2-safe
+    * shared patterns ([[QualityFilters.redactPii]]) — pattern semantics,
+    * replacement order, and global-replace behavior all hash-gated. */
+  private val q71PiiRedact: Q = (s, dir) => {
+    import graft.operators.QualityFilters
+    val planted = Tables(s, dir, "documents")
+      .withColumn("t", concat(col("text"),
+        lit(" reach me at user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" node 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1 end")))
+    val counts = QualityFilters.piiCounts(col("t"))
+      .map { case (n, c) => c.cast("long").as(n) }
+    planted.select(
+      col("doc_id") +: counts :+ QualityFilters.redactPii(col("t")).as("redacted"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q72: phrase-blocklist gate (C4 badwords shape) — per-source
+    * attrition of docs containing any blocklisted phrase on word
+    * boundaries. One alternation regex scanned once per doc; no join. */
+  private val BlockPhrases = Seq("hash value", "fast merge", "slow scan")
+  private val q72Blocklist: Q = (s, dir) => {
+    import graft.operators.QualityFilters
+    val hit = QualityFilters.blocklistHit(col("text"), BlockPhrases)
+    Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(hit, lit(1L)).otherwise(lit(0L))).as("n_blocked"),
+        sum(when(hit, lit(0L)).otherwise(lit(1L))).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document quality scoring (training-data pipeline operator). */
   private val q23QualityScores: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -689,13 +743,13 @@ object SparkEntry {
     * driver-local — no Spark-context staleness to guard): repeated runs
     * pay Lloyd once, the serving shape, with identical output. */
   private val kmeansModelCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
   private val q41KmeansProfile: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
     val m = kmeansModelCache.getOrElseUpdate(dir, recordBuild("q41_kmeans_build") {
-      graft.operators.Clustering.fitKmeans(e, "embedding", k = 8)
+      graft.operators.Clustering.fitCentroids(e, "embedding", k = 8)
     })
-    graft.operators.Clustering.profileWith(m, e, "vec_id", "embedding")
+    graft.operators.Clustering.profileWithCentroids(m, e, "vec_id", "embedding")
   }
 
   /** One-time artifact build walls recorded by the memoized queries
@@ -1099,6 +1153,9 @@ object SparkEntry {
     "q67_token_counts" -> q67TokenCounts,
     "q68_lang_ngram" -> q68LangNgram,
     "q69_media_roundtrip" -> q69MediaRoundtrip,
+    "q70_line_dedup" -> q70LineDedup,
+    "q71_pii_redact" -> q71PiiRedact,
+    "q72_blocklist" -> q72Blocklist,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1461,6 +1518,61 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) / 8000.0 AS duration_sec
         |FROM b
         |ORDER BY doc_id""".stripMargin,
+    // q70: line-dedup twin — same 4-word line reshape (fixed-stride list
+    // slices), df over distinct docs per exact line, survivors
+    // reassembled in positional order.
+    "q70_line_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |docs AS (
+        |  SELECT doc_id,
+        |    list_transform(range((len(ws) + 3) // 4),
+        |      i -> array_to_string(ws[i*4+1:i*4+4], ' ')) AS ls
+        |  FROM words),
+        |lines AS (
+        |  SELECT doc_id, unnest(ls) AS line,
+        |         unnest(range(1, len(ls) + 1)) AS pos
+        |  FROM docs),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY 1),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.line
+        |  FROM lines l JOIN df USING (line) WHERE df.line_df < 2),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+        |keptagg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS kept_text
+        |  FROM kept GROUP BY 1)
+        |SELECT t.doc_id, t.n_lines,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.kept_text, '') AS kept_text
+        |FROM tot t LEFT JOIN keptagg k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    // q71: PII twin — identical planted strings, identical RE2-safe
+    // patterns (shared constants), identical email→IP→phone order.
+    "q71_pii_redact" ->
+      (s"""WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' reach me at user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '${graft.operators.QualityFilters.EmailRe}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '${graft.operators.QualityFilters.PhoneRe}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '${graft.operators.QualityFilters.Ipv4Re}')) AS BIGINT) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '${graft.operators.QualityFilters.EmailRe}', '<EMAIL>', 'g'),
+        |    '${graft.operators.QualityFilters.Ipv4Re}', '<IP>', 'g'),
+        |    '${graft.operators.QualityFilters.PhoneRe}', '<PHONE>', 'g') AS redacted
+        |FROM pii ORDER BY doc_id""").stripMargin,
+    // q72: blocklist twin — the same alternation over the same phrases.
+    "q72_blocklist" ->
+      (s"""SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(lower(text),
+        |    '\\b(?:${BlockPhrases.mkString("|")})\\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+        |  CAST(sum(CASE WHEN regexp_matches(lower(text),
+        |    '\\b(?:${BlockPhrases.mkString("|")})\\b') THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY source ORDER BY source""").stripMargin,
     "q67_token_counts" ->
       (s"""SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),

@@ -63,9 +63,48 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
+  /**
+   * Sample-trained Lloyd centroids ([[ServingIndex.trainCentroids]], the
+   * FAISS training regime: k-means iterates over a seeded ≤256·k-vector
+   * sample driver-local, never the full corpus). The MLlib fit above pays
+   * maxIter=20 full-corpus jobs for the same seeded deterministic output
+   * quality — right for the silhouette sweep's evaluator but wasteful
+   * when the caller only needs a k-profile of the corpus. At 100 TB the
+   * sample is still ≤256·k vectors; assignment is the only corpus pass.
+   */
+  def fitCentroids(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+                   iterations: Int = 10): Array[Array[Float]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(lit(0L), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    // dimension from data: max(size) is deterministic under any row order
+    val d = df.agg(max(size(col(vecCol)))).head().getInt(0)
+    ServingIndex.trainCentroids(typed.rdd, d, k, iterations, seed)
+  }
+
+  /** [[profileWith]] under precomputed centroids: one broadcast + one
+    * corpus pass (assign + aggregate), no model object. */
+  def profileWithCentroids(centroids: Array[Array[Float]], df: DataFrame,
+                           idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, ServingIndex.nearestCentroid(v, bc.value)) }
+      .toDF("id", "vec", "cluster")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(graft.functions.VectorFunctions.l2Norm(col("vec"))), 6).as("avg_norm"))
+      .orderBy(col("cluster"))
+  }
+
   /** Cluster sizes + per-cluster mean vector norm (A13 cluster centers
-    * reduce to a grouped vector mean — Summarizer shape). */
+    * reduce to a grouped vector mean — Summarizer shape). Runs the
+    * sample-trained Lloyd fit: the profile needs assignments, not a
+    * silhouette, so the full-corpus MLlib iterations buy nothing. */
   def clusterProfile(df: DataFrame, idCol: String, vecCol: String, k: Int,
                      seed: Long = 42L): DataFrame =
-    profileWith(fitKmeans(df, vecCol, k, seed), df, idCol, vecCol)
+    profileWithCentroids(fitCentroids(df, vecCol, k, seed), df, idCol, vecCol)
 }

@@ -501,4 +501,52 @@ object Dedup {
         numBits = numBits, bands = bands, seed = seed)
     }
   }
+
+  /** Per-distinct-line corpus document frequency: how many DISTINCT
+    * documents contain each exact line. The aggregation key is the line
+    * itself (boilerplate lines are short; hot keys are exactly the ones
+    * we want counted), one shuffle. */
+  def lineDocFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+
+  /**
+   * Line-level exact dedup (the RefinedWeb / CCNet curation stage: a
+   * line that recurs across `minDocs`+ documents is boilerplate —
+   * headers, navigation, license banners — and is removed from EVERY
+   * document, while the documents themselves survive; contrast
+   * [[dropExactDuplicates]], which drops whole documents).
+   *
+   * Plan at corpus scale: one positional explode (narrow), a
+   * line-frequency aggregate keyed by the line, a co-partitioned join
+   * of the exploded lines against that frequency table (same key — no
+   * extra exchange after the aggregate), and one reassembly shuffle
+   * keyed by doc id. Nothing is ever keyed by a cross product; the
+   * hottest key is the most-repeated boilerplate line, whose frequency
+   * row is one (line, count) pair — skew lands on the pre-aggregated
+   * side, not on a reducer.
+   *
+   * Output: (doc_id, n_lines, n_kept, kept_text) — surviving lines
+   * joined with '\n' in original order ('' when none survive).
+   */
+  def stripDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val lineDf = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    val kept = lines.join(lineDf, Seq("line")).where(col("line_df") < minDocs)
+    val tot = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("kept_text"))
+    tot.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

@@ -186,4 +186,52 @@ object QualityFilters {
         col("n_top_bigram") <= lit(maxTopBigramFrac) * col("n_bigrams") &&
         col("n_dup_trigrams") <= lit(maxDupTrigramFrac) * col("n_trigrams"))
   }
+
+  // =====================================================================
+  // PII redaction + phrase blocklist — the two C4-style scrub stages a
+  // curation pipeline runs alongside the quality battery. Pure
+  // regexp_replace / rlike column chains: codegen'd, no UDF, no shuffle,
+  // one streaming pass at corpus scale. Patterns are RE2-safe (no
+  // lookaround, no backreferences) so DuckDB/RE2 oracles run the
+  // IDENTICAL pattern strings.
+  // =====================================================================
+
+  /** Email address (conservative: token@domain.tld). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** US-style short phone (NNN-NNNN). */
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  /** Dotted-quad IPv4. */
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Per-category PII occurrence counts (pre-redaction audit columns). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(EmailRe)),
+    "n_phone" -> regexp_count(text, lit(PhoneRe)),
+    "n_ip" -> regexp_count(text, lit(Ipv4Re)))
+
+  /** Redact emails, IPs, then phones (IP before phone: an IPv4 octet
+    * pair can otherwise be half-eaten by the phone pattern — the fixed
+    * order makes the composition deterministic and oracle-replayable). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** True iff the lowercased text contains any blocklisted phrase on
+    * word boundaries (C4's badwords gate, phrase-capable). The phrase
+    * list compiles into ONE alternation scanned once per document —
+    * broadcastable as a literal, no join. Phrases must be
+    * regex-neutral (letters/digits/spaces); enforced here. */
+  def blocklistHit(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "empty blocklist")
+    require(phrases.forall(_.matches("[A-Za-z0-9 ]+")),
+      "blocklist phrases must be plain words/spaces (regex-neutral)")
+    lower(text).rlike("\\b(?:" + phrases.mkString("|") + ")\\b")
+  }
+
+  /** Documents that pass the blocklist gate. */
+  def keepBlocklist(docs: DataFrame, textCol: String, phrases: Seq[String]): DataFrame =
+    docs.where(!blocklistHit(col(textCol), phrases))
 }

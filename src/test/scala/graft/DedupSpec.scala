@@ -147,6 +147,40 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"routed LSH recall $recall over ${exact.size} pairs")
   }
 
+  test("line-level dedup strips cross-doc boilerplate, keeps order, hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique alpha\nSHARED BANNER\nunique beta"),
+      (2L, "SHARED BANNER\nonly in two\nrepeated twice\nrepeated twice"),
+      (3L, "SHARED BANNER\nonly in two\nsolo line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedLines(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+    // SHARED BANNER in 3 docs, "only in two" in 2 docs → both stripped;
+    // "repeated twice" repeats WITHIN one doc only (df=1) → kept twice
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq === Seq(
+      (1L, 3L, 2L, "unique alpha\nunique beta"),
+      (2L, 4L, 2L, "repeated twice\nrepeated twice"),
+      (3L, 3L, 1L, "solo line")))
+  }
+
+  test("line dedup emits empty text when every line is boilerplate") {
+    import spark.implicits._
+    val docs = Seq((1L, "same\nsame2"), (2L, "same\nsame2")).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedLines(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ===
+      Seq((1L, 2L, 0L, ""), (2L, 2L, 0L, "")))
+  }
+
+  test("lineDocFrequencies counts distinct docs per line") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb\na"), (2L, "b\nc")).toDF("doc_id", "text")
+    val df = Dedup.lineDocFrequencies(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df === Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("LSH cosine pairs achieve high recall vs exact at threshold") {
     val e = Tables(spark, TestSpark.sfDir, "embeddings")
     val exact = SimilarityJoin.allPairs(e, "vec_id", "embedding")

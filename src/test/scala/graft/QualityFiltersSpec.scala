@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.QualityFilters
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class QualityFiltersSpec extends AnyFunSuite {
@@ -111,5 +112,48 @@ class QualityFiltersSpec extends AnyFunSuite {
     val kept = QualityFilters.keepDocuments(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(1L, 3L))
+  }
+
+  test("PII redaction: counts and replacement order, hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b-c@test.org and x@y.io call 555-0042 host 10.2.0.1 done"),
+      (2L, "no pii here"),
+      (3L, "octets 1.2.3.4 then 555-1234 twice 555-9876")
+    ).toDF("doc_id", "text")
+    val counts = QualityFilters.piiCounts(col("text"))
+      .map { case (n, c) => c.cast("long").as(n) }
+    val out = docs.select(col("doc_id") +: counts :+
+        QualityFilters.redactPii(col("text")).as("red"): _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 2L) // two emails
+    assert(out(0).getLong(2) === 1L)
+    assert(out(0).getLong(3) === 1L)
+    assert(out(0).getString(4) ===
+      "mail <EMAIL> and <EMAIL> call <PHONE> host <IP> done")
+    assert(out(1).getLong(1) === 0L)
+    assert(out(1).getString(4) === "no pii here")
+    // the IP is eaten by <IP> BEFORE the phone pattern can see "2.3.4"
+    assert(out(2).getString(4) === "octets <IP> then <PHONE> twice <PHONE>")
+  }
+
+  test("phrase blocklist: word-boundary hits only, keep is the complement") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a fast merge happened"),
+      (2L, "fastmerge is one word"),      // no boundary match
+      (3L, "the HASH VALUE is cased"),    // lowercased before matching
+      (4L, "nothing listed here")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("fast merge", "hash value")
+    val hit = docs.where(QualityFilters.blocklistHit(col("text"), phrases))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(hit.toSeq === Seq(1L, 3L))
+    val kept = QualityFilters.keepBlocklist(docs, "text", phrases)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L, 4L))
+    intercept[IllegalArgumentException] {
+      QualityFilters.blocklistHit(col("text"), Seq("bad(regex"))
+    }
   }
 }
