@@ -444,6 +444,18 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q73: corpus token-frequency quality metrics (CCNet-style rare-token
+    * signal, LM-free). One unique token is planted per doc (same string
+    * algebra in the oracle) so the rare path is exercised
+    * deterministically: every doc gets exactly one df=1 token. */
+  private val q73TokenDfMetrics: Q = (s, dir) => {
+    import graft.operators.QualityFilters
+    val planted = Tables(s, dir, "documents")
+      .withColumn("t", concat(col("text"), lit(" uniq"), col("doc_id").cast("string")))
+    QualityFilters.tokenFrequencyMetrics(planted, "doc_id", "t")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality scoring (training-data pipeline operator). */
   private val q23QualityScores: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -1156,6 +1168,7 @@ object SparkEntry {
     "q70_line_dedup" -> q70LineDedup,
     "q71_pii_redact" -> q71PiiRedact,
     "q72_blocklist" -> q72Blocklist,
+    "q73_token_df" -> q73TokenDfMetrics,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1573,6 +1586,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN regexp_matches(lower(text),
         |    '\\b(?:${BlockPhrases.mkString("|")})\\b') THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
         |FROM documents GROUP BY source ORDER BY source""").stripMargin,
+    // q73: token-df twin — identical tokenization to the q48/q60 oracles
+    // (lowercase, \s+ split, empties dropped), planted df=1 token per
+    // doc, integer sums + 6-dp rational ratios.
+    "q73_token_df" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(t)), '\s+'), w -> w <> '')) AS w
+        |  FROM planted),
+        |tdf AS (SELECT w, count(DISTINCT doc_id) AS tdf FROM toks GROUP BY 1)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(d.tdf) AS DOUBLE) / count(*), 6) AS mean_token_df,
+        |  CAST(min(d.tdf) AS BIGINT) AS min_token_df,
+        |  round(CAST(sum(CASE WHEN d.tdf < 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio
+        |FROM toks t JOIN tdf d USING (w)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q67_token_counts" ->
       (s"""SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),

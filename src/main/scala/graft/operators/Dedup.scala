@@ -520,13 +520,16 @@ object Dedup {
    * [[dropExactDuplicates]], which drops whole documents).
    *
    * Plan at corpus scale: one positional explode (narrow), a
-   * line-frequency aggregate keyed by the line, a co-partitioned join
-   * of the exploded lines against that frequency table (same key — no
-   * extra exchange after the aggregate), and one reassembly shuffle
-   * keyed by doc id. Nothing is ever keyed by a cross product; the
-   * hottest key is the most-repeated boilerplate line, whose frequency
-   * row is one (line, count) pair — skew lands on the pre-aggregated
-   * side, not on a reducer.
+   * line-frequency aggregate keyed by the line REDUCED to just the hot
+   * (≥ minDocs) lines, a LEFT ANTI join of the exploded lines against
+   * that hot set, and one reassembly shuffle keyed by doc id. The anti
+   * join's build side is the boilerplate subset — typically orders of
+   * magnitude smaller than the full distinct-line table, so Spark
+   * broadcasts it where an inner join against per-line counts would
+   * shuffle every unique line's frequency row. Nothing is ever keyed by
+   * a cross product; the hottest key is the most-repeated boilerplate
+   * line, whose row in the hot set is a single value — skew lands on
+   * the pre-aggregated side, not on a reducer.
    *
    * Output: (doc_id, n_lines, n_kept, kept_text) — surviving lines
    * joined with '\n' in original order ('' when none survive).
@@ -535,9 +538,11 @@ object Dedup {
                            minDocs: Int = 2): DataFrame = {
     val lines = df.select(col(idCol).cast("long").as("doc_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val lineDf = lines.groupBy(col("line"))
+    val hot = lines.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("line_df"))
-    val kept = lines.join(lineDf, Seq("line")).where(col("line_df") < minDocs)
+      .where(col("line_df") >= minDocs)
+      .select(col("line"))
+    val kept = lines.join(hot, Seq("line"), "left_anti")
     val tot = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
     val keptAgg = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),

@@ -234,4 +234,31 @@ object QualityFilters {
   /** Documents that pass the blocklist gate. */
   def keepBlocklist(docs: DataFrame, textCol: String, phrases: Seq[String]): DataFrame =
     docs.where(!blocklistHit(col(textCol), phrases))
+
+  /**
+   * Corpus token-frequency quality metrics — the CCNet-style rare-token
+   * signal without a language model: a document dominated by tokens no
+   * other document uses (OCR garbage, base64 blobs, synthetic IDs) shows
+   * a high `rare_ratio` and low `mean_token_df`; thresholding these is
+   * the cheap stand-in for LM-perplexity filtering. Two shuffles at
+   * corpus scale: the token document-frequency aggregate (keyed by the
+   * token) and the per-doc metric aggregate (keyed by the doc); the df
+   * join is co-partitioned with its own aggregate's output. Unlike
+   * [[Dedup.stripDuplicatedLines]] there is no hot-subset reduction —
+   * the mean needs EVERY token's frequency. Integer sums and 6-dp
+   * rational ratios only, so results are bit-exact cross-engine.
+   */
+  def tokenFrequencyMetrics(docs: DataFrame, idCol: String, textCol: String,
+                            rareDf: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(words(lower(col(textCol)))).as("w"))
+    val tdf = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("tdf"))
+    toks.join(tdf, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("tdf")).cast("double") / count(lit(1)), 6).as("mean_token_df"),
+        min(col("tdf")).as("min_token_df"),
+        round(sum(when(col("tdf") < rareDf, lit(1L)).otherwise(lit(0L))).cast("double")
+          / count(lit(1)), 6).as("rare_ratio"))
+  }
 }

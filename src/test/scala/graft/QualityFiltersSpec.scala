@@ -137,6 +137,26 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(out(2).getString(4) === "octets <IP> then <PHONE> twice <PHONE>")
   }
 
+  test("token-frequency metrics: hand-computed df, mean, min, rare ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),        // the:2 cat:2 sat:1
+      (2L, "THE CAT ran ran")     // lowercased; ran df=1, counted twice
+    ).toDF("doc_id", "text")
+    val out = QualityFilters.tokenFrequencyMetrics(docs, "doc_id", "text", rareDf = 2)
+      .orderBy("doc_id").collect()
+    // doc 1: dfs (2,2,1) → n=3 mean=5/3 min=1 rare=1/3
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) === math.rint(5.0 / 3 * 1e6) / 1e6)
+    assert(out(0).getLong(3) === 1L)
+    assert(out(0).getDouble(4) === math.rint(1.0 / 3 * 1e6) / 1e6)
+    // doc 2: dfs (2,2,1,1) → n=4 mean=6/4 min=1 rare=2/4
+    assert(out(1).getLong(1) === 4L)
+    assert(out(1).getDouble(2) === 1.5)
+    assert(out(1).getLong(3) === 1L)
+    assert(out(1).getDouble(4) === 0.5)
+  }
+
   test("phrase blocklist: word-boundary hits only, keep is the complement") {
     import spark.implicits._
     val docs = Seq(
