@@ -217,6 +217,18 @@ object EventStream {
   def qualityFilterStream(docs: DataFrame, textCol: String): DataFrame =
     docs.where(graft.operators.QualityFilters.keepPredicate(col(textCol)))
 
+  /** Streaming scrub gate — PII redaction + phrase blocklist applied at
+    * INGEST, ahead of [[qualityFilterStream]] and [[dedupStream]] in a
+    * streaming curation pipeline. Both stages are stateless column
+    * expressions ([[graft.operators.QualityFilters.redactPii]] /
+    * `blocklistHit`), so they run on an unbounded stream unchanged (no
+    * watermark, no state store) and are batch-identical by construction. */
+  def scrubStream(docs: DataFrame, textCol: String,
+                  blockPhrases: Seq[String]): DataFrame =
+    docs
+      .where(!graft.operators.QualityFilters.blocklistHit(col(textCol), blockPhrases))
+      .withColumn(textCol, graft.operators.QualityFilters.redactPii(col(textCol)))
+
   /** Per-(band,bucket) LSH claim: the first doc to hash into the bucket
     * within the horizon owns it (public: encoder codegen). */
   case class BandClaim(claimant: Long, claimMs: Long)

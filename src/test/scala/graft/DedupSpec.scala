@@ -181,6 +181,34 @@ class DedupSpec extends AnyFunSuite {
     assert(df === Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("line dedup matches a local reference on randomized corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242)
+    // small line vocabulary forces heavy cross-doc repetition
+    val vocab = Vector("alpha one", "beta two", "gamma", "delta four", "eps",
+      "zeta six", "eta", "theta eight")
+    for (trial <- 0 until 3) {
+      val minDocs = 2 + trial % 2
+      val docs = (0 until 40).map { i =>
+        val n = 1 + rng.nextInt(6)
+        (i.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString("\n"))
+      }
+      // plain-Scala reference
+      val lineDocs = docs.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+      val expected = docs.map { case (id, t) =>
+        val all = t.split("\n", -1).toSeq
+        val kept = all.filter(l => lineDocs(l) < minDocs)
+        (id, all.size.toLong, kept.size.toLong, kept.mkString("\n"))
+      }
+      val got = Dedup.stripDuplicatedLines(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minDocs)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(got === expected, s"trial $trial minDocs=$minDocs")
+    }
+  }
+
   test("LSH cosine pairs achieve high recall vs exact at threshold") {
     val e = Tables(spark, TestSpark.sfDir, "embeddings")
     val exact = SimilarityJoin.allPairs(e, "vec_id", "embedding")

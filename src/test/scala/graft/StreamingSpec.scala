@@ -142,4 +142,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchKept === kept)
     } finally q.stop()
   }
+
+  test("streaming scrub gate: blocklist drop + PII redaction, batch-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val scrubbed = graft.streaming.EventStream.scrubStream(
+      mem.toDF().toDF("doc_id", "text"), "text", Seq("forbidden phrase"))
+    val q = scrubbed.writeStream.outputMode("append")
+      .format("memory").queryName("scrub_stream").start()
+    try {
+      mem.addData(
+        (1L, "mail me at a@b.io or 555-1234"),
+        (2L, "contains the forbidden phrase here"),
+        (3L, "clean text no pii"))
+      q.processAllAvailable()
+      val rows = spark.table("scrub_stream")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      assert(rows.keySet === Set(1L, 3L)) // blocklisted doc dropped
+      assert(rows(1L) === "mail me at <EMAIL> or <PHONE>")
+      assert(rows(3L) === "clean text no pii")
+    } finally q.stop()
+  }
 }
