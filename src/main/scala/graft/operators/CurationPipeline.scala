@@ -116,4 +116,29 @@ object CurationPipeline {
       .toDF().withColumnRenamed("doc_id", "__pid")
     mixed.join(packed, col(idCol) === col("__pid")).drop("__pid")
   }
+
+  /**
+   * Optional scrub preamble (the round-7 stages) a pipeline applies
+   * BEFORE [[curate]]/[[report]]: phrase blocklist → PII redaction →
+   * boilerplate-line strip. Kept OUT of the gated DAG so q64's audit
+   * surface stays stable; the output feeds curate unchanged (same id,
+   * same columns, scrubbed text, line-stripped-empty docs dropped).
+   *
+   * Order rationale: blocklist is the cheapest whole-doc drop (one
+   * regex) and shrinks both later stages; redaction before line-strip
+   * so a line differing only in its PII spelling dedups as the
+   * boilerplate it is ("contact <EMAIL> for help" recurs even when
+   * every site has a different address).
+   */
+  def scrub(train: DataFrame, idCol: String, textCol: String,
+            blockPhrases: Seq[String], lineMinDocs: Int = 2): DataFrame = {
+    val blocked = QualityFilters.keepBlocklist(train, textCol, blockPhrases)
+      .withColumn(textCol, QualityFilters.redactPii(col(textCol)))
+    val stripped = Dedup.stripDuplicatedLines(blocked, idCol, textCol, lineMinDocs)
+      .where(col("n_kept") > 0)
+      .select(col("doc_id").as("__sid"), col("kept_text"))
+    blocked.join(stripped, col(idCol).cast("long") === col("__sid"))
+      .withColumn(textCol, col("kept_text"))
+      .drop("__sid", "kept_text")
+  }
 }

@@ -36,6 +36,23 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(report("packed_sequences") === 2)
   }
 
+  test("scrub preamble: blocklist drop, PII redacted, boilerplate lines stripped") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "keep me\nSHARED FOOTER\nmail a@b.io please", "s0"),
+      (1L, "other text\nSHARED FOOTER", "s1"),
+      (2L, "totally forbidden thing here", "s2"),   // blocklisted
+      (3L, "SHARED FOOTER", "s3")                   // nothing survives
+    ).toDF("doc_id", "text", "source")
+    val out = CurationPipeline.scrub(train, "doc_id", "text",
+        blockPhrases = Seq("forbidden thing"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 1L))
+    assert(out.map(_.getAs[String]("source")).toSeq === Seq("s0", "s1"))
+    assert(out(0).getAs[String]("text") === "keep me\nmail <EMAIL> please")
+    assert(out(1).getAs[String]("text") === "other text")
+  }
+
   test("curate returns the mixed survivors with their pack assignment") {
     import spark.implicits._
     val train = Seq((0L, good, "src3"), (1L, "too short", "src3"))
