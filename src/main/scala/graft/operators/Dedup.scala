@@ -484,7 +484,7 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double,
                             exactLimit: Long = 10000L,
-                            numBits: Int = 8, bands: Int = 8,
+                            numBits: Int = -1, bands: Int = 8,
                             seed: Long = 42L): DataFrame = {
     val n = df.select(col(idCol)).count()
     if (n <= exactLimit)
@@ -493,12 +493,26 @@ object Dedup {
       // and only survivors leave a task
       SimilarityJoin.thresholdPairs(df, idCol, vecCol, threshold)
     else {
+      // numBits = -1 → size the bucket space to the corpus: a FIXED bit
+      // width means buckets hold n/2^bits rows and the per-band candidate
+      // volume grows as n²/2^bits — at 500k vectors the 8-bit default
+      // emitted ~4e9 candidate pairs (measured: filled local disk).
+      // Targeting ~64 rows per bucket keeps candidates ≈ 32·n·bands —
+      // linear in n. The recall trade is real and documented: one band's
+      // collision probability is (1 − θ/π)^bits, so wider buckets lower
+      // per-band recall — near-duplicate thresholds (cosine ≥ ~0.8) keep
+      // high recall at these widths; for LOOSE thresholds pass numBits
+      // explicitly (and/or raise bands) instead of relying on auto.
+      val bits =
+        if (numBits > 0) numBits
+        else math.min(24, math.max(8,
+          math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"embeddingNearDupPairs: $n rows > exactLimit=$exactLimit — routing to " +
-          s"LSH candidates (numBits=$numBits, bands=$bands): recall is bounded, " +
+          s"LSH candidates (numBits=$bits, bands=$bands): recall is bounded, " +
           s"precision stays 1.0 (exact cosine verification)")
       SimilarityJoin.lshCosinePairs(df, idCol, vecCol, threshold,
-        numBits = numBits, bands = bands, seed = seed)
+        numBits = bits, bands = bands, seed = seed)
     }
   }
 

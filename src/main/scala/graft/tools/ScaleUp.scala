@@ -91,10 +91,13 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
     replicate("embeddings")((df, i) => {
+      // rotate by i mod dim so any copy count works (shift 0 = identity:
+      // the second slice takes length 0)
+      val sh = pmod(lit(i), size(col("embedding")))
       val rotated = if (i == 0) df.withColumn("__e", col("embedding"))
         else df.withColumn("__e", concat(
-          slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
-          slice(col("embedding"), lit(1), lit(i))))
+          slice(col("embedding"), sh + lit(1), size(col("embedding")) - sh),
+          slice(col("embedding"), lit(1), sh)))
       rotated
         .withColumn("vec_id", col("vec_id") + lit(i * vStride))
         .drop("embedding").withColumnRenamed("__e", "embedding")
