@@ -444,6 +444,27 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q74: the composed scrub preamble end to end (blocklist → PII
+    * redaction → line-strip). Docs are re-lined as in q70 plus ONE
+    * planted contact line that is unique per doc BEFORE redaction and
+    * identical across docs AFTER it — so the stage ORDER itself is
+    * hash-gated: redact-then-strip removes the line as boilerplate,
+    * strip-then-redact would keep all of them. */
+  private val q74ScrubPipeline: Q = (s, dir) => {
+    import graft.operators.CurationPipeline
+    val lined = Tables(s, dir, "documents")
+      .withColumn("__ws", split(col("text"), " "))
+      .withColumn("text", concat(
+        concat_ws("\n",
+          transform(sequence(lit(0L), ((size(col("__ws")) + 3) / 4).cast("long") - 1),
+            i => concat_ws(" ", slice(col("__ws"), (i * 4 + 1).cast("int"), lit(4))))),
+        lit("\ncontact user"), col("doc_id").cast("string"),
+        lit("@example.com now")))
+      .select(col("doc_id"), col("source"), col("text"))
+    CurationPipeline.scrub(lined, "doc_id", "text", BlockPhrases, lineMinDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** q73: corpus token-frequency quality metrics (CCNet-style rare-token
     * signal, LM-free). One unique token is planted per doc (same string
     * algebra in the oracle) so the rare path is exercised
@@ -1169,6 +1190,7 @@ object SparkEntry {
     "q71_pii_redact" -> q71PiiRedact,
     "q72_blocklist" -> q72Blocklist,
     "q73_token_df" -> q73TokenDfMetrics,
+    "q74_scrub_pipeline" -> q74ScrubPipeline,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1586,6 +1608,36 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN regexp_matches(lower(text),
         |    '\\b(?:${BlockPhrases.mkString("|")})\\b') THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
         |FROM documents GROUP BY source ORDER BY source""").stripMargin,
+    // q74: scrub-composition twin — q70's line reshape + the planted
+    // contact line, blocklist on the PRE-redaction text, then the same
+    // redaction chain and hot-line strip over the survivors.
+    "q74_scrub_pipeline" ->
+      (s"""WITH lined AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_transform(range((len(ws) + 3) // 4),
+        |      i -> array_to_string(ws[i*4+1:i*4+4], ' ')), chr(10))
+        |      || chr(10) || 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' AS text
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)),
+        |keptdocs AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '${graft.operators.QualityFilters.EmailRe}', '<EMAIL>', 'g'),
+        |      '${graft.operators.QualityFilters.Ipv4Re}', '<IP>', 'g'),
+        |      '${graft.operators.QualityFilters.PhoneRe}', '<PHONE>', 'g') AS t
+        |  FROM lined
+        |  WHERE NOT regexp_matches(lower(text), '\\b(?:${BlockPhrases.mkString("|")})\\b')),
+        |lines AS (
+        |  SELECT doc_id, source, unnest(string_split(t, chr(10))) AS line,
+        |         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+        |  FROM keptdocs),
+        |hot AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS d FROM lines GROUP BY 1)
+        |  WHERE d >= 2),
+        |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot))
+        |SELECT doc_id, min(source) AS source,
+        |  string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""").stripMargin,
     // q73: token-df twin — identical tokenization to the q48/q60 oracles
     // (lowercase, \s+ split, empties dropped), planted df=1 token per
     // doc, integer sums + 6-dp rational ratios.
