@@ -130,15 +130,20 @@ object CurationPipeline {
    * boilerplate it is ("contact <EMAIL> for help" recurs even when
    * every site has a different address).
    */
+  /** Note: the id comes back as BIGINT (the line-strip's canonical id
+    * form); every other column rides the reassembly aggregate, so the
+    * whole scrub is ONE pass over the corpus — no join back against the
+    * redacted frame (which would shuffle the full text a second time
+    * and re-evaluate the redaction regexes). */
   def scrub(train: DataFrame, idCol: String, textCol: String,
             blockPhrases: Seq[String], lineMinDocs: Int = 2): DataFrame = {
     val blocked = QualityFilters.keepBlocklist(train, textCol, blockPhrases)
       .withColumn(textCol, QualityFilters.redactPii(col(textCol)))
-    val stripped = Dedup.stripDuplicatedLines(blocked, idCol, textCol, lineMinDocs)
+    val carry = blocked.columns.filterNot(c => c == idCol || c == textCol).toSeq
+    Dedup.stripDuplicatedLines(blocked, idCol, textCol, lineMinDocs, carry)
       .where(col("n_kept") > 0)
-      .select(col("doc_id").as("__sid"), col("kept_text"))
-    blocked.join(stripped, col(idCol).cast("long") === col("__sid"))
+      .withColumnRenamed("doc_id", idCol)
       .withColumn(textCol, col("kept_text"))
-      .drop("__sid", "kept_text")
+      .select(col(idCol) +: carry.map(col) :+ col(textCol): _*)
   }
 }

@@ -545,27 +545,36 @@ object Dedup {
    * line, whose row in the hot set is a single value — skew lands on
    * the pre-aggregated side, not on a reducer.
    *
-   * Output: (doc_id, n_lines, n_kept, kept_text) — surviving lines
-   * joined with '\n' in original order ('' when none survive).
+   * Output: (doc_id, [carryCols...,] n_lines, n_kept, kept_text) —
+   * surviving lines joined with '\n' in original order ('' when none
+   * survive). `carryCols` are per-doc-constant columns ferried through
+   * the reassembly aggregate (via `first`), so a caller that needs the
+   * rest of its row back pays NO join against the input — at corpus
+   * scale that join is a second full-text shuffle plus a re-evaluation
+   * of whatever produced the text column.
    */
   def stripDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
-                           minDocs: Int = 2): DataFrame = {
-    val lines = df.select(col(idCol).cast("long").as("doc_id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+                           minDocs: Int = 2,
+                           carryCols: Seq[String] = Nil): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("doc_id") +:
+      carryCols.map(col) :+
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")): _*)
     val hot = lines.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .where(col("line_df") >= minDocs)
       .select(col("line"))
     val kept = lines.join(hot, Seq("line"), "left_anti")
-    val tot = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val tot = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        carryCols.map(c => first(col(c)).as(c)): _*)
     val keptAgg = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws("\n", transform(
           array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line"))).as("kept_text"))
     tot.join(keptAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .select(col("doc_id") +: carryCols.map(col) :+ col("n_lines") :+
+        coalesce(col("n_kept"), lit(0L)).as("n_kept") :+
+        coalesce(col("kept_text"), lit("")).as("kept_text"): _*)
   }
 }
