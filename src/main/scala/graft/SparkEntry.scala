@@ -41,10 +41,9 @@ object SparkEntry {
     * the DuckDB oracles are layout-generic (date_trunc/epoch_ns on the
     * timestamp column) and agree bit-for-bit either way. */
   private def eventsNs(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NTZ→timestamp cast goes through the session zone; pin it so the
-    // wall-clock readings are epoch-exact regardless of launcher flags
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // harness sessions are UTC-pinned at build; this repairs foreign
+    // sessions (see EventStream.pinEventSession — the one conf touchpoint)
+    graft.streaming.EventStream.pinEventSession(s)
     val df = Tables(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df

@@ -41,8 +41,11 @@ object AnnIndex {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"))
     val typed = base.as[(Long, Array[Float])]
-    // dimension from data: max(size) is deterministic under any row order
-    val d = base.agg(max(size(col("vec")))).head().getInt(0)
+    // dimension from ONE sampled row (uniform-width vectors by contract)
+    // — a limit-1 scan instead of a full-corpus max(size) aggregate
+    val dRow = base.where(col("vec").isNotNull).select(size(col("vec"))).head(1)
+    require(dRow.nonEmpty, s"buildIvf: input has no non-null '$vecCol' vectors")
+    val d = dRow(0).getInt(0)
     val centroidsF =
       ServingIndex.trainCentroids(typed.rdd, d, nlist, iterations, seed)
     val bc = spark.sparkContext.broadcast(centroidsF)

@@ -78,9 +78,12 @@ object Clustering {
     import spark.implicits._
     val typed = df.select(lit(0L), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
-    // dimension from data: max(size) is deterministic under any row order
-    val d = df.agg(max(size(col(vecCol)))).head().getInt(0)
-    ServingIndex.trainCentroids(typed.rdd, d, k, iterations, seed)
+    // dimension from ONE sampled row (vectors are uniform-width by
+    // contract) — a limit-1 scan, not a full-corpus max(size) aggregate;
+    // assignment stays the only corpus pass
+    val sample = df.where(col(vecCol).isNotNull).select(size(col(vecCol))).head(1)
+    require(sample.nonEmpty, s"fitCentroids: input has no non-null '$vecCol' vectors")
+    ServingIndex.trainCentroids(typed.rdd, sample(0).getInt(0), k, iterations, seed)
   }
 
   /** [[profileWith]] under precomputed centroids: one broadcast + one

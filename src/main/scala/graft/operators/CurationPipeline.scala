@@ -130,11 +130,13 @@ object CurationPipeline {
    * boilerplate it is ("contact <EMAIL> for help" recurs even when
    * every site has a different address).
    */
-  /** Note: the id comes back as BIGINT (the line-strip's canonical id
-    * form); every other column rides the reassembly aggregate, so the
-    * whole scrub is ONE pass over the corpus — no join back against the
-    * redacted frame (which would shuffle the full text a second time
-    * and re-evaluate the redaction regexes). */
+  /** Note: the id comes back as BIGINT under its own name (the
+    * line-strip casts it — no rename step, so a carry column that
+    * happens to be named `doc_id` can never collide); every other
+    * column rides the reassembly aggregate, so the whole scrub is ONE
+    * pass over the corpus — no join back against the redacted frame
+    * (which would shuffle the full text a second time and re-evaluate
+    * the redaction regexes). */
   def scrub(train: DataFrame, idCol: String, textCol: String,
             blockPhrases: Seq[String], lineMinDocs: Int = 2): DataFrame = {
     val blocked = QualityFilters.keepBlocklist(train, textCol, blockPhrases)
@@ -142,7 +144,6 @@ object CurationPipeline {
     val carry = blocked.columns.filterNot(c => c == idCol || c == textCol).toSeq
     Dedup.stripDuplicatedLines(blocked, idCol, textCol, lineMinDocs, carry)
       .where(col("n_kept") > 0)
-      .withColumnRenamed("doc_id", idCol)
       .withColumn(textCol, col("kept_text"))
       .select(col(idCol) +: carry.map(col) :+ col(textCol): _*)
   }

@@ -533,48 +533,60 @@ object Dedup {
    * document, while the documents themselves survive; contrast
    * [[dropExactDuplicates]], which drops whole documents).
    *
-   * Plan at corpus scale: one positional explode (narrow), a
-   * line-frequency aggregate keyed by the line REDUCED to just the hot
-   * (≥ minDocs) lines, a LEFT ANTI join of the exploded lines against
-   * that hot set, and one reassembly shuffle keyed by doc id. The anti
-   * join's build side is the boilerplate subset — typically orders of
-   * magnitude smaller than the full distinct-line table, so Spark
-   * broadcasts it where an inner join against per-line counts would
-   * shuffle every unique line's frequency row. Nothing is ever keyed by
-   * a cross product; the hottest key is the most-repeated boilerplate
-   * line, whose row in the hot set is a single value — skew lands on
-   * the pre-aggregated side, not on a reducer.
+   * Plan at corpus scale: the positional explode is evaluated TWICE —
+   * once to build the hot-line set (a line-frequency aggregate reduced
+   * to just the ≥ minDocs lines) and once to mark each exploded line
+   * against it via a LEFT join — then ONE reassembly aggregate keyed by
+   * doc id computes totals, survivor counts and the rebuilt text
+   * together (no totals-vs-kept join). The mark join's build side is
+   * the boilerplate subset — typically orders of magnitude smaller than
+   * the full distinct-line table, so Spark broadcasts it where an inner
+   * join against per-line counts would shuffle every unique line's
+   * frequency row. Nothing is ever keyed by a cross product; the
+   * hottest key is the most-repeated boilerplate line, whose row in the
+   * hot set is a single value — skew lands on the pre-aggregated side,
+   * not on a reducer. (Persisting the exploded corpus would trade
+   * executor memory for the second explode pass; at 100 TB the explode
+   * is a cheap narrow map over the scan, so the two-pass shape wins.)
    *
-   * Output: (doc_id, [carryCols...,] n_lines, n_kept, kept_text) —
-   * surviving lines joined with '\n' in original order ('' when none
-   * survive). `carryCols` are per-doc-constant columns ferried through
-   * the reassembly aggregate (via `first`), so a caller that needs the
-   * rest of its row back pays NO join against the input — at corpus
-   * scale that join is a second full-text shuffle plus a re-evaluation
-   * of whatever produced the text column.
+   * Output: (idCol, [carryCols...,] n_lines, n_kept, kept_text) — the
+   * id comes back under its input name, cast to BIGINT; surviving lines
+   * joined with '\n' in original order ('' when none survive).
+   * `carryCols` are per-doc-constant columns ferried through the
+   * reassembly aggregate (via `first`), so a caller that needs the rest
+   * of its row back pays NO join against the input — at corpus scale
+   * that join is a second full-text shuffle plus a re-evaluation of
+   * whatever produced the text column. Internal working columns use a
+   * `__sdl_` prefix, so carry columns named `pos`/`line`/`doc_id` pass
+   * through unharmed.
    */
   def stripDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
                            minDocs: Int = 2,
                            carryCols: Seq[String] = Nil): DataFrame = {
-    val lines = df.select(col(idCol).cast("long").as("doc_id") +:
+    val out = Set("n_lines", "n_kept", "kept_text")
+    require(!carryCols.exists(out), s"carryCols may not shadow ${out.mkString("/")}")
+    val (i, p, l, h) = ("__sdl_id", "__sdl_pos", "__sdl_line", "__sdl_hot")
+    val lines = df.select(col(idCol).cast("long").as(i) +:
       carryCols.map(col) :+
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")): _*)
-    val hot = lines.groupBy(col("line"))
-      .agg(countDistinct(col("doc_id")).as("line_df"))
-      .where(col("line_df") >= minDocs)
-      .select(col("line"))
-    val kept = lines.join(hot, Seq("line"), "left_anti")
-    val tot = lines.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_lines"),
-        carryCols.map(c => first(col(c)).as(c)): _*)
-    val keptAgg = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws("\n", transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line"))).as("kept_text"))
-    tot.join(keptAgg, Seq("doc_id"), "left")
-      .select(col("doc_id") +: carryCols.map(col) :+ col("n_lines") :+
-        coalesce(col("n_kept"), lit(0L)).as("n_kept") :+
-        coalesce(col("kept_text"), lit("")).as("kept_text"): _*)
+      posexplode(split(col(textCol), "\n")).as(Seq(p, l)): _*)
+    val hot = lines.groupBy(col(l))
+      .agg(countDistinct(col(i)).as("__sdl_df"))
+      .where(col("__sdl_df") >= minDocs)
+      .select(col(l), lit(true).as(h))
+    // collect_list skips NULLs, so the hot-marked rows vanish from the
+    // rebuilt text while still counting toward n_lines — one aggregate
+    // yields totals, survivors and reassembly together
+    val marked = lines.join(hot, Seq(l), "left")
+    val aggs =
+      count(lit(1)).as("n_lines") +:
+      count(when(col(h).isNull, lit(1))).as("n_kept") +:
+      concat_ws("\n", transform(
+        array_sort(collect_list(when(col(h).isNull, struct(col(p), col(l))))),
+        x => x.getField(l))).as("kept_text") +:
+      carryCols.map(c => first(col(c)).as(c))
+    marked.groupBy(col(i))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(i).as(idCol) +: carryCols.map(col) :+ col("n_lines") :+
+        col("n_kept") :+ col("kept_text"): _*)
   }
 }

@@ -140,12 +140,13 @@ object QualityFilters {
    * word-count form here is the same signal with exact SQL parity.)
    *
    * Shape at scale: counting a gram's multiplicity needs a group-by, so
-   * this is deliberately RELATIONAL — explode to (doc, gram), two
-   * map-side-combined hash aggregations on narrow keys — rather than a
-   * per-row array combinator, whose max-multiplicity scan would be
-   * O(words²) per document and blow up on a single 100k-word document.
-   * The shuffle key (doc_id, gram) is fine-grained, so one huge document
-   * spreads across reducers instead of hot-spotting one.
+   * this is deliberately RELATIONAL — explode to (doc, order, gram-hash),
+   * two map-side-combined hash aggregations on narrow integer keys —
+   * rather than a per-row array combinator, whose max-multiplicity scan
+   * would be O(words²) per document and blow up on a single 100k-word
+   * document. The shuffle key (doc_id, order, hash) is fine-grained, so
+   * one huge document spreads across reducers instead of hot-spotting
+   * one.
    *
    * Thresholds default to this corpus's split points and are
    * parameters — Gopher's own (0.2 top-2-gram, char basis) are web-text
@@ -163,24 +164,43 @@ object QualityFilters {
                         maxDupBigramFrac: Double = 0.05,
                         maxTopBigramFrac: Double = 0.06,
                         maxDupTrigramFrac: Double = 0.02): DataFrame = {
-    // gram construction is the hot loop — widen a narrow file scan once
-    // for both n-gram passes (no-op at corpus scale)
+    // gram construction is the hot loop — widen a narrow file scan
+    // (no-op at corpus scale)
     val src = Par.widen(docs)
-    def ngramAgg(n: Int, pfx: String): DataFrame = {
-      val ws = words(lower(col(textCol)))
-      val grams = when(size(ws) >= n,
-        transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n))))
-      ).otherwise(array().cast("array<string>"))
-      src.select(col(idCol), explode(grams).as("g"))
-        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col(idCol))
-        .agg(sum(col("c")).as(s"n_${pfx}s"),
-          (sum(col("c")) - count(lit(1))).as(s"n_dup_${pfx}s"),
-          max(col("c")).as(s"n_top_$pfx"))
-    }
-
-    ngramAgg(2, "bigram").join(ngramAgg(3, "trigram"), Seq(idCol))
+    val ws = words(lower(col(textCol)))
+    // A gram is represented by the xxhash64 of its WORD SLICE: the words
+    // themselves never concatenate into a gram string and never leave
+    // the row — the shuffle key is (doc, order, 8-byte hash) instead of
+    // (doc, gram string), which at ~200M grams per 500k web documents
+    // roughly halves shuffle bytes and skips the per-gram string build
+    // entirely. Multiplicity counting only needs the key to be injective
+    // per document; an xxhash64 collision WITHIN one document's gram set
+    // (≈ m²/2⁶⁵ for m grams — vanishing for any real document) is the
+    // only way a count can drift. The array hash folds per element, so
+    // ["a","bc"] and ["ab","c"] cannot alias.
+    def grams(n: Int): Column = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => struct(lit(n).as("n"), xxhash64(slice(ws, i + 1, lit(n))).as("h")))
+    ).otherwise(array().cast("array<struct<n:int,h:bigint>>"))
+    // ONE explode feeds both gram orders; per-(doc,order,gram) counts
+    // then collapse in a single conditional aggregate — no bigram-vs-
+    // trigram join, and the fine-grained (doc, order, hash) shuffle key
+    // still spreads a single huge document across reducers.
+    val counted = src
+      .select(col(idCol), explode(concat(grams(2), grams(3))).as("g"))
+      .groupBy(col(idCol), col("g.n").as("n"), col("g.h").as("h"))
+      .agg(count(lit(1)).as("c"))
+    def order(n: Int, pfx: String): Seq[Column] = Seq(
+      sum(when(col("n") === n, col("c"))).as(s"n_${pfx}s"),
+      (sum(when(col("n") === n, col("c"))) -
+        count(when(col("n") === n, lit(1)))).as(s"n_dup_${pfx}s"),
+      max(when(col("n") === n, col("c"))).as(s"n_top_$pfx"))
+    val aggs = order(2, "bigram") ++ order(3, "trigram")
+    counted.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      // a doc missing either gram order never aggregated on that order:
+      // drop it, as the former bigram⋈trigram inner join did
+      .where(col("n_bigrams").isNotNull && col("n_trigrams").isNotNull)
       .withColumn("keep_repetition",
         col("n_dup_bigrams") <= lit(maxDupBigramFrac) * col("n_bigrams") &&
         col("n_top_bigram") <= lit(maxTopBigramFrac) * col("n_bigrams") &&

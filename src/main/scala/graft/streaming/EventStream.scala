@@ -27,13 +27,28 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Harness-wide event-time contract: every session is pinned to UTC
+    * at BUILD time (Verify / Bench / Graft all set
+    * `spark.sql.session.timeZone` on their builders), so within this
+    * harness event queries are order-independent. This idempotent
+    * repair exists for FOREIGN sessions (e.g. a driver smoke-check
+    * that builds its own session): the NTZ→timestamp cast in the
+    * layout normalizers must not depend on the launcher's local zone.
+    * It is deliberately the ONLY place the library touches session
+    * conf — callers embedding the library in a zone-sensitive app
+    * should pin the zone on their own builder. Also enables the
+    * legacy nanos-as-long read path (ts layout #1). */
+  private[graft] def pinEventSession(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   /** Streaming source over a parquet directory of event files. A one-off
     * batch footer read decides which ts layout the directory carries (a
     * streaming source needs its schema up front); both layouts come out
     * as the canonical nanos-long `ts` + `event_time` timestamp. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pinEventSession(spark)
     val tsType = spark.read.parquet(dir).schema("ts").dataType
     val fileSchema = StructType(eventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
@@ -54,8 +69,7 @@ object EventStream {
     * parquet path and come out with `ts` as BIGINT epoch nanos whichever
     * physical layout the files carry. */
   def normalizedBatch(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pinEventSession(spark)
     val df = spark.read.parquet(path)
     df.schema("ts").dataType match {
       case LongType => df
