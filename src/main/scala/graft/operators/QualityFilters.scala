@@ -139,14 +139,19 @@ object QualityFilters {
    * trigrams. (Gopher measures character fractions on web text; the
    * word-count form here is the same signal with exact SQL parity.)
    *
-   * Shape at scale: counting a gram's multiplicity needs a group-by, so
-   * this is deliberately RELATIONAL — explode to (doc, order, gram-hash),
-   * two map-side-combined hash aggregations on narrow integer keys —
-   * rather than a per-row array combinator, whose max-multiplicity scan
-   * would be O(words²) per document and blow up on a single 100k-word
-   * document. The shuffle key (doc_id, order, hash) is fine-grained, so
-   * one huge document spreads across reducers instead of hot-spotting
-   * one.
+   * Shape at scale: the three metrics per gram order — total count,
+   * duplicate count, max multiplicity — are all order-statistics of the
+   * document's own gram multiset, so they compute per row from a SORTED
+   * array of gram hashes: total = size, duplicates = size −
+   * distinct-size, top = longest equal-run. That is O(m log m) per
+   * document and SHUFFLE-FREE — the former relational shape (explode to
+   * (doc, gram), two hash aggregations, a bigram⋈trigram join) moved
+   * ~400 gram rows per document through two full shuffles and was
+   * measured 4–10× slower at 500k documents. A naive per-row
+   * count-matches combinator would be O(m²) per document; the sort
+   * bounds the worst single-document cost at m log m compares (a
+   * 100k-word outlier sorts in milliseconds inside its own task, no
+   * reducer hot-spots).
    *
    * Thresholds default to this corpus's split points and are
    * parameters — Gopher's own (0.2 top-2-gram, char basis) are web-text
@@ -167,39 +172,27 @@ object QualityFilters {
     // gram construction is the hot loop — widen a narrow file scan
     // (no-op at corpus scale)
     val src = Par.widen(docs)
-    val ws = words(lower(col(textCol)))
-    // A gram is represented by the xxhash64 of its WORD SLICE: the words
-    // themselves never concatenate into a gram string and never leave
-    // the row — the shuffle key is (doc, order, 8-byte hash) instead of
-    // (doc, gram string), which at ~200M grams per 500k web documents
-    // roughly halves shuffle bytes and skips the per-gram string build
-    // entirely. Multiplicity counting only needs the key to be injective
-    // per document; an xxhash64 collision WITHIN one document's gram set
-    // (≈ m²/2⁶⁵ for m grams — vanishing for any real document) is the
-    // only way a count can drift. The array hash folds per element, so
-    // ["a","bc"] and ["ab","c"] cannot alias.
-    def grams(n: Int): Column = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => struct(lit(n).as("n"), xxhash64(slice(ws, i + 1, lit(n))).as("h")))
-    ).otherwise(array().cast("array<struct<n:int,h:bigint>>"))
-    // ONE explode feeds both gram orders; per-(doc,order,gram) counts
-    // then collapse in a single conditional aggregate — no bigram-vs-
-    // trigram join, and the fine-grained (doc, order, hash) shuffle key
-    // still spreads a single huge document across reducers.
-    val counted = src
-      .select(col(idCol), explode(concat(grams(2), grams(3))).as("g"))
-      .groupBy(col(idCol), col("g.n").as("n"), col("g.h").as("h"))
-      .agg(count(lit(1)).as("c"))
-    def order(n: Int, pfx: String): Seq[Column] = Seq(
-      sum(when(col("n") === n, col("c"))).as(s"n_${pfx}s"),
-      (sum(when(col("n") === n, col("c"))) -
-        count(when(col("n") === n, lit(1)))).as(s"n_dup_${pfx}s"),
-      max(when(col("n") === n, col("c"))).as(s"n_top_$pfx"))
-    val aggs = order(2, "bigram") ++ order(3, "trigram")
-    counted.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      // a doc missing either gram order never aggregated on that order:
-      // drop it, as the former bigram⋈trigram inner join did
+    // The whole gram computation is ONE native Catalyst expression per
+    // row ([[graft.functions.GramRepetitionStats]]): tokens hashed once,
+    // adjacent hashes combined into bigram/trigram keys, each key array
+    // sorted and scanned for total/dup/longest-run — O(m log m) per
+    // document inside whole-stage codegen. Staged through its own
+    // projection so the struct is computed once and the field reads stay
+    // cheap attribute extracts (CollapseProject will not duplicate a
+    // non-cheap expression). The trigram (or whole) struct is null for
+    // docs below 3 (or 2) words; the filter drops them exactly like the
+    // relational form's bigram⋈trigram inner join did.
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val statsExpr = toCol(graft.functions.GramRepetitionStats(
+      toExpr(words(lower(col(textCol))))))
+    src.select(col(idCol), statsExpr.as("__r"))
+      .select(col(idCol),
+        col("__r.n_bigrams").as("n_bigrams"),
+        col("__r.n_dup_bigrams").as("n_dup_bigrams"),
+        col("__r.n_top_bigram").as("n_top_bigram"),
+        col("__r.n_trigrams").as("n_trigrams"),
+        col("__r.n_dup_trigrams").as("n_dup_trigrams"),
+        col("__r.n_top_trigram").as("n_top_trigram"))
       .where(col("n_bigrams").isNotNull && col("n_trigrams").isNotNull)
       .withColumn("keep_repetition",
         col("n_dup_bigrams") <= lit(maxDupBigramFrac) * col("n_bigrams") &&
