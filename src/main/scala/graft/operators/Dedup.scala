@@ -481,10 +481,70 @@ object Dedup {
    * got. Callers needing a guaranteed-exact result at any size pass
    * `exactLimit = Long.MaxValue` (and own the n² cost).
    */
+  /** Auto-sized LSH signature width for [[embeddingNearDupPairs]]'s
+    * scale route. A FIXED width means buckets hold n/2^bits rows and
+    * per-band candidate volume grows as n²/2^bits — at 500k vectors the
+    * historical 8-bit default emitted ~4e9 candidate pairs (measured:
+    * filled local disk). Targeting ~64 rows per bucket keeps candidates
+    * ≈ 32·n·bands, linear in n. The recall trade is real and MEASURED
+    * (not just argued): one band's collision probability for a pair at
+    * angle θ is (1 − θ/π)^bits, so wider signatures lower per-band
+    * recall — [[lshPairRecall]] quantifies the route against the exact
+    * blocked scan, DedupSpec gates it (pair recall ≥ 0.9 at cosine 0.8
+    * for the widths this function picks at n = 50k and 500k), and
+    * BENCH.md's ×100 table publishes the measured numbers. */
+  def autoLshBits(n: Long): Int =
+    math.min(24, math.max(8,
+      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
+
+  /** Auto-sized band count to PAIR with [[autoLshBits]]: more bits per
+    * band cut candidate volume but lower per-band collision odds, so
+    * holding a recall floor requires bands to grow with width. Solves
+    * 1 − (1 − p)^b ≥ target at the design point p = (1 − angle/π)^bits
+    * with angle = arccos(0.9) — the conservative END of the
+    * near-duplicate range (true near-dups sit at cosine ≥ 0.95 where
+    * per-band odds are far better, so the floor holds with margin
+    * there; pairs AT a loose 0.8 boundary are under-recalled by any
+    * hyperplane-LSH at linear cost — that residual is the documented
+    * trade). Candidates stay ≈ 32 · n · bands — linear in n, with the
+    * band factor growing ~logarithmically via bits. */
+  def autoLshBands(numBits: Int, target: Double = 0.95): Int = {
+    val p = math.pow(1.0 - math.acos(0.9) / math.Pi, numBits.toDouble)
+    math.min(64, math.max(8,
+      math.ceil(math.log1p(-target) / math.log1p(-p)).toInt))
+  }
+
+  /** Measured pair recall of the LSH near-dup route against the exact
+    * blocked threshold scan on the same frame — the quality gate for
+    * the auto-sized widths (the methodology of the reference's own
+    * exact-vs-approx recall checks, ref: day_6/day6_complete.py:249-263,
+    * applied to the pair problem). Run on a SAMPLE whose size is
+    * exact-feasible but with the bits/bands the auto-sizing would pick
+    * at the TARGET corpus size: per-band collision probability depends
+    * only on the widths and the pair's angle, never on n, so sample
+    * recall estimates full-corpus recall for the same widths.
+    * Returns (recall, lshHits, exactPairs); recall is 1.0 when the
+    * frame has no exact pairs at the threshold. */
+  def lshPairRecall(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, numBits: Int, bands: Int = 8,
+                    seed: Long = 42L): (Double, Long, Long) = {
+    val exact = SimilarityJoin.thresholdPairs(df, idCol, vecCol, threshold)
+      .select(col("id_a"), col("id_b")).cache()
+    try {
+      val nExact = exact.count()
+      val hit = SimilarityJoin.lshCosinePairs(df, idCol, vecCol, threshold,
+          numBits = numBits, bands = bands, seed = seed)
+        .select(col("id_a"), col("id_b"))
+        .join(exact, Seq("id_a", "id_b"), "left_semi")
+        .count()
+      (if (nExact == 0) 1.0 else hit.toDouble / nExact, hit, nExact)
+    } finally exact.unpersist(false)
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double,
                             exactLimit: Long = 10000L,
-                            numBits: Int = -1, bands: Int = 8,
+                            numBits: Int = -1, bands: Int = -1,
                             seed: Long = 42L): DataFrame = {
     val n = df.select(col(idCol)).count()
     if (n <= exactLimit)
@@ -493,26 +553,26 @@ object Dedup {
       // and only survivors leave a task
       SimilarityJoin.thresholdPairs(df, idCol, vecCol, threshold)
     else {
-      // numBits = -1 → size the bucket space to the corpus: a FIXED bit
-      // width means buckets hold n/2^bits rows and the per-band candidate
-      // volume grows as n²/2^bits — at 500k vectors the 8-bit default
-      // emitted ~4e9 candidate pairs (measured: filled local disk).
-      // Targeting ~64 rows per bucket keeps candidates ≈ 32·n·bands —
-      // linear in n. The recall trade is real and documented: one band's
-      // collision probability is (1 − θ/π)^bits, so wider buckets lower
-      // per-band recall — near-duplicate thresholds (cosine ≥ ~0.8) keep
-      // high recall at these widths; for LOOSE thresholds pass numBits
-      // explicitly (and/or raise bands) instead of relying on auto.
-      val bits =
-        if (numBits > 0) numBits
-        else math.min(24, math.max(8,
-          math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"embeddingNearDupPairs: $n rows > exactLimit=$exactLimit — routing to " +
-          s"LSH candidates (numBits=$bits, bands=$bands): recall is bounded, " +
-          s"precision stays 1.0 (exact cosine verification)")
+      val bits = if (numBits > 0) numBits else autoLshBits(n)
+      val b = if (bands > 0) bands else autoLshBands(bits)
+      // closed-form per-pair recall AT the caller's threshold — the
+      // floor of what a boundary pair sees (true near-dups sit higher
+      // and recall better); measured confirmation in DedupSpec/BENCH.md
+      val pBand = math.pow(1.0 - math.acos(math.min(1.0, threshold)) / math.Pi,
+        bits.toDouble)
+      val predicted = 1.0 - math.pow(1.0 - pBand, b.toDouble)
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      log.warn(f"embeddingNearDupPairs: $n rows > exactLimit=$exactLimit — routing to " +
+        f"LSH candidates (numBits=$bits, bands=$b): precision stays 1.0 (exact " +
+        f"cosine verification); predicted recall for a pair AT cosine $threshold " +
+        f"is $predicted%.3f (measured gates: DedupSpec / BENCH.md)")
+      if (predicted < 0.5)
+        log.warn(f"embeddingNearDupPairs: threshold $threshold is OUTSIDE the " +
+          f"hyperplane-LSH near-dup regime at these widths (boundary-pair recall " +
+          f"$predicted%.3f) — raise exactLimit (exact scan), pass explicit " +
+          f"numBits/bands, or use MinHash on text shingles for loose matching")
       SimilarityJoin.lshCosinePairs(df, idCol, vecCol, threshold,
-        numBits = bits, bands = bands, seed = seed)
+        numBits = bits, bands = b, seed = seed)
     }
   }
 

@@ -221,4 +221,36 @@ class DedupSpec extends AnyFunSuite {
     val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.7, s"LSH recall $recall over ${exact.size} pairs")
   }
+
+  test("auto-sized LSH widths hold >=0.9 pair recall at theta 0.8 (50k and 500k widths)") {
+    // The widths the auto-sizing picks at the two audited corpus sizes —
+    // a formula regression first, so a silent resize can't dodge the gate
+    assert(Dedup.autoLshBits(50000L) === 10)
+    assert(Dedup.autoLshBits(500000L) === 13)
+    assert(Dedup.autoLshBands(10) === 13)
+    assert(Dedup.autoLshBands(13) === 21)
+    // Seeded fixture with GROUND-TRUTH near-dups planted at exact
+    // cosines in [0.88, 0.995] (the perturbed-copy range — the synthetic
+    // embeddings tables have no true near-dups, their closest background
+    // pairs sit at cosine 0.4–0.5). Per-band collision probability
+    // depends only on widths and pair angle, never on n, so recall on
+    // this fixture measures what the full 50k/500k corpus would see
+    // under the same widths. Everything is seeded ⇒ the measured recall
+    // is a constant, not a flaky statistic.
+    val rng = new scala.util.Random(42)
+    val base = Array.tabulate(2000) { i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))
+    }
+    val plants = graft.tools.LshRecall.planted(base, 300, 1000000L)
+    val df = (base ++ plants).toSeq.toDF("vec_id", "embedding")
+    for (targetN <- Seq(50000L, 500000L)) {
+      val bits = Dedup.autoLshBits(targetN)
+      val bands = Dedup.autoLshBands(bits)
+      val (recall, _, nExact) =
+        Dedup.lshPairRecall(df, "vec_id", "embedding", 0.8, bits, bands)
+      assert(nExact === plants.length.toLong) // exact scan finds exactly the plants
+      assert(recall >= 0.9,
+        s"auto-width LSH recall $recall at bits=$bits bands=$bands (targetN=$targetN)")
+    }
+  }
 }
