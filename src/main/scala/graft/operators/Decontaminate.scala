@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
  * no shuffle of training data at all. Per-doc grams are de-duplicated
  * BEFORE the join (`array_distinct`) so a gram repeated inside one
  * document can't inflate the candidate stream.
+ *
+ * The broadcast is BOUNDED (round 8): a pathological benchmark (someone
+ * passes a corpus as the "benchmark") must not OOM the driver, so the
+ * gram volume is estimated first from a cheap word-count scan — an
+ * overestimate of the distinct gram count, conservative in the safe
+ * direction — and past `maxBroadcastGrams` the join degrades to a
+ * shuffled hash join on the gram key (documented fallback: both sides
+ * shuffle on the gram, the benchmark side builds the hash map; same
+ * rows, one extra exchange of the candidate stream).
  */
 object Decontaminate {
 
@@ -31,11 +40,31 @@ object Decontaminate {
   }
 
   /** Contaminated training docs: `(idCol, n_shared)` — the count of
-    * DISTINCT n-grams each shares with the benchmark set. */
+    * DISTINCT n-grams each shares with the benchmark set.
+    * `maxBroadcastGrams` caps the driver-collected side (~8-gram rows
+    * average ≈100 bytes; the 5M default bounds the broadcast around
+    * half a GB); a larger benchmark routes to the shuffle fallback. */
   def contaminated(train: DataFrame, benchmark: DataFrame,
-                   idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val bench = broadcast(grams(benchmark, idCol, textCol, n)
-      .select(col("gram")).distinct())
+                   idCol: String, textCol: String, n: Int = 8,
+                   maxBroadcastGrams: Long = 5000000L): DataFrame = {
+    val benchGrams = grams(benchmark, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    // cheap upper bound on the gram count: total words (≥ grams per doc,
+    // ≥ distinct grams) — one narrow scan, no gram strings built, and an
+    // overestimate can only choose the safe (shuffle) route
+    val estimate = benchmark
+      .agg(sum(size(graft.functions.TextFunctions.wordTokens(
+        lower(col(textCol))))).as("w"))
+      .head().getAs[Number](0) match { case null => 0L; case x => x.longValue() }
+    val bench =
+      if (estimate <= maxBroadcastGrams) broadcast(benchGrams)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"decontaminate: benchmark word count $estimate exceeds " +
+            s"maxBroadcastGrams=$maxBroadcastGrams — falling back to a " +
+            s"shuffled hash join on the gram key (no driver broadcast)")
+        benchGrams.hint("shuffle_hash")
+      }
     // both sides are already distinct (per-doc array_distinct on train,
     // .distinct() on bench), so the join emits one row per (doc, gram) —
     // a plain count equals count-distinct without the extra dedup
@@ -48,7 +77,10 @@ object Decontaminate {
 
   /** The transform: training set minus contaminated docs (anti-join). */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
-                    idCol: String, textCol: String, n: Int = 8): DataFrame =
-    train.join(contaminated(train, benchmark, idCol, textCol, n).select(col(idCol)),
+                    idCol: String, textCol: String, n: Int = 8,
+                    maxBroadcastGrams: Long = 5000000L): DataFrame =
+    train.join(
+      contaminated(train, benchmark, idCol, textCol, n, maxBroadcastGrams)
+        .select(col(idCol)),
       Seq(idCol), "left_anti")
 }

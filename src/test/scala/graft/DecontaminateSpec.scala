@@ -44,4 +44,31 @@ class DecontaminateSpec extends AnyFunSuite {
     val train = Seq((1L, "a b")).toDF("doc_id", "text")
     assert(Decontaminate.contaminated(train, bench, "doc_id", "text", n = 8).count() === 0)
   }
+
+  test("oversized benchmark falls back to a shuffle join with identical output") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "spark engines shuffle columnar batches across executors nightly")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog and more"),
+      (2L, "the quick brown cat sleeps all day in the warm sun here"),
+      (3L, "completely unrelated text about spark query engines and columnar io")
+    ).toDF("doc_id", "text")
+    // cap of 0 forces the fallback on any non-empty benchmark
+    val fallback = Decontaminate.decontaminate(train, bench, "doc_id", "text",
+      n = 5, maxBroadcastGrams = 0L)
+    val viaBroadcast = Decontaminate.decontaminate(train, bench, "doc_id", "text",
+      n = 5)
+    assert(fallback.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      viaBroadcast.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // the gram join must NOT be a broadcast-hash join on the fallback
+    // route (that is the whole point of the cap) — the contaminated
+    // subquery's physical plan carries the join strategy
+    val plan = Decontaminate.contaminated(train, bench, "doc_id", "text",
+      n = 5, maxBroadcastGrams = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"expected shuffle join, got:\n$plan")
+  }
 }
