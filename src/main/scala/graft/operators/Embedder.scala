@@ -102,12 +102,18 @@ object Embedder {
     def getOrOpen(factory: ModelSessionFactory): ModelSession =
       sessions.computeIfAbsent(factory.key, _ => factory.open())
     def closeAll(): Unit = {
-      val it = sessions.entrySet().iterator()
+      val it = sessions.keySet().iterator()
       while (it.hasNext) {
-        val s = it.next()
-        it.remove()
-        // release the rest even if one native close throws
-        try s.getValue.close() catch { case _: Throwable => () }
+        // atomic remove decides ownership: under CONCURRENT closeAll calls
+        // (shutdown hook racing an explicit hot-swap) two iterators can
+        // both reach the same entry, but only the thread whose remove()
+        // returns the session closes it — a native handle must be released
+        // exactly once, a double free is a segfault, not an exception
+        val s = sessions.remove(it.next())
+        if (s != null) {
+          // release the rest even if one native close throws
+          try s.close() catch { case _: Throwable => () }
+        }
       }
     }
   }

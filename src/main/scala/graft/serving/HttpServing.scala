@@ -217,37 +217,45 @@ object Json {
  * [[Embedder.TextEncoder]] seam providing text→vector.
  *
  * String doc_ids (the reference's key type) map to the engine's long
- * vector ids through an in-service dictionary; text + metadata live
- * beside the mapping, exactly like Chroma keeps documents/metadatas
- * beside the HNSW store. Distances reported are SQUARED L2 — Chroma's
- * default `hnsw:space=l2` returns squared distances and day_8 passes
- * them straight through, so the facade matches that contract (our
- * [[KnnSearch.L2]] scores are euclidean; the facade squares them).
+ * vector ids through a [[DocStore]]; text + metadata live beside the
+ * mapping, exactly like Chroma keeps documents/metadatas beside the
+ * HNSW store. The store seam is where the serving surface stops being
+ * driver-bound: [[HeapDocStore]] (the default) keeps payloads in
+ * serving RAM, [[ParquetDocStore]] keeps the base generation on disk
+ * with O(delta) driver state — paired with the Mutable index's
+ * RDD-resident slabs, the whole service then holds no corpus-sized
+ * driver structure at all (see [[DocumentService.overCorpus]]).
+ * Distances reported are SQUARED L2 — Chroma's default `hnsw:space=l2`
+ * returns squared distances and day_8 passes them straight through, so
+ * the facade matches that contract (our [[KnnSearch.L2]] scores are
+ * euclidean; the facade squares them).
  *
  * Metadata filtering is Chroma's `where={k: v}` conjunction-of-equality
  * form. The index has no metadata notion, so the service over-fetches
  * adaptively (k, 4k, 16k, … up to the live size) until `n` survivors
  * match — the same filter-after-candidates shape the engine's filtered
- * k-NN (P1) uses, bounded here by the collection being serving-resident.
+ * k-NN (P1) uses. Hydration is BATCHED per round (one store lookup for
+ * the whole candidate list), so a parquet-backed store pays one pushed
+ * point-lookup job per round, never one per hit.
  *
- * Thread-safe: the dictionary is guarded by the instance lock; the
- * Mutable index has its own. Handlers may call concurrently.
+ * Thread-safe: the store is guarded by the instance lock; the Mutable
+ * index has its own. Handlers may call concurrently.
  */
 final class DocumentService(
     encoder: Embedder.TextEncoder,
     val index: ServingIndex.Mutable,
-    val collectionName: String = "documents") {
+    val collectionName: String,
+    store: DocStore) {
 
-  private final case class Rec(longId: Long, text: String,
-                               metadata: Option[Map[String, Any]])
+  def this(encoder: Embedder.TextEncoder, index: ServingIndex.Mutable,
+           collectionName: String = "documents") =
+    this(encoder, index, collectionName, new HeapDocStore)
 
-  private val byDoc = new java.util.LinkedHashMap[String, Rec]
-  private val byLong = new java.util.HashMap[java.lang.Long, String]
-  private val nextId = new AtomicLong(0L)
+  private val nextId = new AtomicLong(store.maxLongId + 1L)
 
   def embeddingDimension: Int = encoder.dim
 
-  def documentCount: Int = synchronized(byDoc.size)
+  def documentCount: Long = synchronized(store.size)
 
   /** Insert or replace (day_8 insert allows re-insert of an id: Chroma
     * upserts; ours mirrors via Mutable.upsert). */
@@ -255,28 +263,24 @@ final class DocumentService(
              metadata: Option[Map[String, Any]]): Unit = {
     val vec = encoder.encodeBatch(Seq(text)).head
     synchronized {
-      val existing = byDoc.get(docId)
-      val id = if (existing != null) existing.longId else nextId.getAndIncrement()
+      val id = store.get(docId).map(_.longId)
+        .getOrElse(nextId.getAndIncrement())
       index.upsert(id, vec)
-      byDoc.put(docId, Rec(id, text, metadata))
-      byLong.put(id, docId)
+      store.put(DocRecord(docId, id, text, metadata))
     }
   }
 
   /** doc_id → (text, metadata, embedding_dimension), or None (→ 404). */
   def get(docId: String): Option[(String, Option[Map[String, Any]], Int)] =
     synchronized {
-      Option(byDoc.get(docId)).map(r => (r.text, r.metadata, encoder.dim))
+      store.get(docId).map(r => (r.text, r.metadata, encoder.dim))
     }
 
   /** true iff the document existed (404 contract needs the distinction). */
   def delete(docId: String): Boolean = synchronized {
-    val r = byDoc.remove(docId)
-    if (r == null) false
-    else {
-      byLong.remove(r.longId)
-      index.delete(r.longId)
-      true
+    store.delete(docId) match {
+      case Some(r) => index.delete(r.longId); true
+      case None => false
     }
   }
 
@@ -290,29 +294,29 @@ final class DocumentService(
     val total = documentCount
     if (total == 0) return Seq.empty
     val qv = encoder.encodeBatch(Seq(query)).head
-    def matches(r: Rec): Boolean = metadataFilter.forall { f =>
+    def matches(r: DocRecord): Boolean = metadataFilter.forall { f =>
       val md = r.metadata.getOrElse(Map.empty)
       f.forall { case (k, v) => md.get(k).exists(jsonEq(_, v)) }
     }
-    var k = math.min(nResults, total)
+    var k = math.min(nResults, total).toInt
     while (true) {
       val raw = index.search(Array((0L, qv)), k, KnnSearch.L2).head._2
       val hits = synchronized {
+        // one batched hydrate per round: a disk-backed store turns this
+        // into a single pushed IN-filter lookup for all candidates
+        val recs = store.getByLongIds(raw.map(_._2).toSeq)
         raw.iterator.flatMap { case (score, longId) =>
-          val docId = byLong.get(longId)
           // a race with delete can leave a just-removed id in the result;
-          // the dictionary is the source of truth, so drop orphans
-          if (docId == null) Iterator.empty
-          else {
-            val r = byDoc.get(docId)
-            if (r == null || !matches(r)) Iterator.empty
-            else Iterator.single(
-              Hit(docId, r.text, r.metadata, score.toDouble * score.toDouble))
+          // the store is the source of truth, so drop orphans
+          recs.get(longId) match {
+            case Some(r) if matches(r) => Iterator.single(
+              Hit(r.docId, r.text, r.metadata, score.toDouble * score.toDouble))
+            case _ => Iterator.empty
           }
         }.take(nResults).toVector
       }
       if (hits.length >= nResults || k >= total) return hits
-      k = math.min(math.max(k * 4, nResults), total)
+      k = math.min(math.max(k.toLong * 4, nResults.toLong), total).toInt
     }
     throw new IllegalStateException("unreachable")
   }
@@ -323,6 +327,48 @@ final class DocumentService(
   private def jsonEq(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Number, y: Number) => x.doubleValue() == y.doubleValue()
     case _ => a == b
+  }
+}
+
+object DocumentService {
+
+  /**
+   * Serve an existing corpus WITHOUT materializing it on the driver —
+   * the beyond-driver-RAM serving route: document payloads bootstrap
+   * into a [[ParquetDocStore]] base generation (written straight from
+   * the corpus frame, sorted for point-lookup pruning), embeddings are
+   * computed executor-side ([[Embedder.embed]]'s mapPartitions batching)
+   * and land in the RDD-slab [[ServingIndex.Mutable]] tier. Driver
+   * state after bootstrap: the mutation delta, the tombstone sets, a
+   * Bloom filter, and counters — all O(mutations), none O(corpus).
+   *
+   * `idCol` must be unique and long-castable (every engine table keys
+   * this way); it becomes both the vector id and the string doc_id, so
+   * bootstrap needs no id-assignment pass over the corpus. A column
+   * named `metadata` (JSON text) rides into the store when present.
+   */
+  def overCorpus(corpus: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String,
+                 encoder: Embedder.TextEncoder, storeDir: String,
+                 collectionName: String = "documents",
+                 numSlabs: Int = -1, maxDelta: Int = 4096): DocumentService = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = corpus.select(
+      col(idCol).cast("long").as("long_id") +:
+      col(idCol).cast("string").as("doc_id") +:
+      col(textCol).cast("string").as("text") +:
+      (if (corpus.columns.contains("metadata"))
+         Seq(col("metadata").cast("string")) else Seq.empty): _*)
+    val store = ParquetDocStore.bootstrap(spark, storeDir, base, maxDelta)
+    val vecs = Embedder.embed(base.select(col("long_id"), col("text")),
+        "long_id", "text", encoder)
+      .select(col("long_id"), col("embedding"))
+      .as[(Long, Array[Float])].rdd
+    val idx = ServingIndex.mutableFlat(vecs, encoder.dim, numSlabs,
+      maxDelta = maxDelta)
+    new DocumentService(encoder, idx, collectionName, store)
   }
 }
 

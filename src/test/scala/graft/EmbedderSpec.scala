@@ -9,9 +9,10 @@ object EmbedderSpec {
   val closeCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Counts opens/closes through JVM-static state — local-mode executors
-    * share the JVM, so the spec can observe the cache's release path. */
-  case class CountingFactory(hidden: Int) extends Embedder.ModelSessionFactory {
-    def key: String = s"counting:$hidden"
+    * share the JVM, so the spec can observe the cache's release path.
+    * `tag` keeps each test's cache entry distinct (the cache is JVM-wide). */
+  case class CountingFactory(hidden: Int, tag: String = "") extends Embedder.ModelSessionFactory {
+    def key: String = s"counting:$hidden:$tag"
     def open(): Embedder.ModelSession = {
       openCount.incrementAndGet()
       new Embedder.ModelSession {
@@ -143,6 +144,82 @@ class EmbedderSpec extends AnyFunSuite {
       .collect().head.getSeq[Float](2)
     val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
     assert(math.abs(norm - 1.0) < 1e-4) // normalized over 2 real tokens, not 32 pads
+  }
+
+  test("concurrent first encodes race to exactly one session open") {
+    // 16 threads hit a COLD cache key simultaneously: computeIfAbsent must
+    // collapse the race to one factory open (a per-thread open would load
+    // a multi-hundred-MB model once per task thread on a real executor)
+    val opens0 = EmbedderSpec.openCount.get()
+    val enc = Embedder.SessionEncoder(
+      EmbedderSpec.CountingFactory(16, "race-open"), dim = 16)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val tasks = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            start.await()
+            enc.encodeBatch(Seq(s"threaded doc $i", s"second doc $i"))
+            ()
+          }
+        })
+      }
+      start.countDown()
+      tasks.foreach(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(EmbedderSpec.openCount.get() - opens0 === 1)
+    Embedder.closeAllSessions()
+  }
+
+  test("closeAll racing concurrent encodes: no crash, no leaked session") {
+    // encode threads and repeated closeAllSessions interleave (the model
+    // hot-swap scenario): every encode must complete, and once the dust
+    // settles every session the factory ever opened must be closed —
+    // opens == closes is the no-native-leak invariant.
+    val opens0 = EmbedderSpec.openCount.get()
+    val closes0 = EmbedderSpec.closeCount.get()
+    val enc = Embedder.SessionEncoder(
+      EmbedderSpec.CountingFactory(16, "race-close"), dim = 16)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+    try {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // TWO closers: concurrent closeAll pairs exercise the atomic-remove
+      // ownership rule (only the winning remove() closes — a double close
+      // of a native handle is a segfault, and would also break the
+      // opens == closes accounting below)
+      val closers = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            while (!stop.get()) { Embedder.closeAllSessions(); Thread.`yield`() }
+          }
+        })
+      }
+      val encoders = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            var ok = 0
+            var r = 0
+            while (r < 50) {
+              val out = enc.encodeBatch(Seq(s"doc $i round $r"))
+              if (out.head.length == 16) ok += 1
+              r += 1
+            }
+            ok
+          }
+        })
+      }
+      // every encode returned a well-formed vector despite the closer
+      encoders.foreach(f =>
+        assert(f.get(60, java.util.concurrent.TimeUnit.SECONDS) === 50))
+      stop.set(true)
+      closers.foreach(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    Embedder.closeAllSessions() // terminal close: drain whatever is cached
+    val opened = EmbedderSpec.openCount.get() - opens0
+    val closed = EmbedderSpec.closeCount.get() - closes0
+    assert(opened >= 1) // the closer forced at least one reopen cycle
+    assert(closed === opened, s"leaked sessions: $opened opened, $closed closed")
   }
 
   test("incremental embed reuses the cache with the session encoder too") {

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-regression gate: the PLANS.md audit as executable assertions.
+ *
+ * PLANS.md snapshots are hand-made evidence; this spec pins the
+ * load-bearing *invariants* of those audits — the properties whose
+ * silent loss would reintroduce a scale-killer — via string matching on
+ * `queryExecution.executedPlan`, so a refactor that re-plans a gated
+ * query as (say) a CartesianProduct fails CI instead of shipping.
+ *
+ * Only invariants, never full shapes: exchange counts, operator order
+ * and AQE details may legitimately change; a cartesian pair space, a
+ * corpus-sized sort-merge on a hydrate join, or a full sort under a
+ * top-k cannot.
+ */
+class PlanInvariantsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): String =
+    planOf(SparkEntry.queries(name)(spark, dir))
+
+  /** The never-anywhere list: a pair space materialized as a cartesian
+    * or a nested-loop inner join is the canonical 100×-killer. */
+  private def assertNoCartesian(name: String, plan: String): Unit = {
+    assert(!plan.contains("CartesianProduct"),
+      s"$name plans a CartesianProduct:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+           !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner"),
+      s"$name plans an inner nested-loop join:\n$plan")
+  }
+
+  test("q10 single-query knn: pruned pushed scan feeding TakeOrdered, no shuffle sort") {
+    val plan = q("q10_knn_cosine")
+    assertNoCartesian("q10", plan)
+    // top-k without a full sort (SURVEY §2.6)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q10 lost its TakeOrderedAndProject top-k:\n$plan")
+    // the id predicate reaches the parquet scan...
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id)"),
+      s"q10 scan lost its pushed vec_id filter:\n$plan")
+    // ...and the scan reads exactly the two columns the query needs
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"q10 scan reads more than (vec_id, embedding):\n$plan")
+    // single-query scoring is one codegen pass — no exchange at all
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q10 acquired a hash exchange:\n$plan")
+  }
+
+  test("q14 global top pairs: blocked bounded-heap stages, pair space never a Catalyst join") {
+    val plan = q("q14_top_pairs")
+    assertNoCartesian("q14", plan)
+    // the round-7 reshape: pairs come from the RDD block-grid stages, so
+    // the Catalyst side sees finished rows — any join node here means the
+    // O(n²) theta-join shape crept back
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"q14 re-grew a Catalyst join over the pair space:\n$plan")
+    // the typed-RDD source prints as ExternalRDDScan ("Scan[obj#…]") or
+    // "Scan ExistingRDD" depending on the conversion path — either means
+    // the rows come pre-reduced from the blocked stage
+    assert(plan.contains("Scan[obj") || plan.contains("ExistingRDD"),
+      s"q14 no longer feeds from the blocked RDD stage:\n$plan")
+  }
+
+  test("q50 rag context: hydrate join broadcasts the k-hit side") {
+    val plan = q("q50_rag_context")
+    assertNoCartesian("q50", plan)
+    // Rag.hydrate joins |Q|×k hit rows against the corpus — the hit side
+    // must broadcast; a sort-merge here shuffles the whole documents table
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q50 hydrate join is not a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q50 plans a sort-merge join (corpus-sized shuffle on hydrate):\n$plan")
+  }
+
+  test("q53 hybrid rrf: fusion joins broadcast, top-k without full sort") {
+    val plan = q("q53_hybrid_rrf")
+    assertNoCartesian("q53", plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"q53 plans a sort-merge join over rank lists:\n$plan")
+    // the BM25 side legitimately crosses against ONE corpus-stats row;
+    // any other nested-loop form is a regression
+    val bnlj = "BroadcastNestedLoopJoin BuildRight, Cross"
+    val stray = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(_.contains(bnlj))
+    assert(stray.isEmpty,
+      s"q53 plans a non-stats nested-loop join:\n${stray.mkString("\n")}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q53 lost its TakeOrderedAndProject top-k:\n$plan")
+  }
+
+  test("q64 components: decontamination gram join broadcasts; report frame is driver-local") {
+    // the report's dominant cost is the decontamination gram join — its
+    // benchmark side must broadcast (or, past the size cap, shuffle on
+    // the gram key; at spec scale the broadcast route must win)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val train = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val dec = graft.operators.Decontaminate.decontaminate(
+      train, bench, "doc_id", "text", n = 3)
+    val plan = planOf(dec)
+    assertNoCartesian("q64/decontaminate", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decontaminate gram join is not a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"decontaminate shuffles the training corpus for the gram join:\n$plan")
+
+    // the report itself must stay a 6-row local relation — a corpus-sized
+    // plan here would mean the counts stopped riding the aggregates
+    val rep = SparkEntry.queries("q64_curation_report")(spark, dir)
+    val repPlan = planOf(rep)
+    assert(repPlan.contains("LocalTableScan") || repPlan.contains("LocalRelation"),
+      s"q64 report frame is no longer a driver-local relation:\n$repPlan")
+  }
+
+  test("q44 dedup keep: per-group winner pruned map-side (WindowGroupLimit)") {
+    val plan = q("q44_dedup_keep")
+    assertNoCartesian("q44", plan)
+    // Spark 4 plans keep-one-per-group as Partial→Final WindowGroupLimit:
+    // the shuffle carries ≈|groups| rows, not |input| — the dedup plan
+    // that survives 100×
+    assert(plan.contains("WindowGroupLimit"),
+      s"q44 lost its WindowGroupLimit pre-shuffle prune:\n$plan")
+  }
+
+  test("q52 bm25: nothing corpus-sized on a broadcast build side, top-k without full sort") {
+    val plan = q("q52_bm25")
+    assertNoCartesian("q52", plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q52 lost its TakeOrderedAndProject top-k:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q52 plans a corpus-sized sort-merge join:\n$plan")
+  }
+}
