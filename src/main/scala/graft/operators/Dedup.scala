@@ -96,44 +96,99 @@ object Dedup {
     // an order of magnitude slower on long documents. Semantics identical
     // (distinct word n-grams; whole text when shorter than n).
     if (!prefixFilter) {
-      // postings (shingle, id, full set size); sizes ride along so the
-      // final Jaccard needs no joins. mapValues strips the duplicated
-      // group key from the exchange (KeyValueGroupedDataset otherwise
-      // ships key + full row).
-      val posted = shingleSets(df, idCol, textCol, n)
-        .flatMap { case (id, sh) =>
-          val sz = sh.size.toLong
-          sh.iterator.map(s => (s, id, sz))
+      // postings (shingle HASH, id, full set size); sizes ride along so
+      // the final Jaccard needs no joins. Shingles are never materialized
+      // as strings on this path: per doc, words hash once and each
+      // shingle's 64-bit key is a rolling combine of its n word hashes
+      // ([[shingleHashSetOf]]) — the exchange then carries three longs
+      // per posting instead of a ~20–40 byte gram string, and the group
+      // key comparisons are long equality, not string compares (the same
+      // hashed-gram trade the repetition expression makes; the ~n²/2⁶⁴
+      // collision bound is negligible at any corpus the 64-bit space
+      // serves, and the q25 oracle stays hash-green). mapValues strips
+      // the duplicated group key from the exchange (KeyValueGroupedDataset
+      // otherwise ships key + full row).
+      val posted = Par.widen(df.select(col(idCol).cast("long"), col(textCol)))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val hs = shingleHashSetOf(t, n)
+          val sz = hs.length.toLong
+          hs.iterator.map(h => (h, id, sz))
         }
-      val pairs = posted
-        .groupByKey(_._1)
-        .mapValues(r => (r._2, r._3))
-        .flatMapGroups { (_, it) =>
-          // buffer at most maxDf+1 postings: a hotter shingle is either
-          // cut (explicit maxDf) or this group IS the Σdf² blowup the
-          // auto router diverts to the prefix path
-          val buf = collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          var overflow = false
-          while (it.hasNext && !overflow) {
-            buf += it.next()
-            if (buf.length > maxDf) overflow = true
-          }
-          if (overflow || buf.length < 2) Iterator.empty
-          else {
-            val arr = buf.sortBy(_._1).toArray
-            arr.indices.iterator.flatMap { i =>
-              val (ia, sa) = arr(i)
-              (i + 1 until arr.length).iterator.flatMap { j =>
-                val (ib, sb) = arr(j)
-                // exact length filter: J ≤ min/max (double division is
-                // monotone, so the comparison is implied by the final
-                // filter's own arithmetic) — size-incompatible pairs
-                // can never qualify and never enter the exchange
-                val mn = math.min(sa, sb).toDouble
-                val mx = math.max(sa, sb).toDouble
-                if (mn / mx >= threshold) Iterator.single((ia, ib, (sa << 32) | sb))
-                else Iterator.empty
+      // ONE exchange on the hash key, ordered (h, id) by the Tungsten
+      // radix sort — each partition then arrives as contiguous id-sorted
+      // runs and the pair emitter is a run-scanning state machine over
+      // two reusable long arrays: no per-group iterator wrappers, no
+      // ArrayBuffer churn, no per-group sortBy (the partition sort
+      // already ordered ids), and pairs stream out lazily so a run's
+      // pair space is never materialized. A run longer than maxDf is
+      // drained and dropped wholesale: a hotter shingle is either cut
+      // (explicit maxDf) or this run IS the Σdf² blowup the auto router
+      // diverts to the prefix path.
+      val thr = threshold
+      val cap = maxDf
+      val pairs = posted.toDF("h", "id", "sz")
+        .repartition(col("h"))
+        .sortWithinPartitions(col("h"), col("id"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { rows =>
+          val in = rows.buffered
+          new Iterator[(Long, Long, Long)] {
+            private var ids = new Array[Long](64)
+            private var szs = new Array[Long](64)
+            private var len = 0
+            private var i = 0 // pair cursor: next candidate is (i, j)
+            private var j = 1
+            private var ready = false
+
+            /** Pull the next run of equal h into the buffers; skip runs
+              * that overflow maxDf or have fewer than two postings. */
+            private def loadRun(): Boolean = {
+              while (in.hasNext) {
+                len = 0
+                val h = in.head._1
+                var overflow = false
+                while (in.hasNext && in.head._1 == h) {
+                  val r = in.next()
+                  if (!overflow) {
+                    if (len == ids.length) {
+                      ids = java.util.Arrays.copyOf(ids, len * 2)
+                      szs = java.util.Arrays.copyOf(szs, len * 2)
+                    }
+                    ids(len) = r._2; szs(len) = r._3; len += 1
+                    if (len > cap) { overflow = true; len = 0 }
+                  }
+                }
+                if (len >= 2) { i = 0; j = 1; return true }
               }
+              false
+            }
+
+            /** Advance (i, j) to the next pair passing the exact length
+              * filter: J ≤ min/max, so size-incompatible pairs can never
+              * qualify and never enter the exchange. */
+            @annotation.tailrec private def seek(): Boolean = {
+              while (i < len - 1) {
+                while (j < len) {
+                  val sa = szs(i); val sb = szs(j)
+                  val mn = math.min(sa, sb).toDouble
+                  val mx = math.max(sa, sb).toDouble
+                  if (mn / mx >= thr) return true
+                  j += 1
+                }
+                i += 1; j = i + 1
+              }
+              if (loadRun()) seek() else false
+            }
+
+            def hasNext: Boolean = ready || { ready = seek(); ready }
+            def next(): (Long, Long, Long) = {
+              if (!hasNext) throw new NoSuchElementException("drained")
+              val out = (ids(i), ids(j), (szs(i) << 32) | szs(j))
+              j += 1
+              if (j >= len) { i += 1; j = i + 1 }
+              ready = false
+              out
             }
           }
         }
@@ -215,19 +270,57 @@ object Dedup {
     // E[Σdf_s²/P_s] ≈ q·(Σdf²/P) + (1−q), so the hot-shingle blowup
     // signal survives sampling at 1/q the threshold — and the sample
     // job costs q× the shingling instead of a full second pass.
+    //
+    // Σdf² is the SECOND FREQUENCY MOMENT of the posting stream, so it
+    // is estimated with an AMS tug-of-war sketch (Alon–Matias–Szegedy
+    // '96) instead of a groupBy: each posting nudges R signed counters
+    // (sign = avalanched bit of (shingle, estimator)), E[Z_r²] = Σdf²,
+    // and median-of-means over the R counters lands within ~±25% w.h.p.
+    // — ample against a 512× routing threshold. The sketch merges as a
+    // vector sum, so the stats pass has NO exchange at all (it shipped
+    // every distinct sampled hash before — the stats job cost more than
+    // a third of the whole query at sf1) and keeps working at any key
+    // cardinality. A single mega-hot shingle feeds every estimator
+    // deterministically, so the one failure mode routing must not miss
+    // (one boilerplate gram in every doc) is caught with certainty.
     val q = math.min(1.0, math.max(sampleFraction, 1e-3))
-    val stats = Par.widen(df.select(col(textCol)).sample(q, seed = 7L))
+    val R = 64
+    val nn = n
+    val parts = Par.widen(df.select(col(textCol)).sample(q, seed = 7L))
       .as[String]
-      .flatMap(t => shinglesOf(t, n).iterator.map(longHash))
-      .toDF("h")
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .agg(sum(col("df")).as("p"), sum(col("df") * col("df")).as("df2"))
-      .head()
-    val p = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    val df2 = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      .mapPartitions { it =>
+        val z = new Array[Long](R)
+        var p = 0L
+        it.foreach { t =>
+          val hs = shingleHashSetOf(t, nn)
+          var i = 0
+          while (i < hs.length) {
+            val h = hs(i)
+            var r = 0
+            while (r < R) {
+              val bit = fmix64(h ^ ((r + 1) * 0x9e3779b97f4a7c15L)) & 1L
+              z(r) += (bit << 1) - 1L
+              r += 1
+            }
+            p += 1
+            i += 1
+          }
+        }
+        Iterator.single((p, z))
+      }
+      .collect() // one row per partition: (count, 64 counters)
+    val p = parts.iterator.map(_._1).sum
+    val z = new Array[Long](R)
+    parts.foreach { case (_, zp) =>
+      var r = 0; while (r < R) { z(r) += zp(r); r += 1 }
+    }
+    // median of 4 means of 16 squared counters each
+    val means = z.map(v => v.toDouble * v).grouped(R / 4).map(g => g.sum / g.length).toArray
+    java.util.Arrays.sort(means)
+    val df2 = (means(1) + means(2)) / 2
     // small samples can't blow up (and can't be trusted): stay on the
     // grouped-emit plan below 10k sampled postings
-    val ratioFull = if (p >= 10000) (df2.toDouble / p - (1 - q)) / q else 0.0
+    val ratioFull = if (p >= 10000) (df2 / p - (1 - q)) / q else 0.0
     ngramJaccardPairs(df, idCol, textCol, n, threshold,
       prefixFilter = ratioFull > blowupFactor)
   }
@@ -283,6 +376,61 @@ object Dedup {
     if (ws.length >= n) (0 to ws.length - n)
       .map(i => ws.slice(i, i + n).mkString(" ")).distinct
     else Seq(ws.mkString(" "))
+  }
+
+  /** 64-bit finalizer (MurmurHash3 fmix64): the rolling FNV combine below
+    * mixes upward-only through multiplication; the finalizer restores
+    * avalanche so bucket/group keys spread over the full word. */
+  private def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Distinct 64-bit shingle hashes of one text, sorted — the stringless
+    * twin of [[shinglesOf]] for paths keyed on shingle IDENTITY only
+    * (posting-index grouping, routing statistics): each word hashes once
+    * (FNV-1a over its chars), each shingle key is a rolling combine of
+    * its n word hashes + fmix64. Word-boundary safe by construction
+    * (words hash individually — ["ab","c"] and ["a","bc"] cannot
+    * collide structurally, only by 64-bit accident). Same `< n` fallback
+    * as shinglesOf: the whole text as one shingle. Zero string
+    * allocation beyond the tokenizer's own split. */
+  private[graft] def shingleHashSetOf(t: String, n: Int): Array[Long] = {
+    val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+", -1)
+    val whs = new Array[Long](ws.length)
+    var i = 0
+    while (i < ws.length) { whs(i) = longHash(ws(i)); i += 1 }
+    val m = ws.length - n + 1
+    val all =
+      if (m >= 1) {
+        val out = new Array[Long](m)
+        var s = 0
+        while (s < m) {
+          var h = 0xcbf29ce484222325L
+          var j = 0
+          while (j < n) { h = (h ^ whs(s + j)) * 0x100000001b3L; j += 1 }
+          out(s) = fmix64(h)
+          s += 1
+        }
+        out
+      } else {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < ws.length) { h = (h ^ whs(j)) * 0x100000001b3L; j += 1 }
+        Array(fmix64(h))
+      }
+    java.util.Arrays.sort(all)
+    // in-place distinct over the sorted run
+    var w = 0
+    i = 0
+    while (i < all.length) {
+      if (i == 0 || all(i) != all(i - 1)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    if (w == all.length) all else java.util.Arrays.copyOf(all, w)
   }
 
 
