@@ -71,6 +71,36 @@ class DedupSpec extends AnyFunSuite {
     assert(forcedPrefix === direct)
   }
 
+  test("shingle hash sets mirror string shingles (randomized parity)") {
+    // the hashed posting path must agree with the string semantics on
+    // everything the Jaccard math can see: distinct-shingle COUNT (set
+    // sizes), the < n whole-text fallback, and trailing-empty-token
+    // parity from split("\\s+", -1)
+    val rnd = new scala.util.Random(42)
+    val seps = Array(" ", "  ", "\t", "\n", " \t ")
+    for (_ <- 0 until 300) {
+      val words = Seq.fill(rnd.nextInt(40))("w" + rnd.nextInt(8))
+      val t = words.map(w => w + seps(rnd.nextInt(seps.length))).mkString +
+        (if (rnd.nextBoolean()) " " else "")
+      for (n <- Seq(1, 2, 3, 5)) {
+        val strings = Dedup.shinglesOf(t, n)
+        val hashes = Dedup.shingleHashSetOf(t, n)
+        assert(hashes.length === strings.distinct.size,
+          s"count drift for n=$n on '${t.take(60)}'")
+      }
+    }
+    // null and empty behave like shinglesOf: one whole-text shingle
+    assert(Dedup.shingleHashSetOf(null, 3).length === 1)
+    assert(Dedup.shingleHashSetOf("", 3).length === 1)
+    // word-boundary safety: regrouping characters across words must not
+    // collide structurally
+    assert(!Dedup.shingleHashSetOf("ab c", 2)
+      .sameElements(Dedup.shingleHashSetOf("a bc", 2)))
+    // determinism across calls (the shuffle key must be stable)
+    assert(Dedup.shingleHashSetOf("the quick brown fox", 2)
+      .sameElements(Dedup.shingleHashSetOf("the quick brown fox", 2)))
+  }
+
   test("jaccardSafeMaxDf is the lossless candidate bound (and usually vacuous)") {
     // θ=0.5, minSz=20, P=2.6e6 → D ≥ P·1.5/20 — far above real shingle dfs
     assert(Dedup.jaccardSafeMaxDf(0.5, 20, 2600000) === 195000L)
