@@ -179,11 +179,16 @@ object Bench {
     spark.stop() // stop first: nothing may print after the compact line
 
     println(detail)
-    // compact line: ms precision; degrade if the line would overflow the
-    // tail window, and as the PROVABLY-BOUNDED last resort drop the
-    // per-query map entirely — a parseable total beats a truncated map
-    // (the query set can outgrow any per-entry trimming)
-    val compact = Seq(3, 2, 1).map(p => line(jsonMap(results, num(_, s"%.${p}f"))))
+    // compact line: keys are the unique qNN prefixes (full names live in
+    // BENCH_DETAIL.json and the detail line — 76 full names no longer fit
+    // the driver's 2000-char tail window at ANY precision); ms precision,
+    // degrading if the line would overflow, and as the PROVABLY-BOUNDED
+    // last resort drop the per-query map entirely — a parseable total
+    // beats a truncated map
+    val shortKeyed = results.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
+    val compactKvs =
+      if (shortKeyed.map(_._1).distinct.size == results.size) shortKeyed else results
+    val compact = Seq(3, 2, 1).map(p => line(jsonMap(compactKvs, num(_, s"%.${p}f"))))
       .find(_.length <= 1800)
       .getOrElse(line("{}"))
     println(compact)

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnIndex, Chunkers, Dedup, Embedder, HnswIndex, IREval, KnnSearch, Multimodal, Rag, SimilarityJoin, TextSearch}
+import graft.operators.{AnnIndex, Chunkers, Components, Dedup, Embedder, HnswIndex, IREval, KnnSearch, Multimodal, Rag, SimilarityJoin, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -239,6 +239,48 @@ object SparkEntry {
     Dedup.embeddingNearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q75: duplicate-CLUSTER formation — the fuzzy-dedup completion stage.
+    * Near-dup pairs (embedding cosine ≥ θ, exact at this scale) are closed
+    * into connected components with the alternating large-star/small-star
+    * rounds (Kiveris et al. 2014); every corpus id gets its cluster min as
+    * the cluster id, the cluster size, and the deterministic keep-one flag
+    * (canonical = component min). The oracle replays the same closure with
+    * a recursive CTE over the identical exact pair set. */
+  private val q75DupClusters: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4)
+    Components.duplicateClusters(pairs, extraNodes = Some(e.select(col("vec_id"))))
+      .select(col("node").as("vec_id"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q76: SemDeDup semantic dedup — k-means-partitioned within-cluster
+    * near-dup pruning (sub-quadratic; Abbas et al. 2023). The clustering
+    * itself is engine-internal, so the gated rows are the REPLAYABLE
+    * facts: `has_global_neighbor` is recomputed exactly by both sides
+    * (Spark: blocked threshold scan; DuckDB: θ-join), and
+    * `dropped_implies_neighbor` asserts the operator's approximation
+    * contract — every doc SemDeDup drops has an exact global θ-witness
+    * (within-cluster pairs ⊆ global pairs), so a doc with no θ-neighbor
+    * can never be dropped, whatever the clustering did. */
+  private val q76SemanticDedup: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val marks = Dedup.semanticDedupMarks(e, "vec_id", "embedding",
+      threshold = 0.4, k = 8)
+    val pairs = SimilarityJoin.thresholdPairs(e, "vec_id", "embedding", 0.4)
+    val withNbr = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .withColumn("__nbr", lit(true))
+    marks.join(withNbr, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("__nbr"), lit(false)).as("has_global_neighbor"),
+        (col("kept") || coalesce(col("__nbr"), lit(false)))
+          .as("dropped_implies_neighbor"))
+      .orderBy(col("vec_id"))
   }
 
   /** Per-label top-3 most-similar pairs (W1×J2 composition — group-scoped
@@ -1225,6 +1267,8 @@ object SparkEntry {
     "q72_blocklist" -> q72Blocklist,
     "q73_token_df" -> q73TokenDfMetrics,
     "q74_scrub_pipeline" -> q74ScrubPipeline,
+    "q75_dup_clusters" -> q75DupClusters,
+    "q76_semantic_dedup" -> q76SemanticDedup,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1642,6 +1686,42 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN regexp_matches(lower(text),
         |    '\\b(?:${BlockPhrases.mkString("|")})\\b') THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
         |FROM documents GROUP BY source ORDER BY source""").stripMargin,
+    // q75: duplicate-cluster twin — the same exact θ=0.4 pair set as the
+    // q15 oracle, closed transitively with a recursive CTE (min-label
+    // reachability), then size + keep-one flags per component.
+    "q75_dup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |), edges AS (
+        |  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        |), walk(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+        |), comp AS (
+        |  SELECT id AS vec_id, min(lbl) AS cluster_id FROM walk GROUP BY id
+        |)
+        |SELECT vec_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  (vec_id = cluster_id) AS is_canonical
+        |FROM comp
+        |ORDER BY vec_id""".stripMargin,
+    // q76: semantic-dedup twin — the oracle recomputes the exact
+    // neighbor-existence fact and asserts the operator's approximation
+    // contract (dropped ⇒ has a global θ-witness) as constant-true.
+    "q76_semantic_dedup" ->
+      """WITH nbr AS (
+        |  SELECT DISTINCT a.vec_id AS vid
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |)
+        |SELECT e.vec_id,
+        |  (n.vid IS NOT NULL) AS has_global_neighbor,
+        |  true AS dropped_implies_neighbor
+        |FROM embeddings e LEFT JOIN nbr n ON n.vid = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     // q74: scrub-composition twin — q70's line reshape + the planted
     // contact line, blocklist on the PRE-redaction text, then the same
     // redaction chain and hot-line strip over the survivors.

@@ -724,6 +724,61 @@ object Dedup {
     }
   }
 
+  /**
+   * SemDeDup-style semantic dedup marks (Abbas et al. 2023,
+   * arXiv:2303.09540): k-means-partition the embedding space (seeded
+   * sample-trained Lloyd — the training pass never touches more than a
+   * ≤256·k-vector sample), find within-cluster cosine pairs ≥ threshold
+   * through the skew-safe blocked scan, close them into components, and
+   * keep one representative per component. Pair work drops from n² to
+   * Σ cᵢ² over cluster sizes — the sub-quadratic route the paper uses at
+   * LAION scale. Deviation from the paper, documented: the canonical
+   * member is the component-MIN id (deterministic, oracle-replayable),
+   * not the member farthest from the centroid.
+   *
+   * Returns one row per input id: (id, cluster, canonical, kept) with
+   * kept = (id == canonical). Approximation contract: a dropped id
+   * always has a ≥-threshold cosine WITNESS in its own cluster (within-
+   * cluster pairs are exact), so dropped ⊆ ids-with-a-global-θ-neighbor
+   * — q76's oracle-gated invariant; pairs SPLIT across clusters are the
+   * (paper-accepted) recall loss vs exact component dedup. k=1 is
+   * exactly the exact route (one cluster ⇒ global blocked scan).
+   *
+   * The assignment map runs twice (pair-generation pass + mark pass) —
+   * at corpus scale two cheap passes beat materializing an
+   * assignment-augmented copy of the corpus.
+   */
+  def semanticDedupMarks(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, k: Int, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = Clustering.fitCentroids(df, vecCol, k, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, ServingIndex.nearestCentroid(v, bc.value)) }
+      .toDF("__id", "__vec", "__cluster")
+    val pairs = SimilarityJoin.groupedThresholdPairs(
+      assigned, "__cluster", "__id", "__vec", threshold)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "__id")
+    assigned.select(col("__id"), col("__cluster"))
+      .join(comp, Seq("__id"), "left")
+      .select(col("__id").as("id"), col("__cluster").as("cluster"),
+        coalesce(col("component"), col("__id")).as("canonical"))
+      .withColumn("kept", col("id") === col("canonical"))
+  }
+
+  /** The semantic-dedup TRANSFORM: [[semanticDedupMarks]] losers
+    * anti-joined away; the corpus is scanned, never shuffled. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int, seed: Long = 42L): DataFrame = {
+    val losers = semanticDedupMarks(df, idCol, vecCol, threshold, k, seed)
+      .where(!col("kept")).select(col("id").as("__loser"))
+    df.join(losers, df(idCol).cast("long") === col("__loser"), "left_anti")
+  }
+
   /** Per-distinct-line corpus document frequency: how many DISTINCT
     * documents contain each exact line. The aggregation key is the line
     * itself (boilerplate lines are short; hot keys are exactly the ones

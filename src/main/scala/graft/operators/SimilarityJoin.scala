@@ -132,6 +132,41 @@ object SimilarityJoin {
       .toDF("id_a", "id_b", "sim")
   }
 
+  /**
+   * Per-group [[thresholdPairs]]: all WITHIN-group pairs with cosine ≥
+   * threshold, through the same skew-safe block grid (a hot group fans
+   * out over block-pair tasks; shuffle is O(Σ m·nb) replicated vectors,
+   * and only survivors leave a task). Output: (groupCol, id_a, id_b,
+   * sim), id_a < id_b, unordered. This is the candidate stage of
+   * cluster-partitioned semantic dedup ([[Dedup.semanticDedup]]) —
+   * total pair work is Σ cᵢ² over cluster sizes instead of n².
+   */
+  def groupedThresholdPairs(df: DataFrame, groupCol: String, idCol: String,
+                            vecCol: String, threshold: Double,
+                            blockRows: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = replicateToBlocks(df, Some(groupCol), idCol, vecCol, blockRows)
+      .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
+      .flatMap { case ((g, ba, bb), it) =>
+        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach { case (b, id, v) =>
+          if (b == ba) aBuf += ((id, v))
+          else if (b == bb) bBuf += ((id, v))
+        }
+        scanBlockPairThreshold(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
+          .map { case (ia, ib, sim) => (g, ia, ib, sim) }
+      }
+      .toDF("__g", "id_a", "id_b", "sim")
+    // restore the group column's ORIGINAL type via its string form — the
+    // broadcast side is the #groups-row distinct table, not the pairs
+    val groups = df.select(col(groupCol)).distinct()
+      .withColumn("__g", col(groupCol).cast("string"))
+    pairs.join(broadcast(groups), Seq("__g"))
+      .select(col(groupCol), col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Emit all qualifying pairs of one block pair (`bs == null` → within-block). */
   private def scanBlockPairThreshold(as: Array[(Long, Array[Float])],
                                      bs: Array[(Long, Array[Float])],

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Components, Dedup, SimilarityJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemanticDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Clustered gaussians + planted near-copies: ids ≥ 100000 are scaled
+    * copies of base ids (same direction ⇒ cosine 1.0 with their base). */
+  private def planted(n: Int, dim: Int, copies: Int): org.apache.spark.sql.DataFrame = {
+    val base = ClusteredFixture.corpus(spark, n, dim).map { case (id, v) => (id, v) }
+    val dups = spark.sparkContext.parallelize(0 until copies, 2).map { i =>
+      val srcId = (i * 7 % n).toLong
+      val ctr = {
+        val centers = Array.tabulate(20) { c =>
+          val r = new java.util.Random(42L + c)
+          Array.fill(dim)(r.nextGaussian() * 5.0)
+        }
+        centers((srcId % 20).toInt)
+      }
+      val r = new java.util.Random(1000L + srcId)
+      val v = Array.tabulate(dim)(j => (ctr(j) + r.nextGaussian()).toFloat)
+      (100000L + i, v.map(x => x * 1.5f)) // same direction, scaled
+    }
+    (base union dups).toDF("id", "vec")
+  }
+
+  test("k=1 semantic dedup equals exact component dedup") {
+    val df = planted(300, 16, 40)
+    val exactPairs = SimilarityJoin.thresholdPairs(df, "id", "vec", 0.9)
+    val exactKept = Components.dropByPairs(df, "id", exactPairs)
+      .select(col("id")).as[Long].collect().toSet
+    val semKept = Dedup.semanticDedup(df, "id", "vec", 0.9, k = 1)
+      .select(col("id")).as[Long].collect().toSet
+    assert(semKept === exactKept)
+  }
+
+  test("planted exact-direction copies are pruned; marks partition the corpus") {
+    val df = planted(300, 16, 40)
+    val marks = Dedup.semanticDedupMarks(df, "id", "vec", threshold = 0.999, k = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(marks.length === 340) // one row per input id
+    val kept = marks.filter(_._4).map(_._1).toSet
+    // every planted copy has cosine ~1.0 with its base; a copy and its
+    // base always share the nearest centroid (same direction), so each
+    // (base, copy) pair must lose one member
+    val copies = marks.filter(_._1 >= 100000L)
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, _, canonical, keptFlag) =>
+      val srcId = ((id - 100000L) * 7 % 300)
+      assert(!keptFlag, s"copy $id of $srcId should be dropped (canonical=$canonical)")
+      assert(canonical <= srcId, s"canonical $canonical must be ≤ base id $srcId")
+    }
+    // canonical is the component min: canonical ids are themselves kept
+    val canonSet = marks.map(_._3).toSet
+    assert(canonSet.subsetOf(kept))
+  }
+
+  test("approximation contract: dropped ids always have an exact global θ-witness") {
+    val df = planted(400, 16, 60)
+    val theta = 0.95
+    val marks = Dedup.semanticDedupMarks(df, "id", "vec", theta, k = 8)
+    val dropped = marks.where(!col("kept")).select(col("id")).as[Long].collect().toSet
+    val pairNodes = SimilarityJoin.thresholdPairs(df, "id", "vec", theta)
+      .select(col("id_a")).union(
+        SimilarityJoin.thresholdPairs(df, "id", "vec", theta).select(col("id_b")))
+      .as[Long].collect().toSet
+    assert(dropped.subsetOf(pairNodes),
+      s"dropped without witness: ${dropped.diff(pairNodes).take(5)}")
+  }
+
+  test("groupedThresholdPairs equals per-group filtering of the exact scan") {
+    val df = planted(200, 8, 30)
+      .withColumn("grp", (col("id") % 3).cast("int"))
+    val got = SimilarityJoin.groupedThresholdPairs(df, "grp", "id", "vec", 0.8)
+      .select(col("grp"), col("id_a"), col("id_b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SimilarityJoin.thresholdPairs(df, "id", "vec", 0.8)
+      .join(df.select(col("id").as("id_a"), col("grp").as("ga")), "id_a")
+      .join(df.select(col("id").as("id_b"), col("grp").as("gb")), "id_b")
+      .where(col("ga") === col("gb"))
+      .select(col("ga"), col("id_a"), col("id_b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+}
