@@ -283,6 +283,36 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q77: the fuzzy-dedup TRANSFORM over documents — MinHash-LSH pair
+    * emission (q35's operator and parameters) closed into duplicate
+    * clusters and collapsed to the component-min representative. This is
+    * the complete pairs→components→anti-join curation stage, hash-gated
+    * end to end (the oracle replays minhash banding, exact-Jaccard
+    * verification, AND the transitive closure). */
+  private val q77NearDupKeep: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5)
+    Components.dropByPairs(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q78: duplicated-RUN stripping (ExactSubstr regime) — a planted
+    * 13-token boilerplate tail (shared verbatim by every doc) plus any
+    * natural cross-doc 8-gram repeats are removed from all copies; the
+    * oracle replays tokenization, gram df, coverage union, and the
+    * token-normalized reassembly in SQL. */
+  private val q78DupRunStrip: Q = (s, dir) => {
+    val planted = Tables(s, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        lit(" subscribe to our newsletter terms of service apply all rights reserved today")))
+    Dedup.stripDuplicatedRuns(planted, "doc_id", "text", n = 8, minDocs = 2)
+      .select(col("doc_id"), col("text").as("stripped"),
+        col("n_tokens"), col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-label top-3 most-similar pairs (W1×J2 composition — group-scoped
     * pair ranking). Runs the blocked bounded-heap operator: a hot label
     * fans out over block-pair tasks (each emitting ≤3 pairs) instead of
@@ -1269,6 +1299,8 @@ object SparkEntry {
     "q74_scrub_pipeline" -> q74ScrubPipeline,
     "q75_dup_clusters" -> q75DupClusters,
     "q76_semantic_dedup" -> q76SemanticDedup,
+    "q77_near_dup_keep" -> q77NearDupKeep,
+    "q78_dup_run_strip" -> q78DupRunStrip,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1708,6 +1740,70 @@ object SparkEntry {
         |  (vec_id = cluster_id) AS is_canonical
         |FROM comp
         |ORDER BY vec_id""".stripMargin,
+    // q78: duplicated-run-strip twin — identical tokenization (\s+ split
+    // keeping boundary empties, as q25/q35), positional 8-grams, df ≥ 2
+    // over DISTINCT docs, window-coverage union, string_agg reassembly.
+    "q78_dup_run_strip" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' subscribe to our newsletter terms of service apply all rights reserved today' AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split_regex(t, '\s+') AS ws FROM planted),
+        |grams AS (
+        |  SELECT doc_id, i.i AS pos, array_to_string(ws[(i.i+1):(i.i+8)], ' ') AS g
+        |  FROM toks, unnest(range(greatest(len(ws) - 7, 0))) AS i(i)),
+        |hot AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+        |  WHERE df >= 2),
+        |cover AS (
+        |  SELECT DISTINCT gr.doc_id, p.p AS pos
+        |  FROM grams gr JOIN hot h ON h.g = gr.g, unnest(range(gr.pos, gr.pos + 8)) AS p(p)),
+        |tokpos AS (
+        |  SELECT doc_id, u.p AS pos, ws[u.p + 1] AS tok
+        |  FROM toks, unnest(range(len(ws))) AS u(p)),
+        |kept AS (
+        |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS stripped
+        |  FROM tokpos tp LEFT JOIN cover c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        |  WHERE c.pos IS NULL
+        |  GROUP BY tp.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_cov FROM cover GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(k.stripped, '') AS stripped,
+        |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.n_cov, 0) AS BIGINT) AS n_removed
+        |FROM toks t
+        |LEFT JOIN kept k ON k.doc_id = t.doc_id
+        |LEFT JOIN cnt c ON c.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // q77: fuzzy-dedup-transform twin — q35's minhash/banding/Jaccard
+    // pipeline re-derived, then the recursive closure and the anti-join.
+    "q77_near_dup_keep" ->
+      (s"""WITH RECURSIVE $ShinglesCte,
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(16), h -> list_min(list_transform(s, x -> md5(x || '#' || CAST(h AS VARCHAR))))) AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    md5(array_to_string(sig[(b.b*4+1):(b.b*4+4)], '|')) AS bucket
+        |  FROM sig, unnest(range(4)) AS b(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+        |  WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, lbl) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id),
+        |comp AS (SELECT id, min(lbl) AS root FROM walk GROUP BY id)
+        |SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> root)
+        |ORDER BY doc_id""").stripMargin,
     // q76: semantic-dedup twin — the oracle recomputes the exact
     // neighbor-existence fact and asserts the operator's approximation
     // contract (dropped ⇒ has a global θ-witness) as constant-true.

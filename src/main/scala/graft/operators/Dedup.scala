@@ -435,6 +435,112 @@ object Dedup {
 
 
 
+  /** POSITIONAL word-`n`-gram hashes: one 64-bit key per start offset
+    * (no distinct, no sort — position matters), same word-hash + FNV
+    * combine + fmix64 as [[shingleHashSetOf]]. Docs shorter than `n`
+    * tokens yield no grams (a span below the window can't be a
+    * duplicated RUN — the ExactSubstr contract, unlike the Jaccard
+    * path's whole-doc fallback). */
+  private[graft] def positionalShingleHashes(t: String, n: Int): Array[Long] = {
+    val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+", -1)
+    val m = ws.length - n + 1
+    if (m < 1) return Array.emptyLongArray
+    val whs = new Array[Long](ws.length)
+    var i = 0
+    while (i < ws.length) { whs(i) = longHash(ws(i)); i += 1 }
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) { h = (h ^ whs(s + j)) * 0x100000001b3L; j += 1 }
+      out(s) = fmix64(h)
+      s += 1
+    }
+    out
+  }
+
+  /**
+   * Duplicated-RUN stripping — the ExactSubstr regime (Lee et al. 2022,
+   * "Deduplicating Training Data Makes Language Models Better") via the
+   * distributed gram-df formulation: any window of `n` consecutive
+   * whitespace tokens appearing verbatim in ≥ `minDocs` DISTINCT
+   * documents marks all its token positions; marked positions are
+   * removed and the survivors reassembled with single spaces (output is
+   * token-normalized for EVERY doc — uniform semantics, and what the
+   * oracle replays). Boilerplate that does not align with line breaks —
+   * the blind spot of [[stripDuplicatedLines]] — is caught here.
+   *
+   * Like published exact-substring dedup, content duplicated across k
+   * docs is removed from ALL k copies (no canonical survivor at
+   * substring granularity — compose with [[dropExactDuplicates]] /
+   * [[Components.dropByPairs]] for document-level keep-one first).
+   *
+   * Plan (linear in corpus tokens): one tokenize pass emits
+   * (gramHash, doc, pos) postings — three longs, grams never shuffled
+   * as strings (the [[ngramJaccardPairs]] hashed-gram trade; ~n²/2⁶⁴
+   * collision bound, q78 stays hash-green); hot grams are one
+   * count-distinct-docs aggregate filtered to ≥ minDocs; postings join
+   * back on the SAME hash key (co-partitioned equi-join — the hot side
+   * is pre-aggregated, so a viral boilerplate gram lands against ONE
+   * row); hot positions aggregate per doc (sorted array, bounded by
+   * that doc's own token count); one join back to the corpus and a
+   * per-row rebuild. No driver state, no broadcast of corpus-derived
+   * frames.
+   */
+  def stripDuplicatedRuns(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val postings = Par.widen(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val hs = positionalShingleHashes(t, n)
+        Iterator.tabulate(hs.length)(i => (hs(i), id, i))
+      }
+      .toDF("__h", "__id", "__pos")
+    val hot = postings.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__h"))
+    val hotStarts = postings.join(hot, "__h")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__hot"))
+    val win = n
+    val rebuild = udf { (t: String, hot: Seq[Int]) =>
+      val ws: Array[String] = if (t == null) Array.empty else t.split("\\s+", -1)
+      val covered = new Array[Boolean](ws.length)
+      if (hot != null) hot.foreach { s =>
+        var j = s
+        val end = math.min(ws.length, s + win)
+        while (j < end) { covered(j) = true; j += 1 }
+      }
+      // mkString(" ") semantics over the SURVIVORS — empty tokens (split
+      // keeps boundary empties) occupy separator slots exactly as the
+      // oracle's string_agg does
+      val sb = new StringBuilder
+      var removed = 0L
+      var emitted = 0
+      var i = 0
+      while (i < ws.length) {
+        if (covered(i)) removed += 1L
+        else {
+          if (emitted > 0) sb.append(' ')
+          sb.append(ws(i))
+          emitted += 1
+        }
+        i += 1
+      }
+      (sb.toString, ws.length.toLong, removed)
+    }
+    df.join(hotStarts, df(idCol).cast("long") === hotStarts("__id"), "left")
+      .withColumn("__r", rebuild(col(textCol), col("__hot")))
+      .withColumn(textCol, col("__r._1"))
+      .withColumn("n_tokens", col("__r._2"))
+      .withColumn("n_removed", col("__r._3"))
+      .drop("__id", "__hot", "__r")
+  }
+
   /** Distinct word-`n`-gram shingle sets as a typed Dataset. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) = {
     val spark = df.sparkSession

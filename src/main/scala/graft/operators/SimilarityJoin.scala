@@ -412,6 +412,7 @@ object SimilarityJoin {
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numBits: Int = 8, bands: Int = 8,
                      dim: Int = -1, seed: Long = 42L): DataFrame = {
+    require(numBits >= 1 && numBits <= 56, s"numBits must be in [1,56], got $numBits")
     // infer the vector dimension from the data unless given: max(size) over
     // non-null vectors is deterministic under any row order (a limit(1)
     // sample would NPE on a null first row and vary with ragged dims)
@@ -435,13 +436,30 @@ object SimilarityJoin {
     val bc = spark.sparkContext.broadcast(planes)
 
     import spark.implicits._
-    val sigs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    // Bucket rows CARRY their vector and verification is bucket-LOCAL.
+    // The historical form materialized candidate PAIR rows and hydrated
+    // both vectors with two joins — an exchange of ~4·dim bytes per
+    // candidate, which on a clustered 200k-vector corpus at 18 bands
+    // measured in the hundreds of GB (150 s wall). Here each vector
+    // crosses the wire once per band (plus block replication for hot
+    // buckets), per-pair work carries the Cauchy–Schwarz head/tail
+    // prune, and only SURVIVORS leave a task; a pair colliding in k
+    // bands is re-verified k−1 times and deduped at the end — bounded
+    // by `bands` and far cheaper than shipping vectors per candidate.
+    // Hot buckets (clustered data collapses whole clusters into one
+    // sketch) fan out over a block-pair grid sized by a COUNT JOIN, not
+    // a driver map — #occupied buckets is corpus-sized, so per-group
+    // driver state is not an option here (unlike groupedTopPairs'
+    // #labels-sized map).
+    val bucketed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val ps = bc.value
+        val nb = numBits
         it.flatMap { case (id, v) =>
           if (v == null) Iterator.empty
-          else ps.iterator.zipWithIndex.map { case (band, bi) =>
+          else Iterator.tabulate(ps.length) { bi =>
+            val band = ps(bi)
             var sig = 0L
             var b = 0
             while (b < band.length) {
@@ -453,24 +471,38 @@ object SimilarityJoin {
               if (s > 0) sig |= (1L << b)
               b += 1
             }
-            (id, bi, sig)
+            ((bi.toLong << nb) | sig, id, v)
           }
         }
       }
-      .toDF("id", "band", "bucket")
+      .toDF("bkt", "id", "v")
 
-    val cand = sigs.as("a").join(sigs.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val blockRows = 2048
+    val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    bucketed.join(counts, "bkt")
+      .select(col("bkt"), col("id"), col("v"), col("m"))
+      .as[(Long, Long, Array[Float], Long)]
+      .rdd
+      .flatMap { case (bkt, id, v, m) =>
+        val nb = math.max(1L, (m + blockRows - 1) / blockRows).toInt
+        if (nb == 1) Iterator(((bkt, 0, 0), (0, id, v)))
+        else {
+          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
+          (0 until nb).iterator.map(x => ((bkt, math.min(b, x), math.max(b, x)), (b, id, v)))
+        }
+      }
+      .groupByKey(4 * parallelism)
+      .flatMap { case ((_, ba, bb), it) =>
+        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach { case (b, id, v) =>
+          if (b == ba) aBuf += ((id, v))
+          else if (b == bb) bBuf += ((id, v))
+        }
+        scanBlockPairThreshold(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
+      }
+      .toDF("id_a", "id_b", "sim")
       .dropDuplicates("id_a", "id_b")
-
-    val vecs = df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
-    cand
-      .join(vecs.withColumnRenamed("__id", "id_a").withColumnRenamed("__v", "__va"), Seq("id_a"))
-      .join(vecs.withColumnRenamed("__id", "id_b").withColumnRenamed("__v", "__vb"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosineSimilarity(col("__va"), col("__vb")).as("sim"))
-      .where(col("sim") >= threshold)
   }
 }

@@ -1,0 +1,65 @@
+package graft.tools
+
+import graft.operators.{Components, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale measurements for the cluster-formation + semantic-dedup family
+ * on a ScaleUp dir: `runMain graft.tools.DedupScale <dir>`.
+ *
+ *  - near-dup pair emission (auto-routed LSH at this size) and the
+ *    component closure over the result — BOTH routes (driver union-find
+ *    under the edge cap, forced distributed star rounds) so the star
+ *    rounds' cost is a published number, not a trust-me
+ *  - SemDeDup marks end to end (sample-trained k-means + within-cluster
+ *    blocked scan + closure) at the paper-shaped k ≈ √n
+ */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](name: String)(fn: => T): T = {
+      val t0 = System.nanoTime()
+      val r = fn
+      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    println(s"embeddings: $n")
+
+    val pairs = timed("near_dup_pairs (auto route)") {
+      val p = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9).cache()
+      println(s"  pairs: ${p.count()}")
+      p
+    }
+    timed("components (local route)") {
+      Components.connectedComponents(pairs, "id_a", "id_b").count()
+    }
+    timed("components (distributed)") {
+      Components.connectedComponents(pairs, "id_a", "id_b", localEdgeLimit = 0L).count()
+    }
+    timed("dup_clusters + keep-one") {
+      Components.dropByPairs(e, "vec_id", pairs).count()
+    }
+    pairs.unpersist()
+
+    val k = math.max(8, math.sqrt(n.toDouble).toInt)
+    timed(s"semantic_dedup_marks (k=$k)") {
+      val m = Dedup.semanticDedupMarks(e, "vec_id", "embedding",
+        threshold = 0.9, k = k)
+      val dropped = m.where(!col("kept")).count()
+      println(s"  dropped: $dropped of $n")
+    }
+    spark.stop()
+  }
+}
