@@ -140,4 +140,26 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"q52 plans a corpus-sized sort-merge join:\n$plan")
   }
+
+  test("q77 fuzzy-dedup transform: loser side anti-joins, pair space never cartesian") {
+    val plan = q("q77_near_dup_keep")
+    assertNoCartesian("q77", plan)
+    // the keep-one must be an anti-join of the (component-sized) loser
+    // frame against the corpus — a semi/inner join the other way or a
+    // corpus-side shuffle would invert the size asymmetry
+    assert(plan.contains("LeftAnti"),
+      s"q77 lost its LEFT ANTI keep-one join:\n$plan")
+  }
+
+  test("q78 run strip: hot-gram join on the pre-aggregated side, no corpus broadcast") {
+    val plan = q("q78_dup_run_strip")
+    assertNoCartesian("q78", plan)
+    // postings join the FILTERED hot-gram aggregate — the hot side must
+    // be the build/broadcast side (it is df≥minDocs-sized); if the plan
+    // ever broadcasts the postings themselves, the corpus is on the
+    // wrong side of the asymmetry
+    val broadcasts = plan.linesIterator.filter(_.contains("BroadcastExchange")).toList
+    assert(broadcasts.nonEmpty, s"q78 lost its broadcast hot-gram join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q78 cartesian:\n$plan")
+  }
 }
