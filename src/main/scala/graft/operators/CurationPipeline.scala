@@ -138,13 +138,23 @@ object CurationPipeline {
     * (which would shuffle the full text a second time and re-evaluate
     * the redaction regexes). */
   def scrub(train: DataFrame, idCol: String, textCol: String,
-            blockPhrases: Seq[String], lineMinDocs: Int = 2): DataFrame = {
+            blockPhrases: Seq[String], lineMinDocs: Int = 2,
+            runStripN: Int = 0, runStripMinDocs: Int = 2): DataFrame = {
     val blocked = QualityFilters.keepBlocklist(train, textCol, blockPhrases)
       .withColumn(textCol, QualityFilters.redactPii(col(textCol)))
     val carry = blocked.columns.filterNot(c => c == idCol || c == textCol).toSeq
-    Dedup.stripDuplicatedLines(blocked, idCol, textCol, lineMinDocs, carry)
+    val lined = Dedup.stripDuplicatedLines(blocked, idCol, textCol, lineMinDocs, carry)
       .where(col("n_kept") > 0)
       .withColumn(textCol, col("kept_text"))
+      .select(col(idCol) +: carry.map(col) :+ col(textCol): _*)
+    // opt-in sub-line pass (runStripN > 0): duplicated RUNS that cross
+    // line boundaries survive the line strip — catch them at n-token
+    // granularity AFTER it (lines are the cheaper, exact-reassembly
+    // stage; the run strip token-normalizes whatever it touches).
+    // Docs emptied by the strip drop, mirroring the n_kept gate above.
+    if (runStripN <= 0) lined
+    else Dedup.stripDuplicatedRuns(lined, idCol, textCol, runStripN, runStripMinDocs)
+      .where(col("n_removed") < col("n_tokens"))
       .select(col(idCol) +: carry.map(col) :+ col(textCol): _*)
   }
 }

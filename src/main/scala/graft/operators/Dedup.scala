@@ -838,9 +838,11 @@ object Dedup {
    * through the skew-safe blocked scan, close them into components, and
    * keep one representative per component. Pair work drops from n² to
    * Σ cᵢ² over cluster sizes — the sub-quadratic route the paper uses at
-   * LAION scale. Deviation from the paper, documented: the canonical
-   * member is the component-MIN id (deterministic, oracle-replayable),
-   * not the member farthest from the centroid.
+   * LAION scale. The default canonical member is the component-MIN id
+   * (deterministic, oracle-replayable); `keepFarthest = true` selects
+   * the paper's own rule instead — the member farthest from its
+   * centroid (maximizing retained diversity), ties broken by min id,
+   * at the cost of one window over the component key.
    *
    * Returns one row per input id: (id, cluster, canonical, kept) with
    * kept = (id == canonical). Approximation contract: a dropped id
@@ -855,7 +857,8 @@ object Dedup {
    * assignment-augmented copy of the corpus.
    */
   def semanticDedupMarks(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, k: Int, seed: Long = 42L): DataFrame = {
+                         threshold: Double, k: Int, seed: Long = 42L,
+                         keepFarthest: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val centroids = Clustering.fitCentroids(df, vecCol, k, seed)
@@ -863,24 +866,52 @@ object Dedup {
     val assigned = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, ServingIndex.nearestCentroid(v, bc.value)) }
-      .toDF("__id", "__vec", "__cluster")
+      .map { case (id, v) =>
+        val cs = bc.value
+        val c = ServingIndex.nearestCentroid(v, cs)
+        // L2 distance to the OWN centroid — only consumed by the
+        // keepFarthest representative rule (the paper's choice:
+        // keep the member farthest from the centroid, maximizing
+        // retained diversity)
+        val ctr = cs(c)
+        var d2 = 0.0
+        var i = 0
+        val n = math.min(v.length, ctr.length)
+        while (i < n) { val x = v(i) - ctr(i); d2 += x * x; i += 1 }
+        (id, v, c, math.sqrt(d2))
+      }
+      .toDF("__id", "__vec", "__cluster", "__dist")
     val pairs = SimilarityJoin.groupedThresholdPairs(
       assigned, "__cluster", "__id", "__vec", threshold)
     val comp = Components.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "__id")
-    assigned.select(col("__id"), col("__cluster"))
+    val marked = assigned.select(col("__id"), col("__cluster"), col("__dist"))
       .join(comp, Seq("__id"), "left")
       .select(col("__id").as("id"), col("__cluster").as("cluster"),
-        coalesce(col("component"), col("__id")).as("canonical"))
+        col("__dist").as("dist"),
+        coalesce(col("component"), col("__id")).as("group"))
+    val canonical =
+      if (!keepFarthest) marked.withColumn("canonical", col("group"))
+      else {
+        // paper-faithful representative: farthest from the centroid,
+        // ties broken by min id — deterministic; one window over the
+        // component key (rows per partition bounded by component size)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("group"))
+          .orderBy(col("dist").desc, col("id").asc)
+        marked.withColumn("canonical", first(col("id")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      }
+    canonical.select(col("id"), col("cluster"), col("canonical"))
       .withColumn("kept", col("id") === col("canonical"))
   }
 
   /** The semantic-dedup TRANSFORM: [[semanticDedupMarks]] losers
     * anti-joined away; the corpus is scanned, never shuffled. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, k: Int, seed: Long = 42L): DataFrame = {
-    val losers = semanticDedupMarks(df, idCol, vecCol, threshold, k, seed)
+                    threshold: Double, k: Int, seed: Long = 42L,
+                    keepFarthest: Boolean = false): DataFrame = {
+    val losers = semanticDedupMarks(df, idCol, vecCol, threshold, k, seed, keepFarthest)
       .where(!col("kept")).select(col("id").as("__loser"))
     df.join(losers, df(idCol).cast("long") === col("__loser"), "left_anti")
   }

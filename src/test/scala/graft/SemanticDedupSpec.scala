@@ -72,6 +72,51 @@ class SemanticDedupSpec extends AnyFunSuite {
       s"dropped without witness: ${dropped.diff(pairNodes).take(5)}")
   }
 
+  test("keepFarthest selects the centroid-farthest member (the paper's rule)") {
+    val df = planted(300, 16, 40)
+    val theta = 0.999
+    val defMarks = Dedup.semanticDedupMarks(df, "id", "vec", theta, k = 6)
+    val farMarks = Dedup.semanticDedupMarks(df, "id", "vec", theta, k = 6,
+      keepFarthest = true)
+    // same clusters, same partition into groups — only the representative
+    // changes; planted copies are scaled ×1.5 so they are FARTHER from
+    // any centroid than their base: with keepFarthest the copy wins
+    val defKept = defMarks.where(col("kept")).select(col("id")).as[Long].collect().toSet
+    val farKept = farMarks.where(col("kept")).select(col("id")).as[Long].collect().toSet
+    assert(defKept.size === farKept.size) // same number of components survive
+    val copies = farMarks.where(col("id") >= 100000L)
+      .select(col("id"), col("kept")).as[(Long, Boolean)].collect()
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, kept) =>
+      assert(kept, s"scaled copy $id should be the farthest-from-centroid representative")
+    }
+    // and the default rule keeps the (smaller-id) base instead
+    assert(defKept.intersect(copies.map(_._1).toSet).isEmpty)
+  }
+
+  test("scrub with runStripN catches cross-line boilerplate the line strip misses") {
+    import graft.operators.CurationPipeline
+    // the shared run spans a line break: "tail one\ntwo three four" —
+    // neither LINE recurs wholly (prefix differs), but the token run does
+    val docs = Seq(
+      (1L, "src", "alpha unique line\nmid one two three four five end1"),
+      (2L, "src", "beta other line\nmid one two three four five end2"),
+      (3L, "src", "gamma standalone content without any shared runs")
+    ).toDF("doc_id", "source", "text")
+    val noStrip = CurationPipeline.scrub(docs, "doc_id", "text", Seq("zzznope"),
+      lineMinDocs = 2)
+    val withStrip = CurationPipeline.scrub(docs, "doc_id", "text", Seq("zzznope"),
+      lineMinDocs = 2, runStripN = 6)
+    val before = noStrip.where(col("doc_id") === 1L).select(col("text")).as[String].head()
+    val after = withStrip.where(col("doc_id") === 1L).select(col("text")).as[String].head()
+    assert(before.contains("one two three four five"))
+    assert(!after.contains("one two three four five"),
+      s"cross-line run not stripped: '$after'")
+    assert(after.contains("alpha") && after.contains("end1"))
+    val untouched = withStrip.where(col("doc_id") === 3L).select(col("text")).as[String].head()
+    assert(untouched.contains("gamma standalone content"))
+  }
+
   test("groupedThresholdPairs equals per-group filtering of the exact scan") {
     val df = planted(200, 8, 30)
       .withColumn("grp", (col("id") % 3).cast("int"))
