@@ -341,7 +341,7 @@ object Dedup {
   }
 
   /** 64-bit FNV-1a over UTF-16 chars — routing statistics only. */
-  private def longHash(s: String): Long = {
+  private[operators] def longHash(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
@@ -381,7 +381,7 @@ object Dedup {
   /** 64-bit finalizer (MurmurHash3 fmix64): the rolling FNV combine below
     * mixes upward-only through multiplication; the finalizer restores
     * avalanche so bucket/group keys spread over the full word. */
-  private def fmix64(h0: Long): Long = {
+  private[operators] def fmix64(h0: Long): Long = {
     var h = h0
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
     h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L

@@ -60,6 +60,22 @@ object DedupScale {
       val dropped = m.where(!col("kept")).count()
       println(s"  dropped: $dropped of $n")
     }
+
+    // optional second dir: decontaminate THIS corpus against that dir's
+    // documents as the benchmark — the real-use shape (the q63 ×100 row
+    // scales the benchmark ×100 alongside the corpus, which no real
+    // pipeline does; this isolates corpus-side scaling at a FIXED
+    // benchmark)
+    args.drop(1).headOption.foreach { benchDir =>
+      val train = spark.read.parquet(s"$dir/documents.parquet")
+      val bench = spark.read.parquet(s"$benchDir/documents.parquet")
+      println(s"decontaminate: train=${train.count()} benchmark=${bench.count()}")
+      timed("decontaminate (fixed benchmark)") {
+        val kept = graft.operators.Decontaminate.decontaminate(
+          train, bench, "doc_id", "text", n = 8)
+        println(s"  kept: ${kept.count()}")
+      }
+    }
     spark.stop()
   }
 }
