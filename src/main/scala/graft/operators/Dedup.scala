@@ -610,34 +610,102 @@ object Dedup {
     // bands× the shingle payload, the standard LSH-verify trade: the
     // two-id-join alternative moves the same payload through TWO join
     // shuffles plus the candidate shuffle.
+    // Banded rows carry the shingle set as SORTED 64-BIT HASHES and
+    // verification is bucket-LOCAL (the round-8 reshape, mirroring
+    // lshCosinePairs): the historical (band, bucket) self-join shipped
+    // every doc's shingle STRINGS through a sort-merge exchange twice —
+    // ~1 KB × bands per doc of sorted payload. Here the set crosses the
+    // wire once per band as 8-byte hashes, each bucket group scans its
+    // own pairs (linear sorted-merge intersection with a size-ratio
+    // prune: J ≤ min/max, so mismatched sizes skip the merge), hot
+    // buckets fan out over a block-pair grid sized by a COUNT JOIN
+    // (mass-duplicate clusters share whole band signatures — exactly
+    // the skew case), and only survivors leave a task. Hashed-set
+    // Jaccard counts are invariant modulo ~setSize²/2⁶⁴ collisions (the
+    // q25/q63/q78 trade; q35 stays hash-green). A group-key hash
+    // collision merely MERGES two candidate groups — recall can only
+    // grow, verification stays exact.
     val banded = sh.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (id, shingles) =>
         val buckets = bandBucketsOf(md, shingles, numHashes, bands)
-        (0 until bands).iterator.map(b => (id, b, buckets(b), shingles))
+        val hs = new Array[Long](shingles.length)
+        var i = 0
+        shingles.foreach { s => hs(i) = longHash(s); i += 1 }
+        java.util.Arrays.sort(hs)
+        (0 until bands).iterator.map(b =>
+          (fmix64(longHash(buckets(b)) * 31L + b), id, hs))
       }
-    }.toDF("id", "band", "bucket", "sh")
-    // both join inputs are the same subtree → one exchange, reused; the
-    // Jaccard is computed IN the join projection so the payload arrays
-    // die with the join — the pair dedup downstream shuffles slim
-    // (id, id, double) rows only. A pair colliding in k bands computes
-    // the intersection k (≤ bands) times; collisions are rare enough
-    // that this is far cheaper than shuffling the sets a second time.
-    // Deliberately NO shuffle_hash hint: it saves ~0.25 s at sf0.1 by
-    // skipping the sorts, but the hash build side would hold a whole
-    // partition's shingle payloads in memory — a skewed (band, bucket)
-    // cell OOMs where sort-merge spills. Scale safety wins.
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
-      // every row of a pair carries the same jaccard, so filtering before
-      // the pair dedup is equivalent and shuffles only the survivors
-      .where(col("jaccard") >= threshold)
+    }.toDF("bkt", "id", "sh")
+      // the banding map (md5 signatures — the expensive stage) feeds BOTH
+      // the count side and the replication side; a lazy localCheckpoint
+      // materializes it once at first use (disk-backed past memory,
+      // blocks freed by the ContextCleaner when the result frame dies)
+      // instead of running the signature pass twice
+      .localCheckpoint(false)
+    val blockRows = 2048
+    val counts = banded.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    val thr = threshold
+    banded.join(counts, "bkt")
+      .select(col("bkt"), col("id"), col("sh"), col("m"))
+      .as[(Long, Long, Array[Long], Long)]
+      .rdd
+      .flatMap { case (bkt, id, hs, m) =>
+        val nb = math.max(1L, (m + blockRows - 1) / blockRows).toInt
+        if (nb == 1) Iterator(((bkt, 0, 0), (0, id, hs)))
+        else {
+          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
+          (0 until nb).iterator.map(x => ((bkt, math.min(b, x), math.max(b, x)), (b, id, hs)))
+        }
+      }
+      .groupByKey(4 * parallelism)
+      .flatMap { case ((_, ba, bb), it) =>
+        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        it.foreach { case (b, id, hs) =>
+          if (b == ba) aBuf += ((id, hs))
+          else if (b == bb) bBuf += ((id, hs))
+        }
+        scanBlockPairJaccard(aBuf.toArray, if (ba == bb) null else bBuf.toArray, thr)
+      }
+      .toDF("id_a", "id_b", "jaccard")
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** All qualifying Jaccard pairs of one block pair (`bs == null` →
+    * within-block), sets as sorted hash arrays. */
+  private def scanBlockPairJaccard(as: Array[(Long, Array[Long])],
+                                   bs: Array[(Long, Array[Long])],
+                                   threshold: Double): Iterator[(Long, Long, Double)] = {
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val B = if (bs == null) as else bs
+    var i = 0
+    while (i < as.length) {
+      val (ia, ha) = as(i)
+      var j = if (bs == null) i + 1 else 0
+      while (j < B.length) {
+        val (ib, hb) = B(j)
+        val sa = ha.length; val sb = hb.length
+        // size-ratio prune: |A∩B| ≤ min ⇒ J ≤ min/max
+        val mn = math.min(sa, sb); val mx = math.max(sa, sb)
+        if (mn > 0 && mn.toDouble / mx >= threshold) {
+          var x = 0; var y = 0; var inter = 0
+          while (x < sa && y < sb) {
+            val a = ha(x); val b = hb(y)
+            if (a < b) x += 1 else if (a > b) y += 1
+            else { inter += 1; x += 1; y += 1 }
+          }
+          val j2 = inter.toDouble / (sa + sb - inter)
+          if (j2 >= threshold)
+            out += (if (ia < ib) (ia, ib, j2) else (ib, ia, j2))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
   }
 
   /** Per-row 64-bit SimHash signatures (typed map; deterministic murmur
