@@ -313,6 +313,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q79: corpus-trained bigram-LM counts — the exact-integer surface of
+    * the perplexity quality filter. Counts/vocab are trained on the FULL
+    * corpus; output rows sliced to doc_id < 100 (the oracle replays
+    * tokenization, positional bigrams, pair/prefix counts and the
+    * distinct-unigram vocabulary in SQL — all integers, no float-sum
+    * order hazard; the log-space scoring is spec-gated). */
+  private val q79BigramLm: Q = (s, dir) => {
+    import graft.operators.QualityFilters
+    QualityFilters.bigramCounts(Tables(s, dir, "documents"), "doc_id", "text")
+      .where(col("doc_id") < 100)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Per-label top-3 most-similar pairs (W1×J2 composition — group-scoped
     * pair ranking). Runs the blocked bounded-heap operator: a hot label
     * fans out over block-pair tasks (each emitting ≤3 pairs) instead of
@@ -1301,6 +1314,7 @@ object SparkEntry {
     "q76_semantic_dedup" -> q76SemanticDedup,
     "q77_near_dup_keep" -> q77NearDupKeep,
     "q78_dup_run_strip" -> q78DupRunStrip,
+    "q79_bigram_lm" -> q79BigramLm,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1740,6 +1754,29 @@ object SparkEntry {
         |  (vec_id = cluster_id) AS is_canonical
         |FROM comp
         |ORDER BY vec_id""".stripMargin,
+    // q79: bigram-LM count twin — wordTokens tokenization (lower, trim,
+    // \s+, empties dropped), positional bigrams (pos = 1-based index of
+    // the SECOND token), corpus-wide pair/prefix counts, distinct-unigram
+    // vocabulary. Integers throughout.
+    "q79_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, i.i AS pos, ws[CAST(i.i AS INT)] AS w1, ws[CAST(i.i AS INT) + 1] AS w2
+        |  FROM toks, unnest(range(1, len(ws))) AS i(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS context_count FROM big GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w.w) AS vocab_size
+        |      FROM (SELECT unnest(ws) AS w FROM toks) w(w))
+        |SELECT b.doc_id, b.pos, c2.pair_count, c1.context_count, v.vocab_size
+        |FROM big b
+        |JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |JOIN c1 ON c1.w1 = b.w1
+        |CROSS JOIN v
+        |WHERE b.doc_id < 100
+        |ORDER BY b.doc_id, b.pos""".stripMargin,
     // q78: duplicated-run-strip twin — identical tokenization (\s+ split
     // keeping boundary empties, as q25/q35), positional 8-grams, df ≥ 2
     // over DISTINCT docs, window-coverage union, string_agg reassembly.

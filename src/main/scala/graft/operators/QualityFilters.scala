@@ -274,4 +274,82 @@ object QualityFilters {
         round(sum(when(col("tdf") < rareDf, lit(1L)).otherwise(lit(0L))).cast("double")
           / count(lit(1)), 6).as("rare_ratio"))
   }
+
+  /** Positional token-hash stream shared by the bigram-LM paths:
+    * `wordTokens(lower(text))` semantics (lowercase, trim, \s+ split,
+    * empties dropped), tokens as 64-bit hashes — the established
+    * hashed-key trade (counts invariant, nothing shuffles strings). */
+  private def tokenHashStream(docs: DataFrame, idCol: String, textCol: String) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Par.widen(docs.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val s = if (t == null) "" else t.toLowerCase(java.util.Locale.ROOT).trim
+        (id, s.split("\\s+").iterator.filter(_.nonEmpty)
+          .map(Dedup.longHash).toArray)
+      }
+  }
+
+  /**
+   * Corpus-trained bigram language model counts — the EXACT-INTEGER
+   * surface of the CCNet-style perplexity filter (the q79 oracle gate):
+   * for every bigram position of every document, the corpus-wide pair
+   * count C(w₁w₂), the context (prefix) count C(w₁·) and the unigram
+   * vocabulary size V. The Laplace-smoothed conditional is
+   * (C(w₁w₂)+1)/(C(w₁·)+V); keeping the gated output in integers makes
+   * it bit-exact cross-engine with no float-summation order hazard —
+   * the log-space scoring lives in [[bigramLmScores]] (spec-gated:
+   * libm ln differs across engines in the last ulp, which no rounding
+   * can bound over corpus-sized sums).
+   *
+   * Plan at scale: one tokenize pass; pair and prefix counts are two
+   * narrow hash aggregates (map-side combined, 8-byte keys); the score
+   * join lands each bigram position against ONE pre-aggregated row per
+   * key (co-partitioned — a viral bigram is exactly the pre-aggregated
+   * case); the vocabulary size is one distinct-count job. No broadcast
+   * of corpus-derived frames, no driver state beyond the V scalar.
+   */
+  def bigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = tokenHashStream(docs, idCol, textCol)
+    val bigrams = toks.flatMap { case (id, hs) =>
+      Iterator.range(1, hs.length).map(i => (id, i.toLong, hs(i - 1), hs(i)))
+    }.toDF("doc_id", "pos", "__h1", "__h2")
+    val c2 = bigrams.groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val c1 = bigrams.groupBy(col("__h1")).agg(count(lit(1)).as("context_count"))
+    val vocab = toks.flatMap(_._2.iterator).distinct().count()
+    bigrams.join(c2, Seq("__h1", "__h2")).join(c1, Seq("__h1"))
+      .select(col("doc_id"), col("pos"), col("pair_count"),
+        col("context_count"), lit(vocab).as("vocab_size"))
+  }
+
+  /**
+   * Per-document bigram-LM quality scores (the CCNet perplexity
+   * filter, LM trained on the corpus itself): avg log-probability and
+   * perplexity under the Laplace-smoothed bigram model of
+   * [[bigramCounts]]. Documents shorter than two tokens score
+   * n_terms = 0 with null perplexity. Double summation order across
+   * partitions is unspecified (standard float caveat — differences are
+   * at the e-12 level; the exact-integer gate is [[bigramCounts]]).
+   */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counted = bigramCounts(docs, idCol, textCol)
+      .withColumn("__term",
+        log((col("pair_count") + lit(1.0)) /
+          (col("context_count") + col("vocab_size").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__term")).as("__sum"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        when(col("n_terms").isNotNull, col("__sum") / col("n_terms"))
+          .as("avg_logprob"),
+        when(col("n_terms").isNotNull, exp(-col("__sum") / col("n_terms")))
+          .as("perplexity"))
+  }
 }
