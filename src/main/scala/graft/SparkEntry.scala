@@ -326,6 +326,19 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** q80: fastText-shaped linear quality scorer, deterministic-weight
+    * form — the exact inference plumbing of a learned quality filter
+    * (tokenize → hashing-trick bucket → weight-sum) with md5-derived
+    * stand-in weights in integer micros, so the whole path is
+    * SQL-replayable and order-free; the TRAINED twin (spark.ml hashing +
+    * logistic regression) is spec-gated in BigramLmSpec/QualityFiltersSpec. */
+  private val q80LinearScore: Q = (s, dir) => {
+    import graft.operators.QualityFilters
+    QualityFilters.hashedLinearScoreMicros(
+        Tables(s, dir, "documents"), "doc_id", "text", numBuckets = 4096)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-label top-3 most-similar pairs (W1×J2 composition — group-scoped
     * pair ranking). Runs the blocked bounded-heap operator: a hot label
     * fans out over block-pair tasks (each emitting ≤3 pairs) instead of
@@ -1315,6 +1328,7 @@ object SparkEntry {
     "q77_near_dup_keep" -> q77NearDupKeep,
     "q78_dup_run_strip" -> q78DupRunStrip,
     "q79_bigram_lm" -> q79BigramLm,
+    "q80_linear_score" -> q80LinearScore,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1754,6 +1768,27 @@ object SparkEntry {
         |  (vec_id = cluster_id) AS is_canonical
         |FROM comp
         |ORDER BY vec_id""".stripMargin,
+    // q80: linear-scorer twin — same tokenization; bucket and weight via
+    // the q34 md5-int convention (first 13 hex digits as BIGINT), summed
+    // as exact integers.
+    "q80_linear_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |tw AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('q#' || CAST(
+        |      CAST(('0x' || substr(md5('b#' || w), 1, 13)) AS BIGINT) % 4096
+        |      AS VARCHAR)), 1, 13)) AS BIGINT) % 1000001 - 500000 AS wt
+        |  FROM tw),
+        |sums AS (SELECT doc_id, sum(wt) AS sw FROM scored GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(s.sw, 0) AS BIGINT) AS score_micros
+        |FROM toks t LEFT JOIN sums s ON s.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // q79: bigram-LM count twin — wordTokens tokenization (lower, trim,
     // \s+, empties dropped), positional bigrams (pos = 1-based index of
     // the SECOND token), corpus-wide pair/prefix counts, distinct-unigram

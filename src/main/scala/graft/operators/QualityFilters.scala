@@ -326,6 +326,106 @@ object QualityFilters {
         col("context_count"), lit(vocab).as("vocab_size"))
   }
 
+  /** md5-derived integer (first 13 hex digits) — the q34 mock-encoder
+    * arithmetic, reused so DuckDB replays it with the same substr cast. */
+  private def md5Int13(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 13)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /**
+   * fastText-shaped linear quality scorer, DETERMINISTIC-WEIGHT form
+   * (the q80 oracle gate): tokens hash into `numBuckets` buckets
+   * (hashing trick) and the score is the integer sum of md5-derived
+   * per-bucket weights in [-500000, 500000] micros — the exact
+   * inference plumbing of a GPT-3-style quality classifier (tokenize →
+   * hash → bucket → weight-sum → threshold) with stand-in weights,
+   * fully SQL-replayable and order-free (integer sums). The TRAINED
+   * path is [[trainQualityClassifier]]/[[scoreWithClassifier]]
+   * (spark.ml hashing + logistic regression — real learned weights,
+   * spec-gated: training is not SQL-replayable).
+   *
+   * Shuffle-free: one typed map per document computes buckets and
+   * weights inline; nothing is broadcast, joined, or aggregated across
+   * rows. Output: (doc_id, n_tokens, score_micros).
+   */
+  def hashedLinearScoreMicros(docs: DataFrame, idCol: String, textCol: String,
+                              numBuckets: Int = 4096,
+                              salt: String = "q"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nb = numBuckets
+    val s0 = salt
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // weights depend only on the bucket: one table of nb entries per
+        // partition replaces an md5 per TOKEN (measured 16.7 → ~7 s at
+        // 500k docs); token→bucket md5s memoize per partition, capped so
+        // adversarial vocabularies can't grow the map unboundedly
+        val weights = Array.tabulate(nb)(b => md5Int13(s0 + "#" + b) % 1000001L - 500000L)
+        val bucketCache = new java.util.HashMap[String, Integer]()
+        def bucketOf(w: String): Int = {
+          val hit = bucketCache.get(w)
+          if (hit != null) hit.intValue()
+          else {
+            val b = (md5Int13("b#" + w) % nb).toInt
+            if (bucketCache.size < (1 << 20)) bucketCache.put(w, Integer.valueOf(b))
+            b
+          }
+        }
+        it.map { case (id, t) =>
+          val txt = if (t == null) "" else t.toLowerCase(java.util.Locale.ROOT).trim
+          val ws = txt.split("\\s+").filter(_.nonEmpty)
+          var sum = 0L
+          var i = 0
+          while (i < ws.length) {
+            sum += weights(bucketOf(ws(i)))
+            i += 1
+          }
+          (id, ws.length.toLong, sum)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "score_micros")
+  }
+
+  /**
+   * Train a REAL quality classifier (the GPT-3/LLaMA-style learned
+   * filter): RegexTokenizer → HashingTF (the same hashing trick as the
+   * deterministic scorer) → LogisticRegression, all spark.ml — a
+   * distributed fit whose driver state is one weight vector of
+   * `numBuckets` doubles. `labelCol` is 1.0 for keep-quality examples.
+   */
+  def trainQualityClassifier(labeled: DataFrame, textCol: String, labelCol: String,
+                             numBuckets: Int = 1 << 14,
+                             maxIter: Int = 50): org.apache.spark.ml.PipelineModel = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer}
+    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__words")
+      .setPattern("\\s+").setToLowercase(true)
+    val tf = new HashingTF().setInputCol("__words").setOutputCol("__features")
+      .setNumFeatures(numBuckets)
+    val lr = new LogisticRegression().setFeaturesCol("__features")
+      .setLabelCol(labelCol).setMaxIter(maxIter).setRegParam(1e-4)
+    new Pipeline().setStages(Array(tok, tf, lr))
+      .fit(labeled.withColumn(labelCol, col(labelCol).cast("double")))
+  }
+
+  /** Inference under a trained classifier: adds `quality_prob`
+    * (probability of the keep class) — one distributed transform, the
+    * model broadcast by spark.ml. */
+  def scoreWithClassifier(model: org.apache.spark.ml.PipelineModel,
+                          docs: DataFrame): DataFrame = {
+    import org.apache.spark.ml.linalg.Vector
+    val p1 = udf((v: Vector) => v(1))
+    model.transform(docs)
+      .withColumn("quality_prob", p1(col("probability")))
+      .drop("__words", "__features", "rawPrediction", "probability", "prediction")
+  }
+
   /**
    * Per-document bigram-LM quality scores (the CCNet perplexity
    * filter, LM trained on the corpus itself): avg log-probability and

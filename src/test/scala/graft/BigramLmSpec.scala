@@ -55,6 +55,38 @@ class BigramLmSpec extends AnyFunSuite {
       s"expected clear separation: formulaic=$formulaic garbage=$garbage")
   }
 
+  test("trained quality classifier separates planted classes (spark.ml seam)") {
+    val rnd = new scala.util.Random(7)
+    val goodWords = Array("the", "report", "describes", "methods", "results",
+      "clearly", "with", "tables", "and", "figures")
+    val badWords = Array("zz91", "qq$$", "##", "xKcd9", "w0w0w0", "@@@@",
+      "b64b64", "%%%", "0xdead", "yyyy8")
+    def doc(ws: Array[String]) =
+      (0 until 20).map(_ => ws(rnd.nextInt(ws.length))).mkString(" ")
+    val labeled = ((1 to 60).map(i => (i.toLong, doc(goodWords), 1.0)) ++
+      (61 to 120).map(i => (i.toLong, doc(badWords), 0.0)))
+      .toDF("id", "text", "label")
+    val model = QualityFilters.trainQualityClassifier(labeled, "text", "label")
+    val scored = QualityFilters.scoreWithClassifier(model, labeled)
+      .select(col("id"), col("label"), col("quality_prob"))
+      .as[(Long, Double, Double)].collect()
+    val acc = scored.count { case (_, l, p) => (p >= 0.5) == (l >= 0.5) }.toDouble / scored.length
+    assert(acc >= 0.95, s"train accuracy $acc")
+    // probabilities are calibrated to the right side, not just ranked
+    val goodMean = scored.filter(_._2 == 1.0).map(_._3).sum / 60
+    val badMean = scored.filter(_._2 == 0.0).map(_._3).sum / 60
+    assert(goodMean > 0.8 && badMean < 0.2, s"good=$goodMean bad=$badMean")
+  }
+
+  test("hashedLinearScoreMicros: zero-token docs score zero; determinism") {
+    val df = Seq((1L, "   "), (2L, "hello world"), (3L, "hello world")).toDF("id", "text")
+    val got = QualityFilters.hashedLinearScoreMicros(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got(0) === ((1L, 0L, 0L)))
+    assert(got(1)._2 === 2L)
+    assert(got(1)._3 === got(2)._3) // same text, same score
+  }
+
   test("case and whitespace normalization match wordTokens semantics") {
     val a = QualityFilters.bigramCounts(
       Seq((1L, "  Hello   WORLD  "), (2L, "hello world")).toDF("id", "text"),
