@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.BpeTrainer
+import graft.operators.BpeTrainer.Merge
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeTrainerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // the classic Sennrich dictionary: low:5 lower:2 newest:6 widest:3
+  private val dict = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("learns the textbook merge sequence from the Sennrich dictionary") {
+    val merges = BpeTrainer.learnFromDictionary(dict, 5)
+    assert(merges === Seq(
+      Merge("e", "s"), Merge("es", "t"), Merge("est", BpeTrainer.EndOfWord),
+      Merge("l", "o"), Merge("lo", "w")))
+  }
+
+  test("corpus-learned merges equal dictionary-learned merges") {
+    val corpus = dict.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq.toDF("id", "text")
+    val learned = BpeTrainer.learnMerges(df, "text", 5)
+    assert(learned === BpeTrainer.learnFromDictionary(dict, 5))
+  }
+
+  test("encode applies merges in rank order: lowest -> low + est</w>") {
+    val merges = BpeTrainer.learnFromDictionary(dict, 5)
+    val enc = BpeTrainer.encode(Seq((1L, "lowest"), (2L, "newest lower")).toDF("id", "text"),
+        "id", "text", merges)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList, r.getLong(2)))
+    assert(enc(0) === ((1L, List("low", "est</w>"), 2L)))
+    // newest = n e w est</w> (4 tokens); lower = low e r </w> (4 tokens)
+    assert(enc(1)._2 === List("n", "e", "w", "est</w>", "low", "e", "r", "</w>"))
+    assert(enc(1)._3 === 8L)
+  }
+
+  test("training is deterministic and stops when nothing recurs") {
+    val tiny = Array(("ab", 1L), ("cd", 1L))
+    val merges = BpeTrainer.learnFromDictionary(tiny, 10)
+    assert(merges.isEmpty) // every pair occurs once — no merge at min-count 2
+    val again = BpeTrainer.learnFromDictionary(dict, 5)
+    assert(again === BpeTrainer.learnFromDictionary(dict, 5))
+  }
+
+  test("real-corpus smoke: merges learn, encoding covers every word, counts consistent") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val merges = BpeTrainer.learnMerges(docs, "text", numMerges = 50)
+    assert(merges.size === 50)
+    val enc = BpeTrainer.encode(docs.limit(50), "doc_id", "text", merges)
+    val rows = enc.select(col("n_tokens")).as[Long].collect()
+    assert(rows.forall(_ > 0))
+    // BPE token count is bounded below by word count (merges only shrink
+    // within words, and every word emits >= 1 token)
+    val words = docs.limit(50)
+      .select(size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("w"))
+      .as[Long].collect()
+    assert(rows.sum >= words.length) // at least one token per doc trivially
+  }
+}
