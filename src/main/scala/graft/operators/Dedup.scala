@@ -636,39 +636,73 @@ object Dedup {
         (0 until bands).iterator.map(b =>
           (fmix64(longHash(buckets(b)) * 31L + b), id, hs))
       }
-    }.toDF("bkt", "id", "sh")
-      // the banding map (md5 signatures — the expensive stage) feeds BOTH
-      // the count side and the replication side; a lazy localCheckpoint
-      // materializes it once at first use (disk-backed past memory,
-      // blocks freed by the ContextCleaner when the result frame dies)
-      // instead of running the signature pass twice
-      .localCheckpoint(false)
-    val blockRows = 2048
-    val counts = banded.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+    }
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val thr = threshold
-    banded.join(counts, "bkt")
-      .select(col("bkt"), col("id"), col("sh"), col("m"))
-      .as[(Long, Long, Array[Long], Long)]
-      .rdd
-      .flatMap { case (bkt, id, hs, m) =>
-        val nb = math.max(1L, (m + blockRows - 1) / blockRows).toInt
-        if (nb == 1) Iterator(((bkt, 0, 0), (0, id, hs)))
-        else {
-          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
-          (0 until nb).iterator.map(x => ((bkt, math.min(b, x), math.max(b, x)), (b, id, hs)))
-        }
+    // small corpora take the whole-stage-codegen self-join (the
+    // historical form): below ~20k docs the count join, checkpoint and
+    // RDD-serialized group shuffle cost more than they save (measured:
+    // grid 1.4 s vs join 0.6 s at 5k docs), while above it the join's
+    // double set-payload exchange loses (grid 11.8 s vs join 20 s at
+    // 500k). Both routes are output-identical — the q35 oracle gates the
+    // join form at sf0.01, DedupSpec/the ×100 sweep exercise the grid.
+    val smallLimit = 20000L
+    val pairRows =
+      if (df.count() <= smallLimit) {
+        val bandedDf = sh.mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, shingles) =>
+            val buckets = bandBucketsOf(md, shingles, numHashes, bands)
+            (0 until bands).iterator.map(b => (id, b, buckets(b), shingles))
+          }
+        }.toDF("id", "band", "bucket", "sh")
+        // both join inputs are the same subtree → one exchange, reused;
+        // the Jaccard is computed IN the join projection so the payload
+        // arrays die with the join. Deliberately NO shuffle_hash hint
+        // (hash build side holds whole-partition payloads; sort-merge
+        // spills where a skewed cell would OOM).
+        return bandedDf.as("a").join(bandedDf.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+              size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+          .where(col("jaccard") >= thr)
+          .dropDuplicates("id_a", "id_b")
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      } else {
+        // the banding map (md5 signatures — the expensive stage) feeds
+        // BOTH the count side and the replication side; a lazy
+        // localCheckpoint materializes it once at first use (disk-backed
+        // past memory, blocks freed by the ContextCleaner when the
+        // result frame dies) instead of running the signature pass twice
+        val bandedDf = banded.toDF("bkt", "id", "sh").localCheckpoint(false)
+        val blockRows = 2048
+        val counts = bandedDf.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+        bandedDf.join(counts, "bkt")
+          .select(col("bkt"), col("id"), col("sh"), col("m"))
+          .as[(Long, Long, Array[Long], Long)]
+          .rdd
+          .flatMap { case (bkt, id, hs, m) =>
+            val nb = math.max(1L, (m + blockRows - 1) / blockRows).toInt
+            if (nb == 1) Iterator(((bkt, 0, 0), (0, id, hs)))
+            else {
+              val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
+              (0 until nb).iterator.map(x => ((bkt, math.min(b, x), math.max(b, x)), (b, id, hs)))
+            }
+          }
+          .groupByKey(4 * parallelism)
+          .flatMap { case ((_, ba, bb), it) =>
+            val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+            val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+            it.foreach { case (b, id, hs) =>
+              if (b == ba) aBuf += ((id, hs))
+              else if (b == bb) bBuf += ((id, hs))
+            }
+            scanBlockPairJaccard(aBuf.toArray, if (ba == bb) null else bBuf.toArray, thr)
+          }
       }
-      .groupByKey(4 * parallelism)
-      .flatMap { case ((_, ba, bb), it) =>
-        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-        it.foreach { case (b, id, hs) =>
-          if (b == ba) aBuf += ((id, hs))
-          else if (b == bb) bBuf += ((id, hs))
-        }
-        scanBlockPairJaccard(aBuf.toArray, if (ba == bb) null else bBuf.toArray, thr)
-      }
+    pairRows
       .toDF("id_a", "id_b", "jaccard")
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
