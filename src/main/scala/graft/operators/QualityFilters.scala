@@ -435,15 +435,46 @@ object QualityFilters {
    * partitions is unspecified (standard float caveat — differences are
    * at the e-12 level; the exact-integer gate is [[bigramCounts]]).
    */
-  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counted = bigramCounts(docs, idCol, textCol)
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLmScoresAgainst(docs, docs, idCol, textCol)
+
+  /**
+   * Cross-corpus form — the ACTUAL CCNet regime: the bigram model
+   * trains on `reference` (their Wikipedia) and scores `target` (their
+   * CommonCrawl); same-corpus scoring is the special case above.
+   * Target bigrams unseen in the reference fall back to the smoothing
+   * floor ((0+1)/(C(w₁·)+V), and C(w₁·)=0 for unseen contexts), so
+   * out-of-domain text scores high perplexity instead of erroring —
+   * exactly the filter signal. The reference-side counts are two
+   * narrow aggregates; the target side pays two LEFT co-partitioned
+   * joins (hash keys) and one per-doc aggregate.
+   */
+  def bigramLmScoresAgainst(reference: DataFrame, target: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val refToks = tokenHashStream(reference, idCol, textCol)
+    val refBigrams = refToks.flatMap { case (_, hs) =>
+      Iterator.range(1, hs.length).map(i => (hs(i - 1), hs(i)))
+    }.toDF("__h1", "__h2")
+    val c2 = refBigrams.groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__c2"))
+    val c1 = refBigrams.groupBy(col("__h1")).agg(count(lit(1)).as("__c1"))
+    val vocab = refToks.flatMap(_._2.iterator).distinct().count()
+    val tgtBigrams = tokenHashStream(target, idCol, textCol)
+      .flatMap { case (id, hs) =>
+        Iterator.range(1, hs.length).map(i => (id, hs(i - 1), hs(i)))
+      }.toDF("doc_id", "__h1", "__h2")
+    val counted = tgtBigrams
+      .join(c2, Seq("__h1", "__h2"), "left")
+      .join(c1, Seq("__h1"), "left")
       .withColumn("__term",
-        log((col("pair_count") + lit(1.0)) /
-          (col("context_count") + col("vocab_size").cast("double"))))
+        log((coalesce(col("__c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(vocab.toDouble))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         sum(col("__term")).as("__sum"))
-    docs.select(col(idCol).cast("long").as("doc_id"))
+    target.select(col(idCol).cast("long").as("doc_id"))
       .join(counted, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_terms"), lit(0L)).as("n_terms"),

@@ -55,6 +55,27 @@ class BigramLmSpec extends AnyFunSuite {
       s"expected clear separation: formulaic=$formulaic garbage=$garbage")
   }
 
+  test("cross-corpus scoring (CCNet shape): reference-trained model, unseen-bigram floor") {
+    // reference: "a b a", "b a" (no 'solo' doc) → C2(a,b)=1, C2(b,a)=2,
+    // C1(a)=1, C1(b)=2, V=2. Target "a b" seen: P(b|a)=(1+1)/(1+2)=2/3.
+    // Target "c d" fully unseen: P(d|c)=(0+1)/(0+2)=1/2 (the smoothing
+    // floor — scores, never errors).
+    val ref = Seq((1L, "a b a"), (2L, "b a")).toDF("id", "text")
+    val tgt = Seq((10L, "a b"), (11L, "c d")).toDF("id", "text")
+    val got = QualityFilters.bigramLmScoresAgainst(ref, tgt, "id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(got(0).getLong(1) === 1L)
+    assert(math.abs(got(0).getDouble(2) - math.log(2.0 / 3.0)) < 1e-12)
+    assert(got(1).getLong(1) === 1L)
+    assert(math.abs(got(1).getDouble(2) - math.log(0.5)) < 1e-12)
+    // same-corpus scoring is the cross form's special case
+    val self = QualityFilters.bigramLmScores(fixture, "id", "text")
+      .orderBy(col("doc_id")).collect()
+    val cross = QualityFilters.bigramLmScoresAgainst(fixture, fixture, "id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(self.map(_.toString).toSeq === cross.map(_.toString).toSeq)
+  }
+
   test("trained quality classifier separates planted classes (spark.ml seam)") {
     val rnd = new scala.util.Random(7)
     val goodWords = Array("the", "report", "describes", "methods", "results",
