@@ -71,8 +71,12 @@ object CurationPipeline {
     import spark.implicits._
     // count(when(p, 1)) not sum(when(p, 1L)): count is never NULL on an
     // empty corpus, so the Row getters below are total
+    // keep via the typed one-pass battery (a JVM udf): the Column form's
+    // higher-order lambdas are CodegenFallback and re-split per metric —
+    // the typed twin is parity-spec'd and q59-oracle-gated
+    val keepU = udf(QualityFilters.gopherKeepOf _)
     val head = Par.widen(train)
-      .select(QualityFilters.keepPredicate(col(textCol)).as("keep"),
+      .select(keepU(col(textCol)).as("keep"),
         graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_input"),
         count(when(col("keep"), lit(1))).as("n_quality"),

@@ -97,12 +97,123 @@ object QualityFilters {
    * quotients (bit-identical across engines; see [[metricExprs]]),
    * `keep` = conjunction of every rule.
    */
+  /** Typed one-pass twin of [[metricExprs]] — the higher-order array
+    * expressions (`filter`/`transform`/`aggregate` lambdas) are
+    * CodegenFallback and re-evaluate the tokenizing split per metric;
+    * this JVM evaluation computes all nine in one scan of the string
+    * (×100: the battery fell 3.2 → sub-second). Bit-parity with the
+    * column form is an executable guarantee, not a comment:
+    * QualityFiltersSpec asserts typed ≡ column on real docs + crafted
+    * edge cases, and the q59 oracle hashes the typed output. The
+    * replication subtleties that matter: Spark `trim` strips SPACES
+    * only (never \t/\r — a "\t" line is non-blank), `length` counts
+    * code points (not UTF-16 units), `split` keeps trailing empties,
+    * `array_intersect` is DISTINCT intersection, `lower` is
+    * root-locale, and ratios are raw IEEE quotients (0/0 = NaN). */
+  final case class GopherRow(nWords: Int, nLines: Int, meanWordLen: Double,
+      alphaWordRatio: Double, symbolWordRatio: Double, bulletLineRatio: Double,
+      ellipsisLineRatio: Double, dupLineRatio: Double, stopwordHits: Int,
+      keep: Boolean)
+
+  private val AlphaRe = java.util.regex.Pattern.compile("[A-Za-z]")
+  private val StopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Stopwords.foreach(s.add)
+    s
+  }
+
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  private[operators] def gopherMetricsOf(text0: String): GopherRow = {
+    val text = if (text0 == null) "" else text0
+    val ws = trimSpaces(text).split("\\s+", -1).filter(_.nonEmpty)
+    val nWords = ws.length
+    var sumLen = 0
+    var alphaWords = 0
+    val stopSeen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < ws.length) {
+      val w = ws(i)
+      sumLen += w.codePointCount(0, w.length)
+      if (AlphaRe.matcher(w).find()) alphaWords += 1
+      val lw = w.toLowerCase(java.util.Locale.ROOT)
+      if (StopwordSet.contains(lw)) stopSeen.add(lw)
+      i += 1
+    }
+    val lines = text.split("\n", -1).map(trimSpaces).filter(_.nonEmpty)
+    val nLines = lines.length
+    var bulletLines = 0
+    var ellipsisLines = 0
+    val distinctLines = new java.util.HashSet[String]()
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.startsWith("- ") || l.startsWith("* ")) bulletLines += 1
+      if (l.endsWith("...")) ellipsisLines += 1
+      distinctLines.add(l)
+      i += 1
+    }
+    val dupLines = nLines - distinctLines.size
+    var hashes = 0
+    i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '#') hashes += 1
+      i += 1
+    }
+    // ellipses: non-overlapping "..." matches, as regexp_replace counts
+    var ellipses = 0
+    i = 0
+    while (i + 2 < text.length) {
+      if (text.charAt(i) == '.' && text.charAt(i + 1) == '.' && text.charAt(i + 2) == '.') {
+        ellipses += 1; i += 3
+      } else i += 1
+    }
+    def ratio(n: Int, d: Int): Double = n.toDouble / d.toDouble
+    val meanWordLen = ratio(sumLen, nWords)
+    val alphaWordRatio = ratio(alphaWords, nWords)
+    val symbolWordRatio = ratio(hashes + ellipses, nWords)
+    val bulletLineRatio = ratio(bulletLines, nLines)
+    val ellipsisLineRatio = ratio(ellipsisLines, nLines)
+    val dupLineRatio = ratio(dupLines, nLines)
+    val stopwordHits = stopSeen.size
+    val keep = nWords >= MinWords && nWords <= MaxWords &&
+      meanWordLen >= MinMeanWordLen && meanWordLen <= MaxMeanWordLen &&
+      alphaWordRatio >= MinAlphaWordRatio &&
+      symbolWordRatio <= MaxSymbolWordRatio &&
+      bulletLineRatio <= MaxBulletLineRatio &&
+      ellipsisLineRatio <= MaxEllipsisLineRatio &&
+      dupLineRatio <= MaxDupLineRatio &&
+      stopwordHits >= MinStopwordHits
+    GopherRow(nWords, nLines, meanWordLen, alphaWordRatio, symbolWordRatio,
+      bulletLineRatio, ellipsisLineRatio, dupLineRatio, stopwordHits, keep)
+  }
+
+  /** The keep verdict alone (the report's aggregate path). */
+  private[operators] def gopherKeepOf(text: String): Boolean =
+    gopherMetricsOf(text).keep
+
   def gopherMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ms = metricExprs(col(textCol))
-    // the battery is compute-bound array work per row: widen a narrow
-    // file scan so it doesn't run on one core (no-op at corpus scale)
-    Par.widen(docs).select(col(idCol) +: ms.map { case (n, c) => c.as(n) }: _*)
-      .withColumn("keep", keepOf(ms.map { case (n, _) => n -> col(n) }.toMap))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the battery is compute-bound per-row work: widen a narrow file
+    // scan so it doesn't run on one core (no-op at corpus scale)
+    Par.widen(docs.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val m = gopherMetricsOf(t)
+        (id, m.nWords, m.nLines, m.meanWordLen, m.alphaWordRatio,
+          m.symbolWordRatio, m.bulletLineRatio, m.ellipsisLineRatio,
+          m.dupLineRatio, m.stopwordHits, m.keep)
+      }
+      .toDF(idCol, "n_words", "n_lines", "mean_word_len", "alpha_word_ratio",
+        "symbol_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
+        "dup_line_ratio", "stopword_hits", "keep")
   }
 
   /** The full battery as ONE predicate over the raw text column —

@@ -176,4 +176,33 @@ class QualityFiltersSpec extends AnyFunSuite {
       QualityFilters.blocklistHit(col("text"), Seq("bad(regex"))
     }
   }
+
+  test("typed battery is bit-identical to the column expressions (parity guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real docs + crafted edges: tab-only line (non-blank under Spark's
+    // space-only trim), trailing \r, bullets, "....." (one non-overlap
+    // match), hashes, duplicated lines, trailing newlines, unicode word
+    val crafted = Seq(
+      (9001L, "\tword\n- bullet one\n- bullet one\n* two\nend...\n\n\n"),
+      (9002L, "dots..... ### mixed\r\nnaive caf\u00e9 \u00fcber tokens the a of"),
+      (9003L, "   "), (9004L, ""),
+      (9005L, (1 to 60).map(i => s"w$i the").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+      .unionByName(crafted)
+    val typed = QualityFilters.gopherMetrics(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    // the historical column battery, reconstructed via keepPredicate's
+    // building blocks: compare per-field through the public column API
+    val colKeep = docs
+      .select(col("doc_id"), QualityFilters.keepPredicate(col("text")).as("keep"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    typed.foreach { r =>
+      assert(r.getBoolean(10) === colKeep(r.getLong(0)),
+        s"keep diverges for doc ${r.getLong(0)}")
+    }
+  }
 }
