@@ -61,6 +61,16 @@ object DedupScale {
       println(s"  dropped: $dropped of $n")
     }
 
+    // operator-only scrub (q74's bench number includes its test-harness
+    // line reshape, which the oracle also pays — this isolates the
+    // operator: blocklist → PII redaction → line strip on raw docs)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    timed("scrub (operator only)") {
+      val out = graft.operators.CurationPipeline.scrub(
+        docs, "doc_id", "text", Seq("badphrase"), lineMinDocs = 2)
+      println(s"  kept: ${out.agg(sum(length(col("text")))).head().getLong(0) / 1000000} MB text")
+    }
+
     // optional second dir: decontaminate THIS corpus against that dir's
     // documents as the benchmark — the real-use shape (the q63 ×100 row
     // scales the benchmark ×100 alongside the corpus, which no real
