@@ -78,6 +78,22 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("20k-node path graph converges through the distributed star rounds (worst-case diameter)") {
+    // a path is the adversarial shape for label propagation (diameter =
+    // n); large-star/small-star must close it in O(log² n) rounds —
+    // maxIter stays at the default 64, so non-convergence throws
+    val n = 20000L
+    val edges = spark.range(n - 1)
+      .selectExpr("id as a", "id + 1 as b")
+    val comp = Components.connectedComponents(edges, "a", "b", localEdgeLimit = 0L)
+    val agg = comp.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("component")),
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("component"))).head()
+    assert(agg.getLong(0) === n)
+    assert(agg.getLong(1) === 0L && agg.getLong(2) === 0L) // one component, rooted at 0
+  }
+
   test("duplicateClusters marks sizes and the canonical min; extra nodes ride as singletons") {
     val pairs = Seq((2L, 5L), (5L, 7L), (10L, 11L)).toDF("id_a", "id_b")
     val extra = Seq(1L, 2L, 99L).toDF("vec_id")
