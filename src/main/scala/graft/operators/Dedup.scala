@@ -1068,17 +1068,26 @@ object Dedup {
     val out = Set("n_lines", "n_kept", "kept_text")
     require(!carryCols.exists(out), s"carryCols may not shadow ${out.mkString("/")}")
     val (i, p, l, h) = ("__sdl_id", "__sdl_pos", "__sdl_line", "__sdl_hot")
+    val hk = "__sdl_h"
     val lines = df.select(col(idCol).cast("long").as(i) +:
       carryCols.map(col) :+
       posexplode(split(col(textCol), "\n")).as(Seq(p, l)): _*)
-    val hot = lines.groupBy(col(l))
+      .withColumn(hk, xxhash64(col(l)))
+    // df-aggregate and hot join key on the 64-bit LINE HASH — the line
+    // strings never ride the frequency exchange or the join sort, only
+    // the per-doc reassembly (the q25/q63/q78 hashed-key trade; a
+    // 2⁻⁶⁴-probability collision would strip one innocent line, the
+    // same equality-by-hash contract the gram paths already make, and
+    // the q70/q74 oracles stay hash-green)
+    val hot = lines.select(col(hk), col(i))
+      .groupBy(col(hk))
       .agg(countDistinct(col(i)).as("__sdl_df"))
       .where(col("__sdl_df") >= minDocs)
-      .select(col(l), lit(true).as(h))
+      .select(col(hk), lit(true).as(h))
     // collect_list skips NULLs, so the hot-marked rows vanish from the
     // rebuilt text while still counting toward n_lines — one aggregate
     // yields totals, survivors and reassembly together
-    val marked = lines.join(hot, Seq(l), "left")
+    val marked = lines.join(hot, Seq(hk), "left")
     val aggs =
       count(lit(1)).as("n_lines") +:
       count(when(col(h).isNull, lit(1))).as("n_kept") +:
