@@ -476,6 +476,11 @@ object SimilarityJoin {
         }
       }
       .toDF("bkt", "id", "v")
+    // NOTE: bucketed deliberately feeds the count and replication sides
+    // as TWO evaluations (unlike the minhash grid's localCheckpoint):
+    // here the payload is bands× the raw vectors (~5 GB at 200k×384×18)
+    // while the recomputed signature pass is ~2 s of dense math —
+    // measured, materializing costs more than it saves
 
     val blockRows = 2048
     val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
