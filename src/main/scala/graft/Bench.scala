@@ -27,6 +27,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is INT64 TIMESTAMP(NANOS) — read as raw nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the dedup grids shuffle RDDs of primitive-array tuples — Kryo
+      // (see Graft.configure) halves their exchange bytes vs Java ser
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,6 +20,12 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       // events-style INT64 TIMESTAMP(NANOS) parquet reads as raw nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // DataFrame exchanges move UnsafeRows (serializer-independent), but
+      // the dedup/LSH block grids and the serving slabs shuffle RDDs of
+      // (id, Array[Long|Float]) tuples — Kryo writes those as length +
+      // raw primitives where Java serialization writes full object
+      // streams (~2-3× the bytes and CPU on the grid exchanges)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .withExtensions(new GraftExtensions)
 
   /** Local session with the engine installed (shuffle partitions sized to

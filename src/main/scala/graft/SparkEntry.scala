@@ -234,9 +234,30 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** The dedup family's SHARED pair frames: q15/q75 start from the same
+    * cosine-θ pair set, q35/q77 from the same MinHash-LSH pair set. Each
+    * is built ONCE per (session, sf-dir) through [[operators.StageCache]]
+    * — the pipeline reuse the reference's own staged runs perform
+    * (day_10/embedders/embedding_pipeline.py:238-314 memoizes its
+    * expensive stage) — with the build wall republished via
+    * [[artifactBuildSeconds]] so benchmarks amortize without hiding
+    * construction cost. Consumers are output-identical with the cache
+    * disabled (`spark.graft.stageCache.enabled=false`): the cache stores
+    * exactly the operator's own result frame. */
+  private def cosinePairsShared(s: SparkSession, dir: String): DataFrame =
+    operators.StageCache.cached("cosine_pairs_theta0.4", Tables(s, dir, "embeddings")) {
+      Dedup.embeddingNearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    }
+
+  private def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
+    operators.StageCache.cached("minhash_lsh_16x4_sh3_j0.5", Tables(s, dir, "documents")) {
+      Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5)
+    }
+
   /** Embedding-cosine near-duplicate pairs at threshold (dedup primitive). */
   private val q15NearDupPairs: Q = (s, dir) => {
-    Dedup.embeddingNearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    cosinePairsShared(s, dir)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -250,7 +271,7 @@ object SparkEntry {
     * a recursive CTE over the identical exact pair set. */
   private val q75DupClusters: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
-    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4)
+    val pairs = cosinePairsShared(s, dir)
     Components.duplicateClusters(pairs, extraNodes = Some(e.select(col("vec_id"))))
       .select(col("node").as("vec_id"), col("cluster_id"),
         col("cluster_size"), col("is_canonical"))
@@ -265,7 +286,16 @@ object SparkEntry {
     * `dropped_implies_neighbor` asserts the operator's approximation
     * contract — every doc SemDeDup drops has an exact global θ-witness
     * (within-cluster pairs ⊆ global pairs), so a doc with no θ-neighbor
-    * can never be dropped, whatever the clustering did. */
+    * can never be dropped, whatever the clustering did.
+    *
+    * Float-vs-double threshold note: the blocked scan kernel widens
+    * every vector to Array[Double] BEFORE any product
+    * (SimilarityJoin.Block — per-element double×double, double
+    * accumulators, same index order as DuckDB's DOUBLE[] fold), so both
+    * engines compute the same ±1-ulp cosine and a pair would have to
+    * sit within machine epsilon of θ=0.4 to flip `has_global_neighbor`
+    * between them — not the float-product rounding a quick reading of
+    * `dot += va(x)*vb(x)` suggests (va is the widened double array). */
   private val q76SemanticDedup: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
     val marks = Dedup.semanticDedupMarks(e, "vec_id", "embedding",
@@ -291,15 +321,14 @@ object SparkEntry {
     * verification, AND the transitive closure). */
   private val q77NearDupKeep: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5)
+    val pairs = minhashPairsShared(s, dir)
     Components.dropByPairs(docs, "doc_id", pairs)
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id"))
   }
 
   /** q78: duplicated-RUN stripping (ExactSubstr regime) — a planted
-    * 13-token boilerplate tail (shared verbatim by every doc) plus any
+    * 12-token boilerplate tail (shared verbatim by every doc) plus any
     * natural cross-doc 8-gram repeats are removed from all copies; the
     * oracle replays tokenization, gram df, coverage union, and the
     * token-normalized reassembly in SQL. */
@@ -336,6 +365,78 @@ object SparkEntry {
     import graft.operators.QualityFilters
     QualityFilters.hashedLinearScoreMicros(
         Tables(s, dir, "documents"), "doc_id", "text", numBuckets = 4096)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Merge count the q81/q82 BPE oracles replay — each merge is one
+    * unrolled CTE stage in the DuckDB twin. */
+  private val BpeOracleMerges = 12
+
+  /** The q81/q82 training dictionary: [a-z]+ words only (ASCII-pure, so
+    * the SQL replay has no code-unit-vs-codepoint ambiguity and symbols
+    * can never contain the oracle's brace delimiters), NO vocab cap
+    * (the cap's tie order is engine-internal; the full corpus
+    * dictionary is the deterministic regime). Driver state stays
+    * bounded by vocabulary size — the trainer's own design. */
+  private def bpeAzDict(s: SparkSession, dir: String): Array[(String, Long)] =
+    operators.BpeTrainer.wordCounts(Tables(s, dir, "documents"), "text")
+      .where(col("word").rlike("^[a-z]+$"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** q81: BPE merge-table TRAINING (Sennrich dictionary regime,
+    * BpeTrainer.scala) gated as an exact-integer oracle surface —
+    * closes round 8's one spec-only trained artifact. The oracle
+    * replays every stage: overlap-inclusive pair counts weighted by
+    * word frequency (Sennrich `get_stats`), argmax with
+    * (count desc, pair asc) tie order, and the left-to-right
+    * non-overlapping merge pass (`merge_vocab`) — expressed as
+    * replace() over a brace-wrapped symbol string, which equals the
+    * trainer's array pass exactly because wrapping each symbol removes
+    * the boundary sharing that breaks naive separator-joined replace
+    * on runs ("a a a a"). */
+  private val q81BpeMerges: Q = (s, dir) => {
+    import s.implicits._
+    operators.BpeTrainer.learnFromDictionaryDetailed(bpeAzDict(s, dir), BpeOracleMerges)
+      .zipWithIndex
+      .map { case ((m, cnt), i) => (i + 1, m.left, m.right, cnt) }
+      .toDF("step", "lhs", "rhs", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** q82: BPE ENCODE gated end to end — per-doc token/word counts over
+    * the [a-z]+ words of docs < 100 under the q81-trained table,
+    * computed by the production rank-greedy encoder
+    * ([[operators.BpeTrainer.encodeWord]] — lowest-rank applicable
+    * merge first, the standard BPE apply). The oracle counts symbols
+    * of the replayed TRAINING segmentations instead; the two surfaces
+    * agree because greedy-rank apply reproduces training segmentation
+    * on every dictionary word (BpeTrainerSpec parity-gates that
+    * corpus-wide), so a regression in either path breaks the hash. */
+  private val q82BpeTokenCounts: Q = (s, dir) => {
+    import s.implicits._
+    val merges = operators.BpeTrainer.learnFromDictionary(bpeAzDict(s, dir), BpeOracleMerges)
+    val rank = merges.zipWithIndex.map { case (m, i) => ((m.left, m.right), i) }.toMap
+    val bc = s.sparkContext.broadcast(rank)
+    Tables(s, dir, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0 && col("word").rlike("^[a-z]+$"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bc.value
+        val memo = new java.util.HashMap[String, Integer]()
+        it.map { case (id, w) =>
+          var n = memo.get(w)
+          if (n == null) {
+            n = Integer.valueOf(operators.BpeTrainer.encodeWord(w, rk).length)
+            memo.put(w, n)
+          }
+          (id, n.intValue.toLong)
+        }
+      }
+      .toDF("doc_id", "n")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_words"))
       .orderBy(col("doc_id"))
   }
 
@@ -650,8 +751,7 @@ object SparkEntry {
   private val q35MinhashLsh: Q = (s, dir) => {
     // 4 bands × 4 rows: collision prob s^4 per band — near-dups (s≈1)
     // always collide, the s≈0.1 background stays out of the candidate set.
-    Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5)
+    minhashPairsShared(s, dir)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -905,7 +1005,8 @@ object SparkEntry {
     * `<q>_build` keys, so memoization amortizes repeated runs without
     * HIDING construction cost from the published numbers. */
   private val artifactBuild = scala.collection.concurrent.TrieMap.empty[String, Double]
-  def artifactBuildSeconds: Map[String, Double] = artifactBuild.toMap
+  def artifactBuildSeconds: Map[String, Double] =
+    artifactBuild.toMap ++ operators.StageCache.buildSeconds
   private def recordBuild[T](key: String)(body: => T): T = {
     val t0 = System.nanoTime()
     val r = body
@@ -1329,9 +1430,69 @@ object SparkEntry {
     "q78_dup_run_strip" -> q78DupRunStrip,
     "q79_bigram_lm" -> q79BigramLm,
     "q80_linear_score" -> q80LinearScore,
+    "q81_bpe_merges" -> q81BpeMerges,
+    "q82_bpe_token_counts" -> q82BpeTokenCounts,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
+
+  // ---- BPE oracle generator -------------------------------------------
+  // One CTE stage per merge: p<k> counts adjacent symbol pairs of the
+  // previous representations (overlap-inclusive, weighted by word
+  // frequency), b<k> picks the winner (count desc, lhs, rhs — the
+  // trainer's exact tie order; cnt >= 2 mirrors its early stop), w<k>
+  // applies it with replace() on the brace-wrapped form. Symbols carry
+  // no braces ([a-z]+ words + the </w> marker), so '}{'-splitting and
+  // '{l}{r}' replacement are boundary-exact.
+  private def bpeStagesSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "dict AS MATERIALIZED (\n" +
+      "  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (\n" +
+      "    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0)) AS word\n" +
+      "    FROM documents)\n" +
+      "  WHERE regexp_matches(word, '^[a-z]+$')\n" +
+      "  GROUP BY word),\n" +
+      "w0 AS MATERIALIZED (\n" +
+      "  SELECT word, n,\n" +
+      "    array_to_string(list_transform(string_split(word, ''), c -> '{' || c || '}'), '') || '{</w>}' AS repr\n" +
+      "  FROM dict)"
+    for (i <- 1 to k) {
+      sb ++= s",\np$i AS MATERIALIZED (\n" +
+        "  SELECT syms[CAST(u.i AS INT)] AS lhs, syms[CAST(u.i AS INT) + 1] AS rhs,\n" +
+        "    CAST(sum(n) AS BIGINT) AS cnt\n" +
+        s"  FROM (SELECT n, string_split(repr[2:-2], '}{') AS syms FROM w${i - 1}) t,\n" +
+        "       unnest(range(1, len(syms))) AS u(i)\n" +
+        "  GROUP BY 1, 2),\n" +
+        s"b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i WHERE cnt >= 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),\n" +
+        s"w$i AS MATERIALIZED (\n" +
+        "  SELECT word, n, replace(repr, '{' || b.lhs || '}{' || b.rhs || '}', '{' || b.lhs || b.rhs || '}') AS repr\n" +
+        s"  FROM w${i - 1}, b$i b)"
+    }
+    sb.toString
+  }
+
+  private def bpeMergesOracleSql: String = {
+    val k = BpeOracleMerges
+    val steps = (1 to k).map(i =>
+      s"SELECT $i AS step, lhs, rhs, cnt AS pair_count FROM b$i").mkString("\n  UNION ALL ")
+    s"WITH ${bpeStagesSql(k)}\nSELECT * FROM (\n  $steps\n) ORDER BY step"
+  }
+
+  private def bpeTokenCountsOracleSql: String = {
+    val k = BpeOracleMerges
+    s"""WITH ${bpeStagesSql(k)},
+docw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0)) AS word
+    FROM documents WHERE doc_id < 100)
+  WHERE regexp_matches(word, '^[a-z]+$$'))
+SELECT d.doc_id,
+  CAST(sum(len(string_split(f.repr[2:-2], '}{'))) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_words
+FROM docw d JOIN w$k f USING (word)
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
+  }
 
   // ---- clean_text oracle generator ------------------------------------
   // Mirrors graft.functions.TextClean stage by stage (same patterns; RE2
@@ -1789,6 +1950,15 @@ object SparkEntry {
         |  CAST(coalesce(s.sw, 0) AS BIGINT) AS score_micros
         |FROM toks t LEFT JOIN sums s ON s.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // q81/q82: BPE trainer/encoder twins — the merge loop unrolled as
+    // one CTE stage per merge (bpeStagesSql): pair counts are
+    // overlap-inclusive and word-frequency-weighted, the argmax breaks
+    // ties (count desc, lhs, rhs), and the merge pass is replace() over
+    // a {brace}-wrapped symbol string (wrapping removes boundary
+    // sharing, so DuckDB's left-to-right non-overlapping replace IS the
+    // trainer's array pass).
+    "q81_bpe_merges" -> bpeMergesOracleSql,
+    "q82_bpe_token_counts" -> bpeTokenCountsOracleSql,
     // q79: bigram-LM count twin — wordTokens tokenization (lower, trim,
     // \s+, empties dropped), positional bigrams (pos = 1-based index of
     // the SECOND token), corpus-wide pair/prefix counts, distinct-unigram

@@ -57,12 +57,36 @@ object BpeTrainer {
   }
 
   /** The driver-side trainer, exposed for spec fixtures. */
-  def learnFromDictionary(dict: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
+  def learnFromDictionary(dict: Array[(String, Long)], numMerges: Int): Seq[Merge] =
+    learnFromDictionaryDetailed(dict, numMerges).map(_._1)
+
+  /** [[learnFromDictionary]] with each merge's winning pair frequency —
+    * the exact-integer surface the q81 oracle replays stage by stage
+    * (the count is Σ word-freq over every adjacent occurrence, OVERLAPS
+    * INCLUDED — Sennrich's `get_stats`; the merge application is a
+    * single left-to-right non-overlapping pass — Sennrich's
+    * `merge_vocab`. The asymmetry is the canonical algorithm's own). */
+  def learnFromDictionaryDetailed(dict: Array[(String, Long)],
+                                  numMerges: Int): Seq[(Merge, Long)] =
+    trainCore(dict, numMerges)._1
+
+  /** The dictionary's final segmentations under the learned table —
+    * aligned with `dict` order. This is the training-time ground truth
+    * the rank-greedy [[encode]] must reproduce on every dictionary word
+    * (BpeTrainerSpec parity-gates the two; the q82 oracle replays THIS
+    * surface stage by stage in SQL). */
+  def trainedSegmentations(dict: Array[(String, Long)],
+                           numMerges: Int): Array[Array[String]] =
+    trainCore(dict, numMerges)._2
+
+  private def trainCore(dict: Array[(String, Long)], numMerges: Int)
+      : (Seq[(Merge, Long)], Array[Array[String]]) = {
     // each word as a mutable symbol sequence: chars + the end marker
     val words: Array[(Array[String], Long)] = dict.map { case (w, n) =>
       ((w.map(_.toString) :+ EndOfWord).toArray, n)
     }
-    val merges = collection.mutable.ArrayBuffer.empty[Merge]
+    def segs: Array[Array[String]] = words.map(_._1)
+    val merges = collection.mutable.ArrayBuffer.empty[(Merge, Long)]
     var iter = 0
     while (iter < numMerges) {
       // pair frequencies over the dictionary, weighted by word count
@@ -75,13 +99,13 @@ object BpeTrainer {
           i += 1
         }
       }
-      if (freq.isEmpty) return merges.toSeq
+      if (freq.isEmpty) return (merges.toSeq, segs)
       // max by count, ties lexicographic on the pair — deterministic
       val best = freq.maxBy { case ((a, b), n) => (n, a, b) }(
         Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse))
-      if (best._2 < 2) return merges.toSeq // nothing recurs — stop early
+      if (best._2 < 2) return (merges.toSeq, segs) // nothing recurs — stop early
       val (l, r) = best._1
-      merges += Merge(l, r)
+      merges += ((Merge(l, r), best._2))
       // apply the merge in place
       var w = 0
       while (w < words.length) {
@@ -100,11 +124,11 @@ object BpeTrainer {
       }
       iter += 1
     }
-    merges.toSeq
+    (merges.toSeq, segs)
   }
 
   /** Encode one word (without marker handling by the caller). */
-  private def encodeWord(w: String, rank: Map[(String, String), Int]): Array[String] = {
+  private[graft] def encodeWord(w: String, rank: Map[(String, String), Int]): Array[String] = {
     var syms: Array[String] = (w.map(_.toString) :+ EndOfWord).toArray
     var done = false
     while (!done && syms.length > 1) {

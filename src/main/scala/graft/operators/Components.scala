@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
  * with `localCheckpoint` (an iterative DataFrame loop otherwise
  * re-plans the whole history each action).
  *
- * Reference behavior: the reference's dedup surface stops at pair
- * emission + group listing (ref: day_12/deduplication.py builds groups
- * only for EXACT hash matches); transitive closure over near-dup pairs
- * is the standard completion used by large-scale curation pipelines.
+ * Reference behavior: the reference's dedup surface stops at PAIR
+ * emission — upper-triangle similarity pairs, ranked (ref:
+ * day_5/day5_complete.py:128-137); it never closes pairs into
+ * duplicate clusters. Transitive closure over near-dup pairs is the
+ * standard completion used by large-scale curation pipelines.
  */
 object Components {
 
@@ -45,12 +46,18 @@ object Components {
    * Route selection: a dedup pair graph is usually ≪ corpus-sized, and
    * the star rounds cost ~3 scheduled jobs per round — a job-floor tax
    * that dominates on small graphs. Edge sets at or under
-   * `localEdgeLimit` (after canonicalization; 16 bytes/edge — the
-   * default 1M edges is ~16 MB, the same order as a broadcast-join
-   * small side) therefore collapse to a driver union-find in one
-   * collect; larger sets run the distributed star rounds. Both routes
-   * are exact and return identical output (ComponentsSpec parity-tests
-   * the pair); pass `localEdgeLimit = 0` to force the distributed path.
+   * `localEdgeLimit` (after canonicalization) therefore collapse to a
+   * driver union-find in one collect; larger sets run the distributed
+   * star rounds. Driver footprint at the default 1M-edge limit: the
+   * edge list collects into one primitive long array (16 MB payload;
+   * the per-partition builders are transient), and the union-find maps
+   * hold one BOXED entry per distinct node touched by a union or
+   * lookup — worst case ~2M boxed Long pairs ≈ 100-150 MB transient
+   * JVM heap, an order below the driver's budget but NOT free; size
+   * `localEdgeLimit` accordingly, don't treat it as payload-only.
+   * Both routes are exact and return identical output (ComponentsSpec
+   * parity-tests the pair); `localEdgeLimit = 0` forces the
+   * distributed path.
    */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 64,
@@ -80,7 +87,16 @@ object Components {
 
     if (localEdgeLimit > 0 && e.count() <= localEdgeLimit) {
       import spark.implicits._
-      val collected = e.as[(Long, Long)].collect()
+      // collect as ONE primitive long array (u,v interleaved): a
+      // Tuple2 collect at 1M edges is ~50-100 MB of transient boxed
+      // driver heap; this form is 16 bytes/edge flat
+      val collected: Array[Long] = e.as[(Long, Long)].rdd
+        .mapPartitions { it =>
+          val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+          it.foreach { case (a, b) => buf += a; buf += b }
+          Iterator(buf.result())
+        }
+        .collect().flatten
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -91,12 +107,13 @@ object Components {
         }
         x
       }
-      collected.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
+      var ei = 0
+      while (ei < collected.length) {
+        val ra = find(collected(ei)); val rb = find(collected(ei + 1))
         if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+        ei += 2
       }
-      val mapped = collected.flatMap { case (a, b) => Seq(a, b) }.distinct
-        .map(x => (x, find(x)))
+      val mapped = collected.distinct.map(x => (x, find(x)))
       val comp = spark.createDataset(mapped.toSeq).toDF("node", "component")
       return nodes.join(comp, Seq("node"), "left")
         .select(col("node"), coalesce(col("component"), col("node")).as("component"))

@@ -563,9 +563,23 @@ object Dedup {
     // md5(s ∥ "#" ∥ h) via incremental update: the shingle is UTF-8
     // encoded ONCE and the "#h" suffix bytes are table-shared, instead of
     // numHashes string concats + re-encodings per shingle — measured ~2×
-    // on the signature stage with identical output by md5's definition
+    // on the signature stage with identical output by md5's definition.
+    // The running min is tracked as the digest's 128-bit value in two
+    // PRIMITIVE longs (big-endian, unsigned compare) instead of a hex
+    // string: lexicographic order of lowercase hex equals unsigned
+    // numeric order of the bytes, so the winning component is identical —
+    // but the hot loop allocates NOTHING per (shingle, h) where it used
+    // to build and compare a 32-char string (shingles × numHashes
+    // allocations per doc; the dominant GC load of the banding stage).
+    // Only the numHashes WINNERS are hex-formatted at the end, because
+    // the band bucket must stay md5(hex ∥ "|" ∥ hex …) — the form the
+    // DuckDB oracle replays.
     val suffixes = hashSuffixes(numHashes)
-    val sig = new Array[String](numHashes)
+    val sigHi = new Array[Long](numHashes)
+    val sigLo = new Array[Long](numHashes)
+    java.util.Arrays.fill(sigHi, -1L) // unsigned max: any digest is ≤
+    java.util.Arrays.fill(sigLo, -1L)
+    val buf = new Array[Byte](16)
     shingles.foreach { s =>
       val sb = s.getBytes("UTF-8")
       var h = 0
@@ -573,10 +587,28 @@ object Dedup {
         md.reset()
         md.update(sb)
         md.update(suffixes(h))
-        val v = hexOf(md.digest())
-        if (sig(h) == null || v < sig(h)) sig(h) = v
+        md.digest(buf, 0, 16)
+        var hi = 0L; var lo = 0L
+        var i = 0
+        while (i < 8) { hi = (hi << 8) | (buf(i) & 0xffL); i += 1 }
+        while (i < 16) { lo = (lo << 8) | (buf(i) & 0xffL); i += 1 }
+        val c = java.lang.Long.compareUnsigned(hi, sigHi(h))
+        if (c < 0 || (c == 0 && java.lang.Long.compareUnsigned(lo, sigLo(h)) < 0)) {
+          sigHi(h) = hi; sigLo(h) = lo
+        }
         h += 1
       }
+    }
+    val sig = Array.tabulate(numHashes) { h =>
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        val b = (if (i < 8) (sigHi(h) >>> ((7 - i) * 8)) else (sigLo(h) >>> ((15 - i) * 8))).toInt
+        out(i * 2) = HexChars((b >> 4) & 0xf)
+        out(i * 2 + 1) = HexChars(b & 0xf)
+        i += 1
+      }
+      new String(out)
     }
     Array.tabulate(bands)(b => md5Hex(md, sig.slice(b * rows, (b + 1) * rows).mkString("|")))
   }
@@ -597,7 +629,8 @@ object Dedup {
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
-                      shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+                      shingleLen: Int = 3, threshold: Double = 0.5,
+                      smallLimit: Long = 20000L, rowCount: Long = -1L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
     import spark.implicits._
@@ -640,15 +673,17 @@ object Dedup {
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val thr = threshold
     // small corpora take the whole-stage-codegen self-join (the
-    // historical form): below ~20k docs the count join, checkpoint and
-    // RDD-serialized group shuffle cost more than they save (measured:
-    // grid 1.4 s vs join 0.6 s at 5k docs), while above it the join's
-    // double set-payload exchange loses (grid 11.8 s vs join 20 s at
-    // 500k). Both routes are output-identical — the q35 oracle gates the
-    // join form at sf0.01, DedupSpec/the ×100 sweep exercise the grid.
-    val smallLimit = 20000L
+    // historical form): below `smallLimit` (default ~20k docs) the count
+    // join, checkpoint and RDD-serialized group shuffle cost more than
+    // they save (measured: grid 1.4 s vs join 0.6 s at 5k docs), while
+    // above it the join's double set-payload exchange loses (grid 11.8 s
+    // vs join 20 s at 500k). Both routes are output-identical — the q35
+    // oracle gates the join form at sf0.01, DedupSpec's forced-grid
+    // parity test (smallLimit = 0) and the ×100 sweep exercise the grid.
+    // `rowCount` lets a caller who already knows the cardinality skip
+    // the routing count's extra pass over the upstream plan.
     val pairRows =
-      if (df.count() <= smallLimit) {
+      if ((if (rowCount >= 0) rowCount else df.count()) <= smallLimit) {
         val bandedDf = sh.mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
           it.flatMap { case (id, shingles) =>

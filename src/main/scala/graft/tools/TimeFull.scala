@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
  * left-join payload), so a count-timed query can under-report the real
  * materialization cost. This timer folds every column through xxhash64
  * into one aggregate — nothing can be pruned, nothing is collected.
+ * Measurement protocol: [[Timing]] (trimmed mean of 5, spread published).
  * `runMain graft.tools.TimeFull <sfDir> <qname> [qname...]`
  */
 object TimeFull {
@@ -19,20 +20,16 @@ object TimeFull {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
-      def once(): Double = {
-        val t0 = System.nanoTime()
+      Timing.report(n) {
         val df = q(spark, dir)
         df.agg(bit_xor(xxhash64(df.columns.map(c => col(c).cast("string")): _*))).head()
-        (System.nanoTime() - t0) / 1e9
       }
-      val warm = once()
-      val timed = Seq.fill(3)(once()).sorted
-      println(f"$n%s warm=$warm%.3f median=${timed(1)}%.3f runs=${timed.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

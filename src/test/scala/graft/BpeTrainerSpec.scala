@@ -60,4 +60,44 @@ class BpeTrainerSpec extends AnyFunSuite {
       .as[Long].collect()
     assert(rows.sum >= words.length) // at least one token per doc trivially
   }
+
+  test("rank-greedy encode reproduces the training segmentation on every dictionary word") {
+    // the q82 oracle replays TRAINING segmentations while the Spark side
+    // runs the production rank-greedy encoder — this corpus-wide parity
+    // is what makes the two the same surface (classic BPE property:
+    // applying merges lowest-rank-first re-derives the training result
+    // on any word the trainer saw)
+    // the synthetic documents corpus draws from a CLOSED ~31-word
+    // vocabulary at every sf (generator design), so "corpus-wide" parity
+    // is 31 words here — plus a hand-built open-vocab dictionary below
+    // to cover shapes the generator can't produce
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val azDict = BpeTrainer.wordCounts(docs, "text")
+      .where(col("word").rlike("^[a-z]+$"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val detailed = BpeTrainer.learnFromDictionaryDetailed(azDict, 12)
+    val segs = BpeTrainer.trainedSegmentations(azDict, 12)
+    val rank = detailed.map(_._1).zipWithIndex
+      .map { case (m, i) => ((m.left, m.right), i) }.toMap
+    azDict.zip(segs).foreach { case ((w, _), trained) =>
+      val greedy = BpeTrainer.encodeWord(w, rank)
+      assert(greedy.sameElements(trained),
+        s"word '$w': greedy=${greedy.mkString("|")} trained=${trained.mkString("|")}")
+    }
+    assert(azDict.length >= 30) // the generator's full closed vocabulary
+
+    // open-vocab adversarial dictionary: runs ("aaaa"), nested merges,
+    // shared prefixes/suffixes — the boundary cases of greedy-vs-training
+    val hard = Array(("aaaa", 50L), ("aaa", 40L), ("aa", 30L), ("abab", 25L),
+      ("aabb", 20L), ("banana", 15L), ("bananas", 12L), ("nan", 10L),
+      ("anan", 9L), ("abcabc", 8L), ("xyzzy", 7L), ("zzz", 6L))
+    val hd = BpeTrainer.learnFromDictionaryDetailed(hard, 20)
+    val hsegs = BpeTrainer.trainedSegmentations(hard, 20)
+    val hrank = hd.map(_._1).zipWithIndex.map { case (m, i) => ((m.left, m.right), i) }.toMap
+    hard.zip(hsegs).foreach { case ((w, _), trained) =>
+      val greedy = BpeTrainer.encodeWord(w, hrank)
+      assert(greedy.sameElements(trained),
+        s"word '$w': greedy=${greedy.mkString("|")} trained=${trained.mkString("|")}")
+    }
+  }
 }

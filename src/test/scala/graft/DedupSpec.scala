@@ -118,6 +118,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("minhash LSH: forced block-grid route is pair-identical to the self-join route") {
+    // the grid route normally engages only above smallLimit (20k docs) —
+    // force it here (smallLimit = 0) and hold it to row-set parity with
+    // the codegen self-join on a corpus wide enough to have real
+    // buckets, mirroring ComponentsSpec's both-routes parity gate
+    val corpus = graft.Tables(spark, TestSpark.sfDir, "documents")
+    def rows(smallLimit: Long) =
+      Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5,
+          smallLimit = smallLimit)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val joinRoute = rows(smallLimit = Long.MaxValue)
+    val gridRoute = rows(smallLimit = 0L)
+    assert(gridRoute === joinRoute)
+    assert(joinRoute.nonEmpty) // vacuous parity would prove nothing
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
