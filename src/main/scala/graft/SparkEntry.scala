@@ -313,6 +313,30 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q83: the SemDeDup keepFarthest route gated end to end (closes the
+    * round-8 "paper rule has no oracle" gap). The engine-internal part
+    * of SemDeDup — the trained k-means partitioning — is replaced by
+    * PROVIDED deterministic centroids (the embeddings of the 4 smallest
+    * vec_ids), which makes the ENTIRE operator SQL-replayable:
+    * double-math centroid assignment (strict <, lowest index on ties),
+    * within-cluster θ-pairs, transitive closure, and the paper's
+    * farthest-from-centroid representative with min-id tie break
+    * (Dedup.scala keepFarthest, Abbas et al. 2023). Only
+    * integer/boolean columns are emitted: a ±1-ulp float-sum divergence
+    * between engines cannot flip an argmin/argmax unless two distances
+    * are equal to machine epsilon, which distinct random vectors
+    * preclude. */
+  private val q83SemanticKeepFarthest: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val cents = e.orderBy(col("vec_id")).limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    Dedup.semanticDedupMarks(e, "vec_id", "embedding", threshold = 0.4,
+        k = 4, keepFarthest = true, centroids = Some(cents))
+      .select(col("id").as("vec_id"), col("cluster"), col("canonical"), col("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q77: the fuzzy-dedup TRANSFORM over documents — MinHash-LSH pair
     * emission (q35's operator and parameters) closed into duplicate
     * clusters and collapsed to the component-min representative. This is
@@ -1432,6 +1456,7 @@ object SparkEntry {
     "q80_linear_score" -> q80LinearScore,
     "q81_bpe_merges" -> q81BpeMerges,
     "q82_bpe_token_counts" -> q82BpeTokenCounts,
+    "q83_semantic_keep_farthest" -> q83SemanticKeepFarthest,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1959,6 +1984,55 @@ ORDER BY d.doc_id"""
     // trainer's array pass).
     "q81_bpe_merges" -> bpeMergesOracleSql,
     "q82_bpe_token_counts" -> bpeTokenCountsOracleSql,
+    // q83: SemDeDup keepFarthest twin under PROVIDED centroids (the 4
+    // smallest vec_ids): double-math L2 assignment with (d2, idx) tie
+    // order, q76's within-cluster θ-pairs, q75's recursive closure, and
+    // the farthest-member representative (dist DESC, vec_id). The
+    // squared difference is written x*x, not x**2 — pow(x,2) need not
+    // be bit-equal to multiplication.
+    "q83_semantic_keep_farthest" ->
+      """WITH RECURSIVE ctr AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS idx,
+        |         CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+        |), d2s AS (
+        |  SELECT e.vec_id, c.idx,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]))) AS d2
+        |  FROM embeddings e CROSS JOIN ctr c
+        |), asg AS (
+        |  SELECT vec_id, idx AS cluster, sqrt(d2) AS dist FROM (
+        |    SELECT vec_id, idx, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, idx) AS rn
+        |    FROM d2s)
+        |  WHERE rn = 1
+        |), pairs AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.vec_id < b.vec_id
+        |  JOIN asg sa ON sa.vec_id = a.vec_id
+        |  JOIN asg sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |), edges AS (
+        |  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        |), walk(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+        |), comp AS (
+        |  SELECT id AS vec_id, min(lbl) AS grp FROM walk GROUP BY id
+        |), rep AS (
+        |  SELECT grp, vec_id AS canonical FROM (
+        |    SELECT c.grp, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.grp ORDER BY a.dist DESC, c.vec_id) AS rn
+        |    FROM comp c JOIN asg a ON a.vec_id = c.vec_id)
+        |  WHERE rn = 1
+        |)
+        |SELECT a.vec_id, a.cluster, r.canonical, (a.vec_id = r.canonical) AS kept
+        |FROM asg a
+        |JOIN comp c ON c.vec_id = a.vec_id
+        |JOIN rep r ON r.grp = c.grp
+        |ORDER BY a.vec_id""".stripMargin,
     // q79: bigram-LM count twin — wordTokens tokenization (lower, trim,
     // \s+, empties dropped), positional bigrams (pos = 1-based index of
     // the SECOND token), corpus-wide pair/prefix counts, distinct-unigram

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
  */
 object Components {
 
+  /** Star rounds the most recent DISTRIBUTED run in this JVM took to
+    * converge (−1 before any run; unchanged by the local union-find
+    * route). Diagnostic surface for the convergence benchmarks — the
+    * O(log² n) claim is measured, not argued (ComponentsScale tool /
+    * BENCH.md). */
+  val lastDistributedRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /**
    * Connected components of the undirected graph given by `edges`.
    * Returns one row per distinct node appearing in either endpoint
@@ -170,6 +177,7 @@ object Components {
       e = next
       iter += 1
     }
+    lastDistributedRounds.set(iter)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

@@ -995,27 +995,39 @@ object Dedup {
    */
   def semanticDedupMarks(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, k: Int, seed: Long = 42L,
-                         keepFarthest: Boolean = false): DataFrame = {
+                         keepFarthest: Boolean = false,
+                         centroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val centroids = Clustering.fitCentroids(df, vecCol, k, seed)
-    val bc = spark.sparkContext.broadcast(centroids)
+    // `centroids` overrides the trained partitioning with caller-provided
+    // vectors — the q83 oracle's regime (deterministic centroids make the
+    // WHOLE operator SQL-replayable, assignment included)
+    val cents = centroids.getOrElse(Clustering.fitCentroids(df, vecCol, k, seed))
+    val bc = spark.sparkContext.broadcast(cents)
     val assigned = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
+        // assignment + own-centroid L2 in ONE pass: per-dim difference
+        // and products in DOUBLE (sequential index order — bit-matches a
+        // DuckDB DOUBLE[] fold), strict < keeps the lowest index on
+        // ties. The distance is only consumed by the keepFarthest
+        // representative rule (the paper's choice: keep the member
+        // farthest from the centroid, maximizing retained diversity).
         val cs = bc.value
-        val c = ServingIndex.nearestCentroid(v, cs)
-        // L2 distance to the OWN centroid — only consumed by the
-        // keepFarthest representative rule (the paper's choice:
-        // keep the member farthest from the centroid, maximizing
-        // retained diversity)
-        val ctr = cs(c)
-        var d2 = 0.0
-        var i = 0
-        val n = math.min(v.length, ctr.length)
-        while (i < n) { val x = v(i) - ctr(i); d2 += x * x; i += 1 }
-        (id, v, c, math.sqrt(d2))
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val ctr = cs(c)
+          var d2 = 0.0
+          var i = 0
+          val n = math.min(v.length, ctr.length)
+          while (i < n) { val x = v(i).toDouble - ctr(i).toDouble; d2 += x * x; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        (id, v, best, math.sqrt(bestD))
       }
       .toDF("__id", "__vec", "__cluster", "__dist")
     val pairs = SimilarityJoin.groupedThresholdPairs(

@@ -425,6 +425,18 @@ object QualityFilters {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = tokenHashStream(docs, idCol, textCol)
+    // MULTI-CONSUMER TRADE, MEASURED (the repo's two-consumer rule asks
+    // for a checkpoint OR a justified recompute): the bigram frame
+    // feeds three consumers (pair counts, prefix counts, the final
+    // position join) and `toks` a fourth (vocabulary), so tokenization
+    // re-evaluates per consumer. A localCheckpoint here was measured
+    // SLOWER at ×100 (500k docs, ~50M bigram rows): 1.90 s recomputed
+    // vs 3.04 s checkpointed (trimmed-mean-of-5) — materializing and
+    // re-reading ~32 bytes × 50M rows costs more than three passes of
+    // the regex split + FNV hash, whose output feeds map-side-combined
+    // aggregates that never see the raw rows twice. Same verdict as the
+    // cosine-LSH bucket frame; re-measure if tokenization ever grows a
+    // per-token model.
     val bigrams = toks.flatMap { case (id, hs) =>
       Iterator.range(1, hs.length).map(i => (id, i.toLong, hs(i - 1), hs(i)))
     }.toDF("doc_id", "pos", "__h1", "__h2")

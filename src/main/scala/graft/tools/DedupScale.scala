@@ -61,6 +61,15 @@ object DedupScale {
       val dropped = m.where(!col("kept")).count()
       println(s"  dropped: $dropped of $n")
     }
+    timed(s"semantic_dedup_marks keepFarthest (k=$k)") {
+      // the paper's representative rule: same pair/component stages plus
+      // one window over the component key (q83 gates its correctness;
+      // this row is its scale cost at the √n-cluster operating point)
+      val m = Dedup.semanticDedupMarks(e, "vec_id", "embedding",
+        threshold = 0.9, k = k, keepFarthest = true)
+      val dropped = m.where(!col("kept")).count()
+      println(s"  dropped: $dropped of $n")
+    }
 
     // operator-only scrub (q74's bench number includes its test-harness
     // line reshape, which the oracle also pays — this isolates the

@@ -17,7 +17,10 @@ object TimeQuery {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // A/B-able serializer (SPARK_GRAFT_SERIALIZER), default Kryo like
+      // the production sessions
+      .config("spark.serializer", sys.env.getOrElse("SPARK_GRAFT_SERIALIZER",
+        "org.apache.spark.serializer.KryoSerializer"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -162,4 +162,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(broadcasts.nonEmpty, s"q78 lost its broadcast hot-gram join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"q78 cartesian:\n$plan")
   }
+
+  test("q83 keepFarthest: representative window partitions by component, no cartesian") {
+    val plan = q("q83_semantic_keep_farthest")
+    assertNoCartesian("q83", plan)
+    // the paper's farthest-member rule is one window over the COMPONENT
+    // key (rows per partition bounded by component size) — the window
+    // must hash-partition on the group column, never collapse to a
+    // single/global partition (an empty partitionBy at 100× funnels the
+    // corpus through one task)
+    assert(plan.contains("Window"),
+      s"q83 lost its representative window:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("windowspecdefinition(group")),
+      s"q83's window no longer partitions by the component key:\n$plan")
+    assert(!plan.contains("windowspecdefinition()") &&
+           !plan.linesIterator.exists(l => l.contains("Exchange SinglePartition") && l.contains("Window")),
+      s"q83's window collapsed to a global partition:\n$plan")
+  }
 }

@@ -80,6 +80,63 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(out(2) === Set(4L), "expired claim must not suppress re-arrival")
   }
 
+  test("state store stays horizon-bounded under a continuous feed") {
+    // 16 batches of fresh docs, event time advancing horizon/2 per
+    // batch: claims expire once the watermark (max event − horizon)
+    // passes claim + horizon, i.e. ~4 batches after arrival — so
+    // steady-state state rows are ~4 batches' worth of bucket claims
+    // (≤ bands × docs), NOT the whole feed's. An unbounded-state
+    // regression (expiry never firing) would hold every claim ever:
+    // bands × docsPerBatch × 16.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bands = 4
+    val docsPerBatch = 100
+    val horizon = 1000L * MS
+    val t0 = 1000000L * MS
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val src = mem.toDS().toDF("doc_id", "text", "ts_ms")
+      .withColumn("event_time", org.apache.spark.sql.functions.timestamp_millis(
+        org.apache.spark.sql.functions.col("ts_ms")))
+    val verdicts = EventStream.nearDupBandVerdicts(
+      src, "doc_id", "text", "event_time", numHashes = 16, bands = bands,
+      shingleLen = 3, horizonMs = horizon)
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .format("noop").start()
+    try {
+      (0 until 16).foreach { b =>
+        val ts = t0 + b * horizon / 2
+        mem.addData((0 until docsPerBatch).map { i =>
+          val id = b * 1000L + i
+          // distinct text per doc: no cross-claims needed, every doc
+          // claims its own buckets — the worst case for state growth
+          (id, s"unique document number $id with payload words " +
+            s"alpha$id beta$id gamma$id delta$id epsilon$id zeta$id eta$id theta$id", ts)
+        })
+        q.processAllAvailable()
+        Option(q.lastProgress).foreach { p =>
+          if (p.stateOperators.nonEmpty)
+            stateRows += p.stateOperators.apply(0).numRowsTotal
+        }
+      }
+    } finally q.stop()
+    assert(stateRows.nonEmpty)
+    val steady = stateRows.takeRight(4)
+    val unboundedWouldBe = bands.toLong * docsPerBatch * 16
+    // bound: ~4 in-horizon batches of claims + generous slack, far
+    // below the every-claim-ever count
+    assert(steady.max <= bands.toLong * docsPerBatch * 6,
+      s"state grew past the horizon bound: $stateRows")
+    assert(steady.max < unboundedWouldBe / 2,
+      s"state looks unbounded (${steady.max} of $unboundedWouldBe claims retained): $stateRows")
+    // and it must actually PLATEAU: the last reading is no bigger than
+    // the mid-stream peak plus slack (monotone growth = leak)
+    val mid = stateRows.slice(6, 12)
+    assert(stateRows.last <= mid.max * 3 / 2 + bands * docsPerBatch,
+      s"state still climbing at end of feed: $stateRows")
+  }
+
   test("streaming banding is identical to the batch operator's") {
     // the stream flags (A, B) as near-dups because they collide in a
     // band; the batch candidate generator must agree on those buckets
