@@ -635,41 +635,20 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = shingleSets(df, idCol, textCol, shingleLen)
-    // Banded rows CARRY the shingle set: the (band, bucket) self-join then
-    // delivers both sides' sets co-located, so exact-Jaccard verification
-    // needs NO further joins and the shingling map runs exactly once
-    // (previously: once for banding + once for a twice-joined shingle
-    // table — measured 2.5 s → 1.5 s at sf0.1). The shuffle carries
-    // bands× the shingle payload, the standard LSH-verify trade: the
-    // two-id-join alternative moves the same payload through TWO join
-    // shuffles plus the candidate shuffle.
-    // Banded rows carry the shingle set as SORTED 64-BIT HASHES and
-    // verification is bucket-LOCAL (the round-8 reshape, mirroring
-    // lshCosinePairs): the historical (band, bucket) self-join shipped
-    // every doc's shingle STRINGS through a sort-merge exchange twice —
-    // ~1 KB × bands per doc of sorted payload. Here the set crosses the
-    // wire once per band as 8-byte hashes, each bucket group scans its
-    // own pairs (linear sorted-merge intersection with a size-ratio
-    // prune: J ≤ min/max, so mismatched sizes skip the merge), hot
-    // buckets fan out over a block-pair grid sized by a COUNT JOIN
-    // (mass-duplicate clusters share whole band signatures — exactly
-    // the skew case), and only survivors leave a task. Hashed-set
-    // Jaccard counts are invariant modulo ~setSize²/2⁶⁴ collisions (the
-    // q25/q63/q78 trade; q35 stays hash-green). A group-key hash
-    // collision merely MERGES two candidate groups — recall can only
-    // grow, verification stays exact.
-    val banded = sh.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.flatMap { case (id, shingles) =>
-        val buckets = bandBucketsOf(md, shingles, numHashes, bands)
-        val hs = new Array[Long](shingles.length)
-        var i = 0
-        shingles.foreach { s => hs(i) = longHash(s); i += 1 }
-        java.util.Arrays.sort(hs)
-        (0 until bands).iterator.map(b =>
-          (fmix64(longHash(buckets(b)) * 31L + b), id, hs))
-      }
-    }
+    // Grid-route shape (rounds 8-9): verification is bucket-LOCAL over
+    // SORTED 64-BIT shingle hashes — each bucket group scans its own
+    // pairs (linear sorted-merge intersection with a J ≤ min/max
+    // size-ratio prune), hot buckets fan out over a block-pair grid
+    // sized by a COUNT JOIN (mass-duplicate clusters share whole band
+    // signatures — exactly the skew case), and only survivors leave a
+    // task. Round 9 moved the payload hydration LATE: banding emits
+    // (bucket, id) keys only, the m ≥ 2 filter drops singleton buckets
+    // (the overwhelming majority on real corpora), and the hashed sets
+    // attach to surviving rows via a join — see the grid branch below.
+    // Hashed-set Jaccard counts are invariant modulo ~setSize²/2⁶⁴
+    // collisions (the q25/q63/q78 trade; q35 stays hash-green). A
+    // group-key hash collision merely MERGES two candidate groups —
+    // recall can only grow, verification stays exact.
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val thr = threshold
     // small corpora take the whole-stage-codegen self-join (the
@@ -706,15 +685,46 @@ object Dedup {
           .dropDuplicates("id_a", "id_b")
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       } else {
-        // the banding map (md5 signatures — the expensive stage) feeds
-        // BOTH the count side and the replication side; a lazy
-        // localCheckpoint materializes it once at first use (disk-backed
-        // past memory, blocks freed by the ContextCleaner when the
-        // result frame dies) instead of running the signature pass twice
-        val bandedDf = banded.toDF("bkt", "id", "sh").localCheckpoint(false)
+        // LIGHT banding first, sets hydrated LATE (round-9 reshape): the
+        // md5 signature pass — the expensive stage — runs ONCE and its
+        // lazy localCheckpoint holds 16 bytes/row (bucket key + id)
+        // instead of the ~830 MB of rows-carrying-shingle-sets the
+        // previous grid materialized and re-shuffled. Singleton buckets
+        // can never emit a pair, and they dominate real corpora
+        // (measured at ×100: 1.83M of 1.91M occupied buckets, 91% of
+        // banded rows), so the m ≥ 2 filter shrinks the frame the set
+        // payload ever attaches to by ~11×. The hashed shingle sets come
+        // from a SECOND tokenize pass with no md5 in it (~1.5 s at ×100
+        // — far below the 830 MB it replaces), joined to the surviving
+        // ids; AQE broadcasts that id list when it is small and falls
+        // back to a shuffle join when a mass-duplicate corpus makes
+        // every row survive. Hot buckets still fan out over the
+        // count-sized block grid — this reshape changes WHERE the
+        // payload attaches, never which groups are scanned, so output
+        // is identical (forced-grid parity test; q35 oracle at
+        // sf0.01/sf1).
+        val bandedLight = sh.mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, shingles) =>
+            val buckets = bandBucketsOf(md, shingles, numHashes, bands)
+            (0 until bands).iterator.map(b =>
+              (fmix64(longHash(buckets(b)) * 31L + b), id))
+          }
+        }.toDF("bkt", "id").localCheckpoint(false)
         val blockRows = 2048
-        val counts = bandedDf.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
-        bandedDf.join(counts, "bkt")
+        val counts = bandedLight.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+          .where(col("m") >= 2)
+        val survivors = bandedLight.join(counts, "bkt")
+        val survivorIds = survivors.select(col("id")).distinct()
+        val sets = sh.map { case (id, shingles) =>
+            val hs = new Array[Long](shingles.length)
+            var i = 0
+            shingles.foreach { s => hs(i) = longHash(s); i += 1 }
+            java.util.Arrays.sort(hs)
+            (id, hs)
+          }.toDF("id", "sh")
+          .join(survivorIds, "id")
+        survivors.join(sets, "id")
           .select(col("bkt"), col("id"), col("sh"), col("m"))
           .as[(Long, Long, Array[Long], Long)]
           .rdd
