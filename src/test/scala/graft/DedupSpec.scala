@@ -137,6 +137,31 @@ class DedupSpec extends AnyFunSuite {
     assert(joinRoute.nonEmpty) // vacuous parity would prove nothing
   }
 
+  test("forced grid on a mass-duplicate corpus: hot bucket exceeds one block, output intact") {
+    // 3000 copies of one doc land in ONE (band,bucket) cell — past
+    // blockRows=2048, so the count-sized block grid must fan the cell
+    // out over block-pair tasks, and the late-hydration m>=2 filter
+    // keeps EVERY row (the adversarial case for the survivor-id join:
+    // AQE must not broadcast a corpus-sized list). Expected output is
+    // closed-form: all C(3000,2) pairs at jaccard 1.0 plus none for the
+    // singletons.
+    import spark.implicits._
+    val n = 3000
+    val hot = (0 until n).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val cold = (n until n + 20).map(i =>
+      (i.toLong, s"entirely unrelated document number $i about nothing shared alpha$i beta$i"))
+    val corpus = (hot ++ cold).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5,
+        smallLimit = 0L)
+      .agg(count(lit(1)), sum(when(col("jaccard") === 1.0, 1L).otherwise(0L)))
+      .head()
+    val expected = n.toLong * (n - 1) / 2
+    assert(got.getLong(0) === expected, "pair count")
+    assert(got.getLong(1) === expected, "all pairs at jaccard 1.0")
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
