@@ -337,6 +337,31 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** q84: INCREMENTAL fuzzy dedup — the daily-ingest pattern a 100 TB
+    * pipeline actually runs: docs < 400 are "yesterday's corpus",
+    * mined once into a [[operators.Dedup.MinhashIndex]] (banding keys +
+    * hashed shingle sets, save/load-able); docs ≥ 400 arrive as the
+    * delta and dedup against the index at delta-banding cost — old×old
+    * pairs are never re-scanned. Banding is a pure function of text and
+    * widths, so the output equals the FULL batch operator restricted to
+    * pairs touching the delta — exactly what the oracle replays (q35's
+    * twin + the pair filter). */
+  private val q84DeltaNearDup: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    // the index IS a persistent artifact in the real pattern (mined
+    // once, reused per delta) — per-session that is StageCache's job;
+    // build walls surface as x_stage_q84_ix_* bench keys
+    val built = Dedup.buildMinhashIndex(docs.where(col("doc_id") < 400),
+      "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
+    val ix = Dedup.MinhashIndex(
+      operators.StageCache.cached("q84_ix_buckets_16x4_sh3_lt400", docs)(built.buckets),
+      operators.StageCache.cached("q84_ix_sets_sh3_lt400", docs)(built.sets),
+      built.numHashes, built.bands, built.shingleLen)
+    Dedup.minhashDeltaPairs(ix, docs.where(col("doc_id") >= 400),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q77: the fuzzy-dedup TRANSFORM over documents — MinHash-LSH pair
     * emission (q35's operator and parameters) closed into duplicate
     * clusters and collapsed to the component-min representative. This is
@@ -1457,6 +1482,7 @@ object SparkEntry {
     "q81_bpe_merges" -> q81BpeMerges,
     "q82_bpe_token_counts" -> q82BpeTokenCounts,
     "q83_semantic_keep_farthest" -> q83SemanticKeepFarthest,
+    "q84_delta_near_dup" -> q84DeltaNearDup,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1735,6 +1761,31 @@ ORDER BY d.doc_id"""
         |  round(len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)), 6) AS jaccard
         |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
         |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
+        |ORDER BY c.id_a, c.id_b""").stripMargin,
+    // q84: the incremental-dedup twin — the SAME full-corpus minhash
+    // replay, restricted to pairs with at least one delta (doc_id ≥ 400)
+    // side. Banding is per-doc deterministic, so the incremental union
+    // of bucket keys equals the batch banding and this filter IS the
+    // operator's contract.
+    "q84_delta_near_dup" ->
+      (s"""WITH $ShinglesCte,
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(16), h -> list_min(list_transform(s, x -> md5(x || '#' || CAST(h AS VARCHAR))))) AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    md5(array_to_string(sig[(b.b*4+1):(b.b*4+4)], '|')) AS bucket
+        |  FROM sig, unnest(range(4)) AS b(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  round(len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)), 6) AS jaccard
+        |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+        |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
+        |  AND (c.id_a >= 400 OR c.id_b >= 400)
         |ORDER BY c.id_a, c.id_b""").stripMargin,
     // q34: the mock encoder recomputed in SQL — component j of text t is
     // md5(t#j)'s first 13 hex digits / 2^52 − 0.5 (cast REAL), exactly the

@@ -162,6 +162,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got.getLong(1) === expected, "all pairs at jaccard 1.0")
   }
 
+  test("incremental delta dedup: old×old never re-scanned, old×new and new×new found") {
+    val tA = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val tB = "structured streaming state stores hold horizon bounded claims across micro batches"
+    val tC = "completely different subject matter entirely about spark catalyst optimizer rules"
+    val corpus = Seq(
+      (0L, tA), (1L, tA),            // old duplicates of each other
+      (10L, tA),                     // NEW duplicate of the old pair
+      (11L, tB), (12L, tB),          // new×new duplicate pair
+      (13L, tC)                      // new, unrelated
+    ).toDF("doc_id", "text")
+    val ix = Dedup.buildMinhashIndex(corpus.where(col("doc_id") < 10),
+      "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
+    val pairs = Dedup.minhashDeltaPairs(ix, corpus.where(col("doc_id") >= 10),
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 10L)) && pairs.contains((1L, 10L)), "old×new")
+    assert(pairs.contains((11L, 12L)), "new×new")
+    assert(!pairs.contains((0L, 1L)), "old×old must not be re-emitted")
+  }
+
+  test("incremental delta dedup equals the batch operator restricted to delta pairs; save/load round-trips") {
+    val corpus = graft.Tables(spark, TestSpark.sfDir, "documents")
+    val split = 40L
+    val ix = Dedup.buildMinhashIndex(corpus.where(col("doc_id") < split),
+      "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val delta = pairSet(Dedup.minhashDeltaPairs(ix,
+      corpus.where(col("doc_id") >= split), "doc_id", "text", threshold = 0.5))
+    val batchRestricted = pairSet(Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5))
+      .filter(p => p._1 >= split || p._2 >= split)
+    assert(delta === batchRestricted)
+    assert(delta.nonEmpty, "vacuous parity would prove nothing")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ix").toString
+    Dedup.saveMinhashIndex(ix, dir)
+    val reloaded = Dedup.loadMinhashIndex(spark, dir)
+    assert(reloaded.numHashes === 16 && reloaded.bands === 4 && reloaded.shingleLen === 3)
+    val delta2 = pairSet(Dedup.minhashDeltaPairs(reloaded,
+      corpus.where(col("doc_id") >= split), "doc_id", "text", threshold = 0.5))
+    assert(delta2 === delta)
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
