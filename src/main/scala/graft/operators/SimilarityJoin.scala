@@ -409,6 +409,173 @@ object SimilarityJoin {
    * (1 − θ/π)^numBits, so bands×bits tune recall/cost. The hyperplanes are
    * generated from a fixed seed so results are reproducible run-to-run.
    */
+  /** Deterministic hyperplane table for (dim, bits, bands, seed) — the
+    * pure function both the batch LSH and the incremental cosine index
+    * derive signatures from, so an index banded yesterday and a delta
+    * banded today bucket identically. */
+  private[operators] def hyperplanes(dim: Int, numBits: Int, bands: Int,
+                                     seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bands, numBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** (bucket, id) signature keys of a vector frame under pinned widths —
+    * the light-banding stage, shared by [[lshCosinePairs]] and the
+    * incremental [[lshCosineDeltaPairs]]. */
+  private[operators] def cosineBuckets(df: DataFrame, idCol: String, vecCol: String,
+                                       numBits: Int, bands: Int, dim: Int,
+                                       seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(hyperplanes(dim, numBits, bands, seed))
+    val nb = numBits
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.flatMap { case (id, v) =>
+          if (v == null) Iterator.empty
+          else Iterator.tabulate(ps.length) { bi =>
+            val band = ps(bi)
+            var sig = 0L
+            var b = 0
+            while (b < band.length) {
+              val plane = band(b)
+              var s = 0.0
+              val n = math.min(plane.length, v.length)
+              var i = 0
+              while (i < n) { s += plane(i) * v(i); i += 1 }
+              if (s > 0) sig |= (1L << b)
+              b += 1
+            }
+            ((bi.toLong << nb) | sig, id)
+          }
+        }
+      }.toDF("bkt", "id")
+  }
+
+  /**
+   * Near-duplicate cosine pairs INVOLVING a new batch, against stored
+   * index frames (bucket keys + vectors) under the index's pinned
+   * widths: (new, old) and (new, new) candidates collide in the shared
+   * signature space and verify with exact cosine; (old, old) pairs are
+   * never re-scanned. Buckets the delta does not touch drop before any
+   * vector payload attaches. The incremental counterpart of
+   * [[lshCosinePairs]] — see [[Dedup.cosineDeltaPairs]] for the routed
+   * public form.
+   */
+  def lshCosineDeltaPairs(ixBuckets: DataFrame, ixVecs: DataFrame,
+                          newDf: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, numBits: Int, bands: Int,
+                          dim: Int, seed: Long): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val newBuckets = cosineBuckets(newDf, idCol, vecCol, numBits, bands, dim, seed)
+      .withColumn("is_new", lit(true))
+    val all = newBuckets
+      .unionByName(ixBuckets.select(col("bkt"), col("id"))
+        .withColumn("is_new", lit(false)))
+      .localCheckpoint(false)
+    val counts = all.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("m_new"))
+      .where(col("m") >= 2 && col("m_new") >= 1)
+    val survivors = all.join(counts, "bkt")
+    val survivorIds = survivors.select(col("id")).distinct()
+    val vecs = newDf
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("v"))
+      .where(col("v").isNotNull)
+      .unionByName(ixVecs.select(col("id"), col("v")))
+      .join(survivorIds, "id")
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    val blockRows = 2048
+    survivors.join(vecs, "id")
+      .select(col("bkt"), col("id"), col("v"), col("m"), col("is_new"))
+      .as[(Long, Long, Array[Float], Long, Boolean)]
+      .rdd
+      .flatMap { case (bkt, id, v, m, isNew) =>
+        val nb2 = math.max(1L, (m + blockRows - 1) / blockRows).toInt
+        if (nb2 == 1) Iterator(((bkt, 0, 0), (0, id, v, isNew)))
+        else {
+          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb2
+          (0 until nb2).iterator.map(x =>
+            ((bkt, math.min(b, x), math.max(b, x)), (b, id, v, isNew)))
+        }
+      }
+      .groupByKey(4 * parallelism)
+      .flatMap { case ((_, ba, bb), it) =>
+        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+        it.foreach { case (b, id, v, isNew) =>
+          if (b == ba) aBuf += ((id, v, isNew))
+          else if (b == bb) bBuf += ((id, v, isNew))
+        }
+        scanBlockPairThresholdDelta(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
+      }
+      .toDF("id_a", "id_b", "sim")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** [[scanBlockPairThreshold]] with a new-batch flag: old×old pairs are
+    * skipped before any arithmetic (their mining happened at index
+    * build). Same widened-double kernel and Cauchy–Schwarz head/tail
+    * prune — a flagged pair's sim is bit-identical to the batch scan's. */
+  private def scanBlockPairThresholdDelta(asF: Array[(Long, Array[Float], Boolean)],
+                                          bsF: Array[(Long, Array[Float], Boolean)],
+                                          threshold: Double): Iterator[(Long, Long, Double)] = {
+    val as = asF.map(r => (r._1, r._2))
+    val bs = if (bsF == null) null else bsF.map(r => (r._1, r._2))
+    val aNew = asF.map(_._3)
+    val bNew = if (bsF == null) aNew else bsF.map(_._3)
+    val sampleDim = if (as.nonEmpty) as(0)._2.length else 0
+    val head = math.max(1, math.min(32, sampleDim / 4))
+    val A = new Block(as, head)
+    val B = if (bs == null) A else new Block(bs, head)
+    val uniform = A.uniformDim >= 0 && B.uniformDim == A.uniformDim && A.n > 0 && B.n > 0
+    val d = if (uniform) A.vecs(0).length else 0
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    def emit(sim: Double, ia: Long, ib: Long): Unit =
+      if (sim >= threshold) out += (if (ia < ib) (ia, ib, sim) else (ib, ia, sim))
+    var i = 0
+    while (i < A.n) {
+      val va = A.vecs(i); val na = A.norms(i); val ta = A.tails(i)
+      var j = if (B eq A) i + 1 else 0
+      while (j < B.n) {
+        if (aNew(i) || bNew(j)) {
+          val vb = B.vecs(j)
+          if (uniform) {
+            val nb = B.norms(j)
+            if (na == 0.0 || nb == 0.0) emit(0.0, A.ids(i), B.ids(j))
+            else {
+              var dot = 0.0
+              var x = 0
+              while (x < head) { dot += va(x) * vb(x); x += 1 }
+              val denom = na * nb
+              if ((dot + ta * B.tails(j)) / denom + 1e-9 >= threshold) {
+                while (x < d) { dot += va(x) * vb(x); x += 1 }
+                emit(dot / denom, A.ids(i), B.ids(j))
+              }
+            }
+          } else {
+            val n = math.min(va.length, vb.length)
+            var dot = 0.0; var nx = 0.0; var ny = 0.0
+            var x = 0
+            while (x < n) {
+              val xa = va(x); val yb = vb(x)
+              dot += xa * yb; nx += xa * xa; ny += yb * yb
+              x += 1
+            }
+            val sim = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+            emit(sim, A.ids(i), B.ids(j))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numBits: Int = 8, bands: Int = 8,
                      dim: Int = -1, seed: Long = 42L): DataFrame = {
@@ -428,12 +595,11 @@ object SimilarityJoin {
         }
         row.getInt(0)
       }
-    val rng = new scala.util.Random(seed)
-    // bands × numBits hyperplanes, each a dense gaussian vector
-    val planes: Array[Array[Array[Double]]] =
-      Array.fill(bands, numBits)(Array.fill(d)(rng.nextGaussian()))
+    // bands × numBits hyperplanes, each a dense gaussian vector — the
+    // SAME pure function the incremental cosine index derives its
+    // signatures from (hyperplanes), so batch and index banding agree
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(planes)
+    val bc = spark.sparkContext.broadcast(hyperplanes(d, numBits, bands, seed))
 
     import spark.implicits._
     // Bucket rows CARRY their vector and verification is bucket-LOCAL.
