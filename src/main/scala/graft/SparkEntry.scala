@@ -362,6 +362,44 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q85: INCREMENTAL cosine dedup — the EMBEDDING twin of q84 (closes
+    * the round-9 dead-API finding by routing it): vectors < 400 are
+    * yesterday's corpus, built into a [[operators.Dedup.CosineIndex]]
+    * (signature keys + vector payload, save/load-able); vectors ≥ 400
+    * arrive as the delta and dedup against the index — old×old pairs
+    * are never re-scanned. At oracle scale the route is the EXACT delta
+    * tier (bit-identical to the batch blocked scan restricted to
+    * delta-touching pairs), so the oracle replays q15's θ-join plus the
+    * delta filter; the LSH delta tier is parity-gated against
+    * [[operators.SimilarityJoin.lshCosinePairs]] in DedupSpec. */
+  private val q85CosineDeltaPairs: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val ix = Dedup.buildCosineIndex(e.where(col("vec_id") < 400),
+      "vec_id", "embedding", numBits = 8, bands = 8)
+    Dedup.cosineDeltaPairs(ix, e.where(col("vec_id") >= 400),
+        "vec_id", "embedding", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q86: the GROWING-index day-over-day pattern — day 0's corpus
+    * (doc_id < 400) is mined once; day 1's delta ([400, 450)) is FOLDED
+    * into the index with [[operators.Dedup.appendToMinhashIndex]]
+    * (banding is per-doc deterministic, so append is an exact union at
+    * delta cost — no re-mine); day 2's delta (≥ 450) then dedups
+    * against the grown snapshot. Output ≡ the full batch operator
+    * restricted to pairs touching day 2 — the oracle replays q84's
+    * full-corpus banding with the ≥ 450 pair filter. */
+  private val q86AppendDeltaNearDup: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val ix0 = Dedup.buildMinhashIndex(docs.where(col("doc_id") < 400),
+      "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
+    val ix1 = Dedup.appendToMinhashIndex(ix0,
+      docs.where(col("doc_id") >= 400 && col("doc_id") < 450), "doc_id", "text")
+    Dedup.minhashDeltaPairs(ix1, docs.where(col("doc_id") >= 450),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q77: the fuzzy-dedup TRANSFORM over documents — MinHash-LSH pair
     * emission (q35's operator and parameters) closed into duplicate
     * clusters and collapsed to the component-min representative. This is
@@ -1483,6 +1521,8 @@ object SparkEntry {
     "q82_bpe_token_counts" -> q82BpeTokenCounts,
     "q83_semantic_keep_farthest" -> q83SemanticKeepFarthest,
     "q84_delta_near_dup" -> q84DeltaNearDup,
+    "q85_cosine_delta_pairs" -> q85CosineDeltaPairs,
+    "q86_append_delta_near_dup" -> q86AppendDeltaNearDup,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1786,6 +1826,42 @@ ORDER BY d.doc_id"""
         |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
         |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
         |  AND (c.id_a >= 400 OR c.id_b >= 400)
+        |ORDER BY c.id_a, c.id_b""").stripMargin,
+    // q85: the cosine twin of q84 — the exact-tier delta route is
+    // bit-identical to the batch blocked scan over the full corpus
+    // restricted to delta-touching pairs, so the oracle is q15's θ-join
+    // plus the delta filter.
+    "q85_cosine_delta_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |  AND (a.vec_id >= 400 OR b.vec_id >= 400)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q86: two consecutive deltas — append day 1 into the index, dedup
+    // day 2 against the grown snapshot. Append is an exact union of
+    // per-doc-deterministic banding, so the result is the SAME
+    // full-corpus replay as q84's, restricted to pairs touching day 2
+    // (id ≥ 450).
+    "q86_append_delta_near_dup" ->
+      (s"""WITH $ShinglesCte,
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(16), h -> list_min(list_transform(s, x -> md5(x || '#' || CAST(h AS VARCHAR))))) AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    md5(array_to_string(sig[(b.b*4+1):(b.b*4+4)], '|')) AS bucket
+        |  FROM sig, unnest(range(4)) AS b(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  round(len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)), 6) AS jaccard
+        |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+        |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
+        |  AND (c.id_a >= 450 OR c.id_b >= 450)
         |ORDER BY c.id_a, c.id_b""").stripMargin,
     // q34: the mock encoder recomputed in SQL — component j of text t is
     // md5(t#j)'s first 13 hex digits / 2^52 − 0.5 (cast REAL), exactly the

@@ -835,27 +835,12 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame = {
     val spark = newDf.sparkSession
     import spark.implicits._
-    val shNew = shingleSets(newDf, idCol, textCol, ix.shingleLen)
-    val newBands = lightBands(shNew, ix.numHashes, ix.bands)
-      .withColumn("is_new", lit(true))
-    val allBands = newBands
-      .unionByName(ix.buckets.select(col("bkt"), col("id"))
-        .withColumn("is_new", lit(false)))
-      .localCheckpoint(false)
-    val counts = allBands.groupBy(col("bkt"))
-      .agg(count(lit(1)).as("m"),
-        sum(when(col("is_new"), 1L).otherwise(0L)).as("m_new"))
-      .where(col("m") >= 2 && col("m_new") >= 1)
-    val survivors = allBands.join(counts, "bkt")
-    val survivorIds = survivors.select(col("id")).distinct()
-    val sets = hashedSets(shNew)
-      .unionByName(ix.sets.select(col("id"), col("sh")))
-      .join(survivorIds, "id")
+    requireDeltaDisjoint(ix.sets.select(col("id")), newDf, idCol,
+      "minhashDeltaPairs")
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val blockRows = 2048
     val thr = threshold
-    survivors.join(sets, "id")
-      .select(col("bkt"), col("id"), col("sh"), col("m"), col("is_new"))
+    minhashDeltaScanInput(ix, newDf, idCol, textCol)
       .as[(Long, Long, Array[Long], Long, Boolean)]
       .rdd
       .flatMap { case (bkt, id, hs, m, isNew) =>
@@ -882,6 +867,233 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The DECLARATIVE prefix of [[minhashDeltaPairs]] — everything up to
+    * the block-grid scan, exposed (package-private) so
+    * PlanInvariantsSpec can gate the plan the optimizer actually
+    * produces: delta-sided banding (every corpus scan in this subtree
+    * must carry the delta predicate; index data enters only through the
+    * index frames), no cartesian pair space. Columns:
+    * (bkt, id, sh, m, is_new). */
+  private[graft] def minhashDeltaScanInput(ix: MinhashIndex, newDf: DataFrame,
+                                           idCol: String,
+                                           textCol: String): DataFrame = {
+    val shNew = shingleSets(newDf, idCol, textCol, ix.shingleLen)
+    val newBands = lightBands(shNew, ix.numHashes, ix.bands)
+      .withColumn("is_new", lit(true))
+    val allBands = newBands
+      .unionByName(ix.buckets.select(col("bkt"), col("id"))
+        .withColumn("is_new", lit(false)))
+      .localCheckpoint(false)
+    val counts = allBands.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("m_new"))
+      .where(col("m") >= 2 && col("m_new") >= 1)
+    val survivors = allBands.join(counts, "bkt")
+    val survivorIds = survivors.select(col("id")).distinct()
+    val sets = hashedSets(shNew)
+      .unionByName(ix.sets.select(col("id"), col("sh")))
+      .join(survivorIds, "id")
+    survivors.join(sets, "id")
+      .select(col("bkt"), col("id"), col("sh"), col("m"), col("is_new"))
+  }
+
+  /** Fold a NEW batch into an existing index so the NEXT delta dedups
+    * against (corpus ∪ batch) without a full re-mine. Banding is a pure
+    * per-doc function of text and the pinned widths, so append is an
+    * exact unionByName of banding keys and set payloads — day N's delta
+    * becomes part of day N+1's index at delta cost, which completes the
+    * daily-ingest loop ([[minhashDeltaPairs]] mines the pairs, this
+    * grows the snapshot). The returned frames are lazy; persist with
+    * [[saveMinhashIndex]] to checkpoint the day. Same caller contract
+    * as the delta scan (batch ids disjoint from indexed ids), enforced
+    * by the same flag-gated guard. */
+  def appendToMinhashIndex(ix: MinhashIndex, newDf: DataFrame,
+                           idCol: String, textCol: String): MinhashIndex = {
+    requireDeltaDisjoint(ix.sets.select(col("id")), newDf, idCol,
+      "appendToMinhashIndex")
+    val sh = shingleSets(newDf, idCol, textCol, ix.shingleLen)
+    MinhashIndex(
+      ix.buckets.select(col("bkt"), col("id"))
+        .unionByName(lightBands(sh, ix.numHashes, ix.bands)),
+      ix.sets.select(col("id"), col("sh")).unionByName(hashedSets(sh)),
+      ix.numHashes, ix.bands, ix.shingleLen)
+  }
+
+  /** True unless the session disables the delta-disjointness guard
+    * (`spark.graft.checkDeltaDisjoint=false`; unparseable values keep
+    * the guard ON — fail safe). */
+  private def checkDeltaDisjoint(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.checkDeltaDisjoint")
+      .forall(v => scala.util.Try(v.trim.toBoolean).getOrElse(true))
+
+  /** Enforce the delta-index disjointness contract LOUDLY: an id on both
+    * sides would band into its own buckets twice and could survive the
+    * m ≥ 2 filter as a bogus self-bucket, so a violated contract must
+    * fail, not silently skew pairs. Cost: one pruned pass over the
+    * index id column with the (small, distinct) delta ids broadcast —
+    * delta-sized shuffle, and `limit(3)` stops the scan at the first
+    * offenders. Disable per session with
+    * `spark.graft.checkDeltaDisjoint=false` (the scan kernels still
+    * refuse self-pairs, so a violation then degrades to duplicate-pair
+    * noise instead of corrupt output). */
+  private def requireDeltaDisjoint(ixIds: DataFrame, newDf: DataFrame,
+                                   idCol: String, op: String): Unit = {
+    if (!checkDeltaDisjoint(newDf.sparkSession)) return
+    val offenders = ixIds
+      .join(broadcast(newDf.select(col(idCol).cast("long").as("id")).distinct()), "id")
+      .limit(3).collect().map(_.getLong(0))
+    require(offenders.isEmpty,
+      s"$op: delta ids must be disjoint from indexed ids, but e.g. " +
+        s"[${offenders.mkString(", ")}] appear on both sides — dedup the " +
+        "delta against the index id set first (anti-join), or disable the " +
+        "check with spark.graft.checkDeltaDisjoint=false if the overlap " +
+        "is intentional")
+  }
+
+  // =====================================================================
+  // Incremental (delta) cosine dedup — the EMBEDDING twin of the
+  // minhash index: an embedding batch dedups against a saved
+  // hyperplane-LSH index at delta cost (the incremental regime of the
+  // reference's embedding cache, ref:
+  // day_10/embedders/embedding_pipeline.py:238-314, applied to the
+  // near-dup pair problem)
+  // =====================================================================
+
+  /** A reusable hyperplane-LSH index over an embedding-corpus snapshot:
+    * the (bucket, id) signature keys plus the (id, vector) verification
+    * payload, with the signature parameters pinned — hyperplanes are a
+    * pure function of (dim, numBits, bands, seed), so an index banded
+    * yesterday and a delta banded today bucket identically and reuse is
+    * exact. Same caller contract as [[MinhashIndex]]: delta ids must be
+    * disjoint from indexed ids (enforced by the flag-gated guard). */
+  final case class CosineIndex(buckets: DataFrame, vecs: DataFrame,
+                               numBits: Int, bands: Int, dim: Int,
+                               seed: Long)
+
+  /** Build a [[CosineIndex]] over `df`. Widths default to the same
+    * auto-sizing as [[embeddingNearDupPairs]]'s scale route
+    * ([[autoLshBits]]/[[autoLshBands]] at the INDEX corpus size — pin
+    * them explicitly if the corpus will grow far past the build size);
+    * `dim` is inferred from the data unless given. The returned frames
+    * are lazy — [[saveCosineIndex]] materializes the snapshot. */
+  def buildCosineIndex(df: DataFrame, idCol: String, vecCol: String,
+                       numBits: Int = -1, bands: Int = -1, dim: Int = -1,
+                       seed: Long = 42L): CosineIndex = {
+    val d =
+      if (dim > 0) dim
+      else {
+        val row = df.where(col(vecCol).isNotNull)
+          .agg(max(size(col(vecCol)))).collect()(0)
+        require(!row.isNullAt(0),
+          "buildCosineIndex: no non-null vectors to infer dim from — pass dim explicitly")
+        row.getInt(0)
+      }
+    val (bits, b) =
+      if (numBits > 0 && bands > 0) (numBits, bands)
+      else {
+        val n = df.select(col(idCol)).count() // pruned id-column count
+        val bits0 = if (numBits > 0) numBits else autoLshBits(n)
+        (bits0, if (bands > 0) bands else autoLshBands(bits0))
+      }
+    CosineIndex(
+      SimilarityJoin.cosineBuckets(df, idCol, vecCol, bits, b, d, seed),
+      df.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<float>").as("v"))
+        .where(col("v").isNotNull),
+      bits, b, d, seed)
+  }
+
+  /** Persist an index snapshot: `dir/buckets` + `dir/vecs` parquet and a
+    * one-row `dir/params` parquet pinning the signature widths. */
+  def saveCosineIndex(ix: CosineIndex, dir: String): Unit = {
+    ix.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    ix.vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+    val spark = ix.buckets.sparkSession
+    import spark.implicits._
+    Seq((ix.numBits, ix.bands, ix.dim, ix.seed))
+      .toDF("num_bits", "bands", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def loadCosineIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): CosineIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    CosineIndex(spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/vecs"),
+      p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
+  }
+
+  /** Fold a NEW embedding batch into an existing index — the cosine
+    * twin of [[appendToMinhashIndex]]: signatures are a pure per-row
+    * function under the pinned (dim, numBits, bands, seed), so append
+    * is an exact unionByName of signature keys and vector payloads. */
+  def appendToCosineIndex(ix: CosineIndex, newDf: DataFrame,
+                          idCol: String, vecCol: String): CosineIndex = {
+    requireDeltaDisjoint(ix.vecs.select(col("id")), newDf, idCol,
+      "appendToCosineIndex")
+    CosineIndex(
+      ix.buckets.select(col("bkt"), col("id"))
+        .unionByName(SimilarityJoin.cosineBuckets(newDf, idCol, vecCol,
+          ix.numBits, ix.bands, ix.dim, ix.seed)),
+      ix.vecs.select(col("id"), col("v"))
+        .unionByName(newDf.select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<float>").as("v"))
+          .where(col("v").isNotNull)),
+      ix.numBits, ix.bands, ix.dim, ix.seed)
+  }
+
+  /**
+   * Near-duplicate cosine pairs INVOLVING a new embedding batch,
+   * against an existing [[CosineIndex]]: every (new, old) and
+   * (new, new) pair with cosine ≥ `threshold`; (old, old) pairs are
+   * NEVER re-scanned. The routed public form of the incremental cosine
+   * path, mirroring [[embeddingNearDupPairs]]'s two-tier contract:
+   *
+   *  - (index + delta) ≤ `exactLimit` rows → the EXACT blocked delta
+   *    scan ([[SimilarityJoin.thresholdPairsDelta]]): output is
+   *    bit-identical to [[SimilarityJoin.thresholdPairs]] over
+   *    (indexed ∪ delta) restricted to pairs with at least one delta
+   *    id — the q85 oracle replays exactly this in SQL.
+   *  - larger → the hyperplane-LSH delta route
+   *    ([[SimilarityJoin.lshCosineDeltaPairs]]) under the index's
+   *    pinned widths: precision stays 1.0 (exact cosine verification),
+   *    recall is the index widths' — the same bounded-recall contract
+   *    as the batch scale route, logged loudly on switch. Output then
+   *    equals [[SimilarityJoin.lshCosinePairs]] over (indexed ∪ delta)
+   *    at the same widths, restricted to delta-touching pairs
+   *    (DedupSpec gates this parity), with delta-sized banding: buckets
+   *    the delta does not touch drop before any vector hydrates.
+   *
+   * Output: (id_a, id_b, sim), id_a < id_b, sim rounded to 6 — the
+   * same shape the batch consumers publish.
+   */
+  def cosineDeltaPairs(ix: CosineIndex, newDf: DataFrame,
+                       idCol: String, vecCol: String, threshold: Double,
+                       exactLimit: Long = 10000L): DataFrame = {
+    requireDeltaDisjoint(ix.vecs.select(col("id")), newDf, idCol,
+      "cosineDeltaPairs")
+    val n = ix.vecs.select(col("id")).count() +
+      newDf.select(col(idCol)).count()
+    val pairs =
+      if (n <= exactLimit)
+        SimilarityJoin.thresholdPairsDelta(ix.vecs, newDf, idCol, vecCol,
+          threshold)
+      else {
+        val pBand = math.pow(
+          1.0 - math.acos(math.min(1.0, threshold)) / math.Pi,
+          ix.numBits.toDouble)
+        val predicted = 1.0 - math.pow(1.0 - pBand, ix.bands.toDouble)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"cosineDeltaPairs: $n rows > exactLimit=$exactLimit — routing to " +
+            f"LSH delta candidates (numBits=${ix.numBits}, bands=${ix.bands}): " +
+            f"precision stays 1.0 (exact cosine verification); predicted " +
+            f"recall for a pair AT cosine $threshold is $predicted%.3f")
+        SimilarityJoin.lshCosineDeltaPairs(ix.buckets, ix.vecs, newDf,
+          idCol, vecCol, threshold, ix.numBits, ix.bands, ix.dim, ix.seed)
+      }
+    pairs.select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** [[scanBlockPairJaccard]] with a new-batch flag: old×old pairs are
     * skipped BEFORE any set work (their mining already happened when
     * the index was built). */
@@ -896,7 +1108,10 @@ object Dedup {
       var j = if (bs == null) i + 1 else 0
       while (j < B.length) {
         val (ib, hb, nbNew) = B(j)
-        if (na || nbNew) {
+        // ia == ib can only happen under a violated disjointness
+        // contract (guard disabled): refuse the self-pair here so the
+        // breach degrades to duplicate-pair noise, never (id, id, 1.0)
+        if ((na || nbNew) && ia != ib) {
           val sa = ha.length; val sb = hb.length
           val mn = math.min(sa, sb); val mx = math.max(sa, sb)
           if (mn > 0 && mn.toDouble / mx >= threshold) {

@@ -470,27 +470,10 @@ object SimilarityJoin {
                           dim: Int, seed: Long): DataFrame = {
     val spark = newDf.sparkSession
     import spark.implicits._
-    val newBuckets = cosineBuckets(newDf, idCol, vecCol, numBits, bands, dim, seed)
-      .withColumn("is_new", lit(true))
-    val all = newBuckets
-      .unionByName(ixBuckets.select(col("bkt"), col("id"))
-        .withColumn("is_new", lit(false)))
-      .localCheckpoint(false)
-    val counts = all.groupBy(col("bkt"))
-      .agg(count(lit(1)).as("m"),
-        sum(when(col("is_new"), 1L).otherwise(0L)).as("m_new"))
-      .where(col("m") >= 2 && col("m_new") >= 1)
-    val survivors = all.join(counts, "bkt")
-    val survivorIds = survivors.select(col("id")).distinct()
-    val vecs = newDf
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("v"))
-      .where(col("v").isNotNull)
-      .unionByName(ixVecs.select(col("id"), col("v")))
-      .join(survivorIds, "id")
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val blockRows = 2048
-    survivors.join(vecs, "id")
-      .select(col("bkt"), col("id"), col("v"), col("m"), col("is_new"))
+    cosineDeltaScanInput(ixBuckets, ixVecs, newDf, idCol, vecCol,
+        numBits, bands, dim, seed)
       .as[(Long, Long, Array[Float], Long, Boolean)]
       .rdd
       .flatMap { case (bkt, id, v, m, isNew) =>
@@ -516,6 +499,95 @@ object SimilarityJoin {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** The DECLARATIVE prefix of [[lshCosineDeltaPairs]] — everything up
+    * to the block-grid scan, exposed (package-private) so
+    * PlanInvariantsSpec can gate the optimized plan: delta-sided
+    * banding (signature math runs over the delta only; index data
+    * enters through the index frames), no cartesian pair space.
+    * Columns: (bkt, id, v, m, is_new). */
+  private[graft] def cosineDeltaScanInput(ixBuckets: DataFrame,
+                                          ixVecs: DataFrame,
+                                          newDf: DataFrame, idCol: String,
+                                          vecCol: String, numBits: Int,
+                                          bands: Int, dim: Int,
+                                          seed: Long): DataFrame = {
+    val newBuckets = cosineBuckets(newDf, idCol, vecCol, numBits, bands, dim, seed)
+      .withColumn("is_new", lit(true))
+    val all = newBuckets
+      .unionByName(ixBuckets.select(col("bkt"), col("id"))
+        .withColumn("is_new", lit(false)))
+      .localCheckpoint(false)
+    val counts = all.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("m_new"))
+      .where(col("m") >= 2 && col("m_new") >= 1)
+    val survivors = all.join(counts, "bkt")
+    val survivorIds = survivors.select(col("id")).distinct()
+    val vecs = newDf
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("v"))
+      .where(col("v").isNotNull)
+      .unionByName(ixVecs.select(col("id"), col("v")))
+      .join(survivorIds, "id")
+    survivors.join(vecs, "id")
+      .select(col("bkt"), col("id"), col("v"), col("m"), col("is_new"))
+  }
+
+  /**
+   * EXACT delta threshold pairs: every pair with cosine ≥ `threshold`
+   * and at least one endpoint in `newDf`, scanned against the index
+   * vector frame `ixVecs` (columns (id, v)); old×old pairs are skipped
+   * inside the kernel before any arithmetic. Output is bit-identical to
+   * [[thresholdPairs]] over (ixVecs ∪ newDf) restricted to
+   * delta-touching pairs: the union re-derives the SAME single-group
+   * block grid (same count, same id-hashed block assignment, same
+   * widened-double kernel and Cauchy–Schwarz prune), so every surviving
+   * pair's sim matches the batch scan's bit for bit. The exact tier of
+   * [[Dedup.cosineDeltaPairs]] — and what its sf-scale oracle replays.
+   */
+  def thresholdPairsDelta(ixVecs: DataFrame, newDf: DataFrame,
+                          idCol: String, vecCol: String, threshold: Double,
+                          blockRows: Int = -1): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val rows = newDf
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("is_new", lit(true))
+      .unionByName(ixVecs.select(col("id"), col("v"))
+        .withColumn("is_new", lit(false)))
+      .as[(Long, Array[Float], Boolean)]
+      .filter(_._2 != null)
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    // same grid sizing as replicateToBlocks' single-group case, over the
+    // UNION count — blocks therefore partition the corpus exactly as the
+    // batch scan's grid does
+    val m = rows.rdd.count()
+    val targetNb = math.max(1, math.ceil(math.sqrt(8.0 * parallelism)).toInt)
+    val nb = math.max(1,
+      if (blockRows > 0) ((m + blockRows - 1) / blockRows).toInt
+      else math.min(targetNb.toLong, (m + 1023) / 1024).toInt)
+    rows.rdd
+      .flatMap { case (id, v, isNew) =>
+        if (nb == 1) Iterator(((0, 0), (0, id, v, isNew)))
+        else {
+          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
+          (0 until nb).iterator.map(x =>
+            ((math.min(b, x), math.max(b, x)), (b, id, v, isNew)))
+        }
+      }
+      .groupByKey(math.max(1, parallelism))
+      .flatMap { case ((ba, bb), it) =>
+        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+        it.foreach { case (b, id, v, isNew) =>
+          if (b == ba) aBuf += ((id, v, isNew))
+          else if (b == bb) bBuf += ((id, v, isNew))
+        }
+        scanBlockPairThresholdDelta(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
+      }
+      .toDF("id_a", "id_b", "sim")
+  }
+
   /** [[scanBlockPairThreshold]] with a new-batch flag: old×old pairs are
     * skipped before any arithmetic (their mining happened at index
     * build). Same widened-double kernel and Cauchy–Schwarz head/tail
@@ -535,7 +607,9 @@ object SimilarityJoin {
     val d = if (uniform) A.vecs(0).length else 0
     val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     def emit(sim: Double, ia: Long, ib: Long): Unit =
-      if (sim >= threshold) out += (if (ia < ib) (ia, ib, sim) else (ib, ia, sim))
+      if (sim >= threshold && ia != ib) // ia == ib only under a violated
+        // disjointness contract (guard disabled): refuse the self-pair
+        out += (if (ia < ib) (ia, ib, sim) else (ib, ia, sim))
     var i = 0
     while (i < A.n) {
       val va = A.vecs(i); val na = A.norms(i); val ta = A.tails(i)

@@ -370,4 +370,146 @@ class DedupSpec extends AnyFunSuite {
         s"auto-width LSH recall $recall at bits=$bits bands=$bands (targetN=$targetN)")
     }
   }
+
+  // ---- incremental COSINE dedup (CosineIndex + cosineDeltaPairs) ------
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("cosine delta dedup (exact tier) equals the batch scan restricted to delta pairs; save/load round-trips") {
+    val corpus = graft.Tables(spark, TestSpark.sfDir, "embeddings")
+    val split = 400L
+    val ix = Dedup.buildCosineIndex(corpus.where(col("vec_id") < split),
+      "vec_id", "embedding", numBits = 8, bands = 8)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val delta = pairSet(Dedup.cosineDeltaPairs(ix,
+      corpus.where(col("vec_id") >= split), "vec_id", "embedding", 0.4))
+    val batchRestricted = SimilarityJoin
+      .thresholdPairs(corpus, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), round6(r.getDouble(2))))
+      .toSet.filter(p => p._1 >= split || p._2 >= split)
+    assert(delta === batchRestricted)
+    assert(delta.nonEmpty, "vacuous parity would prove nothing")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cix").toString
+    Dedup.saveCosineIndex(ix, dir)
+    val reloaded = Dedup.loadCosineIndex(spark, dir)
+    assert(reloaded.numBits === 8 && reloaded.bands === 8 &&
+      reloaded.dim === 64 && reloaded.seed === 42L)
+    val delta2 = pairSet(Dedup.cosineDeltaPairs(reloaded,
+      corpus.where(col("vec_id") >= split), "vec_id", "embedding", 0.4))
+    assert(delta2 === delta)
+  }
+
+  test("cosine delta dedup (LSH tier) equals the batch LSH operator restricted to delta pairs") {
+    // seeded corpus with PLANTED near-dups (cos 0.88–0.995) so the
+    // restricted LSH pair set is provably non-empty at these widths —
+    // the sf corpus' delta pairs all sit at cos 0.40–0.48 where
+    // hyperplane LSH recall is (by design) low, which would make the
+    // parity vacuous
+    val rng = new scala.util.Random(42)
+    val base = Array.tabulate(800) { i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))
+    }
+    val plants = graft.tools.LshRecall.planted(base, 200, 100000L)
+    val corpus = (base ++ plants).toSeq.toDF("vec_id", "embedding")
+    val split = 100000L // plants are the delta batch
+    val ix = Dedup.buildCosineIndex(corpus.where(col("vec_id") < split),
+      "vec_id", "embedding", numBits = 8, bands = 8)
+    // exactLimit = 0 forces the hyperplane-LSH delta route
+    val delta = Dedup.cosineDeltaPairs(ix,
+        corpus.where(col("vec_id") >= split), "vec_id", "embedding", 0.8,
+        exactLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchRestricted = SimilarityJoin
+      .lshCosinePairs(corpus, "vec_id", "embedding", 0.8,
+        numBits = 8, bands = 8, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), round6(r.getDouble(2))))
+      .toSet.filter(p => p._1 >= split || p._2 >= split)
+    assert(delta === batchRestricted)
+    assert(delta.size >= 100, s"only ${delta.size} planted pairs surfaced — vacuous parity")
+  }
+
+  test("cosine delta dedup: old×old never re-scanned, old×new and new×new found; append grows the index") {
+    // two old near-dups (0,1), a new dup of them (10), a new×new dup
+    // pair (11,12), and an unrelated new vector (13)
+    def vec(seedBase: Int): Array[Float] = {
+      val r = new java.util.Random(7L * seedBase)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val a = vec(1); val b = vec(2); val c = vec(3)
+    val rows = Seq((0L, a), (1L, a), (10L, a), (11L, b), (12L, b), (13L, c))
+    val df = rows.toDF("vec_id", "embedding")
+    val ix = Dedup.buildCosineIndex(df.where(col("vec_id") < 10),
+      "vec_id", "embedding", numBits = 4, bands = 4)
+    // exactLimit = 0 exercises the LSH kernel's isNew bookkeeping
+    val pairs = Dedup.cosineDeltaPairs(ix, df.where(col("vec_id") >= 10),
+        "vec_id", "embedding", 0.95, exactLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 10L)) && pairs.contains((1L, 10L)), "old×new")
+    assert(pairs.contains((11L, 12L)), "new×new")
+    assert(!pairs.contains((0L, 1L)), "old×old must not be re-emitted")
+    // fold the first delta in; the next delta then sees it as "old"
+    val grown = Dedup.appendToCosineIndex(ix, df.where(col("vec_id") >= 10 && col("vec_id") < 13),
+      "vec_id", "embedding")
+    val next = Seq((20L, b)).toDF("vec_id", "embedding")
+    val pairs2 = Dedup.cosineDeltaPairs(grown, next, "vec_id", "embedding",
+        0.95, exactLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2.contains((11L, 20L)) && pairs2.contains((12L, 20L)),
+      "appended rows must be visible as index side")
+    assert(!pairs2.contains((11L, 12L)), "appended×appended is old×old now")
+  }
+
+  test("append to minhash index folds a delta exactly: two-consecutive-delta parity") {
+    val corpus = graft.Tables(spark, TestSpark.sfDir, "documents")
+    val ix0 = Dedup.buildMinhashIndex(corpus.where(col("doc_id") < 400),
+      "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
+    val ix1 = Dedup.appendToMinhashIndex(ix0,
+      corpus.where(col("doc_id") >= 400 && col("doc_id") < 450), "doc_id", "text")
+    val delta2 = Dedup.minhashDeltaPairs(ix1,
+        corpus.where(col("doc_id") >= 450), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchRestricted = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet.filter(p => p._1 >= 450 || p._2 >= 450)
+    assert(delta2 === batchRestricted)
+    assert(delta2.nonEmpty, "vacuous parity would prove nothing")
+  }
+
+  test("delta disjointness contract is enforced loudly, and degrades safely when disabled") {
+    val ix = Dedup.buildMinhashIndex(docs.where(col("doc_id") < 3),
+      "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
+    // overlapping ids → loud failure naming offenders
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashDeltaPairs(ix, docs, "doc_id", "text", threshold = 0.5)
+    }
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(ix, docs.where(col("doc_id") < 1), "doc_id", "text")
+    }
+    // cosine side shares the guard
+    val edf = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val cix = Dedup.buildCosineIndex(edf, "vec_id", "embedding",
+      numBits = 4, bands = 2)
+    intercept[IllegalArgumentException] {
+      Dedup.cosineDeltaPairs(cix, edf, "vec_id", "embedding", 0.5)
+    }
+    // guard disabled: the scan kernels still refuse self-pairs, so a
+    // violation yields duplicate-pair noise, never (id, id, 1.0)
+    spark.conf.set("spark.graft.checkDeltaDisjoint", "false")
+    try {
+      val pairs = Dedup.minhashDeltaPairs(ix, docs.where(col("doc_id") < 3),
+          "doc_id", "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.forall(p => p._1 != p._2), s"self pair in ${pairs.toSeq}")
+      assert(pairs.nonEmpty, "0/1/2 are near-dups — overlap should still pair them")
+      val cp = Dedup.cosineDeltaPairs(cix, edf, "vec_id", "embedding", 0.5,
+          exactLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(cp.forall(p => p._1 != p._2), s"self pair in ${cp.toSeq}")
+    } finally spark.conf.set("spark.graft.checkDeltaDisjoint", "true")
+  }
 }

@@ -180,4 +180,53 @@ class PlanInvariantsSpec extends AnyFunSuite {
            !plan.linesIterator.exists(l => l.contains("Exchange SinglePartition") && l.contains("Window")),
       s"q83's window collapsed to a global partition:\n$plan")
   }
+
+  /** Every corpus FileScan in `plan` (identified by carrying `idAttr`
+    * in its output) must carry `deltaFilter` among its pushed filters —
+    * the delta paths' cost contract is that the CORPUS is never
+    * re-scanned un-filtered; index data enters only through the index
+    * frames (whose scans don't carry the corpus id attribute). */
+  private def assertDeltaSidedScans(name: String, plan: String,
+                                    idAttr: String, deltaFilter: String): Unit = {
+    val corpusScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains(idAttr)).toSeq
+    assert(corpusScans.nonEmpty,
+      s"$name: expected at least one corpus FileScan carrying $idAttr:\n$plan")
+    corpusScans.foreach { l =>
+      assert(l.contains(deltaFilter),
+        s"$name: corpus scan without the delta predicate ($deltaFilter):\n$l\n\nfull plan:\n$plan")
+    }
+  }
+
+  test("q84 delta scan input: banding is delta-sided, pair space never cartesian") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-mix").toString
+    Dedup.saveMinhashIndex(Dedup.buildMinhashIndex(
+      docs.where(col("doc_id") < 400), "doc_id", "text",
+      numHashes = 16, bands = 4, shingleLen = 3), tmp)
+    val ix = Dedup.loadMinhashIndex(spark, tmp)
+    val plan = planOf(Dedup.minhashDeltaScanInput(ix,
+      docs.where(col("doc_id") >= 400), "doc_id", "text"))
+    assertNoCartesian("q84-scan", plan)
+    // the md5 banding + shingle-set stages read the DELTA only: every
+    // documents scan (doc_id-bearing) is pushed-filtered to >= 400; the
+    // index's banded keys and set payloads come from the index parquet
+    assertDeltaSidedScans("q84-scan", plan, "doc_id#", "GreaterThanOrEqual(doc_id,400)")
+  }
+
+  test("q85 cosine delta scan input: signature math is delta-sided, no cartesian") {
+    import graft.operators.{Dedup, SimilarityJoin}
+    val e = Tables(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-cix").toString
+    Dedup.saveCosineIndex(Dedup.buildCosineIndex(
+      e.where(col("vec_id") < 400), "vec_id", "embedding",
+      numBits = 8, bands = 8), tmp)
+    val ix = Dedup.loadCosineIndex(spark, tmp)
+    val plan = planOf(SimilarityJoin.cosineDeltaScanInput(ix.buckets, ix.vecs,
+      e.where(col("vec_id") >= 400), "vec_id", "embedding",
+      ix.numBits, ix.bands, ix.dim, ix.seed))
+    assertNoCartesian("q85-scan", plan)
+    assertDeltaSidedScans("q85-scan", plan, "vec_id#", "GreaterThanOrEqual(vec_id,400)")
+  }
 }
