@@ -1555,9 +1555,12 @@ object SparkEntry {
         "       unnest(range(1, len(syms))) AS u(i)\n" +
         "  GROUP BY 1, 2),\n" +
         s"b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i WHERE cnt >= 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),\n" +
+        // LEFT JOIN + coalesce so an exhausted dictionary (b<i> empty —
+        // the trainer's early stop) passes w<i-1> through unchanged
+        // instead of emptying every later stage via the cross join
         s"w$i AS MATERIALIZED (\n" +
-        "  SELECT word, n, replace(repr, '{' || b.lhs || '}{' || b.rhs || '}', '{' || b.lhs || b.rhs || '}') AS repr\n" +
-        s"  FROM w${i - 1}, b$i b)"
+        "  SELECT word, n, coalesce(replace(repr, '{' || b.lhs || '}{' || b.rhs || '}', '{' || b.lhs || b.rhs || '}'), repr) AS repr\n" +
+        s"  FROM w${i - 1} LEFT JOIN b$i b ON TRUE)"
     }
     sb.toString
   }

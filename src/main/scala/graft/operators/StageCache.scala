@@ -20,10 +20,20 @@ import org.apache.spark.storage.StorageLevel
  * stage.
  *
  * Mechanics: `cached(stage, input)(build)` keys on
- * (session, stage-descriptor, CANONICALIZED logical plan of the input),
- * so two calls reuse a frame only when they read the same source with
- * the same operator parameters (the descriptor must encode every
- * parameter that shapes the output). The built frame is persisted
+ * (session, stage-descriptor, CANONICALIZED logical plan of the input,
+ * FILE-LISTING SNAPSHOT of the input), so two calls reuse a frame only
+ * when they read the same source with the same operator parameters (the
+ * descriptor must encode every parameter that shapes the output) AND
+ * the same physical files. The file listing is the data-snapshot
+ * component the canonicalized plan lacks — a plan identifies a source
+ * by path and schema, but Spark writes overwrites/upserts under fresh
+ * part-file names, so an overwritten corpus (CollectionStore.upsert
+ * rewrites exactly this way) changes the listing and misses the cache
+ * instead of silently serving yesterday's frame (StageCacheSpec gates
+ * build → overwrite → re-derive). Residual contract: a source mutated
+ * IN PLACE under identical file names (same paths, same count — not
+ * how Spark or CollectionStore ever write) is indistinguishable and
+ * would still serve the cached frame. The built frame is persisted
  * (MEMORY_AND_DISK_SER) and materialized once, with the build wall time
  * recorded — [[graft.SparkEntry.artifactBuildSeconds]] republishes it
  * so benchmarks amortize reuse without hiding construction cost (the
@@ -50,22 +60,43 @@ object StageCache {
   private val buildWall = scala.collection.concurrent.TrieMap.empty[String, Double]
 
   def enabled(s: org.apache.spark.sql.SparkSession): Boolean =
-    s.conf.getOption("spark.graft.stageCache.enabled").forall(_.toBoolean)
+    s.conf.getOption("spark.graft.stageCache.enabled")
+      .forall(v => scala.util.Try(v.trim.toBoolean).getOrElse(true))
+
+  /** Drop every entry whose SparkContext is stopped (unpersist is a
+    * no-op on a dead context, so removal suffices) — called
+    * opportunistically so dead sessions' frames don't pin references
+    * until their exact key happens to be re-requested. Caller must
+    * hold the cache lock. */
+  private def sweepStopped(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val alive =
+        try !it.next().getValue.df.sparkSession.sparkContext.isStopped
+        catch { case _: Throwable => false }
+      if (!alive) it.remove()
+    }
+  }
 
   /** Build-or-reuse `stage` over `input`. `stage` MUST encode every
     * parameter that changes the output (threshold, widths, columns…) —
-    * the input data identity itself is covered by the canonicalized
-    * plan in the key. */
+    * the input DATA identity is covered by the canonicalized plan plus
+    * the file-listing snapshot in the key (see object doc for the
+    * staleness contract). */
   def cached(stage: String, input: DataFrame)(build: => DataFrame): DataFrame = {
     val s = input.sparkSession
     if (!enabled(s)) return build
-    val key = (s, stage, input.queryExecution.logical.canonicalized)
+    // the listing is the snapshot component: an overwrite/upsert writes
+    // new part-file names, so it invalidates here. Non-file inputs
+    // (in-memory, RDD-backed) list empty and fall back to plan identity.
+    val files =
+      try input.inputFiles.toList.sorted
+      catch { case _: Throwable => Nil }
+    val key = (s, stage, (input.queryExecution.logical.canonicalized, files))
     cache.synchronized {
+      sweepStopped()
       val hit = cache.get(key)
-      if (hit != null) {
-        if (!s.sparkContext.isStopped) return hit.df
-        cache.remove(key) // stale: session's context is gone
-      }
+      if (hit != null) return hit.df
     }
     // build OUTSIDE the lock (materialization runs Spark jobs); a rare
     // concurrent duplicate build is benign — last one wins, loser's

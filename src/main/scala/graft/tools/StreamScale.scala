@@ -40,7 +40,8 @@ object StreamScale {
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect()
-    println(s"corpus: ${docs.length} docs, $nBatches batches of ~${docs.length / nBatches}")
+    println(s"corpus: ${docs.length} docs, $nBatches batches of " +
+      s"~${math.max(1, (docs.length + nBatches - 1) / nBatches)}")
     val horizonMs = 1000L * 1000L
     val t0 = 1000000000L
 
@@ -50,7 +51,9 @@ object StreamScale {
       val src = mem.toDS().toDF("doc_id", "text", "ts_ms")
         .withColumn("event_time", timestamp_millis(col("ts_ms")))
       val q = mk(src).writeStream.outputMode("append").format("noop").start()
-      val per = docs.length / nBatches
+      // ceil-sized batches: the tail remainder must be fed, not dropped
+      // (and a batch count above the corpus size must not divide by zero)
+      val per = math.max(1, (docs.length + nBatches - 1) / nBatches)
       try {
         (0 until nBatches).foreach { b =>
           val ts = t0 + b * horizonMs / 2

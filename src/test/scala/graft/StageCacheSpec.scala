@@ -71,4 +71,38 @@ class StageCacheSpec extends AnyFunSuite {
     assert(getFirst().collect().map(_.getLong(0)).toSet === Set(7L))
     assert(firstBuilds === 2)
   }
+
+  test("overwriting the source parquet invalidates: re-derive rebuilds instead of serving stale rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale").toString + "/corpus"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "t").write.parquet(dir)
+    var builds = 0
+    def derive(): org.apache.spark.sql.DataFrame = {
+      val in = spark.read.parquet(dir)
+      StageCache.cached("stale_probe", in) { builds += 1; in.groupBy().count() }
+    }
+    assert(derive().head().getLong(0) === 2L)
+    assert(derive().head().getLong(0) === 2L) // warm hit
+    assert(builds === 1)
+    // overwrite the corpus under the SAME path (what CollectionStore's
+    // save/upsert does) — the canonicalized plan of a fresh read is
+    // unchanged, but the part-file listing is new
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+      .write.mode("overwrite").parquet(dir)
+    assert(derive().head().getLong(0) === 3L,
+      "stale frame served after the source was overwritten")
+    assert(builds === 2)
+  }
+
+  test("enabled flag parses defensively: garbage means ON, not a crash") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.stageCache.enabled", "definitely")
+    try {
+      var builds = 0
+      val in = Seq(11L).toDF("v")
+      StageCache.cached("defensive_probe", in) { builds += 1; in }.count()
+      StageCache.cached("defensive_probe", in) { builds += 1; in }.count()
+      assert(builds === 1) // unparseable flag left the cache enabled
+    } finally spark.conf.unset("spark.graft.stageCache.enabled")
+  }
 }
