@@ -305,6 +305,13 @@ object SimilarityJoin {
   }
 
   /** Pre-widened view of one block: ids, double vectors, full/tail norms. */
+  /** Pre-widened view of one block: ids, double vectors, full/tail
+    * norms. Vectors widen ONCE per block row (a fresh double array):
+    * a round-10 A/B tried per-multiply widening from the raw floats to
+    * save the allocation and measured the SCAN ~25% slower at ×100 —
+    * the convert sits on the 138M-candidate head-dot path, while the
+    * widened copies are short-lived TLAB allocations the collector
+    * absorbs. Keep the copy. */
   private final class Block(rows: Array[(Long, Array[Float])], head: Int) {
     val n: Int = rows.length
     val ids: Array[Long] = rows.map(_._1)
@@ -419,6 +426,96 @@ object SimilarityJoin {
     Array.fill(bands, numBits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /**
+   * Per-task signature engine over one hyperplane table: the scalar
+   * banding loop, plus a plane-parallel SIMD path
+   * ([[graft.simd.PlaneProject]]) that is BIT-IDENTICAL to it — lanes
+   * run across planes while dims stay sequential, so every lane
+   * reproduces the scalar accumulation order and rounding exactly. One
+   * instance per partition (the transposed layout is built once, not
+   * per row); ragged vectors (length ≠ table dim) take the scalar
+   * fallback row-wise. Construction via [[PlaneProjector.apply]] probes
+   * availability AND bit-parity once per JVM.
+   */
+  private[operators] final class PlaneProjector(
+      ps: Array[Array[Array[Double]]], useSimd: Boolean) {
+    private val bands = ps.length
+    private val bits = if (bands > 0) ps(0).length else 0
+    private val dim = if (bits > 0) ps(0)(0).length else 0
+    private val lanes = if (useSimd) graft.simd.PlaneProject.laneCount() else 0
+    // [band][group][dim-major flat of `lanes` planes, zero-padded]
+    private val groups: Array[Array[Array[Double]]] =
+      if (lanes > 0) Array.tabulate(bands) { bi =>
+        val ng = (bits + lanes - 1) / lanes
+        Array.tabulate(ng) { g =>
+          val flat = new Array[Double](dim * lanes)
+          var i = 0
+          while (i < dim) {
+            var l = 0
+            while (l < lanes) {
+              val b = g * lanes + l
+              if (b < bits) flat(i * lanes + l) = ps(bi)(b)(i)
+              l += 1
+            }
+            i += 1
+          }
+          flat
+        }
+      } else null
+
+    def signature(bi: Int, v: Array[Float]): Long =
+      if (groups != null && v.length == dim) {
+        val gs = groups(bi)
+        var sig = 0L
+        var g = 0
+        while (g < gs.length) {
+          val nb = math.min(lanes, bits - g * lanes)
+          sig |= graft.simd.PlaneProject.signBits(gs(g), nb, v, dim) << (g * lanes)
+          g += 1
+        }
+        sig
+      } else scalarSignature(bi, v)
+
+    /** The reference loop — sequential double accumulation per plane. */
+    def scalarSignature(bi: Int, v: Array[Float]): Long = {
+      val band = ps(bi)
+      var sig = 0L
+      var b = 0
+      while (b < band.length) {
+        val plane = band(b)
+        var s = 0.0
+        val n = math.min(plane.length, v.length)
+        var i = 0
+        while (i < n) { s += plane(i) * v(i); i += 1 }
+        if (s > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+  }
+
+  private[operators] object PlaneProjector {
+    /** SIMD kernel loadable AND bit-identical on a probe fixture (odd
+      * dims/bits exercise padding and the multi-group path). */
+    val simdAvailable: Boolean =
+      try {
+        val rng = new scala.util.Random(7)
+        val ps = Array.fill(3, 11)(Array.fill(33)(rng.nextGaussian()))
+        val v = Array.fill(33)(rng.nextFloat() - 0.5f)
+        val simd = new PlaneProjector(ps, useSimd = true)
+        val scalar = new PlaneProjector(ps, useSimd = false)
+        (0 until 3).forall(bi => simd.signature(bi, v) == scalar.signature(bi, v))
+      } catch { case _: Throwable => false }
+
+    /** SIMD when loadable + probe-verified; `-Dgraft.banding.simd=false`
+      * forces the scalar path (A/B measurement — results are identical
+      * either way by the bit-parity construction). */
+    def apply(ps: Array[Array[Array[Double]]]): PlaneProjector =
+      new PlaneProjector(ps, simdAvailable &&
+        sys.props.get("graft.banding.simd")
+          .forall(v => scala.util.Try(v.trim.toBoolean).getOrElse(true)))
+  }
+
   /** (bucket, id) signature keys of a vector frame under pinned widths —
     * the light-banding stage, shared by [[lshCosinePairs]] and the
     * incremental [[lshCosineDeltaPairs]]. */
@@ -432,23 +529,12 @@ object SimilarityJoin {
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val ps = bc.value
+        val proj = PlaneProjector(bc.value)
+        val n = bc.value.length
         it.flatMap { case (id, v) =>
           if (v == null) Iterator.empty
-          else Iterator.tabulate(ps.length) { bi =>
-            val band = ps(bi)
-            var sig = 0L
-            var b = 0
-            while (b < band.length) {
-              val plane = band(b)
-              var s = 0.0
-              val n = math.min(plane.length, v.length)
-              var i = 0
-              while (i < n) { s += plane(i) * v(i); i += 1 }
-              if (s > 0) sig |= (1L << b)
-              b += 1
-            }
-            ((bi.toLong << nb) | sig, id)
+          else Iterator.tabulate(n) { bi =>
+            ((bi.toLong << nb) | proj.signature(bi, v), id)
           }
         }
       }.toDF("bkt", "id")
@@ -694,36 +780,38 @@ object SimilarityJoin {
     val bucketed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val ps = bc.value
+        // plane-parallel SIMD signatures, bit-identical to the scalar
+        // loop (PlaneProjector keeps dims sequential per lane) — this
+        // stage evaluates twice (count + replication sides), so kernel
+        // speed counts double here
+        val proj = PlaneProjector(bc.value)
+        val nBands = bc.value.length
         val nb = numBits
         it.flatMap { case (id, v) =>
           if (v == null) Iterator.empty
-          else Iterator.tabulate(ps.length) { bi =>
-            val band = ps(bi)
-            var sig = 0L
-            var b = 0
-            while (b < band.length) {
-              val plane = band(b)
-              var s = 0.0
-              val n = math.min(plane.length, v.length)
-              var i = 0
-              while (i < n) { s += plane(i) * v(i); i += 1 }
-              if (s > 0) sig |= (1L << b)
-              b += 1
-            }
-            ((bi.toLong << nb) | sig, id, v)
+          else Iterator.tabulate(nBands) { bi =>
+            ((bi.toLong << nb) | proj.signature(bi, v), id, v)
           }
         }
       }
       .toDF("bkt", "id", "v")
-    // NOTE: bucketed deliberately feeds the count and replication sides
-    // as TWO evaluations (unlike the minhash grid's localCheckpoint):
-    // here the payload is bands× the raw vectors (~5 GB at 200k×384×18)
-    // while the recomputed signature pass is ~2 s of dense math —
-    // measured, materializing costs more than it saves
-
-    val blockRows = 2048
-    val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+    // NOTE: bucketed deliberately feeds only the REPLICATION side; the
+    // count side re-derives signatures through the LIGHT banding pass
+    // (cosineBuckets — 16 B/row keys). Signatures are a pure function,
+    // so the keys agree (PlaneProjector parity); what this buys is that
+    // the ~5 GB of (bkt, id, v) Tungsten rows at 200k×384×18 are
+    // materialized ONCE instead of twice — the round-9 note priced the
+    // re-derivation as "~2 s of dense math", but the measured cost of
+    // the counts-side evaluation was the v-payload row encode, not the
+    // math (round-10 A/B in BENCH.md). blockRows stays 2048: the probe
+    // showed larger blocks only trade shuffle for worse task balance
+    // (total candidate pairs are grid-invariant).
+    val blockRows = sys.props.get("graft.lsh.blockRows")
+      .orElse(sys.env.get("GRAFT_LSH_BLOCK_ROWS"))
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+      .getOrElse(2048)
+    val counts = cosineBuckets(df, idCol, vecCol, numBits, bands, d, seed)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("m"))
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     bucketed.join(counts, "bkt")
       .select(col("bkt"), col("id"), col("v"), col("m"))

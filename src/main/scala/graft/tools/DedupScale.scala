@@ -89,7 +89,33 @@ object DedupScale {
       val p = Dedup.minhashDeltaPairs(ix, newSide, "doc_id", "text", 0.5)
       println(s"  delta pairs: ${p.count()}")
     }
+    // append fold: day N's delta becomes part of day N+1's index — the
+    // cost is materializing the delta's banding keys + set payloads
+    // into the union (here: persist + count of the grown frames)
+    timed(s"append delta into index (~${nd / 10} docs folded)") {
+      val grown = Dedup.appendToMinhashIndex(ix, newSide, "doc_id", "text")
+      val b = grown.buckets.persist().count()
+      val s2 = grown.sets.persist().count()
+      println(s"  grown index: $b bucket keys, $s2 sets")
+      grown.buckets.unpersist(); grown.sets.unpersist()
+    }
     ix.buckets.unpersist(); ix.sets.unpersist()
+
+    // the cosine twin at the same 90/10 split: index the 90% once,
+    // dedup the 10% embedding delta against it (LSH tier at this size,
+    // widths auto-sized at the index corpus)
+    val eOld = e.where(col("vec_id") % 10 =!= 0)
+    val eNew = e.where(col("vec_id") % 10 === 0)
+    val cix = timed(s"cosine index build (~${n * 9 / 10} vecs, one-time)") {
+      val i = Dedup.buildCosineIndex(eOld, "vec_id", "embedding")
+      i.buckets.persist().count(); i.vecs.persist().count()
+      i
+    }
+    timed(s"cosine delta near-dup (~${n / 10} new vs ~${n * 9 / 10} indexed)") {
+      val p = Dedup.cosineDeltaPairs(cix, eNew, "vec_id", "embedding", 0.9)
+      println(s"  delta pairs: ${p.count()}")
+    }
+    cix.buckets.unpersist(); cix.vecs.unpersist()
 
     // operator-only scrub (q74's bench number includes its test-harness
     // line reshape, which the oracle also pays — this isolates the
