@@ -933,9 +933,11 @@ object Dedup {
     * sides would band into its own buckets twice and could survive the
     * m ≥ 2 filter as a bogus self-bucket, so a violated contract must
     * fail, not silently skew pairs. Cost: one pruned pass over the
-    * index id column with the (small, distinct) delta ids broadcast —
-    * delta-sized shuffle, and `limit(3)` stops the scan at the first
-    * offenders. Disable per session with
+    * index id column joined with the distinct delta ids — the delta
+    * side is NOT hint-forced to broadcast (a forced broadcast of an
+    * unbounded delta is a driver OOM at 100 TB); AQE broadcasts it at
+    * runtime when it is small, which is the typical daily-ingest shape.
+    * `limit(3)` stops at the first offenders. Disable per session with
     * `spark.graft.checkDeltaDisjoint=false` (the scan kernels still
     * refuse self-pairs, so a violation then degrades to duplicate-pair
     * noise instead of corrupt output). */
@@ -943,7 +945,7 @@ object Dedup {
                                    idCol: String, op: String): Unit = {
     if (!checkDeltaDisjoint(newDf.sparkSession)) return
     val offenders = ixIds
-      .join(broadcast(newDf.select(col(idCol).cast("long").as("id")).distinct()), "id")
+      .join(newDf.select(col(idCol).cast("long").as("id")).distinct(), "id")
       .limit(3).collect().map(_.getLong(0))
     require(offenders.isEmpty,
       s"$op: delta ids must be disjoint from indexed ids, but e.g. " +
