@@ -813,7 +813,8 @@ object Dedup {
     val p = spark.read.parquet(s"$dir/params").head()
     MinhashIndex(spark.read.parquet(s"$dir/buckets"),
       spark.read.parquet(s"$dir/sets"),
-      p.getInt(0), p.getInt(1), p.getInt(2))
+      p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
+      p.getAs[Int]("shingle_len"))
   }
 
   /**
@@ -1025,7 +1026,8 @@ object Dedup {
     val p = spark.read.parquet(s"$dir/params").head()
     CosineIndex(spark.read.parquet(s"$dir/buckets"),
       spark.read.parquet(s"$dir/vecs"),
-      p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
+      p.getAs[Int]("num_bits"), p.getAs[Int]("bands"),
+      p.getAs[Int]("dim"), p.getAs[Long]("seed"))
   }
 
   /** Fold a NEW embedding batch into an existing index — the cosine
