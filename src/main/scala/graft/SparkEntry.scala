@@ -389,6 +389,26 @@ object SparkEntry {
     * against the grown snapshot. Output ≡ the full batch operator
     * restricted to pairs touching day 2 — the oracle replays q84's
     * full-corpus banding with the ≥ 450 pair filter. */
+  /** q87: the cosine append twin of q86 — day 0's embeddings (< 300)
+    * indexed once, day 1 ([300, 400)) folded in with
+    * [[operators.Dedup.appendToCosineIndex]] (exact union of pinned-
+    * width signatures + vectors), day 2 (≥ 400) deduped against the
+    * grown snapshot. At oracle scale the route is the exact delta tier
+    * over the grown index's vector union, so the output — and the
+    * oracle — are exactly q85's: the θ-join restricted to pairs
+    * touching day 2. Same rows through a different engine path gates
+    * that append changes NOTHING but the snapshot's contents. */
+  private val q87CosineAppendDelta: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val ix0 = Dedup.buildCosineIndex(e.where(col("vec_id") < 300),
+      "vec_id", "embedding", numBits = 8, bands = 8)
+    val ix1 = Dedup.appendToCosineIndex(ix0,
+      e.where(col("vec_id") >= 300 && col("vec_id") < 400), "vec_id", "embedding")
+    Dedup.cosineDeltaPairs(ix1, e.where(col("vec_id") >= 400),
+        "vec_id", "embedding", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private val q86AppendDeltaNearDup: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
     // day 0's index is THE SAME persistent artifact q84 mines (same
@@ -1531,6 +1551,7 @@ object SparkEntry {
     "q84_delta_near_dup" -> q84DeltaNearDup,
     "q85_cosine_delta_pairs" -> q85CosineDeltaPairs,
     "q86_append_delta_near_dup" -> q86AppendDeltaNearDup,
+    "q87_cosine_append_delta" -> q87CosineAppendDelta,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -1843,6 +1864,16 @@ ORDER BY d.doc_id"""
     // restricted to delta-touching pairs, so the oracle is q15's θ-join
     // plus the delta filter.
     "q85_cosine_delta_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |  AND (a.vec_id >= 400 OR b.vec_id >= 400)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q87: append(day 1) then delta(day 2) must equal the q85 replay
+    // bit for bit — the append is an exact union, so the grown index's
+    // delta pairs are the SAME restriction of the same batch scan.
+    "q87_cosine_append_delta" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
