@@ -115,6 +115,13 @@ object DedupScale {
       val p = Dedup.cosineDeltaPairs(cix, eNew, "vec_id", "embedding", 0.9)
       println(s"  delta pairs: ${p.count()}")
     }
+    timed(s"append delta into cosine index (~${n / 10} vecs folded)") {
+      val grown = Dedup.appendToCosineIndex(cix, eNew, "vec_id", "embedding")
+      val b = grown.buckets.persist().count()
+      val v = grown.vecs.persist().count()
+      println(s"  grown index: $b signature keys, $v vectors")
+      grown.buckets.unpersist(); grown.vecs.unpersist()
+    }
     cix.buckets.unpersist(); cix.vecs.unpersist()
 
     // operator-only scrub (q74's bench number includes its test-harness
