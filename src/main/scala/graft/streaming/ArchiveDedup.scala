@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * The q84/q86 daily-ingest loop as a STREAM: each micro-batch of
+ * documents near-dup-dedups against the latest persisted
+ * [[Dedup.MinhashIndex]] snapshot at delta cost (old×old never
+ * re-scanned), emits its pairs, and folds itself into a NEW snapshot
+ * version so the next batch sees it. The reference's incremental
+ * ingestion surface (day_8/main/endpoints.py:13-49,168-208 incremental
+ * inserts; day_10/embedders/embedding_pipeline.py:238-314 the
+ * incremental-cache regime) composed with the archive-dedup operators.
+ *
+ * Snapshot layout: `archiveDir/base` is the seeded day-0 index
+ * ([[seedArchive]]); each processed batch b writes `archiveDir/b<id>`
+ * (a full [[Dedup.saveMinhashIndex]] snapshot of the GROWN index).
+ * Readers load the numerically-latest snapshot. Writes never overwrite
+ * a snapshot being read — append-only versions, the classic
+ * snapshot-isolation shape — so a concurrent reader of version N is
+ * undisturbed by the writer producing N+1.
+ *
+ * Restart semantics: Structured Streaming may REPLAY a micro-batch
+ * after a failure. Both effects are idempotent per batchId — pairs land
+ * in a `batch_id=<id>` partition directory with overwrite mode, and the
+ * fold is skipped when `b<id>` already exists (a replayed batch would
+ * otherwise double-fold and then trip the delta-disjointness guard).
+ *
+ * Scale shape: identical to [[Dedup.minhashDeltaPairs]] +
+ * [[Dedup.appendToMinhashIndex]] — banding cost tracks the batch, the
+ * m ≥ 2 ∧ has-delta filter prunes untouched buckets, and the snapshot
+ * write is (archive + batch)-sized parquet. A long-running stream
+ * should compact old versions out-of-band (each snapshot is
+ * self-contained, so dropping all but the latest is safe once no
+ * reader pins them).
+ */
+object ArchiveDedup {
+
+  /** Write the day-0 archive: mine `corpus` once, save as `dir/base`. */
+  def seedArchive(corpus: DataFrame, dir: String, idCol: String,
+                  textCol: String, numHashes: Int = 16, bands: Int = 4,
+                  shingleLen: Int = 3): Unit =
+    Dedup.saveMinhashIndex(
+      Dedup.buildMinhashIndex(corpus, idCol, textCol, numHashes, bands, shingleLen),
+      s"$dir/base")
+
+  /** (latest snapshot, its batchId or -1 for base). */
+  private[graft] def loadLatest(spark: SparkSession,
+                                dir: String): (Dedup.MinhashIndex, Long) = {
+    val latest = listVersions(spark, dir).lastOption
+    latest match {
+      case Some(b) => (Dedup.loadMinhashIndex(spark, s"$dir/b$b"), b)
+      case None    => (Dedup.loadMinhashIndex(spark, s"$dir/base"), -1L)
+    }
+  }
+
+  // Hadoop FS, not java.io.File: the archive lives wherever the corpus
+  // does (HDFS/S3/local) — same convention as serving.DocStore
+  private def hfs(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("b") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong
+    }.sorted
+  }
+
+  /** One micro-batch, exposed for direct testing (and for callers
+    * driving their own batch loop): dedup `batch` against the latest
+    * snapshot, write its pairs under `pairsDir/batch_id=<id>`, fold it
+    * into snapshot `b<id>`. Replay-safe: an existing `b<id>` means this
+    * batch already ran — both effects are skipped/overwritten, never
+    * doubled. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                  archiveDir: String, pairsDir: String,
+                                  idCol: String, textCol: String,
+                                  threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val (fs, _) = hfs(spark, archiveDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$archiveDir/b$batchId")))
+      return // replayed batch: both effects already durable
+    val (ix, _) = loadLatest(spark, archiveDir)
+    // one materialization of the batch feeds banding, sets, guard, and
+    // the fold — micro-batches are delta-sized by definition
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .localCheckpoint()
+    Dedup.minhashDeltaPairs(ix, b, idCol, textCol, threshold)
+      .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    Dedup.saveMinhashIndex(
+      Dedup.appendToMinhashIndex(ix, b, idCol, textCol),
+      s"$archiveDir/b$batchId")
+  }
+
+  /** Start the stream: `docs` (a streaming DataFrame of (idCol,
+    * textCol, …)) → per-batch archive dedup + fold. */
+  def archiveDedupSink(docs: DataFrame, archiveDir: String,
+                       pairsDir: String, idCol: String, textCol: String,
+                       threshold: Double = 0.5,
+                       checkpoint: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, archiveDir, pairsDir, idCol, textCol, threshold)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+}
