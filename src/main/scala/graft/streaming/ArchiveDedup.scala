@@ -17,11 +17,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *
  * Snapshot layout: `archiveDir/base` is the seeded day-0 index
  * ([[seedArchive]]); each processed batch b writes `archiveDir/b<id>`
- * (a full [[Dedup.saveMinhashIndex]] snapshot of the GROWN index).
- * Readers load the numerically-latest snapshot. Writes never overwrite
- * a snapshot being read — append-only versions, the classic
- * snapshot-isolation shape — so a concurrent reader of version N is
- * undisturbed by the writer producing N+1.
+ * containing ONLY that batch's banding keys and set payloads (a
+ * batch-sized sliver under the base's pinned widths — banding is a
+ * pure per-doc function, so the live index is exactly
+ * base ∪ b0 ∪ … ∪ bN by unionByName, no re-mine, no archive rewrite).
+ * Readers union base + slivers; writes never touch an existing
+ * directory — append-only versions, the classic snapshot-isolation
+ * shape — so a reader of version N is undisturbed by the writer
+ * producing N+1, and the PER-BATCH write cost is batch-sized, not
+ * archive-sized. Long streams fold slivers back into a fresh base with
+ * [[compactArchive]] (out-of-band; every read is equivalent before and
+ * after).
  *
  * Restart semantics: Structured Streaming may REPLAY a micro-batch
  * after a failure. Both effects are idempotent per batchId — pairs land
@@ -47,14 +53,27 @@ object ArchiveDedup {
       Dedup.buildMinhashIndex(corpus, idCol, textCol, numHashes, bands, shingleLen),
       s"$dir/base")
 
-  /** (latest snapshot, its batchId or -1 for base). */
+  /** (live index = base ∪ every sliver, last folded batchId or -1). */
   private[graft] def loadLatest(spark: SparkSession,
                                 dir: String): (Dedup.MinhashIndex, Long) = {
-    val latest = listVersions(spark, dir).lastOption
-    latest match {
-      case Some(b) => (Dedup.loadMinhashIndex(spark, s"$dir/b$b"), b)
-      case None    => (Dedup.loadMinhashIndex(spark, s"$dir/base"), -1L)
+    val base = Dedup.loadMinhashIndex(spark, s"$dir/base")
+    val versions = listVersions(spark, dir)
+    val live = versions.foldLeft(base) { (ix, b) =>
+      val sliver = Dedup.loadMinhashIndex(spark, s"$dir/b$b")
+      Dedup.MinhashIndex(
+        ix.buckets.unionByName(sliver.buckets.select(col("bkt"), col("id"))),
+        ix.sets.unionByName(sliver.sets.select(col("id"), col("sh"))),
+        ix.numHashes, ix.bands, ix.shingleLen)
     }
+    (live, versions.lastOption.getOrElse(-1L))
+  }
+
+  /** Fold every sliver into a fresh self-contained base at `dstDir`
+    * (reads are equivalent before and after; run out-of-band, then
+    * point the stream at the compacted dir). */
+  def compactArchive(spark: SparkSession, dir: String, dstDir: String): Unit = {
+    val (live, _) = loadLatest(spark, dir)
+    Dedup.saveMinhashIndex(live, s"$dstDir/base")
   }
 
   // Hadoop FS, not java.io.File: the archive lives wherever the corpus
@@ -95,8 +114,13 @@ object ArchiveDedup {
       .localCheckpoint()
     Dedup.minhashDeltaPairs(ix, b, idCol, textCol, threshold)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    // fold = persist a BATCH-SIZED sliver under the archive's pinned
+    // widths; the union with base happens at load (appendToMinhashIndex
+    // is the same union for in-session callers — here the sliver IS
+    // the durable form of that append)
     Dedup.saveMinhashIndex(
-      Dedup.appendToMinhashIndex(ix, b, idCol, textCol),
+      Dedup.buildMinhashIndex(b, idCol, textCol,
+        ix.numHashes, ix.bands, ix.shingleLen),
       s"$archiveDir/b$batchId")
   }
 

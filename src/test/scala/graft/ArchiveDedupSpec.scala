@@ -58,6 +58,17 @@ class ArchiveDedupSpec extends AnyFunSuite {
     val (latest, v) = ArchiveDedup.loadLatest(spark, archive)
     assert(v === 1L)
     assert(latest.sets.count() === 7L, "archive holds day 0 + both batches exactly once")
+
+    // compaction folds slivers into a fresh base; reads are equivalent
+    val compacted = tmp("graft-arch-c")
+    ArchiveDedup.compactArchive(spark, archive, compacted)
+    val (cIx, cv) = ArchiveDedup.loadLatest(spark, compacted)
+    assert(cv === -1L, "compacted archive has no slivers")
+    def keySet(ix: graft.operators.Dedup.MinhashIndex) =
+      ix.buckets.select(col("bkt"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keySet(cIx) === keySet(latest))
+    assert(cIx.sets.count() === 7L)
   }
 
   test("end-to-end through a MemoryStream foreachBatch sink") {
