@@ -31,6 +31,9 @@ object ArchiveScale {
     val archive = java.nio.file.Files.createTempDirectory("graft-archive").toString
     val pairsDir = java.nio.file.Files.createTempDirectory("graft-archive-pairs").toString
     val oldSide = docs.where(col("doc_id") % 10 =!= 0)
+    // global row_number is measurement-harness batch slicing over the
+    // 10% delta slice (50k rows at ×100), never a product path — a real
+    // ingest's batches arrive pre-partitioned from the source
     val newSide = docs.where(col("doc_id") % 10 === 0)
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
