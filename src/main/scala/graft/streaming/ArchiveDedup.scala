@@ -138,4 +138,74 @@ object ArchiveDedup {
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
   }
+
+  // ---- the EMBEDDING twin: streamed vectors vs a cosine archive ------
+  // (the reference's embedding-cache regime consumed as a stream, ref:
+  // day_10/embedders/embedding_pipeline.py:238-314) — same snapshot
+  // layout, same replay contract, [[Dedup.CosineIndex]] underneath.
+
+  /** Day-0 embedding archive: widths auto-size at the seed corpus and
+    * are PINNED for every later sliver (pass explicit widths if the
+    * stream will far outgrow the seed). */
+  def seedCosineArchive(corpus: DataFrame, dir: String, idCol: String,
+                        vecCol: String, numBits: Int = -1, bands: Int = -1,
+                        dim: Int = -1, seed: Long = 42L): Unit =
+    Dedup.saveCosineIndex(
+      Dedup.buildCosineIndex(corpus, idCol, vecCol, numBits, bands, dim, seed),
+      s"$dir/base")
+
+  /** (live cosine index = base ∪ every sliver, last batchId or -1). */
+  private[graft] def loadLatestCosine(spark: SparkSession,
+                                      dir: String): (Dedup.CosineIndex, Long) = {
+    val base = Dedup.loadCosineIndex(spark, s"$dir/base")
+    val versions = listVersions(spark, dir)
+    val live = versions.foldLeft(base) { (ix, b) =>
+      val sliver = Dedup.loadCosineIndex(spark, s"$dir/b$b")
+      Dedup.CosineIndex(
+        ix.buckets.unionByName(sliver.buckets.select(col("bkt"), col("id"))),
+        ix.vecs.unionByName(sliver.vecs.select(col("id"), col("v"))),
+        ix.numBits, ix.bands, ix.dim, ix.seed)
+    }
+    (live, versions.lastOption.getOrElse(-1L))
+  }
+
+  /** One embedding micro-batch: cosine-dedup against the live archive,
+    * write pairs under `batch_id=<id>`, persist the batch's sliver
+    * (signatures + vectors under the base's pinned widths). Replay-safe
+    * like [[processBatch]]. */
+  private[graft] def processCosineBatch(batch: DataFrame, batchId: Long,
+                                        archiveDir: String, pairsDir: String,
+                                        idCol: String, vecCol: String,
+                                        threshold: Double,
+                                        exactLimit: Long = 10000L): Unit = {
+    val spark = batch.sparkSession
+    val (fs, _) = hfs(spark, archiveDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$archiveDir/b$batchId")))
+      return // replayed batch: both effects already durable
+    val (ix, _) = loadLatestCosine(spark, archiveDir)
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .localCheckpoint()
+    Dedup.cosineDeltaPairs(ix, b, idCol, vecCol, threshold, exactLimit)
+      .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    Dedup.saveCosineIndex(
+      Dedup.buildCosineIndex(b, idCol, vecCol,
+        ix.numBits, ix.bands, ix.dim, ix.seed),
+      s"$archiveDir/b$batchId")
+  }
+
+  /** Start the embedding stream: per-batch cosine archive dedup + fold. */
+  def cosineArchiveDedupSink(vecs: DataFrame, archiveDir: String,
+                             pairsDir: String, idCol: String, vecCol: String,
+                             threshold: Double = 0.9,
+                             exactLimit: Long = 10000L,
+                             checkpoint: Option[String] = None): StreamingQuery = {
+    val w = vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCosineBatch(batch, batchId, archiveDir, pairsDir,
+          idCol, vecCol, threshold, exactLimit)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 }

@@ -71,6 +71,38 @@ class ArchiveDedupSpec extends AnyFunSuite {
     assert(cIx.sets.count() === 7L)
   }
 
+  test("cosine twin: embedding batches dedup against the archive, fold in, replay idempotently") {
+    def vec(seedBase: Int): Array[Float] = {
+      val r = new java.util.Random(7L * seedBase)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val a = vec(1); val b = vec(2); val c = vec(3)
+    val archive = tmp("graft-carch")
+    val pairsDir = tmp("graft-carch-pairs")
+    ArchiveDedup.seedCosineArchive(
+      Seq((0L, a), (1L, a), (2L, c)).toDF("vec_id", "embedding"),
+      archive, "vec_id", "embedding", numBits = 4, bands = 4)
+    // exactLimit = 0 exercises the LSH delta tier through the stream path
+    val batch1 = Seq((10L, a), (11L, b)).toDF("vec_id", "embedding")
+    ArchiveDedup.processCosineBatch(batch1, 0L, archive, pairsDir,
+      "vec_id", "embedding", 0.95, exactLimit = 0L)
+    val after1 = pairsOf(pairsDir).map(p => (p._1, p._2))
+    assert(after1.contains((0L, 10L)) && after1.contains((1L, 10L)),
+      s"batch 1 vs seed: $after1")
+    assert(!after1.contains((0L, 1L)), "old×old never re-emits")
+    val batch2 = Seq((20L, b)).toDF("vec_id", "embedding")
+    ArchiveDedup.processCosineBatch(batch2, 1L, archive, pairsDir,
+      "vec_id", "embedding", 0.95, exactLimit = 0L)
+    val after2 = pairsOf(pairsDir).map(p => (p._1, p._2))
+    assert(after2.contains((11L, 20L)), s"batch 2 must see folded batch 1: $after2")
+    // replay is a no-op
+    ArchiveDedup.processCosineBatch(batch1, 0L, archive, pairsDir,
+      "vec_id", "embedding", 0.95, exactLimit = 0L)
+    assert(pairsOf(pairsDir).map(p => (p._1, p._2)) === after2)
+    val (live, v) = ArchiveDedup.loadLatestCosine(spark, archive)
+    assert(v === 1L && live.vecs.count() === 6L)
+  }
+
   test("end-to-end through a MemoryStream foreachBatch sink") {
     val archive = tmp("graft-arch-s")
     val pairsDir = tmp("graft-arch-s-pairs")
