@@ -945,8 +945,20 @@ object Dedup {
   private def requireDeltaDisjoint(ixIds: DataFrame, newDf: DataFrame,
                                    idCol: String, op: String): Unit = {
     if (!checkDeltaDisjoint(newDf.sparkSession)) return
+    // ids must also be unique WITHIN the batch: two delta rows sharing
+    // an id would emit duplicated (and, under conflicting payloads,
+    // nondeterministically-scored) pairs — silent, so it must be loud
+    val counts = newDf.select(col(idCol).cast("long").as("id"))
+      .groupBy("id").count()
+    val dup = counts.where(col("count") > 1)
+      .limit(3).collect().map(_.getLong(0))
+    require(dup.isEmpty,
+      s"$op: delta ids must be unique within the batch, but e.g. " +
+        s"[${dup.mkString(", ")}] appear more than once — pre-compact the " +
+        "batch (latest wins) before the delta scan, or disable the check " +
+        "with spark.graft.checkDeltaDisjoint=false")
     val offenders = ixIds
-      .join(newDf.select(col(idCol).cast("long").as("id")).distinct(), "id")
+      .join(counts.select(col("id")), "id")
       .limit(3).collect().map(_.getLong(0))
     require(offenders.isEmpty,
       s"$op: delta ids must be disjoint from indexed ids, but e.g. " +

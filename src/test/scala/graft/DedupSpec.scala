@@ -486,6 +486,14 @@ class DedupSpec extends AnyFunSuite {
       Dedup.minhashDeltaPairs(ix, docs, "doc_id", "text", threshold = 0.5)
     }
     assert(e.getMessage.contains("disjoint"), e.getMessage)
+    // duplicate ids WITHIN the batch are also loud (silently duplicated
+    // pairs, nondeterministic under conflicting payloads, otherwise)
+    val dupBatch = Seq((40L, "some fresh text about rivers today"),
+      (40L, "some fresh text about rivers today")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashDeltaPairs(ix, dupBatch, "doc_id", "text", threshold = 0.5)
+    }
+    assert(e2.getMessage.contains("unique within the batch"), e2.getMessage)
     intercept[IllegalArgumentException] {
       Dedup.appendToMinhashIndex(ix, docs.where(col("doc_id") < 1), "doc_id", "text")
     }
