@@ -389,6 +389,27 @@ object SparkEntry {
     * against the grown snapshot. Output ≡ the full batch operator
     * restricted to pairs touching day 2 — the oracle replays q84's
     * full-corpus banding with the ≥ 450 pair filter. */
+  /** q88: INCREMENTAL SemDeDup — the third modality of the delta
+    * family: vectors < 400 are assigned ONCE to q83's provided
+    * deterministic centroids (the 4 smallest vec_ids) and archived as a
+    * [[operators.Dedup.SemanticIndex]]; vectors ≥ 400 arrive as the
+    * delta, assign under the SAME pinned centroids, and emit every
+    * within-cluster θ-pair touching the delta — archived×archived
+    * pairs never re-scan. Assignment and pairing are both
+    * SQL-replayable under provided centroids (q83's argmin CTE + the
+    * θ-join with a same-cluster condition and the delta filter). */
+  private val q88SemanticDeltaPairs: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val cents = e.orderBy(col("vec_id")).limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val ix = Dedup.buildSemanticIndex(e.where(col("vec_id") < 400),
+      "vec_id", "embedding", cents)
+    Dedup.semanticDeltaPairs(ix, e.where(col("vec_id") >= 400),
+        "vec_id", "embedding", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q87: the cosine append twin of q86 — day 0's embeddings (< 300)
     * indexed once, day 1 ([300, 400)) folded in with
     * [[operators.Dedup.appendToCosineIndex]] (exact union of pinned-
@@ -1552,6 +1573,7 @@ object SparkEntry {
     "q85_cosine_delta_pairs" -> q85CosineDeltaPairs,
     "q86_append_delta_near_dup" -> q86AppendDeltaNearDup,
     "q87_cosine_append_delta" -> q87CosineAppendDelta,
+    "q88_semantic_delta_pairs" -> q88SemanticDeltaPairs,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -2202,6 +2224,36 @@ ORDER BY d.doc_id"""
         |JOIN comp c ON c.vec_id = a.vec_id
         |JOIN rep r ON r.grp = c.grp
         |ORDER BY a.vec_id""".stripMargin,
+    // q88: incremental SemDeDup twin — q83's provided-centroid argmin
+    // assignment (double math, x*x not pow, (d2, idx) tie order), then
+    // the within-cluster θ-join restricted to delta-touching pairs. No
+    // closure stage: the operator's contract is the candidate pair set.
+    "q88_semantic_delta_pairs" ->
+      """WITH ctr AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS idx,
+        |         CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+        |), d2s AS (
+        |  SELECT e.vec_id, c.idx,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]))) AS d2
+        |  FROM embeddings e CROSS JOIN ctr c
+        |), asg AS (
+        |  SELECT vec_id, idx AS cluster FROM (
+        |    SELECT vec_id, idx, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, idx) AS rn
+        |    FROM d2s)
+        |  WHERE rn = 1
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, sa.cluster,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a
+        |JOIN embeddings b ON a.vec_id < b.vec_id
+        |JOIN asg sa ON sa.vec_id = a.vec_id
+        |JOIN asg sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |  AND (a.vec_id >= 400 OR b.vec_id >= 400)
+        |ORDER BY id_a, id_b""".stripMargin,
     // q79: bigram-LM count twin — wordTokens tokenization (lower, trim,
     // \s+, empties dropped), positional bigrams (pos = 1-based index of
     // the SECOND token), corpus-wide pair/prefix counts, distinct-unigram

@@ -1125,6 +1125,104 @@ object Dedup {
     pairs.select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  // =====================================================================
+  // Incremental SemDeDup — a delta batch against archived cluster
+  // members under PROVIDED centroids (the third modality of the delta
+  // family: text shingles → MinhashIndex, raw cosine → CosineIndex,
+  // cluster-partitioned semantic pairs → this)
+  // =====================================================================
+
+  /** Archived side of incremental semantic dedup: the corpus assigned
+    * once to PINNED centroids — members = (id, cluster, v), plus the
+    * centroid table itself so every later delta assigns identically
+    * (assignment is a pure function of vector + centroids: double-math
+    * argmin, strict <, lowest index on ties — the q83/q88 oracle
+    * regime). Same caller contract as the other indexes: delta ids
+    * disjoint from member ids, unique per batch (enforced). */
+  final case class SemanticIndex(members: DataFrame,
+                                 centroids: Array[Array[Float]])
+
+  /** (id, cluster, v) under the pinned centroids — the same in-one-pass
+    * argmin kernel as [[semanticDedupMarks]]' assignment stage. */
+  private def assignMembers(df: DataFrame, idCol: String, vecCol: String,
+                            cents: Array[Array[Float]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .filter(_._2 != null)
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val ctr = cs(c)
+          var d2 = 0.0
+          var i = 0
+          val n = math.min(v.length, ctr.length)
+          while (i < n) { val x = v(i).toDouble - ctr(i).toDouble; d2 += x * x; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        (id, best, v)
+      }
+      .toDF("id", "cluster", "v")
+  }
+
+  def buildSemanticIndex(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[Array[Float]]): SemanticIndex =
+    SemanticIndex(assignMembers(df, idCol, vecCol, centroids), centroids)
+
+  /** Persist: `dir/members` parquet + `dir/centroids` parquet (idx, ce). */
+  def saveSemanticIndex(ix: SemanticIndex, dir: String): Unit = {
+    ix.members.write.mode("overwrite").parquet(s"$dir/members")
+    val spark = ix.members.sparkSession
+    import spark.implicits._
+    ix.centroids.zipWithIndex.map { case (ce, i) => (i, ce.toSeq) }.toSeq
+      .toDF("idx", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def loadSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): SemanticIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("idx")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    SemanticIndex(spark.read.parquet(s"$dir/members"), cents)
+  }
+
+  /**
+   * Incremental SemDeDup candidate pairs: assign a NEW embedding batch
+   * to the index's pinned centroids and emit every WITHIN-cluster
+   * cosine pair ≥ `threshold` touching the delta — (new, old) and
+   * (new, new); archived×archived pairs were mined when the index
+   * corpus was processed and are skipped inside the kernel. Exact
+   * within clusters (the blocked scan, bit-identical to the batch
+   * [[SimilarityJoin.groupedThresholdPairs]] over (members ∪ delta)
+   * restricted to delta-touching pairs — the q88 oracle replays
+   * assignment AND pairing in SQL under provided centroids); pairs
+   * split ACROSS clusters carry SemDeDup's documented approximation
+   * contract, identical to the batch operator's. Cost: assignment is
+   * one delta pass; pair work is Σ over clusters of (delta members ×
+   * cluster size) — delta-proportional scan, cluster-shaped shuffle.
+   * Output: (id_a, id_b, cluster, sim), id_a < id_b, sim rounded to 6.
+   */
+  def semanticDeltaPairs(ix: SemanticIndex, newDf: DataFrame,
+                         idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    requireDeltaDisjoint(ix.members.select(col("id")), newDf, idCol,
+      "semanticDeltaPairs")
+    val newAsg = assignMembers(newDf, idCol, vecCol, ix.centroids)
+    SimilarityJoin.groupedThresholdPairsDelta(
+        ix.members.select(col("cluster"), col("id"), col("v")),
+        newAsg.select(col("cluster"), col("id"), col("v")),
+        "cluster", "id", "v", threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** [[scanBlockPairJaccard]] with a new-batch flag: old×old pairs are
     * skipped BEFORE any set work (their mining already happened when
     * the index was built). */

@@ -674,6 +674,77 @@ object SimilarityJoin {
       .toDF("id_a", "id_b", "sim")
   }
 
+  /**
+   * Per-group [[thresholdPairsDelta]]: every WITHIN-group pair with
+   * cosine ≥ `threshold` and at least one endpoint in `newMembers`,
+   * scanned against the archived member frame `ixMembers` (both frames
+   * carry (groupCol, idCol, vecCol)); old×old pairs skip inside the
+   * kernel. Same skew-safe per-group block grid as
+   * [[groupedThresholdPairs]] over the UNION's counts, so output is
+   * bit-identical to that batch scan restricted to delta-touching
+   * pairs. The candidate stage of incremental semantic dedup
+   * ([[Dedup.semanticDeltaPairs]]). Output: (groupCol, id_a, id_b,
+   * sim), id_a < id_b, unordered.
+   */
+  def groupedThresholdPairsDelta(ixMembers: DataFrame, newMembers: DataFrame,
+                                 groupCol: String, idCol: String,
+                                 vecCol: String, threshold: Double,
+                                 blockRows: Int = -1): DataFrame = {
+    val spark = newMembers.sparkSession
+    import spark.implicits._
+    def shaped(df: DataFrame, isNew: Boolean) = df.select(
+      col(groupCol).cast("string").as("__g"),
+      col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<float>").as("__v"),
+      lit(isNew).as("__new"))
+    val rows = shaped(newMembers, isNew = true)
+      .unionByName(shaped(ixMembers, isNew = false))
+      .as[(String, Long, Array[Float], Boolean)]
+      .filter(_._3 != null)
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    // per-group counts over the UNION → the same grid the batch scan of
+    // (ix ∪ delta) derives; driver state O(#groups)
+    val counts: Map[String, Long] =
+      rows.rdd.map(r => (r._1, 1L)).reduceByKey(_ + _).collect().toMap
+    val targetNb = math.max(1, math.ceil(math.sqrt(8.0 * parallelism)).toInt)
+    val nbOf: Map[String, Int] = counts.map { case (g, m) =>
+      val nb =
+        if (blockRows > 0) ((m + blockRows - 1) / blockRows).toInt
+        else math.min(targetNb.toLong, (m + 1023) / 1024).toInt
+      (g, math.max(1, nb))
+    }
+    val bcNb = spark.sparkContext.broadcast(nbOf)
+    val pairs = rows.rdd
+      .flatMap { case (g, id, v, isNew) =>
+        val nb = bcNb.value.getOrElse(g, 1)
+        if (nb == 1) Iterator(((g, 0, 0), (0, id, v, isNew)))
+        else {
+          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
+          (0 until nb).iterator.map(x =>
+            ((g, math.min(b, x), math.max(b, x)), (b, id, v, isNew)))
+        }
+      }
+      .groupByKey(math.max(1, parallelism))
+      .flatMap { case ((g, ba, bb), it) =>
+        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+        it.foreach { case (b, id, v, isNew) =>
+          if (b == ba) aBuf += ((id, v, isNew))
+          else if (b == bb) bBuf += ((id, v, isNew))
+        }
+        scanBlockPairThresholdDelta(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
+          .map { case (ia, ib, sim) => (g, ia, ib, sim) }
+      }
+      .toDF("__g", "id_a", "id_b", "sim")
+    // restore the group column's ORIGINAL type via its string form —
+    // the broadcast side is the #groups-row distinct table
+    val groups = ixMembers.select(col(groupCol))
+      .unionByName(newMembers.select(col(groupCol))).distinct()
+      .withColumn("__g", col(groupCol).cast("string"))
+    pairs.join(broadcast(groups), Seq("__g"))
+      .select(col(groupCol), col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** [[scanBlockPairThreshold]] with a new-batch flag: old×old pairs are
     * skipped before any arithmetic (their mining happened at index
     * build). Same widened-double kernel and Cauchy–Schwarz head/tail

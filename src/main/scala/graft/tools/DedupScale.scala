@@ -124,6 +124,22 @@ object DedupScale {
     }
     cix.buckets.unpersist(); cix.vecs.unpersist()
 
+    // the semantic twin: sample-trained centroids at the paper-shaped
+    // k ≈ √n, archive assigned once, delta assigns + pairs within its
+    // clusters only — archived×archived never re-scans
+    val kSem = math.max(8, math.sqrt(n.toDouble).toInt)
+    val six = timed(s"semantic index build (k=$kSem, ~${n * 9 / 10} vecs, one-time)") {
+      val cents = graft.operators.Clustering.fitCentroids(eOld, "embedding", kSem)
+      val i = Dedup.buildSemanticIndex(eOld, "vec_id", "embedding", cents)
+      i.members.persist().count()
+      i
+    }
+    timed(s"semantic delta pairs (~${n / 10} new vs ~${n * 9 / 10} archived)") {
+      val p = Dedup.semanticDeltaPairs(six, eNew, "vec_id", "embedding", 0.9)
+      println(s"  delta pairs: ${p.count()}")
+    }
+    six.members.unpersist()
+
     // operator-only scrub (q74's bench number includes its test-harness
     // line reshape, which the oracle also pays — this isolates the
     // operator: blocklist → PII redaction → line strip on raw docs)

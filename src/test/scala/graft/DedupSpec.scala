@@ -478,6 +478,55 @@ class DedupSpec extends AnyFunSuite {
     assert(delta2.nonEmpty, "vacuous parity would prove nothing")
   }
 
+  test("semantic delta pairs equal the batch grouped scan restricted to delta pairs; save/load round-trips") {
+    val corpus = graft.Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = corpus.orderBy(col("vec_id")).limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val split = 400L
+    val ix = Dedup.buildSemanticIndex(corpus.where(col("vec_id") < split),
+      "vec_id", "embedding", cents)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), col("cluster"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val delta = pairSet(Dedup.semanticDeltaPairs(ix,
+      corpus.where(col("vec_id") >= split), "vec_id", "embedding", 0.4))
+    // the batch twin: the WHOLE corpus assigned under the same pinned
+    // centroids, grouped-scanned, restricted to delta-touching pairs
+    val all = Dedup.buildSemanticIndex(corpus, "vec_id", "embedding", cents)
+    val batchRestricted = SimilarityJoin.groupedThresholdPairs(
+        all.members, "cluster", "id", "v", 0.4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(0), round6(r.getDouble(3))))
+      .toSet.filter(p => p._1 >= split || p._2 >= split)
+    assert(delta === batchRestricted)
+    assert(delta.nonEmpty, "vacuous parity would prove nothing")
+    val dir = java.nio.file.Files.createTempDirectory("graft-six").toString
+    Dedup.saveSemanticIndex(ix, dir)
+    val reloaded = Dedup.loadSemanticIndex(spark, dir)
+    assert(reloaded.centroids.length === 4 &&
+      reloaded.centroids(0).toSeq === cents(0).toSeq)
+    val delta2 = pairSet(Dedup.semanticDeltaPairs(reloaded,
+      corpus.where(col("vec_id") >= split), "vec_id", "embedding", 0.4))
+    assert(delta2 === delta)
+  }
+
+  test("semantic delta pairs: old×old never re-scanned, old×new and new×new found") {
+    def vec(seedBase: Int): Array[Float] = {
+      val r = new java.util.Random(7L * seedBase)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val a = vec(1); val b = vec(2); val c = vec(3)
+    val cents = Array(a, c)
+    val archive = Seq((0L, a), (1L, a), (2L, c)).toDF("vec_id", "embedding")
+    val ix = Dedup.buildSemanticIndex(archive, "vec_id", "embedding", cents)
+    val delta = Seq((10L, a), (11L, b), (12L, b)).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDeltaPairs(ix, delta, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 10L)) && pairs.contains((1L, 10L)), "old×new")
+    assert(pairs.contains((11L, 12L)), "new×new within the same cluster")
+    assert(!pairs.contains((0L, 1L)), "old×old must not be re-emitted")
+  }
+
   test("delta disjointness contract is enforced loudly, and degrades safely when disabled") {
     val ix = Dedup.buildMinhashIndex(docs.where(col("doc_id") < 3),
       "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
