@@ -410,6 +410,32 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q89: the semantic append twin of q86/q87 — completes the third
+    * modality's day-over-day loop: day 0's embeddings (< 300) assigned
+    * ONCE under q83's pinned deterministic centroids, day 1
+    * ([300, 400)) folded in with
+    * [[operators.Dedup.appendToSemanticIndex]] (assignment is a pure
+    * per-row function of vector + pinned centroids, so append is an
+    * exact union at delta cost — no corpus re-assignment), day 2
+    * (≥ 400) then emits within-cluster θ-pairs against the grown
+    * archive. The grown member set is IDENTICAL to q88's index
+    * (< 400 under the same centroids), so output — and oracle — are
+    * exactly q88's: same rows through the append path gates that
+    * append changes NOTHING but the snapshot's contents. */
+  private val q89SemanticAppendDelta: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+    val cents = e.orderBy(col("vec_id")).limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val ix0 = Dedup.buildSemanticIndex(e.where(col("vec_id") < 300),
+      "vec_id", "embedding", cents)
+    val ix1 = Dedup.appendToSemanticIndex(ix0,
+      e.where(col("vec_id") >= 300 && col("vec_id") < 400), "vec_id", "embedding")
+    Dedup.semanticDeltaPairs(ix1, e.where(col("vec_id") >= 400),
+        "vec_id", "embedding", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q87: the cosine append twin of q86 — day 0's embeddings (< 300)
     * indexed once, day 1 ([300, 400)) folded in with
     * [[operators.Dedup.appendToCosineIndex]] (exact union of pinned-
@@ -1574,6 +1600,7 @@ object SparkEntry {
     "q86_append_delta_near_dup" -> q86AppendDeltaNearDup,
     "q87_cosine_append_delta" -> q87CosineAppendDelta,
     "q88_semantic_delta_pairs" -> q88SemanticDeltaPairs,
+    "q89_semantic_append_delta" -> q89SemanticAppendDelta,
     "q50_rag_context" -> q50RagContext,
     "q51_rag_answer" -> q51RagAnswer,
   )
@@ -2228,6 +2255,39 @@ ORDER BY d.doc_id"""
     // assignment (double math, x*x not pow, (d2, idx) tie order), then
     // the within-cluster θ-join restricted to delta-touching pairs. No
     // closure stage: the operator's contract is the candidate pair set.
+    // q89: the semantic APPEND twin — day 0 (< 300) indexed, day 1
+    // ([300, 400)) folded in with appendToSemanticIndex, day 2 (≥ 400)
+    // delta-paired. Assignment is a pure function of vector + pinned
+    // centroids, so the grown member set ≡ q88's (< 400) and the oracle
+    // is q88's verbatim: the same provided-centroid argmin CTE + the
+    // within-cluster θ-join restricted to day-2-touching pairs. Same
+    // rows through the append path = the q86/q87 gate for modality 3.
+    "q89_semantic_append_delta" ->
+      """WITH ctr AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS idx,
+        |         CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+        |), d2s AS (
+        |  SELECT e.vec_id, c.idx,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]))) AS d2
+        |  FROM embeddings e CROSS JOIN ctr c
+        |), asg AS (
+        |  SELECT vec_id, idx AS cluster FROM (
+        |    SELECT vec_id, idx, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, idx) AS rn
+        |    FROM d2s)
+        |  WHERE rn = 1
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, sa.cluster,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a
+        |JOIN embeddings b ON a.vec_id < b.vec_id
+        |JOIN asg sa ON sa.vec_id = a.vec_id
+        |JOIN asg sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |  AND (a.vec_id >= 400 OR b.vec_id >= 400)
+        |ORDER BY id_a, id_b""".stripMargin,
     "q88_semantic_delta_pairs" ->
       """WITH ctr AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS idx,

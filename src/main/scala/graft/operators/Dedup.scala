@@ -756,8 +756,15 @@ object Dedup {
     * every delta scan and append (see `requireDeltaDisjoint`;
     * `spark.graft.checkDeltaDisjoint=false` disables, after which the
     * scan kernels still refuse self-pairs). */
+  /** Marker for the three incremental-index modalities so callers can
+    * route a delta batch through one facade ([[deltaPairs]]) — the
+    * modality choice is made ONCE, at index build; see the facade's
+    * Scaladoc for the measured decision rule. */
+  sealed trait DeltaIndex
+
   final case class MinhashIndex(buckets: DataFrame, sets: DataFrame,
                                 numHashes: Int, bands: Int, shingleLen: Int)
+    extends DeltaIndex
 
   /** (bucket, id) banding keys of a shingled corpus — the md5 pass,
     * factored so the batch grid and the index build band identically. */
@@ -950,8 +957,17 @@ object Dedup {
     // nondeterministically-scored) pairs — silent, so it must be loud
     val counts = newDf.select(col(idCol).cast("long").as("id"))
       .groupBy("id").count()
-    val dup = counts.where(col("count") > 1)
-      .limit(3).collect().map(_.getLong(0))
+    // one pass surfaces BOTH within-batch problems: a null key (null or
+    // uncastable ids — they'd NPE the typed kernels later with an opaque
+    // encoder error) and duplicated ids; report each with its own message
+    val withinOffenders = counts.where(col("id").isNull || col("count") > 1)
+      .limit(4).collect()
+    val (nullKeys, dup0) = withinOffenders.partition(_.isNullAt(0))
+    require(nullKeys.isEmpty,
+      s"$op: delta ids must be non-null and castable to long (column " +
+        s"'$idCol' has null/uncastable values) — filter or repair them " +
+        "before the delta scan")
+    val dup = dup0.map(_.getLong(0))
     require(dup.isEmpty,
       s"$op: delta ids must be unique within the batch, but e.g. " +
         s"[${dup.mkString(", ")}] appear more than once — pre-compact the " +
@@ -987,6 +1003,7 @@ object Dedup {
   final case class CosineIndex(buckets: DataFrame, vecs: DataFrame,
                                numBits: Int, bands: Int, dim: Int,
                                seed: Long)
+    extends DeltaIndex
 
   /** Build a [[CosineIndex]] over `df`. Widths default to the same
     * auto-sizing as [[embeddingNearDupPairs]]'s scale route
@@ -1141,6 +1158,7 @@ object Dedup {
     * disjoint from member ids, unique per batch (enforced). */
   final case class SemanticIndex(members: DataFrame,
                                  centroids: Array[Array[Float]])
+    extends DeltaIndex
 
   /** (id, cluster, v) under the pinned centroids — the same in-one-pass
     * argmin kernel as [[semanticDedupMarks]]' assignment stage. */
@@ -1221,6 +1239,191 @@ object Dedup {
         "cluster", "id", "v", threshold)
       .select(col("id_a"), col("id_b"), col("cluster"),
         round(col("sim"), 6).as("sim"))
+  }
+
+  /** Fold a NEW embedding batch into an existing [[SemanticIndex]] —
+    * the semantic twin of [[appendToMinhashIndex]] /
+    * [[appendToCosineIndex]], completing the third modality's
+    * daily-ingest loop: assignment is a pure function of vector +
+    * pinned centroids (double-math argmin, strict <, lowest index on
+    * ties), so append is an exact unionByName of assigned member rows
+    * at delta cost — day N's delta becomes part of day N+1's archive
+    * with no corpus re-assignment. Centroids stay PINNED (by design —
+    * recentering would change every historical assignment); a drifting
+    * corpus should watch [[semanticDriftProbe]] and rebuild when it
+    * fires. Same caller contract, enforced by the same guard. */
+  def appendToSemanticIndex(ix: SemanticIndex, newDf: DataFrame,
+                            idCol: String, vecCol: String): SemanticIndex = {
+    requireDeltaDisjoint(ix.members.select(col("id")), newDf, idCol,
+      "appendToSemanticIndex")
+    SemanticIndex(
+      ix.members.select(col("id"), col("cluster"), col("v"))
+        .unionByName(assignMembers(newDf, idCol, vecCol, ix.centroids)),
+      ix.centroids)
+  }
+
+  /**
+   * The unified incremental-dedup facade: route a delta batch against
+   * whichever index modality the archive was built with, normalizing
+   * the output to (id_a, id_b, score), id_a < id_b, score rounded to 6
+   * (Jaccard for the minhash tier, cosine for the other two).
+   *
+   * The modality is chosen ONCE, at index-build time — the measured
+   * decision rule (×100 rows in BENCH.md "Round 10/11"):
+   *
+   *  - raw text, no embeddings → [[MinhashIndex]] (the only text tier);
+   *    singleton-heavy banding prunes hardest, delta ≈ 0.4× rebuild.
+   *  - embeddings over a CLUSTERED corpus (most real embedding spaces)
+   *    → [[SemanticIndex]]: the same within-cluster pair set as the
+   *    LSH tier at ~¼ its delta cost (measured ×100: 2.7 s vs 10.6 s),
+   *    at the price of missing pairs split across clusters (SemDeDup's
+   *    documented approximation).
+   *  - embeddings where cross-cluster pairs must not be missed →
+   *    [[CosineIndex]]: exact tier below `exactLimit` total rows
+   *    (bit-identical to the batch scan), hyperplane-LSH above it
+   *    (precision 1.0, width-bounded recall, logged on switch); expect
+   *    the shuffle floor on clustered corpora (delta ≈ 0.6× rebuild).
+   *
+   * `payloadCol` is the text column for a minhash index and the vector
+   * column otherwise; `exactLimit` only affects the cosine tier.
+   */
+  def deltaPairs(ix: DeltaIndex, newDf: DataFrame, idCol: String,
+                 payloadCol: String, threshold: Double,
+                 exactLimit: Long = 10000L): DataFrame = ix match {
+    case m: MinhashIndex =>
+      minhashDeltaPairs(m, newDf, idCol, payloadCol, threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard").as("score"))
+    case c: CosineIndex =>
+      cosineDeltaPairs(c, newDf, idCol, payloadCol, threshold, exactLimit)
+        .select(col("id_a"), col("id_b"), col("sim").as("score"))
+    case s: SemanticIndex =>
+      semanticDeltaPairs(s, newDf, idCol, payloadCol, threshold)
+        .select(col("id_a"), col("id_b"), col("sim").as("score"))
+  }
+
+  // =====================================================================
+  // Index drift probes — all three incremental indexes PIN their
+  // parameters at seed time (centroids, hyperplanes, banding widths);
+  // a drifting corpus silently degrades them (semantic assignment
+  // distances grow, cosine buckets skew or empty out, minhash grid
+  // sizing assumptions break). Each probe compares the DELTA batch
+  // against the seed corpus on the statistic that actually governs its
+  // index's quality and recommends a rebuild when the ratio trips —
+  // the recall-vs-exact oracle discipline of the reference
+  // (day_6/day6_complete.py:118-153) applied to index freshness.
+  // Cost: one delta pass + one pruned pass over the index's key/payload
+  // column; emit alongside pairs (the archive sinks take a driftDir).
+  // =====================================================================
+
+  /** Semantic drift: mean euclidean assignment distance of the DELTA
+    * under the pinned centroids vs the archived members' own mean.
+    * A ratio ≫ 1 means new data lands far from every centroid — the
+    * partition no longer reflects the corpus and within-cluster pairing
+    * loses recall. One row: (seed_mean_dist, delta_mean_dist, ratio,
+    * rebuild_recommended = ratio > `ratioTrigger`). Rebuild = re-run
+    * KMeans ([[Clustering.kmeans]]) on a fresh sample and
+    * [[buildSemanticIndex]] from scratch (pinned centroids make
+    * in-place recentering impossible by design). */
+  def semanticDriftProbe(ix: SemanticIndex, newDf: DataFrame,
+                         idCol: String, vecCol: String,
+                         ratioTrigger: Double = 1.5): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ix.centroids)
+    // members already carry their cluster; the delta assigns fresh
+    val seedD = ix.members.select(col("id"), col("cluster"), col("v"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (_, c, v) => math.sqrt(d2To(v, bc.value(c))) }
+    val deltaD = assignMembers(newDf, idCol, vecCol, ix.centroids)
+      .as[(Long, Int, Array[Float])]
+      .map { case (_, c, v) => math.sqrt(d2To(v, bc.value(c))) }
+    val seedMean = seedD.agg(avg(col("value"))).head().getDouble(0)
+    val deltaMean = deltaD.agg(avg(col("value"))).head().getDouble(0)
+    val ratio = if (seedMean > 0) deltaMean / seedMean else Double.PositiveInfinity
+    Seq((seedMean, deltaMean, ratio, ratio > ratioTrigger))
+      .toDF("seed_mean_dist", "delta_mean_dist", "ratio", "rebuild_recommended")
+  }
+
+  private def d2To(v: Array[Float], ctr: Array[Float]): Double = {
+    var d2 = 0.0; var i = 0
+    val n = math.min(v.length, ctr.length)
+    while (i < n) { val x = v(i).toDouble - ctr(i).toDouble; d2 += x * x; i += 1 }
+    d2
+  }
+
+  /** Cosine-LSH drift: (a) `new_bucket_frac` — fraction of the delta's
+    * signature keys landing in buckets the seed corpus never occupied
+    * (the delta lives in a region the pinned hyperplanes carved empty:
+    * candidate generation still works, but occupancy-based cost
+    * assumptions don't), and (b) `skew_ratio` — the delta's top-bucket
+    * occupancy share over the seed's (≫ 1 = the delta is collapsing
+    * into few buckets: the bucket-local scan degrades toward all-pairs
+    * inside hot buckets). One row; `rebuild_recommended` when either
+    * trips. Rebuild = [[buildCosineIndex]] with re-auto-sized widths
+    * (and a fresh seed if the space rotated). */
+  def cosineDriftProbe(ix: CosineIndex, newDf: DataFrame,
+                       idCol: String, vecCol: String,
+                       newBucketTrigger: Double = 0.5,
+                       skewTrigger: Double = 4.0): DataFrame = {
+    val spark = newDf.sparkSession
+    val deltaKeys = SimilarityJoin.cosineBuckets(newDf, idCol, vecCol,
+      ix.numBits, ix.bands, ix.dim, ix.seed).localCheckpoint(false)
+    bucketDriftRow(spark, ix.buckets, deltaKeys, newBucketTrigger, skewTrigger)
+  }
+
+  /** Minhash drift: same bucket statistics as [[cosineDriftProbe]] plus
+    * `set_size_ratio` — mean shingle-set size of the delta over the
+    * seed's (the statistic the verification grid's block sizing and the
+    * size-ratio prune are tuned against; a corpus whose documents grow
+    * ≫ the seed's shifts the scan cost model). `new_bucket_frac` is
+    * EXPECTED to be high here (novel text mints fresh singleton buckets
+    * by design — 91% of real-corpus buckets are singletons), so only
+    * skew and set-size trips recommend a rebuild. */
+  def minhashDriftProbe(ix: MinhashIndex, newDf: DataFrame,
+                        idCol: String, textCol: String,
+                        skewTrigger: Double = 4.0,
+                        setSizeTrigger: Double = 2.0): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val sh = shingleSets(newDf, idCol, textCol, ix.shingleLen)
+    val deltaKeys = lightBands(sh, ix.numHashes, ix.bands).localCheckpoint(false)
+    val base = bucketDriftRow(spark, ix.buckets, deltaKeys, 2.0, skewTrigger)
+      .select(col("new_bucket_frac"), col("skew_ratio"))
+    val seedSize = ix.sets.select(avg(size(col("sh")))).head().getDouble(0)
+    val deltaSize = hashedSets(sh).select(avg(size(col("sh")))).head().getDouble(0)
+    val sizeRatio = if (seedSize > 0) deltaSize / seedSize else Double.PositiveInfinity
+    val b = base.head()
+    Seq((b.getDouble(0), b.getDouble(1), sizeRatio,
+        b.getDouble(1) > skewTrigger || sizeRatio > setSizeTrigger))
+      .toDF("new_bucket_frac", "skew_ratio", "set_size_ratio",
+        "rebuild_recommended")
+  }
+
+  /** Shared bucket-occupancy comparison: both key frames are (bkt, id).
+    * Top-bucket SHARE (max count / total keys) is size-normalized, so
+    * seed and delta compare fairly at any relative size. */
+  private def bucketDriftRow(spark: org.apache.spark.sql.SparkSession,
+                             seedKeys: DataFrame, deltaKeys: DataFrame,
+                             newBucketTrigger: Double,
+                             skewTrigger: Double): DataFrame = {
+    import spark.implicits._
+    def topShare(keys: DataFrame): Double = {
+      val r = keys.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+        .agg(max(col("m")).cast("double").as("mx"), sum(col("m")).cast("double").as("n"))
+        .head()
+      if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+      else r.getDouble(0) / r.getDouble(1)
+    }
+    val seedShare = topShare(seedKeys)
+    val deltaShare = topShare(deltaKeys)
+    val skew = if (seedShare > 0) deltaShare / seedShare else Double.PositiveInfinity
+    val nDelta = deltaKeys.count()
+    val nNew =
+      if (nDelta == 0) 0L
+      else deltaKeys.join(seedKeys.select(col("bkt")).distinct(), Seq("bkt"), "left_anti").count()
+    val newFrac = if (nDelta == 0) 0.0 else nNew.toDouble / nDelta
+    Seq((newFrac, skew, newFrac > newBucketTrigger || skew > skewTrigger))
+      .toDF("new_bucket_frac", "skew_ratio", "rebuild_recommended")
   }
 
   /** [[scanBlockPairJaccard]] with a new-batch flag: old×old pairs are

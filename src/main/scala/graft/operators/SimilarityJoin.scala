@@ -737,12 +737,15 @@ object SimilarityJoin {
       }
       .toDF("__g", "id_a", "id_b", "sim")
     // restore the group column's ORIGINAL type via its string form —
-    // the broadcast side is the #groups-row distinct table
+    // the broadcast side is the #groups-row distinct table; null-safe
+    // equality so a null group (legal for direct callers — the grid
+    // treats it as one more key) round-trips instead of silently
+    // dropping its pairs in an equi-join
     val groups = ixMembers.select(col(groupCol))
       .unionByName(newMembers.select(col(groupCol))).distinct()
       .withColumn("__g", col(groupCol).cast("string"))
-    pairs.join(broadcast(groups), Seq("__g"))
-      .select(col(groupCol), col("id_a"), col("id_b"), col("sim"))
+    pairs.join(broadcast(groups), pairs("__g") <=> groups("__g"))
+      .select(groups(groupCol), col("id_a"), col("id_b"), col("sim"))
   }
 
   /** [[scanBlockPairThreshold]] with a new-batch flag: old×old pairs are

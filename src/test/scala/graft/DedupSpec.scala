@@ -569,4 +569,84 @@ class DedupSpec extends AnyFunSuite {
       assert(cp.forall(p => p._1 != p._2), s"self pair in ${cp.toSeq}")
     } finally spark.conf.set("spark.graft.checkDeltaDisjoint", "true")
   }
+
+  test("delta guard reports null ids with its own message, not an opaque NPE") {
+    val ix = Dedup.buildMinhashIndex(docs.where(col("doc_id") < 3),
+      "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
+    val nullBatch = Seq((Some(40L), "fresh river text"), (None, "null id row"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashDeltaPairs(ix, nullBatch, "doc_id", "text", threshold = 0.5)
+    }
+    assert(e.getMessage.contains("non-null"), e.getMessage)
+    // uncastable string ids are already loud under ANSI mode (Spark 4
+    // default): the guard's cast throws CAST_INVALID_INPUT before the
+    // null-key path — either way, never an opaque NPE downstream
+    val badBatch = Seq(("not-a-number", "x"), ("41", "y")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      Dedup.minhashDeltaPairs(ix, badBatch, "doc_id", "text", threshold = 0.5)
+    }
+    assert(e2.getMessage.contains("CAST_INVALID_INPUT") ||
+      e2.getMessage.contains("non-null"), e2.getMessage)
+  }
+
+  test("appendToSemanticIndex: grown index ≡ index built on the union, at delta cost") {
+    def vec(seedBase: Int): Array[Float] = {
+      val r = new java.util.Random(7L * seedBase)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val cents = Array(vec(1), vec(3))
+    val day0 = Seq((0L, vec(1)), (1L, vec(2)), (2L, vec(3))).toDF("vec_id", "embedding")
+    val day1 = Seq((10L, vec(1)), (11L, vec(4))).toDF("vec_id", "embedding")
+    val grown = Dedup.appendToSemanticIndex(
+      Dedup.buildSemanticIndex(day0, "vec_id", "embedding", cents),
+      day1, "vec_id", "embedding")
+    val oneShot = Dedup.buildSemanticIndex(day0.unionByName(day1),
+      "vec_id", "embedding", cents)
+    def memberSet(ix: Dedup.SemanticIndex) =
+      ix.members.select(col("id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(memberSet(grown) === memberSet(oneShot))
+    assert(grown.centroids.map(_.toSeq) === cents.map(_.toSeq), "centroids pinned")
+    // guard shared: appending an already-indexed id is loud
+    intercept[IllegalArgumentException] {
+      Dedup.appendToSemanticIndex(grown, day0.limit(1), "vec_id", "embedding")
+    }
+  }
+
+  test("deltaPairs facade routes each index modality and normalizes to (id_a, id_b, score)") {
+    def vec(seedBase: Int): Array[Float] = {
+      val r = new java.util.Random(7L * seedBase)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    def scoreSet(df: org.apache.spark.sql.DataFrame) = {
+      assert(df.columns.toSeq === Seq("id_a", "id_b", "score"))
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    // minhash tier ≡ minhashDeltaPairs (delta carries an exact dup of
+    // doc 0 so a band collision is guaranteed, not probabilistic)
+    val mIx = Dedup.buildMinhashIndex(docs.where(col("doc_id") < 3),
+      "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
+    val mDelta = docs.where(col("doc_id") >= 3).unionByName(
+      Seq((40L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    val mGot = scoreSet(Dedup.deltaPairs(mIx, mDelta, "doc_id", "text", 0.4))
+    val mWant = Dedup.minhashDeltaPairs(mIx, mDelta, "doc_id", "text", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mGot === mWant && mGot.nonEmpty)
+    // cosine tier ≡ cosineDeltaPairs (exact route at this size)
+    val vecs = Seq((0L, vec(1)), (1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+    val delta = Seq((10L, vec(1)), (11L, vec(2))).toDF("vec_id", "embedding")
+    val cIx = Dedup.buildCosineIndex(vecs, "vec_id", "embedding", numBits = 4, bands = 4)
+    val cGot = scoreSet(Dedup.deltaPairs(cIx, delta, "vec_id", "embedding", 0.95))
+    val cWant = Dedup.cosineDeltaPairs(cIx, delta, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cGot === cWant && cGot.nonEmpty)
+    // semantic tier ≡ semanticDeltaPairs (cluster column dropped)
+    val sIx = Dedup.buildSemanticIndex(vecs, "vec_id", "embedding",
+      Array(vec(1), vec(2)))
+    val sGot = scoreSet(Dedup.deltaPairs(sIx, delta, "vec_id", "embedding", 0.95))
+    val sWant = Dedup.semanticDeltaPairs(sIx, delta, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(sGot === sWant && sGot.nonEmpty)
+  }
 }
