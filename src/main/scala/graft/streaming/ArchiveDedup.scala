@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -14,36 +15,242 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * ingestion surface (day_8/main/endpoints.py:13-49,168-208 incremental
  * inserts; day_10/embedders/embedding_pipeline.py:238-314 the
  * incremental-cache regime) composed with the archive-dedup operators.
+ * Three modality twins share the machinery: minhash over text, cosine
+ * LSH over embeddings, semantic (pinned-centroid) over embeddings.
  *
- * Snapshot layout: `archiveDir/base` is the seeded day-0 index
- * ([[seedArchive]]); each processed batch b writes `archiveDir/b<id>`
- * containing ONLY that batch's banding keys and set payloads (a
- * batch-sized sliver under the base's pinned widths — banding is a
- * pure per-doc function, so the live index is exactly
- * base ∪ b0 ∪ … ∪ bN by unionByName, no re-mine, no archive rewrite).
- * Readers union base + slivers; writes never touch an existing
- * directory — append-only versions, the classic snapshot-isolation
- * shape — so a reader of version N is undisturbed by the writer
- * producing N+1, and the PER-BATCH write cost is batch-sized, not
- * archive-sized. Long streams fold slivers back into a fresh base with
- * [[compactArchive]] (out-of-band; every read is equivalent before and
- * after).
+ * == Snapshot layout ==
+ * `archiveDir/base` is the seeded day-0 index ([[seedArchive]] /
+ * [[seedCosineArchive]] / [[seedSemanticArchive]]); each processed
+ * batch b commits `archiveDir/b<id>` containing ONLY that batch's keys
+ * and payloads (a batch-sized sliver under the base's pinned
+ * parameters — banding/assignment is a pure per-row function, so the
+ * live index is exactly base ∪ b0 ∪ … ∪ bN). Readers load ALL live
+ * entry directories through ONE multi-path parquet relation per
+ * component — the logical plan stays O(1) regardless of stream age
+ * (round 10 folded one union node per sliver; a year of daily batches
+ * would have planned a 366-way union every batch).
  *
- * Restart semantics: Structured Streaming may REPLAY a micro-batch
- * after a failure. Both effects are idempotent per batchId — pairs land
- * in a `batch_id=<id>` partition directory with overwrite mode, and the
- * fold is skipped when `b<id>` already exists (a replayed batch would
- * otherwise double-fold and then trip the delta-disjointness guard).
+ * == Commit protocol ==
+ * A sliver (or compacted range) is written to a dot-prefixed
+ * `.inprogress-*` directory and RENAMED into place — the rename is the
+ * single commit point, so a crash mid-write leaves only an invisible
+ * temp directory (overwritten by the retry), never a half-readable
+ * entry that replay would wrongly skip and readers would crash on.
  *
- * Scale shape: identical to [[Dedup.minhashDeltaPairs]] +
- * [[Dedup.appendToMinhashIndex]] — banding cost tracks the batch, the
- * m ≥ 2 ∧ has-delta filter prunes untouched buckets, and the snapshot
- * write is (archive + batch)-sized parquet. A long-running stream
- * should compact old versions out-of-band (each snapshot is
- * self-contained, so dropping all but the latest is safe once no
- * reader pins them).
+ * == Compaction (bounded sliver growth) ==
+ * `compactEvery = K` (default 8) bounds live entry count without
+ * unbounded write amplification, tiered LSM-style:
+ *  - when K contiguous slivers accumulate they merge into ONE range
+ *    entry `c<lo>-<hi>` (cost: K batch-sized reads + one write —
+ *    amortized one extra batch-write per batch);
+ *  - when K contiguous ranges accumulate they merge into one bigger
+ *    range (amortized another batch-write per batch).
+ * Live entries therefore stay ≤ base + (K−1) ranges + (K−1) slivers,
+ * and per-batch compaction work is O(batch) amortized — the per-batch
+ * wall tracks DATA growth only (the delta scan's corpus-key pass),
+ * never stream age (measured flat at N = 50, BENCH.md "Round 11").
+ * Replay safety across compaction: a range `c<lo>-<hi>` durably
+ * records that batches lo..hi are folded (only CONTIGUOUS runs merge,
+ * so the interval is exact), and the replay guard honors it after the
+ * member slivers are garbage-collected. `base` is never rewritten
+ * in-place; [[compactArchive]] still offers the out-of-band full fold
+ * into a fresh directory.
+ *
+ * == Restart semantics ==
+ * Structured Streaming may REPLAY a micro-batch after a failure. Both
+ * effects are idempotent per batchId — pairs land in a
+ * `batch_id=<id>` partition with overwrite mode, and the fold is
+ * skipped when `b<id>` exists or a range covers it. The skip VERIFIES
+ * the incoming batch's ids against the stored sliver's: a mismatch
+ * means the stream restarted WITHOUT a checkpointLocation (batchId
+ * reset to 0 over an old archive — the silent-data-loss shape) and
+ * throws loudly instead of dropping the batch. Run with a checkpoint:
+ * the sinks log a loud warning when started without one.
  */
 object ArchiveDedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // =====================================================================
+  // Shared archive mechanics (all three modality twins)
+  // =====================================================================
+
+  /** Per-modality file layout: the parquet components a sliver carries,
+    * which of them holds the row ids (for replay verification), and the
+    * pinned-parameter file copied into compacted ranges. */
+  private final case class Layout(components: Seq[String],
+                                  idComponent: String, paramsFile: String)
+  private val MinhashLayout = Layout(Seq("buckets", "sets"), "sets", "params")
+  private val CosineLayout = Layout(Seq("buckets", "vecs"), "vecs", "params")
+  private val SemanticLayout = Layout(Seq("members"), "members", "centroids")
+
+  // Hadoop FS, not java.io.File: the archive lives wherever the corpus
+  // does (HDFS/S3/local) — same convention as serving.DocStore
+  private def hfs(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Folded-batch bookkeeping parsed from entry names: `b<id>` slivers
+    * and `c<lo>-<hi>` compacted ranges. */
+  private[graft] final case class ArchiveState(slivers: Seq[Long],
+                                               ranges: Seq[(Long, Long)]) {
+    /** Ranges not contained in a larger range (containment can appear
+      * transiently if a crash interrupts post-merge GC). */
+    def maximalRanges: Seq[(Long, Long)] = ranges.filterNot { r =>
+      ranges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2)
+    }.sortBy(_._1)
+    def covered(id: Long): Boolean =
+      maximalRanges.exists(r => r._1 <= id && id <= r._2)
+    /** Slivers whose fold is recorded only by their own directory. */
+    def liveSlivers: Seq[Long] = slivers.filterNot(covered).sorted
+    def lastFolded: Long =
+      (slivers ++ ranges.map(_._2)).foldLeft(-1L)(math.max)
+  }
+
+  private val RangeName = "c(\\d+)-(\\d+)".r
+  private def stateOf(spark: SparkSession, dir: String): ArchiveState = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) ArchiveState(Nil, Nil)
+    else {
+      val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      ArchiveState(
+        names.collect {
+          case n if n.startsWith("b") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
+            n.drop(1).toLong
+        },
+        names.collect { case RangeName(lo, hi) => (lo.toLong, hi.toLong) })
+    }
+  }
+
+  /** All directories a reader must union: base + maximal ranges + live
+    * slivers (each self-contained under the base's pinned params). */
+  private def liveEntryDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val st = stateOf(spark, dir)
+    s"$dir/base" +:
+      (st.maximalRanges.map { case (lo, hi) => s"$dir/c$lo-$hi" } ++
+        st.liveSlivers.map(b => s"$dir/b$b"))
+  }
+
+  /** One multi-path parquet relation over every live entry's copy of a
+    * component — O(1) plan nodes however old the stream is. */
+  private def readComponent(spark: SparkSession, dirs: Seq[String],
+                            comp: String): DataFrame =
+    spark.read.parquet(dirs.map(d => s"$d/$comp"): _*)
+
+  /** Write an entry to `.inprogress-<name>` via `write`, then rename
+    * into place — the rename is the commit point (see class doc). */
+  private def commitEntry(spark: SparkSession, dir: String, name: String)
+                         (write: String => Unit): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    val tmp = new Path(s"$dir/.inprogress-$name")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftovers
+    write(tmp.toString)
+    if (!fs.rename(tmp, new Path(s"$dir/$name")))
+      throw new IllegalStateException(
+        s"ArchiveDedup: failed to commit archive entry $dir/$name " +
+          "(rename returned false) — is another writer racing this archive?")
+  }
+
+  /** Replay guard: true = this batchId's fold is already durable, skip
+    * both effects. When the sliver still exists its stored ids are
+    * checked against the incoming batch's — a mismatch is a restart
+    * without checkpointLocation (batchId counter reset over an old
+    * archive) and throws rather than silently dropping the batch. A
+    * range-covered id (sliver already compacted away) can't be
+    * verified; legitimate replays only re-run the LAST uncommitted
+    * batch, which compaction has just folded, so this skips with a
+    * warning. */
+  private def alreadyFolded(spark: SparkSession, archiveDir: String,
+                            batchId: Long, batchIds: DataFrame,
+                            layout: Layout): Boolean = {
+    val (fs, _) = hfs(spark, archiveDir)
+    val sliver = new Path(s"$archiveDir/b$batchId")
+    if (fs.exists(sliver)) {
+      val stored = spark.read
+        .parquet(s"$archiveDir/b$batchId/${layout.idComponent}")
+        .select(col("id"))
+      val mismatch = stored.except(batchIds)
+        .unionByName(batchIds.except(stored)).limit(1)
+      if (!mismatch.isEmpty)
+        throw new IllegalStateException(
+          s"ArchiveDedup: batch $batchId is marked folded in $archiveDir but " +
+            "its stored ids differ from this batch's — the stream restarted " +
+            "without a checkpointLocation and its batchId counter reset. " +
+            "Refusing to silently drop the batch. Restart the stream with " +
+            "the original checkpoint, or point it at a fresh pairs/archive " +
+            "checkpoint trio.")
+      true
+    } else if (stateOf(spark, archiveDir).covered(batchId)) {
+      log.warn(s"ArchiveDedup: batch $batchId is covered by a compacted " +
+        s"range in $archiveDir — skipping as a replay. If this stream was " +
+        "restarted WITHOUT its checkpointLocation this skip is dropping " +
+        "data; always restart with the original checkpoint.")
+      true
+    } else false
+  }
+
+  /** Tiered auto-compaction (see class doc): merge K contiguous live
+    * slivers into a range; merge K contiguous ranges into one. Called
+    * after each fold; `compactEvery <= 0` disables. */
+  private[graft] def maybeCompact(spark: SparkSession, dir: String,
+                                  layout: Layout, compactEvery: Int): Unit = {
+    if (compactEvery <= 0) return
+    val st0 = stateOf(spark, dir)
+    val run = contiguousPrefixRun(st0.liveSlivers)
+    if (run.length >= compactEvery)
+      mergeEntries(spark, dir, layout,
+        run.map(b => (s"b$b", b, b)))
+    val st1 = stateOf(spark, dir)
+    val ranges = st1.maximalRanges
+    val rrun = ranges.indices.takeWhile { i =>
+      i == 0 || ranges(i)._1 == ranges(i - 1)._2 + 1
+    }.map(ranges)
+    if (rrun.length >= compactEvery)
+      mergeEntries(spark, dir, layout,
+        rrun.map { case (lo, hi) => (s"c$lo-$hi", lo, hi) })
+  }
+
+  /** Longest run of consecutive ids from the head of a sorted seq —
+    * only CONTIGUOUS runs merge, so a range's [lo, hi] coverage claim
+    * is exact even for direct `processBatch` callers with gaps. */
+  private def contiguousPrefixRun(sorted: Seq[Long]): Seq[Long] =
+    sorted.indices.takeWhile(i => i == 0 || sorted(i) == sorted(i - 1) + 1)
+      .map(sorted)
+
+  /** Merge entries (name, lo, hi) into one committed range `c<lo>-<hi>`,
+    * then garbage-collect the now-covered sources. Crash-safe: the
+    * range rename is the commit; a crash mid-GC leaves covered entries
+    * that readers and the replay guard already ignore. */
+  private def mergeEntries(spark: SparkSession, dir: String, layout: Layout,
+                           entries: Seq[(String, Long, Long)]): Unit = {
+    val lo = entries.map(_._2).min
+    val hi = entries.map(_._3).max
+    val srcDirs = entries.map(e => s"$dir/${e._1}")
+    commitEntry(spark, dir, s"c$lo-$hi") { tmp =>
+      layout.components.foreach { c =>
+        spark.read.parquet(srcDirs.map(d => s"$d/$c"): _*)
+          .write.mode("overwrite").parquet(s"$tmp/$c")
+      }
+      // copy the pinned params from base so every entry dir is a
+      // self-contained index snapshot (loadMinhashIndex on a range works)
+      spark.read.parquet(s"$dir/base/${layout.paramsFile}")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/${layout.paramsFile}")
+    }
+    val (fs, _) = hfs(spark, dir)
+    entries.foreach(e => fs.delete(new Path(s"$dir/${e._1}"), true))
+  }
+
+  private def warnIfNoCheckpoint(checkpoint: Option[String], sink: String): Unit =
+    if (checkpoint.isEmpty)
+      log.warn(s"ArchiveDedup.$sink started WITHOUT a checkpointLocation: " +
+        "on restart Structured Streaming resets batchId to 0, which this " +
+        "archive will detect and REFUSE (loud failure instead of silent " +
+        "data loss) — pass checkpoint = Some(dir) for restartable streams.")
+
+  // =====================================================================
+  // MinHash twin (text)
+  // =====================================================================
 
   /** Write the day-0 archive: mine `corpus` once, save as `dir/base`. */
   def seedArchive(corpus: DataFrame, dir: String, idCol: String,
@@ -53,100 +260,100 @@ object ArchiveDedup {
       Dedup.buildMinhashIndex(corpus, idCol, textCol, numHashes, bands, shingleLen),
       s"$dir/base")
 
-  /** (live index = base ∪ every sliver, last folded batchId or -1). */
+  /** (live index = base ∪ every live entry, last folded batchId or -1). */
   private[graft] def loadLatest(spark: SparkSession,
                                 dir: String): (Dedup.MinhashIndex, Long) = {
-    val base = Dedup.loadMinhashIndex(spark, s"$dir/base")
-    val versions = listVersions(spark, dir)
-    val live = versions.foldLeft(base) { (ix, b) =>
-      val sliver = Dedup.loadMinhashIndex(spark, s"$dir/b$b")
-      Dedup.MinhashIndex(
-        ix.buckets.unionByName(sliver.buckets.select(col("bkt"), col("id"))),
-        ix.sets.unionByName(sliver.sets.select(col("id"), col("sh"))),
-        ix.numHashes, ix.bands, ix.shingleLen)
-    }
-    (live, versions.lastOption.getOrElse(-1L))
+    val p = spark.read.parquet(s"$dir/base/params").head()
+    val dirs = liveEntryDirs(spark, dir)
+    (Dedup.MinhashIndex(
+      readComponent(spark, dirs, "buckets").select(col("bkt"), col("id")),
+      readComponent(spark, dirs, "sets").select(col("id"), col("sh")),
+      p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
+      p.getAs[Int]("shingle_len")),
+      stateOf(spark, dir).lastFolded)
   }
 
-  /** Fold every sliver into a fresh self-contained base at `dstDir`
+  /** Fold every entry into a fresh self-contained base at `dstDir`
     * (reads are equivalent before and after; run out-of-band, then
-    * point the stream at the compacted dir). */
+    * point the stream at the compacted dir). The in-band path is the
+    * automatic tiered compaction — see `compactEvery`. */
   def compactArchive(spark: SparkSession, dir: String, dstDir: String): Unit = {
     val (live, _) = loadLatest(spark, dir)
     Dedup.saveMinhashIndex(live, s"$dstDir/base")
   }
 
-  // Hadoop FS, not java.io.File: the archive lives wherever the corpus
-  // does (HDFS/S3/local) — same convention as serving.DocStore
-  private def hfs(spark: SparkSession, dir: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
-  private def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
-    val (fs, p) = hfs(spark, dir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
-      case n if n.startsWith("b") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
-        n.drop(1).toLong
-    }.sorted
-  }
-
   /** One micro-batch, exposed for direct testing (and for callers
     * driving their own batch loop): dedup `batch` against the latest
     * snapshot, write its pairs under `pairsDir/batch_id=<id>`, fold it
-    * into snapshot `b<id>`. Replay-safe: an existing `b<id>` means this
-    * batch already ran — both effects are skipped/overwritten, never
-    * doubled. */
+    * into snapshot `b<id>`, auto-compact when `compactEvery` live
+    * slivers/ranges accumulate, and (when `driftDir` is set) emit a
+    * [[Dedup.minhashDriftProbe]] row under `driftDir/batch_id=<id>`.
+    * Replay-safe: an existing/covered `b<id>` means this batch already
+    * ran — both effects are skipped/overwritten, never doubled (with
+    * id verification against the stored sliver, see class doc). */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
                                   archiveDir: String, pairsDir: String,
                                   idCol: String, textCol: String,
-                                  threshold: Double): Unit = {
+                                  threshold: Double,
+                                  compactEvery: Int = 8,
+                                  driftDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val (fs, _) = hfs(spark, archiveDir)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$archiveDir/b$batchId")))
-      return // replayed batch: both effects already durable
-    val (ix, _) = loadLatest(spark, archiveDir)
     // one materialization of the batch feeds banding, sets, guard, and
     // the fold — micro-batches are delta-sized by definition
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
+    if (alreadyFolded(spark, archiveDir, batchId,
+        b.select(col(idCol).cast("long").as("id")).distinct(), MinhashLayout))
+      return
+    val (ix, _) = loadLatest(spark, archiveDir)
     Dedup.minhashDeltaPairs(ix, b, idCol, textCol, threshold)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    // fold = persist a BATCH-SIZED sliver under the archive's pinned
+    driftDir.foreach(d =>
+      Dedup.minhashDriftProbe(ix, b, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$d/batch_id=$batchId"))
+    // fold = commit a BATCH-SIZED sliver under the archive's pinned
     // widths; the union with base happens at load (appendToMinhashIndex
     // is the same union for in-session callers — here the sliver IS
     // the durable form of that append)
-    Dedup.saveMinhashIndex(
-      Dedup.buildMinhashIndex(b, idCol, textCol,
-        ix.numHashes, ix.bands, ix.shingleLen),
-      s"$archiveDir/b$batchId")
+    commitEntry(spark, archiveDir, s"b$batchId") { tmp =>
+      Dedup.saveMinhashIndex(
+        Dedup.buildMinhashIndex(b, idCol, textCol,
+          ix.numHashes, ix.bands, ix.shingleLen), tmp)
+    }
+    maybeCompact(spark, archiveDir, MinhashLayout, compactEvery)
   }
 
   /** Start the stream: `docs` (a streaming DataFrame of (idCol,
-    * textCol, …)) → per-batch archive dedup + fold. */
+    * textCol, …)) → per-batch archive dedup + fold + auto-compaction. */
   def archiveDedupSink(docs: DataFrame, archiveDir: String,
                        pairsDir: String, idCol: String, textCol: String,
                        threshold: Double = 0.5,
-                       checkpoint: Option[String] = None): StreamingQuery = {
+                       checkpoint: Option[String] = None,
+                       compactEvery: Int = 8,
+                       driftDir: Option[String] = None): StreamingQuery = {
+    warnIfNoCheckpoint(checkpoint, "archiveDedupSink")
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, archiveDir, pairsDir, idCol, textCol, threshold)
+        processBatch(batch, batchId, archiveDir, pairsDir, idCol, textCol,
+          threshold, compactEvery, driftDir)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
   }
 
-  // ---- the EMBEDDING twin: streamed vectors vs a cosine archive ------
-  // (the reference's embedding-cache regime consumed as a stream, ref:
-  // day_10/embedders/embedding_pipeline.py:238-314) — same snapshot
-  // layout, same replay contract, [[Dedup.CosineIndex]] underneath.
+  // =====================================================================
+  // Cosine twin (embeddings): streamed vectors vs a hyperplane-LSH
+  // archive (the reference's embedding-cache regime consumed as a
+  // stream, ref: day_10/embedders/embedding_pipeline.py:238-314) —
+  // same snapshot layout, same commit/replay contract,
+  // [[Dedup.CosineIndex]] underneath.
+  // =====================================================================
 
   /** Day-0 embedding archive: widths auto-size at the seed corpus and
     * are PINNED for every later sliver (pass explicit widths if the
-    * stream will far outgrow the seed). */
+    * stream will far outgrow the seed; watch [[Dedup.cosineDriftProbe]]
+    * via `driftDir` for when pinned hyperplanes stop fitting). */
   def seedCosineArchive(corpus: DataFrame, dir: String, idCol: String,
                         vecCol: String, numBits: Int = -1, bands: Int = -1,
                         dim: Int = -1, seed: Long = 42L): Unit =
@@ -154,43 +361,49 @@ object ArchiveDedup {
       Dedup.buildCosineIndex(corpus, idCol, vecCol, numBits, bands, dim, seed),
       s"$dir/base")
 
-  /** (live cosine index = base ∪ every sliver, last batchId or -1). */
+  /** (live cosine index = base ∪ every live entry, last batchId or -1). */
   private[graft] def loadLatestCosine(spark: SparkSession,
                                       dir: String): (Dedup.CosineIndex, Long) = {
-    val base = Dedup.loadCosineIndex(spark, s"$dir/base")
-    val versions = listVersions(spark, dir)
-    val live = versions.foldLeft(base) { (ix, b) =>
-      val sliver = Dedup.loadCosineIndex(spark, s"$dir/b$b")
-      Dedup.CosineIndex(
-        ix.buckets.unionByName(sliver.buckets.select(col("bkt"), col("id"))),
-        ix.vecs.unionByName(sliver.vecs.select(col("id"), col("v"))),
-        ix.numBits, ix.bands, ix.dim, ix.seed)
-    }
-    (live, versions.lastOption.getOrElse(-1L))
+    val p = spark.read.parquet(s"$dir/base/params").head()
+    val dirs = liveEntryDirs(spark, dir)
+    (Dedup.CosineIndex(
+      readComponent(spark, dirs, "buckets").select(col("bkt"), col("id")),
+      readComponent(spark, dirs, "vecs").select(col("id"), col("v")),
+      p.getAs[Int]("num_bits"), p.getAs[Int]("bands"),
+      p.getAs[Int]("dim"), p.getAs[Long]("seed")),
+      stateOf(spark, dir).lastFolded)
   }
 
   /** One embedding micro-batch: cosine-dedup against the live archive,
-    * write pairs under `batch_id=<id>`, persist the batch's sliver
-    * (signatures + vectors under the base's pinned widths). Replay-safe
-    * like [[processBatch]]. */
+    * write pairs under `batch_id=<id>`, commit the batch's sliver
+    * (signatures + vectors under the base's pinned widths),
+    * auto-compact, optionally emit a drift probe. Replay-safe like
+    * [[processBatch]]. */
   private[graft] def processCosineBatch(batch: DataFrame, batchId: Long,
                                         archiveDir: String, pairsDir: String,
                                         idCol: String, vecCol: String,
                                         threshold: Double,
-                                        exactLimit: Long = 10000L): Unit = {
+                                        exactLimit: Long = 10000L,
+                                        compactEvery: Int = 8,
+                                        driftDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val (fs, _) = hfs(spark, archiveDir)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$archiveDir/b$batchId")))
-      return // replayed batch: both effects already durable
-    val (ix, _) = loadLatestCosine(spark, archiveDir)
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
+    if (alreadyFolded(spark, archiveDir, batchId,
+        b.select(col(idCol).cast("long").as("id")).distinct(), CosineLayout))
+      return
+    val (ix, _) = loadLatestCosine(spark, archiveDir)
     Dedup.cosineDeltaPairs(ix, b, idCol, vecCol, threshold, exactLimit)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    Dedup.saveCosineIndex(
-      Dedup.buildCosineIndex(b, idCol, vecCol,
-        ix.numBits, ix.bands, ix.dim, ix.seed),
-      s"$archiveDir/b$batchId")
+    driftDir.foreach(d =>
+      Dedup.cosineDriftProbe(ix, b, idCol, vecCol)
+        .write.mode("overwrite").parquet(s"$d/batch_id=$batchId"))
+    commitEntry(spark, archiveDir, s"b$batchId") { tmp =>
+      Dedup.saveCosineIndex(
+        Dedup.buildCosineIndex(b, idCol, vecCol,
+          ix.numBits, ix.bands, ix.dim, ix.seed), tmp)
+    }
+    maybeCompact(spark, archiveDir, CosineLayout, compactEvery)
   }
 
   /** Start the embedding stream: per-batch cosine archive dedup + fold. */
@@ -198,12 +411,98 @@ object ArchiveDedup {
                              pairsDir: String, idCol: String, vecCol: String,
                              threshold: Double = 0.9,
                              exactLimit: Long = 10000L,
-                             checkpoint: Option[String] = None): StreamingQuery = {
+                             checkpoint: Option[String] = None,
+                             compactEvery: Int = 8,
+                             driftDir: Option[String] = None): StreamingQuery = {
+    warnIfNoCheckpoint(checkpoint, "cosineArchiveDedupSink")
     val w = vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processCosineBatch(batch, batchId, archiveDir, pairsDir,
-          idCol, vecCol, threshold, exactLimit)
+          idCol, vecCol, threshold, exactLimit, compactEvery, driftDir)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
+  // =====================================================================
+  // Semantic twin (embeddings, pinned centroids): the third modality —
+  // streamed vectors assign under the seed's pinned centroids and emit
+  // within-cluster pairs touching the batch ([[Dedup.SemanticIndex]] /
+  // [[Dedup.semanticDeltaPairs]]); the cheapest embedding tier on
+  // clustered corpora (the q88/q89 operator as a stream).
+  // =====================================================================
+
+  /** Day-0 semantic archive: assign `corpus` once under `centroids`
+    * (PINNED forever — assignment is a pure function of vector +
+    * centroids, so every later sliver assigns identically; watch
+    * [[Dedup.semanticDriftProbe]] via `driftDir` and reseed when the
+    * corpus outgrows them). */
+  def seedSemanticArchive(corpus: DataFrame, dir: String, idCol: String,
+                          vecCol: String,
+                          centroids: Array[Array[Float]]): Unit =
+    Dedup.saveSemanticIndex(
+      Dedup.buildSemanticIndex(corpus, idCol, vecCol, centroids),
+      s"$dir/base")
+
+  /** (live semantic index = base ∪ every live entry, last batchId or
+    * -1); centroids come from base — every sliver assigned under them. */
+  private[graft] def loadLatestSemantic(spark: SparkSession,
+                                        dir: String): (Dedup.SemanticIndex, Long) = {
+    val cents = spark.read.parquet(s"$dir/base/centroids")
+      .orderBy(col("idx")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val dirs = liveEntryDirs(spark, dir)
+    (Dedup.SemanticIndex(
+      readComponent(spark, dirs, "members")
+        .select(col("id"), col("cluster"), col("v")), cents),
+      stateOf(spark, dir).lastFolded)
+  }
+
+  /** One embedding micro-batch against the semantic archive: assign
+    * under the pinned centroids, emit within-cluster pairs touching the
+    * batch under `batch_id=<id>`, commit the batch's member sliver,
+    * auto-compact, optionally emit a drift probe. Replay-safe like
+    * [[processBatch]]. */
+  private[graft] def processSemanticBatch(batch: DataFrame, batchId: Long,
+                                          archiveDir: String, pairsDir: String,
+                                          idCol: String, vecCol: String,
+                                          threshold: Double,
+                                          compactEvery: Int = 8,
+                                          driftDir: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .localCheckpoint()
+    if (alreadyFolded(spark, archiveDir, batchId,
+        b.select(col(idCol).cast("long").as("id")).distinct(), SemanticLayout))
+      return
+    val (ix, _) = loadLatestSemantic(spark, archiveDir)
+    Dedup.semanticDeltaPairs(ix, b, idCol, vecCol, threshold)
+      .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    driftDir.foreach(d =>
+      Dedup.semanticDriftProbe(ix, b, idCol, vecCol)
+        .write.mode("overwrite").parquet(s"$d/batch_id=$batchId"))
+    commitEntry(spark, archiveDir, s"b$batchId") { tmp =>
+      Dedup.saveSemanticIndex(
+        Dedup.buildSemanticIndex(b, idCol, vecCol, ix.centroids), tmp)
+    }
+    maybeCompact(spark, archiveDir, SemanticLayout, compactEvery)
+  }
+
+  /** Start the semantic-dedup stream: per-batch pinned-centroid
+    * assignment + within-cluster delta pairs + fold. */
+  def semanticArchiveDedupSink(vecs: DataFrame, archiveDir: String,
+                               pairsDir: String, idCol: String, vecCol: String,
+                               threshold: Double = 0.9,
+                               checkpoint: Option[String] = None,
+                               compactEvery: Int = 8,
+                               driftDir: Option[String] = None): StreamingQuery = {
+    warnIfNoCheckpoint(checkpoint, "semanticArchiveDedupSink")
+    val w = vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSemanticBatch(batch, batchId, archiveDir, pairsDir,
+          idCol, vecCol, threshold, compactEvery, driftDir)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()

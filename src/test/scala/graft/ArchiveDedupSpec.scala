@@ -103,6 +103,111 @@ class ArchiveDedupSpec extends AnyFunSuite {
     assert(v === 1L && live.vecs.count() === 6L)
   }
 
+  test("auto-compaction bounds live entries, tiers ranges, and keeps reads + replays equivalent") {
+    val archive = tmp("graft-arch-ac")
+    val pairsDir = tmp("graft-arch-ac-pairs")
+    val day0 = Seq((0L, tA), (1L, tC)).toDF("doc_id", "text")
+    ArchiveDedup.seedArchive(day0, archive, "doc_id", "text")
+    // 6 batches at compactEvery = 2: slivers merge pairwise into ranges
+    // (c0-1, c2-3, …) and contiguous ranges merge again (c0-3) — tiered
+    val texts = Seq(tA, tB, tC)
+    (0 until 6).foreach { i =>
+      val batch = Seq((100L + i, texts(i % 3))).toDF("doc_id", "text")
+      ArchiveDedup.processBatch(batch, i.toLong, archive, pairsDir,
+        "doc_id", "text", 0.5, compactEvery = 2)
+    }
+    val names = new java.io.File(archive).listFiles().map(_.getName).toSet
+    assert(!names.exists(_.startsWith(".inprogress")), s"no temp dirs left: $names")
+    val slivers = names.count(n => n.startsWith("b") && n.drop(1).forall(_.isDigit))
+    val ranges = names.filter(_.startsWith("c"))
+    assert(slivers < 2, s"live slivers must stay < compactEvery: $names")
+    assert(ranges.nonEmpty && ranges.size <= 2, s"ranges merged tiered: $names")
+    assert(ranges.contains("c0-3") || ranges.contains("c0-5"),
+      s"contiguous ranges must have merged into a wider one: $names")
+
+    // reads are equivalent: the live index holds exactly seed + all 6 batches
+    val (live, last) = ArchiveDedup.loadLatest(spark, archive)
+    assert(last === 5L)
+    assert(live.sets.count() === 8L, "seed 2 + 6 batch docs, exactly once")
+    assert(live.sets.select(col("id")).distinct().count() === 8L)
+
+    // pairs across compaction boundaries match a one-shot batch dedup of
+    // the same corpus restricted to cross-day pairs
+    val everything = day0.unionByName(
+      (0 until 6).map(i => Seq((100L + i, texts(i % 3))).toDF("doc_id", "text"))
+        .reduce(_ unionByName _))
+    val oneShot = graft.operators.Dedup
+      .minhashLshPairs(everything, "doc_id", "text", threshold = 0.5)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // streamed pairs = one-shot minus pairs internal to a single "day"
+    // (day 0 internal mined at seed; each batch here is a single doc)
+    val streamed = pairsOf(pairsDir).map(p => (p._1, p._2))
+    val expect = oneShot.filterNot(p => p._1 < 100L && p._2 < 100L)
+    assert(streamed === expect, s"streamed $streamed vs one-shot-derived $expect")
+
+    // replay of a COMPACTED batch (sliver gone, range covers it): skip, no double-fold
+    ArchiveDedup.processBatch(Seq((100L, tA)).toDF("doc_id", "text"), 0L,
+      archive, pairsDir, "doc_id", "text", 0.5, compactEvery = 2)
+    assert(ArchiveDedup.loadLatest(spark, archive)._1.sets.count() === 8L)
+
+    // restart WITHOUT checkpoint (same batchId, different ids, sliver
+    // still live): must refuse loudly, not drop the batch silently
+    val liveSliver = stateOfLiveSliver(archive)
+    liveSliver.foreach { sid =>
+      val ex = intercept[IllegalStateException] {
+        ArchiveDedup.processBatch(Seq((999L, tB)).toDF("doc_id", "text"),
+          sid, archive, pairsDir, "doc_id", "text", 0.5, compactEvery = 2)
+      }
+      assert(ex.getMessage.contains("checkpointLocation"))
+    }
+  }
+
+  private def stateOfLiveSliver(archive: String): Option[Long] =
+    new java.io.File(archive).listFiles().map(_.getName)
+      .collectFirst { case n if n.startsWith("b") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong }
+
+  test("semantic twin: batches assign under pinned centroids, dedup, fold, replay") {
+    def near(base: Array[Float], eps: Float, k: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == k) eps else 0f) }
+    val c0 = Array.fill(8)(1f); val c1 = Array.fill(8)(-1f)
+    val cents = Array(c0, c1)
+    val archive = tmp("graft-sarch")
+    val pairsDir = tmp("graft-sarch-pairs")
+    // seed: one member near each centroid
+    ArchiveDedup.seedSemanticArchive(
+      Seq((0L, near(c0, 0.01f, 0)), (1L, near(c1, 0.01f, 1))).toDF("vec_id", "embedding"),
+      archive, "vec_id", "embedding", cents)
+    // batch 0: near c0 — pairs with seed member 0 only (same cluster)
+    ArchiveDedup.processSemanticBatch(
+      Seq((10L, near(c0, 0.02f, 2))).toDF("vec_id", "embedding"),
+      0L, archive, pairsDir, "vec_id", "embedding", 0.9)
+    val after1 = pairsOf(pairsDir).map(p => (p._1, p._2))
+    assert(after1 === Set((0L, 10L)), s"within-cluster delta pairs only: $after1")
+    // batch 1: near c1 — sees seed member 1 AND nothing cross-cluster
+    ArchiveDedup.processSemanticBatch(
+      Seq((20L, near(c1, 0.02f, 3))).toDF("vec_id", "embedding"),
+      1L, archive, pairsDir, "vec_id", "embedding", 0.9)
+    val after2 = pairsOf(pairsDir).map(p => (p._1, p._2))
+    assert(after2 === Set((0L, 10L), (1L, 20L)), s"$after2")
+    // batch 2 near c0: sees BOTH seed 0 and folded batch-0 member 10
+    ArchiveDedup.processSemanticBatch(
+      Seq((30L, near(c0, 0.02f, 4))).toDF("vec_id", "embedding"),
+      2L, archive, pairsDir, "vec_id", "embedding", 0.9)
+    val after3 = pairsOf(pairsDir).map(p => (p._1, p._2))
+    assert(after3.contains((0L, 30L)) && after3.contains((10L, 30L)),
+      s"batch 2 must see seed AND folded batch 0: $after3")
+    // replay is a no-op; live archive holds every member exactly once
+    ArchiveDedup.processSemanticBatch(
+      Seq((10L, near(c0, 0.02f, 2))).toDF("vec_id", "embedding"),
+      0L, archive, pairsDir, "vec_id", "embedding", 0.9)
+    val (live, v) = ArchiveDedup.loadLatestSemantic(spark, archive)
+    assert(v === 2L && live.members.count() === 5L)
+    assert(live.centroids.map(_.toSeq) === cents.map(_.toSeq),
+      "centroids stay pinned at the seed's")
+  }
+
   test("end-to-end through a MemoryStream foreachBatch sink") {
     val archive = tmp("graft-arch-s")
     val pairsDir = tmp("graft-arch-s-pairs")
