@@ -710,7 +710,7 @@ object Dedup {
         val survivors = bandedLight.join(counts, "bkt")
         val survivorIds = survivors.select(col("id")).distinct()
         val sets = hashedSets(sh).join(survivorIds, "id")
-        survivors.join(sets, "id")
+        val grid = survivors.join(sets, "id")
           .select(col("bkt"), col("id"), col("sh"), col("m"))
           .as[(Long, Long, Array[Long], Long)]
           .rdd
@@ -722,8 +722,7 @@ object Dedup {
               (0 until nb).iterator.map(x => ((bkt, math.min(b, x), math.max(b, x)), (b, id, hs)))
             }
           }
-          .groupByKey(4 * parallelism)
-          .flatMap { case ((_, ba, bb), it) =>
+        SimilarityJoin.scanCells(grid, 4 * parallelism) { case ((_, ba, bb), it) =>
             val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
             val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
             it.foreach { case (b, id, hs) =>
@@ -851,7 +850,7 @@ object Dedup {
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val blockRows = 2048
     val thr = threshold
-    minhashDeltaScanInput(ix, newDf, idCol, textCol)
+    val grid = minhashDeltaScanInput(ix, newDf, idCol, textCol)
       .as[(Long, Long, Array[Long], Long, Boolean)]
       .rdd
       .flatMap { case (bkt, id, hs, m, isNew) =>
@@ -863,8 +862,7 @@ object Dedup {
             ((bkt, math.min(b, x), math.max(b, x)), (b, id, hs, isNew)))
         }
       }
-      .groupByKey(4 * parallelism)
-      .flatMap { case ((_, ba, bb), it) =>
+    SimilarityJoin.scanCells(grid, 4 * parallelism) { case ((_, ba, bb), it) =>
         val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
         val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
         it.foreach { case (b, id, hs, isNew) =>
@@ -954,15 +952,24 @@ object Dedup {
     if (!checkDeltaDisjoint(newDf.sparkSession)) return
     // ids must also be unique WITHIN the batch: two delta rows sharing
     // an id would emit duplicated (and, under conflicting payloads,
-    // nondeterministically-scored) pairs — silent, so it must be loud
+    // nondeterministically-scored) pairs — silent, so it must be loud.
+    // ONE action covers all three probes (null/uncastable keys — they'd
+    // NPE the typed kernels later with an opaque encoder error;
+    // within-batch dups; index overlap): the counts subtree feeds both
+    // branches of one union, so Spark reuses its exchange and the guard
+    // costs one job round-trip, not two (measured: the two-action form
+    // added ~1.2 s to q84 / ~2 s to q86 at sf0.1 — driver-job latency,
+    // not data volume)
     val counts = newDf.select(col(idCol).cast("long").as("id"))
       .groupBy("id").count()
-    // one pass surfaces BOTH within-batch problems: a null key (null or
-    // uncastable ids — they'd NPE the typed kernels later with an opaque
-    // encoder error) and duplicated ids; report each with its own message
-    val withinOffenders = counts.where(col("id").isNull || col("count") > 1)
-      .limit(4).collect()
-    val (nullKeys, dup0) = withinOffenders.partition(_.isNullAt(0))
+    val offenders = counts.where(col("id").isNull || col("count") > 1)
+      .select(col("id"), lit("within").as("kind")).limit(4)
+      .unionByName(ixIds
+        .join(counts.select(col("id")), "id")
+        .select(col("id"), lit("overlap").as("kind")).limit(3))
+      .collect()
+    val (within, overlap) = offenders.partition(_.getString(1) == "within")
+    val (nullKeys, dup0) = within.partition(_.isNullAt(0))
     require(nullKeys.isEmpty,
       s"$op: delta ids must be non-null and castable to long (column " +
         s"'$idCol' has null/uncastable values) — filter or repair them " +
@@ -973,12 +980,10 @@ object Dedup {
         s"[${dup.mkString(", ")}] appear more than once — pre-compact the " +
         "batch (latest wins) before the delta scan, or disable the check " +
         "with spark.graft.checkDeltaDisjoint=false")
-    val offenders = ixIds
-      .join(counts.select(col("id")), "id")
-      .limit(3).collect().map(_.getLong(0))
-    require(offenders.isEmpty,
+    val dupIx = overlap.map(_.getLong(0))
+    require(dupIx.isEmpty,
       s"$op: delta ids must be disjoint from indexed ids, but e.g. " +
-        s"[${offenders.mkString(", ")}] appear on both sides — dedup the " +
+        s"[${dupIx.mkString(", ")}] appear on both sides — dedup the " +
         "delta against the index id set first (anti-join), or disable the " +
         "check with spark.graft.checkDeltaDisjoint=false if the overlap " +
         "is intentional")

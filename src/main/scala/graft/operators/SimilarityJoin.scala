@@ -1,8 +1,12 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import scala.reflect.ClassTag
 
 /**
  * All-pairs similarity (SURVEY §2.3 J2 — the self-similarity matrix of
@@ -27,6 +31,53 @@ import org.apache.spark.sql.functions._
  *    even O(n²) compute is off the table and bounded recall is acceptable.
  */
 object SimilarityJoin {
+
+  /** The grouped exchange under EVERY block-grid scan (cosine, jaccard,
+    * semantic, and their delta forms): group grid rows by cell key, hand
+    * each cell's rows to a scan kernel. Two physically different but
+    * output-identical strategies:
+    *
+    *  - sort-based (default): `repartitionAndSortWithinPartitions` +
+    *    streamed sorted runs. The shuffle READ side never builds a
+    *    per-key map of spillable CompactBuffers — rows arrive sorted and
+    *    each cell materializes exactly once, in the scan's own buffer.
+    *    Measured at ×100 (200k×384 uncached cosine pair build, same-JVM
+    *    trimmed-mean-of-5, BENCH.md "Round 11"): 6.2–7.4 s vs
+    *    groupByKey's 11.9–18.2 s — the grouped-exchange buffering that
+    *    round 10 attributed as the pair-build floor WAS the floor.
+    *  - `groupByKey` (`-Dgraft.grid.sortShuffle=false`): the legacy
+    *    form, kept A/B-able so the claim stays re-measurable.
+    *
+    * The scan callback may consume its iterator lazily — each run is
+    * materialized (one cell at a time, the same buffer the kernels
+    * build anyway) before the callback runs. Cell keys are small tuples;
+    * vector payloads ride the values, so sorting cost is key-width, not
+    * payload-width. */
+  private[graft] def scanCells[K: ClassTag: Ordering, V: ClassTag, R: ClassTag](
+      grid: RDD[(K, V)], partitions: Int)(
+      scan: (K, Iterator[V]) => Iterator[R]): RDD[R] = {
+    val sortShuffle = sys.props.get("graft.grid.sortShuffle")
+      .orElse(sys.env.get("GRAFT_GRID_SORT_SHUFFLE"))
+      .forall(v => scala.util.Try(v.trim.toBoolean).getOrElse(true))
+    if (sortShuffle)
+      grid.repartitionAndSortWithinPartitions(new HashPartitioner(partitions))
+        .mapPartitions { it0 =>
+          val it = it0.buffered
+          new Iterator[R] {
+            private var cur: Iterator[R] = Iterator.empty
+            private def advance(): Unit =
+              while (!cur.hasNext && it.hasNext) {
+                val key = it.head._1
+                val buf = collection.mutable.ArrayBuffer.empty[V]
+                while (it.hasNext && it.head._1 == key) buf += it.next()._2
+                cur = scan(key, buf.iterator)
+              }
+            def hasNext: Boolean = { advance(); cur.hasNext }
+            def next(): R = { advance(); cur.next() }
+          }
+        }
+    else grid.groupByKey(partitions).flatMap { case (k, vs) => scan(k, vs.iterator) }
+  }
 
   /** Exact upper-triangle pair similarities (i<j). Broadcast-size inputs only. */
   def allPairs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
@@ -118,9 +169,8 @@ object SimilarityJoin {
                      threshold: Double, blockRows: Int = -1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    replicateToBlocks(df, None, idCol, vecCol, blockRows)
-      .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
-      .flatMap { case ((_, ba, bb), it) =>
+    scanCells(replicateToBlocks(df, None, idCol, vecCol, blockRows),
+        math.max(1, spark.sparkContext.defaultParallelism)) { case ((_, ba, bb), it) =>
         val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
         val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
         it.foreach { case (b, id, v) =>
@@ -146,9 +196,9 @@ object SimilarityJoin {
                             blockRows: Int = -1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = replicateToBlocks(df, Some(groupCol), idCol, vecCol, blockRows)
-      .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
-      .flatMap { case ((g, ba, bb), it) =>
+    val pairs = scanCells(
+        replicateToBlocks(df, Some(groupCol), idCol, vecCol, blockRows),
+        math.max(1, spark.sparkContext.defaultParallelism)) { case ((g, ba, bb), it) =>
         val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
         val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
         it.foreach { case (b, id, v) =>
@@ -277,16 +327,16 @@ object SimilarityJoin {
     val spark = df.sparkSession
     require(k > 0, "k must be positive")
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-    replicateToBlocks(df, groupCol, idCol, vecCol, blockRows)
-      .groupByKey(4 * parallelism)
-      .map { case ((g, ba, bb), it) =>
+    scanCells(replicateToBlocks(df, groupCol, idCol, vecCol, blockRows),
+        4 * parallelism) { case ((g, ba, bb), it) =>
         val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
         val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
         it.foreach { case (b, id, v) =>
           if (b == ba) aBuf += ((id, v))
           else if (b == bb) bBuf += ((id, v))
         }
-        (g, scanBlockPair(aBuf.toArray, if (ba == bb) null else bBuf.toArray, k))
+        Iterator.single(
+          (g, scanBlockPair(aBuf.toArray, if (ba == bb) null else bBuf.toArray, k)))
       }
       .reduceByKey(mergeRanked(k, _, _), parallelism)
   }
@@ -558,7 +608,7 @@ object SimilarityJoin {
     import spark.implicits._
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val blockRows = 2048
-    cosineDeltaScanInput(ixBuckets, ixVecs, newDf, idCol, vecCol,
+    val grid = cosineDeltaScanInput(ixBuckets, ixVecs, newDf, idCol, vecCol,
         numBits, bands, dim, seed)
       .as[(Long, Long, Array[Float], Long, Boolean)]
       .rdd
@@ -571,8 +621,7 @@ object SimilarityJoin {
             ((bkt, math.min(b, x), math.max(b, x)), (b, id, v, isNew)))
         }
       }
-      .groupByKey(4 * parallelism)
-      .flatMap { case ((_, ba, bb), it) =>
+    scanCells(grid, 4 * parallelism) { case ((_, ba, bb), it) =>
         val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
         val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
         it.foreach { case (b, id, v, isNew) =>
@@ -652,7 +701,7 @@ object SimilarityJoin {
     val nb = math.max(1,
       if (blockRows > 0) ((m + blockRows - 1) / blockRows).toInt
       else math.min(targetNb.toLong, (m + 1023) / 1024).toInt)
-    rows.rdd
+    val grid = rows.rdd
       .flatMap { case (id, v, isNew) =>
         if (nb == 1) Iterator(((0, 0), (0, id, v, isNew)))
         else {
@@ -661,8 +710,7 @@ object SimilarityJoin {
             ((math.min(b, x), math.max(b, x)), (b, id, v, isNew)))
         }
       }
-      .groupByKey(math.max(1, parallelism))
-      .flatMap { case ((ba, bb), it) =>
+    scanCells(grid, math.max(1, parallelism)) { case ((ba, bb), it) =>
         val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
         val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
         it.foreach { case (b, id, v, isNew) =>
@@ -714,7 +762,7 @@ object SimilarityJoin {
       (g, math.max(1, nb))
     }
     val bcNb = spark.sparkContext.broadcast(nbOf)
-    val pairs = rows.rdd
+    val grid = rows.rdd
       .flatMap { case (g, id, v, isNew) =>
         val nb = bcNb.value.getOrElse(g, 1)
         if (nb == 1) Iterator(((g, 0, 0), (0, id, v, isNew)))
@@ -724,8 +772,7 @@ object SimilarityJoin {
             ((g, math.min(b, x), math.max(b, x)), (b, id, v, isNew)))
         }
       }
-      .groupByKey(math.max(1, parallelism))
-      .flatMap { case ((g, ba, bb), it) =>
+    val pairs = scanCells(grid, math.max(1, parallelism)) { case ((g, ba, bb), it) =>
         val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
         val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
         it.foreach { case (b, id, v, isNew) =>
@@ -887,7 +934,7 @@ object SimilarityJoin {
     val counts = cosineBuckets(df, idCol, vecCol, numBits, bands, d, seed)
       .groupBy(col("bkt")).agg(count(lit(1)).as("m"))
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-    bucketed.join(counts, "bkt")
+    val grid = bucketed.join(counts, "bkt")
       .select(col("bkt"), col("id"), col("v"), col("m"))
       .as[(Long, Long, Array[Float], Long)]
       .rdd
@@ -899,8 +946,7 @@ object SimilarityJoin {
           (0 until nb).iterator.map(x => ((bkt, math.min(b, x), math.max(b, x)), (b, id, v)))
         }
       }
-      .groupByKey(4 * parallelism)
-      .flatMap { case ((_, ba, bb), it) =>
+    scanCells(grid, 4 * parallelism) { case ((_, ba, bb), it) =>
         val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
         val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
         it.foreach { case (b, id, v) =>

@@ -6,18 +6,26 @@ import org.apache.spark.sql.functions._
 
 /**
  * Scale measurement for the streaming archive-dedup loop
- * (`runMain graft.tools.ArchiveScale <dir> [nBatches] [batchRows]`):
- * seed the archive from 90% of the corpus (one-time), then drive N
- * delta batches of the remaining docs through
- * [[ArchiveDedup.processBatch]], timing each — per-batch wall is the
- * number a daily/hourly ingest pipeline actually pays, and it should
- * stay batch-shaped while the archive grows underneath it.
+ * (`runMain graft.tools.ArchiveScale <dir> [nBatches] [batchRows]
+ * [compactEvery] [mode]`): seed the archive from 90% of the corpus
+ * (one-time), then drive N delta batches of the remaining rows through
+ * the per-batch operator, timing each — per-batch wall is the number a
+ * daily/hourly ingest pipeline actually pays, and it should stay
+ * batch-shaped while the archive grows underneath it. Prints the live
+ * archive-entry count per batch (the compaction invariant: bounded by
+ * the tiering instead of growing with stream age) and a first-5 /
+ * last-5 wall comparison. `mode` picks the modality twin:
+ * `minhash` (default; documents.text), `semantic` (embeddings under
+ * 64 pinned seed-sampled centroids), `cosine` (embeddings,
+ * hyperplane-LSH widths auto-sized at the seed).
  */
 object ArchiveScale {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
     val batchRows = args.lift(2).map(_.toLong).getOrElse(10000L)
+    val compactEvery = args.lift(3).map(_.toInt).getOrElse(8)
+    val mode = args.lift(4).getOrElse("minhash")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,16 +35,20 @@ object ArchiveScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val textMode = mode == "minhash"
+    val (table, idCol, payloadCol) =
+      if (textMode) ("documents", "doc_id", "text")
+      else ("embeddings", "vec_id", "embedding")
+    val rows = spark.read.parquet(s"$dir/$table.parquet")
     val archive = java.nio.file.Files.createTempDirectory("graft-archive").toString
     val pairsDir = java.nio.file.Files.createTempDirectory("graft-archive-pairs").toString
-    val oldSide = docs.where(col("doc_id") % 10 =!= 0)
+    val oldSide = rows.where(col(idCol) % 10 =!= 0)
     // global row_number is measurement-harness batch slicing over the
     // 10% delta slice (50k rows at ×100), never a product path — a real
     // ingest's batches arrive pre-partitioned from the source
-    val newSide = docs.where(col("doc_id") % 10 === 0)
+    val newSide = rows.where(col(idCol) % 10 === 0)
       .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))))
 
     def timed[T](name: String)(fn: => T): T = {
       val t0 = System.nanoTime()
@@ -45,20 +57,54 @@ object ArchiveScale {
       r
     }
 
-    timed(s"seed archive (${oldSide.count()} docs, one-time)") {
-      ArchiveDedup.seedArchive(oldSide, archive, "doc_id", "text")
+    timed(s"seed $mode archive (${oldSide.count()} rows, one-time)") {
+      mode match {
+        case "minhash" =>
+          ArchiveDedup.seedArchive(oldSide, archive, idCol, payloadCol)
+        case "semantic" =>
+          // 64 pinned centroids sampled deterministically from the seed
+          val cents = oldSide.orderBy(col(idCol)).limit(64)
+            .select(col(payloadCol).cast("array<float>"))
+            .collect().map(_.getSeq[Float](0).toArray)
+          ArchiveDedup.seedSemanticArchive(oldSide, archive, idCol, payloadCol, cents)
+        case "cosine" =>
+          ArchiveDedup.seedCosineArchive(oldSide, archive, idCol, payloadCol)
+        case other => sys.error(s"unknown mode $other")
+      }
     }
-    (0 until nBatches).foreach { b =>
+    def liveEntries(): Int =
+      new java.io.File(archive).listFiles()
+        .count(f => !f.getName.startsWith(".") && f.getName != "base")
+    val walls = (0 until nBatches).map { b =>
       val batch = newSide
         .where(col("__rn") > b * batchRows && col("__rn") <= (b + 1) * batchRows)
-        .select(col("doc_id"), col("text"))
-      timed(s"batch $b ($batchRows docs vs growing archive)") {
-        ArchiveDedup.processBatch(batch, b.toLong, archive, pairsDir,
-          "doc_id", "text", 0.5)
+        .select(col(idCol), col(payloadCol))
+      val t0 = System.nanoTime()
+      mode match {
+        case "minhash" =>
+          ArchiveDedup.processBatch(batch, b.toLong, archive, pairsDir,
+            idCol, payloadCol, 0.5, compactEvery = compactEvery)
+        case "semantic" =>
+          ArchiveDedup.processSemanticBatch(batch, b.toLong, archive, pairsDir,
+            idCol, payloadCol, 0.9, compactEvery = compactEvery)
+        case _ =>
+          ArchiveDedup.processCosineBatch(batch, b.toLong, archive, pairsDir,
+            idCol, payloadCol, 0.9, compactEvery = compactEvery)
       }
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"batch $b%3d ($batchRows rows vs growing archive) $w%8.2f s  " +
+        f"live entries ${liveEntries()}%3d")
+      w
     }
     val pairs = spark.read.option("basePath", pairsDir).parquet(pairsDir)
     println(s"total pairs: ${pairs.count()} across $nBatches batches")
+    if (nBatches >= 10) {
+      val head = walls.take(5).sum / 5
+      val tail = walls.takeRight(5).sum / 5
+      println(f"first-5 mean wall $head%.2f s, last-5 mean wall $tail%.2f s " +
+        f"(ratio ${tail / head}%.2f; live data grew " +
+        f"${1.0 + nBatches * batchRows.toDouble / oldSide.count()}%.2fx)")
+    }
     spark.stop()
   }
 }

@@ -30,6 +30,12 @@ object TimeQuery {
     // stage costs either way
     sys.env.get("SPARK_GRAFT_STAGE_CACHE").foreach(v =>
       spark.conf.set("spark.graft.stageCache.enabled", v))
+    // arbitrary session confs for A/B probes: SPARK_GRAFT_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       var rows = -1L

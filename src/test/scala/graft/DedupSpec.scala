@@ -570,6 +570,21 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.checkDeltaDisjoint", "true")
   }
 
+  test("sort-based grid shuffle (default) is pair-identical to the groupByKey form") {
+    val e = Tables(spark, TestSpark.sfDir, "embeddings")
+    def run(): Set[(Long, Long, Double)] =
+      SimilarityJoin.lshCosinePairs(e, "vec_id", "embedding", 0.4,
+          numBits = 8, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sorted = run() // default path since round 11
+    System.setProperty("graft.grid.sortShuffle", "false")
+    try {
+      val grouped = run()
+      assert(sorted === grouped)
+      assert(sorted.nonEmpty, "vacuous parity would prove nothing")
+    } finally System.clearProperty("graft.grid.sortShuffle")
+  }
+
   test("delta guard reports null ids with its own message, not an opaque NPE") {
     val ix = Dedup.buildMinhashIndex(docs.where(col("doc_id") < 3),
       "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
