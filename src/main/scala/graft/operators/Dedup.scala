@@ -762,7 +762,8 @@ object Dedup {
   sealed trait DeltaIndex
 
   final case class MinhashIndex(buckets: DataFrame, sets: DataFrame,
-                                numHashes: Int, bands: Int, shingleLen: Int)
+                                numHashes: Int, bands: Int, shingleLen: Int,
+                                baseline: Option[DriftBaseline] = None)
     extends DeltaIndex
 
   /** (bucket, id) banding keys of a shingled corpus — the md5 pass,
@@ -812,6 +813,7 @@ object Dedup {
     Seq((ix.numHashes, ix.bands, ix.shingleLen))
       .toDF("num_hashes", "bands", "shingle_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    saveDriftBaseline(dir, ix.baseline, spark)
   }
 
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
@@ -820,7 +822,7 @@ object Dedup {
     MinhashIndex(spark.read.parquet(s"$dir/buckets"),
       spark.read.parquet(s"$dir/sets"),
       p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
-      p.getAs[Int]("shingle_len"))
+      p.getAs[Int]("shingle_len"), loadDriftBaseline(spark, dir))
   }
 
   /**
@@ -921,11 +923,13 @@ object Dedup {
     requireDeltaDisjoint(ix.sets.select(col("id")), newDf, idCol,
       "appendToMinhashIndex")
     val sh = shingleSets(newDf, idCol, textCol, ix.shingleLen)
-    MinhashIndex(
-      ix.buckets.select(col("bkt"), col("id"))
+    // copy() carries the drift baseline through — the baseline stays
+    // PINNED at seed time by design (a baseline that absorbed every
+    // append would under-report cumulative drift)
+    ix.copy(
+      buckets = ix.buckets.select(col("bkt"), col("id"))
         .unionByName(lightBands(sh, ix.numHashes, ix.bands)),
-      ix.sets.select(col("id"), col("sh")).unionByName(hashedSets(sh)),
-      ix.numHashes, ix.bands, ix.shingleLen)
+      sets = ix.sets.select(col("id"), col("sh")).unionByName(hashedSets(sh)))
   }
 
   /** True unless the session disables the delta-disjointness guard
@@ -1007,7 +1011,8 @@ object Dedup {
     * disjoint from indexed ids (enforced by the flag-gated guard). */
   final case class CosineIndex(buckets: DataFrame, vecs: DataFrame,
                                numBits: Int, bands: Int, dim: Int,
-                               seed: Long)
+                               seed: Long,
+                               baseline: Option[DriftBaseline] = None)
     extends DeltaIndex
 
   /** Build a [[CosineIndex]] over `df`. Widths default to the same
@@ -1053,6 +1058,7 @@ object Dedup {
     Seq((ix.numBits, ix.bands, ix.dim, ix.seed))
       .toDF("num_bits", "bands", "dim", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    saveDriftBaseline(dir, ix.baseline, spark)
   }
 
   def loadCosineIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1061,7 +1067,8 @@ object Dedup {
     CosineIndex(spark.read.parquet(s"$dir/buckets"),
       spark.read.parquet(s"$dir/vecs"),
       p.getAs[Int]("num_bits"), p.getAs[Int]("bands"),
-      p.getAs[Int]("dim"), p.getAs[Long]("seed"))
+      p.getAs[Int]("dim"), p.getAs[Long]("seed"),
+      loadDriftBaseline(spark, dir))
   }
 
   /** Fold a NEW embedding batch into an existing index — the cosine
@@ -1072,15 +1079,14 @@ object Dedup {
                           idCol: String, vecCol: String): CosineIndex = {
     requireDeltaDisjoint(ix.vecs.select(col("id")), newDf, idCol,
       "appendToCosineIndex")
-    CosineIndex(
-      ix.buckets.select(col("bkt"), col("id"))
+    ix.copy(
+      buckets = ix.buckets.select(col("bkt"), col("id"))
         .unionByName(SimilarityJoin.cosineBuckets(newDf, idCol, vecCol,
           ix.numBits, ix.bands, ix.dim, ix.seed)),
-      ix.vecs.select(col("id"), col("v"))
+      vecs = ix.vecs.select(col("id"), col("v"))
         .unionByName(newDf.select(col(idCol).cast("long").as("id"),
             col(vecCol).cast("array<float>").as("v"))
-          .where(col("v").isNotNull)),
-      ix.numBits, ix.bands, ix.dim, ix.seed)
+          .where(col("v").isNotNull)))
   }
 
   /**
@@ -1162,7 +1168,8 @@ object Dedup {
     * regime). Same caller contract as the other indexes: delta ids
     * disjoint from member ids, unique per batch (enforced). */
   final case class SemanticIndex(members: DataFrame,
-                                 centroids: Array[Array[Float]])
+                                 centroids: Array[Array[Float]],
+                                 baseline: Option[DriftBaseline] = None)
     extends DeltaIndex
 
   /** (id, cluster, v) under the pinned centroids — the same in-one-pass
@@ -1206,6 +1213,7 @@ object Dedup {
     ix.centroids.zipWithIndex.map { case (ce, i) => (i, ce.toSeq) }.toSeq
       .toDF("idx", "ce")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    saveDriftBaseline(dir, ix.baseline, spark)
   }
 
   def loadSemanticIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1213,7 +1221,8 @@ object Dedup {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("idx")).collect()
       .map(_.getSeq[Float](1).toArray)
-    SemanticIndex(spark.read.parquet(s"$dir/members"), cents)
+    SemanticIndex(spark.read.parquet(s"$dir/members"), cents,
+      loadDriftBaseline(spark, dir))
   }
 
   /**
@@ -1261,10 +1270,9 @@ object Dedup {
                             idCol: String, vecCol: String): SemanticIndex = {
     requireDeltaDisjoint(ix.members.select(col("id")), newDf, idCol,
       "appendToSemanticIndex")
-    SemanticIndex(
-      ix.members.select(col("id"), col("cluster"), col("v"))
-        .unionByName(assignMembers(newDf, idCol, vecCol, ix.centroids)),
-      ix.centroids)
+    ix.copy(
+      members = ix.members.select(col("id"), col("cluster"), col("v"))
+        .unionByName(assignMembers(newDf, idCol, vecCol, ix.centroids)))
   }
 
   /**
@@ -1312,13 +1320,128 @@ object Dedup {
   // a drifting corpus silently degrades them (semantic assignment
   // distances grow, cosine buckets skew or empty out, minhash grid
   // sizing assumptions break). Each probe compares the DELTA batch
-  // against the seed corpus on the statistic that actually governs its
-  // index's quality and recommends a rebuild when the ratio trips —
-  // the recall-vs-exact oracle discipline of the reference
-  // (day_6/day6_complete.py:118-153) applied to index freshness.
-  // Cost: one delta pass + one pruned pass over the index's key/payload
-  // column; emit alongside pairs (the archive sinks take a driftDir).
+  // against the SEED-TIME statistics on the statistic that actually
+  // governs its index's quality and recommends a rebuild when the
+  // ratio trips — the recall-vs-exact oracle discipline of the
+  // reference (day_6/day6_complete.py:118-153) applied to index
+  // freshness.
+  //
+  // Baseline regimes, in preference order:
+  //  1. PINNED ([[pinDriftBaseline]], persisted by save/load, carried
+  //     through appends): the comparison side is a handful of scalars
+  //     + a seed-bucket Bloom filter computed ONCE at seed time, so a
+  //     probe costs one aggregate over the DELTA only — per-batch cost
+  //     tracks the crawl, not the archive. Pinning is also the
+  //     *correct* semantics: the probe asks "do the parameters chosen
+  //     at seed time still fit?", and a baseline recomputed from the
+  //     live archive absorbs every appended batch — cumulative drift
+  //     walks the baseline along with the corpus and the ratio
+  //     under-reports exactly when it matters (the boiled frog).
+  //  2. LIVE fallback (no baseline pinned — e.g. an index built ad hoc
+  //     or loaded from a pre-round-11 snapshot): the probe recomputes
+  //     the seed side from the index frames — one pruned single-column
+  //     pass over the archive per call. Correct-at-seed, increasingly
+  //     drift-blind and archive-priced as appends accumulate.
   // =====================================================================
+
+  /** Seed-time drift reference, pinned once per index (family-specific
+    * fields are NaN/None where not applicable): mean assignment
+    * distance (semantic), top-bucket occupancy share + a Bloom filter
+    * over occupied bucket keys (cosine/minhash; ~1.2 bytes/key at 1%
+    * fp — 450k docs × 4 bands ≈ 2 MB, broadcast per probe), mean
+    * shingle-set size (minhash). `seedKeyCount` records the Bloom's
+    * sizing for provenance. */
+  final case class DriftBaseline(
+      meanDist: Double, topShare: Double, meanSetSize: Double,
+      seedKeyCount: Long,
+      bucketBloom: Option[org.apache.spark.util.sketch.BloomFilter])
+
+  /** Max(count)/sum(count) bucket-occupancy share of a (bkt, id) key
+    * frame — size-normalized, so seed and delta compare at any scale. */
+  private def topBucketShare(keys: DataFrame): Double = {
+    val r = keys.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+      .agg(max(col("m")).cast("double").as("mx"), sum(col("m")).cast("double").as("n"))
+      .head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  private def bucketBloomOf(keys: DataFrame, nKeys: Long) =
+    keys.stat.bloomFilter("bkt", math.max(nKeys, 1L), 0.01)
+
+  /** Compute and pin the seed-time drift baseline (one-time jobs over
+    * the index frames: key count + occupancy share + Bloom build, plus
+    * the family statistic). Call at seed/build time, BEFORE appends —
+    * the baseline deliberately never moves afterwards. The index
+    * frames are lazy: pin on a persisted or save/loaded index so each
+    * stats job scans materialized data instead of re-running the
+    * build (the archive seeds pin from the saved parquet). */
+  def pinDriftBaseline(ix: MinhashIndex): MinhashIndex = {
+    val n = ix.buckets.count()
+    ix.copy(baseline = Some(DriftBaseline(Double.NaN,
+      topBucketShare(ix.buckets),
+      ix.sets.select(avg(size(col("sh")))).head().getDouble(0),
+      n, Some(bucketBloomOf(ix.buckets, n)))))
+  }
+
+  def pinDriftBaseline(ix: CosineIndex): CosineIndex = {
+    val n = ix.buckets.count()
+    ix.copy(baseline = Some(DriftBaseline(Double.NaN,
+      topBucketShare(ix.buckets), Double.NaN,
+      n, Some(bucketBloomOf(ix.buckets, n)))))
+  }
+
+  def pinDriftBaseline(ix: SemanticIndex): SemanticIndex =
+    ix.copy(baseline = Some(DriftBaseline(
+      memberMeanDist(ix), Double.NaN, Double.NaN, 0L, None)))
+
+  /** Mean euclidean distance of the archived members to their own
+    * (pinned) centroid — the live-computed seed side of the semantic
+    * probe. */
+  private def memberMeanDist(ix: SemanticIndex): Double = {
+    val spark = ix.members.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ix.centroids)
+    ix.members.select(col("id"), col("cluster"), col("v"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (_, c, v) => math.sqrt(d2To(v, bc.value(c))) }
+      .agg(avg(col("value"))).head().getDouble(0)
+  }
+
+  /** Persist a pinned baseline under `dir/drift` (one row; the Bloom
+    * rides as a binary column). No-op when nothing is pinned. */
+  private[graft] def saveDriftBaseline(dir: String,
+                                       b: Option[DriftBaseline],
+                                       spark: org.apache.spark.sql.SparkSession): Unit =
+    b.foreach { bl =>
+      import spark.implicits._
+      val bytes = bl.bucketBloom.map { f =>
+        val bos = new java.io.ByteArrayOutputStream()
+        f.writeTo(bos)
+        bos.toByteArray
+      }.orNull
+      Seq((bl.meanDist, bl.topShare, bl.meanSetSize, bl.seedKeyCount, bytes))
+        .toDF("mean_dist", "top_share", "mean_set_size", "seed_key_count", "bloom")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift")
+    }
+
+  /** Load a pinned baseline from `dir/drift` if one was persisted —
+    * tolerant of pre-baseline snapshots (returns None). */
+  private[graft] def loadDriftBaseline(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String): Option[DriftBaseline] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/drift")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val r = spark.read.parquet(s"$dir/drift").head()
+      val bloom = Option(r.getAs[Array[Byte]]("bloom")).map(bs =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bs)))
+      Some(DriftBaseline(r.getAs[Double]("mean_dist"),
+        r.getAs[Double]("top_share"), r.getAs[Double]("mean_set_size"),
+        r.getAs[Long]("seed_key_count"), bloom))
+    }
+  }
 
   /** Semantic drift: mean euclidean assignment distance of the DELTA
     * under the pinned centroids vs the archived members' own mean.
@@ -1335,14 +1458,13 @@ object Dedup {
     val spark = newDf.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(ix.centroids)
-    // members already carry their cluster; the delta assigns fresh
-    val seedD = ix.members.select(col("id"), col("cluster"), col("v"))
-      .as[(Long, Int, Array[Float])]
-      .map { case (_, c, v) => math.sqrt(d2To(v, bc.value(c))) }
+    // pinned baseline when present (delta-only cost, seed-time
+    // semantics); live member pass otherwise — see the section doc
+    val seedMean = ix.baseline.map(_.meanDist).filterNot(_.isNaN)
+      .getOrElse(memberMeanDist(ix))
     val deltaD = assignMembers(newDf, idCol, vecCol, ix.centroids)
       .as[(Long, Int, Array[Float])]
       .map { case (_, c, v) => math.sqrt(d2To(v, bc.value(c))) }
-    val seedMean = seedD.agg(avg(col("value"))).head().getDouble(0)
     val deltaMean = deltaD.agg(avg(col("value"))).head().getDouble(0)
     val ratio = if (seedMean > 0) deltaMean / seedMean else Double.PositiveInfinity
     Seq((seedMean, deltaMean, ratio, ratio > ratioTrigger))
@@ -1373,7 +1495,8 @@ object Dedup {
     val spark = newDf.sparkSession
     val deltaKeys = SimilarityJoin.cosineBuckets(newDf, idCol, vecCol,
       ix.numBits, ix.bands, ix.dim, ix.seed).localCheckpoint(false)
-    bucketDriftRow(spark, ix.buckets, deltaKeys, newBucketTrigger, skewTrigger)
+    bucketDriftRow(spark, ix.buckets, deltaKeys, newBucketTrigger,
+      skewTrigger, ix.baseline)
   }
 
   /** Minhash drift: same bucket statistics as [[cosineDriftProbe]] plus
@@ -1392,16 +1515,19 @@ object Dedup {
     import spark.implicits._
     val sh = shingleSets(newDf, idCol, textCol, ix.shingleLen)
     val deltaKeys = lightBands(sh, ix.numHashes, ix.bands).localCheckpoint(false)
-    val base = bucketDriftRow(spark, ix.buckets, deltaKeys, 2.0, skewTrigger)
-      .select(col("new_bucket_frac"), col("skew_ratio"))
-    val seedSize = ix.sets.select(avg(size(col("sh")))).head().getDouble(0)
+    val base = bucketDriftRow(spark, ix.buckets, deltaKeys, 2.0, skewTrigger,
+        ix.baseline)
+      .select(col("new_bucket_frac"), col("skew_ratio"),
+        col("seed_top_share"), col("delta_top_share"))
+    val seedSize = ix.baseline.map(_.meanSetSize).filterNot(_.isNaN)
+      .getOrElse(ix.sets.select(avg(size(col("sh")))).head().getDouble(0))
     val deltaSize = hashedSets(sh).select(avg(size(col("sh")))).head().getDouble(0)
     val sizeRatio = if (seedSize > 0) deltaSize / seedSize else Double.PositiveInfinity
     val b = base.head()
-    Seq((b.getDouble(0), b.getDouble(1), sizeRatio,
-        b.getDouble(1) > skewTrigger || sizeRatio > setSizeTrigger))
-      .toDF("new_bucket_frac", "skew_ratio", "set_size_ratio",
-        "rebuild_recommended")
+    Seq((b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3),
+        sizeRatio, b.getDouble(1) > skewTrigger || sizeRatio > setSizeTrigger))
+      .toDF("new_bucket_frac", "skew_ratio", "seed_top_share",
+        "delta_top_share", "set_size_ratio", "rebuild_recommended")
   }
 
   /** Shared bucket-occupancy comparison: both key frames are (bkt, id).
@@ -1410,25 +1536,39 @@ object Dedup {
   private def bucketDriftRow(spark: org.apache.spark.sql.SparkSession,
                              seedKeys: DataFrame, deltaKeys: DataFrame,
                              newBucketTrigger: Double,
-                             skewTrigger: Double): DataFrame = {
+                             skewTrigger: Double,
+                             baseline: Option[DriftBaseline]): DataFrame = {
     import spark.implicits._
-    def topShare(keys: DataFrame): Double = {
-      val r = keys.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
-        .agg(max(col("m")).cast("double").as("mx"), sum(col("m")).cast("double").as("n"))
-        .head()
-      if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
-      else r.getDouble(0) / r.getDouble(1)
-    }
-    val seedShare = topShare(seedKeys)
-    val deltaShare = topShare(deltaKeys)
+    val seedShare = baseline.map(_.topShare).filterNot(_.isNaN)
+      .getOrElse(topBucketShare(seedKeys))
+    val deltaShare = topBucketShare(deltaKeys)
     val skew = if (seedShare > 0) deltaShare / seedShare else Double.PositiveInfinity
     val nDelta = deltaKeys.count()
     val nNew =
       if (nDelta == 0) 0L
-      else deltaKeys.join(seedKeys.select(col("bkt")).distinct(), Seq("bkt"), "left_anti").count()
+      else baseline.flatMap(_.bucketBloom) match {
+        // pinned: membership against the broadcast seed Bloom — a
+        // map-side filter over the delta, no seed-side scan or join
+        // (1% fp under-counts new buckets by ≤1% of the delta, far
+        // inside the 0.5 trigger's margin)
+        case Some(bloom) =>
+          val bc = spark.sparkContext.broadcast(bloom)
+          deltaKeys.select(col("bkt")).as[Long]
+            .filter(k => !bc.value.mightContainLong(k)).count()
+        case None =>
+          deltaKeys.join(seedKeys.select(col("bkt")).distinct(), Seq("bkt"), "left_anti").count()
+      }
     val newFrac = if (nDelta == 0) 0.0 else nNew.toDouble / nDelta
-    Seq((newFrac, skew, newFrac > newBucketTrigger || skew > skewTrigger))
-      .toDF("new_bucket_frac", "skew_ratio", "rebuild_recommended")
+    // absolute shares ride along: skew_ratio alone can't distinguish
+    // "the space collapsed" from "this batch concentrates an existing
+    // duplicate family" (e.g. a non-random batch slicing that keeps
+    // whole families together reads ~4–10× on a healthy index; the
+    // ×100 harness's doc_id % 10 split does exactly this — BENCH.md
+    // "Round 11"). An operator deciding on a trip wants the raw shares.
+    Seq((newFrac, skew, seedShare, deltaShare,
+        newFrac > newBucketTrigger || skew > skewTrigger))
+      .toDF("new_bucket_frac", "skew_ratio", "seed_top_share",
+        "delta_top_share", "rebuild_recommended")
   }
 
   /** [[scanBlockPairJaccard]] with a new-batch flag: old×old pairs are

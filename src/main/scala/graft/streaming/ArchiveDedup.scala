@@ -255,10 +255,17 @@ object ArchiveDedup {
   /** Write the day-0 archive: mine `corpus` once, save as `dir/base`. */
   def seedArchive(corpus: DataFrame, dir: String, idCol: String,
                   textCol: String, numHashes: Int = 16, bands: Int = 4,
-                  shingleLen: Int = 3): Unit =
+                  shingleLen: Int = 3): Unit = {
+    val spark = corpus.sparkSession
     Dedup.saveMinhashIndex(
       Dedup.buildMinhashIndex(corpus, idCol, textCol, numHashes, bands, shingleLen),
       s"$dir/base")
+    // pin the drift baseline from the SAVED frames — stats jobs scan
+    // the written parquet instead of re-running the lazy shingle pass
+    Dedup.saveDriftBaseline(s"$dir/base",
+      Dedup.pinDriftBaseline(Dedup.loadMinhashIndex(spark, s"$dir/base")).baseline,
+      spark)
+  }
 
   /** (live index = base ∪ every live entry, last folded batchId or -1). */
   private[graft] def loadLatest(spark: SparkSession,
@@ -269,7 +276,8 @@ object ArchiveDedup {
       readComponent(spark, dirs, "buckets").select(col("bkt"), col("id")),
       readComponent(spark, dirs, "sets").select(col("id"), col("sh")),
       p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
-      p.getAs[Int]("shingle_len")),
+      p.getAs[Int]("shingle_len"),
+      Dedup.loadDriftBaseline(spark, s"$dir/base")),
       stateOf(spark, dir).lastFolded)
   }
 
@@ -356,10 +364,16 @@ object ArchiveDedup {
     * via `driftDir` for when pinned hyperplanes stop fitting). */
   def seedCosineArchive(corpus: DataFrame, dir: String, idCol: String,
                         vecCol: String, numBits: Int = -1, bands: Int = -1,
-                        dim: Int = -1, seed: Long = 42L): Unit =
+                        dim: Int = -1, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
     Dedup.saveCosineIndex(
       Dedup.buildCosineIndex(corpus, idCol, vecCol, numBits, bands, dim, seed),
       s"$dir/base")
+    // baseline from the saved frames (see seedArchive)
+    Dedup.saveDriftBaseline(s"$dir/base",
+      Dedup.pinDriftBaseline(Dedup.loadCosineIndex(spark, s"$dir/base")).baseline,
+      spark)
+  }
 
   /** (live cosine index = base ∪ every live entry, last batchId or -1). */
   private[graft] def loadLatestCosine(spark: SparkSession,
@@ -370,7 +384,8 @@ object ArchiveDedup {
       readComponent(spark, dirs, "buckets").select(col("bkt"), col("id")),
       readComponent(spark, dirs, "vecs").select(col("id"), col("v")),
       p.getAs[Int]("num_bits"), p.getAs[Int]("bands"),
-      p.getAs[Int]("dim"), p.getAs[Long]("seed")),
+      p.getAs[Int]("dim"), p.getAs[Long]("seed"),
+      Dedup.loadDriftBaseline(spark, s"$dir/base")),
       stateOf(spark, dir).lastFolded)
   }
 
@@ -440,10 +455,16 @@ object ArchiveDedup {
     * corpus outgrows them). */
   def seedSemanticArchive(corpus: DataFrame, dir: String, idCol: String,
                           vecCol: String,
-                          centroids: Array[Array[Float]]): Unit =
+                          centroids: Array[Array[Float]]): Unit = {
+    val spark = corpus.sparkSession
     Dedup.saveSemanticIndex(
       Dedup.buildSemanticIndex(corpus, idCol, vecCol, centroids),
       s"$dir/base")
+    // baseline from the saved frames (see seedArchive)
+    Dedup.saveDriftBaseline(s"$dir/base",
+      Dedup.pinDriftBaseline(Dedup.loadSemanticIndex(spark, s"$dir/base")).baseline,
+      spark)
+  }
 
   /** (live semantic index = base ∪ every live entry, last batchId or
     * -1); centroids come from base — every sliver assigned under them. */
@@ -455,7 +476,8 @@ object ArchiveDedup {
     val dirs = liveEntryDirs(spark, dir)
     (Dedup.SemanticIndex(
       readComponent(spark, dirs, "members")
-        .select(col("id"), col("cluster"), col("v")), cents),
+        .select(col("id"), col("cluster"), col("v")), cents,
+      Dedup.loadDriftBaseline(spark, s"$dir/base")),
       stateOf(spark, dir).lastFolded)
   }
 

@@ -26,6 +26,12 @@ object ArchiveScale {
     val batchRows = args.lift(2).map(_.toLong).getOrElse(10000L)
     val compactEvery = args.lift(3).map(_.toInt).getOrElse(8)
     val mode = args.lift(4).getOrElse("minhash")
+    // arg 5 "drift": emit the per-batch drift probe (pinned baseline)
+    // inside each processBatch — its cost lands in the batch wall
+    val driftDir =
+      if (args.lift(5).contains("drift"))
+        Some(java.nio.file.Files.createTempDirectory("graft-archive-drift").toString)
+      else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -83,13 +89,16 @@ object ArchiveScale {
       mode match {
         case "minhash" =>
           ArchiveDedup.processBatch(batch, b.toLong, archive, pairsDir,
-            idCol, payloadCol, 0.5, compactEvery = compactEvery)
+            idCol, payloadCol, 0.5, compactEvery = compactEvery,
+            driftDir = driftDir)
         case "semantic" =>
           ArchiveDedup.processSemanticBatch(batch, b.toLong, archive, pairsDir,
-            idCol, payloadCol, 0.9, compactEvery = compactEvery)
+            idCol, payloadCol, 0.9, compactEvery = compactEvery,
+            driftDir = driftDir)
         case _ =>
           ArchiveDedup.processCosineBatch(batch, b.toLong, archive, pairsDir,
-            idCol, payloadCol, 0.9, compactEvery = compactEvery)
+            idCol, payloadCol, 0.9, compactEvery = compactEvery,
+            driftDir = driftDir)
       }
       val w = (System.nanoTime() - t0) / 1e9
       println(f"batch $b%3d ($batchRows rows vs growing archive) $w%8.2f s  " +

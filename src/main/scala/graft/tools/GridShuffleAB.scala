@@ -24,6 +24,7 @@ import org.apache.spark.sql.SparkSession
 object GridShuffleAB {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    val path = args.lift(1).getOrElse("pairbuild") // pairbuild | cosinedelta
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,11 +36,27 @@ object GridShuffleAB {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     e.count() // page-cache warm before either phase
 
+    // cosinedelta: the incremental path (persisted 90% index, 10% delta)
+    // — the grid here is the flagged delta form, worth its own A/B
+    // because its cells carry the isNew flag and a different key shape
+    lazy val deltaIx = {
+      val i = Dedup.buildCosineIndex(
+        e.where(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding")
+      i.buckets.persist().count(); i.vecs.persist().count()
+      i
+    }
+    lazy val eNew = e.where(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+
     def phase(label: String, sort: Boolean): Unit = {
       System.setProperty("graft.grid.sortShuffle", sort.toString)
       var p = -1L
-      Timing.report(s"pair_build_$label", extra = () => s"pairs=$p") {
-        p = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9).count()
+      Timing.report(s"${path}_$label", extra = () => s"pairs=$p") {
+        p =
+          if (path == "cosinedelta")
+            Dedup.cosineDeltaPairs(deltaIx, eNew, "vec_id", "embedding", 0.9).count()
+          else
+            Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9).count()
       }
     }
     phase("groupByKey", sort = false)

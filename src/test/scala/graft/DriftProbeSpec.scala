@@ -94,6 +94,82 @@ class DriftProbeSpec extends AnyFunSuite {
     assert(loud.getAs[Double]("set_size_ratio") > 2.0)
   }
 
+  test("pinned baseline: fire/quiet parity with the live fallback, and survives save/load") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "river", "stone",
+      "cloud", "ember", "quartz", "willow")
+    def doc(seed: Long, len: Int): String = {
+      val r = new java.util.Random(seed)
+      (0 until len).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    }
+    val seedDocs = (0 until 100).map(i => (i.toLong, doc(i, 30))).toDF("doc_id", "text")
+    val live = Dedup.buildMinhashIndex(seedDocs, "doc_id", "text",
+      numHashes = 16, bands = 4, shingleLen = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-baseline").toString
+    Dedup.saveMinhashIndex(Dedup.pinDriftBaseline(live), dir)
+    val pinned = Dedup.loadMinhashIndex(spark, dir)
+    val bl = pinned.baseline.getOrElse(fail("baseline must survive save/load"))
+    assert(bl.seedKeyCount === 400L) // 100 docs × 4 bands
+    assert(!bl.meanSetSize.isNaN && bl.meanSetSize > 0)
+    assert(bl.bucketBloom.isDefined)
+
+    val novel = (0 until 30).map(i => (1000L + i, doc(7777 + i, 30))).toDF("doc_id", "text")
+    val longDocs = (0 until 30).map(i => (2000L + i, doc(8888 + i, 300))).toDF("doc_id", "text")
+    for (delta <- Seq(novel, longDocs)) {
+      val a = Dedup.minhashDriftProbe(live, delta, "doc_id", "text").head()
+      val b = Dedup.minhashDriftProbe(pinned, delta, "doc_id", "text").head()
+      assert(a.getAs[Boolean]("rebuild_recommended") ===
+        b.getAs[Boolean]("rebuild_recommended"), s"live=$a pinned=$b")
+      // the Bloom's 1% fp can only LOWER new_bucket_frac, and barely
+      assert(math.abs(a.getAs[Double]("new_bucket_frac") -
+        b.getAs[Double]("new_bucket_frac")) < 0.05, s"live=$a pinned=$b")
+      assert(math.abs(a.getAs[Double]("set_size_ratio") -
+        b.getAs[Double]("set_size_ratio")) < 1e-9)
+    }
+  }
+
+  test("pinned baseline does not absorb appended drift; a live baseline does (the boiled frog)") {
+    val dim = 16
+    val cents = Array(Array.fill(dim)(1f), Array.fill(dim)(-1f))
+    val seed = (gauss(20, 50, dim).map { case (id, v) =>
+      (id, v.zip(cents(0)).map { case (x, c) => c + 0.1f * x }) } ++
+      gauss(21, 50, dim).map { case (id, v) =>
+        (id, v.zip(cents(1)).map { case (x, c) => c + 0.1f * x }) })
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-frog").toString
+    Dedup.saveSemanticIndex(
+      Dedup.buildSemanticIndex(seed, "vec_id", "embedding", cents), dir)
+    val ix0 = Dedup.pinDriftBaseline(Dedup.loadSemanticIndex(spark, dir))
+
+    // two drifted waves, appended in sequence — the corpus walks away
+    // from the centroids batch by batch
+    val wave1 = gauss(22, 50, dim, shift = 10f).toDF("vec_id", "embedding")
+    val wave2 = gauss(23, 50, dim, shift = 10f)
+      .map { case (id, v) => (id + 500000L, v) }.toDF("vec_id", "embedding")
+    val grown = Dedup.appendToSemanticIndex(ix0, wave1, "vec_id", "embedding")
+    assert(grown.baseline === ix0.baseline, "append must carry the pinned baseline")
+
+    val pinnedProbe = Dedup.semanticDriftProbe(grown, wave2, "vec_id", "embedding").head()
+    val liveProbe = Dedup.semanticDriftProbe(grown.copy(baseline = None),
+      wave2, "vec_id", "embedding").head()
+    assert(pinnedProbe.getAs[Boolean]("rebuild_recommended"),
+      s"pinned baseline must keep firing on cumulative drift: $pinnedProbe")
+    assert(pinnedProbe.getAs[Double]("ratio") > liveProbe.getAs[Double]("ratio"),
+      s"live baseline absorbs the appended wave (pinned=$pinnedProbe live=$liveProbe)")
+  }
+
+  test("archive seeds pin the baseline; loadLatest carries it into per-batch probes") {
+    val dim = 8
+    val cents = Array(Array.fill(dim)(1f), Array.fill(dim)(-1f))
+    val archive = java.nio.file.Files.createTempDirectory("graft-drift-b").toString
+    graft.streaming.ArchiveDedup.seedSemanticArchive(
+      Seq((0L, cents(0).map(_ + 0.02f)), (1L, cents(1).map(_ - 0.02f)))
+        .toDF("vec_id", "embedding"),
+      archive, "vec_id", "embedding", cents)
+    val (ix, _) = graft.streaming.ArchiveDedup.loadLatestSemantic(spark, archive)
+    assert(ix.baseline.isDefined, "seeded archive must carry a pinned baseline")
+    assert(!ix.baseline.get.meanDist.isNaN && ix.baseline.get.meanDist > 0)
+  }
+
   test("archive sinks emit the probe alongside pairs when driftDir is set") {
     val dim = 8
     val cents = Array(Array.fill(dim)(1f), Array.fill(dim)(-1f))
