@@ -362,6 +362,24 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q90: the unified incremental facade over the SAME split as q84 —
+    * [[operators.Dedup.deltaPairs]] dispatches on the index modality
+    * (minhash here) and normalizes the output to (id_a, id_b, score),
+    * so the oracle is q84's replay with the normalized score alias.
+    * Proves the facade routes AND renames without touching values. */
+  private val q90DeltaFacade: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val built = Dedup.buildMinhashIndex(docs.where(col("doc_id") < 400),
+      "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
+    val ix = Dedup.MinhashIndex(
+      operators.StageCache.cached("q84_ix_buckets_16x4_sh3_lt400", docs)(built.buckets),
+      operators.StageCache.cached("q84_ix_sets_sh3_lt400", docs)(built.sets),
+      built.numHashes, built.bands, built.shingleLen)
+    Dedup.deltaPairs(ix, docs.where(col("doc_id") >= 400),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** q85: INCREMENTAL cosine dedup — the EMBEDDING twin of q84 (closes
     * the round-9 dead-API finding by routing it): vectors < 400 are
     * yesterday's corpus, built into a [[operators.Dedup.CosineIndex]]
@@ -1596,6 +1614,7 @@ object SparkEntry {
     "q82_bpe_token_counts" -> q82BpeTokenCounts,
     "q83_semantic_keep_farthest" -> q83SemanticKeepFarthest,
     "q84_delta_near_dup" -> q84DeltaNearDup,
+    "q90_delta_facade" -> q90DeltaFacade,
     "q85_cosine_delta_pairs" -> q85CosineDeltaPairs,
     "q86_append_delta_near_dup" -> q86AppendDeltaNearDup,
     "q87_cosine_append_delta" -> q87CosineAppendDelta,
@@ -1904,6 +1923,28 @@ ORDER BY d.doc_id"""
         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
         |SELECT c.id_a, c.id_b,
         |  round(len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)), 6) AS jaccard
+        |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+        |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
+        |  AND (c.id_a >= 400 OR c.id_b >= 400)
+        |ORDER BY c.id_a, c.id_b""").stripMargin,
+    // q90: the facade over the same split as q84 — identical replay,
+    // normalized score alias (the facade must rename, never rescore)
+    "q90_delta_facade" ->
+      (s"""WITH $ShinglesCte,
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(16), h -> list_min(list_transform(s, x -> md5(x || '#' || CAST(h AS VARCHAR))))) AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    md5(array_to_string(sig[(b.b*4+1):(b.b*4+4)], '|')) AS bucket
+        |  FROM sig, unnest(range(4)) AS b(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  round(len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)), 6) AS score
         |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
         |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
         |  AND (c.id_a >= 400 OR c.id_b >= 400)

@@ -241,6 +241,21 @@ object ArchiveDedup {
     entries.foreach(e => fs.delete(new Path(s"$dir/${e._1}"), true))
   }
 
+  /** Persist a drift-probe row under `driftDir/batch_id=<id>` and warn
+    * LOUDLY when it recommends a rebuild — a parquet row nobody reads
+    * is not an alert. The probe frames are driver-local one-row DFs,
+    * so the head() costs nothing extra. */
+  private def emitDrift(driftDir: String, batchId: Long, family: String,
+                        probe: org.apache.spark.sql.DataFrame): Unit = {
+    probe.write.mode("overwrite").parquet(s"$driftDir/batch_id=$batchId")
+    val r = probe.head()
+    if (r.getAs[Boolean]("rebuild_recommended"))
+      log.warn(s"ArchiveDedup($family): drift probe at batch $batchId " +
+        s"recommends a REBUILD — the pinned seed parameters no longer fit " +
+        s"the incoming data: $r (reseed a fresh archive and repoint the " +
+        "stream; pairs already written remain valid)")
+  }
+
   private def warnIfNoCheckpoint(checkpoint: Option[String], sink: String): Unit =
     if (checkpoint.isEmpty)
       log.warn(s"ArchiveDedup.$sink started WITHOUT a checkpointLocation: " +
@@ -316,9 +331,8 @@ object ArchiveDedup {
     val (ix, _) = loadLatest(spark, archiveDir)
     Dedup.minhashDeltaPairs(ix, b, idCol, textCol, threshold)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    driftDir.foreach(d =>
-      Dedup.minhashDriftProbe(ix, b, idCol, textCol)
-        .write.mode("overwrite").parquet(s"$d/batch_id=$batchId"))
+    driftDir.foreach(d => emitDrift(d, batchId, "minhash",
+      Dedup.minhashDriftProbe(ix, b, idCol, textCol)))
     // fold = commit a BATCH-SIZED sliver under the archive's pinned
     // widths; the union with base happens at load (appendToMinhashIndex
     // is the same union for in-session callers — here the sliver IS
@@ -410,9 +424,8 @@ object ArchiveDedup {
     val (ix, _) = loadLatestCosine(spark, archiveDir)
     Dedup.cosineDeltaPairs(ix, b, idCol, vecCol, threshold, exactLimit)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    driftDir.foreach(d =>
-      Dedup.cosineDriftProbe(ix, b, idCol, vecCol)
-        .write.mode("overwrite").parquet(s"$d/batch_id=$batchId"))
+    driftDir.foreach(d => emitDrift(d, batchId, "cosine",
+      Dedup.cosineDriftProbe(ix, b, idCol, vecCol)))
     commitEntry(spark, archiveDir, s"b$batchId") { tmp =>
       Dedup.saveCosineIndex(
         Dedup.buildCosineIndex(b, idCol, vecCol,
@@ -501,9 +514,8 @@ object ArchiveDedup {
     val (ix, _) = loadLatestSemantic(spark, archiveDir)
     Dedup.semanticDeltaPairs(ix, b, idCol, vecCol, threshold)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    driftDir.foreach(d =>
-      Dedup.semanticDriftProbe(ix, b, idCol, vecCol)
-        .write.mode("overwrite").parquet(s"$d/batch_id=$batchId"))
+    driftDir.foreach(d => emitDrift(d, batchId, "semantic",
+      Dedup.semanticDriftProbe(ix, b, idCol, vecCol)))
     commitEntry(spark, archiveDir, s"b$batchId") { tmp =>
       Dedup.saveSemanticIndex(
         Dedup.buildSemanticIndex(b, idCol, vecCol, ix.centroids), tmp)
