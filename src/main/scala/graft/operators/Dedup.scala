@@ -951,7 +951,7 @@ object Dedup {
     * `spark.graft.checkDeltaDisjoint=false` (the scan kernels still
     * refuse self-pairs, so a violation then degrades to duplicate-pair
     * noise instead of corrupt output). */
-  private def requireDeltaDisjoint(ixIds: DataFrame, newDf: DataFrame,
+  private[graft] def requireDeltaDisjoint(ixIds: DataFrame, newDf: DataFrame,
                                    idCol: String, op: String): Unit = {
     if (!checkDeltaDisjoint(newDf.sparkSession)) return
     // ids must also be unique WITHIN the batch: two delta rows sharing
@@ -1174,7 +1174,7 @@ object Dedup {
 
   /** (id, cluster, v) under the pinned centroids — the same in-one-pass
     * argmin kernel as [[semanticDedupMarks]]' assignment stage. */
-  private def assignMembers(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def assignMembers(df: DataFrame, idCol: String, vecCol: String,
                             cents: Array[Array[Float]]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1246,14 +1246,25 @@ object Dedup {
                          threshold: Double): DataFrame = {
     requireDeltaDisjoint(ix.members.select(col("id")), newDf, idCol,
       "semanticDeltaPairs")
-    val newAsg = assignMembers(newDf, idCol, vecCol, ix.centroids)
+    semanticDeltaPairsAssigned(ix,
+      assignMembers(newDf, idCol, vecCol, ix.centroids), threshold)
+  }
+
+  /** [[semanticDeltaPairs]] over a PRE-ASSIGNED delta frame
+    * ((id, cluster, v), already under the index's centroids) — lets a
+    * caller that also probes drift and folds a sliver pay the argmin
+    * pass ONCE (assignment is a pure function of vector + pinned
+    * centroids, so sharing the frame is exact). Caller owns the
+    * disjointness guard. */
+  private[graft] def semanticDeltaPairsAssigned(ix: SemanticIndex,
+                                                newAsg: DataFrame,
+                                                threshold: Double): DataFrame =
     SimilarityJoin.groupedThresholdPairsDelta(
         ix.members.select(col("cluster"), col("id"), col("v")),
         newAsg.select(col("cluster"), col("id"), col("v")),
         "cluster", "id", "v", threshold)
       .select(col("id_a"), col("id_b"), col("cluster"),
         round(col("sim"), 6).as("sim"))
-  }
 
   /** Fold a NEW embedding batch into an existing [[SemanticIndex]] —
     * the semantic twin of [[appendToMinhashIndex]] /
@@ -1356,15 +1367,31 @@ object Dedup {
       seedKeyCount: Long,
       bucketBloom: Option[org.apache.spark.util.sketch.BloomFilter])
 
-  /** Max(count)/sum(count) bucket-occupancy share of a (bkt, id) key
-    * frame — size-normalized, so seed and delta compare at any scale. */
-  private def topBucketShare(keys: DataFrame): Double = {
+  /** (top-bucket occupancy, total keys) of a (bkt, id) key frame;
+    * (0, 0) when empty. Share = top/total is size-normalized, but NOT
+    * floor-free: a frame of n keys has share ≥ 1/n, so share RATIOS
+    * against a much larger frame need the absolute-occupancy gate
+    * below. */
+  private def bucketStats(keys: DataFrame): (Double, Double) = {
     val r = keys.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
       .agg(max(col("m")).cast("double").as("mx"), sum(col("m")).cast("double").as("n"))
       .head()
-    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
-    else r.getDouble(0) / r.getDouble(1)
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) (0.0, 0.0)
+    else (r.getDouble(0), r.getDouble(1))
   }
+
+  private def topBucketShare(keys: DataFrame): Double = {
+    val (mx, n) = bucketStats(keys)
+    if (n == 0.0) 0.0 else mx / n
+  }
+
+  /** A skew trip additionally requires the delta's top bucket to hold
+    * at least this many keys: the share of an n-key delta is ≥ 1/n by
+    * construction, so a small micro-batch against a large seed (seed
+    * share ~1e-4) would read as skew thousands with EVERY bucket a
+    * singleton. Eight keys ≈ the smallest occupancy where a
+    * bucket-local scan's cost is distinguishable from noise. */
+  private val MinSkewTopCount = 8.0
 
   private def bucketBloomOf(keys: DataFrame, nKeys: Long) =
     keys.stat.bloomFilter("bkt", math.max(nKeys, 1L), 0.01)
@@ -1454,19 +1481,36 @@ object Dedup {
     * in-place recentering impossible by design). */
   def semanticDriftProbe(ix: SemanticIndex, newDf: DataFrame,
                          idCol: String, vecCol: String,
-                         ratioTrigger: Double = 1.5): DataFrame = {
-    val spark = newDf.sparkSession
+                         ratioTrigger: Double = 1.5): DataFrame =
+    semanticDriftProbeAssigned(ix,
+      assignMembers(newDf, idCol, vecCol, ix.centroids), ratioTrigger)
+
+  /** [[semanticDriftProbe]] over a pre-assigned delta frame — see
+    * [[semanticDeltaPairsAssigned]] for the share-the-argmin contract. */
+  private[graft] def semanticDriftProbeAssigned(ix: SemanticIndex,
+                                                newAsg: DataFrame,
+                                                ratioTrigger: Double = 1.5): DataFrame = {
+    val spark = newAsg.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(ix.centroids)
     // pinned baseline when present (delta-only cost, seed-time
     // semantics); live member pass otherwise — see the section doc
     val seedMean = ix.baseline.map(_.meanDist).filterNot(_.isNaN)
       .getOrElse(memberMeanDist(ix))
-    val deltaD = assignMembers(newDf, idCol, vecCol, ix.centroids)
+    val deltaD = newAsg.select(col("id"), col("cluster"), col("v"))
       .as[(Long, Int, Array[Float])]
       .map { case (_, c, v) => math.sqrt(d2To(v, bc.value(c))) }
-    val deltaMean = deltaD.agg(avg(col("value"))).head().getDouble(0)
-    val ratio = if (seedMean > 0) deltaMean / seedMean else Double.PositiveInfinity
+    // avg over zero rows is a null cell — an empty (or all-null-vector)
+    // micro-batch must probe QUIET, not NPE the stream
+    val deltaRow = deltaD.agg(avg(col("value"))).head()
+    val deltaMean = if (deltaRow.isNullAt(0)) 0.0 else deltaRow.getDouble(0)
+    // deltaMean == 0 can never mean drift (the delta sits ON the
+    // centroids), including against a zero seed mean — only a nonzero
+    // delta over a zero seed is the infinite-ratio case
+    val ratio =
+      if (seedMean > 0) deltaMean / seedMean
+      else if (deltaMean == 0.0) 1.0
+      else Double.PositiveInfinity
     Seq((seedMean, deltaMean, ratio, ratio > ratioTrigger))
       .toDF("seed_mean_dist", "delta_mean_dist", "ratio", "rebuild_recommended")
   }
@@ -1515,17 +1559,28 @@ object Dedup {
     import spark.implicits._
     val sh = shingleSets(newDf, idCol, textCol, ix.shingleLen)
     val deltaKeys = lightBands(sh, ix.numHashes, ix.bands).localCheckpoint(false)
+    // newBucketTrigger = 2.0 disables the new-bucket trip (novel text
+    // mints fresh buckets by design), so the base row's
+    // rebuild_recommended IS the occupancy-gated skew verdict — reuse
+    // it rather than re-deriving from the raw ratio, which would
+    // bypass the small-batch floor gate
     val base = bucketDriftRow(spark, ix.buckets, deltaKeys, 2.0, skewTrigger,
         ix.baseline)
       .select(col("new_bucket_frac"), col("skew_ratio"),
-        col("seed_top_share"), col("delta_top_share"))
+        col("seed_top_share"), col("delta_top_share"),
+        col("rebuild_recommended"))
     val seedSize = ix.baseline.map(_.meanSetSize).filterNot(_.isNaN)
       .getOrElse(ix.sets.select(avg(size(col("sh")))).head().getDouble(0))
-    val deltaSize = hashedSets(sh).select(avg(size(col("sh")))).head().getDouble(0)
-    val sizeRatio = if (seedSize > 0) deltaSize / seedSize else Double.PositiveInfinity
+    // null cell on an empty delta batch → quiet, never an NPE
+    val deltaRow = hashedSets(sh).select(avg(size(col("sh")))).head()
+    val deltaSize = if (deltaRow.isNullAt(0)) 0.0 else deltaRow.getDouble(0)
+    val sizeRatio =
+      if (seedSize > 0) deltaSize / seedSize
+      else if (deltaSize == 0.0) 1.0
+      else Double.PositiveInfinity
     val b = base.head()
     Seq((b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3),
-        sizeRatio, b.getDouble(1) > skewTrigger || sizeRatio > setSizeTrigger))
+        sizeRatio, b.getBoolean(4) || sizeRatio > setSizeTrigger))
       .toDF("new_bucket_frac", "skew_ratio", "seed_top_share",
         "delta_top_share", "set_size_ratio", "rebuild_recommended")
   }
@@ -1541,9 +1596,14 @@ object Dedup {
     import spark.implicits._
     val seedShare = baseline.map(_.topShare).filterNot(_.isNaN)
       .getOrElse(topBucketShare(seedKeys))
-    val deltaShare = topBucketShare(deltaKeys)
-    val skew = if (seedShare > 0) deltaShare / seedShare else Double.PositiveInfinity
-    val nDelta = deltaKeys.count()
+    val (deltaTop, nDelta0) = bucketStats(deltaKeys)
+    val deltaShare = if (nDelta0 == 0.0) 0.0 else deltaTop / nDelta0
+    val skew =
+      if (seedShare > 0) deltaShare / seedShare
+      else if (deltaShare == 0.0) 1.0
+      else Double.PositiveInfinity
+    val skewTrips = skew > skewTrigger && deltaTop >= MinSkewTopCount
+    val nDelta = nDelta0.toLong
     val nNew =
       if (nDelta == 0) 0L
       else baseline.flatMap(_.bucketBloom) match {
@@ -1566,7 +1626,7 @@ object Dedup {
     // ×100 harness's doc_id % 10 split does exactly this — BENCH.md
     // "Round 11"). An operator deciding on a trip wants the raw shares.
     Seq((newFrac, skew, seedShare, deltaShare,
-        newFrac > newBucketTrigger || skew > skewTrigger))
+        newFrac > newBucketTrigger || skewTrips))
       .toDF("new_bucket_frac", "skew_ratio", "seed_top_share",
         "delta_top_share", "rebuild_recommended")
   }

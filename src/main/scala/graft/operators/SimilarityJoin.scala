@@ -148,10 +148,11 @@ object SimilarityJoin {
         arr.iterator.zipWithIndex.map { case (p, i) => (g, i + 1, p.idA, p.idB, p.sim) }
       }
       .toDF("__g", "rn", "id_a", "id_b", "sim")
-    // restore the group column's ORIGINAL type via its string form — the
-    // join is over the (≤ #groups × k)-row result, broadcast by size
+    // restore the group column's ORIGINAL type via its encoded form
+    // (null-group-safe) — the join is over the (≤ #groups × k)-row
+    // result, broadcast by size
     val groups = df.select(col(groupCol)).distinct()
-      .withColumn("__g", col(groupCol).cast("string"))
+      .withColumn("__g", encGroup(col(groupCol)))
     ranked.join(broadcast(groups), Seq("__g"))
       .select(col(groupCol), col("rn"), col("id_a"), col("id_b"), col("sim"))
   }
@@ -209,10 +210,11 @@ object SimilarityJoin {
           .map { case (ia, ib, sim) => (g, ia, ib, sim) }
       }
       .toDF("__g", "id_a", "id_b", "sim")
-    // restore the group column's ORIGINAL type via its string form — the
-    // broadcast side is the #groups-row distinct table, not the pairs
+    // restore the group column's ORIGINAL type via its encoded form
+    // (null-group-safe) — the broadcast side is the #groups-row
+    // distinct table, not the pairs
     val groups = df.select(col(groupCol)).distinct()
-      .withColumn("__g", col(groupCol).cast("string"))
+      .withColumn("__g", encGroup(col(groupCol)))
     pairs.join(broadcast(groups), Seq("__g"))
       .select(col(groupCol), col("id_a"), col("id_b"), col("sim"))
   }
@@ -285,13 +287,22 @@ object SimilarityJoin {
   /** Shared replication stage: per-group counts size the block grid and
     * each row ships to its nb block-pair task keys. Driver state is the
     * per-group count map, O(#groups). */
+  /** Null-safe, collision-free string form of a group value for grid
+    * keys: null → "n", value v → "s" + v. Grid cell keys must never be
+    * null — the sort-based [[scanCells]] path orders key tuples and
+    * `Ordering.String` NPEs on null — and a bare string cast also made
+    * the equi-join restore silently drop null-group pairs. The prefix
+    * keeps every encoded value distinct from every other. */
+  private def encGroup(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.isNull, lit("n")).otherwise(concat(lit("s"), c.cast("string")))
+
   private def replicateToBlocks(df: DataFrame, groupCol: Option[String],
                                 idCol: String, vecCol: String, blockRows: Int)
       : org.apache.spark.rdd.RDD[((String, Int, Int), (Int, Long, Array[Float]))] = {
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = groupCol match {
-      case Some(g) => df.select(col(g).cast("string"), col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      case Some(g) => df.select(encGroup(col(g)), col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       case None => df.select(lit("").cast("string"), col(idCol).cast("long"), col(vecCol).cast("array<float>"))
     }
     // null vectors can never produce a scored pair (the Catalyst expression
@@ -741,7 +752,7 @@ object SimilarityJoin {
     val spark = newMembers.sparkSession
     import spark.implicits._
     def shaped(df: DataFrame, isNew: Boolean) = df.select(
-      col(groupCol).cast("string").as("__g"),
+      encGroup(col(groupCol)).as("__g"),
       col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<float>").as("__v"),
       lit(isNew).as("__new"))
@@ -783,14 +794,15 @@ object SimilarityJoin {
           .map { case (ia, ib, sim) => (g, ia, ib, sim) }
       }
       .toDF("__g", "id_a", "id_b", "sim")
-    // restore the group column's ORIGINAL type via its string form —
-    // the broadcast side is the #groups-row distinct table; null-safe
-    // equality so a null group (legal for direct callers — the grid
-    // treats it as one more key) round-trips instead of silently
-    // dropping its pairs in an equi-join
+    // restore the group column's ORIGINAL type via its encoded form —
+    // the broadcast side is the #groups-row distinct table; encGroup
+    // makes a null group (legal for direct callers — the grid treats
+    // it as one more key) a real non-null key, so it both survives the
+    // sort-based shuffle's key ordering and round-trips the join
+    // (<=> kept for belt-and-braces with legacy callers)
     val groups = ixMembers.select(col(groupCol))
       .unionByName(newMembers.select(col(groupCol))).distinct()
-      .withColumn("__g", col(groupCol).cast("string"))
+      .withColumn("__g", encGroup(col(groupCol)))
     pairs.join(broadcast(groups), pairs("__g") <=> groups("__g"))
       .select(groups(groupCol), col("id_a"), col("id_b"), col("sim"))
   }

@@ -40,21 +40,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * == Compaction (bounded sliver growth) ==
  * `compactEvery = K` (default 8) bounds live entry count without
  * unbounded write amplification, tiered LSM-style:
- *  - when K contiguous slivers accumulate they merge into ONE range
+ *  - when K live slivers accumulate, the K OLDEST merge into ONE range
  *    entry `c<lo>-<hi>` (cost: K batch-sized reads + one write —
  *    amortized one extra batch-write per batch);
- *  - when K contiguous ranges accumulate they merge into one bigger
+ *  - when K ranges accumulate, the K oldest merge into one bigger
  *    range (amortized another batch-write per batch).
- * Live entries therefore stay ≤ base + (K−1) ranges + (K−1) slivers,
+ * Live entries therefore stay ≤ base + (K−1) ranges + (K−1) slivers
+ * (plus covered entries awaiting the one-cycle deferred GC below),
  * and per-batch compaction work is O(batch) amortized — the per-batch
  * wall tracks DATA growth only (the delta scan's corpus-key pass),
  * never stream age (measured flat at N = 50, BENCH.md "Round 11").
  * Replay safety across compaction: a range `c<lo>-<hi>` durably
- * records that batches lo..hi are folded (only CONTIGUOUS runs merge,
- * so the interval is exact), and the replay guard honors it after the
- * member slivers are garbage-collected. `base` is never rewritten
- * in-place; [[compactArchive]] still offers the out-of-band full fold
- * into a fresh directory.
+ * records which batches are folded — value-contiguous merges record
+ * the exact interval in the name; non-contiguous merges (direct
+ * `processBatch` callers may use timestamps or any sparse id scheme)
+ * additionally commit a `folded` id manifest inside the range, so a
+ * gap id that was never folded is never misread as a replay — and the
+ * replay guard honors either form after the member slivers are
+ * garbage-collected. GC of covered entries is DEFERRED one compaction
+ * cycle so a concurrent reader's already-planned multi-path relation
+ * keeps its files for at least one batch interval; `base` is never
+ * rewritten in-place, and [[compactArchive]] still offers the
+ * out-of-band full fold into a fresh directory for readers that pin a
+ * snapshot longer.
  *
  * == Restart semantics ==
  * Structured Streaming may REPLAY a micro-batch after a failure. Both
@@ -92,16 +100,29 @@ object ArchiveDedup {
   }
 
   /** Folded-batch bookkeeping parsed from entry names: `b<id>` slivers
-    * and `c<lo>-<hi>` compacted ranges. */
+    * and `c<lo>-<hi>` compacted ranges. A range covers [lo, hi]
+    * EXCEPT when it carries a folded-id manifest (`folded` parquet,
+    * written when non-value-contiguous batch ids merge — direct
+    * `processBatch` callers may use timestamps or any sparse scheme):
+    * then coverage is exactly the manifest's ids, so a gap id that was
+    * never folded is never misread as a replay. */
   private[graft] final case class ArchiveState(slivers: Seq[Long],
-                                               ranges: Seq[(Long, Long)]) {
+                                               ranges: Seq[(Long, Long)],
+                                               manifests: Map[(Long, Long), Set[Long]]) {
     /** Ranges not contained in a larger range (containment can appear
-      * transiently if a crash interrupts post-merge GC). */
+      * transiently between a tier-2 merge and the next GC cycle). */
     def maximalRanges: Seq[(Long, Long)] = ranges.filterNot { r =>
       ranges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2)
     }.sortBy(_._1)
+    def coveredByRange(r: (Long, Long), id: Long): Boolean =
+      manifests.get(r).map(_.contains(id))
+        .getOrElse(r._1 <= id && id <= r._2)
     def covered(id: Long): Boolean =
-      maximalRanges.exists(r => r._1 <= id && id <= r._2)
+      maximalRanges.exists(r => coveredByRange(r, id))
+    /** Every id a range claims folded (manifest if present, else the
+      * full interval) — tier-2 merges of gapped ranges need the union. */
+    def idsOfRange(r: (Long, Long)): Seq[Long] =
+      manifests.get(r).map(_.toSeq.sorted).getOrElse(r._1 to r._2)
     /** Slivers whose fold is recorded only by their own directory. */
     def liveSlivers: Seq[Long] = slivers.filterNot(covered).sorted
     def lastFolded: Long =
@@ -109,17 +130,33 @@ object ArchiveDedup {
   }
 
   private val RangeName = "c(\\d+)-(\\d+)".r
+  // folded-id manifests are immutable once their range is committed —
+  // cache by path so stateOf (called several times per batch) reads
+  // each at most once per JVM
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Set[Long]]]()
+  private def manifestOf(spark: SparkSession, dir: String,
+                         lo: Long, hi: Long): Option[Set[Long]] =
+    manifestCache.computeIfAbsent(s"$dir/c$lo-$hi/folded", { path =>
+      val (fs, _) = hfs(spark, dir)
+      if (!fs.exists(new Path(path))) None
+      else Some(spark.read.parquet(path)
+        .select(col("id")).collect().map(_.getLong(0)).toSet)
+    })
   private def stateOf(spark: SparkSession, dir: String): ArchiveState = {
     val (fs, p) = hfs(spark, dir)
-    if (!fs.exists(p)) ArchiveState(Nil, Nil)
+    if (!fs.exists(p)) ArchiveState(Nil, Nil, Map.empty)
     else {
       val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      val ranges = names.collect { case RangeName(lo, hi) => (lo.toLong, hi.toLong) }
       ArchiveState(
         names.collect {
           case n if n.startsWith("b") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
             n.drop(1).toLong
         },
-        names.collect { case RangeName(lo, hi) => (lo.toLong, hi.toLong) })
+        ranges,
+        ranges.flatMap(r =>
+          manifestOf(spark, dir, r._1, r._2).map(r -> _)).toMap)
     }
   }
 
@@ -190,40 +227,73 @@ object ArchiveDedup {
     } else false
   }
 
-  /** Tiered auto-compaction (see class doc): merge K contiguous live
-    * slivers into a range; merge K contiguous ranges into one. Called
-    * after each fold; `compactEvery <= 0` disables. */
+  /** Tiered auto-compaction (see class doc): merge the K oldest live
+    * slivers into a range; merge the K oldest ranges into one. Batch
+    * ids need NOT be value-contiguous (direct `processBatch` callers
+    * may use timestamps or any sparse scheme) — a non-contiguous merge
+    * writes a folded-id manifest so the range's coverage claim stays
+    * exact. Called after each fold; `compactEvery <= 0` disables.
+    *
+    * GC of covered source entries is DEFERRED one cycle: this call
+    * first deletes entries that were already covered when it started
+    * (i.e. covered since at least the previous batch), then commits
+    * new merges without deleting their sources. A concurrent reader's
+    * multi-path relation therefore keeps its underlying files for at
+    * least one full batch interval after compaction folds them — the
+    * lazy-read window a `loadLatest` → action pair actually needs.
+    * (Readers that hold a snapshot across many batches should read a
+    * `compactArchive` copy instead — that path never deletes.) */
   private[graft] def maybeCompact(spark: SparkSession, dir: String,
                                   layout: Layout, compactEvery: Int): Unit = {
     if (compactEvery <= 0) return
     val st0 = stateOf(spark, dir)
-    val run = contiguousPrefixRun(st0.liveSlivers)
-    if (run.length >= compactEvery)
+    gcCoveredEntries(spark, dir, st0)
+    val live = st0.liveSlivers
+    if (live.length >= compactEvery) {
+      val oldest = live.take(compactEvery)
       mergeEntries(spark, dir, layout,
-        run.map(b => (s"b$b", b, b)))
+        oldest.map(b => (s"b$b", b, b)),
+        // per-sliver coverage is the sliver's own id: contiguous ids
+        // need no manifest (the [lo, hi] interval is exact)
+        if (isContiguous(oldest)) None else Some(oldest))
+    }
     val st1 = stateOf(spark, dir)
     val ranges = st1.maximalRanges
-    val rrun = ranges.indices.takeWhile { i =>
-      i == 0 || ranges(i)._1 == ranges(i - 1)._2 + 1
-    }.map(ranges)
-    if (rrun.length >= compactEvery)
+    if (ranges.length >= compactEvery) {
+      val oldest = ranges.take(compactEvery)
+      val ids = oldest.flatMap(st1.idsOfRange)
       mergeEntries(spark, dir, layout,
-        rrun.map { case (lo, hi) => (s"c$lo-$hi", lo, hi) })
+        oldest.map { case (lo, hi) => (s"c$lo-$hi", lo, hi) },
+        if (isContiguous(ids)) None else Some(ids))
+    }
   }
 
-  /** Longest run of consecutive ids from the head of a sorted seq —
-    * only CONTIGUOUS runs merge, so a range's [lo, hi] coverage claim
-    * is exact even for direct `processBatch` callers with gaps. */
-  private def contiguousPrefixRun(sorted: Seq[Long]): Seq[Long] =
-    sorted.indices.takeWhile(i => i == 0 || sorted(i) == sorted(i - 1) + 1)
-      .map(sorted)
+  private def isContiguous(sorted: Seq[Long]): Boolean =
+    sorted.isEmpty || sorted.last - sorted.head + 1 == sorted.length
 
-  /** Merge entries (name, lo, hi) into one committed range `c<lo>-<hi>`,
-    * then garbage-collect the now-covered sources. Crash-safe: the
-    * range rename is the commit; a crash mid-GC leaves covered entries
-    * that readers and the replay guard already ignore. */
+  /** Deferred GC (see [[maybeCompact]]): delete slivers covered by a
+    * maximal range and ranges contained in a larger one. Crash-safe:
+    * covered entries are already invisible to readers and the replay
+    * guard, so a crash mid-GC just leaves them for the next cycle. */
+  private def gcCoveredEntries(spark: SparkSession, dir: String,
+                               st: ArchiveState): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    st.slivers.filter(st.covered)
+      .foreach(b => fs.delete(new Path(s"$dir/b$b"), true))
+    val maximal = st.maximalRanges.toSet
+    st.ranges.filterNot(maximal)
+      .foreach { case (lo, hi) => fs.delete(new Path(s"$dir/c$lo-$hi"), true) }
+  }
+
+  /** Merge entries (name, lo, hi) into one committed range `c<lo>-<hi>`
+    * (with a folded-id manifest when the merged ids are not the full
+    * interval). Sources are NOT deleted here — see the deferred-GC
+    * contract on [[maybeCompact]]. Crash-safe: the range rename is the
+    * commit; a crash beforehand leaves only the sources. */
   private def mergeEntries(spark: SparkSession, dir: String, layout: Layout,
-                           entries: Seq[(String, Long, Long)]): Unit = {
+                           entries: Seq[(String, Long, Long)],
+                           foldedIds: Option[Seq[Long]]): Unit = {
+    import spark.implicits._
     val lo = entries.map(_._2).min
     val hi = entries.map(_._3).max
     val srcDirs = entries.map(e => s"$dir/${e._1}")
@@ -236,9 +306,9 @@ object ArchiveDedup {
       // self-contained index snapshot (loadMinhashIndex on a range works)
       spark.read.parquet(s"$dir/base/${layout.paramsFile}")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/${layout.paramsFile}")
+      foldedIds.foreach(ids => ids.toDF("id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded"))
     }
-    val (fs, _) = hfs(spark, dir)
-    entries.foreach(e => fs.delete(new Path(s"$dir/${e._1}"), true))
   }
 
   /** Persist a drift-probe row under `driftDir/batch_id=<id>` and warn
@@ -418,8 +488,13 @@ object ArchiveDedup {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
+    // replay verification compares against the STORED sliver's ids, and
+    // the index build drops null-vector rows — the expected id set must
+    // apply the same filter or a legitimate replay of a batch carrying
+    // null vectors would be misread as a checkpoint reset
     if (alreadyFolded(spark, archiveDir, batchId,
-        b.select(col(idCol).cast("long").as("id")).distinct(), CosineLayout))
+        b.where(col(vecCol).isNotNull)
+          .select(col(idCol).cast("long").as("id")).distinct(), CosineLayout))
       return
     val (ix, _) = loadLatestCosine(spark, archiveDir)
     Dedup.cosineDeltaPairs(ix, b, idCol, vecCol, threshold, exactLimit)
@@ -508,17 +583,27 @@ object ArchiveDedup {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
+    // same null-vector filter as the cosine twin: members stores only
+    // assignable rows
     if (alreadyFolded(spark, archiveDir, batchId,
-        b.select(col(idCol).cast("long").as("id")).distinct(), SemanticLayout))
+        b.where(col(vecCol).isNotNull)
+          .select(col(idCol).cast("long").as("id")).distinct(), SemanticLayout))
       return
     val (ix, _) = loadLatestSemantic(spark, archiveDir)
-    Dedup.semanticDeltaPairs(ix, b, idCol, vecCol, threshold)
+    // ONE argmin pass feeds pairs, drift probe, and the sliver fold —
+    // assignment is a pure function of vector + pinned centroids, so
+    // sharing the materialized frame is exact (and the guard runs on
+    // the raw batch exactly as the public operator would)
+    Dedup.requireDeltaDisjoint(ix.members.select(col("id")), b, idCol,
+      "processSemanticBatch")
+    val asg = Dedup.assignMembers(b, idCol, vecCol, ix.centroids)
+      .localCheckpoint()
+    Dedup.semanticDeltaPairsAssigned(ix, asg, threshold)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
     driftDir.foreach(d => emitDrift(d, batchId, "semantic",
-      Dedup.semanticDriftProbe(ix, b, idCol, vecCol)))
+      Dedup.semanticDriftProbeAssigned(ix, asg)))
     commitEntry(spark, archiveDir, s"b$batchId") { tmp =>
-      Dedup.saveSemanticIndex(
-        Dedup.buildSemanticIndex(b, idCol, vecCol, ix.centroids), tmp)
+      Dedup.saveSemanticIndex(Dedup.SemanticIndex(asg, ix.centroids), tmp)
     }
     maybeCompact(spark, archiveDir, SemanticLayout, compactEvery)
   }

@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
  * pair build (`embeddingNearDupPairs` at 0.9, the auto-LSH route — the
  * dedup family's measured shuffle floor) under
  *
- *  - `groupByKey` (the production form: spillable map-side buffers), vs
+ *  - `groupByKey` (the legacy form: spillable per-key read-side
+ *    buffers; production until round 11), vs
  *  - `repartitionAndSortWithinPartitions` + streamed sorted runs
- *    (sort-based grouping, no per-key buffering on the read side),
+ *    (sort-based grouping, no per-key buffering on the read side —
+ *    the production default since round 11),
  *
  * toggled via `graft.grid.sortShuffle` between phases in ONE JVM so
  * page cache / JIT / GC state is shared, each under [[Timing]]'s

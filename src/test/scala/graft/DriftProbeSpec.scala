@@ -157,6 +157,34 @@ class DriftProbeSpec extends AnyFunSuite {
       s"live baseline absorbs the appended wave (pinned=$pinnedProbe live=$liveProbe)")
   }
 
+  test("probes stay quiet (not NPE) on empty and single-row deltas") {
+    val dim = 8
+    val cents = Array(Array.fill(dim)(1f), Array.fill(dim)(-1f))
+    val seed = gauss(30, 200, dim).toDF("vec_id", "embedding")
+    val six = Dedup.buildSemanticIndex(
+      seed.limit(50), "vec_id", "embedding", cents)
+    val cix = Dedup.buildCosineIndex(seed, "vec_id", "embedding",
+      numBits = 6, bands = 2)
+    val mix = Dedup.buildMinhashIndex(
+      (0 until 50).map(i => (i.toLong, s"words for document $i repeated"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(!Dedup.semanticDriftProbe(six, empty, "vec_id", "embedding")
+      .head().getAs[Boolean]("rebuild_recommended"))
+    assert(!Dedup.cosineDriftProbe(cix, empty, "vec_id", "embedding")
+      .head().getAs[Boolean]("rebuild_recommended"))
+    assert(!Dedup.minhashDriftProbe(mix, emptyDocs, "doc_id", "text")
+      .head().getAs[Boolean]("rebuild_recommended"))
+    // a single healthy vector against a 200-row seed: its top bucket is
+    // a singleton, so share-vs-share reads huge but the absolute
+    // occupancy floor keeps the skew trip quiet
+    val one = gauss(31, 1, dim).toDF("vec_id", "embedding")
+    val r = Dedup.cosineDriftProbe(cix, one, "vec_id", "embedding").head()
+    assert(!r.getAs[Boolean]("rebuild_recommended"),
+      s"single-row batch must not trip the skew floor: $r")
+  }
+
   test("archive seeds pin the baseline; loadLatest carries it into per-batch probes") {
     val dim = 8
     val cents = Array(Array.fill(dim)(1f), Array.fill(dim)(-1f))

@@ -131,4 +131,36 @@ class SemanticDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === want)
   }
+
+  test("null groups survive the grouped grid: keyed, scanned, and restored as null") {
+    // nulls must neither NPE the sort-based cell ordering nor be
+    // silently dropped by the group restore join — a null group is one
+    // more group, paired within itself only
+    val df = planted(60, 8, 10)
+      .withColumn("grp", when(col("id") % 2 === 0, lit("even")).otherwise(lit(null)))
+    for (fn <- Seq(
+        () => SimilarityJoin.groupedThresholdPairs(df, "grp", "id", "vec", 0.8)
+          .select(col("grp"), col("id_a"), col("id_b")),
+        () => SimilarityJoin.groupedTopPairs(df, "grp", "id", "vec", k = 5)
+          .select(col("grp"), col("id_a"), col("id_b")))) {
+      val rows = fn().collect()
+      assert(rows.nonEmpty)
+      val nullRows = rows.filter(_.isNullAt(0))
+      assert(nullRows.nonEmpty, "the null group's own pairs must be emitted")
+      // every pair in the null group is odd×odd (the null members)
+      nullRows.foreach(r =>
+        assert(r.getLong(1) % 2 != 0 && r.getLong(2) % 2 != 0, r.toString))
+    }
+    // delta form: a null-group delta member pairs against null-group
+    // archived members and the group round-trips as null
+    val asg = df.select(col("grp"), col("id"), col("vec").as("v"))
+    val oldSide = asg.where(col("id") < 100000L)
+    val newSide = asg.where(col("id") >= 100000L)
+    val delta = SimilarityJoin.groupedThresholdPairsDelta(
+      oldSide, newSide, "grp", "id", "v", 0.8)
+    val dNull = delta.where(col("grp").isNull).count()
+    val dAll = delta.count()
+    assert(dAll > 0)
+    assert(dNull > 0, "null-group delta pairs must survive the restore join")
+  }
 }
