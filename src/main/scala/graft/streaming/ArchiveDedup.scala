@@ -64,6 +64,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * out-of-band full fold into a fresh directory for readers that pin a
  * snapshot longer.
  *
+ * == Reseed generations (acting on drift) ==
+ * The drift probes report when the generation's PINNED parameters stop
+ * fitting the incoming data; a reseed ACTS on that: rebuild the whole
+ * index from the archive's own payload with re-fitted parameters
+ * (cosine: re-auto-sized widths + rotated hyperplane seed; semantic:
+ * re-fitted centroids) and commit it atomically as `r<batchId>` — a
+ * full self-contained generation carrying new params, a fresh pinned
+ * drift baseline, and a `folded` manifest of every batch id it covers.
+ * Readers flip to the newest generation; entries it supersedes
+ * (including `base` and older generations) GC one compaction cycle
+ * later; pairs already emitted remain valid — only FUTURE batches gain
+ * the restored recall/cost model. The embedding sinks can trigger this
+ * automatically (`autoReseedAfter = n`: n CONSECUTIVE persisted probe
+ * trips since the last reseed — durable, replay-safe, re-fires after a
+ * crash between fold and reseed). The minhash archive stores only
+ * hashed shingles, so its reseed ([[reseedMinhashArchive]]) is
+ * out-of-band and needs the raw corpus, verified against the archived
+ * id set.
+ *
  * == Restart semantics ==
  * Structured Streaming may REPLAY a micro-batch after a failure. Both
  * effects are idempotent per batchId — pairs land in a
@@ -99,45 +118,66 @@ object ArchiveDedup {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Folded-batch bookkeeping parsed from entry names: `b<id>` slivers
-    * and `c<lo>-<hi>` compacted ranges. A range covers [lo, hi]
-    * EXCEPT when it carries a folded-id manifest (`folded` parquet,
-    * written when non-value-contiguous batch ids merge — direct
-    * `processBatch` callers may use timestamps or any sparse scheme):
-    * then coverage is exactly the manifest's ids, so a gap id that was
-    * never folded is never misread as a replay. */
+  /** Folded-batch bookkeeping parsed from entry names: `b<id>` slivers,
+    * `c<lo>-<hi>` compacted ranges, and `r<id>` reseed generations. A
+    * range covers [lo, hi] EXCEPT when it carries a folded-id manifest
+    * (`folded` parquet, written when non-value-contiguous batch ids
+    * merge — direct `processBatch` callers may use timestamps or any
+    * sparse scheme): then coverage is exactly the manifest's ids, so a
+    * gap id that was never folded is never misread as a replay. A
+    * reseed ALWAYS carries a manifest (it folds whatever was live when
+    * it committed) and supersedes `base` and every entry it covers —
+    * see the "Reseed generations" section of the class doc. */
   private[graft] final case class ArchiveState(slivers: Seq[Long],
                                                ranges: Seq[(Long, Long)],
-                                               manifests: Map[(Long, Long), Set[Long]]) {
+                                               manifests: Map[(Long, Long), Set[Long]],
+                                               reseeds: Seq[(Long, Set[Long])] = Nil) {
     /** Ranges not contained in a larger range (containment can appear
       * transiently between a tier-2 merge and the next GC cycle). */
     def maximalRanges: Seq[(Long, Long)] = ranges.filterNot { r =>
       ranges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2)
     }.sortBy(_._1)
+    /** The generation readers see: the newest reseed, if any. */
+    def latestReseed: Option[(Long, Set[Long])] =
+      if (reseeds.isEmpty) None else Some(reseeds.maxBy(_._1))
+    private def reseedCovered(id: Long): Boolean =
+      latestReseed.exists(_._2.contains(id))
     def coveredByRange(r: (Long, Long), id: Long): Boolean =
       manifests.get(r).map(_.contains(id))
         .getOrElse(r._1 <= id && id <= r._2)
     def covered(id: Long): Boolean =
-      maximalRanges.exists(r => coveredByRange(r, id))
+      reseedCovered(id) || maximalRanges.exists(r => coveredByRange(r, id))
     /** Every id a range claims folded (manifest if present, else the
       * full interval) — tier-2 merges of gapped ranges need the union. */
     def idsOfRange(r: (Long, Long)): Seq[Long] =
       manifests.get(r).map(_.toSeq.sorted).getOrElse(r._1 to r._2)
     /** Slivers whose fold is recorded only by their own directory. */
     def liveSlivers: Seq[Long] = slivers.filterNot(covered).sorted
+    /** Ranges a reader must still union: maximal AND not wholly folded
+      * into the latest reseed generation. */
+    def liveRanges: Seq[(Long, Long)] =
+      maximalRanges.filterNot(r => idsOfRange(r).forall(reseedCovered))
+    /** Every batch id durably folded anywhere — what a new reseed's
+      * manifest must claim. Batch ids, not row ids: bounded by stream
+      * age in batches, driver-sized by construction. */
+    def allFoldedIds: Set[Long] =
+      latestReseed.map(_._2).getOrElse(Set.empty) ++
+        ranges.flatMap(idsOfRange) ++ slivers
     def lastFolded: Long =
-      (slivers ++ ranges.map(_._2)).foldLeft(-1L)(math.max)
+      (slivers ++ ranges.map(_._2) ++
+        reseeds.flatMap(r => r._2 + r._1)).foldLeft(-1L)(math.max)
   }
 
   private val RangeName = "c(\\d+)-(\\d+)".r
-  // folded-id manifests are immutable once their range is committed —
+  private val ReseedName = "r(\\d+)".r
+  // folded-id manifests are immutable once their entry is committed —
   // cache by path so stateOf (called several times per batch) reads
   // each at most once per JVM
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Set[Long]]]()
   private def manifestOf(spark: SparkSession, dir: String,
-                         lo: Long, hi: Long): Option[Set[Long]] =
-    manifestCache.computeIfAbsent(s"$dir/c$lo-$hi/folded", { path =>
+                         entry: String): Option[Set[Long]] =
+    manifestCache.computeIfAbsent(s"$dir/$entry/folded", { path =>
       val (fs, _) = hfs(spark, dir)
       if (!fs.exists(new Path(path))) None
       else Some(spark.read.parquet(path)
@@ -156,18 +196,29 @@ object ArchiveDedup {
         },
         ranges,
         ranges.flatMap(r =>
-          manifestOf(spark, dir, r._1, r._2).map(r -> _)).toMap)
+          manifestOf(spark, dir, s"c${r._1}-${r._2}").map(r -> _)).toMap,
+        names.collect { case ReseedName(id) =>
+          // a reseed commits its manifest inside the entry (the rename
+          // is atomic), so a missing one means a truncated copy — treat
+          // it as covering nothing rather than guessing
+          (id.toLong,
+            manifestOf(spark, dir, s"r$id").getOrElse(Set.empty[Long]))
+        })
     }
   }
 
-  /** All directories a reader must union: base + maximal ranges + live
-    * slivers (each self-contained under the base's pinned params). */
-  private def liveEntryDirs(spark: SparkSession, dir: String): Seq[String] = {
-    val st = stateOf(spark, dir)
-    s"$dir/base" +:
-      (st.maximalRanges.map { case (lo, hi) => s"$dir/c$lo-$hi" } ++
+  /** The directory holding the CURRENT generation's pinned parameters
+    * and drift baseline: the newest reseed, or day-0's `base`. */
+  private def baseDirOf(dir: String, st: ArchiveState): String =
+    st.latestReseed.map(r => s"$dir/r${r._1}").getOrElse(s"$dir/base")
+
+  /** All directories a reader must union: current generation + live
+    * ranges + live slivers (each self-contained under the generation's
+    * pinned params). */
+  private def entryDirsOf(dir: String, st: ArchiveState): Seq[String] =
+    baseDirOf(dir, st) +:
+      (st.liveRanges.map { case (lo, hi) => s"$dir/c$lo-$hi" } ++
         st.liveSlivers.map(b => s"$dir/b$b"))
-  }
 
   /** One multi-path parquet relation over every live entry's copy of a
     * component — O(1) plan nodes however old the stream is. */
@@ -220,7 +271,7 @@ object ArchiveDedup {
       true
     } else if (stateOf(spark, archiveDir).covered(batchId)) {
       log.warn(s"ArchiveDedup: batch $batchId is covered by a compacted " +
-        s"range in $archiveDir — skipping as a replay. If this stream was " +
+        s"range or reseed generation in $archiveDir — skipping as a replay. If this stream was " +
         "restarted WITHOUT its checkpointLocation this skip is dropping " +
         "data; always restart with the original checkpoint.")
       true
@@ -272,17 +323,25 @@ object ArchiveDedup {
     sorted.isEmpty || sorted.last - sorted.head + 1 == sorted.length
 
   /** Deferred GC (see [[maybeCompact]]): delete slivers covered by a
-    * maximal range and ranges contained in a larger one. Crash-safe:
-    * covered entries are already invisible to readers and the replay
-    * guard, so a crash mid-GC just leaves them for the next cycle. */
+    * maximal range or by the latest reseed, ranges contained in a
+    * larger one or wholly folded into the latest reseed, and superseded
+    * generations (`base` / older reseeds) once a newer reseed exists.
+    * Crash-safe: covered entries are already invisible to readers and
+    * the replay guard, so a crash mid-GC just leaves them for the next
+    * cycle. */
   private def gcCoveredEntries(spark: SparkSession, dir: String,
                                st: ArchiveState): Unit = {
     val (fs, _) = hfs(spark, dir)
     st.slivers.filter(st.covered)
       .foreach(b => fs.delete(new Path(s"$dir/b$b"), true))
-    val maximal = st.maximalRanges.toSet
-    st.ranges.filterNot(maximal)
+    val live = st.liveRanges.toSet
+    st.ranges.filterNot(live)
       .foreach { case (lo, hi) => fs.delete(new Path(s"$dir/c$lo-$hi"), true) }
+    st.latestReseed.foreach { case (newest, _) =>
+      fs.delete(new Path(s"$dir/base"), true)
+      st.reseeds.map(_._1).filter(_ != newest)
+        .foreach(id => fs.delete(new Path(s"$dir/r$id"), true))
+    }
   }
 
   /** Merge entries (name, lo, hi) into one committed range `c<lo>-<hi>`
@@ -302,28 +361,87 @@ object ArchiveDedup {
         spark.read.parquet(srcDirs.map(d => s"$d/$c"): _*)
           .write.mode("overwrite").parquet(s"$tmp/$c")
       }
-      // copy the pinned params from base so every entry dir is a
-      // self-contained index snapshot (loadMinhashIndex on a range works)
-      spark.read.parquet(s"$dir/base/${layout.paramsFile}")
+      // copy the pinned params from the CURRENT generation so every
+      // entry dir is a self-contained index snapshot (loadMinhashIndex
+      // on a range works) — only live (post-reseed) slivers ever merge,
+      // so the generation's params are the ones they were built under
+      spark.read
+        .parquet(s"${baseDirOf(dir, stateOf(spark, dir))}/${layout.paramsFile}")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/${layout.paramsFile}")
       foldedIds.foreach(ids => ids.toDF("id")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded"))
     }
   }
 
-  /** Persist a drift-probe row under `driftDir/batch_id=<id>` and warn
+  /** Persist a drift-probe row under `driftDir/batch_id=<id>`, warn
     * LOUDLY when it recommends a rebuild — a parquet row nobody reads
-    * is not an alert. The probe frames are driver-local one-row DFs,
-    * so the head() costs nothing extra. */
+    * is not an alert — and return whether it tripped (the auto-reseed
+    * trigger consumes this). The probe frames are driver-local one-row
+    * DFs, so the head() costs nothing extra. */
   private def emitDrift(driftDir: String, batchId: Long, family: String,
-                        probe: org.apache.spark.sql.DataFrame): Unit = {
+                        probe: org.apache.spark.sql.DataFrame): Boolean = {
     probe.write.mode("overwrite").parquet(s"$driftDir/batch_id=$batchId")
     val r = probe.head()
-    if (r.getAs[Boolean]("rebuild_recommended"))
+    val tripped = r.getAs[Boolean]("rebuild_recommended")
+    if (tripped)
       log.warn(s"ArchiveDedup($family): drift probe at batch $batchId " +
         s"recommends a REBUILD — the pinned seed parameters no longer fit " +
-        s"the incoming data: $r (reseed a fresh archive and repoint the " +
-        "stream; pairs already written remain valid)")
+        s"the incoming data: $r (pairs already written remain valid; " +
+        "embedding sinks can reseed IN PLACE automatically via " +
+        "autoReseedAfter, or call reseed*Archive out-of-band)")
+    tripped
+  }
+
+  /** Auto-reseed trigger: the CURRENT batch's probe tripped — reseed
+    * when the previous `after - 1` persisted probes since the last
+    * reseed ALSO tripped (consecutive trips distinguish real
+    * distribution shift from one family-concentrated batch; see the
+    * honest-firing note in BENCH.md "Round 11"). Durable by
+    * construction: the decision reads the probe rows the stream already
+    * persists, so it survives restarts and re-fires after a crash
+    * between sliver commit and reseed commit (at-least-eventually). */
+  private def shouldReseed(spark: SparkSession, driftDir: String,
+                           batchId: Long, lastReseed: Long,
+                           after: Int): Boolean = {
+    if (after <= 1) return true
+    val (fs, p) = hfs(spark, driftDir)
+    if (!fs.exists(p)) return false
+    val prior = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch_id=") => s.drop(9).toLong }
+      .filter(id => id > lastReseed && id < batchId).sorted
+      .takeRight(after - 1)
+    prior.length == after - 1 && prior.forall { id =>
+      scala.util.Try(spark.read.parquet(s"$driftDir/batch_id=$id").head()
+        .getAs[Boolean]("rebuild_recommended")).getOrElse(false)
+    }
+  }
+
+  /** Commit a reseed generation `r<atBatch>`: `write` fills the temp
+    * dir with a full self-contained index (components + params +
+    * freshly pinned drift baseline), then the folded-batch manifest is
+    * added and the rename commits — readers flip to the new generation
+    * atomically. Idempotent: an existing `r<atBatch>` (crash-and-retry,
+    * double invocation) skips with a warning instead of racing the
+    * rename. */
+  private def commitReseed(spark: SparkSession, dir: String, atBatch: Long,
+                           folded: Set[Long], family: String)
+                          (write: String => Unit): Unit = {
+    import spark.implicits._
+    val (fs, _) = hfs(spark, dir)
+    if (fs.exists(new Path(s"$dir/r$atBatch"))) {
+      log.warn(s"ArchiveDedup($family): reseed generation r$atBatch " +
+        s"already exists in $dir — skipping (replay or double invocation)")
+      return
+    }
+    commitEntry(spark, dir, s"r$atBatch") { tmp =>
+      write(tmp)
+      folded.toSeq.sorted.toDF("id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
+    }
+    log.warn(s"ArchiveDedup($family): committed reseed generation " +
+      s"r$atBatch in $dir — parameters re-fitted to the cumulative " +
+      s"corpus (${folded.size} batches folded); superseded entries are " +
+      "GC'd one compaction cycle later; pairs already written remain valid")
   }
 
   private def warnIfNoCheckpoint(checkpoint: Option[String], sink: String): Unit =
@@ -352,18 +470,21 @@ object ArchiveDedup {
       spark)
   }
 
-  /** (live index = base ∪ every live entry, last folded batchId or -1). */
+  /** (live index = current generation ∪ every live entry, last folded
+    * batchId or -1). */
   private[graft] def loadLatest(spark: SparkSession,
                                 dir: String): (Dedup.MinhashIndex, Long) = {
-    val p = spark.read.parquet(s"$dir/base/params").head()
-    val dirs = liveEntryDirs(spark, dir)
+    val st = stateOf(spark, dir)
+    val base = baseDirOf(dir, st)
+    val p = spark.read.parquet(s"$base/params").head()
+    val dirs = entryDirsOf(dir, st)
     (Dedup.MinhashIndex(
       readComponent(spark, dirs, "buckets").select(col("bkt"), col("id")),
       readComponent(spark, dirs, "sets").select(col("id"), col("sh")),
       p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
       p.getAs[Int]("shingle_len"),
-      Dedup.loadDriftBaseline(spark, s"$dir/base")),
-      stateOf(spark, dir).lastFolded)
+      Dedup.loadDriftBaseline(spark, base)),
+      st.lastFolded)
   }
 
   /** Fold every entry into a fresh self-contained base at `dstDir`
@@ -373,6 +494,41 @@ object ArchiveDedup {
   def compactArchive(spark: SparkSession, dir: String, dstDir: String): Unit = {
     val (live, _) = loadLatest(spark, dir)
     Dedup.saveMinhashIndex(live, s"$dstDir/base")
+  }
+
+  /** Out-of-band minhash reseed under NEW widths: unlike the embedding
+    * twins, the archive stores only HASHED shingles — re-banding needs
+    * the RAW corpus, so the caller supplies the full current document
+    * set (VERIFIED against the archived id set: a partial corpus would
+    * silently shrink dedup coverage). Commits generation
+    * `r<lastFolded>` like [[reseedCosineArchive]]; the stream keeps
+    * running against the same dir and later slivers band under the new
+    * widths. */
+  def reseedMinhashArchive(corpus: DataFrame, dir: String, idCol: String,
+                           textCol: String, numHashes: Int = 16,
+                           bands: Int = 4, shingleLen: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    val st = stateOf(spark, dir)
+    require(st.lastFolded >= 0L,
+      s"reseedMinhashArchive: no batches folded in $dir yet — reseed the " +
+        "base out-of-band with seedArchive into a fresh dir instead")
+    val (ix, _) = loadLatest(spark, dir)
+    val ids = corpus.select(col(idCol).cast("long").as("id")).distinct()
+    val archived = ix.sets.select(col("id"))
+    val mismatch = archived.except(ids)
+      .unionByName(ids.except(archived)).limit(1)
+    require(mismatch.isEmpty,
+      s"reseedMinhashArchive: the supplied corpus's ids differ from the " +
+        s"archived id set of $dir — a reseed must cover EXACTLY the " +
+        "archived documents (pass the full current document set)")
+    val nix = Dedup.buildMinhashIndex(corpus, idCol, textCol,
+      numHashes, bands, shingleLen)
+    commitReseed(spark, dir, st.lastFolded, st.allFoldedIds, "minhash") { tmp =>
+      Dedup.saveMinhashIndex(nix, tmp)
+      Dedup.saveDriftBaseline(tmp,
+        Dedup.pinDriftBaseline(Dedup.loadMinhashIndex(spark, tmp)).baseline,
+        spark)
+    }
   }
 
   /** One micro-batch, exposed for direct testing (and for callers
@@ -459,32 +615,73 @@ object ArchiveDedup {
       spark)
   }
 
-  /** (live cosine index = base ∪ every live entry, last batchId or -1). */
+  /** (live cosine index = current generation ∪ every live entry, last
+    * batchId or -1). */
   private[graft] def loadLatestCosine(spark: SparkSession,
                                       dir: String): (Dedup.CosineIndex, Long) = {
-    val p = spark.read.parquet(s"$dir/base/params").head()
-    val dirs = liveEntryDirs(spark, dir)
+    val st = stateOf(spark, dir)
+    val base = baseDirOf(dir, st)
+    val p = spark.read.parquet(s"$base/params").head()
+    val dirs = entryDirsOf(dir, st)
     (Dedup.CosineIndex(
       readComponent(spark, dirs, "buckets").select(col("bkt"), col("id")),
       readComponent(spark, dirs, "vecs").select(col("id"), col("v")),
       p.getAs[Int]("num_bits"), p.getAs[Int]("bands"),
       p.getAs[Int]("dim"), p.getAs[Long]("seed"),
-      Dedup.loadDriftBaseline(spark, s"$dir/base")),
-      stateOf(spark, dir).lastFolded)
+      Dedup.loadDriftBaseline(spark, base)),
+      st.lastFolded)
+  }
+
+  /** Reseed the cosine archive IN PLACE from its own payload: rebuild
+    * the full index from the archived vectors with widths re-auto-sized
+    * at the cumulative corpus and a rotated hyperplane seed, pin a
+    * fresh drift baseline, and commit as generation `r<lastFolded>`.
+    * Readers and later batches flip atomically; superseded entries GC
+    * one compaction cycle later; pairs already written remain valid.
+    * Callable out-of-band, or automatic via the sink's
+    * `autoReseedAfter`. Cost ≈ one seed build over the cumulative
+    * corpus — the price of restoring the bucket-cost model the drift
+    * probe saw decaying. */
+  def reseedCosineArchive(spark: SparkSession, dir: String): Unit = {
+    val st = stateOf(spark, dir)
+    require(st.lastFolded >= 0L,
+      s"reseedCosineArchive: no batches folded in $dir yet — nothing to reseed")
+    reseedCosine(spark, dir, st, st.lastFolded)
+  }
+
+  private def reseedCosine(spark: SparkSession, dir: String,
+                           st: ArchiveState, atBatch: Long): Unit = {
+    val (ix, _) = loadLatestCosine(spark, dir)
+    // dim never drifts; widths re-auto-size at the CUMULATIVE corpus
+    // row count, and the rotated seed re-randomizes the hyperplanes
+    // against whatever orientation collapsed the old buckets
+    val nix = Dedup.buildCosineIndex(ix.vecs.select(col("id"), col("v")),
+      "id", "v", dim = ix.dim, seed = ix.seed + atBatch + 1L)
+    commitReseed(spark, dir, atBatch, st.allFoldedIds, "cosine") { tmp =>
+      Dedup.saveCosineIndex(nix, tmp)
+      // baseline from the SAVED frames, as at seed time
+      Dedup.saveDriftBaseline(tmp,
+        Dedup.pinDriftBaseline(Dedup.loadCosineIndex(spark, tmp)).baseline,
+        spark)
+    }
   }
 
   /** One embedding micro-batch: cosine-dedup against the live archive,
     * write pairs under `batch_id=<id>`, commit the batch's sliver
-    * (signatures + vectors under the base's pinned widths),
+    * (signatures + vectors under the generation's pinned widths),
     * auto-compact, optionally emit a drift probe. Replay-safe like
-    * [[processBatch]]. */
+    * [[processBatch]]. `autoReseedAfter = n > 0` (requires `driftDir`)
+    * additionally triggers [[reseedCosineArchive]] IN-LOOP once n
+    * consecutive probes recommend a rebuild — the archive re-fits its
+    * own parameters and the stream keeps running. */
   private[graft] def processCosineBatch(batch: DataFrame, batchId: Long,
                                         archiveDir: String, pairsDir: String,
                                         idCol: String, vecCol: String,
                                         threshold: Double,
                                         exactLimit: Long = 10000L,
                                         compactEvery: Int = 8,
-                                        driftDir: Option[String] = None): Unit = {
+                                        driftDir: Option[String] = None,
+                                        autoReseedAfter: Int = 0): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
@@ -499,7 +696,7 @@ object ArchiveDedup {
     val (ix, _) = loadLatestCosine(spark, archiveDir)
     Dedup.cosineDeltaPairs(ix, b, idCol, vecCol, threshold, exactLimit)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    driftDir.foreach(d => emitDrift(d, batchId, "cosine",
+    val tripped = driftDir.exists(d => emitDrift(d, batchId, "cosine",
       Dedup.cosineDriftProbe(ix, b, idCol, vecCol)))
     commitEntry(spark, archiveDir, s"b$batchId") { tmp =>
       Dedup.saveCosineIndex(
@@ -507,22 +704,39 @@ object ArchiveDedup {
           ix.numBits, ix.bands, ix.dim, ix.seed), tmp)
     }
     maybeCompact(spark, archiveDir, CosineLayout, compactEvery)
+    // reseed AFTER the sliver commit so the new generation folds this
+    // batch too; the decision reads only persisted probe rows, so a
+    // crash here re-fires on the next tripped batch (at-least-eventually)
+    if (tripped && autoReseedAfter > 0) {
+      val st = stateOf(spark, archiveDir)
+      val lastR = st.reseeds.map(_._1).foldLeft(-1L)(math.max)
+      if (shouldReseed(spark, driftDir.get, batchId, lastR, autoReseedAfter))
+        reseedCosine(spark, archiveDir, st, batchId)
+    }
   }
 
-  /** Start the embedding stream: per-batch cosine archive dedup + fold. */
+  /** Start the embedding stream: per-batch cosine archive dedup + fold.
+    * `autoReseedAfter = n > 0` (with `driftDir` set) re-fits the
+    * archive's own parameters in-loop after n consecutive drift trips —
+    * see [[reseedCosineArchive]]. */
   def cosineArchiveDedupSink(vecs: DataFrame, archiveDir: String,
                              pairsDir: String, idCol: String, vecCol: String,
                              threshold: Double = 0.9,
                              exactLimit: Long = 10000L,
                              checkpoint: Option[String] = None,
                              compactEvery: Int = 8,
-                             driftDir: Option[String] = None): StreamingQuery = {
+                             driftDir: Option[String] = None,
+                             autoReseedAfter: Int = 0): StreamingQuery = {
     warnIfNoCheckpoint(checkpoint, "cosineArchiveDedupSink")
+    require(autoReseedAfter <= 0 || driftDir.nonEmpty,
+      "cosineArchiveDedupSink: autoReseedAfter needs driftDir — the " +
+        "trigger reads the persisted probe rows")
     val w = vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processCosineBatch(batch, batchId, archiveDir, pairsDir,
-          idCol, vecCol, threshold, exactLimit, compactEvery, driftDir)
+          idCol, vecCol, threshold, exactLimit, compactEvery, driftDir,
+          autoReseedAfter)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
@@ -554,32 +768,68 @@ object ArchiveDedup {
       spark)
   }
 
-  /** (live semantic index = base ∪ every live entry, last batchId or
-    * -1); centroids come from base — every sliver assigned under them. */
+  /** (live semantic index = current generation ∪ every live entry, last
+    * batchId or -1); centroids come from the generation dir — every
+    * LIVE sliver was assigned under them (a reseed re-assigns the whole
+    * corpus, so pre-reseed slivers never mix in). */
   private[graft] def loadLatestSemantic(spark: SparkSession,
                                         dir: String): (Dedup.SemanticIndex, Long) = {
-    val cents = spark.read.parquet(s"$dir/base/centroids")
+    val st = stateOf(spark, dir)
+    val base = baseDirOf(dir, st)
+    val cents = spark.read.parquet(s"$base/centroids")
       .orderBy(col("idx")).collect()
       .map(_.getSeq[Float](1).toArray)
-    val dirs = liveEntryDirs(spark, dir)
+    val dirs = entryDirsOf(dir, st)
     (Dedup.SemanticIndex(
       readComponent(spark, dirs, "members")
         .select(col("id"), col("cluster"), col("v")), cents,
-      Dedup.loadDriftBaseline(spark, s"$dir/base")),
-      stateOf(spark, dir).lastFolded)
+      Dedup.loadDriftBaseline(spark, base)),
+      st.lastFolded)
+  }
+
+  /** Reseed the semantic archive IN PLACE from its own payload: re-fit
+    * k centroids (same k, fresh KMeans seed) on the cumulative member
+    * vectors, re-assign every member under them, pin a fresh baseline,
+    * and commit as generation `r<lastFolded>` — the semantic twin of
+    * [[reseedCosineArchive]]. This is exactly the rebuild the probe's
+    * Scaladoc prescribes (pinned centroids make in-place recentering
+    * impossible by design), run against the archive's own vectors.
+    * Cost ≈ one KMeans sample fit + one full-corpus assignment pass. */
+  def reseedSemanticArchive(spark: SparkSession, dir: String): Unit = {
+    val st = stateOf(spark, dir)
+    require(st.lastFolded >= 0L,
+      s"reseedSemanticArchive: no batches folded in $dir yet — nothing to reseed")
+    reseedSemantic(spark, dir, st, st.lastFolded)
+  }
+
+  private def reseedSemantic(spark: SparkSession, dir: String,
+                             st: ArchiveState, atBatch: Long): Unit = {
+    val (ix, _) = loadLatestSemantic(spark, dir)
+    val members = ix.members.select(col("id"), col("v"))
+    val cents = graft.operators.Clustering.fitCentroids(
+      members, "v", ix.centroids.length, seed = atBatch + 43L)
+    val nix = Dedup.buildSemanticIndex(members, "id", "v", cents)
+    commitReseed(spark, dir, atBatch, st.allFoldedIds, "semantic") { tmp =>
+      Dedup.saveSemanticIndex(nix, tmp)
+      Dedup.saveDriftBaseline(tmp,
+        Dedup.pinDriftBaseline(Dedup.loadSemanticIndex(spark, tmp)).baseline,
+        spark)
+    }
   }
 
   /** One embedding micro-batch against the semantic archive: assign
     * under the pinned centroids, emit within-cluster pairs touching the
     * batch under `batch_id=<id>`, commit the batch's member sliver,
     * auto-compact, optionally emit a drift probe. Replay-safe like
-    * [[processBatch]]. */
+    * [[processBatch]]. `autoReseedAfter` as in [[processCosineBatch]]:
+    * n consecutive probe trips re-fit the centroids in-loop. */
   private[graft] def processSemanticBatch(batch: DataFrame, batchId: Long,
                                           archiveDir: String, pairsDir: String,
                                           idCol: String, vecCol: String,
                                           threshold: Double,
                                           compactEvery: Int = 8,
-                                          driftDir: Option[String] = None): Unit = {
+                                          driftDir: Option[String] = None,
+                                          autoReseedAfter: Int = 0): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
@@ -600,28 +850,40 @@ object ArchiveDedup {
       .localCheckpoint()
     Dedup.semanticDeltaPairsAssigned(ix, asg, threshold)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-    driftDir.foreach(d => emitDrift(d, batchId, "semantic",
+    val tripped = driftDir.exists(d => emitDrift(d, batchId, "semantic",
       Dedup.semanticDriftProbeAssigned(ix, asg)))
     commitEntry(spark, archiveDir, s"b$batchId") { tmp =>
       Dedup.saveSemanticIndex(Dedup.SemanticIndex(asg, ix.centroids), tmp)
     }
     maybeCompact(spark, archiveDir, SemanticLayout, compactEvery)
+    // see processCosineBatch: reseed after the fold, decision durable
+    if (tripped && autoReseedAfter > 0) {
+      val st = stateOf(spark, archiveDir)
+      val lastR = st.reseeds.map(_._1).foldLeft(-1L)(math.max)
+      if (shouldReseed(spark, driftDir.get, batchId, lastR, autoReseedAfter))
+        reseedSemantic(spark, archiveDir, st, batchId)
+    }
   }
 
   /** Start the semantic-dedup stream: per-batch pinned-centroid
-    * assignment + within-cluster delta pairs + fold. */
+    * assignment + within-cluster delta pairs + fold. `autoReseedAfter`
+    * as in [[cosineArchiveDedupSink]]. */
   def semanticArchiveDedupSink(vecs: DataFrame, archiveDir: String,
                                pairsDir: String, idCol: String, vecCol: String,
                                threshold: Double = 0.9,
                                checkpoint: Option[String] = None,
                                compactEvery: Int = 8,
-                               driftDir: Option[String] = None): StreamingQuery = {
+                               driftDir: Option[String] = None,
+                               autoReseedAfter: Int = 0): StreamingQuery = {
     warnIfNoCheckpoint(checkpoint, "semanticArchiveDedupSink")
+    require(autoReseedAfter <= 0 || driftDir.nonEmpty,
+      "semanticArchiveDedupSink: autoReseedAfter needs driftDir — the " +
+        "trigger reads the persisted probe rows")
     val w = vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processSemanticBatch(batch, batchId, archiveDir, pairsDir,
-          idCol, vecCol, threshold, compactEvery, driftDir)
+          idCol, vecCol, threshold, compactEvery, driftDir, autoReseedAfter)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
