@@ -171,19 +171,35 @@ object ArchiveDedup {
   private val RangeName = "c(\\d+)-(\\d+)".r
   private val ReseedName = "r(\\d+)".r
   // folded-id manifests are immutable once their entry is committed —
-  // cache by path so stateOf (called several times per batch) reads
-  // each at most once per JVM
+  // cache so stateOf (called several times per batch) reads each at
+  // most once per JVM. The cache key carries the ENTRY directory's
+  // modification time: a long-lived JVM (tests, notebooks) that deletes
+  // and re-creates an archive at the same path gets a fresh key instead
+  // of a stale folded-id set (or a stale None) corrupting covered() /
+  // replay-skip decisions; seed*Archive additionally purges the path
+  // outright (belt and braces — two creations within one mtime tick).
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Set[Long]]]()
   private def manifestOf(spark: SparkSession, dir: String,
-                         entry: String): Option[Set[Long]] =
-    manifestCache.computeIfAbsent(s"$dir/$entry/folded", { path =>
-      val (fs, _) = hfs(spark, dir)
+                         entry: String): Option[Set[Long]] = {
+    val (fs, _) = hfs(spark, dir)
+    val mtime =
+      try fs.getFileStatus(new Path(s"$dir/$entry")).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    manifestCache.computeIfAbsent(s"$dir/$entry/folded@$mtime", { _ =>
+      val path = s"$dir/$entry/folded"
       if (!fs.exists(new Path(path))) None
       else Some(spark.read.parquet(path)
         .select(col("id")).collect().map(_.getLong(0)).toSet)
     })
-  private def stateOf(spark: SparkSession, dir: String): ArchiveState = {
+  }
+  /** Drop cached manifests under `dir` — called when an archive is
+    * (re-)seeded at a path this JVM may have read before. */
+  private def purgeManifestCache(dir: String): Unit = {
+    val it = manifestCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(s"$dir/")) it.remove()
+  }
+  private[graft] def stateOf(spark: SparkSession, dir: String): ArchiveState = {
     val (fs, p) = hfs(spark, dir)
     if (!fs.exists(p)) ArchiveState(Nil, Nil, Map.empty)
     else {
@@ -285,20 +301,24 @@ object ArchiveDedup {
     * writes a folded-id manifest so the range's coverage claim stays
     * exact. Called after each fold; `compactEvery <= 0` disables.
     *
-    * GC of covered source entries is DEFERRED one cycle: this call
-    * first deletes entries that were already covered when it started
-    * (i.e. covered since at least the previous batch), then commits
-    * new merges without deleting their sources. A concurrent reader's
+    * GC of covered source entries is DEFERRED `retainCovered` batches
+    * (default 1 — the round-10 one-cycle contract): a covered entry is
+    * deleted only once its earliest COVERING entry (a range commits no
+    * earlier than its `hi` batch; a reseed commits at its own id) is at
+    * least `retainCovered` batches old. A concurrent reader's
     * multi-path relation therefore keeps its underlying files for at
-    * least one full batch interval after compaction folds them — the
-    * lazy-read window a `loadLatest` → action pair actually needs.
-    * (Readers that hold a snapshot across many batches should read a
-    * `compactArchive` copy instead — that path never deletes.) */
+    * least `retainCovered` batch intervals after compaction folds them
+    * — size the knob to the slowest `loadLatest` → action gap the
+    * deployment tolerates. (Readers that hold a snapshot across MANY
+    * batches should still read a `compactArchive` copy instead — that
+    * path never deletes; ArchiveDedupSpec demonstrates both.) */
   private[graft] def maybeCompact(spark: SparkSession, dir: String,
-                                  layout: Layout, compactEvery: Int): Unit = {
+                                  layout: Layout, compactEvery: Int,
+                                  currentBatch: Long,
+                                  retainCovered: Int = 1): Unit = {
     if (compactEvery <= 0) return
     val st0 = stateOf(spark, dir)
-    gcCoveredEntries(spark, dir, st0)
+    gcCoveredEntries(spark, dir, st0, currentBatch, math.max(1, retainCovered))
     val live = st0.liveSlivers
     if (live.length >= compactEvery) {
       val oldest = live.take(compactEvery)
@@ -309,7 +329,13 @@ object ArchiveDedup {
         if (isContiguous(oldest)) None else Some(oldest))
     }
     val st1 = stateOf(spark, dir)
-    val ranges = st1.maximalRanges
+    // tier-2 merges select from LIVE ranges only (maximal AND not wholly
+    // folded into the latest reseed): a reseed-superseded range that a
+    // failed GC left behind may only be GC'd — merging it with live
+    // ranges would produce one LIVE entry mixing rows built under
+    // different pinned generations (old widths/seed/centroids), whose
+    // keys never collide with the current generation's
+    val ranges = st1.liveRanges
     if (ranges.length >= compactEvery) {
       val oldest = ranges.take(compactEvery)
       val ids = oldest.flatMap(st1.idsOfRange)
@@ -325,22 +351,42 @@ object ArchiveDedup {
   /** Deferred GC (see [[maybeCompact]]): delete slivers covered by a
     * maximal range or by the latest reseed, ranges contained in a
     * larger one or wholly folded into the latest reseed, and superseded
-    * generations (`base` / older reseeds) once a newer reseed exists.
-    * Crash-safe: covered entries are already invisible to readers and
-    * the replay guard, so a crash mid-GC just leaves them for the next
-    * cycle. */
+    * generations (`base` / older reseeds) once a newer reseed exists —
+    * each only after its coverage is at least `retainCovered` batches
+    * old (earliest covering entry's commit batch ≤ currentBatch −
+    * retainCovered). Crash-safe: covered entries are already invisible
+    * to readers and the replay guard, so a crash mid-GC just leaves
+    * them for the next cycle. */
   private def gcCoveredEntries(spark: SparkSession, dir: String,
-                               st: ArchiveState): Unit = {
+                               st: ArchiveState, currentBatch: Long,
+                               retainCovered: Int): Unit = {
     val (fs, _) = hfs(spark, dir)
-    st.slivers.filter(st.covered)
-      .foreach(b => fs.delete(new Path(s"$dir/b$b"), true))
+    // a range c<lo>-<hi> cannot commit before batch hi is folded, and a
+    // reseed r<id> commits at batch id — those ids bound coverage age
+    // without any extra bookkeeping
+    def oldEnough(coveringCommitBatches: Seq[Long]): Boolean =
+      coveringCommitBatches.reduceOption(_ min _)
+        .exists(_ <= currentBatch - retainCovered)
+    def reseedCommitFor(ids: Seq[Long]): Seq[Long] =
+      st.latestReseed.filter(r => ids.forall(r._2.contains)).map(_._1).toSeq
+    st.slivers.filter(st.covered).foreach { b =>
+      val covering = st.maximalRanges.filter(r => st.coveredByRange(r, b))
+        .map(_._2) ++ reseedCommitFor(Seq(b))
+      if (oldEnough(covering)) fs.delete(new Path(s"$dir/b$b"), true)
+    }
     val live = st.liveRanges.toSet
-    st.ranges.filterNot(live)
-      .foreach { case (lo, hi) => fs.delete(new Path(s"$dir/c$lo-$hi"), true) }
+    st.ranges.filterNot(live).foreach { case r @ (lo, hi) =>
+      val covering = st.ranges
+        .filter(o => o != r && o._1 <= lo && hi <= o._2).map(_._2) ++
+        reseedCommitFor(st.idsOfRange(r))
+      if (oldEnough(covering)) fs.delete(new Path(s"$dir/c$lo-$hi"), true)
+    }
     st.latestReseed.foreach { case (newest, _) =>
-      fs.delete(new Path(s"$dir/base"), true)
-      st.reseeds.map(_._1).filter(_ != newest)
-        .foreach(id => fs.delete(new Path(s"$dir/r$id"), true))
+      if (oldEnough(Seq(newest))) {
+        fs.delete(new Path(s"$dir/base"), true)
+        st.reseeds.map(_._1).filter(_ != newest)
+          .foreach(id => fs.delete(new Path(s"$dir/r$id"), true))
+      }
     }
   }
 
@@ -388,7 +434,8 @@ object ArchiveDedup {
         s"recommends a REBUILD — the pinned seed parameters no longer fit " +
         s"the incoming data: $r (pairs already written remain valid; " +
         "embedding sinks can reseed IN PLACE automatically via " +
-        "autoReseedAfter, or call reseed*Archive out-of-band)")
+        "autoReseedAfter; out-of-band reseed*Archive requires the " +
+        "stream STOPPED — a racing fold aborts the commit)")
     tripped
   }
 
@@ -410,10 +457,17 @@ object ArchiveDedup {
       .collect { case s if s.startsWith("batch_id=") => s.drop(9).toLong }
       .filter(id => id > lastReseed && id < batchId).sorted
       .takeRight(after - 1)
-    prior.length == after - 1 && prior.forall { id =>
-      scala.util.Try(spark.read.parquet(s"$driftDir/batch_id=$id").head()
-        .getAs[Boolean]("rebuild_recommended")).getOrElse(false)
-    }
+    // ONE partition-pruned read over the drift store — the probe rows
+    // are tiny, but a per-id head() loop launched after−1 separate
+    // driver jobs on every tripped batch (latency grew with the knob)
+    prior.length == after - 1 && scala.util.Try {
+      val flags = spark.read.option("basePath", driftDir).parquet(driftDir)
+        .where(col("batch_id").isin(prior: _*))
+        .select(col("batch_id").cast("long"), col("rebuild_recommended"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      prior.forall(id => flags.getOrElse(id, false))
+    }.getOrElse(false)
   }
 
   /** Commit a reseed generation `r<atBatch>`: `write` fills the temp
@@ -422,9 +476,21 @@ object ArchiveDedup {
     * added and the rename commits — readers flip to the new generation
     * atomically. Idempotent: an existing `r<atBatch>` (crash-and-retry,
     * double invocation) skips with a warning instead of racing the
-    * rename. */
+    * rename.
+    *
+    * Concurrent-writer guard: an out-of-band reseed races a RUNNING
+    * stream — a micro-batch in flight while the reseed builds can
+    * commit a sliver under the OLD generation's parameters; absent from
+    * this reseed's manifest, that sliver would stay live with bucket
+    * keys/assignments that never collide with the new generation's
+    * (silently invisible to future dedup). So immediately before the
+    * rename, `lastFolded` is re-read and compared against the value the
+    * reseed was built from; on mismatch the temp dir is dropped and the
+    * commit ABORTS loudly — stop the stream (or let the in-loop
+    * auto-reseed do it, which runs inside the batch) and retry. */
   private def commitReseed(spark: SparkSession, dir: String, atBatch: Long,
-                           folded: Set[Long], family: String)
+                           folded: Set[Long], family: String,
+                           builtAtLastFolded: Long)
                           (write: String => Unit): Unit = {
     import spark.implicits._
     val (fs, _) = hfs(spark, dir)
@@ -433,11 +499,28 @@ object ArchiveDedup {
         s"already exists in $dir — skipping (replay or double invocation)")
       return
     }
-    commitEntry(spark, dir, s"r$atBatch") { tmp =>
-      write(tmp)
-      folded.toSeq.sorted.toDF("id")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
+    val tmp = new Path(s"$dir/.inprogress-r$atBatch")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftovers
+    write(tmp.toString)
+    folded.toSeq.sorted.toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
+    val nowFolded = stateOf(spark, dir).lastFolded
+    if (nowFolded != builtAtLastFolded) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"ArchiveDedup($family): aborting reseed r$atBatch in $dir — a " +
+          s"concurrent writer folded batch $nowFolded while this reseed " +
+          s"was building from lastFolded=$builtAtLastFolded. Committing " +
+          "would leave that sliver live under the OLD generation's " +
+          "parameters (its keys never collide with the new generation's " +
+          "— silently invisible to future dedup). Stop the stream before " +
+          "an out-of-band reseed, or use the sink's autoReseedAfter " +
+          "(which reseeds inside the batch), then retry.")
     }
+    if (!fs.rename(tmp, new Path(s"$dir/r$atBatch")))
+      throw new IllegalStateException(
+        s"ArchiveDedup: failed to commit archive entry $dir/r$atBatch " +
+          "(rename returned false) — is another writer racing this archive?")
     log.warn(s"ArchiveDedup($family): committed reseed generation " +
       s"r$atBatch in $dir — parameters re-fitted to the cumulative " +
       s"corpus (${folded.size} batches folded); superseded entries are " +
@@ -460,6 +543,7 @@ object ArchiveDedup {
                   textCol: String, numHashes: Int = 16, bands: Int = 4,
                   shingleLen: Int = 3): Unit = {
     val spark = corpus.sparkSession
+    purgeManifestCache(dir)
     Dedup.saveMinhashIndex(
       Dedup.buildMinhashIndex(corpus, idCol, textCol, numHashes, bands, shingleLen),
       s"$dir/base")
@@ -523,7 +607,8 @@ object ArchiveDedup {
         "archived documents (pass the full current document set)")
     val nix = Dedup.buildMinhashIndex(corpus, idCol, textCol,
       numHashes, bands, shingleLen)
-    commitReseed(spark, dir, st.lastFolded, st.allFoldedIds, "minhash") { tmp =>
+    commitReseed(spark, dir, st.lastFolded, st.allFoldedIds, "minhash",
+        builtAtLastFolded = st.lastFolded) { tmp =>
       Dedup.saveMinhashIndex(nix, tmp)
       Dedup.saveDriftBaseline(tmp,
         Dedup.pinDriftBaseline(Dedup.loadMinhashIndex(spark, tmp)).baseline,
@@ -545,7 +630,8 @@ object ArchiveDedup {
                                   idCol: String, textCol: String,
                                   threshold: Double,
                                   compactEvery: Int = 8,
-                                  driftDir: Option[String] = None): Unit = {
+                                  driftDir: Option[String] = None,
+                                  retainCovered: Int = 1): Unit = {
     val spark = batch.sparkSession
     // one materialization of the batch feeds banding, sets, guard, and
     // the fold — micro-batches are delta-sized by definition
@@ -568,7 +654,8 @@ object ArchiveDedup {
         Dedup.buildMinhashIndex(b, idCol, textCol,
           ix.numHashes, ix.bands, ix.shingleLen), tmp)
     }
-    maybeCompact(spark, archiveDir, MinhashLayout, compactEvery)
+    maybeCompact(spark, archiveDir, MinhashLayout, compactEvery, batchId,
+      retainCovered)
   }
 
   /** Start the stream: `docs` (a streaming DataFrame of (idCol,
@@ -578,13 +665,14 @@ object ArchiveDedup {
                        threshold: Double = 0.5,
                        checkpoint: Option[String] = None,
                        compactEvery: Int = 8,
-                       driftDir: Option[String] = None): StreamingQuery = {
+                       driftDir: Option[String] = None,
+                       retainCovered: Int = 1): StreamingQuery = {
     warnIfNoCheckpoint(checkpoint, "archiveDedupSink")
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, archiveDir, pairsDir, idCol, textCol,
-          threshold, compactEvery, driftDir)
+          threshold, compactEvery, driftDir, retainCovered)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
@@ -606,6 +694,7 @@ object ArchiveDedup {
                         vecCol: String, numBits: Int = -1, bands: Int = -1,
                         dim: Int = -1, seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
+    purgeManifestCache(dir)
     Dedup.saveCosineIndex(
       Dedup.buildCosineIndex(corpus, idCol, vecCol, numBits, bands, dim, seed),
       s"$dir/base")
@@ -649,7 +738,7 @@ object ArchiveDedup {
     reseedCosine(spark, dir, st, st.lastFolded)
   }
 
-  private def reseedCosine(spark: SparkSession, dir: String,
+  private[graft] def reseedCosine(spark: SparkSession, dir: String,
                            st: ArchiveState, atBatch: Long): Unit = {
     val (ix, _) = loadLatestCosine(spark, dir)
     // dim never drifts; widths re-auto-size at the CUMULATIVE corpus
@@ -657,7 +746,8 @@ object ArchiveDedup {
     // against whatever orientation collapsed the old buckets
     val nix = Dedup.buildCosineIndex(ix.vecs.select(col("id"), col("v")),
       "id", "v", dim = ix.dim, seed = ix.seed + atBatch + 1L)
-    commitReseed(spark, dir, atBatch, st.allFoldedIds, "cosine") { tmp =>
+    commitReseed(spark, dir, atBatch, st.allFoldedIds, "cosine",
+        builtAtLastFolded = st.lastFolded) { tmp =>
       Dedup.saveCosineIndex(nix, tmp)
       // baseline from the SAVED frames, as at seed time
       Dedup.saveDriftBaseline(tmp,
@@ -681,7 +771,8 @@ object ArchiveDedup {
                                         exactLimit: Long = 10000L,
                                         compactEvery: Int = 8,
                                         driftDir: Option[String] = None,
-                                        autoReseedAfter: Int = 0): Unit = {
+                                        autoReseedAfter: Int = 0,
+                                        retainCovered: Int = 1): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
@@ -703,7 +794,8 @@ object ArchiveDedup {
         Dedup.buildCosineIndex(b, idCol, vecCol,
           ix.numBits, ix.bands, ix.dim, ix.seed), tmp)
     }
-    maybeCompact(spark, archiveDir, CosineLayout, compactEvery)
+    maybeCompact(spark, archiveDir, CosineLayout, compactEvery, batchId,
+      retainCovered)
     // reseed AFTER the sliver commit so the new generation folds this
     // batch too; the decision reads only persisted probe rows, so a
     // crash here re-fires on the next tripped batch (at-least-eventually)
@@ -726,7 +818,8 @@ object ArchiveDedup {
                              checkpoint: Option[String] = None,
                              compactEvery: Int = 8,
                              driftDir: Option[String] = None,
-                             autoReseedAfter: Int = 0): StreamingQuery = {
+                             autoReseedAfter: Int = 0,
+                             retainCovered: Int = 1): StreamingQuery = {
     warnIfNoCheckpoint(checkpoint, "cosineArchiveDedupSink")
     require(autoReseedAfter <= 0 || driftDir.nonEmpty,
       "cosineArchiveDedupSink: autoReseedAfter needs driftDir — the " +
@@ -736,7 +829,7 @@ object ArchiveDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processCosineBatch(batch, batchId, archiveDir, pairsDir,
           idCol, vecCol, threshold, exactLimit, compactEvery, driftDir,
-          autoReseedAfter)
+          autoReseedAfter, retainCovered)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
@@ -759,6 +852,7 @@ object ArchiveDedup {
                           vecCol: String,
                           centroids: Array[Array[Float]]): Unit = {
     val spark = corpus.sparkSession
+    purgeManifestCache(dir)
     Dedup.saveSemanticIndex(
       Dedup.buildSemanticIndex(corpus, idCol, vecCol, centroids),
       s"$dir/base")
@@ -809,7 +903,8 @@ object ArchiveDedup {
     val cents = graft.operators.Clustering.fitCentroids(
       members, "v", ix.centroids.length, seed = atBatch + 43L)
     val nix = Dedup.buildSemanticIndex(members, "id", "v", cents)
-    commitReseed(spark, dir, atBatch, st.allFoldedIds, "semantic") { tmp =>
+    commitReseed(spark, dir, atBatch, st.allFoldedIds, "semantic",
+        builtAtLastFolded = st.lastFolded) { tmp =>
       Dedup.saveSemanticIndex(nix, tmp)
       Dedup.saveDriftBaseline(tmp,
         Dedup.pinDriftBaseline(Dedup.loadSemanticIndex(spark, tmp)).baseline,
@@ -829,7 +924,8 @@ object ArchiveDedup {
                                           threshold: Double,
                                           compactEvery: Int = 8,
                                           driftDir: Option[String] = None,
-                                          autoReseedAfter: Int = 0): Unit = {
+                                          autoReseedAfter: Int = 0,
+                                          retainCovered: Int = 1): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
@@ -855,7 +951,8 @@ object ArchiveDedup {
     commitEntry(spark, archiveDir, s"b$batchId") { tmp =>
       Dedup.saveSemanticIndex(Dedup.SemanticIndex(asg, ix.centroids), tmp)
     }
-    maybeCompact(spark, archiveDir, SemanticLayout, compactEvery)
+    maybeCompact(spark, archiveDir, SemanticLayout, compactEvery, batchId,
+      retainCovered)
     // see processCosineBatch: reseed after the fold, decision durable
     if (tripped && autoReseedAfter > 0) {
       val st = stateOf(spark, archiveDir)
@@ -874,7 +971,8 @@ object ArchiveDedup {
                                checkpoint: Option[String] = None,
                                compactEvery: Int = 8,
                                driftDir: Option[String] = None,
-                               autoReseedAfter: Int = 0): StreamingQuery = {
+                               autoReseedAfter: Int = 0,
+                               retainCovered: Int = 1): StreamingQuery = {
     warnIfNoCheckpoint(checkpoint, "semanticArchiveDedupSink")
     require(autoReseedAfter <= 0 || driftDir.nonEmpty,
       "semanticArchiveDedupSink: autoReseedAfter needs driftDir — the " +
@@ -883,7 +981,8 @@ object ArchiveDedup {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processSemanticBatch(batch, batchId, archiveDir, pairsDir,
-          idCol, vecCol, threshold, compactEvery, driftDir, autoReseedAfter)
+          idCol, vecCol, threshold, compactEvery, driftDir, autoReseedAfter,
+          retainCovered)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()

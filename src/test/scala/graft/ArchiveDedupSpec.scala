@@ -250,6 +250,135 @@ class ArchiveDedupSpec extends AnyFunSuite {
       "centroids stay pinned at the seed's")
   }
 
+  test("retention knob: covered entries survive retainCovered batches before GC") {
+    val archive = tmp("graft-arch-ret")
+    val pairsDir = tmp("graft-arch-ret-pairs")
+    ArchiveDedup.seedArchive(
+      Seq((0L, tA), (1L, tC)).toDF("doc_id", "text"), archive, "doc_id", "text")
+    def entries(): Set[String] =
+      new java.io.File(archive).listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).toSet
+    def fold(b: Long): Unit = ArchiveDedup.processBatch(
+      Seq((100L + b, tB)).toDF("doc_id", "text"), b, archive, pairsDir,
+      "doc_id", "text", 0.5, compactEvery = 3, retainCovered = 2)
+    // batches 0..2: tier-1 merges b0..b2 into c0-2 at batch 2 (hi = 2)
+    (0L to 2L).foreach(fold)
+    assert(entries().contains("c0-2") && entries().contains("b0"),
+      s"merge committed, sources deferred: ${entries()}")
+    // batch 3: coverage (from batch 2) is 1 batch old < retainCovered=2 — kept
+    fold(3L)
+    assert(entries().contains("b0") && entries().contains("b1"),
+      s"retainCovered=2 must keep covered slivers one extra cycle: ${entries()}")
+    // batch 4: coverage is 2 batches old — GC'd now
+    fold(4L)
+    assert(!entries().contains("b0") && !entries().contains("b1") &&
+           !entries().contains("b2"),
+      s"covered slivers GC after the retention window: ${entries()}")
+    // reads stayed exact throughout (seed 2 + 5 batches)
+    assert(ArchiveDedup.loadLatest(spark, archive)._1.sets.count() === 7L)
+  }
+
+  test("slow reader escape hatch: a pinned compactArchive copy survives many GC cycles") {
+    val archive = tmp("graft-arch-pin")
+    val pairsDir = tmp("graft-arch-pin-pairs")
+    ArchiveDedup.seedArchive(
+      Seq((0L, tA), (1L, tC)).toDF("doc_id", "text"), archive, "doc_id", "text")
+    ArchiveDedup.processBatch(Seq((10L, tB)).toDF("doc_id", "text"), 0L,
+      archive, pairsDir, "doc_id", "text", 0.5, compactEvery = 2)
+    // the documented contract for readers slower than the retention
+    // window: pin a compacted COPY (never deleted), then act on it at
+    // leisure while the live dir churns through merges and GC
+    val pinned = tmp("graft-arch-pin-copy")
+    ArchiveDedup.compactArchive(spark, archive, pinned)
+    val (pinnedIx, _) = ArchiveDedup.loadLatest(spark, pinned)
+    val lazyCount = pinnedIx.sets // plan now, act after many cycles
+    (1L to 12L).foreach { b =>
+      ArchiveDedup.processBatch(
+        Seq((100L + b, tB)).toDF("doc_id", "text"), b, archive, pairsDir,
+        "doc_id", "text", 0.5, compactEvery = 2)
+    }
+    // the live dir compacted + GC'd repeatedly; the pinned copy's files
+    // are untouched and the long-deferred action still reads exactly
+    assert(lazyCount.count() === 3L,
+      "pinned compactArchive copy must outlive live-dir GC cycles")
+    assert(ArchiveDedup.loadLatest(spark, archive)._1.sets.count() === 15L)
+  }
+
+  test("out-of-band reseed aborts when a concurrent fold lands mid-build") {
+    def vec(seedBase: Int): Array[Float] = {
+      val r = new java.util.Random(11L * seedBase)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val archive = tmp("graft-arch-race")
+    val pairsDir = tmp("graft-arch-race-pairs")
+    ArchiveDedup.seedCosineArchive(
+      Seq((0L, vec(1)), (1L, vec(2))).toDF("vec_id", "embedding"),
+      archive, "vec_id", "embedding", numBits = 4, bands = 4)
+    ArchiveDedup.processCosineBatch(
+      Seq((10L, vec(3))).toDF("vec_id", "embedding"), 0L, archive, pairsDir,
+      "vec_id", "embedding", 0.95)
+    // capture the state an out-of-band reseed would build from…
+    val stale = ArchiveDedup.stateOf(spark, archive)
+    assert(stale.lastFolded === 0L)
+    // …then a running stream folds another batch mid-build
+    ArchiveDedup.processCosineBatch(
+      Seq((11L, vec(4))).toDF("vec_id", "embedding"), 1L, archive, pairsDir,
+      "vec_id", "embedding", 0.95)
+    val ex = intercept[IllegalStateException] {
+      ArchiveDedup.reseedCosine(spark, archive, stale, 0L)
+    }
+    assert(ex.getMessage.contains("aborting reseed"),
+      s"race must abort loudly: ${ex.getMessage}")
+    val names = new java.io.File(archive).listFiles().map(_.getName).toSet
+    assert(!names.contains("r0"), s"aborted reseed must not commit: $names")
+    assert(!names.exists(_.startsWith(".inprogress")),
+      s"aborted reseed must clean its temp dir: $names")
+    // the archive is untouched — a correctly-sequenced reseed still works
+    ArchiveDedup.reseedCosineArchive(spark, archive)
+    assert(new java.io.File(archive).listFiles().map(_.getName).toSet
+      .contains("r1"))
+    assert(ArchiveDedup.loadLatestCosine(spark, archive)._1.vecs.count() === 4L)
+  }
+
+  test("manifest cache: a re-created archive at the same path serves fresh manifests") {
+    val archive = tmp("graft-arch-mc")
+    val pairsDir = tmp("graft-arch-mc-pairs")
+    // OLD archive: gapped ids {0, 5} merge into c0-5 with manifest {0, 5};
+    // read state so this JVM caches that manifest
+    ArchiveDedup.seedArchive(
+      Seq((0L, tA)).toDF("doc_id", "text"), archive, "doc_id", "text")
+    ArchiveDedup.processBatch(Seq((10L, tB)).toDF("doc_id", "text"), 0L,
+      archive, pairsDir, "doc_id", "text", 0.5, compactEvery = 2)
+    ArchiveDedup.processBatch(Seq((11L, tB)).toDF("doc_id", "text"), 5L,
+      archive, pairsDir, "doc_id", "text", 0.5, compactEvery = 2)
+    val oldSt = ArchiveDedup.stateOf(spark, archive)
+    assert(oldSt.manifests.get((0L, 5L)).contains(Set(0L, 5L)),
+      s"old manifest cached: ${oldSt.manifests}")
+    // delete and RE-CREATE the archive at the same path in the same JVM
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(archive))
+    ArchiveDedup.seedArchive(
+      Seq((0L, tA)).toDF("doc_id", "text"), archive, "doc_id", "text")
+    // new life: batches 0, 2, 5 merge into a NEW c0-5 with manifest {0,2,5}
+    Seq(0L, 2L, 5L).foreach { b =>
+      ArchiveDedup.processBatch(
+        Seq((20L + b, tB)).toDF("doc_id", "text"), b, archive, pairsDir,
+        "doc_id", "text", 0.5, compactEvery = 3)
+    }
+    val newSt = ArchiveDedup.stateOf(spark, archive)
+    assert(newSt.manifests.get((0L, 5L)).contains(Set(0L, 2L, 5L)),
+      s"stale manifest must not shadow the new archive's: ${newSt.manifests}")
+    // drive one more batch so GC removes the member slivers, then replay
+    // batch 2 — only the (fresh) manifest can prove it folded
+    ArchiveDedup.processBatch(Seq((30L, tB)).toDF("doc_id", "text"), 6L,
+      archive, pairsDir, "doc_id", "text", 0.5, compactEvery = 3)
+    val before = ArchiveDedup.loadLatest(spark, archive)._1.sets.count()
+    ArchiveDedup.processBatch(
+      Seq((22L, tB)).toDF("doc_id", "text"), 2L, archive, pairsDir,
+      "doc_id", "text", 0.5, compactEvery = 3)
+    assert(ArchiveDedup.loadLatest(spark, archive)._1.sets.count() === before,
+      "manifest-covered replay must skip, not double-fold")
+  }
+
   test("end-to-end through a MemoryStream foreachBatch sink") {
     val archive = tmp("graft-arch-s")
     val pairsDir = tmp("graft-arch-s-pairs")
