@@ -1250,6 +1250,23 @@ object Dedup {
       assignMembers(newDf, idCol, vecCol, ix.centroids), threshold)
   }
 
+  /** The DECLARATIVE prefix of [[semanticDeltaPairs]] — the pinned-
+    * centroid argmin assignment of the delta unioned with the archived
+    * members, exactly the frame the within-cluster block grid consumes
+    * — exposed (package-private) so PlanInvariantsSpec can gate the
+    * q88/q89 plan mechanically, the same discipline as
+    * [[minhashDeltaScanInput]]: every corpus scan (the id-bearing
+    * FileScans) must carry the delta predicate; archived members enter
+    * only through the index frames; no cartesian pair space. */
+  private[graft] def semanticDeltaScanInput(ix: SemanticIndex, newDf: DataFrame,
+                                            idCol: String,
+                                            vecCol: String): DataFrame =
+    SimilarityJoin.groupedDeltaScanInput(
+      ix.members.select(col("cluster"), col("id"), col("v")),
+      assignMembers(newDf, idCol, vecCol, ix.centroids)
+        .select(col("cluster"), col("id"), col("v")),
+      "cluster", "id", "v")
+
   /** [[semanticDeltaPairs]] over a PRE-ASSIGNED delta frame
     * ((id, cluster, v), already under the index's centroids) — lets a
     * caller that also probes drift and folds a sliver pay the argmin

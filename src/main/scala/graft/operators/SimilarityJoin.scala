@@ -745,19 +745,34 @@ object SimilarityJoin {
    * ([[Dedup.semanticDeltaPairs]]). Output: (groupCol, id_a, id_b,
    * sim), id_a < id_b, unordered.
    */
+  /** The DECLARATIVE prefix of [[groupedThresholdPairsDelta]] — the
+    * shaped (group, id, vec, is_new) union the block grid consumes,
+    * exposed (package-private) so PlanInvariantsSpec can gate the plan
+    * the optimizer actually produces for the grouped delta family
+    * (q88/q89 through [[graft.operators.Dedup.semanticDeltaScanInput]]):
+    * every corpus scan in this subtree must be delta-sided; index data
+    * enters only through the index frames. Columns:
+    * (__g, __id, __v, __new). */
+  private[graft] def groupedDeltaScanInput(ixMembers: DataFrame,
+                                           newMembers: DataFrame,
+                                           groupCol: String, idCol: String,
+                                           vecCol: String): DataFrame = {
+    def shaped(df: DataFrame, isNew: Boolean) = df.select(
+      encGroup(col(groupCol)).as("__g"),
+      col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<float>").as("__v"),
+      lit(isNew).as("__new"))
+    shaped(newMembers, isNew = true)
+      .unionByName(shaped(ixMembers, isNew = false))
+  }
+
   def groupedThresholdPairsDelta(ixMembers: DataFrame, newMembers: DataFrame,
                                  groupCol: String, idCol: String,
                                  vecCol: String, threshold: Double,
                                  blockRows: Int = -1): DataFrame = {
     val spark = newMembers.sparkSession
     import spark.implicits._
-    def shaped(df: DataFrame, isNew: Boolean) = df.select(
-      encGroup(col(groupCol)).as("__g"),
-      col(idCol).cast("long").as("__id"),
-      col(vecCol).cast("array<float>").as("__v"),
-      lit(isNew).as("__new"))
-    val rows = shaped(newMembers, isNew = true)
-      .unionByName(shaped(ixMembers, isNew = false))
+    val rows = groupedDeltaScanInput(ixMembers, newMembers, groupCol, idCol, vecCol)
       .as[(String, Long, Array[Float], Boolean)]
       .filter(_._3 != null)
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)

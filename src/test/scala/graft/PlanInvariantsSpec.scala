@@ -215,6 +215,76 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assertDeltaSidedScans("q84-scan", plan, "doc_id#", "GreaterThanOrEqual(doc_id,400)")
   }
 
+  test("q88/q89 semantic delta scan input: pinned-centroid argmin is delta-sided, no cartesian") {
+    import graft.operators.Dedup
+    val e = Tables(spark, dir, "embeddings")
+    val cents = e.orderBy(col("vec_id")).limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-six").toString
+    Dedup.saveSemanticIndex(Dedup.buildSemanticIndex(
+      e.where(col("vec_id") < 300), "vec_id", "embedding", cents), tmp)
+    val ix0 = Dedup.loadSemanticIndex(spark, tmp)
+    // q88's shape: archived members enter through the index parquet
+    // (their scans carry no vec_id attribute); the only vec_id-bearing
+    // scans are the delta's argmin side, pushed-filtered to >= 400
+    val plan = planOf(Dedup.semanticDeltaScanInput(ix0,
+      e.where(col("vec_id") >= 400), "vec_id", "embedding"))
+    assertNoCartesian("q88-scan", plan)
+    assertDeltaSidedScans("q88-scan", plan, "vec_id#",
+      "GreaterThanOrEqual(vec_id,400)")
+
+    // q89's append path: the grown member frame must stay delta-priced —
+    // its only corpus scans are the day-1 fold's, each carrying a pushed
+    // vec_id bound (an UNBOUNDED corpus re-scan here would re-assign the
+    // archive on every append)
+    val ix1 = Dedup.appendToSemanticIndex(ix0,
+      e.where(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding")
+    val appendPlan = planOf(Dedup.semanticDeltaScanInput(ix1,
+      e.where(col("vec_id") >= 400), "vec_id", "embedding"))
+    assertNoCartesian("q89-scan", appendPlan)
+    val corpusScans = appendPlan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("vec_id#")).toSeq
+    assert(corpusScans.nonEmpty,
+      s"q89-scan: expected corpus FileScans:\n$appendPlan")
+    corpusScans.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(vec_id,"),
+        s"q89-scan: unbounded corpus scan (no pushed vec_id bound):\n$l\n\nfull plan:\n$appendPlan")
+    }
+  }
+
+  test("q90 facade: routes to the gated minhash delta path, rename-only projection") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-fac").toString
+    Dedup.saveMinhashIndex(Dedup.buildMinhashIndex(
+      docs.where(col("doc_id") < 400), "doc_id", "text",
+      numHashes = 16, bands = 4, shingleLen = 3), tmp)
+    val ix = Dedup.loadMinhashIndex(spark, tmp)
+    val out = Dedup.deltaPairs(ix, docs.where(col("doc_id") >= 400),
+      "doc_id", "text", threshold = 0.5)
+    // the facade normalizes, never recomputes: output is exactly the
+    // (id_a, id_b, score) triple…
+    assert(out.columns.toSeq === Seq("id_a", "id_b", "score"),
+      s"facade output not normalized: ${out.columns.toSeq}")
+    val plan = planOf(out)
+    assertNoCartesian("q90-facade", plan)
+    // …its pairs come pre-reduced from the blocked RDD stage (a Catalyst
+    // join over the pair space would mean the facade stopped delegating
+    // to the gated delta operator)…
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"q90 facade re-grew a Catalyst join over the pair space:\n$plan")
+    assert(plan.contains("Scan[obj") || plan.contains("ExistingRDD"),
+      s"q90 facade no longer feeds from the blocked RDD stage:\n$plan")
+    // …and its declarative prefix is exactly the q84-gated shape
+    val prefix = planOf(Dedup.minhashDeltaScanInput(ix,
+      docs.where(col("doc_id") >= 400), "doc_id", "text"))
+    assertNoCartesian("q90-facade-prefix", prefix)
+    assertDeltaSidedScans("q90-facade-prefix", prefix, "doc_id#",
+      "GreaterThanOrEqual(doc_id,400)")
+  }
+
   test("q85 cosine delta scan input: signature math is delta-sided, no cartesian") {
     import graft.operators.{Dedup, SimilarityJoin}
     val e = Tables(spark, dir, "embeddings")
