@@ -58,6 +58,11 @@ object StageCache {
     new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, String, Any), Entry](
       16, 0.75f, true)
   private val buildWall = scala.collection.concurrent.TrieMap.empty[String, Double]
+  // per-stage reuse telemetry: (hits, misses) since JVM start — published
+  // by Bench into BENCH_DETAIL.json so a sweep's reuse behavior is
+  // auditable (a claimed frame reuse shows up as a hit, not an assertion)
+  private val hitCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val missCount = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   def enabled(s: org.apache.spark.sql.SparkSession): Boolean =
     s.conf.getOption("spark.graft.stageCache.enabled")
@@ -96,7 +101,11 @@ object StageCache {
     cache.synchronized {
       sweepStopped()
       val hit = cache.get(key)
-      if (hit != null) return hit.df
+      if (hit != null) {
+        hitCount.updateWith(stage)(c => Some(c.getOrElse(0L) + 1L))
+        return hit.df
+      }
+      missCount.updateWith(stage)(c => Some(c.getOrElse(0L) + 1L))
     }
     // build OUTSIDE the lock (materialization runs Spark jobs); a rare
     // concurrent duplicate build is benign — last one wins, loser's
@@ -119,6 +128,13 @@ object StageCache {
 
   /** Wall seconds of each stage build this session (bench-published). */
   def buildSeconds: Map[String, Double] = buildWall.toMap
+
+  /** (hits, misses) per stage since JVM start — bench-published so a
+    * cold sweep's reuse pattern is auditable rather than asserted. A
+    * disabled cache records nothing (every consumer rebuilds). */
+  def hitMissCounts: Map[String, (Long, Long)] =
+    (hitCount.keySet ++ missCount.keySet).map(k =>
+      k -> (hitCount.getOrElse(k, 0L), missCount.getOrElse(k, 0L))).toMap
 
   /** Unpersist and drop everything (tests / session teardown). */
   def clear(): Unit = cache.synchronized {
