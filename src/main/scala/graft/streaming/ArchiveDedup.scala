@@ -309,9 +309,13 @@ object ArchiveDedup {
     * multi-path relation therefore keeps its underlying files for at
     * least `retainCovered` batch intervals after compaction folds them
     * — size the knob to the slowest `loadLatest` → action gap the
-    * deployment tolerates. (Readers that hold a snapshot across MANY
-    * batches should still read a `compactArchive` copy instead — that
-    * path never deletes; ArchiveDedupSpec demonstrates both.) */
+    * deployment tolerates. The window is measured in BATCH-ID units:
+    * for the streaming sinks that is batches; direct `processBatch`
+    * callers using timestamp ids get a window in their timestamp's own
+    * units (usually the more useful semantics for a retention window).
+    * (Readers that hold a snapshot across MANY batches should still
+    * read a `compactArchive` copy instead — that path never deletes;
+    * ArchiveDedupSpec demonstrates both.) */
   private[graft] def maybeCompact(spark: SparkSession, dir: String,
                                   layout: Layout, compactEvery: Int,
                                   currentBatch: Long,
