@@ -37,6 +37,16 @@ object Bench {
     // session warmup: JVM + codegen + parquet footer caches
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
+    // JVM-maturation warmup: three representative queries exercise the
+    // shared machinery (codegen compile paths, shuffle writers, Kryo,
+    // window exec) before anything is measured — without it the
+    // alphabetically-first queries' "warm" medians carry early-JVM JIT
+    // the resweep sentinels later measure away (sf0.1 telemetry: q01
+    // 0.34 s in-sweep at uptime 60 s vs 0.15 s re-measured late)
+    Seq("q10_knn_cosine", "q44_dedup_keep", "q22_token_stats")
+      .filter(SparkEntry.queries.contains)
+      .foreach(n => try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => () })
 
     def time(fn: () => Unit): Double = {
       val t0 = System.nanoTime()
