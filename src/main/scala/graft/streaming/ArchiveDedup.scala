@@ -539,6 +539,67 @@ object ArchiveDedup {
         "data loss) — pass checkpoint = Some(dir) for restartable streams.")
 
   // =====================================================================
+  // Unified sink facade (streaming twin of Dedup.deltaPairs)
+  // =====================================================================
+
+  /** Which modality a seeded archive was built with — the archive is
+    * self-describing: a semantic generation carries `centroids`, the
+    * other two a `params` file whose schema names its family. Reads the
+    * CURRENT generation (a reseed never changes modality). */
+  def modalityOf(spark: SparkSession, dir: String): String = {
+    val st = stateOf(spark, dir)
+    val base = baseDirOf(dir, st)
+    val (fs, _) = hfs(spark, dir)
+    if (fs.exists(new Path(s"$base/centroids"))) "semantic"
+    else if (!fs.exists(new Path(s"$base/params")))
+      throw new IllegalArgumentException(
+        s"ArchiveDedup.modalityOf: $dir is not a seeded archive (no " +
+          "base/{params,centroids}) — seed it with seedArchive / " +
+          "seedCosineArchive / seedSemanticArchive first")
+    else {
+      val cols = spark.read.parquet(s"$base/params").columns.toSet
+      if (cols.contains("num_hashes")) "minhash" else "cosine"
+    }
+  }
+
+  /** The STREAMING twin of [[Dedup.deltaPairs]]: one sink entry point
+    * that routes each micro-batch to whichever modality the archive at
+    * `archiveDir` was seeded with — minhash (payloadCol = the text
+    * column), cosine, or semantic (payloadCol = the vector column).
+    * The modality was chosen ONCE, at seed time (see the facade's
+    * measured decision rule at [[Dedup.deltaPairs]]); the archive is
+    * self-describing, so deployment code carries one sink whatever the
+    * family. `autoReseedAfter` / `exactLimit` apply to the embedding
+    * families exactly as on the dedicated sinks; a minhash archive
+    * REFUSES `autoReseedAfter` loudly (its reseed needs the raw corpus
+    * — out-of-band [[reseedMinhashArchive]] only). */
+  def archiveSink(rows: DataFrame, archiveDir: String, pairsDir: String,
+                  idCol: String, payloadCol: String, threshold: Double,
+                  exactLimit: Long = 10000L,
+                  checkpoint: Option[String] = None,
+                  compactEvery: Int = 8,
+                  driftDir: Option[String] = None,
+                  autoReseedAfter: Int = 0,
+                  retainCovered: Int = 1): StreamingQuery =
+    modalityOf(rows.sparkSession, archiveDir) match {
+      case "minhash" =>
+        require(autoReseedAfter <= 0,
+          "archiveSink: a minhash archive cannot auto-reseed (re-banding " +
+            "needs the raw corpus) — watch driftDir and call " +
+            "reseedMinhashArchive out-of-band with the stream stopped")
+        archiveDedupSink(rows, archiveDir, pairsDir, idCol, payloadCol,
+          threshold, checkpoint, compactEvery, driftDir, retainCovered)
+      case "cosine" =>
+        cosineArchiveDedupSink(rows, archiveDir, pairsDir, idCol, payloadCol,
+          threshold, exactLimit, checkpoint, compactEvery, driftDir,
+          autoReseedAfter, retainCovered)
+      case _ =>
+        semanticArchiveDedupSink(rows, archiveDir, pairsDir, idCol, payloadCol,
+          threshold, checkpoint, compactEvery, driftDir, autoReseedAfter,
+          retainCovered)
+    }
+
+  // =====================================================================
   // MinHash twin (text)
   // =====================================================================
 

@@ -379,6 +379,56 @@ class ArchiveDedupSpec extends AnyFunSuite {
       "manifest-covered replay must skip, not double-fold")
   }
 
+  test("unified archiveSink facade: self-describing archives route to their modality") {
+    def vec(seedBase: Int): Array[Float] = {
+      val r = new java.util.Random(3L * seedBase)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    // modality detection is read from the archive itself
+    val mArch = tmp("graft-fac-m"); val cArch = tmp("graft-fac-c")
+    val sArch = tmp("graft-fac-s")
+    ArchiveDedup.seedArchive(Seq((0L, tA)).toDF("doc_id", "text"),
+      mArch, "doc_id", "text")
+    ArchiveDedup.seedCosineArchive(
+      Seq((0L, vec(1))).toDF("vec_id", "embedding"), cArch,
+      "vec_id", "embedding", numBits = 4, bands = 4)
+    ArchiveDedup.seedSemanticArchive(
+      Seq((0L, vec(1))).toDF("vec_id", "embedding"), sArch,
+      "vec_id", "embedding", Array(vec(1)))
+    assert(ArchiveDedup.modalityOf(spark, mArch) === "minhash")
+    assert(ArchiveDedup.modalityOf(spark, cArch) === "cosine")
+    assert(ArchiveDedup.modalityOf(spark, sArch) === "semantic")
+    intercept[IllegalArgumentException] {
+      ArchiveDedup.modalityOf(spark, tmp("graft-fac-none"))
+    }
+    // a minhash archive refuses the embedding-only auto-reseed knob
+    implicit val sqlCtx = spark.sqlContext
+    val memDocs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    intercept[IllegalArgumentException] {
+      ArchiveDedup.archiveSink(memDocs.toDS().toDF("doc_id", "text"),
+        mArch, tmp("graft-fac-mp"), "doc_id", "text", 0.5,
+        driftDir = Some(tmp("graft-fac-md")), autoReseedAfter = 2)
+    }
+    // end-to-end through the facade, text family: same pairs as the
+    // dedicated sink would emit
+    val mPairs = tmp("graft-fac-mpairs")
+    val q1 = ArchiveDedup.archiveSink(memDocs.toDS().toDF("doc_id", "text"),
+      mArch, mPairs, "doc_id", "text", 0.5)
+    try {
+      memDocs.addData((10L, tA)); q1.processAllAvailable()
+      assert(pairsOf(mPairs).map(p => (p._1, p._2)) === Set((0L, 10L)))
+    } finally q1.stop()
+    // and the semantic family routes too (same facade call site)
+    val memVecs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val sPairs = tmp("graft-fac-spairs")
+    val q2 = ArchiveDedup.archiveSink(memVecs.toDS().toDF("vec_id", "embedding"),
+      sArch, sPairs, "vec_id", "embedding", 0.9)
+    try {
+      memVecs.addData((10L, vec(1))); q2.processAllAvailable()
+      assert(pairsOf(sPairs).map(p => (p._1, p._2)) === Set((0L, 10L)))
+    } finally q2.stop()
+  }
+
   test("end-to-end through a MemoryStream foreachBatch sink") {
     val archive = tmp("graft-arch-s")
     val pairsDir = tmp("graft-arch-s-pairs")
