@@ -136,7 +136,6 @@ object ReseedScale {
       if (b < 8 && tripped) phaseATrips += 1
       // recall over pairs touching a fixed batch sample
       val sampleIds = (lo until lo + sampleRows).toSet
-      val bcSample = spark.sparkContext.broadcast(sampleIds)
       val nonSample = batch.where(col("vec_id") >= lo + sampleRows)
         .select(lit(0).as("g"), col("vec_id").as("id"),
           col("embedding").cast("array<float>").as("v"))
@@ -149,7 +148,6 @@ object ReseedScale {
         .where(col("id_a").isin(sampleIds.toSeq.map(Long.box): _*) ||
           col("id_b").isin(sampleIds.toSeq.map(Long.box): _*))
         .count()
-      bcSample.destroy()
       batch.unpersist()
       val recall = if (exact == 0) 1.0 else emitted.toDouble / exact
       println(f"$b%5d ${f * 100}%4.0f%% $wall%8.2f ${probe.getAs[Double]("ratio")}%7.2f " +
