@@ -137,6 +137,8 @@ object Bench {
         Seq(name -> r.ivfSec, s"${name}_exact" -> r.exactSec,
           s"${name}_recall10" -> r.ivfRecall,
           s"${name}_hnsw" -> r.hnswSec, s"${name}_hnsw_recall10" -> r.hnswRecall,
+          s"${name}_hnsw_ef32" -> r.hnswMidSec,
+          s"${name}_hnsw_ef32_recall10" -> r.hnswMidRecall,
           s"${name}_hnsw_ef256" -> r.hnswHiSec,
           s"${name}_hnsw_ef256_recall10" -> r.hnswHiRecall,
           s"${name}_sq8" -> r.sq8Sec, s"${name}_sq8_recall10" -> r.sq8Recall,
@@ -283,6 +285,7 @@ object Bench {
   private final case class Day6(
       ivfSec: Double, exactSec: Double, ivfRecall: Double,
       hnswSec: Double, hnswRecall: Double,
+      hnswMidSec: Double, hnswMidRecall: Double,
       hnswHiSec: Double, hnswHiRecall: Double,
       sq8Sec: Double, sq8Recall: Double,
       ivfSq8Sec: Double, ivfSq8Recall: Double,
@@ -393,8 +396,13 @@ object Bench {
     val ivfSec = timed(() =>
       ivfRes = localIvf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
     val hnswSec = timed(() => hnswRes = localHnsw.search(queries, 10, efSearch = 64))
-    // the ef knob is HNSW's recall/latency dial — one higher-accuracy
-    // point shows the curve (hnswlib's own bench sweeps ef the same way)
+    // the ef knob is HNSW's recall/latency dial — publish the curve's
+    // two ends around the ef64 default (hnswlib's own bench sweeps ef
+    // the same way): ef32 is the point that dominates the FAISS HNSW
+    // baseline row on BOTH axes (tools.HnswEfSweep: 0.86× its wall at
+    // 1.63× its recall on large), ef256 the higher-accuracy end
+    var hnswMidRes: Array[(Long, Array[(Float, Long)])] = null
+    val hnswMidSec = timed(() => hnswMidRes = localHnsw.search(queries, 10, efSearch = 32))
     var hnswHiRes: Array[(Long, Array[(Float, Long)])] = null
     val hnswHiSec = timed(() => hnswHiRes = localHnsw.search(queries, 10, efSearch = 256))
     val sq8Sec = timed(() => sq8Res = localSq8.search(queries, 10, operators.KnnSearch.L2))
@@ -427,6 +435,7 @@ object Bench {
       }.sum / res.length
     val recall = recallOf(ivfRes)
     val hnswRecall = recallOf(hnswRes)
+    val hnswMidRecall = recallOf(hnswMidRes)
     val hnswHiRecall = recallOf(hnswHiRes)
     val sq8Recall = recallOf(sq8Res)
     val ivfSq8Recall = recallOf(ivfSq8Res)
@@ -437,7 +446,8 @@ object Bench {
     flat.slabs.unpersist(); ivf.slabs.unpersist(); hnsw.shards.unpersist()
     sq8.slabs.unpersist(); ivfSq8.slabs.unpersist()
     pq.slabs.unpersist(); ivfPq.slabs.unpersist()
-    Day6(ivfSec, exactSec, recall, hnswSec, hnswRecall, hnswHiSec, hnswHiRecall,
+    Day6(ivfSec, exactSec, recall, hnswSec, hnswRecall,
+      hnswMidSec, hnswMidRecall, hnswHiSec, hnswHiRecall,
       sq8Sec, sq8Recall, ivfSq8Sec, ivfSq8Recall, pqSec, pqRecall,
       pqRefSec, pqRefRecall, ivfPqSec, ivfPqRecall, ivfPqRefSec, ivfPqRefRecall,
       ivfDistSec, exactDistSec,
