@@ -869,6 +869,45 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q91: INCREMENTAL token-df — the corpus-statistics twin of the
+    * q84/q86 daily-ingest pattern for the QUALITY battery: docs < 400
+    * are yesterday's corpus, tokenized once into a
+    * [[operators.CorpusStats.TokenStatsIndex]] (partial df counts —
+    * df over disjoint doc sets is additive); docs ≥ 400 arrive as the
+    * delta and fold in at delta-tokenize cost; the whole corpus then
+    * scores against the index's aggregated df. Output ≡ q73's batch
+    * operator over the same planted corpus — the oracle is q73's
+    * verbatim, so same rows through the incremental path gate that
+    * build + append ≡ one batch pass. */
+  private val q91TokenDfIncremental: Q = (s, dir) => {
+    import graft.operators.CorpusStats
+    val planted = Tables(s, dir, "documents")
+      .withColumn("t", concat(col("text"), lit(" uniq"), col("doc_id").cast("string")))
+    val ix0 = CorpusStats.buildTokenStats(
+      planted.where(col("doc_id") < 400), "doc_id", "t")
+    val ix1 = CorpusStats.appendToTokenStats(ix0,
+      planted.where(col("doc_id") >= 400), "doc_id", "t")
+    CorpusStats.tokenFrequencyMetricsAgainst(ix1, planted, "doc_id", "t")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q92: INCREMENTAL bigram-LM counts — the q79 surface through the
+    * incremental-statistics path: pair/context counts built on docs
+    * < 400, the ≥ 400 delta folded in (additive partials; vocabulary
+    * dedups once at use time), docs < 100 then scored against the
+    * aggregated model. Output — and oracle — are exactly q79's. */
+  private val q92BigramLmIncremental: Q = (s, dir) => {
+    import graft.operators.CorpusStats
+    val docs = Tables(s, dir, "documents")
+    val ix0 = CorpusStats.buildNgramStats(
+      docs.where(col("doc_id") < 400), "doc_id", "text")
+    val ix1 = CorpusStats.appendToNgramStats(ix0,
+      docs.where(col("doc_id") >= 400), "doc_id", "text")
+    CorpusStats.bigramCountsAgainst(ix1, docs.where(col("doc_id") < 100),
+        "doc_id", "text")
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Per-document quality scoring (training-data pipeline operator). */
   private val q23QualityScores: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -1618,6 +1657,8 @@ object SparkEntry {
     "q72_blocklist" -> q72Blocklist,
     "q73_token_df" -> q73TokenDfMetrics,
     "q74_scrub_pipeline" -> q74ScrubPipeline,
+    "q91_token_df_incremental" -> q91TokenDfIncremental,
+    "q92_bigram_lm_incremental" -> q92BigramLmIncremental,
     "q75_dup_clusters" -> q75DupClusters,
     "q76_semantic_dedup" -> q76SemanticDedup,
     "q77_near_dup_keep" -> q77NearDupKeep,
@@ -2392,6 +2433,28 @@ ORDER BY d.doc_id"""
         |CROSS JOIN v
         |WHERE b.doc_id < 100
         |ORDER BY b.doc_id, b.pos""".stripMargin,
+    // q92: q79's counts through the incremental-statistics path —
+    // additive pair/context partials + use-time vocabulary dedup are
+    // exact, so the oracle is q79's verbatim
+    "q92_bigram_lm_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, i.i AS pos, ws[CAST(i.i AS INT)] AS w1, ws[CAST(i.i AS INT) + 1] AS w2
+        |  FROM toks, unnest(range(1, len(ws))) AS i(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS context_count FROM big GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w.w) AS vocab_size
+        |      FROM (SELECT unnest(ws) AS w FROM toks) w(w))
+        |SELECT b.doc_id, b.pos, c2.pair_count, c1.context_count, v.vocab_size
+        |FROM big b
+        |JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |JOIN c1 ON c1.w1 = b.w1
+        |CROSS JOIN v
+        |WHERE b.doc_id < 100
+        |ORDER BY b.doc_id, b.pos""".stripMargin,
     // q78: duplicated-run-strip twin — identical tokenization (\s+ split
     // keeping boundary empties, as q25/q35), positional 8-grams, df ≥ 2
     // over DISTINCT docs, window-coverage union, string_agg reassembly.
@@ -2504,6 +2567,25 @@ ORDER BY d.doc_id"""
     // (lowercase, \s+ split, empties dropped), planted df=1 token per
     // doc, integer sums + 6-dp rational ratios.
     "q73_token_df" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(t)), '\s+'), w -> w <> '')) AS w
+        |  FROM planted),
+        |tdf AS (SELECT w, count(DISTINCT doc_id) AS tdf FROM toks GROUP BY 1)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(d.tdf) AS DOUBLE) / count(*), 6) AS mean_token_df,
+        |  CAST(min(d.tdf) AS BIGINT) AS min_token_df,
+        |  round(CAST(sum(CASE WHEN d.tdf < 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio
+        |FROM toks t JOIN tdf d USING (w)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q91: the incremental-statistics path over the same planted
+    // corpus — build(<400) + append(>=400) is exact, so the oracle is
+    // q73's verbatim (same rows, different engine path — the q86/q89
+    // append-gate discipline applied to corpus statistics)
+    "q91_token_df_incremental" ->
       """WITH planted AS (
         |  SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS t
         |  FROM documents),

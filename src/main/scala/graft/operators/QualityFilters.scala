@@ -39,7 +39,7 @@ object QualityFilters {
   private def nonBlankLines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
 
-  private def words(text: Column): Column =
+  private[operators] def words(text: Column): Column =
     graft.functions.TextFunctions.wordTokens(text)
 
   /** The nine metric expressions, in output order — the ONE definition
@@ -390,7 +390,7 @@ object QualityFilters {
     * `wordTokens(lower(text))` semantics (lowercase, trim, \s+ split,
     * empties dropped), tokens as 64-bit hashes — the established
     * hashed-key trade (counts invariant, nothing shuffles strings). */
-  private def tokenHashStream(docs: DataFrame, idCol: String, textCol: String) = {
+  private[operators] def tokenHashStream(docs: DataFrame, idCol: String, textCol: String) = {
     val spark = docs.sparkSession
     import spark.implicits._
     Par.widen(docs.select(col(idCol).cast("long"), col(textCol)))
