@@ -187,6 +187,99 @@ object CorpusStats {
       spark.read.parquet(s"$dir/unigrams"),
       spark.read.parquet(s"$dir/ids"))
 
+  // ===================================================================
+  // Streaming twins — the ArchiveDedup pattern radically simplified:
+  // partial counts are ADDITIVE and ORDER-INDEPENDENT, so a streamed
+  // archive needs no coverage manifests, no replay verification, no
+  // generation machinery — each micro-batch overwrites its own
+  // `batch_id=<id>` partition of partial-count parquet (idempotent by
+  // construction: a replayed batch rewrites identical partials), and a
+  // reader aggregates whatever partitions exist through ONE partitioned
+  // relation. Periodic compaction is an optimization (fold partials
+  // into one partition), never a correctness event.
+  // ===================================================================
+
+  private def writeParts(ix: TokenStatsIndex, dir: String, part: String): Unit = {
+    ix.parts.write.mode("overwrite").parquet(s"$dir/df/batch_id=$part")
+    ix.ids.write.mode("overwrite").parquet(s"$dir/ids/batch_id=$part")
+  }
+
+  /** Seed a streamed token-stats archive (batch partition `seed`). */
+  def seedTokenStatsArchive(corpus: DataFrame, dir: String, idCol: String,
+                            textCol: String): Unit =
+    writeParts(buildTokenStats(corpus, idCol, textCol), dir, "seed")
+
+  /** The live archive: every batch's partials through one partitioned
+    * relation (plan is O(1) in stream age, like the dedup archives). */
+  def loadTokenStatsArchive(spark: SparkSession, dir: String): TokenStatsIndex =
+    TokenStatsIndex(
+      spark.read.parquet(s"$dir/df").select(col("w"), col("tdf_part")),
+      spark.read.parquet(s"$dir/ids").select(col("id")))
+
+  /** One micro-batch: enforce the disjointness contract against the
+    * archived id set, then commit the batch's partial counts under its
+    * own partition — replay-safe because a replayed batchId rewrites
+    * the same partition with identical content. */
+  private[graft] def processTokenStatsBatch(batch: DataFrame, batchId: Long,
+                                            dir: String, idCol: String,
+                                            textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .localCheckpoint()
+    val (fs, _) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ids/batch_id=b$batchId"))) {
+      // replay guard (the ArchiveDedup discipline): a legitimate replay
+      // carries the SAME rows — skip, the partition is already durable.
+      // Different ids under a committed batchId is a restart WITHOUT the
+      // checkpoint (counter reset): overwriting would silently REPLACE
+      // the old batch's counts — refuse loudly instead.
+      val stored = spark.read.parquet(s"$dir/ids/batch_id=b$batchId")
+        .select(col("id"))
+      val incoming = b.select(col(idCol).cast("long").as("id")).distinct()
+      val mismatch = stored.except(incoming)
+        .unionByName(incoming.except(stored)).limit(1)
+      if (!mismatch.isEmpty)
+        throw new IllegalStateException(
+          s"CorpusStats: batch $batchId is already committed in $dir with " +
+            "different ids — the stream restarted without its " +
+            "checkpointLocation. Refusing to silently replace the old " +
+            "batch's counts; restart with the original checkpoint.")
+      return
+    }
+    Dedup.requireDeltaDisjoint(loadTokenStatsArchive(spark, dir).ids, b,
+      idCol, "processTokenStatsBatch")
+    writeParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
+  }
+
+  /** Streaming sink: maintain the token-stats archive from a document
+    * stream — [[tokenFrequencyMetricsAgainst]] over
+    * [[loadTokenStatsArchive]] then scores any frame against the
+    * cumulative corpus without re-reading its text. */
+  def tokenStatsSink(docs: DataFrame, dir: String, idCol: String,
+                     textCol: String,
+                     checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processTokenStatsBatch(batch, batchId, dir, idCol, textCol)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
+  /** Fold every partition's partials into one (an optimization for
+    * file-count hygiene — reads are equivalent before and after). */
+  def compactTokenStatsArchive(spark: SparkSession, dir: String,
+                               dstDir: String): Unit = {
+    val ix = loadTokenStatsArchive(spark, dir)
+    writeParts(TokenStatsIndex(
+      ix.parts.groupBy(col("w")).agg(sum(col("tdf_part")).as("tdf_part")),
+      ix.ids.select(col("id")).distinct()), dstDir, "seed")
+  }
+
   /** Bigram-LM counts of `target`'s bigram positions against the
     * INDEX's model — [[QualityFilters.bigramCounts]]' exact-integer
     * shape (doc_id, pos, pair_count, context_count, vocab_size), equal

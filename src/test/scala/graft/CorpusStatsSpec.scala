@@ -76,6 +76,40 @@ class CorpusStatsSpec extends AnyFunSuite {
       rowsOf(QualityFilters.bigramCounts(docs, "doc_id", "text")))
   }
 
+  test("streaming twin: archive partials per batch, replay-safe, equal to the batch operator") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-s").toString
+    seedTokenStatsArchive(docs.where(col("doc_id") < 2), dir, "doc_id", "text")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val rows = docs.where(col("doc_id") >= 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val q = tokenStatsSink(mem.toDS().toDF("doc_id", "text"), dir, "doc_id", "text")
+    try {
+      mem.addData(rows.take(2).toSeq: _*); q.processAllAvailable()
+      mem.addData(rows.drop(2).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = loadTokenStatsArchive(spark, dir)
+    val batch = QualityFilters.tokenFrequencyMetrics(docs, "doc_id", "text")
+    assert(rowsOf(tokenFrequencyMetricsAgainst(streamed, docs, "doc_id", "text"))
+      === rowsOf(batch), "streamed archive must equal the one-shot statistics")
+    // replay: same batchId + same rows skips; committed id set unchanged
+    processTokenStatsBatch(docs.where(col("doc_id") >= 2 && col("doc_id") < 4),
+      0L, dir, "doc_id", "text")
+    assert(loadTokenStatsArchive(spark, dir).ids.count() === 6L)
+    // restart WITHOUT checkpoint (same batchId, different ids): refuse
+    val ex = intercept[IllegalStateException] {
+      processTokenStatsBatch(
+        Seq((99L, "omega psi")).toDF("doc_id", "text"), 0L, dir, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("checkpointLocation"))
+    // compaction folds partitions; reads equivalent
+    val dst = java.nio.file.Files.createTempDirectory("graft-cstats-c").toString
+    compactTokenStatsArchive(spark, dir, dst)
+    assert(rowsOf(CorpusStats.tokenDf(loadTokenStatsArchive(spark, dst)))
+      === rowsOf(CorpusStats.tokenDf(streamed)))
+  }
+
   test("delta disjointness is enforced loudly on both families") {
     val ix = CorpusStats.buildTokenStats(docs.where(col("doc_id") < 3), "doc_id", "text")
     val ex = intercept[IllegalArgumentException] {
