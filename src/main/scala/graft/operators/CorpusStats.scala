@@ -249,8 +249,11 @@ object CorpusStats {
             "batch's counts; restart with the original checkpoint.")
       return
     }
-    Dedup.requireDeltaDisjoint(loadTokenStatsArchive(spark, dir).ids, b,
-      idCol, "processTokenStatsBatch")
+    // an unseeded archive is legal (the stream can be day 0): the first
+    // batch has nothing to be disjoint from
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ids")))
+      Dedup.requireDeltaDisjoint(loadTokenStatsArchive(spark, dir).ids, b,
+        idCol, "processTokenStatsBatch")
     writeParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
   }
 
