@@ -102,7 +102,10 @@ object CorpusStats {
     * when the index covers `target` (q91 gates this through q73's
     * oracle), and the actual daily regime otherwise: today's delta
     * scored against cumulative corpus statistics without re-reading
-    * the archive's text. */
+    * the archive's text. Coverage contract: a target token the index
+    * has never seen has no df and is DROPPED from the metrics (inner
+    * join) — fold the target first (the daily loop does) or accept
+    * seen-token metrics for an uncovered frame. */
   def tokenFrequencyMetricsAgainst(ix: TokenStatsIndex, target: DataFrame,
                                    idCol: String, textCol: String,
                                    rareDf: Int = 3): DataFrame =
@@ -199,45 +202,73 @@ object CorpusStats {
   // into one partition), never a correctness event.
   // ===================================================================
 
-  private def writeParts(ix: TokenStatsIndex, dir: String, part: String): Unit = {
-    ix.parts.write.mode("overwrite").parquet(s"$dir/df/batch_id=$part")
-    ix.ids.write.mode("overwrite").parquet(s"$dir/ids/batch_id=$part")
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def hfs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Seed a streamed token-stats archive (batch partition `seed`). */
+  /** Commit one entry `dir/<name>/{df,ids}` via write-to-temp + rename
+    * (the ArchiveDedup commit discipline): the rename is the single
+    * commit point, so a crash mid-write leaves only an invisible
+    * `.inprogress-*` dir — never a torn entry whose df partials are
+    * readable while the ids the replay guard keys on are missing. */
+  private def commitParts(ix: TokenStatsIndex, dir: String, name: String): Unit = {
+    val spark = ix.parts.sparkSession
+    val (fs, _) = hfs(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.inprogress-$name")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftovers
+    ix.parts.write.mode("overwrite").parquet(s"$tmp/df")
+    ix.ids.write.mode("overwrite").parquet(s"$tmp/ids")
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+      throw new IllegalStateException(
+        s"CorpusStats: failed to commit stats entry $dir/$name " +
+          "(rename returned false) — is another writer racing this archive?")
+  }
+
+  private def entryNamesOf(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+  }
+
+  /** Seed a streamed token-stats archive (entry `seed`). */
   def seedTokenStatsArchive(corpus: DataFrame, dir: String, idCol: String,
                             textCol: String): Unit =
-    writeParts(buildTokenStats(corpus, idCol, textCol), dir, "seed")
+    commitParts(buildTokenStats(corpus, idCol, textCol), dir, "seed")
 
-  /** The live archive: every batch's partials through one partitioned
-    * relation (plan is O(1) in stream age, like the dedup archives). */
-  def loadTokenStatsArchive(spark: SparkSession, dir: String): TokenStatsIndex =
+  /** The live archive: every committed entry's partials through ONE
+    * multi-path relation per component (plan is O(1) in stream age,
+    * like the dedup archives). */
+  def loadTokenStatsArchive(spark: SparkSession, dir: String): TokenStatsIndex = {
+    val entries = entryNamesOf(spark, dir)
+    require(entries.nonEmpty,
+      s"CorpusStats: no committed entries in $dir — seed or stream first")
     TokenStatsIndex(
-      spark.read.parquet(s"$dir/df").select(col("w"), col("tdf_part")),
-      spark.read.parquet(s"$dir/ids").select(col("id")))
+      spark.read.parquet(entries.map(e => s"$dir/$e/df"): _*)
+        .select(col("w"), col("tdf_part")),
+      spark.read.parquet(entries.map(e => s"$dir/$e/ids"): _*)
+        .select(col("id")))
+  }
 
   /** One micro-batch: enforce the disjointness contract against the
-    * archived id set, then commit the batch's partial counts under its
-    * own partition — replay-safe because a replayed batchId rewrites
-    * the same partition with identical content. */
+    * archived id set, then COMMIT the batch's partial counts as entry
+    * `b<id>` (temp + rename — atomic). Replay-safe: an existing entry
+    * with the same ids skips; different ids under a committed batchId
+    * is a restart WITHOUT the checkpoint (counter reset) and refuses
+    * loudly — overwriting would silently REPLACE the old batch's
+    * counts. */
   private[graft] def processTokenStatsBatch(batch: DataFrame, batchId: Long,
                                             dir: String, idCol: String,
                                             textCol: String): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
-    val (fs, _) = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-    }
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ids/batch_id=b$batchId"))) {
-      // replay guard (the ArchiveDedup discipline): a legitimate replay
-      // carries the SAME rows — skip, the partition is already durable.
-      // Different ids under a committed batchId is a restart WITHOUT the
-      // checkpoint (counter reset): overwriting would silently REPLACE
-      // the old batch's counts — refuse loudly instead.
-      val stored = spark.read.parquet(s"$dir/ids/batch_id=b$batchId")
-        .select(col("id"))
+    val (fs, _) = hfs(spark, dir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/b$batchId"))) {
+      val stored = spark.read.parquet(s"$dir/b$batchId/ids").select(col("id"))
       val incoming = b.select(col(idCol).cast("long").as("id")).distinct()
       val mismatch = stored.except(incoming)
         .unionByName(incoming.except(stored)).limit(1)
@@ -251,10 +282,10 @@ object CorpusStats {
     }
     // an unseeded archive is legal (the stream can be day 0): the first
     // batch has nothing to be disjoint from
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ids")))
+    if (entryNamesOf(spark, dir).nonEmpty)
       Dedup.requireDeltaDisjoint(loadTokenStatsArchive(spark, dir).ids, b,
         idCol, "processTokenStatsBatch")
-    writeParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
+    commitParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
   }
 
   /** Streaming sink: maintain the token-stats archive from a document
@@ -264,6 +295,12 @@ object CorpusStats {
   def tokenStatsSink(docs: DataFrame, dir: String, idCol: String,
                      textCol: String,
                      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    if (checkpoint.isEmpty)
+      log.warn("CorpusStats.tokenStatsSink started WITHOUT a " +
+        "checkpointLocation: on restart Structured Streaming resets " +
+        "batchId to 0, which this archive will detect and REFUSE (loud " +
+        "failure instead of silently replacing a batch's counts) — pass " +
+        "checkpoint = Some(dir) for restartable streams.")
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -273,12 +310,12 @@ object CorpusStats {
     w.start()
   }
 
-  /** Fold every partition's partials into one (an optimization for
+  /** Fold every entry's partials into one (an optimization for
     * file-count hygiene — reads are equivalent before and after). */
   def compactTokenStatsArchive(spark: SparkSession, dir: String,
                                dstDir: String): Unit = {
     val ix = loadTokenStatsArchive(spark, dir)
-    writeParts(TokenStatsIndex(
+    commitParts(TokenStatsIndex(
       ix.parts.groupBy(col("w")).agg(sum(col("tdf_part")).as("tdf_part")),
       ix.ids.select(col("id")).distinct()), dstDir, "seed")
   }
@@ -290,7 +327,13 @@ object CorpusStats {
     * covers `target` (q92 gates this through q79's oracle). The daily
     * regime: score today's delta under cumulative corpus counts with
     * one tokenize pass over the DELTA plus two narrow-key aggregates
-    * over the archived partials. */
+    * over the archived partials. Same coverage contract as
+    * [[tokenFrequencyMetricsAgainst]]: a target bigram the index has
+    * never seen has no counts and its (doc_id, pos) row is DROPPED
+    * (inner join) — fold the target first, or accept seen-bigram rows
+    * for an uncovered frame (perplexity consumers wanting
+    * smoothing-floor rows for unseen bigrams should use
+    * [[QualityFilters.bigramLmScoresAgainst]]'s left-join regime). */
   def bigramCountsAgainst(ix: NgramStatsIndex, target: DataFrame,
                           idCol: String, textCol: String): DataFrame = {
     val c2 = ix.pairParts.groupBy(col("__h1"), col("__h2"))

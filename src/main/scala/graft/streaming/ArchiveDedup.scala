@@ -199,6 +199,61 @@ object ArchiveDedup {
     val it = manifestCache.keySet().iterator()
     while (it.hasNext) if (it.next().startsWith(s"$dir/")) it.remove()
   }
+  /** Drop one deleted entry's cached manifest and generation-check
+    * memos — GC'd entries otherwise pin their Sets for the JVM's
+    * lifetime in a long-lived driver. */
+  private def evictEntryCaches(dir: String, entry: String): Unit = {
+    val prefix = s"$dir/$entry/"
+    val it = manifestCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    val it2 = genVerified.iterator()
+    while (it2.hasNext) if (it2.next().startsWith(s"$dir|$entry|")) it2.remove()
+  }
+
+  // (dir|entry|generation) triples whose pinned params already matched
+  // the generation's — the consistency check below runs once per JVM
+  // per sliver per generation
+  private val genVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def paramRowsOf(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(path).collect().map(_.toString).toSeq.sorted
+
+  /** Detect the one bad state the reseed commit guard cannot see (its
+    * window is the whole in-flight batch, not just check-to-rename): a
+    * sliver committed by a batch that loaded the OLD generation and
+    * landed AFTER the reseed's rename. Such a sliver is live (absent
+    * from the reseed manifest) but keyed under superseded parameters —
+    * silently invisible to dedup. Every sliver is a self-contained
+    * index carrying its pinned params/centroids, so readers VERIFY:
+    * when a reseed generation exists, each live sliver's params file
+    * must row-match the generation's, or the load refuses loudly
+    * (re-fold the orphan batch, or reseed again with the stream
+    * stopped). No reseed → zero cost; verified triples memoize per
+    * JVM, so steady state re-reads nothing. */
+  private def verifyGenerationConsistency(spark: SparkSession, dir: String,
+                                          st: ArchiveState,
+                                          layout: Layout): Unit = {
+    if (st.latestReseed.isEmpty) return
+    val gen = baseDirOf(dir, st)
+    lazy val genParams = paramRowsOf(spark, s"$gen/${layout.paramsFile}")
+    st.liveSlivers.foreach { b =>
+      val key = s"$dir|b$b|${st.latestReseed.get._1}"
+      if (!genVerified.contains(key)) {
+        val sp = paramRowsOf(spark, s"$dir/b$b/${layout.paramsFile}")
+        if (sp != genParams)
+          throw new IllegalStateException(
+            s"ArchiveDedup: live sliver b$b in $dir was built under " +
+              s"parameters that differ from the current generation's " +
+              s"($gen) — an in-flight batch raced a reseed and committed " +
+              "under the superseded generation. Its keys never collide " +
+              "with the new generation's, so reads would silently miss " +
+              "its duplicates. Delete the orphan sliver and re-fold that " +
+              "batch, or reseed again with the stream stopped.")
+        genVerified.add(key)
+      }
+    }
+  }
   private[graft] def stateOf(spark: SparkSession, dir: String): ArchiveState = {
     val (fs, p) = hfs(spark, dir)
     if (!fs.exists(p)) ArchiveState(Nil, Nil, Map.empty)
@@ -243,13 +298,19 @@ object ArchiveDedup {
     spark.read.parquet(dirs.map(d => s"$d/$comp"): _*)
 
   /** Write an entry to `.inprogress-<name>` via `write`, then rename
-    * into place — the rename is the commit point (see class doc). */
-  private def commitEntry(spark: SparkSession, dir: String, name: String)
+    * into place — the rename is the commit point (see class doc).
+    * `beforeRename` runs after the write, immediately before the
+    * rename — a validation hook (the reseed guard); if it throws, the
+    * temp dir is dropped and nothing commits. */
+  private def commitEntry(spark: SparkSession, dir: String, name: String,
+                          beforeRename: () => Unit = () => ())
                          (write: String => Unit): Unit = {
     val (fs, _) = hfs(spark, dir)
     val tmp = new Path(s"$dir/.inprogress-$name")
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftovers
     write(tmp.toString)
+    try beforeRename()
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
     if (!fs.rename(tmp, new Path(s"$dir/$name")))
       throw new IllegalStateException(
         s"ArchiveDedup: failed to commit archive entry $dir/$name " +
@@ -376,20 +437,28 @@ object ArchiveDedup {
     st.slivers.filter(st.covered).foreach { b =>
       val covering = st.maximalRanges.filter(r => st.coveredByRange(r, b))
         .map(_._2) ++ reseedCommitFor(Seq(b))
-      if (oldEnough(covering)) fs.delete(new Path(s"$dir/b$b"), true)
+      if (oldEnough(covering)) {
+        fs.delete(new Path(s"$dir/b$b"), true)
+        evictEntryCaches(dir, s"b$b")
+      }
     }
     val live = st.liveRanges.toSet
     st.ranges.filterNot(live).foreach { case r @ (lo, hi) =>
       val covering = st.ranges
         .filter(o => o != r && o._1 <= lo && hi <= o._2).map(_._2) ++
         reseedCommitFor(st.idsOfRange(r))
-      if (oldEnough(covering)) fs.delete(new Path(s"$dir/c$lo-$hi"), true)
+      if (oldEnough(covering)) {
+        fs.delete(new Path(s"$dir/c$lo-$hi"), true)
+        evictEntryCaches(dir, s"c$lo-$hi")
+      }
     }
     st.latestReseed.foreach { case (newest, _) =>
       if (oldEnough(Seq(newest))) {
         fs.delete(new Path(s"$dir/base"), true)
-        st.reseeds.map(_._1).filter(_ != newest)
-          .foreach(id => fs.delete(new Path(s"$dir/r$id"), true))
+        st.reseeds.map(_._1).filter(_ != newest).foreach { id =>
+          fs.delete(new Path(s"$dir/r$id"), true)
+          evictEntryCaches(dir, s"r$id")
+        }
       }
     }
   }
@@ -503,28 +572,23 @@ object ArchiveDedup {
         s"already exists in $dir — skipping (replay or double invocation)")
       return
     }
-    val tmp = new Path(s"$dir/.inprogress-r$atBatch")
-    if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftovers
-    write(tmp.toString)
-    folded.toSeq.sorted.toDF("id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
-    val nowFolded = stateOf(spark, dir).lastFolded
-    if (nowFolded != builtAtLastFolded) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        s"ArchiveDedup($family): aborting reseed r$atBatch in $dir — a " +
-          s"concurrent writer folded batch $nowFolded while this reseed " +
-          s"was building from lastFolded=$builtAtLastFolded. Committing " +
-          "would leave that sliver live under the OLD generation's " +
-          "parameters (its keys never collide with the new generation's " +
-          "— silently invisible to future dedup). Stop the stream before " +
-          "an out-of-band reseed, or use the sink's autoReseedAfter " +
-          "(which reseeds inside the batch), then retry.")
+    commitEntry(spark, dir, s"r$atBatch", beforeRename = () => {
+      val nowFolded = stateOf(spark, dir).lastFolded
+      if (nowFolded != builtAtLastFolded)
+        throw new IllegalStateException(
+          s"ArchiveDedup($family): aborting reseed r$atBatch in $dir — a " +
+            s"concurrent writer folded batch $nowFolded while this reseed " +
+            s"was building from lastFolded=$builtAtLastFolded. Committing " +
+            "would leave that sliver live under the OLD generation's " +
+            "parameters (its keys never collide with the new generation's " +
+            "— silently invisible to future dedup). Stop the stream before " +
+            "an out-of-band reseed, or use the sink's autoReseedAfter " +
+            "(which reseeds inside the batch), then retry.")
+    }) { tmp =>
+      write(tmp)
+      folded.toSeq.sorted.toDF("id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
     }
-    if (!fs.rename(tmp, new Path(s"$dir/r$atBatch")))
-      throw new IllegalStateException(
-        s"ArchiveDedup: failed to commit archive entry $dir/r$atBatch " +
-          "(rename returned false) — is another writer racing this archive?")
     log.warn(s"ArchiveDedup($family): committed reseed generation " +
       s"r$atBatch in $dir — parameters re-fitted to the cumulative " +
       s"corpus (${folded.size} batches folded); superseded entries are " +
@@ -624,6 +688,7 @@ object ArchiveDedup {
   private[graft] def loadLatest(spark: SparkSession,
                                 dir: String): (Dedup.MinhashIndex, Long) = {
     val st = stateOf(spark, dir)
+    verifyGenerationConsistency(spark, dir, st, MinhashLayout)
     val base = baseDirOf(dir, st)
     val p = spark.read.parquet(s"$base/params").head()
     val dirs = entryDirsOf(dir, st)
@@ -774,6 +839,7 @@ object ArchiveDedup {
   private[graft] def loadLatestCosine(spark: SparkSession,
                                       dir: String): (Dedup.CosineIndex, Long) = {
     val st = stateOf(spark, dir)
+    verifyGenerationConsistency(spark, dir, st, CosineLayout)
     val base = baseDirOf(dir, st)
     val p = spark.read.parquet(s"$base/params").head()
     val dirs = entryDirsOf(dir, st)
@@ -934,6 +1000,7 @@ object ArchiveDedup {
   private[graft] def loadLatestSemantic(spark: SparkSession,
                                         dir: String): (Dedup.SemanticIndex, Long) = {
     val st = stateOf(spark, dir)
+    verifyGenerationConsistency(spark, dir, st, SemanticLayout)
     val base = baseDirOf(dir, st)
     val cents = spark.read.parquet(s"$base/centroids")
       .orderBy(col("idx")).collect()

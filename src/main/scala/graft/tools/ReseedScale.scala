@@ -155,11 +155,15 @@ object ReseedScale {
         f"$emitted%9d $exact%9d $recall%7.3f")
       (b, wall, recall)
     }
+    // phase boundaries key on the FIRST reseed (reseedBatches is built
+    // by prepend, so head would be the LATEST — mislabeling the phases
+    // if the probe ever fired twice)
+    val firstReseed = reseedBatches.sorted.headOption
     val phaseAWalls = walls.filter(_._1 < 8).map(_._2)
     val phaseCWalls = walls.filter(w => w._1 >= 12 && !reseedBatches.contains(w._1)).map(_._2)
     val preRecall = walls.filter(_._1 < 8).map(_._3)
-    val dipRecall = walls.filter(w => w._1 >= 9 && w._1 <= reseedBatches.headOption.getOrElse(11)).map(_._3)
-    val postRecall = walls.filter(_._1 >= reseedBatches.headOption.getOrElse(11) + 1).map(_._3)
+    val dipRecall = walls.filter(w => w._1 >= 9 && w._1 <= firstReseed.getOrElse(11)).map(_._3)
+    val postRecall = walls.filter(_._1 >= firstReseed.getOrElse(11) + 1).map(_._3)
     println(f"false-positive rate (phase A, in-distribution): $phaseATrips/8 trips")
     println(s"reseed batches: ${reseedBatches.sorted.mkString(",")}")
     println(f"recall: in-dist mean ${preRecall.sum / preRecall.size}%.3f; " +
@@ -167,7 +171,7 @@ object ReseedScale {
       f"post-reseed mean ${if (postRecall.nonEmpty) postRecall.sum / postRecall.size else -1.0}%.3f")
     println(f"wall: phase-A mean ${phaseAWalls.sum / phaseAWalls.size}%.2f s; " +
       f"post-reseed (excl. reseed batch) mean ${if (phaseCWalls.nonEmpty) phaseCWalls.sum / phaseCWalls.size else -1.0}%.2f s; " +
-      f"reseed batch wall ${reseedBatches.headOption.map(rb => walls.find(_._1 == rb).get._2).getOrElse(-1.0)}%.2f s")
+      f"reseed batch wall ${reseedBatches.sorted.headOption.map(rb => walls.find(_._1 == rb).get._2).getOrElse(-1.0)}%.2f s")
     spark.stop()
   }
 }

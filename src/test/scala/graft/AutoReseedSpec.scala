@@ -218,6 +218,35 @@ class AutoReseedSpec extends AnyFunSuite {
       "centroids re-fitted, not the seed's")
   }
 
+  test("orphan sliver from a raced reseed is detected and refused at load") {
+    import graft.operators.Dedup
+    val dim = 16
+    val archive = tmp("graft-rs-orphan")
+    val pairsDir = tmp("graft-rs-orphan-pairs")
+    ArchiveDedup.seedCosineArchive(
+      (0L until 40L).map(i => (i, gauss(i, dim))).toDF("vec_id", "embedding"),
+      archive, "vec_id", "embedding", numBits = 8, bands = 8, dim = dim)
+    ArchiveDedup.processCosineBatch(
+      (100L until 110L).map(i => (i, gauss(i, dim))).toDF("vec_id", "embedding"),
+      0L, archive, pairsDir, "vec_id", "embedding", 0.95)
+    ArchiveDedup.reseedCosineArchive(spark, archive) // r0, rotated seed
+    // the state commitReseed's guard cannot see: an in-flight batch that
+    // loaded the OLD generation (seed 42) lands AFTER the reseed rename —
+    // simulate by hand-committing its sliver under the superseded params
+    Dedup.saveCosineIndex(Dedup.buildCosineIndex(
+      (200L until 204L).map(i => (i, gauss(i, dim))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", numBits = 8, bands = 8, dim = dim, seed = 42L),
+      s"$archive/b1")
+    val ex = intercept[IllegalStateException] {
+      ArchiveDedup.loadLatestCosine(spark, archive)
+    }
+    assert(ex.getMessage.contains("superseded generation"),
+      s"orphan sliver must refuse loudly: ${ex.getMessage}")
+    // deleting the orphan restores reads (the message's remedy)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$archive/b1"))
+    assert(ArchiveDedup.loadLatestCosine(spark, archive)._1.vecs.count() === 50L)
+  }
+
   test("minhash: out-of-band reseed needs the exact archived corpus and re-bands under new widths") {
     val tA = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
     val tB = "structured streaming state stores hold horizon bounded claims across micro batches"
