@@ -209,23 +209,28 @@ object CorpusStats {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Commit one entry `dir/<name>/{df,ids}` via write-to-temp + rename
-    * (the ArchiveDedup commit discipline): the rename is the single
-    * commit point, so a crash mid-write leaves only an invisible
-    * `.inprogress-*` dir — never a torn entry whose df partials are
+  /** Commit one entry `dir/<name>/{<components>}` via write-to-temp +
+    * rename (the ArchiveDedup commit discipline): the rename is the
+    * single commit point, so a crash mid-write leaves only an invisible
+    * `.inprogress-*` dir — never a torn entry whose count partials are
     * readable while the ids the replay guard keys on are missing. */
-  private def commitParts(ix: TokenStatsIndex, dir: String, name: String): Unit = {
-    val spark = ix.parts.sparkSession
+  private def commitComponents(spark: SparkSession, dir: String, name: String,
+                               comps: Seq[(String, DataFrame)]): Unit = {
     val (fs, _) = hfs(spark, dir)
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.inprogress-$name")
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftovers
-    ix.parts.write.mode("overwrite").parquet(s"$tmp/df")
-    ix.ids.write.mode("overwrite").parquet(s"$tmp/ids")
+    comps.foreach { case (c, df) =>
+      df.write.mode("overwrite").parquet(s"$tmp/$c")
+    }
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/$name")))
       throw new IllegalStateException(
         s"CorpusStats: failed to commit stats entry $dir/$name " +
           "(rename returned false) — is another writer racing this archive?")
   }
+
+  private def commitParts(ix: TokenStatsIndex, dir: String, name: String): Unit =
+    commitComponents(ix.parts.sparkSession, dir, name,
+      Seq("df" -> ix.parts, "ids" -> ix.ids))
 
   private def entryNamesOf(spark: SparkSession, dir: String): Seq[String] = {
     val (fs, p) = hfs(spark, dir)
@@ -266,8 +271,23 @@ object CorpusStats {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
+    if (alreadyCommitted(spark, dir, batchId, b, idCol)) return
+    // an unseeded archive is legal (the stream can be day 0): the first
+    // batch has nothing to be disjoint from
+    if (entryNamesOf(spark, dir).nonEmpty)
+      Dedup.requireDeltaDisjoint(loadTokenStatsArchive(spark, dir).ids, b,
+        idCol, "processTokenStatsBatch")
+    commitParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
+  }
+
+  /** Shared replay guard: a committed entry with the SAME ids skips;
+    * different ids under a committed batchId is a restart WITHOUT the
+    * checkpoint (counter reset) and refuses loudly. */
+  private def alreadyCommitted(spark: SparkSession, dir: String, batchId: Long,
+                               b: DataFrame, idCol: String): Boolean = {
     val (fs, _) = hfs(spark, dir)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/b$batchId"))) {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/b$batchId"))) false
+    else {
       val stored = spark.read.parquet(s"$dir/b$batchId/ids").select(col("id"))
       val incoming = b.select(col(idCol).cast("long").as("id")).distinct()
       val mismatch = stored.except(incoming)
@@ -278,14 +298,8 @@ object CorpusStats {
             "different ids — the stream restarted without its " +
             "checkpointLocation. Refusing to silently replace the old " +
             "batch's counts; restart with the original checkpoint.")
-      return
+      true
     }
-    // an unseeded archive is legal (the stream can be day 0): the first
-    // batch has nothing to be disjoint from
-    if (entryNamesOf(spark, dir).nonEmpty)
-      Dedup.requireDeltaDisjoint(loadTokenStatsArchive(spark, dir).ids, b,
-        idCol, "processTokenStatsBatch")
-    commitParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
   }
 
   /** Streaming sink: maintain the token-stats archive from a document
@@ -318,6 +332,65 @@ object CorpusStats {
     commitParts(TokenStatsIndex(
       ix.parts.groupBy(col("w")).agg(sum(col("tdf_part")).as("tdf_part")),
       ix.ids.select(col("id")).distinct()), dstDir, "seed")
+  }
+
+  // ---- the ngram twin: identical machinery, four components ----
+
+  private def commitNgram(ix: NgramStatsIndex, dir: String, name: String): Unit =
+    commitComponents(ix.pairParts.sparkSession, dir, name,
+      Seq("pairs" -> ix.pairParts, "contexts" -> ix.contextParts,
+        "unigrams" -> ix.unigrams, "ids" -> ix.ids))
+
+  /** Seed a streamed bigram-stats archive (entry `seed`). */
+  def seedNgramStatsArchive(corpus: DataFrame, dir: String, idCol: String,
+                            textCol: String): Unit =
+    commitNgram(buildNgramStats(corpus, idCol, textCol), dir, "seed")
+
+  def loadNgramStatsArchive(spark: SparkSession, dir: String): NgramStatsIndex = {
+    val entries = entryNamesOf(spark, dir)
+    require(entries.nonEmpty,
+      s"CorpusStats: no committed entries in $dir — seed or stream first")
+    def comp(c: String, cols: Seq[String]) =
+      spark.read.parquet(entries.map(e => s"$dir/$e/$c"): _*)
+        .select(cols.map(col): _*)
+    NgramStatsIndex(
+      comp("pairs", Seq("__h1", "__h2", "pc_part")),
+      comp("contexts", Seq("__h1", "cc_part")),
+      comp("unigrams", Seq("h")),
+      comp("ids", Seq("id")))
+  }
+
+  private[graft] def processNgramStatsBatch(batch: DataFrame, batchId: Long,
+                                            dir: String, idCol: String,
+                                            textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .localCheckpoint()
+    if (alreadyCommitted(spark, dir, batchId, b, idCol)) return
+    if (entryNamesOf(spark, dir).nonEmpty)
+      Dedup.requireDeltaDisjoint(loadNgramStatsArchive(spark, dir).ids, b,
+        idCol, "processNgramStatsBatch")
+    commitNgram(buildNgramStats(b, idCol, textCol), dir, s"b$batchId")
+  }
+
+  /** Streaming sink for the bigram-LM statistics —
+    * [[bigramCountsAgainst]] over [[loadNgramStatsArchive]] then scores
+    * any covered frame against the cumulative model. */
+  def ngramStatsSink(docs: DataFrame, dir: String, idCol: String,
+                     textCol: String,
+                     checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    if (checkpoint.isEmpty)
+      log.warn("CorpusStats.ngramStatsSink started WITHOUT a " +
+        "checkpointLocation: on restart Structured Streaming resets " +
+        "batchId to 0, which this archive will detect and REFUSE — pass " +
+        "checkpoint = Some(dir) for restartable streams.")
+    val w = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processNgramStatsBatch(batch, batchId, dir, idCol, textCol)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
   }
 
   /** Bigram-LM counts of `target`'s bigram positions against the

@@ -110,6 +110,34 @@ class CorpusStatsSpec extends AnyFunSuite {
       === rowsOf(CorpusStats.tokenDf(streamed)))
   }
 
+  test("ngram streaming twin: streamed archive equals the one-shot model, replay-safe") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-ns").toString
+    seedNgramStatsArchive(docs.where(col("doc_id") < 2), dir, "doc_id", "text")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val rows = docs.where(col("doc_id") >= 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val q = ngramStatsSink(mem.toDS().toDF("doc_id", "text"), dir, "doc_id", "text")
+    try {
+      mem.addData(rows.take(2).toSeq: _*); q.processAllAvailable()
+      mem.addData(rows.drop(2).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = loadNgramStatsArchive(spark, dir)
+    assert(rowsOf(bigramCountsAgainst(streamed, docs, "doc_id", "text"))
+      === rowsOf(QualityFilters.bigramCounts(docs, "doc_id", "text")),
+      "streamed ngram archive must equal the one-shot model")
+    // replay skips; counter reset refuses
+    processNgramStatsBatch(docs.where(col("doc_id") >= 2 && col("doc_id") < 4),
+      0L, dir, "doc_id", "text")
+    assert(loadNgramStatsArchive(spark, dir).ids.count() === 6L)
+    val ex = intercept[IllegalStateException] {
+      processNgramStatsBatch(
+        Seq((77L, "chi phi")).toDF("doc_id", "text"), 0L, dir, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("checkpointLocation"))
+  }
+
   test("delta disjointness is enforced loudly on both families") {
     val ix = CorpusStats.buildTokenStats(docs.where(col("doc_id") < 3), "doc_id", "text")
     val ex = intercept[IllegalArgumentException] {
