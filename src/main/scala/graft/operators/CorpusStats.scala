@@ -217,6 +217,12 @@ object CorpusStats {
   private def commitComponents(spark: SparkSession, dir: String, name: String,
                                comps: Seq[(String, DataFrame)]): Unit = {
     val (fs, _) = hfs(spark, dir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name")))
+      throw new IllegalStateException(
+        s"CorpusStats: entry $dir/$name already exists with DIFFERENT " +
+          "rows than this batch carries — the stream restarted without " +
+          "its checkpointLocation and its batchId counter reset. " +
+          "Refusing to double-commit; restart with the original checkpoint.")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.inprogress-$name")
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftovers
     comps.foreach { case (c, df) =>
@@ -271,35 +277,45 @@ object CorpusStats {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
-    if (alreadyCommitted(spark, dir, batchId, b, idCol)) return
-    // an unseeded archive is legal (the stream can be day 0): the first
-    // batch has nothing to be disjoint from
-    if (entryNamesOf(spark, dir).nonEmpty)
-      Dedup.requireDeltaDisjoint(loadTokenStatsArchive(spark, dir).ids, b,
-        idCol, "processTokenStatsBatch")
+    if (alreadyFolded(spark, dir, batchId, b, idCol,
+        () => loadTokenStatsArchive(spark, dir).ids)) return
     commitParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
   }
 
-  /** Shared replay guard: a committed entry with the SAME ids skips;
-    * different ids under a committed batchId is a restart WITHOUT the
-    * checkpoint (counter reset) and refuses loudly. */
-  private def alreadyCommitted(spark: SparkSession, dir: String, batchId: Long,
-                               b: DataFrame, idCol: String): Boolean = {
-    val (fs, _) = hfs(spark, dir)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/b$batchId"))) false
-    else {
-      val stored = spark.read.parquet(s"$dir/b$batchId/ids").select(col("id"))
-      val incoming = b.select(col(idCol).cast("long").as("id")).distinct()
-      val mismatch = stored.except(incoming)
-        .unionByName(incoming.except(stored)).limit(1)
-      if (!mismatch.isEmpty)
-        throw new IllegalStateException(
-          s"CorpusStats: batch $batchId is already committed in $dir with " +
-            "different ids — the stream restarted without its " +
-            "checkpointLocation. Refusing to silently replace the old " +
-            "batch's counts; restart with the original checkpoint.")
+  /** Replay guard by ID-MEMBERSHIP, not entry presence — additive
+    * counts admit a simpler and STRONGER coverage test than the dedup
+    * archives' name/manifest machinery: batches carry disjoint doc
+    * ids, so a batch whose ids are ALL already archived was folded
+    * (wherever its entry now lives — including after an out-of-band
+    * compaction folded it away), one with NONE archived is fresh (the
+    * coverage test IS the disjointness guard), and a PARTIAL overlap
+    * can only mean corruption or a foreign corpus — refuse loudly.
+    * Counter resets (restart without checkpoint) that pass this test
+    * (fresh docs under a used batchId) are caught at commit time by
+    * the existing-entry check in [[commitComponents]]. */
+  private def alreadyFolded(spark: SparkSession, dir: String, batchId: Long,
+                            b: DataFrame, idCol: String,
+                            archivedIds: () => DataFrame): Boolean = {
+    if (entryNamesOf(spark, dir).isEmpty) return false // day-0 stream
+    val incoming = b.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint()
+    val n = incoming.count()
+    if (n == 0) return true // empty batch: nothing to fold, skip
+    val present = incoming.join(archivedIds(), Seq("id")).count()
+    if (present == 0) false
+    else if (present == n) {
+      log.warn(s"CorpusStats: batch $batchId's ids are all archived in " +
+        s"$dir — skipping as a replay. If this stream restarted WITHOUT " +
+        "its checkpointLocation this skip may mask a counter reset; " +
+        "always restart with the original checkpoint.")
       true
-    }
+    } else
+      throw new IllegalStateException(
+        s"CorpusStats: batch $batchId overlaps the archive in $dir on " +
+          s"$present of $n ids — a partial fold can only be corruption " +
+          "or a foreign corpus (batches must carry disjoint doc ids). " +
+          "Refusing to double-count; restart with the original " +
+          "checkpoint, or point the stream at a fresh archive.")
   }
 
   /** Streaming sink: maintain the token-stats archive from a document
@@ -324,8 +340,13 @@ object CorpusStats {
     w.start()
   }
 
-  /** Fold every entry's partials into one (an optimization for
-    * file-count hygiene — reads are equivalent before and after). */
+  /** Fold every entry's partials into one — file-count hygiene for
+    * long streams (one entry accrues per batch; reads stay a single
+    * multi-path relation either way). Reads are equivalent before and
+    * after, and REPLAYS stay safe across it: the guard tests
+    * id-membership, not entry presence, so a batch whose entry was
+    * folded away still skips. Run out-of-band into a fresh dir, then
+    * repoint the stream. */
   def compactTokenStatsArchive(spark: SparkSession, dir: String,
                                dstDir: String): Unit = {
     val ix = loadTokenStatsArchive(spark, dir)
@@ -366,10 +387,8 @@ object CorpusStats {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
-    if (alreadyCommitted(spark, dir, batchId, b, idCol)) return
-    if (entryNamesOf(spark, dir).nonEmpty)
-      Dedup.requireDeltaDisjoint(loadNgramStatsArchive(spark, dir).ids, b,
-        idCol, "processNgramStatsBatch")
+    if (alreadyFolded(spark, dir, batchId, b, idCol,
+        () => loadNgramStatsArchive(spark, dir).ids)) return
     commitNgram(buildNgramStats(b, idCol, textCol), dir, s"b$batchId")
   }
 

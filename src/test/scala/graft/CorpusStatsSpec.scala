@@ -97,17 +97,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     processTokenStatsBatch(docs.where(col("doc_id") >= 2 && col("doc_id") < 4),
       0L, dir, "doc_id", "text")
     assert(loadTokenStatsArchive(spark, dir).ids.count() === 6L)
-    // restart WITHOUT checkpoint (same batchId, different ids): refuse
+    // restart WITHOUT checkpoint (same batchId, fresh ids): refuse at commit
     val ex = intercept[IllegalStateException] {
       processTokenStatsBatch(
         Seq((99L, "omega psi")).toDF("doc_id", "text"), 0L, dir, "doc_id", "text")
     }
     assert(ex.getMessage.contains("checkpointLocation"))
-    // compaction folds partitions; reads equivalent
+    // a PARTIAL id overlap can only be corruption — refuse loudly
+    val ex2 = intercept[IllegalStateException] {
+      processTokenStatsBatch(
+        Seq((2L, "seen"), (999L, "fresh")).toDF("doc_id", "text"),
+        9L, dir, "doc_id", "text")
+    }
+    assert(ex2.getMessage.contains("partial fold"), ex2.getMessage)
+    // compaction folds entries; reads equivalent, and a replay of a
+    // batch whose ENTRY was folded away still skips (id-membership
+    // coverage, not entry presence)
     val dst = java.nio.file.Files.createTempDirectory("graft-cstats-c").toString
     compactTokenStatsArchive(spark, dir, dst)
     assert(rowsOf(CorpusStats.tokenDf(loadTokenStatsArchive(spark, dst)))
       === rowsOf(CorpusStats.tokenDf(streamed)))
+    processTokenStatsBatch(docs.where(col("doc_id") >= 2 && col("doc_id") < 4),
+      0L, dst, "doc_id", "text")
+    assert(loadTokenStatsArchive(spark, dst).ids.count() === 6L,
+      "compacted-away batch must replay as a skip, never a double-count")
   }
 
   test("ngram streaming twin: streamed archive equals the one-shot model, replay-safe") {
