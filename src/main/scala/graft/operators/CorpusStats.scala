@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
  * directories, lazy frames, the NEXT day's delta folds in at delta
  * cost.
  *
+ * Retraction (`retractFrom*`): additivity cuts both ways — removing a
+ * batch's influence is the union of its partials NEGATED, exact by
+ * construction (every use-time aggregate sums the partials, so +x and
+ * −x cancel bit-for-bit; tokens/bigrams/vocab entries whose summed
+ * count reaches zero drop out of the aggregates entirely). This is
+ * what a real training pipeline needs when it expires a stale crawl
+ * snapshot or re-weights a domain: subtract one batch at delta cost
+ * instead of the full rebuild the index exists to avoid. The contract
+ * is replay-exact: retract EXACTLY a batch that was appended (same
+ * ids, same text — [[Dedup.requireRetractCovered]] refuses un-archived
+ * ids loudly, since subtracting unseen docs drives counts negative,
+ * silently).
+ *
  * Measured decision rule (tools.StatsScale, BENCH.md "Round 12"):
  * at ×100 (500k docs, 10% delta) the incremental path scores the
  * delta at 0.40× the full token-df recompute (2.27 s vs 5.70 s) and
@@ -41,7 +54,10 @@ import org.apache.spark.sql.functions._
  * operators bit-for-bit when the index covers the target's corpus —
  * q91 replays q73's oracle and q92 replays q79's through the
  * incremental path (build + append ≡ one batch pass), the same
- * same-rows-different-engine-path discipline as q86/q87/q89.
+ * same-rows-different-engine-path discipline as q86/q87/q89; the
+ * retraction inverse (`retract(append(ix,B),B) ≡ ix` on every
+ * observable) and the windowed regime (last-W-batch scoring ≡ batch
+ * recompute over the window) are gated in CorpusStatsSpec.
  */
 object CorpusStats {
 
@@ -51,8 +67,9 @@ object CorpusStats {
 
   /** Partial df counts per batch: `parts` holds (w, tdf_part) rows —
     * one per distinct token PER FOLDED BATCH (df is additive across
-    * disjoint doc sets); `ids` is the indexed doc-id set (disjointness
-    * guard + coverage checks). */
+    * disjoint doc sets; a RETRACTED batch contributes the same rows
+    * negated); `ids` is the indexed doc-id set (disjointness guard +
+    * coverage checks). */
   final case class TokenStatsIndex(parts: DataFrame, ids: DataFrame)
 
   private def tokenRows(docs: DataFrame, idCol: String, textCol: String) =
@@ -82,6 +99,27 @@ object CorpusStats {
       ix.ids.select(col("id")).unionByName(idFrame(newDocs, idCol)))
   }
 
+  /** Subtract a previously-folded batch at DELTA cost — the exact
+    * inverse of [[appendToTokenStats]] by additivity: the batch's
+    * partials union in NEGATED (+x then −x cancels in every use-time
+    * sum; a token seen only in the retracted batch sums to zero and
+    * drops from [[tokenDf]]), and its ids leave the indexed set. The
+    * batch must replay exactly what was appended: same ids (enforced
+    * loudly — retracting an unseen id would drive counts negative) and
+    * same text (the caller's replay contract, as for dedup replays).
+    * This is the crawl-snapshot-expiry / domain-re-weight operation:
+    * removal at batch cost instead of a full corpus rebuild. */
+  def retractFromTokenStats(ix: TokenStatsIndex, docs: DataFrame,
+                            idCol: String, textCol: String): TokenStatsIndex = {
+    Dedup.requireRetractCovered(ix.ids, docs, idCol, "retractFromTokenStats")
+    TokenStatsIndex(
+      ix.parts.select(col("w"), col("tdf_part"))
+        .unionByName(tokenParts(docs, idCol, textCol)
+          .select(col("w"), (col("tdf_part") * lit(-1L)).as("tdf_part"))),
+      ix.ids.select(col("id"))
+        .join(idFrame(docs, idCol), Seq("id"), "left_anti"))
+  }
+
   def saveTokenStats(ix: TokenStatsIndex, dir: String): Unit = {
     ix.parts.write.mode("overwrite").parquet(s"$dir/df")
     ix.ids.write.mode("overwrite").parquet(s"$dir/ids")
@@ -92,9 +130,12 @@ object CorpusStats {
       spark.read.parquet(s"$dir/ids"))
 
   /** Final document frequency per token — one narrow-key aggregate
-    * over the compact partial-count rows. */
+    * over the compact partial-count rows. Non-positive sums (a token
+    * whose every occurrence was retracted) drop out: the token no
+    * longer exists in the indexed corpus. */
   def tokenDf(ix: TokenStatsIndex): DataFrame =
     ix.parts.groupBy(col("w")).agg(sum(col("tdf_part")).as("tdf"))
+      .where(col("tdf") > 0)
 
   /** Per-document token-frequency metrics of `target`, scored against
     * the INDEX's df — identical to
@@ -124,9 +165,10 @@ object CorpusStats {
 
   /** Partial bigram-model counts per batch: pair counts C(w₁w₂),
     * context counts C(w₁·) — both additive over disjoint doc sets —
-    * and the batch's distinct unigram hashes (vocabulary size is a
-    * distinct-count over their union at use time, the one statistic
-    * that is NOT additive). */
+    * and per-batch distinct-unigram marks (h, u_part = ±1): vocabulary
+    * size is the count of hashes whose marks sum positive at use time,
+    * the one statistic that is NOT a plain sum (a hash stays in the
+    * vocabulary while ANY un-retracted batch carries it). */
   final case class NgramStatsIndex(pairParts: DataFrame,
                                    contextParts: DataFrame,
                                    unigrams: DataFrame,
@@ -146,35 +188,58 @@ object CorpusStats {
     import spark.implicits._
     QualityFilters.tokenHashStream(docs, idCol, textCol)
       .flatMap(_._2.iterator).distinct().toDF("h")
+      .select(col("h"), lit(1L).as("u_part"))
   }
 
-  def buildNgramStats(docs: DataFrame, idCol: String,
-                      textCol: String): NgramStatsIndex = {
+  private def ngramPartsOf(docs: DataFrame, idCol: String, textCol: String,
+                           sign: Long): NgramStatsIndex = {
     val bg = bigramFrame(docs, idCol, textCol)
     NgramStatsIndex(
-      bg.groupBy(col("__h1"), col("__h2")).agg(count(lit(1)).as("pc_part")),
-      bg.groupBy(col("__h1")).agg(count(lit(1)).as("cc_part")),
-      unigramFrame(docs, idCol, textCol),
+      bg.groupBy(col("__h1"), col("__h2"))
+        .agg((count(lit(1)) * lit(sign)).as("pc_part")),
+      bg.groupBy(col("__h1")).agg((count(lit(1)) * lit(sign)).as("cc_part")),
+      unigramFrame(docs, idCol, textCol)
+        .select(col("h"), (col("u_part") * lit(sign)).as("u_part")),
       idFrame(docs, idCol))
   }
 
+  def buildNgramStats(docs: DataFrame, idCol: String,
+                      textCol: String): NgramStatsIndex =
+    ngramPartsOf(docs, idCol, textCol, sign = 1L)
+
+  private def unionNgram(ix: NgramStatsIndex, delta: NgramStatsIndex,
+                         ids: DataFrame): NgramStatsIndex =
+    NgramStatsIndex(
+      ix.pairParts.select(col("__h1"), col("__h2"), col("pc_part"))
+        .unionByName(delta.pairParts),
+      ix.contextParts.select(col("__h1"), col("cc_part"))
+        .unionByName(delta.contextParts),
+      ix.unigrams.select(col("h"), col("u_part"))
+        .unionByName(delta.unigrams),
+      ids)
+
   /** Delta-cost fold: the delta's pair/context partials union in
-    * (additive); its distinct unigrams union in un-deduplicated across
-    * batches — vocabulary dedups once, at use time, over the compact
-    * hash column instead of per-append. */
+    * (additive); its distinct-unigram marks union in un-deduplicated
+    * across batches — vocabulary resolves once, at use time, over the
+    * compact hash column instead of per-append. */
   def appendToNgramStats(ix: NgramStatsIndex, newDocs: DataFrame,
                          idCol: String, textCol: String): NgramStatsIndex = {
     Dedup.requireDeltaDisjoint(ix.ids, newDocs, idCol, "appendToNgramStats")
-    val bg = bigramFrame(newDocs, idCol, textCol)
-    NgramStatsIndex(
-      ix.pairParts.select(col("__h1"), col("__h2"), col("pc_part"))
-        .unionByName(bg.groupBy(col("__h1"), col("__h2"))
-          .agg(count(lit(1)).as("pc_part"))),
-      ix.contextParts.select(col("__h1"), col("cc_part"))
-        .unionByName(bg.groupBy(col("__h1")).agg(count(lit(1)).as("cc_part"))),
-      ix.unigrams.select(col("h"))
-        .unionByName(unigramFrame(newDocs, idCol, textCol)),
+    unionNgram(ix, ngramPartsOf(newDocs, idCol, textCol, sign = 1L),
       ix.ids.select(col("id")).unionByName(idFrame(newDocs, idCol)))
+  }
+
+  /** The exact inverse of [[appendToNgramStats]] — see
+    * [[retractFromTokenStats]] for the contract (replay exactly the
+    * appended batch; negative partials cancel in every use-time sum; a
+    * bigram or vocabulary hash carried only by the retracted batch
+    * sums to zero and drops from the model). */
+  def retractFromNgramStats(ix: NgramStatsIndex, docs: DataFrame,
+                            idCol: String, textCol: String): NgramStatsIndex = {
+    Dedup.requireRetractCovered(ix.ids, docs, idCol, "retractFromNgramStats")
+    unionNgram(ix, ngramPartsOf(docs, idCol, textCol, sign = -1L),
+      ix.ids.select(col("id"))
+        .join(idFrame(docs, idCol), Seq("id"), "left_anti"))
   }
 
   def saveNgramStats(ix: NgramStatsIndex, dir: String): Unit = {
@@ -190,16 +255,50 @@ object CorpusStats {
       spark.read.parquet(s"$dir/unigrams"),
       spark.read.parquet(s"$dir/ids"))
 
+  /** Bigram-LM counts of `target`'s bigram positions against the
+    * INDEX's model — [[QualityFilters.bigramCounts]]' exact-integer
+    * shape (doc_id, pos, pair_count, context_count, vocab_size), equal
+    * to the batch operator over the index's corpus when the index
+    * covers `target` (q92 gates this through q79's oracle). The daily
+    * regime: score today's delta under cumulative corpus counts with
+    * one tokenize pass over the DELTA plus two narrow-key aggregates
+    * over the archived partials. Same coverage contract as
+    * [[tokenFrequencyMetricsAgainst]]: a target bigram the index has
+    * never seen (or whose every occurrence was retracted — sums filter
+    * to positive) has no counts and its (doc_id, pos) row is DROPPED
+    * (inner join) — fold the target first, or accept seen-bigram rows
+    * for an uncovered frame (perplexity consumers wanting
+    * smoothing-floor rows for unseen bigrams should use
+    * [[QualityFilters.bigramLmScoresAgainst]]'s left-join regime). */
+  def bigramCountsAgainst(ix: NgramStatsIndex, target: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val c2 = ix.pairParts.groupBy(col("__h1"), col("__h2"))
+      .agg(sum(col("pc_part")).as("pair_count"))
+      .where(col("pair_count") > 0)
+    val c1 = ix.contextParts.groupBy(col("__h1"))
+      .agg(sum(col("cc_part")).as("context_count"))
+      .where(col("context_count") > 0)
+    val vocab = ix.unigrams.groupBy(col("h"))
+      .agg(sum(col("u_part")).as("u")).where(col("u") > 0).count()
+    bigramFrame(target, idCol, textCol)
+      .join(c2, Seq("__h1", "__h2"))
+      .join(c1, Seq("__h1"))
+      .select(col("doc_id"), col("pos"), col("pair_count"),
+        col("context_count"), lit(vocab).as("vocab_size"))
+  }
+
   // ===================================================================
   // Streaming twins — the ArchiveDedup pattern radically simplified:
   // partial counts are ADDITIVE and ORDER-INDEPENDENT, so a streamed
-  // archive needs no coverage manifests, no replay verification, no
-  // generation machinery — each micro-batch overwrites its own
-  // `batch_id=<id>` partition of partial-count parquet (idempotent by
-  // construction: a replayed batch rewrites identical partials), and a
-  // reader aggregates whatever partitions exist through ONE partitioned
-  // relation. Periodic compaction is an optimization (fold partials
-  // into one partition), never a correctness event.
+  // archive needs no generation machinery — each micro-batch COMMITS
+  // its partial counts as entry `b<id>` (temp + rename, atomic), a
+  // reader aggregates every LIVE entry through one multi-path relation
+  // per component (O(1) plan nodes in stream age), and the tiered
+  // auto-compaction below (`compactEvery`, same LSM discipline as
+  // ArchiveDedup) folds old entries so file and entry counts stay
+  // bounded over months-long streams. Folding SUMS partials, so reads
+  // are equivalent before and after — compaction is file hygiene,
+  // never a correctness event.
   // ===================================================================
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -209,20 +308,49 @@ object CorpusStats {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  /** Per-family archive layout: component name → use-time fold (how a
+    * compacted range aggregates that component's rows — partials sum
+    * on their key; ids are disjoint across batches, so they union). */
+  private type Fold = DataFrame => DataFrame
+  private val TokenComponents: Seq[(String, Fold)] = Seq(
+    "df" -> (df => df.groupBy(col("w")).agg(sum(col("tdf_part")).as("tdf_part"))),
+    "ids" -> identity)
+  private val NgramComponents: Seq[(String, Fold)] = Seq(
+    "pairs" -> (df => df.groupBy(col("__h1"), col("__h2"))
+      .agg(sum(col("pc_part")).as("pc_part"))),
+    "contexts" -> (df => df.groupBy(col("__h1"))
+      .agg(sum(col("cc_part")).as("cc_part"))),
+    "unigrams" -> (df => df.groupBy(col("h"))
+      .agg(sum(col("u_part")).as("u_part"))),
+    "ids" -> identity)
+
   /** Commit one entry `dir/<name>/{<components>}` via write-to-temp +
     * rename (the ArchiveDedup commit discipline): the rename is the
     * single commit point, so a crash mid-write leaves only an invisible
     * `.inprogress-*` dir — never a torn entry whose count partials are
-    * readable while the ids the replay guard keys on are missing. */
+    * readable while the ids the replay guard keys on are missing.
+    * The existing-entry refusal message is tailored per call path: a
+    * batch commit hitting an existing `b<id>` can only be a batchId
+    * counter reset (the id-membership replay guard already ran and
+    * said "fresh"), while a seed/compact hitting an existing entry is
+    * simply a non-empty target directory. */
   private def commitComponents(spark: SparkSession, dir: String, name: String,
                                comps: Seq[(String, DataFrame)]): Unit = {
     val (fs, _) = hfs(spark, dir)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name")))
       throw new IllegalStateException(
-        s"CorpusStats: entry $dir/$name already exists with DIFFERENT " +
-          "rows than this batch carries — the stream restarted without " +
-          "its checkpointLocation and its batchId counter reset. " +
-          "Refusing to double-commit; restart with the original checkpoint.")
+        if (name.startsWith("b"))
+          s"CorpusStats: entry $dir/$name already exists with DIFFERENT " +
+            "rows than this batch carries — the stream restarted without " +
+            "its checkpointLocation and its batchId counter reset. " +
+            "Refusing to double-commit; restart with the original checkpoint."
+        else if (name.startsWith("c"))
+          s"CorpusStats: compacted range $dir/$name already exists — is " +
+            "another writer compacting this archive concurrently? One " +
+            "maintainer per archive directory."
+        else
+          s"CorpusStats: $dir is already seeded (entry '$name' exists) — " +
+            "seed/compact into a fresh directory, or purge this one first.")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.inprogress-$name")
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftovers
     comps.foreach { case (c, df) =>
@@ -238,6 +366,11 @@ object CorpusStats {
     commitComponents(ix.parts.sparkSession, dir, name,
       Seq("df" -> ix.parts, "ids" -> ix.ids))
 
+  private def commitNgram(ix: NgramStatsIndex, dir: String, name: String): Unit =
+    commitComponents(ix.pairParts.sparkSession, dir, name,
+      Seq("pairs" -> ix.pairParts, "contexts" -> ix.contextParts,
+        "unigrams" -> ix.unigrams, "ids" -> ix.ids))
+
   private def entryNamesOf(spark: SparkSession, dir: String): Seq[String] = {
     val (fs, p) = hfs(spark, dir)
     if (!fs.exists(p)) Nil
@@ -245,16 +378,231 @@ object CorpusStats {
       .filterNot(_.startsWith("."))
   }
 
+  // -------------------------------------------------------------------
+  // Archive bookkeeping: `seed`, slivers `b<id>`, compacted ranges
+  // `c<lo>-<hi>` (partials pre-folded; a `folded` id manifest when the
+  // merged batch ids are not the full interval, and a `committed`
+  // single-row marker recording the ACTUAL batch the range committed
+  // at — GC retention is keyed on it, never inferred from the range
+  // name, so sparse/timestamp batch ids and late retried merges keep
+  // the full retainCovered window).
+  // -------------------------------------------------------------------
+
+  private val RangeName = "c(\\d+)-(\\d+)".r
+  private[graft] final case class StatsState(hasSeed: Boolean,
+                                             slivers: Seq[Long],
+                                             ranges: Seq[(Long, Long)],
+                                             manifests: Map[(Long, Long), Set[Long]],
+                                             committedAt: Map[(Long, Long), Long]) {
+    def maximalRanges: Seq[(Long, Long)] = ranges.filterNot { r =>
+      ranges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2)
+    }.sortBy(_._1)
+    def coveredByRange(r: (Long, Long), id: Long): Boolean =
+      manifests.get(r).map(_.contains(id))
+        .getOrElse(r._1 <= id && id <= r._2)
+    def covered(id: Long): Boolean =
+      maximalRanges.exists(r => coveredByRange(r, id))
+    def idsOfRange(r: (Long, Long)): Seq[Long] =
+      manifests.get(r).map(_.toSeq.sorted).getOrElse(r._1 to r._2)
+    def liveSlivers: Seq[Long] = slivers.filterNot(covered).sorted
+    def liveRanges: Seq[(Long, Long)] = maximalRanges
+    /** Every batch id durably folded anywhere (batch ids, not doc ids —
+      * bounded by stream age in batches). */
+    def allFoldedIds: Seq[Long] =
+      (ranges.flatMap(idsOfRange) ++ slivers).distinct.sorted
+    /** Directories a reader must union — live entries only: a covered
+      * entry awaiting deferred GC would double-count its partials. */
+    def liveEntries: Seq[String] =
+      (if (hasSeed) Seq("seed") else Nil) ++
+        liveRanges.map { case (lo, hi) => s"c$lo-$hi" } ++
+        liveSlivers.map(b => s"b$b")
+  }
+
+  // folded-id manifests and commit markers are immutable once their
+  // entry is committed — cache per (path, mtime) so stateOf (several
+  // calls per batch) reads each at most once per JVM; mtime keying
+  // keeps a long-lived JVM honest across delete-and-recreate at the
+  // same path (same discipline as ArchiveDedup's manifest cache)
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[Long]]]()
+  private def sidecarOf(spark: SparkSession, dir: String, entry: String,
+                        comp: String): Option[Seq[Long]] = {
+    val (fs, _) = hfs(spark, dir)
+    val mtime =
+      try fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$entry"))
+        .getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    sidecarCache.computeIfAbsent(s"$dir/$entry/$comp@$mtime", { _ =>
+      val path = s"$dir/$entry/$comp"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
+      else Some(spark.read.parquet(path)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq)
+    })
+  }
+  private def purgeSidecarCache(dir: String): Unit = {
+    val it = sidecarCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(s"$dir/")) it.remove()
+  }
+
+  private[graft] def statsStateOf(spark: SparkSession,
+                                  dir: String): StatsState = {
+    val names = entryNamesOf(spark, dir)
+    val ranges = names.collect { case RangeName(lo, hi) => (lo.toLong, hi.toLong) }
+    StatsState(
+      names.contains("seed"),
+      names.collect {
+        case n if n.startsWith("b") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
+          n.drop(1).toLong
+      },
+      ranges,
+      ranges.flatMap(r => sidecarOf(spark, dir, s"c${r._1}-${r._2}", "folded")
+        .map(ids => r -> ids.toSet)).toMap,
+      ranges.flatMap(r => sidecarOf(spark, dir, s"c${r._1}-${r._2}", "committed")
+        .flatMap(_.headOption).map(r -> _)).toMap)
+  }
+
+  /** Tiered auto-compaction, the ArchiveDedup discipline on the stats
+    * archives: when `compactEvery` live slivers accumulate, the K
+    * oldest FOLD into one range entry `c<lo>-<hi>` whose partials are
+    * pre-summed (reads equivalent — sums of sums); when K ranges
+    * accumulate, the K oldest fold into a bigger range. Live entries
+    * stay ≤ seed + (K−1) ranges + (K−1) slivers (plus covered entries
+    * awaiting deferred GC), write amplification is O(batch) amortized,
+    * and the replay guard is untouched — it keys on id membership, so
+    * a batch whose entry was folded away still skips. GC of covered
+    * entries is DEFERRED `retainCovered` batches past the covering
+    * range's RECORDED commit batch (the `committed` marker written at
+    * merge time — never inferred from the range name, so sparse or
+    * timestamp batch ids keep the full retention window), keeping a
+    * concurrent reader's already-planned multi-path relation readable
+    * for at least that many batch intervals. */
+  private[graft] def maybeCompactStats(spark: SparkSession, dir: String,
+                                       comps: Seq[(String, Fold)],
+                                       compactEvery: Int, currentBatch: Long,
+                                       retainCovered: Int = 1): Unit = {
+    if (compactEvery <= 0) return
+    val st0 = statsStateOf(spark, dir)
+    gcCoveredStats(spark, dir, st0, currentBatch, math.max(1, retainCovered))
+    val live = st0.liveSlivers
+    if (live.length >= compactEvery)
+      mergeStatsEntries(spark, dir, comps, live.take(compactEvery).map(b => s"b$b"),
+        live.take(compactEvery), currentBatch)
+    val st1 = statsStateOf(spark, dir)
+    val ranges = st1.liveRanges
+    if (ranges.length >= compactEvery) {
+      val oldest = ranges.take(compactEvery)
+      mergeStatsEntries(spark, dir, comps,
+        oldest.map { case (lo, hi) => s"c$lo-$hi" },
+        oldest.flatMap(st1.idsOfRange), currentBatch)
+    }
+  }
+
+  private def isContiguous(sorted: Seq[Long]): Boolean =
+    sorted.isEmpty || sorted.last - sorted.head + 1 == sorted.length
+
+  private def mergeStatsEntries(spark: SparkSession, dir: String,
+                                comps: Seq[(String, Fold)],
+                                entries: Seq[String], foldedIds: Seq[Long],
+                                currentBatch: Long): Unit = {
+    import spark.implicits._
+    val ids = foldedIds.sorted
+    val name = s"c${ids.head}-${ids.last}"
+    val (fs, _) = hfs(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.inprogress-$name")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    comps.foreach { case (c, fold) =>
+      fold(spark.read.parquet(entries.map(e => s"$dir/$e/$c"): _*))
+        .write.mode("overwrite").parquet(s"$tmp/$c")
+    }
+    if (!isContiguous(ids))
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
+    Seq(currentBatch).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/committed")
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/$name")))
+      throw new IllegalStateException(
+        s"CorpusStats: failed to commit compacted range $dir/$name " +
+          "(rename returned false) — is another writer racing this archive?")
+  }
+
+  /** Deferred GC: delete slivers covered by a maximal range and ranges
+    * contained in a larger one, each only once its earliest covering
+    * range's RECORDED commit batch is ≥ retainCovered batches old.
+    * Crash-safe: covered entries are invisible to readers and the
+    * replay guard, so a crash mid-GC just leaves them for the next
+    * cycle. The seed entry is never GC'd (nothing covers it). */
+  private def gcCoveredStats(spark: SparkSession, dir: String, st: StatsState,
+                             currentBatch: Long, retainCovered: Int): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    def commitOf(r: (Long, Long)): Long = st.committedAt.getOrElse(r, r._2)
+    def oldEnough(covering: Seq[(Long, Long)]): Boolean =
+      covering.map(commitOf).reduceOption(_ min _)
+        .exists(_ <= currentBatch - retainCovered)
+    st.slivers.filter(st.covered).foreach { b =>
+      if (oldEnough(st.maximalRanges.filter(r => st.coveredByRange(r, b))))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/b$b"), true)
+    }
+    val live = st.maximalRanges.toSet
+    st.ranges.filterNot(live).foreach { case r @ (lo, hi) =>
+      if (oldEnough(st.ranges.filter(o => o != r && o._1 <= lo && hi <= o._2)))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/c$lo-$hi"), true)
+    }
+  }
+
+  /** Resolve a window request to entry names: the last `w` folded
+    * batch ids, each of which must still be live as its own sliver —
+    * a batch already folded into a compacted range has lost per-batch
+    * granularity, so the load refuses loudly instead of silently
+    * widening the window (keep `lastBatches < compactEvery`, or
+    * compact out-of-band only beyond the window). The seed entry is
+    * excluded by definition: a window is "the last W batches", and
+    * the seed is the un-windowed day-0 history. */
+  private def windowEntriesOf(st: StatsState, w: Int, dir: String): Seq[String] = {
+    require(w > 0, s"CorpusStats: lastBatches must be positive, got $w")
+    val want = st.allFoldedIds.takeRight(w)
+    require(want.nonEmpty,
+      s"CorpusStats: no batches folded in $dir yet — nothing to window")
+    val live = st.liveSlivers.toSet
+    val folded = want.filterNot(live.contains)
+    require(folded.isEmpty,
+      s"CorpusStats: windowed load of the last $w batches needs each as " +
+        s"its own live entry, but [${folded.mkString(", ")}] in $dir " +
+        "were folded into compacted ranges — per-batch granularity is " +
+        "gone. Keep lastBatches below the sink's compactEvery (the " +
+        s"newest compactEvery−1 slivers always stay live), or stream " +
+        "with compaction disabled and compact out-of-band beyond the " +
+        "window.")
+    want.map(b => s"b$b")
+  }
+
+  // -------------------------------------------------------------------
+  // Token-stats archive
+  // -------------------------------------------------------------------
+
   /** Seed a streamed token-stats archive (entry `seed`). */
   def seedTokenStatsArchive(corpus: DataFrame, dir: String, idCol: String,
-                            textCol: String): Unit =
+                            textCol: String): Unit = {
+    purgeSidecarCache(dir)
     commitParts(buildTokenStats(corpus, idCol, textCol), dir, "seed")
+  }
 
-  /** The live archive: every committed entry's partials through ONE
-    * multi-path relation per component (plan is O(1) in stream age,
-    * like the dedup archives). */
-  def loadTokenStatsArchive(spark: SparkSession, dir: String): TokenStatsIndex = {
-    val entries = entryNamesOf(spark, dir)
+  /** The live archive: every live entry's partials through ONE
+    * multi-path relation per component — the plan is O(1) in stream
+    * age (gated executably in CorpusStatsSpec), and with in-loop
+    * compaction the file count is too. `lastBatches = Some(w)` loads
+    * the SLIDING WINDOW instead: only the last w batches' partials
+    * (seed excluded — it is the un-windowed history), so scoring
+    * against the result is scoring against recent data only — the
+    * regime that expires stale crawl snapshots by simply not reading
+    * them. Windowed loads need per-batch granularity: they refuse if
+    * a requested batch was folded away (see the compaction contract on
+    * [[maybeCompactStats]]). */
+  def loadTokenStatsArchive(spark: SparkSession, dir: String,
+                            lastBatches: Option[Int] = None): TokenStatsIndex = {
+    val st = statsStateOf(spark, dir)
+    val entries = lastBatches match {
+      case Some(w) => windowEntriesOf(st, w, dir)
+      case None => st.liveEntries
+    }
     require(entries.nonEmpty,
       s"CorpusStats: no committed entries in $dir — seed or stream first")
     TokenStatsIndex(
@@ -264,35 +612,38 @@ object CorpusStats {
         .select(col("id")))
   }
 
-  /** One micro-batch: enforce the disjointness contract against the
-    * archived id set, then COMMIT the batch's partial counts as entry
-    * `b<id>` (temp + rename — atomic). Replay-safe: an existing entry
-    * with the same ids skips; different ids under a committed batchId
-    * is a restart WITHOUT the checkpoint (counter reset) and refuses
-    * loudly — overwriting would silently REPLACE the old batch's
-    * counts. */
+  /** One micro-batch: sanity-probe the batch's ids (a duplicated doc
+    * id would double-count partials — loud, matching the appendTo*
+    * contract), enforce the replay/disjointness contract against the
+    * archived id set, COMMIT the batch's partial counts as entry
+    * `b<id>` (temp + rename — atomic), then auto-compact. */
   private[graft] def processTokenStatsBatch(batch: DataFrame, batchId: Long,
                                             dir: String, idCol: String,
-                                            textCol: String): Unit = {
+                                            textCol: String,
+                                            compactEvery: Int = 8,
+                                            retainCovered: Int = 1): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
+    Dedup.requireBatchIdsSane(b, idCol, "tokenStatsSink")
     if (alreadyFolded(spark, dir, batchId, b, idCol,
         () => loadTokenStatsArchive(spark, dir).ids)) return
     commitParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
+    maybeCompactStats(spark, dir, TokenComponents, compactEvery, batchId,
+      retainCovered)
   }
 
   /** Replay guard by ID-MEMBERSHIP, not entry presence — additive
     * counts admit a simpler and STRONGER coverage test than the dedup
     * archives' name/manifest machinery: batches carry disjoint doc
     * ids, so a batch whose ids are ALL already archived was folded
-    * (wherever its entry now lives — including after an out-of-band
-    * compaction folded it away), one with NONE archived is fresh (the
-    * coverage test IS the disjointness guard), and a PARTIAL overlap
-    * can only mean corruption or a foreign corpus — refuse loudly.
-    * Counter resets (restart without checkpoint) that pass this test
-    * (fresh docs under a used batchId) are caught at commit time by
-    * the existing-entry check in [[commitComponents]]. */
+    * (wherever its entry now lives — including after a compaction
+    * folded it away), one with NONE archived is fresh (the coverage
+    * test IS the disjointness guard), and a PARTIAL overlap can only
+    * mean corruption or a foreign corpus — refuse loudly. Counter
+    * resets (restart without checkpoint) that pass this test (fresh
+    * docs under a used batchId) are caught at commit time by the
+    * existing-entry check in [[commitComponents]]. */
   private def alreadyFolded(spark: SparkSession, dir: String, batchId: Long,
                             b: DataFrame, idCol: String,
                             archivedIds: () => DataFrame): Boolean = {
@@ -321,10 +672,16 @@ object CorpusStats {
   /** Streaming sink: maintain the token-stats archive from a document
     * stream — [[tokenFrequencyMetricsAgainst]] over
     * [[loadTokenStatsArchive]] then scores any frame against the
-    * cumulative corpus without re-reading its text. */
+    * cumulative corpus (or, with `lastBatches`, the recent window)
+    * without re-reading its text. `compactEvery` bounds live entry and
+    * file counts exactly as on the dedup archive sinks (≤ 0 disables);
+    * `retainCovered` sizes the deferred-GC window for slow concurrent
+    * readers. */
   def tokenStatsSink(docs: DataFrame, dir: String, idCol: String,
                      textCol: String,
-                     checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                     checkpoint: Option[String] = None,
+                     compactEvery: Int = 8,
+                     retainCovered: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
     if (checkpoint.isEmpty)
       log.warn("CorpusStats.tokenStatsSink started WITHOUT a " +
         "checkpointLocation: on restart Structured Streaming resets " +
@@ -334,41 +691,49 @@ object CorpusStats {
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processTokenStatsBatch(batch, batchId, dir, idCol, textCol)
+        processTokenStatsBatch(batch, batchId, dir, idCol, textCol,
+          compactEvery, retainCovered)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
   }
 
-  /** Fold every entry's partials into one — file-count hygiene for
-    * long streams (one entry accrues per batch; reads stay a single
-    * multi-path relation either way). Reads are equivalent before and
-    * after, and REPLAYS stay safe across it: the guard tests
-    * id-membership, not entry presence, so a batch whose entry was
-    * folded away still skips. Run out-of-band into a fresh dir, then
-    * repoint the stream. */
+  /** Out-of-band full fold into a fresh directory (every live entry's
+    * partials into one `seed`) — for readers that pin a snapshot
+    * longer than `retainCovered` tolerates; the in-band path is the
+    * automatic tiered compaction on the sinks. Reads are equivalent
+    * before and after, and REPLAYS stay safe across it: the guard
+    * tests id-membership, not entry presence, so a batch whose entry
+    * was folded away still skips. */
   def compactTokenStatsArchive(spark: SparkSession, dir: String,
                                dstDir: String): Unit = {
     val ix = loadTokenStatsArchive(spark, dir)
+    purgeSidecarCache(dstDir)
     commitParts(TokenStatsIndex(
       ix.parts.groupBy(col("w")).agg(sum(col("tdf_part")).as("tdf_part")),
       ix.ids.select(col("id")).distinct()), dstDir, "seed")
   }
 
-  // ---- the ngram twin: identical machinery, four components ----
-
-  private def commitNgram(ix: NgramStatsIndex, dir: String, name: String): Unit =
-    commitComponents(ix.pairParts.sparkSession, dir, name,
-      Seq("pairs" -> ix.pairParts, "contexts" -> ix.contextParts,
-        "unigrams" -> ix.unigrams, "ids" -> ix.ids))
+  // -------------------------------------------------------------------
+  // Ngram-stats archive: identical machinery, four components
+  // -------------------------------------------------------------------
 
   /** Seed a streamed bigram-stats archive (entry `seed`). */
   def seedNgramStatsArchive(corpus: DataFrame, dir: String, idCol: String,
-                            textCol: String): Unit =
+                            textCol: String): Unit = {
+    purgeSidecarCache(dir)
     commitNgram(buildNgramStats(corpus, idCol, textCol), dir, "seed")
+  }
 
-  def loadNgramStatsArchive(spark: SparkSession, dir: String): NgramStatsIndex = {
-    val entries = entryNamesOf(spark, dir)
+  /** Ngram twin of [[loadTokenStatsArchive]] — cumulative by default,
+    * last-`lastBatches`-window on request (same granularity contract). */
+  def loadNgramStatsArchive(spark: SparkSession, dir: String,
+                            lastBatches: Option[Int] = None): NgramStatsIndex = {
+    val st = statsStateOf(spark, dir)
+    val entries = lastBatches match {
+      case Some(w) => windowEntriesOf(st, w, dir)
+      case None => st.liveEntries
+    }
     require(entries.nonEmpty,
       s"CorpusStats: no committed entries in $dir — seed or stream first")
     def comp(c: String, cols: Seq[String]) =
@@ -377,27 +742,35 @@ object CorpusStats {
     NgramStatsIndex(
       comp("pairs", Seq("__h1", "__h2", "pc_part")),
       comp("contexts", Seq("__h1", "cc_part")),
-      comp("unigrams", Seq("h")),
+      comp("unigrams", Seq("h", "u_part")),
       comp("ids", Seq("id")))
   }
 
   private[graft] def processNgramStatsBatch(batch: DataFrame, batchId: Long,
                                             dir: String, idCol: String,
-                                            textCol: String): Unit = {
+                                            textCol: String,
+                                            compactEvery: Int = 8,
+                                            retainCovered: Int = 1): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
+    Dedup.requireBatchIdsSane(b, idCol, "ngramStatsSink")
     if (alreadyFolded(spark, dir, batchId, b, idCol,
         () => loadNgramStatsArchive(spark, dir).ids)) return
     commitNgram(buildNgramStats(b, idCol, textCol), dir, s"b$batchId")
+    maybeCompactStats(spark, dir, NgramComponents, compactEvery, batchId,
+      retainCovered)
   }
 
   /** Streaming sink for the bigram-LM statistics —
     * [[bigramCountsAgainst]] over [[loadNgramStatsArchive]] then scores
-    * any covered frame against the cumulative model. */
+    * any covered frame against the cumulative (or windowed) model.
+    * `compactEvery`/`retainCovered` as on [[tokenStatsSink]]. */
   def ngramStatsSink(docs: DataFrame, dir: String, idCol: String,
                      textCol: String,
-                     checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                     checkpoint: Option[String] = None,
+                     compactEvery: Int = 8,
+                     retainCovered: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
     if (checkpoint.isEmpty)
       log.warn("CorpusStats.ngramStatsSink started WITHOUT a " +
         "checkpointLocation: on restart Structured Streaming resets " +
@@ -406,37 +779,25 @@ object CorpusStats {
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processNgramStatsBatch(batch, batchId, dir, idCol, textCol)
+        processNgramStatsBatch(batch, batchId, dir, idCol, textCol,
+          compactEvery, retainCovered)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
   }
 
-  /** Bigram-LM counts of `target`'s bigram positions against the
-    * INDEX's model — [[QualityFilters.bigramCounts]]' exact-integer
-    * shape (doc_id, pos, pair_count, context_count, vocab_size), equal
-    * to the batch operator over the index's corpus when the index
-    * covers `target` (q92 gates this through q79's oracle). The daily
-    * regime: score today's delta under cumulative corpus counts with
-    * one tokenize pass over the DELTA plus two narrow-key aggregates
-    * over the archived partials. Same coverage contract as
-    * [[tokenFrequencyMetricsAgainst]]: a target bigram the index has
-    * never seen has no counts and its (doc_id, pos) row is DROPPED
-    * (inner join) — fold the target first, or accept seen-bigram rows
-    * for an uncovered frame (perplexity consumers wanting
-    * smoothing-floor rows for unseen bigrams should use
-    * [[QualityFilters.bigramLmScoresAgainst]]'s left-join regime). */
-  def bigramCountsAgainst(ix: NgramStatsIndex, target: DataFrame,
-                          idCol: String, textCol: String): DataFrame = {
-    val c2 = ix.pairParts.groupBy(col("__h1"), col("__h2"))
-      .agg(sum(col("pc_part")).as("pair_count"))
-    val c1 = ix.contextParts.groupBy(col("__h1"))
-      .agg(sum(col("cc_part")).as("context_count"))
-    val vocab = ix.unigrams.select(col("h")).distinct().count()
-    bigramFrame(target, idCol, textCol)
-      .join(c2, Seq("__h1", "__h2"))
-      .join(c1, Seq("__h1"))
-      .select(col("doc_id"), col("pos"), col("pair_count"),
-        col("context_count"), lit(vocab).as("vocab_size"))
+  /** Out-of-band full fold for the ngram archive — see
+    * [[compactTokenStatsArchive]]. */
+  def compactNgramStatsArchive(spark: SparkSession, dir: String,
+                               dstDir: String): Unit = {
+    val ix = loadNgramStatsArchive(spark, dir)
+    purgeSidecarCache(dstDir)
+    commitNgram(NgramStatsIndex(
+      ix.pairParts.groupBy(col("__h1"), col("__h2"))
+        .agg(sum(col("pc_part")).as("pc_part")),
+      ix.contextParts.groupBy(col("__h1"))
+        .agg(sum(col("cc_part")).as("cc_part")),
+      ix.unigrams.groupBy(col("h")).agg(sum(col("u_part")).as("u_part")),
+      ix.ids.select(col("id")).distinct()), dstDir, "seed")
   }
 }

@@ -939,6 +939,69 @@ object Dedup {
     spark.conf.getOption("spark.graft.checkDeltaDisjoint")
       .forall(v => scala.util.Try(v.trim.toBoolean).getOrElse(true))
 
+  /** The null/within-batch-uniqueness half of [[requireDeltaDisjoint]],
+    * for paths whose index-overlap condition is enforced elsewhere (the
+    * streaming stats sinks' id-membership replay guard handles overlap,
+    * but a micro-batch carrying the SAME doc id twice would silently
+    * double-count bigram partials — countDistinct shields token-df
+    * only). Same flag, same one-action cost shape. */
+  private[graft] def requireBatchIdsSane(batch: DataFrame, idCol: String,
+                                         op: String): Unit = {
+    if (!checkDeltaDisjoint(batch.sparkSession)) return
+    val offenders = batch.select(col(idCol).cast("long").as("id"))
+      .groupBy("id").count()
+      .where(col("id").isNull || col("count") > 1)
+      .limit(4).collect()
+    val (nullKeys, dup) = offenders.partition(_.isNullAt(0))
+    require(nullKeys.isEmpty,
+      s"$op: batch ids must be non-null and castable to long (column " +
+        s"'$idCol' has null/uncastable values) — filter or repair them " +
+        "before the batch commits")
+    require(dup.isEmpty,
+      s"$op: batch ids must be unique within the batch, but e.g. " +
+        s"[${dup.map(_.getLong(0)).mkString(", ")}] appear more than " +
+        "once — duplicated rows would double-count the batch's partial " +
+        "counts. Pre-compact the batch (latest wins), or disable the " +
+        "check with spark.graft.checkDeltaDisjoint=false")
+  }
+
+  /** The retraction mirror of [[requireDeltaDisjoint]]: a batch may
+    * only be subtracted from an index that FOLDED it — retracting an
+    * id the index never saw drives its partial counts negative, which
+    * is silent corruption (the scorers filter non-positive sums, so the
+    * damage would surface as quietly-missing statistics). Enforces
+    * null-free, within-batch-unique ids AND batch ⊆ indexed ids in one
+    * driver action; same session flag as the append guard. */
+  private[graft] def requireRetractCovered(ixIds: DataFrame, batch: DataFrame,
+                                           idCol: String, op: String): Unit = {
+    if (!checkDeltaDisjoint(batch.sparkSession)) return
+    val counts = batch.select(col(idCol).cast("long").as("id"))
+      .groupBy("id").count()
+    val offenders = counts.where(col("id").isNull || col("count") > 1)
+      .select(col("id"), lit("within").as("kind")).limit(4)
+      .unionByName(counts.select(col("id"))
+        .join(ixIds.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit("missing").as("kind")).limit(3))
+      .collect()
+    val (within, missing) = offenders.partition(_.getString(1) == "within")
+    val (nullKeys, dup) = within.partition(_.isNullAt(0))
+    require(nullKeys.isEmpty,
+      s"$op: retraction ids must be non-null and castable to long " +
+        s"(column '$idCol' has null/uncastable values)")
+    require(dup.isEmpty,
+      s"$op: retraction ids must be unique within the batch, but e.g. " +
+        s"[${dup.map(_.getLong(0)).mkString(", ")}] appear more than " +
+        "once — a doubled row would subtract the doc's counts twice")
+    require(missing.isEmpty,
+      s"$op: every retracted id must be archived in the index, but " +
+        s"e.g. [${missing.map(_.getLong(0)).mkString(", ")}] were never " +
+        "folded — retraction must replay exactly the batch that was " +
+        "appended (same ids, same text); subtracting unseen docs drives " +
+        "partial counts negative. Disable with " +
+        "spark.graft.checkDeltaDisjoint=false only if the caller " +
+        "guarantees coverage")
+  }
+
   /** Enforce the delta-index disjointness contract LOUDLY: an id on both
     * sides would band into its own buckets twice and could survive the
     * m ≥ 2 filter as a bogus self-bucket, so a violated contract must

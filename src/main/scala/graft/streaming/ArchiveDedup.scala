@@ -193,11 +193,33 @@ object ArchiveDedup {
         .select(col("id")).collect().map(_.getLong(0)).toSet)
     })
   }
+  // a range's ACTUAL commit batch (`committed` single-row parquet,
+  // written at merge time since round 13) — GC retention is keyed on
+  // it; older archives without the marker fall back to the range's
+  // `hi` (the pre-r13 inference, exact for the streaming sinks' dense
+  // contiguous batch ids, conservative-short only for sparse ids)
+  private val committedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+  private def committedAtOf(spark: SparkSession, dir: String,
+                            entry: String): Option[Long] = {
+    val (fs, _) = hfs(spark, dir)
+    val mtime =
+      try fs.getFileStatus(new Path(s"$dir/$entry")).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    committedCache.computeIfAbsent(s"$dir/$entry/committed@$mtime", { _ =>
+      val path = s"$dir/$entry/committed"
+      if (!fs.exists(new Path(path))) None
+      else spark.read.parquet(path)
+        .select(col("id")).collect().headOption.map(_.getLong(0))
+    })
+  }
   /** Drop cached manifests under `dir` — called when an archive is
     * (re-)seeded at a path this JVM may have read before. */
   private def purgeManifestCache(dir: String): Unit = {
     val it = manifestCache.keySet().iterator()
     while (it.hasNext) if (it.next().startsWith(s"$dir/")) it.remove()
+    val itC = committedCache.keySet().iterator()
+    while (itC.hasNext) if (itC.next().startsWith(s"$dir/")) itC.remove()
   }
   /** Drop one deleted entry's cached manifest and generation-check
     * memos — GC'd entries otherwise pin their Sets for the JVM's
@@ -206,6 +228,8 @@ object ArchiveDedup {
     val prefix = s"$dir/$entry/"
     val it = manifestCache.keySet().iterator()
     while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    val itC = committedCache.keySet().iterator()
+    while (itC.hasNext) if (itC.next().startsWith(prefix)) itC.remove()
     val it2 = genVerified.iterator()
     while (it2.hasNext) if (it2.next().startsWith(s"$dir|$entry|")) it2.remove()
   }
@@ -391,7 +415,7 @@ object ArchiveDedup {
         oldest.map(b => (s"b$b", b, b)),
         // per-sliver coverage is the sliver's own id: contiguous ids
         // need no manifest (the [lo, hi] interval is exact)
-        if (isContiguous(oldest)) None else Some(oldest))
+        if (isContiguous(oldest)) None else Some(oldest), currentBatch)
     }
     val st1 = stateOf(spark, dir)
     // tier-2 merges select from LIVE ranges only (maximal AND not wholly
@@ -406,7 +430,7 @@ object ArchiveDedup {
       val ids = oldest.flatMap(st1.idsOfRange)
       mergeEntries(spark, dir, layout,
         oldest.map { case (lo, hi) => (s"c$lo-$hi", lo, hi) },
-        if (isContiguous(ids)) None else Some(ids))
+        if (isContiguous(ids)) None else Some(ids), currentBatch)
     }
   }
 
@@ -426,9 +450,15 @@ object ArchiveDedup {
                                st: ArchiveState, currentBatch: Long,
                                retainCovered: Int): Unit = {
     val (fs, _) = hfs(spark, dir)
-    // a range c<lo>-<hi> cannot commit before batch hi is folded, and a
-    // reseed r<id> commits at batch id — those ids bound coverage age
-    // without any extra bookkeeping
+    // coverage age = the covering entry's ACTUAL commit batch: ranges
+    // record it in their `committed` marker (a crash-retried merge or
+    // sparse/timestamp batch ids can commit well after `hi`, and the
+    // retention window must start THEN, not at the inferred name);
+    // pre-marker ranges fall back to `hi` (exact for dense contiguous
+    // streaming ids). A reseed r<id> commits at batch id by
+    // construction.
+    def rangeCommit(r: (Long, Long)): Long =
+      committedAtOf(spark, dir, s"c${r._1}-${r._2}").getOrElse(r._2)
     def oldEnough(coveringCommitBatches: Seq[Long]): Boolean =
       coveringCommitBatches.reduceOption(_ min _)
         .exists(_ <= currentBatch - retainCovered)
@@ -436,7 +466,7 @@ object ArchiveDedup {
       st.latestReseed.filter(r => ids.forall(r._2.contains)).map(_._1).toSeq
     st.slivers.filter(st.covered).foreach { b =>
       val covering = st.maximalRanges.filter(r => st.coveredByRange(r, b))
-        .map(_._2) ++ reseedCommitFor(Seq(b))
+        .map(rangeCommit) ++ reseedCommitFor(Seq(b))
       if (oldEnough(covering)) {
         fs.delete(new Path(s"$dir/b$b"), true)
         evictEntryCaches(dir, s"b$b")
@@ -445,7 +475,7 @@ object ArchiveDedup {
     val live = st.liveRanges.toSet
     st.ranges.filterNot(live).foreach { case r @ (lo, hi) =>
       val covering = st.ranges
-        .filter(o => o != r && o._1 <= lo && hi <= o._2).map(_._2) ++
+        .filter(o => o != r && o._1 <= lo && hi <= o._2).map(rangeCommit) ++
         reseedCommitFor(st.idsOfRange(r))
       if (oldEnough(covering)) {
         fs.delete(new Path(s"$dir/c$lo-$hi"), true)
@@ -465,12 +495,17 @@ object ArchiveDedup {
 
   /** Merge entries (name, lo, hi) into one committed range `c<lo>-<hi>`
     * (with a folded-id manifest when the merged ids are not the full
-    * interval). Sources are NOT deleted here — see the deferred-GC
+    * interval, and a `committed` marker recording the batch the merge
+    * ran at — the deferred-GC retention window is keyed on it, so
+    * sparse/timestamp batch ids and crash-retried merges keep the full
+    * `retainCovered` window instead of an age inferred from the range
+    * name). Sources are NOT deleted here — see the deferred-GC
     * contract on [[maybeCompact]]. Crash-safe: the range rename is the
     * commit; a crash beforehand leaves only the sources. */
   private def mergeEntries(spark: SparkSession, dir: String, layout: Layout,
                            entries: Seq[(String, Long, Long)],
-                           foldedIds: Option[Seq[Long]]): Unit = {
+                           foldedIds: Option[Seq[Long]],
+                           currentBatch: Long): Unit = {
     import spark.implicits._
     val lo = entries.map(_._2).min
     val hi = entries.map(_._3).max
@@ -489,6 +524,8 @@ object ArchiveDedup {
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/${layout.paramsFile}")
       foldedIds.foreach(ids => ids.toDF("id")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded"))
+      Seq(currentBatch).toDF("id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/committed")
     }
   }
 
@@ -608,35 +645,48 @@ object ArchiveDedup {
 
   /** Which modality a seeded archive was built with — the archive is
     * self-describing: a semantic generation carries `centroids`, the
-    * other two a `params` file whose schema names its family. Reads the
-    * CURRENT generation (a reseed never changes modality). */
+    * minhash/cosine families a `params` file whose schema names its
+    * family (read from the CURRENT generation — a reseed never changes
+    * modality), and the corpus-STATISTICS archives
+    * ([[graft.operators.CorpusStats]]) a `seed` entry whose component
+    * layout names theirs (`df` = token-stats, `pairs` = ngram-stats). */
   def modalityOf(spark: SparkSession, dir: String): String = {
     val st = stateOf(spark, dir)
     val base = baseDirOf(dir, st)
     val (fs, _) = hfs(spark, dir)
     if (fs.exists(new Path(s"$base/centroids"))) "semantic"
-    else if (!fs.exists(new Path(s"$base/params")))
-      throw new IllegalArgumentException(
-        s"ArchiveDedup.modalityOf: $dir is not a seeded archive (no " +
-          "base/{params,centroids}) — seed it with seedArchive / " +
-          "seedCosineArchive / seedSemanticArchive first")
-    else {
+    else if (fs.exists(new Path(s"$base/params"))) {
       val cols = spark.read.parquet(s"$base/params").columns.toSet
       if (cols.contains("num_hashes")) "minhash" else "cosine"
     }
+    else if (fs.exists(new Path(s"$dir/seed/df"))) "token-stats"
+    else if (fs.exists(new Path(s"$dir/seed/pairs"))) "ngram-stats"
+    else
+      throw new IllegalArgumentException(
+        s"ArchiveDedup.modalityOf: $dir is not a seeded archive (no " +
+          "base/{params,centroids} and no seed/{df,pairs}) — seed it " +
+          "with seedArchive / seedCosineArchive / seedSemanticArchive, " +
+          "or CorpusStats.seedTokenStatsArchive / seedNgramStatsArchive " +
+          "first")
   }
 
   /** The STREAMING twin of [[Dedup.deltaPairs]]: one sink entry point
-    * that routes each micro-batch to whichever modality the archive at
-    * `archiveDir` was seeded with — minhash (payloadCol = the text
-    * column), cosine, or semantic (payloadCol = the vector column).
-    * The modality was chosen ONCE, at seed time (see the facade's
-    * measured decision rule at [[Dedup.deltaPairs]]); the archive is
-    * self-describing, so deployment code carries one sink whatever the
-    * family. `autoReseedAfter` / `exactLimit` apply to the embedding
-    * families exactly as on the dedicated sinks; a minhash archive
-    * REFUSES `autoReseedAfter` loudly (its reseed needs the raw corpus
-    * — out-of-band [[reseedMinhashArchive]] only). */
+    * that routes each micro-batch to whichever family the archive at
+    * `archiveDir` was seeded with — the three DEDUP modalities (minhash
+    * with payloadCol = the text column; cosine / semantic with
+    * payloadCol = the vector column) and the two corpus-STATISTICS
+    * families ([[graft.operators.CorpusStats]]: token-stats /
+    * ngram-stats, payloadCol = the text column). The family was chosen
+    * ONCE, at seed time (see the facade's measured decision rule at
+    * [[Dedup.deltaPairs]]); the archive is self-describing, so
+    * deployment code carries one sink call site whatever it maintains.
+    * Mismatched options refuse loudly: a minhash archive REFUSES
+    * `autoReseedAfter` (its reseed needs the raw corpus — out-of-band
+    * [[reseedMinhashArchive]] only), and a stats archive — which
+    * maintains counts, not pairs — REFUSES a pairs sink, a threshold,
+    * and the drift/reseed knobs (pass `pairsDir = ""`, `threshold = 0`;
+    * `compactEvery` / `retainCovered` / `checkpoint` apply to every
+    * family). */
   def archiveSink(rows: DataFrame, archiveDir: String, pairsDir: String,
                   idCol: String, payloadCol: String, threshold: Double,
                   exactLimit: Long = 10000L,
@@ -657,10 +707,26 @@ object ArchiveDedup {
         cosineArchiveDedupSink(rows, archiveDir, pairsDir, idCol, payloadCol,
           threshold, exactLimit, checkpoint, compactEvery, driftDir,
           autoReseedAfter, retainCovered)
-      case _ =>
+      case "semantic" =>
         semanticArchiveDedupSink(rows, archiveDir, pairsDir, idCol, payloadCol,
           threshold, checkpoint, compactEvery, driftDir, autoReseedAfter,
           retainCovered)
+      case stats =>
+        require(pairsDir.isEmpty && threshold == 0.0,
+          s"archiveSink: $archiveDir is a $stats archive — it maintains " +
+            "partial COUNTS, not dedup pairs; pass pairsDir = \"\" and " +
+            "threshold = 0 (a non-empty pairs sink here would silently " +
+            "never be written)")
+        require(driftDir.isEmpty && autoReseedAfter <= 0,
+          s"archiveSink: a $stats archive has no drift probes or reseed " +
+            "generations (additive counts carry no pinned parameters to " +
+            "drift) — drop driftDir/autoReseedAfter")
+        if (stats == "token-stats")
+          graft.operators.CorpusStats.tokenStatsSink(rows, archiveDir,
+            idCol, payloadCol, checkpoint, compactEvery, retainCovered)
+        else
+          graft.operators.CorpusStats.ngramStatsSink(rows, archiveDir,
+            idCol, payloadCol, checkpoint, compactEvery, retainCovered)
     }
 
   // =====================================================================

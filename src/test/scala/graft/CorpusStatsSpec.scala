@@ -151,6 +151,196 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("checkpointLocation"))
   }
 
+  test("retraction: retract(append(ix, B), B) == ix on every observable, both families") {
+    val base = docs.where(col("doc_id") < 4)
+    val b = docs.where(col("doc_id") >= 4)
+    // token-df family
+    val ix0 = CorpusStats.buildTokenStats(base, "doc_id", "text")
+    val back = CorpusStats.retractFromTokenStats(
+      CorpusStats.appendToTokenStats(ix0, b, "doc_id", "text"), b, "doc_id", "text")
+    assert(rowsOf(CorpusStats.tokenDf(back)) === rowsOf(CorpusStats.tokenDf(ix0)),
+      "negated partials must cancel bit-for-bit in the df sums")
+    assert(rowsOf(back.ids) === rowsOf(ix0.ids))
+    assert(rowsOf(CorpusStats.tokenFrequencyMetricsAgainst(back, base, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(base, "doc_id", "text")),
+      "scoring against the retracted index must equal the batch operator " +
+        "over the remaining corpus")
+    // "iota"/"kappa" live ONLY in the retracted batch: their df must sum
+    // to zero and DROP, not linger at a negative/zero count
+    assert(CorpusStats.tokenDf(back).where(col("w").isin("iota", "kappa")).isEmpty)
+    // bigram-LM family (incl. the non-additive statistic: vocabulary)
+    val nx0 = CorpusStats.buildNgramStats(base, "doc_id", "text")
+    val nback = CorpusStats.retractFromNgramStats(
+      CorpusStats.appendToNgramStats(nx0, b, "doc_id", "text"), b, "doc_id", "text")
+    assert(rowsOf(CorpusStats.bigramCountsAgainst(nback, base, "doc_id", "text"))
+      === rowsOf(QualityFilters.bigramCounts(base, "doc_id", "text")),
+      "pair/context counts AND vocab_size must return to the pre-append model")
+    assert(rowsOf(nback.ids) === rowsOf(nx0.ids))
+  }
+
+  test("retraction refuses un-archived and duplicated ids loudly") {
+    val ix = CorpusStats.buildTokenStats(docs.where(col("doc_id") < 3), "doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      CorpusStats.retractFromTokenStats(ix,
+        docs.where(col("doc_id") >= 3), "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("never") && ex.getMessage.contains("folded"),
+      ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      CorpusStats.retractFromNgramStats(
+        CorpusStats.buildNgramStats(docs, "doc_id", "text"),
+        Seq((1L, "beta gamma delta"), (1L, "beta gamma delta")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    assert(ex2.getMessage.contains("unique within the batch"), ex2.getMessage)
+  }
+
+  test("windowed scoring: last-W-batch load == batch recompute over the window, both families") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-w").toString
+    seedTokenStatsArchive(docs.where(col("doc_id") < 2), dir, "doc_id", "text")
+    (2 to 5).foreach(i => processTokenStatsBatch(
+      docs.where(col("doc_id") === i.toLong), i.toLong - 2, dir, "doc_id", "text",
+      compactEvery = 0))
+    val windowDocs = docs.where(col("doc_id") >= 4) // batches 2 and 3
+    val win = loadTokenStatsArchive(spark, dir, lastBatches = Some(2))
+    assert(rowsOf(win.ids) === Set(Seq[Any](4L), Seq[Any](5L)),
+      "the window must hold exactly the last 2 batches' ids (seed excluded)")
+    assert(rowsOf(tokenFrequencyMetricsAgainst(win, windowDocs, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(windowDocs, "doc_id", "text")),
+      "windowed scoring must equal the batch operator over the window's docs")
+    // ngram twin
+    val ndir = java.nio.file.Files.createTempDirectory("graft-cstats-wn").toString
+    seedNgramStatsArchive(docs.where(col("doc_id") < 2), ndir, "doc_id", "text")
+    (2 to 5).foreach(i => processNgramStatsBatch(
+      docs.where(col("doc_id") === i.toLong), i.toLong - 2, ndir, "doc_id", "text",
+      compactEvery = 0))
+    val nwin = loadNgramStatsArchive(spark, ndir, lastBatches = Some(2))
+    assert(rowsOf(bigramCountsAgainst(nwin, windowDocs, "doc_id", "text"))
+      === rowsOf(QualityFilters.bigramCounts(windowDocs, "doc_id", "text")),
+      "windowed bigram model must equal the batch model over the window's docs")
+  }
+
+  test("in-loop compaction under the sink: reads equivalent, entries bounded, O(1) reader plan, window granularity refused") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-k").toString
+    seedTokenStatsArchive(docs.where(col("doc_id") < 2), dir, "doc_id", "text")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val rows = docs.where(col("doc_id") >= 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val q = tokenStatsSink(mem.toDS().toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactEvery = 2)
+    try rows.foreach { r => mem.addData(r); q.processAllAvailable() }
+    finally q.stop()
+    // equivalence across the compaction boundary, THROUGH the sink
+    val streamed = loadTokenStatsArchive(spark, dir)
+    assert(rowsOf(tokenFrequencyMetricsAgainst(streamed, docs, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(docs, "doc_id", "text")),
+      "compacted streamed archive must equal the one-shot statistics")
+    // live entries bounded: ≤ seed + (K−1) ranges + (K−1) slivers
+    val st = statsStateOf(spark, dir)
+    assert(st.liveEntries.length <= 1 + 2 * (2 - 1),
+      s"live entries not bounded by compaction: ${st.liveEntries}")
+    // O(1) reader plan: one multi-path FileScan per component, however
+    // many entries the stream has committed
+    val scans = streamed.parts.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("FileScan"))
+    assert(scans === 1, s"reader plan grew beyond one FileScan: $scans")
+    // a batch folded into a range still replays as a skip (id-membership)
+    processTokenStatsBatch(docs.where(col("doc_id") === 2L), 0L, dir,
+      "doc_id", "text", compactEvery = 2)
+    assert(loadTokenStatsArchive(spark, dir).ids.count() === 6L,
+      "compacted-away batch must replay as a skip, never a double-count")
+    // windowed loads refuse folded-away batches instead of silently
+    // widening the window
+    val ex = intercept[IllegalArgumentException] {
+      loadTokenStatsArchive(spark, dir, lastBatches = Some(4))
+    }
+    assert(ex.getMessage.contains("folded into compacted ranges"), ex.getMessage)
+    // ngram family compacts through its sink too
+    val ndir = java.nio.file.Files.createTempDirectory("graft-cstats-kn").toString
+    seedNgramStatsArchive(docs.where(col("doc_id") < 2), ndir, "doc_id", "text")
+    (2 to 5).foreach(i => processNgramStatsBatch(
+      docs.where(col("doc_id") === i.toLong), i.toLong - 2, ndir, "doc_id", "text",
+      compactEvery = 2))
+    assert(rowsOf(bigramCountsAgainst(loadNgramStatsArchive(spark, ndir),
+      docs, "doc_id", "text"))
+      === rowsOf(QualityFilters.bigramCounts(docs, "doc_id", "text")),
+      "compacted streamed ngram archive must equal the one-shot model")
+    assert(statsStateOf(spark, ndir).liveEntries.length <= 3)
+  }
+
+  test("streaming batches refuse duplicated/null doc ids loudly (double-count guard)") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-dup").toString
+    seedNgramStatsArchive(docs.where(col("doc_id") < 2), dir, "doc_id", "text")
+    // a micro-batch carrying the same doc twice would double-count the
+    // bigram pair/context partials (token-df is shielded by
+    // countDistinct; ngram counts are not) — loud, matching appendTo*
+    val ex = intercept[IllegalArgumentException] {
+      processNgramStatsBatch(
+        Seq((7L, "alpha beta"), (7L, "alpha beta")).toDF("doc_id", "text"),
+        3L, dir, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("unique within the batch"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      processTokenStatsBatch(
+        Seq((Option(8L), "x"), (Option.empty[Long], "y")).toDF("doc_id", "text"),
+        4L, dir, "doc_id", "text")
+    }
+    assert(ex2.getMessage.contains("non-null"), ex2.getMessage)
+    // nothing committed by the refused batches
+    assert(loadNgramStatsArchive(spark, dir).ids.count() === 2L)
+  }
+
+  test("archiveSink facade routes stats archives and refuses mismatched options") {
+    import graft.streaming.ArchiveDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-fac").toString
+    CorpusStats.seedTokenStatsArchive(docs.where(col("doc_id") < 2), dir,
+      "doc_id", "text")
+    assert(ArchiveDedup.modalityOf(spark, dir) === "token-stats")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val rows = docs.where(col("doc_id") >= 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val q = ArchiveDedup.archiveSink(mem.toDS().toDF("doc_id", "text"), dir,
+      pairsDir = "", idCol = "doc_id", payloadCol = "text", threshold = 0.0)
+    try { mem.addData(rows.toSeq: _*); q.processAllAvailable() } finally q.stop()
+    assert(rowsOf(CorpusStats.tokenFrequencyMetricsAgainst(
+      CorpusStats.loadTokenStatsArchive(spark, dir), docs, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(docs, "doc_id", "text")),
+      "the facade-maintained archive must equal the one-shot statistics")
+    // mismatched options refuse loudly, as the minhash path does
+    val ex = intercept[IllegalArgumentException] {
+      ArchiveDedup.archiveSink(mem.toDS().toDF("doc_id", "text"), dir,
+        pairsDir = "/tmp/pairs", idCol = "doc_id", payloadCol = "text",
+        threshold = 0.5)
+    }
+    assert(ex.getMessage.contains("not dedup pairs"), ex.getMessage)
+    val ndir = java.nio.file.Files.createTempDirectory("graft-cstats-facn").toString
+    CorpusStats.seedNgramStatsArchive(docs.where(col("doc_id") < 2), ndir,
+      "doc_id", "text")
+    assert(ArchiveDedup.modalityOf(spark, ndir) === "ngram-stats")
+    val ex2 = intercept[IllegalArgumentException] {
+      ArchiveDedup.archiveSink(mem.toDS().toDF("doc_id", "text"), ndir,
+        pairsDir = "", idCol = "doc_id", payloadCol = "text", threshold = 0.0,
+        driftDir = Some("/tmp/drift"))
+    }
+    assert(ex2.getMessage.contains("no drift probes"), ex2.getMessage)
+  }
+
+  test("seed into an already-seeded dir gets the seeded diagnosis, not the counter-reset one") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-re").toString
+    seedTokenStatsArchive(docs.where(col("doc_id") < 2), dir, "doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      seedTokenStatsArchive(docs.where(col("doc_id") < 2), dir, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("already seeded"), ex.getMessage)
+    assert(!ex.getMessage.contains("checkpoint"), ex.getMessage)
+  }
+
   test("delta disjointness is enforced loudly on both families") {
     val ix = CorpusStats.buildTokenStats(docs.where(col("doc_id") < 3), "doc_id", "text")
     val ex = intercept[IllegalArgumentException] {
