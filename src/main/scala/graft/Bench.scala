@@ -13,8 +13,11 @@ import org.apache.spark.sql.SparkSession
  * or scheduler hiccup as signal (the round-6 run showed an 11.9 s "time"
  * for a query whose driver-run history is 0.4 s — pure measurement
  * noise), while the median of three is robust to one bad run and still
- * cheap. The day_6 serving keys keep their tighter warm-twice/min-of-9
- * scheme (sub-ms latencies need the sharper estimator).
+ * cheap. Heavy queries whose warm runs overlapped a JIT compile storm
+ * take up to 2 extra settle samples and report the median of the LAST 3
+ * (see the settle note in `measure`). The day_6 serving keys keep their
+ * tighter warm-twice/min-of-9 scheme (sub-ms latencies need the sharper
+ * estimator).
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -85,18 +88,36 @@ object Bench {
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       try {
+        def jitNow: Long = if (jitBean != null) jitBean.getTotalCompilationTime else 0L
         time(() => fn(spark, sfDir).count()) // cold (discarded)
         System.gc() // drain cross-query garbage outside the timed region
         val up0 = rtBean.getUptime / 1e3
         val cls0 = clsBean.getTotalLoadedClassCount
-        val (g0, n0, j0) = (gcMs, gcN, if (jitBean != null) jitBean.getTotalCompilationTime else 0L)
-        val warm = Array.fill(3)(time(() => fn(spark, sfDir).count()))
-        val tel = QueryTelemetry(warm.clone(), gcMs - g0, gcN - n0,
-          (if (jitBean != null) jitBean.getTotalCompilationTime else 0L) - j0,
-          up0, cls0, memBean.getHeapMemoryUsage.getUsed >> 20)
+        val (g0, n0, j0) = (gcMs, gcN, jitNow)
+        val samples = collection.mutable.ArrayBuffer.fill(3)(
+          time(() => fn(spark, sfDir).count()))
+        // JIT-settle the heavy tail (round 13): when a compile storm ran
+        // DURING the warm samples (background compiler threads — the r12
+        // record showed q64 at jit_ms 10.5 s with samples descending
+        // 4.13→2.99), the early samples are partly compile interference,
+        // not plan time. Take up to 2 extra samples until a sample runs
+        // with < 1.5 s of background compilation, and report the median
+        // of the LAST 3 — post-storm steady state. Light queries (the
+        // overwhelming majority) see no extra runs and no protocol change.
+        var jDelta = jitNow - j0
+        var extras = 0
+        while (extras < 2 && jDelta > 1500L) {
+          val js = jitNow
+          samples += time(() => fn(spark, sfDir).count())
+          jDelta = jitNow - js
+          extras += 1
+        }
+        val tel = QueryTelemetry(samples.toArray, gcMs - g0, gcN - n0,
+          jitNow - j0, up0, cls0, memBean.getHeapMemoryUsage.getUsed >> 20)
         telemetry.synchronized { telemetry(name) = tel }
-        java.util.Arrays.sort(warm)
-        warm(1) // median of 3
+        val last3 = samples.takeRight(3).toArray
+        java.util.Arrays.sort(last3)
+        last3(1) // median of the last (settled) 3
       } catch { case _: Throwable => -1.0 }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -251,7 +272,12 @@ object Bench {
       .map { case (k, (h, m)) => s""""$k":{"hits":$h,"misses":$m}""" }
       .mkString("{", ",", "}")
     val spreads = telemetry.values
-      .map { t => val s = t.samples.sorted; if (s(1) > 0) (s(2) - s(0)) / s(1) else 0.0 }
+      .map { t =>
+        // spread of the SETTLED window (the last 3 samples — the ones
+        // the median came from); JIT-settled queries may carry up to 5
+        val s = t.samples.takeRight(3).sorted
+        if (s(1) > 0) (s(2) - s(0)) / s(1) else 0.0
+      }
       .toArray.sorted
     val varJson =
       if (spreads.isEmpty) "{}"

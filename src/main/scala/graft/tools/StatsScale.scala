@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
  * (a) full batch recompute over the union — the rebuild price;
  * (b) append the delta to the LOADED index + score the delta against
  *     it — the incremental price (tokenizes the delta only; the
- *     archive contributes compact count partials).
+ *     archive contributes compact count partials);
+ * (c) the snapshot-expiry mirror: refresh the model WITHOUT the delta
+ *     by full rebuild over corpus \ delta vs RETRACTING the delta from
+ *     the persisted full index (negated partials — tokenizes the
+ *     retracted batch only).
  */
 object StatsScale {
   def main(args: Array[String]): Unit = {
@@ -41,11 +45,18 @@ object StatsScale {
     }
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-stats-scale").toString
-    // one-time seed builds, persisted (the artifact a pipeline reuses)
+    // one-time seed builds, persisted (the artifact a pipeline reuses):
+    // the seed-corpus indexes for the append rows, and the FULL-corpus
+    // indexes (what a long-running pipeline actually holds) for the
+    // retraction rows
     CorpusStats.saveTokenStats(
       CorpusStats.buildTokenStats(seed, "doc_id", "text"), s"$tmp/tok")
     CorpusStats.saveNgramStats(
       CorpusStats.buildNgramStats(seed, "doc_id", "text"), s"$tmp/ngram")
+    CorpusStats.saveTokenStats(
+      CorpusStats.buildTokenStats(docs, "doc_id", "text"), s"$tmp/tokAll")
+    CorpusStats.saveNgramStats(
+      CorpusStats.buildNgramStats(docs, "doc_id", "text"), s"$tmp/ngramAll")
 
     timed("token-df: FULL batch recompute over corpus ∪ delta") {
       QualityFilters.tokenFrequencyMetrics(docs, "doc_id", "text").count()
@@ -62,6 +73,33 @@ object StatsScale {
       val ix = CorpusStats.appendToNgramStats(
         CorpusStats.loadNgramStats(spark, s"$tmp/ngram"), delta, "doc_id", "text")
       CorpusStats.bigramCountsAgainst(ix, delta, "doc_id", "text").count()
+    }
+
+    // the snapshot-expiry decision: remove the delta's influence from
+    // the full-corpus model by rebuilding over corpus \ delta, or by
+    // RETRACTING the delta from the persisted index (tokenize the
+    // retracted batch only + one narrow-key fold — includes the
+    // coverage guard's driver action). Consumers are the folded count
+    // frames (the refreshed model), identical either way.
+    timed("token-df: FULL df rebuild over corpus \\ delta") {
+      CorpusStats.tokenDf(
+        CorpusStats.buildTokenStats(seed, "doc_id", "text")).count()
+    }
+    timed("token-df: retract delta from loaded full index (df refresh)") {
+      CorpusStats.tokenDf(CorpusStats.retractFromTokenStats(
+        CorpusStats.loadTokenStats(spark, s"$tmp/tokAll"),
+        delta, "doc_id", "text")).count()
+    }
+    def pairModelCount(ix: CorpusStats.NgramStatsIndex): Long =
+      ix.pairParts.groupBy(col("__h1"), col("__h2"))
+        .agg(sum(col("pc_part")).as("pc")).where(col("pc") > 0).count()
+    timed("bigram-LM: FULL pair-model rebuild over corpus \\ delta") {
+      pairModelCount(CorpusStats.buildNgramStats(seed, "doc_id", "text"))
+    }
+    timed("bigram-LM: retract delta from loaded full index (model refresh)") {
+      pairModelCount(CorpusStats.retractFromNgramStats(
+        CorpusStats.loadNgramStats(spark, s"$tmp/ngramAll"),
+        delta, "doc_id", "text"))
     }
     spark.stop()
   }

@@ -278,6 +278,36 @@ class ArchiveDedupSpec extends AnyFunSuite {
     assert(ArchiveDedup.loadLatest(spark, archive)._1.sets.count() === 7L)
   }
 
+  test("retention keys on the range's RECORDED commit batch, not its name (sparse ids / late merges)") {
+    val archive = tmp("graft-arch-ret2")
+    val pairsDir = tmp("graft-arch-ret2-pairs")
+    ArchiveDedup.seedArchive(
+      Seq((0L, tA), (1L, tC)).toDF("doc_id", "text"), archive, "doc_id", "text")
+    def entries(): Set[String] =
+      new java.io.File(archive).listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).toSet
+    def fold(b: Long, every: Int): Unit = ArchiveDedup.processBatch(
+      Seq((100L + b, tB)).toDF("doc_id", "text"), b, archive, pairsDir,
+      "doc_id", "text", 0.5, compactEvery = every, retainCovered = 30)
+    // three early batches accumulate with compaction off; a much later
+    // batch triggers the merge — the range c0-2 COMMITS at batch 50,
+    // far from its name's hi=2. Inferring commit age from the name
+    // would shrink the 30-batch retention window to zero here.
+    (0L to 2L).foreach(fold(_, 0))
+    fold(50L, 3)
+    assert(entries().contains("c0-2"), s"merge committed: ${entries()}")
+    fold(51L, 3)
+    assert(entries().contains("b0") && entries().contains("b2"),
+      s"covered slivers must survive the FULL retainCovered window from " +
+        s"the recorded commit batch (50), not from the range name: ${entries()}")
+    // once the window elapses from the RECORDED commit, GC proceeds
+    fold(85L, 3)
+    assert(!entries().contains("b0") && !entries().contains("b1"),
+      s"retention window elapsed from the recorded commit: ${entries()}")
+    // reads stayed exact throughout (seed 2 + 6 batches)
+    assert(ArchiveDedup.loadLatest(spark, archive)._1.sets.count() === 8L)
+  }
+
   test("slow reader escape hatch: a pinned compactArchive copy survives many GC cycles") {
     val archive = tmp("graft-arch-pin")
     val pairsDir = tmp("graft-arch-pin-pairs")

@@ -285,6 +285,56 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "GreaterThanOrEqual(doc_id,400)")
   }
 
+  test("q91/q92 incremental stats scoring: archived text never re-read, partials enter via index parquet") {
+    import graft.operators.CorpusStats
+    val docs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-cst").toString
+    // the daily regime: yesterday's corpus is a SAVED index; today's
+    // delta scores against it. The cost contract is that the scoring
+    // plan tokenizes the DELTA only — the archive contributes compact
+    // partial-count frames, never its text column.
+    CorpusStats.saveTokenStats(CorpusStats.buildTokenStats(
+      docs.where(col("doc_id") < 400), "doc_id", "text"), s"$tmp/tok")
+    val plan = planOf(CorpusStats.tokenFrequencyMetricsAgainst(
+      CorpusStats.loadTokenStats(spark, s"$tmp/tok"),
+      docs.where(col("doc_id") >= 400), "doc_id", "text"))
+    assertNoCartesian("q91-score", plan)
+    // every text-reading scan is the delta's, pushed-filtered…
+    val textScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("text#")).toSeq
+    assert(textScans.nonEmpty, s"q91-score: expected a delta text scan:\n$plan")
+    textScans.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id,400)"),
+        s"q91-score: un-pushed corpus text scan (archive re-read):\n$l\n\nfull plan:\n$plan")
+    }
+    // …and the archive enters ONLY through its partial-count parquet
+    assert(plan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("tdf_part#") && !l.contains("text#")),
+      s"q91-score: index partials no longer come from the index parquet:\n$plan")
+
+    // q92's shape: the bigram model's pair/context aggregates fold the
+    // SAVED partials; only the scoring target's text is tokenized
+    CorpusStats.saveNgramStats(CorpusStats.buildNgramStats(
+      docs.where(col("doc_id") < 400), "doc_id", "text"), s"$tmp/ngram")
+    val nplan = planOf(CorpusStats.bigramCountsAgainst(
+      CorpusStats.loadNgramStats(spark, s"$tmp/ngram"),
+      docs.where(col("doc_id") >= 400), "doc_id", "text"))
+    assertNoCartesian("q92-score", nplan)
+    val ntextScans = nplan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("text#")).toSeq
+    assert(ntextScans.nonEmpty, s"q92-score: expected a delta text scan:\n$nplan")
+    ntextScans.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id,400)"),
+        s"q92-score: un-pushed corpus text scan (archive re-read):\n$l\n\nfull plan:\n$nplan")
+    }
+    assert(nplan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("pc_part#") && !l.contains("text#")),
+      s"q92-score: pair partials no longer come from the index parquet:\n$nplan")
+    assert(nplan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("cc_part#") && !l.contains("text#")),
+      s"q92-score: context partials no longer come from the index parquet:\n$nplan")
+  }
+
   test("q85 cosine delta scan input: signature math is delta-sided, no cartesian") {
     import graft.operators.{Dedup, SimilarityJoin}
     val e = Tables(spark, dir, "embeddings")
