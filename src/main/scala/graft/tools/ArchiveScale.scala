@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
  * last-5 wall comparison. `mode` picks the modality twin:
  * `minhash` (default; documents.text), `semantic` (embeddings under
  * 64 pinned seed-sampled centroids), `cosine` (embeddings,
- * hyperplane-LSH widths auto-sized at the seed).
+ * hyperplane-LSH widths auto-sized at the seed), or a corpus-stats
+ * family (`token-stats` / `ngram-stats` — the CorpusStats streaming
+ * sinks: per-batch partial-count folds, same tiered compaction, no
+ * pairs output; the end-of-run check scores the full corpus against
+ * the streamed archive and counts the rows).
  */
 object ArchiveScale {
   def main(args: Array[String]): Unit = {
@@ -41,7 +45,8 @@ object ArchiveScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val textMode = mode == "minhash"
+    val statsMode = mode == "token-stats" || mode == "ngram-stats"
+    val textMode = mode == "minhash" || statsMode
     val (table, idCol, payloadCol) =
       if (textMode) ("documents", "doc_id", "text")
       else ("embeddings", "vec_id", "embedding")
@@ -75,12 +80,19 @@ object ArchiveScale {
           ArchiveDedup.seedSemanticArchive(oldSide, archive, idCol, payloadCol, cents)
         case "cosine" =>
           ArchiveDedup.seedCosineArchive(oldSide, archive, idCol, payloadCol)
+        case "token-stats" =>
+          graft.operators.CorpusStats.seedTokenStatsArchive(
+            oldSide, archive, idCol, payloadCol)
+        case "ngram-stats" =>
+          graft.operators.CorpusStats.seedNgramStatsArchive(
+            oldSide, archive, idCol, payloadCol)
         case other => sys.error(s"unknown mode $other")
       }
     }
     def liveEntries(): Int =
       new java.io.File(archive).listFiles()
-        .count(f => !f.getName.startsWith(".") && f.getName != "base")
+        .count(f => !f.getName.startsWith(".") &&
+          f.getName != "base" && f.getName != "seed")
     val walls = (0 until nBatches).map { b =>
       val batch = newSide
         .where(col("__rn") > b * batchRows && col("__rn") <= (b + 1) * batchRows)
@@ -95,6 +107,12 @@ object ArchiveScale {
           ArchiveDedup.processSemanticBatch(batch, b.toLong, archive, pairsDir,
             idCol, payloadCol, 0.9, compactEvery = compactEvery,
             driftDir = driftDir)
+        case "token-stats" =>
+          graft.operators.CorpusStats.processTokenStatsBatch(batch, b.toLong,
+            archive, idCol, payloadCol, compactEvery = compactEvery)
+        case "ngram-stats" =>
+          graft.operators.CorpusStats.processNgramStatsBatch(batch, b.toLong,
+            archive, idCol, payloadCol, compactEvery = compactEvery)
         case _ =>
           ArchiveDedup.processCosineBatch(batch, b.toLong, archive, pairsDir,
             idCol, payloadCol, 0.9, compactEvery = compactEvery,
@@ -105,8 +123,22 @@ object ArchiveScale {
         f"live entries ${liveEntries()}%3d")
       w
     }
-    val pairs = spark.read.option("basePath", pairsDir).parquet(pairsDir)
-    println(s"total pairs: ${pairs.count()} across $nBatches batches")
+    if (statsMode) {
+      import graft.operators.CorpusStats
+      timed("score full corpus against streamed stats archive") {
+        if (mode == "token-stats")
+          println(s"scored rows: ${CorpusStats.tokenFrequencyMetricsAgainst(
+            CorpusStats.loadTokenStatsArchive(spark, archive),
+            rows, idCol, payloadCol).count()}")
+        else
+          println(s"scored rows: ${CorpusStats.bigramCountsAgainst(
+            CorpusStats.loadNgramStatsArchive(spark, archive),
+            rows, idCol, payloadCol).count()}")
+      }
+    } else {
+      val pairs = spark.read.option("basePath", pairsDir).parquet(pairsDir)
+      println(s"total pairs: ${pairs.count()} across $nBatches batches")
+    }
     if (nBatches >= 10) {
       val head = walls.take(5).sum / 5
       val tail = walls.takeRight(5).sum / 5
