@@ -249,10 +249,21 @@ object CorpusStats {
     ix.ids.write.mode("overwrite").parquet(s"$dir/ids")
   }
 
+  /** Normalize a persisted unigram frame to the (h, u_part) mark
+    * schema. Indexes persisted before round 13 stored bare `h` rows —
+    * one per batch-distinct hash, which IS a mark of 1, so `lit(1)` is
+    * the exact historical value, not an approximation; mixed-schema
+    * multi-path reads (old seed + new slivers under mergeSchema) fill
+    * the old rows' null marks the same way. */
+  private def withUnigramMarks(df: DataFrame): DataFrame =
+    if (df.columns.contains("u_part"))
+      df.select(col("h"), coalesce(col("u_part"), lit(1L)).as("u_part"))
+    else df.select(col("h"), lit(1L).as("u_part"))
+
   def loadNgramStats(spark: SparkSession, dir: String): NgramStatsIndex =
     NgramStatsIndex(spark.read.parquet(s"$dir/pairs"),
       spark.read.parquet(s"$dir/contexts"),
-      spark.read.parquet(s"$dir/unigrams"),
+      withUnigramMarks(spark.read.parquet(s"$dir/unigrams")),
       spark.read.parquet(s"$dir/ids"))
 
   /** Bigram-LM counts of `target`'s bigram positions against the
@@ -339,15 +350,14 @@ object CorpusStats {
     val (fs, _) = hfs(spark, dir)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name")))
       throw new IllegalStateException(
+        // callers commit only `seed` and `b<id>` here; compacted ranges
+        // go through mergeStatsEntries, which carries its own
+        // concurrent-compactor refusal
         if (name.startsWith("b"))
           s"CorpusStats: entry $dir/$name already exists with DIFFERENT " +
             "rows than this batch carries — the stream restarted without " +
             "its checkpointLocation and its batchId counter reset. " +
             "Refusing to double-commit; restart with the original checkpoint."
-        else if (name.startsWith("c"))
-          s"CorpusStats: compacted range $dir/$name already exists — is " +
-            "another writer compacting this archive concurrently? One " +
-            "maintainer per archive directory."
         else
           s"CorpusStats: $dir is already seeded (entry '$name' exists) — " +
             "seed/compact into a fresh directory, or purge this one first.")
@@ -443,6 +453,14 @@ object CorpusStats {
     val it = sidecarCache.keySet().iterator()
     while (it.hasNext) if (it.next().startsWith(s"$dir/")) it.remove()
   }
+  /** Drop one GC'd entry's cached sidecars — deleted ranges otherwise
+    * pin their folded-id Seqs for the JVM's lifetime in a long-lived
+    * driver (the ArchiveDedup eviction discipline). */
+  private def evictSidecarCache(dir: String, entry: String): Unit = {
+    val prefix = s"$dir/$entry/"
+    val it = sidecarCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+  }
 
   private[graft] def statsStateOf(spark: SparkSession,
                                   dir: String): StatsState = {
@@ -462,20 +480,24 @@ object CorpusStats {
   }
 
   /** Tiered auto-compaction, the ArchiveDedup discipline on the stats
-    * archives: when `compactEvery` live slivers accumulate, the K
-    * oldest FOLD into one range entry `c<lo>-<hi>` whose partials are
-    * pre-summed (reads equivalent — sums of sums); when K ranges
-    * accumulate, the K oldest fold into a bigger range. Live entries
-    * stay ≤ seed + (K−1) ranges + (K−1) slivers (plus covered entries
-    * awaiting deferred GC), write amplification is O(batch) amortized,
-    * and the replay guard is untouched — it keys on id membership, so
-    * a batch whose entry was folded away still skips. GC of covered
-    * entries is DEFERRED `retainCovered` batches past the covering
-    * range's RECORDED commit batch (the `committed` marker written at
-    * merge time — never inferred from the range name, so sparse or
-    * timestamp batch ids keep the full retention window), keeping a
-    * concurrent reader's already-planned multi-path relation readable
-    * for at least that many batch intervals. */
+    * archives with one window-preserving difference: a merge triggers
+    * only once 2K−1 live slivers accumulate and folds the K OLDEST, so
+    * the newest K−1 slivers are ALWAYS live — the guarantee windowed
+    * loads (`lastBatches < compactEvery`) rely on; ArchiveDedup folds
+    * at K-of-K because nothing windows over its entries. Folded range
+    * entries `c<lo>-<hi>` carry pre-summed partials (reads equivalent —
+    * sums of sums); when 2K−1 ranges accumulate, the K oldest fold into
+    * a bigger range. Live entries stay ≤ seed + (2K−2) ranges + (2K−2)
+    * slivers (plus covered entries awaiting deferred GC), write
+    * amplification is O(batch) amortized, and the replay guard is
+    * untouched — it keys on id membership, so a batch whose entry was
+    * folded away still skips. GC of covered entries is DEFERRED
+    * `retainCovered` batches past the covering range's RECORDED commit
+    * batch (the `committed` marker written at merge time — never
+    * inferred from the range name, so sparse or timestamp batch ids
+    * keep the full retention window), keeping a concurrent reader's
+    * already-planned multi-path relation readable for at least that
+    * many batch intervals. */
   private[graft] def maybeCompactStats(spark: SparkSession, dir: String,
                                        comps: Seq[(String, Fold)],
                                        compactEvery: Int, currentBatch: Long,
@@ -484,12 +506,12 @@ object CorpusStats {
     val st0 = statsStateOf(spark, dir)
     gcCoveredStats(spark, dir, st0, currentBatch, math.max(1, retainCovered))
     val live = st0.liveSlivers
-    if (live.length >= compactEvery)
+    if (live.length >= 2 * compactEvery - 1)
       mergeStatsEntries(spark, dir, comps, live.take(compactEvery).map(b => s"b$b"),
         live.take(compactEvery), currentBatch)
     val st1 = statsStateOf(spark, dir)
     val ranges = st1.liveRanges
-    if (ranges.length >= compactEvery) {
+    if (ranges.length >= 2 * compactEvery - 1) {
       val oldest = ranges.take(compactEvery)
       mergeStatsEntries(spark, dir, comps,
         oldest.map { case (lo, hi) => s"c$lo-$hi" },
@@ -508,6 +530,16 @@ object CorpusStats {
     val ids = foldedIds.sorted
     val name = s"c${ids.head}-${ids.last}"
     val (fs, _) = hfs(spark, dir)
+    // an existing target can only be a concurrent compactor (a crashed
+    // merge that DID commit makes its sources covered, so it is never
+    // re-attempted) — refuse before the rename: Hadoop rename onto an
+    // existing directory moves the temp INSIDE it and returns true,
+    // which would report success without committing anything
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name")))
+      throw new IllegalStateException(
+        s"CorpusStats: compacted range $dir/$name already exists — is " +
+          "another writer compacting this archive concurrently? One " +
+          "maintainer per archive directory.")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.inprogress-$name")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     comps.foreach { case (c, fold) =>
@@ -543,8 +575,10 @@ object CorpusStats {
     }
     val live = st.maximalRanges.toSet
     st.ranges.filterNot(live).foreach { case r @ (lo, hi) =>
-      if (oldEnough(st.ranges.filter(o => o != r && o._1 <= lo && hi <= o._2)))
+      if (oldEnough(st.ranges.filter(o => o != r && o._1 <= lo && hi <= o._2))) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/c$lo-$hi"), true)
+        evictSidecarCache(dir, s"c$lo-$hi")
+      }
     }
   }
 
@@ -559,8 +593,14 @@ object CorpusStats {
   private def windowEntriesOf(st: StatsState, w: Int, dir: String): Seq[String] = {
     require(w > 0, s"CorpusStats: lastBatches must be positive, got $w")
     val want = st.allFoldedIds.takeRight(w)
-    require(want.nonEmpty,
-      s"CorpusStats: no batches folded in $dir yet — nothing to window")
+    // a too-young stream refuses rather than silently narrowing the
+    // window: the caller believes data beyond w batches was excluded,
+    // and a 5-batch "30-batch window" is not that
+    require(want.length == w,
+      s"CorpusStats: windowed load of the last $w batches, but only " +
+        s"${want.length} batches are folded in $dir — the window is not " +
+        s"full yet; request lastBatches <= ${want.length} or wait for " +
+        "more batches.")
     val live = st.liveSlivers.toSet
     val folded = want.filterNot(live.contains)
     require(folded.isEmpty,
@@ -742,7 +782,11 @@ object CorpusStats {
     NgramStatsIndex(
       comp("pairs", Seq("__h1", "__h2", "pc_part")),
       comp("contexts", Seq("__h1", "cc_part")),
-      comp("unigrams", Seq("h", "u_part")),
+      // mergeSchema: a pre-r13 seed ships bare-`h` unigrams next to
+      // new (h, u_part) slivers — withUnigramMarks fills the exact
+      // historical mark of 1
+      withUnigramMarks(spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(e => s"$dir/$e/unigrams"): _*)),
       comp("ids", Seq("id")))
   }
 

@@ -238,10 +238,15 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rowsOf(tokenFrequencyMetricsAgainst(streamed, docs, "doc_id", "text"))
       === rowsOf(QualityFilters.tokenFrequencyMetrics(docs, "doc_id", "text")),
       "compacted streamed archive must equal the one-shot statistics")
-    // live entries bounded: ≤ seed + (K−1) ranges + (K−1) slivers
+    // live entries bounded: ≤ seed + (2K−2) ranges + (2K−2) slivers
     val st = statsStateOf(spark, dir)
-    assert(st.liveEntries.length <= 1 + 2 * (2 - 1),
+    assert(st.liveEntries.length <= 1 + 4 * (2 - 1),
       s"live entries not bounded by compaction: ${st.liveEntries}")
+    // the window-preserving tier: the newest K−1 slivers are ALWAYS
+    // live, so a window below compactEvery loads fine mid-stream
+    assert(rowsOf(loadTokenStatsArchive(spark, dir, lastBatches = Some(1)).ids)
+      === Set(Seq[Any](5L)),
+      "the newest compactEvery−1 slivers must stay live for windowed loads")
     // O(1) reader plan: one multi-path FileScan per component, however
     // many entries the stream has committed
     val scans = streamed.parts.queryExecution.executedPlan.toString
@@ -268,7 +273,46 @@ class CorpusStatsSpec extends AnyFunSuite {
       docs, "doc_id", "text"))
       === rowsOf(QualityFilters.bigramCounts(docs, "doc_id", "text")),
       "compacted streamed ngram archive must equal the one-shot model")
-    assert(statsStateOf(spark, ndir).liveEntries.length <= 3)
+    assert(statsStateOf(spark, ndir).liveEntries.length <= 5)
+  }
+
+  test("windowed load refuses a window wider than the folded history") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-wf").toString
+    seedTokenStatsArchive(docs.where(col("doc_id") < 2), dir, "doc_id", "text")
+    processTokenStatsBatch(docs.where(col("doc_id") === 2L), 0L, dir,
+      "doc_id", "text", compactEvery = 0)
+    val ex = intercept[IllegalArgumentException] {
+      loadTokenStatsArchive(spark, dir, lastBatches = Some(5))
+    }
+    assert(ex.getMessage.contains("not") && ex.getMessage.contains("full"),
+      ex.getMessage)
+  }
+
+  test("pre-r13 bare-h unigram parquet loads exactly (mark = 1), alone and mixed in an archive") {
+    import graft.operators.CorpusStats._
+    // saved-index form: overwrite unigrams with the old bare-`h` schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-old").toString
+    saveNgramStats(buildNgramStats(docs, "doc_id", "text"), s"$dir/ix")
+    val oldUni = spark.read.parquet(s"$dir/ix/unigrams").select(col("h"))
+      .localCheckpoint()
+    oldUni.write.mode("overwrite").parquet(s"$dir/ix/unigrams")
+    assert(rowsOf(bigramCountsAgainst(loadNgramStats(spark, s"$dir/ix"),
+      docs, "doc_id", "text"))
+      === rowsOf(QualityFilters.bigramCounts(docs, "doc_id", "text")),
+      "an old-format saved index must load and score exactly")
+    // archive form: old-format seed next to a new-format sliver
+    val adir = java.nio.file.Files.createTempDirectory("graft-cstats-olda").toString
+    seedNgramStatsArchive(docs.where(col("doc_id") < 4), adir, "doc_id", "text")
+    val seedUni = spark.read.parquet(s"$adir/seed/unigrams").select(col("h"))
+      .localCheckpoint()
+    seedUni.write.mode("overwrite").parquet(s"$adir/seed/unigrams")
+    processNgramStatsBatch(docs.where(col("doc_id") >= 4), 0L, adir,
+      "doc_id", "text")
+    assert(rowsOf(bigramCountsAgainst(loadNgramStatsArchive(spark, adir),
+      docs, "doc_id", "text"))
+      === rowsOf(QualityFilters.bigramCounts(docs, "doc_id", "text")),
+      "a mixed old/new-schema archive must read exactly (mergeSchema + mark fill)")
   }
 
   test("streaming batches refuse duplicated/null doc ids loudly (double-count guard)") {
