@@ -1366,6 +1366,72 @@ object Dedup {
         .unionByName(assignMembers(newDf, idCol, vecCol, ix.centroids)))
   }
 
+  // =====================================================================
+  // Retraction — the right-to-be-forgotten / takedown operation on the
+  // incremental indexes. Every component row of every modality is keyed
+  // by its document's id (banding keys, shingle payloads, vectors,
+  // cluster members), so removing previously-indexed documents is an
+  // exact row filter: one anti-join per component, no recompute, no
+  // corpus access — `retract(append(ix, B), B.ids) ≡ ix` bit-for-bit.
+  // The pinned drift baseline stays pinned (seed-scoped, exactly as for
+  // appends — a baseline that tracked every retraction would
+  // under-report cumulative drift). `ids` needs only the id column;
+  // retracting an id the index never held refuses loudly via
+  // [[requireRetractCovered]] (a takedown that silently "removes"
+  // nothing is how the wrong index ships).
+  // =====================================================================
+
+  private def retractIds(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+
+  /** Remove documents from a [[MinhashIndex]] at anti-join cost. */
+  def retractFromMinhashIndex(ix: MinhashIndex, ids: DataFrame,
+                              idCol: String): MinhashIndex = {
+    requireRetractCovered(ix.sets.select(col("id")), ids, idCol,
+      "retractFromMinhashIndex")
+    val rm = retractIds(ids, idCol)
+    ix.copy(
+      buckets = ix.buckets.select(col("bkt"), col("id"))
+        .join(rm, Seq("id"), "left_anti").select(col("bkt"), col("id")),
+      sets = ix.sets.select(col("id"), col("sh"))
+        .join(rm, Seq("id"), "left_anti").select(col("id"), col("sh")))
+  }
+
+  /** Remove embeddings from a [[CosineIndex]] at anti-join cost. */
+  def retractFromCosineIndex(ix: CosineIndex, ids: DataFrame,
+                             idCol: String): CosineIndex = {
+    requireRetractCovered(ix.vecs.select(col("id")), ids, idCol,
+      "retractFromCosineIndex")
+    val rm = retractIds(ids, idCol)
+    ix.copy(
+      buckets = ix.buckets.select(col("bkt"), col("id"))
+        .join(rm, Seq("id"), "left_anti").select(col("bkt"), col("id")),
+      vecs = ix.vecs.select(col("id"), col("v"))
+        .join(rm, Seq("id"), "left_anti").select(col("id"), col("v")))
+  }
+
+  /** Remove members from a [[SemanticIndex]] at anti-join cost
+    * (centroids stay pinned — assignment of the remaining members is
+    * untouched by construction). */
+  def retractFromSemanticIndex(ix: SemanticIndex, ids: DataFrame,
+                               idCol: String): SemanticIndex = {
+    requireRetractCovered(ix.members.select(col("id")), ids, idCol,
+      "retractFromSemanticIndex")
+    val rm = retractIds(ids, idCol)
+    ix.copy(members = ix.members.select(col("id"), col("cluster"), col("v"))
+      .join(rm, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"), col("v")))
+  }
+
+  /** Modality-dispatching retraction — the [[deltaPairs]] facade's
+    * forget twin: one call site whatever the index family. */
+  def retract(ix: DeltaIndex, ids: DataFrame, idCol: String): DeltaIndex =
+    ix match {
+      case m: MinhashIndex => retractFromMinhashIndex(m, ids, idCol)
+      case c: CosineIndex => retractFromCosineIndex(c, ids, idCol)
+      case s: SemanticIndex => retractFromSemanticIndex(s, ids, idCol)
+    }
+
   /**
    * The unified incremental-dedup facade: route a delta batch against
    * whichever index modality the archive was built with, normalizing

@@ -626,10 +626,16 @@ object ArchiveDedup {
       folded.toSeq.sorted.toDF("id")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
     }
-    log.warn(s"ArchiveDedup($family): committed reseed generation " +
-      s"r$atBatch in $dir — parameters re-fitted to the cumulative " +
-      s"corpus (${folded.size} batches folded); superseded entries are " +
-      "GC'd one compaction cycle later; pairs already written remain valid")
+    log.warn(s"ArchiveDedup($family): committed generation r$atBatch " +
+      s"in $dir — " +
+      (if (family.endsWith("forget"))
+        s"archive rewritten WITHOUT the forgotten documents (pinned " +
+          s"parameters unchanged; ${folded.size} batches folded)"
+      else
+        s"parameters re-fitted to the cumulative corpus " +
+          s"(${folded.size} batches folded)") +
+      "; superseded entries are GC'd one compaction cycle later; pairs " +
+      "already written remain valid")
   }
 
   private def warnIfNoCheckpoint(checkpoint: Option[String], sink: String): Unit =
@@ -728,6 +734,70 @@ object ArchiveDedup {
           graft.operators.CorpusStats.ngramStatsSink(rows, archiveDir,
             idCol, payloadCol, checkpoint, compactEvery, retainCovered)
     }
+
+  /** Forget documents IN PLACE from a streamed dedup archive — the
+    * right-to-be-forgotten / takedown operation at archive scale:
+    * rebuild the current generation MINUS `ids` from the archive's own
+    * payload (one anti-join per component via [[Dedup.retract]] —
+    * parameters and centroids unchanged, no corpus access) and commit
+    * it as a full generation entry through the reseed machinery.
+    * Readers flip atomically; superseded entries GC one compaction
+    * cycle later; the stream keeps running and every FUTURE batch
+    * dedups against an archive that no longer contains the forgotten
+    * documents. Pairs already emitted are history — purging them from
+    * the pairs store is the caller's downstream concern. Refuses ids
+    * the archive never folded (a takedown that silently removes
+    * nothing is how the wrong archive ships); a fold racing the commit
+    * aborts loudly exactly as for reseeds — prefer the stream stopped.
+    * A corpus-STATISTICS archive refuses: its entries hold aggregated
+    * counts, not per-document rows — subtracting a document needs its
+    * TEXT ([[graft.operators.CorpusStats.retractFromTokenStats]]), not
+    * just its id. */
+  def forgetDocs(spark: SparkSession, dir: String, ids: DataFrame,
+                 idCol: String = "id"): Unit = {
+    val modality = modalityOf(spark, dir)
+    require(modality == "minhash" || modality == "cosine" || modality == "semantic",
+      s"forgetDocs: $dir is a $modality archive — stats archives hold " +
+        "aggregated counts, not per-document rows; retract the batch " +
+        "WITH ITS TEXT via CorpusStats.retractFrom*Stats and re-commit, " +
+        "or rebuild the stats archive without the documents")
+    val st = stateOf(spark, dir)
+    val (fs, _) = hfs(spark, dir)
+    // the generation entry needs a free r<id>; a forget right after a
+    // reseed (or two forgets back-to-back) takes the next free id —
+    // sliver names (b<id>) are a different namespace, so no collision
+    val atBatch = Iterator.iterate(math.max(0L, st.lastFolded))(_ + 1L)
+      .find(id => !fs.exists(new Path(s"$dir/r$id"))).get
+    modality match {
+      case "minhash" =>
+        val nix = Dedup.retractFromMinhashIndex(loadLatest(spark, dir)._1, ids, idCol)
+        commitReseed(spark, dir, atBatch, st.allFoldedIds, "minhash forget",
+            builtAtLastFolded = st.lastFolded) { tmp =>
+          Dedup.saveMinhashIndex(nix, tmp)
+          Dedup.saveDriftBaseline(tmp,
+            Dedup.pinDriftBaseline(Dedup.loadMinhashIndex(spark, tmp)).baseline,
+            spark)
+        }
+      case "cosine" =>
+        val nix = Dedup.retractFromCosineIndex(loadLatestCosine(spark, dir)._1, ids, idCol)
+        commitReseed(spark, dir, atBatch, st.allFoldedIds, "cosine forget",
+            builtAtLastFolded = st.lastFolded) { tmp =>
+          Dedup.saveCosineIndex(nix, tmp)
+          Dedup.saveDriftBaseline(tmp,
+            Dedup.pinDriftBaseline(Dedup.loadCosineIndex(spark, tmp)).baseline,
+            spark)
+        }
+      case _ =>
+        val nix = Dedup.retractFromSemanticIndex(loadLatestSemantic(spark, dir)._1, ids, idCol)
+        commitReseed(spark, dir, atBatch, st.allFoldedIds, "semantic forget",
+            builtAtLastFolded = st.lastFolded) { tmp =>
+          Dedup.saveSemanticIndex(nix, tmp)
+          Dedup.saveDriftBaseline(tmp,
+            Dedup.pinDriftBaseline(Dedup.loadSemanticIndex(spark, tmp)).baseline,
+            spark)
+        }
+    }
+  }
 
   // =====================================================================
   // MinHash twin (text)

@@ -334,6 +334,45 @@ class ArchiveDedupSpec extends AnyFunSuite {
     assert(ArchiveDedup.loadLatest(spark, archive)._1.sets.count() === 15L)
   }
 
+  test("forgetDocs removes documents from the live archive; future batches never pair with them") {
+    import spark.implicits._
+    val archive = tmp("graft-arch-forget")
+    val pairsDir = tmp("graft-arch-forget-pairs")
+    ArchiveDedup.seedArchive(
+      Seq((0L, tA), (1L, tA), (2L, tC)).toDF("doc_id", "text"),
+      archive, "doc_id", "text")
+    ArchiveDedup.processBatch(Seq((10L, tA)).toDF("doc_id", "text"), 0L,
+      archive, pairsDir, "doc_id", "text", 0.5)
+    // forget seed doc 1 and folded doc 10 in one takedown
+    ArchiveDedup.forgetDocs(spark, archive,
+      Seq(1L, 10L).toDF("id"))
+    val (ix, _) = ArchiveDedup.loadLatest(spark, archive)
+    assert(ix.sets.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(0L, 2L), "forgotten docs must leave every component")
+    // a future near-dup of tA pairs with the RETAINED copy only
+    ArchiveDedup.processBatch(Seq((20L, tA)).toDF("doc_id", "text"), 1L,
+      archive, pairsDir, "doc_id", "text", 0.5)
+    val after = pairsOf(pairsDir)
+      .filter(p => p._1 == 20L || p._2 == 20L).map(p => (p._1, p._2))
+    assert(after === Set((0L, 20L)),
+      s"batch after the forget must pair with retained docs only: $after")
+    // the stream keeps folding; the forget generation is the base
+    assert(ArchiveDedup.loadLatest(spark, archive)._1.sets.count() === 3L)
+    // unknown ids refuse loudly (a takedown that removes nothing)
+    val e = intercept[IllegalArgumentException] {
+      ArchiveDedup.forgetDocs(spark, archive, Seq(777L).toDF("id"))
+    }
+    assert(e.getMessage.contains("never"), e.getMessage)
+    // stats archives refuse with the text-needed diagnosis
+    val sdir = tmp("graft-arch-forget-stats")
+    graft.operators.CorpusStats.seedTokenStatsArchive(
+      Seq((0L, tA)).toDF("doc_id", "text"), sdir, "doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      ArchiveDedup.forgetDocs(spark, sdir, Seq(0L).toDF("id"))
+    }
+    assert(e2.getMessage.contains("TEXT"), e2.getMessage)
+  }
+
   test("out-of-band reseed aborts when a concurrent fold lands mid-build") {
     def vec(seedBase: Int): Array[Float] = {
       val r = new java.util.Random(11L * seedBase)

@@ -527,6 +527,61 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 1L)), "old×old must not be re-emitted")
   }
 
+  test("retraction: retract(append(ix, B), B.ids) == ix for all three modalities; forgotten docs never pair") {
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.map {
+        case a: Array[_] => a.toSeq
+        case x => x
+      }).toSet
+    // minhash: append a batch, retract its ids — every component frame
+    // returns to the original row set bit-for-bit
+    val ix0 = Dedup.buildMinhashIndex(docs.where(col("doc_id") < 4),
+      "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
+    val batch = docs.where(col("doc_id") >= 4)
+    val ix1 = Dedup.appendToMinhashIndex(ix0, batch, "doc_id", "text")
+    val back = Dedup.retractFromMinhashIndex(ix1,
+      batch.select(col("doc_id")), "doc_id")
+    assert(rowsOf(back.buckets) === rowsOf(ix0.buckets))
+    assert(rowsOf(back.sets) === rowsOf(ix0.sets))
+    // a forgotten document never pairs again: retract doc 1 (exact dup
+    // of 0), then a delta near-dup of 0 pairs with 0 but NOT with 1
+    val scrubbed = Dedup.retractFromMinhashIndex(ix0,
+      docs.where(col("doc_id") === 1L).select(col("doc_id")), "doc_id")
+    val pairs = Dedup.minhashDeltaPairs(scrubbed,
+        Seq((50L, "the quick brown fox jumps over the lazy dog"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 50L)), s"retained doc must still pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L),
+      s"forgotten doc must never pair: $pairs")
+    // cosine + semantic twins through the dispatching facade
+    val a = Array.tabulate(8)(i => (i + 1).toFloat)
+    val c = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vecs = Seq((0L, a), (1L, c)).toDF("vec_id", "embedding")
+    val vbatch = Seq((10L, a.map(_ * 1.01f))).toDF("vec_id", "embedding")
+    val cix0 = Dedup.buildCosineIndex(vecs, "vec_id", "embedding",
+      numBits = 4, bands = 2)
+    val cback = Dedup.retract(
+      Dedup.appendToCosineIndex(cix0, vbatch, "vec_id", "embedding"),
+      vbatch.select(col("vec_id")), "vec_id").asInstanceOf[Dedup.CosineIndex]
+    assert(rowsOf(cback.buckets) === rowsOf(cix0.buckets))
+    assert(rowsOf(cback.vecs) === rowsOf(cix0.vecs))
+    val six0 = Dedup.buildSemanticIndex(vecs, "vec_id", "embedding",
+      Array(a, c))
+    val sback = Dedup.retract(
+      Dedup.appendToSemanticIndex(six0, vbatch, "vec_id", "embedding"),
+      vbatch.select(col("vec_id")), "vec_id").asInstanceOf[Dedup.SemanticIndex]
+    assert(rowsOf(sback.members) === rowsOf(six0.members))
+    // retracting an id the index never held refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.retractFromMinhashIndex(ix0,
+        Seq(999L).toDF("doc_id"), "doc_id")
+    }
+    assert(e.getMessage.contains("never") && e.getMessage.contains("folded"),
+      e.getMessage)
+  }
+
   test("delta disjointness contract is enforced loudly, and degrades safely when disabled") {
     val ix = Dedup.buildMinhashIndex(docs.where(col("doc_id") < 3),
       "doc_id", "text", numHashes = 16, bands = 4, shingleLen = 3)
