@@ -298,6 +298,26 @@ object CorpusStats {
         col("context_count"), lit(vocab).as("vocab_size"))
   }
 
+  /** Smoothed bigram-LM perplexity scoring of `target` against the
+    * INDEX's model — [[QualityFilters.bigramLmScoresAgainst]]'s
+    * left-join regime (unseen bigrams take the Laplace smoothing
+    * floor, so every target doc scores) with the reference counts
+    * aggregated from the ARCHIVED partials instead of re-tokenizing
+    * the reference corpus: the CCNet-style quality filter at daily
+    * cost. The model-application DAG is literally the batch
+    * operator's ([[QualityFilters.bigramLmScoreFrom]]); only where
+    * the counts come from differs, so the two paths cannot drift. */
+  def bigramLmScoresAgainst(ix: NgramStatsIndex, target: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val c2 = ix.pairParts.groupBy(col("__h1"), col("__h2"))
+      .agg(sum(col("pc_part")).as("__c2")).where(col("__c2") > 0)
+    val c1 = ix.contextParts.groupBy(col("__h1"))
+      .agg(sum(col("cc_part")).as("__c1")).where(col("__c1") > 0)
+    val vocab = ix.unigrams.groupBy(col("h"))
+      .agg(sum(col("u_part")).as("u")).where(col("u") > 0).count()
+    QualityFilters.bigramLmScoreFrom(c2, c1, vocab, target, idCol, textCol)
+  }
+
   // ===================================================================
   // Streaming twins — the ArchiveDedup pattern radically simplified:
   // partial counts are ADDITIVE and ORDER-INDEPENDENT, so a streamed

@@ -584,6 +584,22 @@ object QualityFilters {
       .agg(count(lit(1)).as("__c2"))
     val c1 = refBigrams.groupBy(col("__h1")).agg(count(lit(1)).as("__c1"))
     val vocab = refToks.flatMap(_._2.iterator).distinct().count()
+    bigramLmScoreFrom(c2, c1, vocab, target, idCol, textCol)
+  }
+
+  /** The model-application half of [[bigramLmScoresAgainst]], factored
+    * so the incremental-statistics path
+    * ([[CorpusStats.bigramLmScoresAgainst]]) scores against ARCHIVED
+    * counts through the identical DAG: `c2` = (__h1, __h2, __c2) pair
+    * counts, `c1` = (__h1, __c1) context counts, `vocab` = vocabulary
+    * size; target bigrams LEFT-join the model, unseen ones take the
+    * Laplace smoothing floor. */
+  private[operators] def bigramLmScoreFrom(c2: DataFrame, c1: DataFrame,
+                                           vocab: Long, target: DataFrame,
+                                           idCol: String,
+                                           textCol: String): DataFrame = {
+    val spark = target.sparkSession
+    import spark.implicits._
     val tgtBigrams = tokenHashStream(target, idCol, textCol)
       .flatMap { case (id, hs) =>
         Iterator.range(1, hs.length).map(i => (id, hs(i - 1), hs(i)))

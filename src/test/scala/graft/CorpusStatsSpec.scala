@@ -276,6 +276,44 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(statsStateOf(spark, ndir).liveEntries.length <= 5)
   }
 
+  test("incremental smoothed LM scoring equals the batch operator, including after retraction") {
+    def scoresOf(df: DataFrame): Map[Long, (Long, Double, Double)] =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    def assertClose(a: Map[Long, (Long, Double, Double)],
+                    b: Map[Long, (Long, Double, Double)]): Unit = {
+      assert(a.keySet === b.keySet)
+      a.foreach { case (id, (n, avg, ppl)) =>
+        val (bn, bavg, bppl) = b(id)
+        assert(n === bn, s"doc $id n_terms")
+        // the count inputs are bit-identical; only the float SUM's
+        // partition order may differ between paths
+        assert((avg.isNaN && bavg.isNaN) || math.abs(avg - bavg) < 1e-9,
+          s"doc $id avg_logprob $avg vs $bavg")
+        assert((ppl.isNaN && bppl.isNaN) || math.abs(ppl - bppl) < 1e-9,
+          s"doc $id perplexity $ppl vs $bppl")
+      }
+    }
+    val ix = CorpusStats.appendToNgramStats(
+      CorpusStats.buildNgramStats(docs.where(col("doc_id") < 3), "doc_id", "text"),
+      docs.where(col("doc_id") >= 3), "doc_id", "text")
+    assertClose(
+      scoresOf(CorpusStats.bigramLmScoresAgainst(ix, docs, "doc_id", "text")),
+      scoresOf(QualityFilters.bigramLmScoresAgainst(docs, docs, "doc_id", "text")))
+    // after retracting the second half, scoring equals the batch
+    // operator whose reference is the REMAINING corpus
+    val retracted = CorpusStats.retractFromNgramStats(ix,
+      docs.where(col("doc_id") >= 3), "doc_id", "text")
+    assertClose(
+      scoresOf(CorpusStats.bigramLmScoresAgainst(retracted,
+        docs.where(col("doc_id") < 3), "doc_id", "text")),
+      scoresOf(QualityFilters.bigramLmScoresAgainst(
+        docs.where(col("doc_id") < 3), docs.where(col("doc_id") < 3),
+        "doc_id", "text")))
+  }
+
   test("windowed load refuses a window wider than the folded history") {
     import graft.operators.CorpusStats._
     val dir = java.nio.file.Files.createTempDirectory("graft-cstats-wf").toString
