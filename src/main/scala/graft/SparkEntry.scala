@@ -908,6 +908,38 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** q93: IN-PLACE archive retraction — the takedown operation on a
+    * STREAMED token-stats archive, end-to-end: seed (< 300), two
+    * folded batches ([300, 450) and ≥ 450), then
+    * [[operators.CorpusStats.retractFromTokenStatsArchive]] removes
+    * [300, 375) with its text — an `x` retraction entry whose negated
+    * partials cancel the victims' counts in every use-time sum — and
+    * the survivors score against the retracted archive. Output ≡ the
+    * q73/q91 batch operator over the surviving corpus: the oracle is
+    * q91's SQL with the retracted docs excluded, so a hash match
+    * proves the cancellation is exact through the real archive path
+    * (seed + fold + retract + multi-path load). */
+  private val q93ArchiveRetraction: Q = (s, dir) => {
+    import graft.operators.CorpusStats
+    val planted = Tables(s, dir, "documents")
+      .withColumn("t", concat(col("text"), lit(" uniq"), col("doc_id").cast("string")))
+    val arch = java.nio.file.Files.createTempDirectory("graft-q93").toString
+    CorpusStats.seedTokenStatsArchive(
+      planted.where(col("doc_id") < 300), arch, "doc_id", "t")
+    CorpusStats.processTokenStatsBatch(
+      planted.where(col("doc_id") >= 300 && col("doc_id") < 450), 0L, arch,
+      "doc_id", "t", compactEvery = 0)
+    CorpusStats.processTokenStatsBatch(
+      planted.where(col("doc_id") >= 450), 1L, arch,
+      "doc_id", "t", compactEvery = 0)
+    CorpusStats.retractFromTokenStatsArchive(s, arch,
+      planted.where(col("doc_id") >= 300 && col("doc_id") < 375), "doc_id", "t")
+    CorpusStats.tokenFrequencyMetricsAgainst(
+      CorpusStats.loadTokenStatsArchive(s, arch),
+      planted.where(col("doc_id") < 300 || col("doc_id") >= 375), "doc_id", "t")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality scoring (training-data pipeline operator). */
   private val q23QualityScores: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -1659,6 +1691,7 @@ object SparkEntry {
     "q74_scrub_pipeline" -> q74ScrubPipeline,
     "q91_token_df_incremental" -> q91TokenDfIncremental,
     "q92_bigram_lm_incremental" -> q92BigramLmIncremental,
+    "q93_archive_retraction" -> q93ArchiveRetraction,
     "q75_dup_clusters" -> q75DupClusters,
     "q76_semantic_dedup" -> q76SemanticDedup,
     "q77_near_dup_keep" -> q77NearDupKeep,
@@ -2589,6 +2622,26 @@ ORDER BY d.doc_id"""
       """WITH planted AS (
         |  SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS t
         |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(t)), '\s+'), w -> w <> '')) AS w
+        |  FROM planted),
+        |tdf AS (SELECT w, count(DISTINCT doc_id) AS tdf FROM toks GROUP BY 1)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(d.tdf) AS DOUBLE) / count(*), 6) AS mean_token_df,
+        |  CAST(min(d.tdf) AS BIGINT) AS min_token_df,
+        |  round(CAST(sum(CASE WHEN d.tdf < 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio
+        |FROM toks t JOIN tdf d USING (w)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q93: q91's statistics over the SURVIVING corpus — docs [300, 375)
+    // were retracted in place from the archive, so the engine-side
+    // multi-path load (seed + slivers + x entry) must reproduce the
+    // batch statistics of a corpus that never contained them
+    "q93_archive_retraction" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents
+        |  WHERE doc_id < 300 OR doc_id >= 375),
         |toks AS (
         |  SELECT doc_id,
         |    unnest(list_filter(string_split_regex(trim(lower(t)), '\s+'), w -> w <> '')) AS w

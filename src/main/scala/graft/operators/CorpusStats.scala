@@ -37,7 +37,11 @@ import org.apache.spark.sql.functions._
  * is replay-exact: retract EXACTLY a batch that was appended (same
  * ids, same text — [[Dedup.requireRetractCovered]] refuses un-archived
  * ids loudly, since subtracting unseen docs drives counts negative,
- * silently).
+ * silently). The STREAMED archives get the same operation in place —
+ * [[retractFromTokenStatsArchive]]/[[retractFromNgramStatsArchive]]
+ * commit an `x<n>` retraction entry (negated partials + the retracted
+ * ids) without stopping the stream, the stats twin of
+ * [[graft.streaming.ArchiveDedup.forgetDocs]].
  *
  * Measured decision rule (tools.StatsScale, BENCH.md "Round 12"):
  * at ×100 (500k docs, 10% delta) the incremental path scores the
@@ -351,7 +355,13 @@ object CorpusStats {
       .agg(sum(col("pc_part")).as("pc_part"))),
     "contexts" -> (df => df.groupBy(col("__h1"))
       .agg(sum(col("cc_part")).as("cc_part"))),
-    "unigrams" -> (df => df.groupBy(col("h"))
+    // normalize marks first: a pre-r13 entry ships bare-`h` unigrams
+    // (u_part absent, or null under a mergeSchema read next to new
+    // slivers) — folding without the fill would crash on an all-old
+    // merge set and silently DROP old batches' vocabulary marks on a
+    // mixed one (sum() skips nulls), shrinking vocab for every
+    // subsequent perplexity score
+    "unigrams" -> (df => withUnigramMarks(df).groupBy(col("h"))
       .agg(sum(col("u_part")).as("u_part"))),
     "ids" -> identity)
 
@@ -378,6 +388,10 @@ object CorpusStats {
             "rows than this batch carries — the stream restarted without " +
             "its checkpointLocation and its batchId counter reset. " +
             "Refusing to double-commit; restart with the original checkpoint."
+        else if (name.startsWith("x"))
+          s"CorpusStats: retraction entry $dir/$name already exists — is " +
+            "another maintainer retracting from this archive concurrently? " +
+            "One maintainer per archive directory."
         else
           s"CorpusStats: $dir is already seeded (entry '$name' exists) — " +
             "seed/compact into a fresh directory, or purge this one first.")
@@ -423,7 +437,8 @@ object CorpusStats {
                                              slivers: Seq[Long],
                                              ranges: Seq[(Long, Long)],
                                              manifests: Map[(Long, Long), Set[Long]],
-                                             committedAt: Map[(Long, Long), Long]) {
+                                             committedAt: Map[(Long, Long), Long],
+                                             retractions: Seq[Long] = Nil) {
     def maximalRanges: Seq[(Long, Long)] = ranges.filterNot { r =>
       ranges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2)
     }.sortBy(_._1)
@@ -440,12 +455,17 @@ object CorpusStats {
       * bounded by stream age in batches). */
     def allFoldedIds: Seq[Long] =
       (ranges.flatMap(idsOfRange) ++ slivers).distinct.sorted
-    /** Directories a reader must union — live entries only: a covered
-      * entry awaiting deferred GC would double-count its partials. */
+    /** Directories a reader must union — live POSITIVE entries only: a
+      * covered entry awaiting deferred GC would double-count its
+      * partials, and retraction entries are added separately (their
+      * negated partials join cumulative loads but never windows). */
     def liveEntries: Seq[String] =
       (if (hasSeed) Seq("seed") else Nil) ++
         liveRanges.map { case (lo, hi) => s"c$lo-$hi" } ++
         liveSlivers.map(b => s"b$b")
+    /** In-place retraction entries `x<n>` (negated partials + the
+      * retracted doc ids) — see [[retractFromTokenStatsArchive]]. */
+    def retractionEntries: Seq[String] = retractions.sorted.map(n => s"x$n")
   }
 
   // folded-id manifests and commit markers are immutable once their
@@ -496,7 +516,11 @@ object CorpusStats {
       ranges.flatMap(r => sidecarOf(spark, dir, s"c${r._1}-${r._2}", "folded")
         .map(ids => r -> ids.toSet)).toMap,
       ranges.flatMap(r => sidecarOf(spark, dir, s"c${r._1}-${r._2}", "committed")
-        .flatMap(_.headOption).map(r -> _)).toMap)
+        .flatMap(_.headOption).map(r -> _)).toMap,
+      names.collect {
+        case n if n.startsWith("x") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
+          n.drop(1).toLong
+      })
   }
 
   /** Tiered auto-compaction, the ArchiveDedup discipline on the stats
@@ -511,7 +535,10 @@ object CorpusStats {
     * slivers (plus covered entries awaiting deferred GC), write
     * amplification is O(batch) amortized, and the replay guard is
     * untouched — it keys on id membership, so a batch whose entry was
-    * folded away still skips. GC of covered entries is DEFERRED
+    * folded away still skips. Retraction entries (`x<n>`) are NOT
+    * tier-folded (their count is bounded by takedown calls, not stream
+    * age; an out-of-band compact*StatsArchive clears them), and never
+    * GC'd (nothing covers them). GC of covered entries is DEFERRED
     * `retainCovered` batches past the covering range's RECORDED commit
     * batch (the `committed` marker written at merge time — never
     * inferred from the range name, so sparse or timestamp batch ids
@@ -523,6 +550,7 @@ object CorpusStats {
                                        compactEvery: Int, currentBatch: Long,
                                        retainCovered: Int = 1): Unit = {
     if (compactEvery <= 0) return
+    requireSaneCompactEvery(compactEvery)
     val st0 = statsStateOf(spark, dir)
     gcCoveredStats(spark, dir, st0, currentBatch, math.max(1, retainCovered))
     val live = st0.liveSlivers
@@ -541,6 +569,15 @@ object CorpusStats {
 
   private def isContiguous(sorted: Seq[Long]): Boolean =
     sorted.isEmpty || sorted.last - sorted.head + 1 == sorted.length
+
+  /** `compactEvery = 1` is degenerate: the tier-2 pass would merge a
+    * single range into its own name, which the concurrent-compactor
+    * guard (rightly) refuses — fail at construction, not mid-stream. */
+  private[graft] def requireSaneCompactEvery(compactEvery: Int): Unit =
+    require(compactEvery <= 0 || compactEvery >= 2,
+      "CorpusStats: compactEvery = 1 is degenerate (tier-2 would merge a " +
+        "single range into its own name, which the concurrent-compactor " +
+        "guard refuses) — use 0 to disable compaction, or K >= 2")
 
   private def mergeStatsEntries(spark: SparkSession, dir: String,
                                 comps: Seq[(String, Fold)],
@@ -563,7 +600,11 @@ object CorpusStats {
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.inprogress-$name")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     comps.foreach { case (c, fold) =>
-      fold(spark.read.parquet(entries.map(e => s"$dir/$e/$c"): _*))
+      // mergeSchema: the merge set may mix pre-r13 bare-`h` unigram
+      // entries with new (h, u_part) ones — same discipline as the
+      // load path; the fold normalizes the marks
+      fold(spark.read.option("mergeSchema", "true")
+          .parquet(entries.map(e => s"$dir/$e/$c"): _*))
         .write.mode("overwrite").parquet(s"$tmp/$c")
     }
     if (!isContiguous(ids))
@@ -634,6 +675,68 @@ object CorpusStats {
     want.map(b => s"b$b")
   }
 
+  /** Mark-resolved id ledger of the archive: one row per doc id ever
+    * folded, `m` = (# positive entries carrying it) − (# retraction
+    * entries carrying it). Membership — what scoring, disjointness and
+    * retract-coverage see — is `m > 0`; the replay guard reads the
+    * whole ledger so a batch that was RETRACTED in place is
+    * distinguishable from one never folded. Two file relations + one
+    * narrow-key aggregate — O(1) in stream age like every reader plan
+    * here. */
+  private def resolvedIdsOf(spark: SparkSession, dir: String,
+                            st: StatsState): DataFrame = {
+    val pos = spark.read.parquet(st.liveEntries.map(e => s"$dir/$e/ids"): _*)
+      .select(col("id"), lit(1L).as("m"))
+    // no retractions (the every-batch case): live positive ids are
+    // globally unique by the disjointness invariant, so the ledger IS
+    // the union — skip the aggregate and its full-ledger shuffle
+    if (st.retractions.isEmpty) pos
+    else pos.unionByName(
+        spark.read.parquet(st.retractionEntries.map(e => s"$dir/$e/ids"): _*)
+          .select(col("id"), lit(-1L).as("m")))
+      .groupBy(col("id")).agg(sum(col("m")).as("m"))
+  }
+
+  /** A windowed load reads per-batch slivers only, so retraction
+    * entries (which carry no batch id) cannot be windowed alongside —
+    * exact as long as no retracted doc falls INSIDE the window. If one
+    * does, the window would silently RE-EXPOSE counts the retraction
+    * removed: refuse loudly instead. */
+  private def requireWindowClearOfRetractions(spark: SparkSession,
+                                              dir: String, st: StatsState,
+                                              entries: Seq[String]): Unit = {
+    if (st.retractions.isEmpty) return
+    val win = spark.read.parquet(entries.map(e => s"$dir/$e/ids"): _*)
+      .select(col("id"))
+    val ret = spark.read
+      .parquet(st.retractionEntries.map(e => s"$dir/$e/ids"): _*)
+      .select(col("id"))
+    require(win.join(ret, Seq("id")).isEmpty,
+      s"CorpusStats: the requested window over $dir includes documents " +
+        "that were retracted in place (x entries) — a windowed load " +
+        "reads per-batch slivers only and would RE-EXPOSE their counts. " +
+        "Window over unretracted history only, or fold the archive " +
+        "out-of-band (compact*StatsArchive) into a fresh dir first.")
+  }
+
+  private def nextRetractionId(st: StatsState): Long =
+    st.retractions.foldLeft(-1L)(math.max) + 1L
+
+  /** Family check for the in-place retraction entry points: committing
+    * a token-shaped x entry into an ngram archive (or vice versa)
+    * would break every multi-path component read after it. */
+  private def requireStatsFamily(spark: SparkSession, dir: String,
+                                 st: StatsState, comp: String,
+                                 family: String, op: String): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    val probe = st.liveEntries.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: no committed entries in $dir — nothing to retract from"))
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$probe/$comp")),
+      s"$op: $dir is not a $family archive (entry '$probe' has no " +
+        s"'$comp' component) — use the other family's retractFrom*Archive")
+  }
+
   // -------------------------------------------------------------------
   // Token-stats archive
   // -------------------------------------------------------------------
@@ -659,17 +762,29 @@ object CorpusStats {
   def loadTokenStatsArchive(spark: SparkSession, dir: String,
                             lastBatches: Option[Int] = None): TokenStatsIndex = {
     val st = statsStateOf(spark, dir)
-    val entries = lastBatches match {
-      case Some(w) => windowEntriesOf(st, w, dir)
-      case None => st.liveEntries
+    lastBatches match {
+      case Some(w) =>
+        val entries = windowEntriesOf(st, w, dir)
+        requireWindowClearOfRetractions(spark, dir, st, entries)
+        TokenStatsIndex(
+          spark.read.parquet(entries.map(e => s"$dir/$e/df"): _*)
+            .select(col("w"), col("tdf_part")),
+          spark.read.parquet(entries.map(e => s"$dir/$e/ids"): _*)
+            .select(col("id")))
+      case None =>
+        require(st.liveEntries.nonEmpty,
+          s"CorpusStats: no committed entries in $dir — seed or stream first")
+        // retraction entries join the cumulative read: their negated
+        // partials cancel the retracted docs' counts in every use-time
+        // sum, and membership resolves by mark (folds minus
+        // retractions per id)
+        TokenStatsIndex(
+          spark.read
+            .parquet((st.liveEntries ++ st.retractionEntries)
+              .map(e => s"$dir/$e/df"): _*)
+            .select(col("w"), col("tdf_part")),
+          resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")))
     }
-    require(entries.nonEmpty,
-      s"CorpusStats: no committed entries in $dir — seed or stream first")
-    TokenStatsIndex(
-      spark.read.parquet(entries.map(e => s"$dir/$e/df"): _*)
-        .select(col("w"), col("tdf_part")),
-      spark.read.parquet(entries.map(e => s"$dir/$e/ids"): _*)
-        .select(col("id")))
   }
 
   /** One micro-batch: sanity-probe the batch's ids (a duplicated doc
@@ -687,7 +802,7 @@ object CorpusStats {
       .localCheckpoint()
     Dedup.requireBatchIdsSane(b, idCol, "tokenStatsSink")
     if (alreadyFolded(spark, dir, batchId, b, idCol,
-        () => loadTokenStatsArchive(spark, dir).ids)) return
+        () => resolvedIdsOf(spark, dir, statsStateOf(spark, dir)))) return
     commitParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
     maybeCompactStats(spark, dir, TokenComponents, compactEvery, batchId,
       retainCovered)
@@ -696,25 +811,42 @@ object CorpusStats {
   /** Replay guard by ID-MEMBERSHIP, not entry presence — additive
     * counts admit a simpler and STRONGER coverage test than the dedup
     * archives' name/manifest machinery: batches carry disjoint doc
-    * ids, so a batch whose ids are ALL already archived was folded
+    * ids, so a batch whose ids are ALL live-archived was folded
     * (wherever its entry now lives — including after a compaction
-    * folded it away), one with NONE archived is fresh (the coverage
+    * folded it away), one with NONE ever seen is fresh (the coverage
     * test IS the disjointness guard), and a PARTIAL overlap can only
-    * mean corruption or a foreign corpus — refuse loudly. Counter
-    * resets (restart without checkpoint) that pass this test (fresh
-    * docs under a used batchId) are caught at commit time by the
-    * existing-entry check in [[commitComponents]]. */
+    * mean corruption or a foreign corpus — refuse loudly. A batch
+    * whose ids were all folded and then RETRACTED in place is
+    * AMBIGUOUS — a checkpoint-less replay (skip) and a deliberate
+    * re-ingest of forgotten documents (fold) are indistinguishable
+    * from the ids alone — so it also refuses loudly rather than
+    * guessing between silent data loss and silent un-forgetting.
+    * Counter resets (restart without checkpoint) that pass this test
+    * (fresh docs under a used batchId) are caught at commit time by
+    * the existing-entry check in [[commitComponents]]. */
   private def alreadyFolded(spark: SparkSession, dir: String, batchId: Long,
                             b: DataFrame, idCol: String,
-                            archivedIds: () => DataFrame): Boolean = {
+                            resolvedIds: () => DataFrame): Boolean = {
     if (entryNamesOf(spark, dir).isEmpty) return false // day-0 stream
     val incoming = b.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint()
     val n = incoming.count()
     if (n == 0) return true // empty batch: nothing to fold, skip
-    val present = incoming.join(archivedIds(), Seq("id")).count()
-    if (present == 0) false
-    else if (present == n) {
+    val r = incoming.join(resolvedIds(), Seq("id"))
+      .agg(count(lit(1)).as("ns"),
+        coalesce(sum(when(col("m") > 0, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("nl"))
+      .head()
+    val (seen, live) = (r.getLong(0), r.getLong(1))
+    if (seen == 0) false
+    else if (seen < n)
+      throw new IllegalStateException(
+        s"CorpusStats: batch $batchId overlaps the archive in $dir on " +
+          s"$seen of $n ids — a partial fold can only be corruption " +
+          "or a foreign corpus (batches must carry disjoint doc ids). " +
+          "Refusing to double-count; restart with the original " +
+          "checkpoint, or point the stream at a fresh archive.")
+    else if (live == n) {
       log.warn(s"CorpusStats: batch $batchId's ids are all archived in " +
         s"$dir — skipping as a replay. If this stream restarted WITHOUT " +
         "its checkpointLocation this skip may mask a counter reset; " +
@@ -722,11 +854,13 @@ object CorpusStats {
       true
     } else
       throw new IllegalStateException(
-        s"CorpusStats: batch $batchId overlaps the archive in $dir on " +
-          s"$present of $n ids — a partial fold can only be corruption " +
-          "or a foreign corpus (batches must carry disjoint doc ids). " +
-          "Refusing to double-count; restart with the original " +
-          "checkpoint, or point the stream at a fresh archive.")
+        s"CorpusStats: batch $batchId's ids are archived in $dir but " +
+          s"${n - live} of $n were RETRACTED in place — either a replay " +
+          "of a later-retracted batch (restart with the original " +
+          "checkpoint so the replay window passes) or a re-ingest of " +
+          "forgotten documents (give re-ingested docs fresh ids, or " +
+          "fold the archive out-of-band into a fresh dir first). " +
+          "Refusing to guess.")
   }
 
   /** Streaming sink: maintain the token-stats archive from a document
@@ -742,6 +876,7 @@ object CorpusStats {
                      checkpoint: Option[String] = None,
                      compactEvery: Int = 8,
                      retainCovered: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireSaneCompactEvery(compactEvery)
     if (checkpoint.isEmpty)
       log.warn("CorpusStats.tokenStatsSink started WITHOUT a " +
         "checkpointLocation: on restart Structured Streaming resets " +
@@ -758,13 +893,57 @@ object CorpusStats {
     w.start()
   }
 
+  /** Retract documents from a streamed token-stats archive IN PLACE —
+    * the stats twin of [[graft.streaming.ArchiveDedup.forgetDocs]]
+    * (takedown / crawl-snapshot expiry without stopping the stream),
+    * with the text-needed contract stats entries impose: the archive
+    * holds aggregated counts, not per-document rows, so subtracting a
+    * document needs its TEXT replayed exactly as folded (the same
+    * replay contract as [[retractFromTokenStats]]). Commits a
+    * retraction entry `x<n>` — the batch's partials NEGATED plus the
+    * retracted ids — via the same temp+rename discipline as every
+    * other entry: readers flip atomically, every use-time sum cancels
+    * the retracted counts bit-for-bit (+x then −x), membership
+    * resolves by mark, and the replay guard refuses the retracted ids
+    * loudly ever after. Un-archived (or already-retracted) ids refuse
+    * via [[Dedup.requireRetractCovered]]. Retraction entries are rare
+    * (batch a day's takedowns into one call) and excluded from tiered
+    * compaction; an out-of-band [[compactTokenStatsArchive]] fold
+    * materializes the cancellation and clears them. Windowed loads
+    * refuse windows containing retracted docs (see the window
+    * contract). One maintainer per archive directory, as for every
+    * out-of-band archive operation. */
+  def retractFromTokenStatsArchive(spark: SparkSession, dir: String,
+                                   docs: DataFrame, idCol: String,
+                                   textCol: String): Unit = {
+    val b = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .localCheckpoint()
+    Dedup.requireBatchIdsSane(b, idCol, "retractFromTokenStatsArchive")
+    val st = statsStateOf(spark, dir)
+    requireStatsFamily(spark, dir, st, "df", "token-stats",
+      "retractFromTokenStatsArchive")
+    Dedup.requireRetractCovered(
+      resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")),
+      b, idCol, "retractFromTokenStatsArchive")
+    val neg = buildTokenStats(b, idCol, textCol)
+    commitComponents(spark, dir, s"x${nextRetractionId(st)}", Seq(
+      "df" -> neg.parts.select(col("w"),
+        (col("tdf_part") * lit(-1L)).as("tdf_part")),
+      "ids" -> neg.ids))
+  }
+
   /** Out-of-band full fold into a fresh directory (every live entry's
     * partials into one `seed`) — for readers that pin a snapshot
     * longer than `retainCovered` tolerates; the in-band path is the
     * automatic tiered compaction on the sinks. Reads are equivalent
     * before and after, and REPLAYS stay safe across it: the guard
     * tests id-membership, not entry presence, so a batch whose entry
-    * was folded away still skips. */
+    * was folded away still skips. Retraction entries fold in too —
+    * the cancellation materializes and the retracted ids leave the
+    * fresh seed's membership entirely (which also ends their replay
+    * protection: a checkpoint-less replay of a long-retracted batch
+    * against the COMPACTED dir looks fresh — the same
+    * compaction-vs-replay caveat the dedup archives document). */
   def compactTokenStatsArchive(spark: SparkSession, dir: String,
                                dstDir: String): Unit = {
     val ix = loadTokenStatsArchive(spark, dir)
@@ -785,17 +964,24 @@ object CorpusStats {
     commitNgram(buildNgramStats(corpus, idCol, textCol), dir, "seed")
   }
 
-  /** Ngram twin of [[loadTokenStatsArchive]] — cumulative by default,
-    * last-`lastBatches`-window on request (same granularity contract). */
+  /** Ngram twin of [[loadTokenStatsArchive]] — cumulative by default
+    * (retraction entries' negated partials included, membership
+    * mark-resolved), last-`lastBatches`-window on request (same
+    * granularity and retraction-overlap contracts). */
   def loadNgramStatsArchive(spark: SparkSession, dir: String,
                             lastBatches: Option[Int] = None): NgramStatsIndex = {
     val st = statsStateOf(spark, dir)
-    val entries = lastBatches match {
-      case Some(w) => windowEntriesOf(st, w, dir)
-      case None => st.liveEntries
+    val (entries, ids) = lastBatches match {
+      case Some(w) =>
+        val es = windowEntriesOf(st, w, dir)
+        requireWindowClearOfRetractions(spark, dir, st, es)
+        (es, spark.read.parquet(es.map(e => s"$dir/$e/ids"): _*).select(col("id")))
+      case None =>
+        require(st.liveEntries.nonEmpty,
+          s"CorpusStats: no committed entries in $dir — seed or stream first")
+        (st.liveEntries ++ st.retractionEntries,
+          resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")))
     }
-    require(entries.nonEmpty,
-      s"CorpusStats: no committed entries in $dir — seed or stream first")
     def comp(c: String, cols: Seq[String]) =
       spark.read.parquet(entries.map(e => s"$dir/$e/$c"): _*)
         .select(cols.map(col): _*)
@@ -807,7 +993,7 @@ object CorpusStats {
       // historical mark of 1
       withUnigramMarks(spark.read.option("mergeSchema", "true")
         .parquet(entries.map(e => s"$dir/$e/unigrams"): _*)),
-      comp("ids", Seq("id")))
+      ids)
   }
 
   private[graft] def processNgramStatsBatch(batch: DataFrame, batchId: Long,
@@ -820,7 +1006,7 @@ object CorpusStats {
       .localCheckpoint()
     Dedup.requireBatchIdsSane(b, idCol, "ngramStatsSink")
     if (alreadyFolded(spark, dir, batchId, b, idCol,
-        () => loadNgramStatsArchive(spark, dir).ids)) return
+        () => resolvedIdsOf(spark, dir, statsStateOf(spark, dir)))) return
     commitNgram(buildNgramStats(b, idCol, textCol), dir, s"b$batchId")
     maybeCompactStats(spark, dir, NgramComponents, compactEvery, batchId,
       retainCovered)
@@ -835,6 +1021,7 @@ object CorpusStats {
                      checkpoint: Option[String] = None,
                      compactEvery: Int = 8,
                      retainCovered: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireSaneCompactEvery(compactEvery)
     if (checkpoint.isEmpty)
       log.warn("CorpusStats.ngramStatsSink started WITHOUT a " +
         "checkpointLocation: on restart Structured Streaming resets " +
@@ -850,8 +1037,36 @@ object CorpusStats {
     w.start()
   }
 
+  /** In-place retraction for the ngram archive — see
+    * [[retractFromTokenStatsArchive]] for the full contract; all four
+    * components negate (the signed vocabulary marks were designed for
+    * exactly this). */
+  def retractFromNgramStatsArchive(spark: SparkSession, dir: String,
+                                   docs: DataFrame, idCol: String,
+                                   textCol: String): Unit = {
+    val b = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .localCheckpoint()
+    Dedup.requireBatchIdsSane(b, idCol, "retractFromNgramStatsArchive")
+    val st = statsStateOf(spark, dir)
+    requireStatsFamily(spark, dir, st, "pairs", "ngram-stats",
+      "retractFromNgramStatsArchive")
+    Dedup.requireRetractCovered(
+      resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")),
+      b, idCol, "retractFromNgramStatsArchive")
+    val neg = buildNgramStats(b, idCol, textCol)
+    commitComponents(spark, dir, s"x${nextRetractionId(st)}", Seq(
+      "pairs" -> neg.pairParts.select(col("__h1"), col("__h2"),
+        (col("pc_part") * lit(-1L)).as("pc_part")),
+      "contexts" -> neg.contextParts.select(col("__h1"),
+        (col("cc_part") * lit(-1L)).as("cc_part")),
+      "unigrams" -> neg.unigrams.select(col("h"),
+        (col("u_part") * lit(-1L)).as("u_part")),
+      "ids" -> neg.ids))
+  }
+
   /** Out-of-band full fold for the ngram archive — see
-    * [[compactTokenStatsArchive]]. */
+    * [[compactTokenStatsArchive]] (retraction entries fold in and
+    * clear here too). */
   def compactNgramStatsArchive(spark: SparkSession, dir: String,
                                dstDir: String): Unit = {
     val ix = loadNgramStatsArchive(spark, dir)

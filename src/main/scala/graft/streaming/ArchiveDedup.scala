@@ -406,6 +406,7 @@ object ArchiveDedup {
                                   currentBatch: Long,
                                   retainCovered: Int = 1): Unit = {
     if (compactEvery <= 0) return
+    requireSaneCompactEvery(compactEvery)
     val st0 = stateOf(spark, dir)
     gcCoveredEntries(spark, dir, st0, currentBatch, math.max(1, retainCovered))
     val live = st0.liveSlivers
@@ -436,6 +437,15 @@ object ArchiveDedup {
 
   private def isContiguous(sorted: Seq[Long]): Boolean =
     sorted.isEmpty || sorted.last - sorted.head + 1 == sorted.length
+
+  /** `compactEvery = 1` is degenerate: tier-2 would re-merge a single
+    * range into its own name every batch (a silent self-rename under
+    * Hadoop semantics) — fail at sink construction, not mid-stream. */
+  private[graft] def requireSaneCompactEvery(compactEvery: Int): Unit =
+    require(compactEvery <= 0 || compactEvery >= 2,
+      "ArchiveDedup: compactEvery = 1 is degenerate (tier-2 would merge " +
+        "a single range into its own name every batch) — use 0 to " +
+        "disable compaction, or K >= 2")
 
   /** Deferred GC (see [[maybeCompact]]): delete slivers covered by a
     * maximal range or by the latest reseed, ranges contained in a
@@ -582,11 +592,16 @@ object ArchiveDedup {
 
   /** Commit a reseed generation `r<atBatch>`: `write` fills the temp
     * dir with a full self-contained index (components + params +
-    * freshly pinned drift baseline), then the folded-batch manifest is
-    * added and the rename commits — readers flip to the new generation
-    * atomically. Idempotent: an existing `r<atBatch>` (crash-and-retry,
-    * double invocation) skips with a warning instead of racing the
-    * rename.
+    * drift baseline), then the folded-batch manifest is added and the
+    * rename commits — readers flip to the new generation atomically.
+    * Idempotent: an existing `r<atBatch>` that is a real reseed
+    * (crash-and-retry, double invocation) skips with a warning instead
+    * of racing the rename — but a FORGET generation occupying the slot
+    * is not a replay of this commit (it rewrote the archive under the
+    * same pinned parameters; a reseed re-fits them), so the commit
+    * advances to the next free `r<id>` instead of silently dropping
+    * the re-fit. Forget generations are marked by an empty `_forget`
+    * file so the two are distinguishable after the fact.
     *
     * Concurrent-writer guard: an out-of-band reseed races a RUNNING
     * stream — a micro-batch in flight while the reseed builds can
@@ -604,16 +619,22 @@ object ArchiveDedup {
                           (write: String => Unit): Unit = {
     import spark.implicits._
     val (fs, _) = hfs(spark, dir)
-    if (fs.exists(new Path(s"$dir/r$atBatch"))) {
-      log.warn(s"ArchiveDedup($family): reseed generation r$atBatch " +
-        s"already exists in $dir — skipping (replay or double invocation)")
-      return
+    var at = atBatch
+    while (fs.exists(new Path(s"$dir/r$at"))) {
+      if (!fs.exists(new Path(s"$dir/r$at/_forget"))) {
+        log.warn(s"ArchiveDedup($family): reseed generation r$at " +
+          s"already exists in $dir — skipping (replay or double invocation)")
+        return
+      }
+      // a forget took r<at>; readers follow the NEWEST generation, so
+      // committing above it keeps both the takedown and this re-fit
+      at += 1
     }
-    commitEntry(spark, dir, s"r$atBatch", beforeRename = () => {
+    commitEntry(spark, dir, s"r$at", beforeRename = () => {
       val nowFolded = stateOf(spark, dir).lastFolded
       if (nowFolded != builtAtLastFolded)
         throw new IllegalStateException(
-          s"ArchiveDedup($family): aborting reseed r$atBatch in $dir — a " +
+          s"ArchiveDedup($family): aborting reseed r$at in $dir — a " +
             s"concurrent writer folded batch $nowFolded while this reseed " +
             s"was building from lastFolded=$builtAtLastFolded. Committing " +
             "would leave that sliver live under the OLD generation's " +
@@ -625,8 +646,10 @@ object ArchiveDedup {
       write(tmp)
       folded.toSeq.sorted.toDF("id")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
+      if (family.endsWith("forget"))
+        fs.create(new Path(s"$tmp/_forget")).close()
     }
-    log.warn(s"ArchiveDedup($family): committed generation r$atBatch " +
+    log.warn(s"ArchiveDedup($family): committed generation r$at " +
       s"in $dir — " +
       (if (family.endsWith("forget"))
         s"archive rewritten WITHOUT the forgotten documents (pinned " +
@@ -758,9 +781,10 @@ object ArchiveDedup {
     val modality = modalityOf(spark, dir)
     require(modality == "minhash" || modality == "cosine" || modality == "semantic",
       s"forgetDocs: $dir is a $modality archive — stats archives hold " +
-        "aggregated counts, not per-document rows; retract the batch " +
-        "WITH ITS TEXT via CorpusStats.retractFrom*Stats and re-commit, " +
-        "or rebuild the stats archive without the documents")
+        "aggregated counts, not per-document rows; subtracting a " +
+        "document needs its TEXT. Use CorpusStats.retractFrom" +
+        "{Token,Ngram}StatsArchive(spark, dir, docsWithText) — the " +
+        "in-place stats twin of this operation.")
     val st = stateOf(spark, dir)
     val (fs, _) = hfs(spark, dir)
     // the generation entry needs a free r<id>; a forget right after a
@@ -768,34 +792,24 @@ object ArchiveDedup {
     // sliver names (b<id>) are a different namespace, so no collision
     val atBatch = Iterator.iterate(math.max(0L, st.lastFolded))(_ + 1L)
       .find(id => !fs.exists(new Path(s"$dir/r$id"))).get
+    // retractFrom* deliberately carries the PINNED drift baseline
+    // through (seed-scoped, exactly as for appends — a baseline that
+    // re-snapshotted at every takedown would under-report cumulative
+    // drift and mute autoReseed), and save*Index persists it; no
+    // re-pin here, by contract and to skip the extra full-index scan
     modality match {
       case "minhash" =>
         val nix = Dedup.retractFromMinhashIndex(loadLatest(spark, dir)._1, ids, idCol)
         commitReseed(spark, dir, atBatch, st.allFoldedIds, "minhash forget",
-            builtAtLastFolded = st.lastFolded) { tmp =>
-          Dedup.saveMinhashIndex(nix, tmp)
-          Dedup.saveDriftBaseline(tmp,
-            Dedup.pinDriftBaseline(Dedup.loadMinhashIndex(spark, tmp)).baseline,
-            spark)
-        }
+            builtAtLastFolded = st.lastFolded)(Dedup.saveMinhashIndex(nix, _))
       case "cosine" =>
         val nix = Dedup.retractFromCosineIndex(loadLatestCosine(spark, dir)._1, ids, idCol)
         commitReseed(spark, dir, atBatch, st.allFoldedIds, "cosine forget",
-            builtAtLastFolded = st.lastFolded) { tmp =>
-          Dedup.saveCosineIndex(nix, tmp)
-          Dedup.saveDriftBaseline(tmp,
-            Dedup.pinDriftBaseline(Dedup.loadCosineIndex(spark, tmp)).baseline,
-            spark)
-        }
+            builtAtLastFolded = st.lastFolded)(Dedup.saveCosineIndex(nix, _))
       case _ =>
         val nix = Dedup.retractFromSemanticIndex(loadLatestSemantic(spark, dir)._1, ids, idCol)
         commitReseed(spark, dir, atBatch, st.allFoldedIds, "semantic forget",
-            builtAtLastFolded = st.lastFolded) { tmp =>
-          Dedup.saveSemanticIndex(nix, tmp)
-          Dedup.saveDriftBaseline(tmp,
-            Dedup.pinDriftBaseline(Dedup.loadSemanticIndex(spark, tmp)).baseline,
-            spark)
-        }
+            builtAtLastFolded = st.lastFolded)(Dedup.saveSemanticIndex(nix, _))
     }
   }
 
@@ -933,6 +947,7 @@ object ArchiveDedup {
                        compactEvery: Int = 8,
                        driftDir: Option[String] = None,
                        retainCovered: Int = 1): StreamingQuery = {
+    requireSaneCompactEvery(compactEvery)
     warnIfNoCheckpoint(checkpoint, "archiveDedupSink")
     val w = docs.writeStream
       .outputMode("append")
@@ -1087,6 +1102,7 @@ object ArchiveDedup {
                              driftDir: Option[String] = None,
                              autoReseedAfter: Int = 0,
                              retainCovered: Int = 1): StreamingQuery = {
+    requireSaneCompactEvery(compactEvery)
     warnIfNoCheckpoint(checkpoint, "cosineArchiveDedupSink")
     require(autoReseedAfter <= 0 || driftDir.nonEmpty,
       "cosineArchiveDedupSink: autoReseedAfter needs driftDir — the " +
@@ -1241,6 +1257,7 @@ object ArchiveDedup {
                                driftDir: Option[String] = None,
                                autoReseedAfter: Int = 0,
                                retainCovered: Int = 1): StreamingQuery = {
+    requireSaneCompactEvery(compactEvery)
     warnIfNoCheckpoint(checkpoint, "semanticArchiveDedupSink")
     require(autoReseedAfter <= 0 || driftDir.nonEmpty,
       "semanticArchiveDedupSink: autoReseedAfter needs driftDir — the " +

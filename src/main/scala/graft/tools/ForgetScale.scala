@@ -57,8 +57,12 @@ object ForgetScale {
         ArchiveDedup.processCosineBatch(batch, 0L, archive, pairsDir,
           idCol, payloadCol, 0.9)
     }
-    // takedown: 1% of the archived ids (both seed-era and folded)
-    val victims = rows.where(col(idCol) % 100 === 7)
+    // takedown: 2% of the archived ids, half from each population —
+    // % 100 == 7 lives seed-side (7 % 10 != 0), % 100 == 10 lives in
+    // the folded sliver (10 % 10 == 0), so the measured rewrite covers
+    // rows in the base generation AND rows in b<id> entries
+    val victims = rows
+      .where(col(idCol) % 100 === 7 || col(idCol) % 100 === 10)
       .select(col(idCol).cast("long").as("id"))
     timed(s"forgetDocs (${victims.count()} ids, index rewrite + commit)") {
       ArchiveDedup.forgetDocs(spark, archive, victims)

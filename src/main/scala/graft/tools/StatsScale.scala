@@ -101,6 +101,32 @@ object StatsScale {
         CorpusStats.loadNgramStats(spark, s"$tmp/ngramAll"),
         delta, "doc_id", "text"))
     }
+
+    // the IN-PLACE twin on a streamed archive: one takedown commits an
+    // x entry (the victims' partials negated + their ids) against the
+    // live archive — the stream never stops, readers flip atomically.
+    // Not idempotent (a second retract of the same ids rightly
+    // refuses), so timed one-shot.
+    def once(name: String)(fn: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      fn
+      println(f"$name%-58s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val arch = java.nio.file.Files.createTempDirectory("graft-stats-arch").toString
+    CorpusStats.seedTokenStatsArchive(seed, arch, "doc_id", "text")
+    CorpusStats.processTokenStatsBatch(delta, 0L, arch, "doc_id", "text",
+      compactEvery = 0)
+    val victims = docs.where(col("doc_id") % 100 === 0) // 1% of corpus
+    println(s"archive takedown: ${victims.count()} victim docs")
+    once("token-df ARCHIVE: in-place retraction (x entry commit)") {
+      CorpusStats.retractFromTokenStatsArchive(spark, arch, victims,
+        "doc_id", "text")
+    }
+    timed("token-df ARCHIVE: score survivors vs retracted archive") {
+      CorpusStats.tokenFrequencyMetricsAgainst(
+        CorpusStats.loadTokenStatsArchive(spark, arch),
+        delta.where(col("doc_id") % 100 =!= 0), "doc_id", "text").count()
+    }
     spark.stop()
   }
 }

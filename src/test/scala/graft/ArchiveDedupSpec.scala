@@ -373,6 +373,69 @@ class ArchiveDedupSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("TEXT"), e2.getMessage)
   }
 
+  test("a forget slot never swallows a reseed; forgetDocs preserves the pinned baseline") {
+    def vec(i: Int): Array[Float] = {
+      val r = new java.util.Random(31L * i + 7)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val archive = tmp("graft-arch-fr")
+    val pairsDir = tmp("graft-arch-fr-p")
+    ArchiveDedup.seedCosineArchive(
+      (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+      archive, "vec_id", "embedding")
+    ArchiveDedup.processCosineBatch(
+      (40 until 50).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+      0L, archive, pairsDir, "vec_id", "embedding", 0.95)
+    val before = ArchiveDedup.loadLatestCosine(spark, archive)._1.baseline
+    assert(before.nonEmpty, "seeding must pin a drift baseline")
+    ArchiveDedup.forgetDocs(spark, archive, Seq(3L, 44L).toDF("id"))
+    val after = ArchiveDedup.loadLatestCosine(spark, archive)._1
+    assert(after.vecs.count() === 48L)
+    // the takedown must NOT re-snapshot the baseline: retraction keeps
+    // it pinned (a per-forget re-pin would reset measured drift to ~0
+    // and mute autoReseed right when the distribution is shifting)
+    // bit-pattern compare: unfilled baseline fields are NaN by design
+    def bits(b: graft.operators.Dedup.DriftBaseline) =
+      (java.lang.Double.doubleToLongBits(b.meanDist),
+        java.lang.Double.doubleToLongBits(b.topShare),
+        java.lang.Double.doubleToLongBits(b.meanSetSize), b.seedKeyCount)
+    assert(after.baseline.map(bits) === before.map(bits),
+      "forgetDocs must carry the pinned baseline through unchanged")
+    // the forget generation is marked; a subsequent REAL reseed must
+    // not mistake the occupied r<id> for a replay of itself
+    val rdirs = new java.io.File(archive).listFiles().map(_.getName)
+      .filter(_.matches("r\\d+")).sorted
+    assert(rdirs.sameElements(Array("r0")), rdirs.mkString(","))
+    assert(new java.io.File(s"$archive/r0/_forget").exists(),
+      "a forget generation must be marked")
+    ArchiveDedup.reseedCosineArchive(spark, archive)
+    val rdirs2 = new java.io.File(archive).listFiles().map(_.getName)
+      .filter(_.matches("r\\d+")).sorted
+    assert(rdirs2.sameElements(Array("r0", "r1")),
+      s"the reseed must advance past the forget generation, not skip: ${rdirs2.mkString(",")}")
+    assert(!new java.io.File(s"$archive/r1/_forget").exists(),
+      "a real reseed is not a forget generation")
+    // readers follow the newest generation: forgotten ids stay absent
+    val ix2 = ArchiveDedup.loadLatestCosine(spark, archive)._1
+    assert(ix2.vecs.count() === 48L)
+    assert(ix2.vecs.where(col("id").isin(3L, 44L)).isEmpty)
+    // and a plain reseed replay still skips (idempotence preserved)
+    ArchiveDedup.reseedCosineArchive(spark, archive)
+    val rdirs3 = new java.io.File(archive).listFiles().map(_.getName)
+      .filter(_.matches("r\\d+")).sorted
+    assert(rdirs3.sameElements(Array("r0", "r1")),
+      s"an identical re-invocation must replay-skip: ${rdirs3.mkString(",")}")
+  }
+
+  test("compactEvery = 1 refuses at sink construction (degenerate self-merge)") {
+    val docs = Seq((0L, tA)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ArchiveDedup.archiveDedupSink(docs, tmp("graft-arch-k1"),
+        tmp("graft-arch-k1p"), "doc_id", "text", compactEvery = 1)
+    }
+    assert(e.getMessage.contains("degenerate"), e.getMessage)
+  }
+
   test("out-of-band reseed aborts when a concurrent fold lands mid-build") {
     def vec(seedBase: Int): Array[Float] = {
       val r = new java.util.Random(11L * seedBase)

@@ -353,6 +353,139 @@ class CorpusStatsSpec extends AnyFunSuite {
       "a mixed old/new-schema archive must read exactly (mergeSchema + mark fill)")
   }
 
+  test("in-place archive retraction (token): x entry cancels exactly; every sharp edge refuses") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-xr").toString
+    seedTokenStatsArchive(docs.where(col("doc_id") < 3), dir, "doc_id", "text")
+    processTokenStatsBatch(docs.where(col("doc_id") >= 3 && col("doc_id") < 5),
+      0L, dir, "doc_id", "text", compactEvery = 0)
+    processTokenStatsBatch(docs.where(col("doc_id") === 5), 1L, dir,
+      "doc_id", "text", compactEvery = 0)
+    // takedown of batch 0's docs WITH their text, stream still live
+    retractFromTokenStatsArchive(spark, dir,
+      docs.where(col("doc_id") >= 3 && col("doc_id") < 5), "doc_id", "text")
+    val remaining = docs.where(col("doc_id") < 3 || col("doc_id") === 5)
+    assert(rowsOf(tokenFrequencyMetricsAgainst(loadTokenStatsArchive(spark, dir),
+      remaining, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(remaining, "doc_id", "text")),
+      "the negated partials must cancel the retracted docs bit-for-bit")
+    assert(loadTokenStatsArchive(spark, dir).ids.collect().map(_.getLong(0)).sorted
+      === Array(0L, 1L, 2L, 5L), "membership must resolve folds minus retractions")
+    // a checkpoint-less replay of the retracted batch is ambiguous
+    // (replay vs re-ingest) — refuse loudly, never guess
+    val exR = intercept[IllegalStateException] {
+      processTokenStatsBatch(docs.where(col("doc_id") >= 3 && col("doc_id") < 5),
+        0L, dir, "doc_id", "text", compactEvery = 0)
+    }
+    assert(exR.getMessage.contains("RETRACTED"), exR.getMessage)
+    // double retraction: ids no longer covered
+    val exD = intercept[IllegalArgumentException] {
+      retractFromTokenStatsArchive(spark, dir, docs.where(col("doc_id") === 3),
+        "doc_id", "text")
+    }
+    assert(exD.getMessage.contains("retractFromTokenStatsArchive"), exD.getMessage)
+    // a window containing retracted docs would re-expose their counts
+    val exW = intercept[IllegalArgumentException] {
+      loadTokenStatsArchive(spark, dir, lastBatches = Some(2))
+    }
+    assert(exW.getMessage.contains("RE-EXPOSE"), exW.getMessage)
+    // a window clear of them stays exact
+    val winDocs = docs.where(col("doc_id") === 5)
+    assert(rowsOf(tokenFrequencyMetricsAgainst(
+      loadTokenStatsArchive(spark, dir, lastBatches = Some(1)),
+      winDocs, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(winDocs, "doc_id", "text")))
+    // fresh batches keep folding after the retraction
+    processTokenStatsBatch(Seq((7700L, "nu xi omicron")).toDF("doc_id", "text"),
+      2L, dir, "doc_id", "text", compactEvery = 0)
+    val withNew = remaining.unionByName(Seq((7700L, "nu xi omicron")).toDF("doc_id", "text"))
+    assert(rowsOf(tokenFrequencyMetricsAgainst(loadTokenStatsArchive(spark, dir),
+      withNew, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(withNew, "doc_id", "text")))
+    // out-of-band full fold materializes the cancellation and clears x
+    val dst = java.nio.file.Files.createTempDirectory("graft-cstats-xrc").toString
+    compactTokenStatsArchive(spark, dir, dst)
+    assert(new java.io.File(dst).listFiles().map(_.getName).sorted
+      .sameElements(Array("seed")))
+    assert(rowsOf(tokenFrequencyMetricsAgainst(loadTokenStatsArchive(spark, dst),
+      withNew, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(withNew, "doc_id", "text")))
+  }
+
+  test("in-place archive retraction (ngram): LM counts cancel exactly; family mismatch refuses") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-xrn").toString
+    seedNgramStatsArchive(docs.where(col("doc_id") < 3), dir, "doc_id", "text")
+    processNgramStatsBatch(docs.where(col("doc_id") >= 3), 0L, dir,
+      "doc_id", "text", compactEvery = 0)
+    // doc 4 is the only carrier of "iota"/"kappa": retraction must
+    // shrink the vocabulary too (marks cancel), not just the counts
+    retractFromNgramStatsArchive(spark, dir, docs.where(col("doc_id") === 4),
+      "doc_id", "text")
+    val remaining = docs.where(col("doc_id") =!= 4)
+    assert(rowsOf(bigramCountsAgainst(loadNgramStatsArchive(spark, dir),
+      remaining, "doc_id", "text"))
+      === rowsOf(QualityFilters.bigramCounts(remaining, "doc_id", "text")),
+      "counts AND vocab_size must match the batch recompute without doc 4")
+    // wrong-family retraction refuses before committing anything
+    val exF = intercept[IllegalArgumentException] {
+      retractFromTokenStatsArchive(spark, dir, docs.where(col("doc_id") === 3),
+        "doc_id", "text")
+    }
+    assert(exF.getMessage.contains("not a token-stats archive"), exF.getMessage)
+    assert(!new java.io.File(dir).listFiles().map(_.getName).exists(_ == "x1"),
+      "the refused cross-family retraction must not have committed")
+  }
+
+  test("compaction folds pre-r13 bare-h unigram entries exactly (no crash, no vocab loss)") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-oldc").toString
+    seedNgramStatsArchive(docs.where(col("doc_id") < 2), dir, "doc_id", "text")
+    // commit 4 slivers with compaction off, then strip b0..b2 back to
+    // the pre-r13 bare-`h` unigram schema: the next folds' merge sets
+    // are first ALL-old (schema lacks u_part entirely), then MIXED
+    val rest = docs.where(col("doc_id") >= 2)
+      .select(col("doc_id"), col("text")).collect()
+    rest.zipWithIndex.foreach { case (r, i) =>
+      processNgramStatsBatch(Seq((r.getLong(0), r.getString(1))).toDF("doc_id", "text"),
+        i.toLong, dir, "doc_id", "text", compactEvery = 0)
+    }
+    assert(rest.length === 4, s"fixture drifted: ${rest.length} docs beyond the seed")
+    (0 to 2).foreach { b =>
+      val old = spark.read.parquet(s"$dir/b$b/unigrams").select(col("h"))
+        .localCheckpoint()
+      old.write.mode("overwrite").parquet(s"$dir/b$b/unigrams")
+    }
+    // two more batches with compactEvery = 2 (tier-1 folds the 2 oldest
+    // once 3 are live): first fold takes (b0,b1) all-old — the
+    // missing-column shape — then (b2,b3) old+new — the mergeSchema
+    // null-fill shape
+    val extra = Seq((9000L, "omega kappa"), (9001L, "kappa omega theta"))
+    extra.zipWithIndex.foreach { case ((id, t), i) =>
+      processNgramStatsBatch(Seq((id, t)).toDF("doc_id", "text"),
+        (rest.length + i).toLong, dir, "doc_id", "text", compactEvery = 2)
+    }
+    val ranges = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("c\\d+-\\d+"))
+    assert(ranges.nonEmpty, "compaction must have folded the old slivers")
+    val allDocs = docs.select(col("doc_id"), col("text"))
+      .unionByName(extra.toDF("doc_id", "text"))
+    assert(rowsOf(bigramCountsAgainst(loadNgramStatsArchive(spark, dir),
+      allDocs, "doc_id", "text"))
+      === rowsOf(QualityFilters.bigramCounts(allDocs, "doc_id", "text")),
+      "a compacted mixed-format archive must score exactly (marks preserved)")
+  }
+
+  test("compactEvery = 1 refuses at sink construction (degenerate self-merge)") {
+    import graft.operators.CorpusStats._
+    val e = intercept[IllegalArgumentException] {
+      tokenStatsSink(docs,
+        java.nio.file.Files.createTempDirectory("graft-cstats-k1").toString,
+        "doc_id", "text", compactEvery = 1)
+    }
+    assert(e.getMessage.contains("degenerate"), e.getMessage)
+  }
+
   test("streaming batches refuse duplicated/null doc ids loudly (double-count guard)") {
     import graft.operators.CorpusStats._
     val dir = java.nio.file.Files.createTempDirectory("graft-cstats-dup").toString

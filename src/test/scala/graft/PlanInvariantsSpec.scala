@@ -335,6 +335,37 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"q92-score: context partials no longer come from the index parquet:\n$nplan")
   }
 
+  test("q93 retracted-archive scoring: x entries enter via partial parquet, archived text never re-read") {
+    import graft.operators.CorpusStats
+    val docs = Tables(spark, dir, "documents")
+    val adir = java.nio.file.Files.createTempDirectory("graft-plan-cstx").toString
+    CorpusStats.seedTokenStatsArchive(
+      docs.where(col("doc_id") < 300), adir, "doc_id", "text")
+    CorpusStats.processTokenStatsBatch(
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 400), 0L, adir,
+      "doc_id", "text", compactEvery = 0)
+    // the takedown happened: an x entry's negated partials now cancel
+    // [300, 350). Scoring a fresh target against the archive must still
+    // tokenize the TARGET only — the retraction entry, like every
+    // other entry, contributes compact partial-count parquet
+    CorpusStats.retractFromTokenStatsArchive(spark, adir,
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 350), "doc_id", "text")
+    val plan = planOf(CorpusStats.tokenFrequencyMetricsAgainst(
+      CorpusStats.loadTokenStatsArchive(spark, adir),
+      docs.where(col("doc_id") >= 400), "doc_id", "text"))
+    assertNoCartesian("q93-score", plan)
+    val textScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("text#")).toSeq
+    assert(textScans.nonEmpty, s"q93-score: expected a target text scan:\n$plan")
+    textScans.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id,400)"),
+        s"q93-score: un-pushed text scan (archive/victim re-read):\n$l\n\nfull plan:\n$plan")
+    }
+    assert(plan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("tdf_part#") && !l.contains("text#")),
+      s"q93-score: archive partials no longer come from the entry parquet:\n$plan")
+  }
+
   test("q85 cosine delta scan input: signature math is delta-sided, no cartesian") {
     import graft.operators.{Dedup, SimilarityJoin}
     val e = Tables(spark, dir, "embeddings")
