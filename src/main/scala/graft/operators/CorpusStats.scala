@@ -168,11 +168,15 @@ object CorpusStats {
   // ===================================================================
 
   /** Partial bigram-model counts per batch: pair counts C(w₁w₂),
-    * context counts C(w₁·) — both additive over disjoint doc sets —
-    * and per-batch distinct-unigram marks (h, u_part = ±1): vocabulary
-    * size is the count of hashes whose marks sum positive at use time,
-    * the one statistic that is NOT a plain sum (a hash stays in the
-    * vocabulary while ANY un-retracted batch carries it). */
+    * context counts C(w₁·), and unigram OCCURRENCE counts (h, u_part)
+    * — all three additive over disjoint doc sets. Vocabulary size is
+    * the count of hashes whose occurrence sums are positive at use
+    * time: a hash stays in the vocabulary while ANY un-retracted
+    * document carries it. Occurrence counts (not per-batch presence
+    * marks) are what makes IN-PLACE retraction of an arbitrary victim
+    * subset exact: a presence mark of 1 per batch would cancel against
+    * one victim while other docs of the same batch still carry the
+    * word, silently shrinking the vocabulary. */
   final case class NgramStatsIndex(pairParts: DataFrame,
                                    contextParts: DataFrame,
                                    unigrams: DataFrame,
@@ -191,8 +195,8 @@ object CorpusStats {
     val spark = docs.sparkSession
     import spark.implicits._
     QualityFilters.tokenHashStream(docs, idCol, textCol)
-      .flatMap(_._2.iterator).distinct().toDF("h")
-      .select(col("h"), lit(1L).as("u_part"))
+      .flatMap(_._2.iterator).toDF("h")
+      .groupBy(col("h")).agg(count(lit(1)).as("u_part"))
   }
 
   private def ngramPartsOf(docs: DataFrame, idCol: String, textCol: String,
@@ -222,10 +226,10 @@ object CorpusStats {
         .unionByName(delta.unigrams),
       ids)
 
-  /** Delta-cost fold: the delta's pair/context partials union in
-    * (additive); its distinct-unigram marks union in un-deduplicated
-    * across batches — vocabulary resolves once, at use time, over the
-    * compact hash column instead of per-append. */
+  /** Delta-cost fold: the delta's pair/context/unigram partials union
+    * in un-aggregated across batches (all additive) — vocabulary
+    * resolves once, at use time, over the compact hash column instead
+    * of per-append. */
   def appendToNgramStats(ix: NgramStatsIndex, newDocs: DataFrame,
                          idCol: String, textCol: String): NgramStatsIndex = {
     Dedup.requireDeltaDisjoint(ix.ids, newDocs, idCol, "appendToNgramStats")
@@ -234,10 +238,12 @@ object CorpusStats {
   }
 
   /** The exact inverse of [[appendToNgramStats]] — see
-    * [[retractFromTokenStats]] for the contract (replay exactly the
-    * appended batch; negative partials cancel in every use-time sum; a
-    * bigram or vocabulary hash carried only by the retracted batch
-    * sums to zero and drops from the model). */
+    * [[retractFromTokenStats]] for the contract (replay the retracted
+    * docs' text exactly as folded; negative partials cancel in every
+    * use-time sum; a bigram or vocabulary hash carried only by the
+    * retracted docs sums to zero and drops from the model). Exact for
+    * ANY covered victim subset, not just whole appended batches —
+    * occurrence-count unigram partials subtract per-document. */
   def retractFromNgramStats(ix: NgramStatsIndex, docs: DataFrame,
                             idCol: String, textCol: String): NgramStatsIndex = {
     Dedup.requireRetractCovered(ix.ids, docs, idCol, "retractFromNgramStats")
@@ -253,12 +259,17 @@ object CorpusStats {
     ix.ids.write.mode("overwrite").parquet(s"$dir/ids")
   }
 
-  /** Normalize a persisted unigram frame to the (h, u_part) mark
-    * schema. Indexes persisted before round 13 stored bare `h` rows —
-    * one per batch-distinct hash, which IS a mark of 1, so `lit(1)` is
-    * the exact historical value, not an approximation; mixed-schema
-    * multi-path reads (old seed + new slivers under mergeSchema) fill
-    * the old rows' null marks the same way. */
+  /** Normalize a persisted unigram frame to the (h, u_part) schema.
+    * Indexes persisted before round 13 stored bare `h` rows — one per
+    * batch-distinct hash, a presence mark of 1. For LOADING (vocabulary
+    * = hashes with positive sums) a mark of 1 is equivalent to the
+    * occurrence count the current format stores, so `lit(1)` reads old
+    * entries exactly; mixed-schema multi-path reads (old seed + new
+    * slivers under mergeSchema) fill the old rows' null marks the same
+    * way. For in-place RETRACTION the two are NOT equivalent (counts
+    * subtract per-document; marks don't), which is why
+    * [[retractFromNgramStatsArchive]] refuses archives holding bare-`h`
+    * entries. */
   private def withUnigramMarks(df: DataFrame): DataFrame =
     if (df.columns.contains("u_part"))
       df.select(col("h"), coalesce(col("u_part"), lit(1L)).as("u_part"))
@@ -438,7 +449,8 @@ object CorpusStats {
                                              ranges: Seq[(Long, Long)],
                                              manifests: Map[(Long, Long), Set[Long]],
                                              committedAt: Map[(Long, Long), Long],
-                                             retractions: Seq[Long] = Nil) {
+                                             retractions: Seq[Long] = Nil,
+                                             xManifests: Map[Long, Set[Long]] = Map.empty) {
     def maximalRanges: Seq[(Long, Long)] = ranges.filterNot { r =>
       ranges.exists(o => o != r && o._1 <= r._1 && r._2 <= o._2)
     }.sortBy(_._1)
@@ -463,9 +475,18 @@ object CorpusStats {
       (if (hasSeed) Seq("seed") else Nil) ++
         liveRanges.map { case (lo, hi) => s"c$lo-$hi" } ++
         liveSlivers.map(b => s"b$b")
+    /** Retraction entries still LIVE: not folded into a later merged
+      * `x` entry (a merged entry's `folded` sidecar lists the x ids it
+      * covers — covered entries await deferred GC at the next takedown,
+      * exactly the range discipline above). */
+    def liveRetractions: Seq[Long] = {
+      val covered = xManifests.values.flatten.toSet
+      retractions.filterNot(covered).sorted
+    }
     /** In-place retraction entries `x<n>` (negated partials + the
-      * retracted doc ids) — see [[retractFromTokenStatsArchive]]. */
-    def retractionEntries: Seq[String] = retractions.sorted.map(n => s"x$n")
+      * retracted doc ids) a reader must union — live only; see
+      * [[retractFromTokenStatsArchive]]. */
+    def retractionEntries: Seq[String] = liveRetractions.map(n => s"x$n")
   }
 
   // folded-id manifests and commit markers are immutable once their
@@ -520,7 +541,12 @@ object CorpusStats {
       names.collect {
         case n if n.startsWith("x") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
           n.drop(1).toLong
-      })
+      },
+      names.collect {
+        case n if n.startsWith("x") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
+          n.drop(1).toLong
+      }.flatMap(n => sidecarOf(spark, dir, s"x$n", "folded")
+        .map(ids => n -> ids.toSet)).toMap)
   }
 
   /** Tiered auto-compaction, the ArchiveDedup discipline on the stats
@@ -535,10 +561,10 @@ object CorpusStats {
     * slivers (plus covered entries awaiting deferred GC), write
     * amplification is O(batch) amortized, and the replay guard is
     * untouched — it keys on id membership, so a batch whose entry was
-    * folded away still skips. Retraction entries (`x<n>`) are NOT
-    * tier-folded (their count is bounded by takedown calls, not stream
-    * age; an out-of-band compact*StatsArchive clears them), and never
-    * GC'd (nothing covers them). GC of covered entries is DEFERRED
+    * folded away still skips. Retraction entries (`x<n>`) tier-fold on
+    * their OWN clock — the takedown calls (see [[commitRetraction]]),
+    * since they carry no batch ids; the sinks never touch them. GC of
+    * covered entries is DEFERRED
     * `retainCovered` batches past the covering range's RECORDED commit
     * batch (the `committed` marker written at merge time — never
     * inferred from the range name, so sparse or timestamp batch ids
@@ -676,25 +702,32 @@ object CorpusStats {
   }
 
   /** Mark-resolved id ledger of the archive: one row per doc id ever
-    * folded, `m` = (# positive entries carrying it) − (# retraction
-    * entries carrying it). Membership — what scoring, disjointness and
+    * folded, `m` = 1 if the doc is live, 0 if it was retracted in
+    * place. Membership — what scoring, disjointness and
     * retract-coverage see — is `m > 0`; the replay guard reads the
     * whole ledger so a batch that was RETRACTED in place is
-    * distinguishable from one never folded. Two file relations + one
-    * narrow-key aggregate — O(1) in stream age like every reader plan
-    * here. */
+    * distinguishable from one never folded. The guards make every id's
+    * history at most (one fold, then at most one retraction) — the
+    * disjointness guard refuses a second fold and the coverage guard a
+    * second retraction — so the ledger needs no aggregate: it is the
+    * positive union with retracted ids re-marked 0, one anti-join
+    * against the takedown-sized x side (broadcast under any realistic
+    * corpus/takedown ratio). A groupBy(id) here would instead tax
+    * EVERY future load and replay guard with a corpus-sized shuffle
+    * the moment one takedown exists. */
   private def resolvedIdsOf(spark: SparkSession, dir: String,
                             st: StatsState): DataFrame = {
     val pos = spark.read.parquet(st.liveEntries.map(e => s"$dir/$e/ids"): _*)
       .select(col("id"), lit(1L).as("m"))
-    // no retractions (the every-batch case): live positive ids are
-    // globally unique by the disjointness invariant, so the ledger IS
-    // the union — skip the aggregate and its full-ledger shuffle
     if (st.retractions.isEmpty) pos
-    else pos.unionByName(
-        spark.read.parquet(st.retractionEntries.map(e => s"$dir/$e/ids"): _*)
-          .select(col("id"), lit(-1L).as("m")))
-      .groupBy(col("id")).agg(sum(col("m")).as("m"))
+    else {
+      val ret = spark.read
+        .parquet(st.retractionEntries.map(e => s"$dir/$e/ids"): _*)
+        .select(col("id"))
+      pos.drop("m").join(ret, Seq("id"), "left_anti")
+        .select(col("id"), lit(1L).as("m"))
+        .unionByName(ret.select(col("id"), lit(0L).as("m")))
+    }
   }
 
   /** A windowed load reads per-batch slivers only, so retraction
@@ -721,6 +754,46 @@ object CorpusStats {
 
   private def nextRetractionId(st: StatsState): Long =
     st.retractions.foldLeft(-1L)(math.max) + 1L
+
+  /** Commit one retraction entry, tier-folding the x family in-loop —
+    * the same bounded-entry-count discipline the positive entries get
+    * from [[maybeCompactStats]], at the only clock retractions have
+    * (the takedown calls themselves): once `xCompactEvery` live x
+    * entries exist, THIS commit merges them with the new negated
+    * partials into one entry whose `folded` sidecar lists the covered
+    * x ids (additive partials sum freely; x entries carry no batch
+    * ids, so no window semantics constrain the fold). Covered entries
+    * stay on disk until the START of the next takedown — a reader
+    * that planned against the pre-fold layout gets a full takedown
+    * interval to finish, the retainCovered=1 analogue — then GC here.
+    * Live x entries are therefore ≤ xCompactEvery however many
+    * takedowns the archive absorbs; 0 disables (out-of-band
+    * [[compactTokenStatsArchive]] still clears everything). */
+  private def commitRetraction(spark: SparkSession, dir: String,
+                               st: StatsState, comps: Seq[(String, Fold)],
+                               neg: Seq[(String, DataFrame)],
+                               xCompactEvery: Int): Unit = {
+    import spark.implicits._
+    require(xCompactEvery >= 0,
+      s"CorpusStats: xCompactEvery must be >= 0, got $xCompactEvery")
+    val (fs, _) = hfs(spark, dir)
+    // deferred GC from the previous fold: covered entries have had at
+    // least one full takedown interval since their covering commit
+    st.xManifests.values.flatten.toSet[Long].foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/x$n"), true)
+      evictSidecarCache(dir, s"x$n")
+    }
+    val liveX = st.liveRetractions
+    val name = s"x${nextRetractionId(st)}"
+    if (xCompactEvery > 0 && liveX.length >= xCompactEvery) {
+      val merged = neg.map { case (c, negDf) =>
+        val fold = comps.find(_._1 == c).get._2
+        c -> fold(spark.read.parquet(liveX.map(n => s"$dir/x$n/$c"): _*)
+          .unionByName(negDf))
+      } :+ ("folded" -> liveX.toDF("id").coalesce(1))
+      commitComponents(spark, dir, name, merged)
+    } else commitComponents(spark, dir, name, neg)
+  }
 
   /** Family check for the in-place retraction entry points: committing
     * a token-shaped x entry into an ngram archive (or vice versa)
@@ -906,16 +979,19 @@ object CorpusStats {
     * the retracted counts bit-for-bit (+x then −x), membership
     * resolves by mark, and the replay guard refuses the retracted ids
     * loudly ever after. Un-archived (or already-retracted) ids refuse
-    * via [[Dedup.requireRetractCovered]]. Retraction entries are rare
-    * (batch a day's takedowns into one call) and excluded from tiered
-    * compaction; an out-of-band [[compactTokenStatsArchive]] fold
-    * materializes the cancellation and clears them. Windowed loads
-    * refuse windows containing retracted docs (see the window
-    * contract). One maintainer per archive directory, as for every
-    * out-of-band archive operation. */
+    * via [[Dedup.requireRetractCovered]]. The x family tier-folds
+    * IN-LOOP at the takedown call sites (`xCompactEvery`, see
+    * [[commitRetraction]]) so live x entries stay bounded however many
+    * takedowns the archive absorbs; an out-of-band
+    * [[compactTokenStatsArchive]] fold still materializes the
+    * cancellation and clears them entirely. Windowed loads refuse
+    * windows containing retracted docs (see the window contract). One
+    * maintainer per archive directory, as for every out-of-band
+    * archive operation. */
   def retractFromTokenStatsArchive(spark: SparkSession, dir: String,
                                    docs: DataFrame, idCol: String,
-                                   textCol: String): Unit = {
+                                   textCol: String,
+                                   xCompactEvery: Int = 8): Unit = {
     val b = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
     Dedup.requireBatchIdsSane(b, idCol, "retractFromTokenStatsArchive")
@@ -926,10 +1002,10 @@ object CorpusStats {
       resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")),
       b, idCol, "retractFromTokenStatsArchive")
     val neg = buildTokenStats(b, idCol, textCol)
-    commitComponents(spark, dir, s"x${nextRetractionId(st)}", Seq(
+    commitRetraction(spark, dir, st, TokenComponents, Seq(
       "df" -> neg.parts.select(col("w"),
         (col("tdf_part") * lit(-1L)).as("tdf_part")),
-      "ids" -> neg.ids))
+      "ids" -> neg.ids), xCompactEvery)
   }
 
   /** Out-of-band full fold into a fresh directory (every live entry's
@@ -1039,29 +1115,48 @@ object CorpusStats {
 
   /** In-place retraction for the ngram archive — see
     * [[retractFromTokenStatsArchive]] for the full contract; all four
-    * components negate (the signed vocabulary marks were designed for
-    * exactly this). */
+    * components negate (occurrence-count unigram partials subtract
+    * per-document, so the vocabulary shrinks exactly — including when
+    * the victims are a SUBSET of an entry's docs). Refuses archives
+    * holding pre-r13 bare-`h` unigram entries: those record presence
+    * marks, and subtracting occurrence counts against marks could
+    * drive a still-carried word's sum negative and silently shrink
+    * the vocabulary — rebuild such an archive out-of-band
+    * ([[compactNgramStatsArchive]] re-aggregates, but from the same
+    * marks; re-seed from the corpus) before taking down documents. */
   def retractFromNgramStatsArchive(spark: SparkSession, dir: String,
                                    docs: DataFrame, idCol: String,
-                                   textCol: String): Unit = {
+                                   textCol: String,
+                                   xCompactEvery: Int = 8): Unit = {
     val b = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
     Dedup.requireBatchIdsSane(b, idCol, "retractFromNgramStatsArchive")
     val st = statsStateOf(spark, dir)
     requireStatsFamily(spark, dir, st, "pairs", "ngram-stats",
       "retractFromNgramStatsArchive")
+    val bare = (st.liveEntries ++ st.retractionEntries).filter { e =>
+      !spark.read.parquet(s"$dir/$e/unigrams").schema.fieldNames
+        .contains("u_part")
+    }
+    require(bare.isEmpty,
+      s"retractFromNgramStatsArchive: entries [${bare.mkString(", ")}] in " +
+        s"$dir store pre-r13 presence-mark unigrams (bare h, no u_part) — " +
+        "subtracting the victims' occurrence counts against presence " +
+        "marks could silently shrink the vocabulary below the surviving " +
+        "corpus. Re-seed the archive from the corpus (current format) " +
+        "before retracting in place.")
     Dedup.requireRetractCovered(
       resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")),
       b, idCol, "retractFromNgramStatsArchive")
     val neg = buildNgramStats(b, idCol, textCol)
-    commitComponents(spark, dir, s"x${nextRetractionId(st)}", Seq(
+    commitRetraction(spark, dir, st, NgramComponents, Seq(
       "pairs" -> neg.pairParts.select(col("__h1"), col("__h2"),
         (col("pc_part") * lit(-1L)).as("pc_part")),
       "contexts" -> neg.contextParts.select(col("__h1"),
         (col("cc_part") * lit(-1L)).as("cc_part")),
       "unigrams" -> neg.unigrams.select(col("h"),
         (col("u_part") * lit(-1L)).as("u_part")),
-      "ids" -> neg.ids))
+      "ids" -> neg.ids), xCompactEvery)
   }
 
   /** Out-of-band full fold for the ngram archive — see

@@ -813,6 +813,38 @@ object ArchiveDedup {
     }
   }
 
+  /** The TAKEDOWN twin of [[archiveSink]]: one call site that forgets
+    * documents from whichever of the five archive families `dir`
+    * holds, dispatching on the archive's own self-description. The
+    * three dedup modalities need only the ids (their entries are
+    * per-document rows — extra columns on `docs` are ignored); the two
+    * corpus-statistics families hold aggregated counts, so subtracting
+    * a document needs its TEXT replayed exactly as folded — `docs`
+    * must carry `textCol` there, refused loudly if absent (an
+    * id-only takedown against a stats archive cannot be honored and
+    * must not look like it was). Every family's own refusals
+    * (un-archived ids, concurrent folds, ambiguous replays) apply
+    * unchanged — this facade only routes. */
+  def forget(spark: SparkSession, dir: String, docs: DataFrame,
+             idCol: String = "id", textCol: String = "text"): Unit =
+    modalityOf(spark, dir) match {
+      case stats @ ("token-stats" | "ngram-stats") =>
+        require(docs.columns.contains(textCol),
+          s"forget: $dir is a $stats archive — its entries hold " +
+            "aggregated counts, not per-document rows, so retraction " +
+            s"must replay each victim's TEXT exactly as folded; `docs` " +
+            s"has no '$textCol' column (columns: " +
+            s"${docs.columns.mkString(", ")}). Pass the victims WITH " +
+            "their text (textCol names the column).")
+        if (stats == "token-stats")
+          graft.operators.CorpusStats.retractFromTokenStatsArchive(
+            spark, dir, docs, idCol, textCol)
+        else
+          graft.operators.CorpusStats.retractFromNgramStatsArchive(
+            spark, dir, docs, idCol, textCol)
+      case _ => forgetDocs(spark, dir, docs.select(col(idCol)), idCol)
+    }
+
   // =====================================================================
   // MinHash twin (text)
   // =====================================================================

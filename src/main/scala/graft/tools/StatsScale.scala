@@ -127,6 +127,20 @@ object StatsScale {
         CorpusStats.loadTokenStatsArchive(spark, arch),
         delta.where(col("doc_id") % 100 =!= 0), "doc_id", "text").count()
     }
+    // the ngram twin: all four components negate through one x commit
+    val narch = java.nio.file.Files.createTempDirectory("graft-stats-narch").toString
+    CorpusStats.seedNgramStatsArchive(seed, narch, "doc_id", "text")
+    CorpusStats.processNgramStatsBatch(delta, 0L, narch, "doc_id", "text",
+      compactEvery = 0)
+    once("bigram-LM ARCHIVE: in-place retraction (x entry commit)") {
+      CorpusStats.retractFromNgramStatsArchive(spark, narch, victims,
+        "doc_id", "text")
+    }
+    timed("bigram-LM ARCHIVE: score survivors vs retracted archive") {
+      CorpusStats.bigramCountsAgainst(
+        CorpusStats.loadNgramStatsArchive(spark, narch),
+        delta.where(col("doc_id") % 100 =!= 0), "doc_id", "text").count()
+    }
     spark.stop()
   }
 }

@@ -427,6 +427,40 @@ class ArchiveDedupSpec extends AnyFunSuite {
       s"an identical re-invocation must replay-skip: ${rdirs3.mkString(",")}")
   }
 
+  test("the forget facade routes takedowns across families from one call site") {
+    import graft.operators.CorpusStats
+    // stats family: docs must carry their text; the facade routes to
+    // the in-place stats retraction
+    val sdir = tmp("graft-arch-fg-s")
+    val sdocs = Seq((0L, tA), (1L, tB), (2L, tC)).toDF("doc_id", "text")
+    CorpusStats.seedTokenStatsArchive(sdocs, sdir, "doc_id", "text")
+    ArchiveDedup.forget(spark, sdir, sdocs.where(col("doc_id") === 1L),
+      idCol = "doc_id", textCol = "text")
+    assert(CorpusStats.loadTokenStatsArchive(spark, sdir).ids
+      .collect().map(_.getLong(0)).sorted === Array(0L, 2L))
+    // an id-only takedown against a stats archive cannot be honored —
+    // refuse before touching anything
+    val ex = intercept[IllegalArgumentException] {
+      ArchiveDedup.forget(spark, sdir, Seq(0L).toDF("doc_id"), idCol = "doc_id")
+    }
+    assert(ex.getMessage.contains("TEXT"), ex.getMessage)
+    assert(CorpusStats.loadTokenStatsArchive(spark, sdir).ids.count() === 2L)
+    // dedup family: ids suffice, extra columns are ignored
+    def vec(i: Int): Array[Float] = {
+      val r = new java.util.Random(97L * i + 3)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val cdir = tmp("graft-arch-fg-c")
+    ArchiveDedup.seedCosineArchive(
+      (0 until 20).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+      cdir, "vec_id", "embedding")
+    ArchiveDedup.forget(spark, cdir,
+      Seq((5L, "ignored")).toDF("vec_id", "note"), idCol = "vec_id")
+    val ix = ArchiveDedup.loadLatestCosine(spark, cdir)._1
+    assert(ix.vecs.count() === 19L)
+    assert(ix.vecs.where(col("id") === 5L).isEmpty)
+  }
+
   test("compactEvery = 1 refuses at sink construction (degenerate self-merge)") {
     val docs = Seq((0L, tA)).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

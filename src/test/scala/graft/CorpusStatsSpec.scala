@@ -351,6 +351,14 @@ class CorpusStatsSpec extends AnyFunSuite {
       docs, "doc_id", "text"))
       === rowsOf(QualityFilters.bigramCounts(docs, "doc_id", "text")),
       "a mixed old/new-schema archive must read exactly (mergeSchema + mark fill)")
+    // but in-place retraction against presence-mark entries must refuse:
+    // subtracting occurrence counts against marks could silently shrink
+    // the vocabulary below the surviving corpus
+    val ex = intercept[IllegalArgumentException] {
+      retractFromNgramStatsArchive(spark, adir,
+        docs.where(col("doc_id") === 5), "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("presence-mark"), ex.getMessage)
   }
 
   test("in-place archive retraction (token): x entry cancels exactly; every sharp edge refuses") {
@@ -435,6 +443,75 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(exF.getMessage.contains("not a token-stats archive"), exF.getMessage)
     assert(!new java.io.File(dir).listFiles().map(_.getName).exists(_ == "x1"),
       "the refused cross-family retraction must not have committed")
+  }
+
+  test("retraction entries tier-fold in-loop; GC deferred one takedown; ledger plan shuffle-free") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-xf").toString
+    seedTokenStatsArchive(docs, dir, "doc_id", "text")
+    def retract(id: Long): Unit =
+      retractFromTokenStatsArchive(spark, dir, docs.where(col("doc_id") === id),
+        "doc_id", "text", xCompactEvery = 2)
+    def xDirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("x")).sorted
+    retract(3L) // x0
+    retract(4L) // one live x < 2 → plain x1
+    assert(xDirs.sameElements(Array("x0", "x1")))
+    retract(5L) // two live x ≥ 2 → THIS commit merges them in: x2
+    assert(xDirs.sameElements(Array("x0", "x1", "x2")),
+      "covered x entries await deferred GC — a reader planned pre-fold " +
+        "gets a full takedown interval")
+    assert(new java.io.File(s"$dir/x2/folded").exists(),
+      "the merged entry must record which x ids it covers")
+    val after3 = docs.where(col("doc_id") < 3)
+    assert(rowsOf(tokenFrequencyMetricsAgainst(loadTokenStatsArchive(spark, dir),
+      after3, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(after3, "doc_id", "text")),
+      "reads must be exact through the merged x entry (live x only — " +
+        "unioning the covered pair too would double-cancel)")
+    assert(loadTokenStatsArchive(spark, dir).ids.collect().map(_.getLong(0)).sorted
+      === Array(0L, 1L, 2L))
+    retract(2L) // GC of x0/x1 happens at THIS call's start; commits x3
+    assert(xDirs.sameElements(Array("x2", "x3")),
+      "covered x entries GC one takedown after their covering fold")
+    val after4 = docs.where(col("doc_id") < 2)
+    assert(rowsOf(tokenFrequencyMetricsAgainst(loadTokenStatsArchive(spark, dir),
+      after4, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(after4, "doc_id", "text")))
+    // replay protection survives the fold: doc 4's ids now live only in
+    // the MERGED entry, and a replay of them still refuses
+    val ex = intercept[IllegalStateException] {
+      processTokenStatsBatch(docs.where(col("doc_id") === 4), 7L, dir,
+        "doc_id", "text", compactEvery = 0)
+    }
+    assert(ex.getMessage.contains("RETRACTED"), ex.getMessage)
+    // the ledger resolves membership with a broadcast anti-join against
+    // the takedown-sized x side: one takedown must not tax every future
+    // load and replay guard with a corpus-sized shuffle
+    val plan = loadTokenStatsArchive(spark, dir).ids
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"ledger plan shuffles the full id set:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti-join ledger plan:\n$plan")
+  }
+
+  test("ngram retraction entries tier-fold too (all four components sum through the merge)") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-xfn").toString
+    seedNgramStatsArchive(docs, dir, "doc_id", "text")
+    Seq(3L, 4L, 5L).foreach { id =>
+      retractFromNgramStatsArchive(spark, dir, docs.where(col("doc_id") === id),
+        "doc_id", "text", xCompactEvery = 2)
+    }
+    assert(new java.io.File(s"$dir/x2/folded").exists(),
+      "the third takedown must merge the two live x entries into itself")
+    val remaining = docs.where(col("doc_id") < 3)
+    assert(rowsOf(bigramCountsAgainst(loadNgramStatsArchive(spark, dir),
+      remaining, "doc_id", "text"))
+      === rowsOf(QualityFilters.bigramCounts(remaining, "doc_id", "text")),
+      "pair/context/unigram partials and vocab marks must all cancel " +
+        "exactly through the merged x entry")
   }
 
   test("compaction folds pre-r13 bare-h unigram entries exactly (no crash, no vocab loss)") {
