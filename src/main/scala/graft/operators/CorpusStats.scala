@@ -180,7 +180,16 @@ object CorpusStats {
   final case class NgramStatsIndex(pairParts: DataFrame,
                                    contextParts: DataFrame,
                                    unigrams: DataFrame,
-                                   ids: DataFrame)
+                                   ids: DataFrame,
+                                   /** true iff `unigrams` rows are occurrence
+                                     * COUNTS (the current format). Loaded
+                                     * presence-mark-era frames set false:
+                                     * loading is equivalence-safe (positive
+                                     * iff present), RETRACTION is not —
+                                     * subtracting counts against marks
+                                     * corrupts the vocabulary, so
+                                     * [[retractFromNgramStats]] refuses. */
+                                   ucounts: Boolean = true)
 
   private def bigramFrame(docs: DataFrame, idCol: String, textCol: String) = {
     val spark = docs.sparkSession
@@ -224,7 +233,10 @@ object CorpusStats {
         .unionByName(delta.contextParts),
       ix.unigrams.select(col("h"), col("u_part"))
         .unionByName(delta.unigrams),
-      ids)
+      ids,
+      // a mark-era base poisons the union for retraction purposes even
+      // though the delta side is counts — loading stays exact either way
+      ucounts = ix.ucounts && delta.ucounts)
 
   /** Delta-cost fold: the delta's pair/context/unigram partials union
     * in un-aggregated across batches (all additive) — vocabulary
@@ -243,9 +255,18 @@ object CorpusStats {
     * use-time sum; a bigram or vocabulary hash carried only by the
     * retracted docs sums to zero and drops from the model). Exact for
     * ANY covered victim subset, not just whole appended batches —
-    * occurrence-count unigram partials subtract per-document. */
+    * occurrence-count unigram partials subtract per-document. Refuses
+    * an index whose unigrams carry presence-mark-era values
+    * (`ucounts = false`): subtracting counts against marks silently
+    * shrinks the vocabulary below the surviving corpus. */
   def retractFromNgramStats(ix: NgramStatsIndex, docs: DataFrame,
                             idCol: String, textCol: String): NgramStatsIndex = {
+    require(ix.ucounts,
+      "retractFromNgramStats: this index's unigrams carry presence-mark-era " +
+        "values (loaded from a pre-occurrence-count persisted dir) — " +
+        "subtracting the victims' occurrence counts against marks would " +
+        "silently shrink the vocabulary below the surviving corpus. " +
+        "Rebuild the index from the corpus before retracting.")
     Dedup.requireRetractCovered(ix.ids, docs, idCol, "retractFromNgramStats")
     unionNgram(ix, ngramPartsOf(docs, idCol, textCol, sign = -1L),
       ix.ids.select(col("id"))
@@ -257,6 +278,8 @@ object CorpusStats {
     ix.contextParts.write.mode("overwrite").parquet(s"$dir/contexts")
     ix.unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
     ix.ids.write.mode("overwrite").parquet(s"$dir/ids")
+    if (ix.ucounts)
+      writeCountMarker(hfs(ix.unigrams.sparkSession, dir)._1, dir)
   }
 
   /** Normalize a persisted unigram frame to the (h, u_part) schema.
@@ -267,19 +290,41 @@ object CorpusStats {
     * entries exactly; mixed-schema multi-path reads (old seed + new
     * slivers under mergeSchema) fill the old rows' null marks the same
     * way. For in-place RETRACTION the two are NOT equivalent (counts
-    * subtract per-document; marks don't), which is why
-    * [[retractFromNgramStatsArchive]] refuses archives holding bare-`h`
-    * entries. */
+    * subtract per-document; marks don't) — and the u_part COLUMN alone
+    * cannot distinguish them (the round-12 format stored marks under
+    * the same column name), so the count format is marked by an
+    * `_ucounts` sentinel file (see [[hasCountMarker]]) and every
+    * retraction path refuses unmarked unigram frames. */
   private def withUnigramMarks(df: DataFrame): DataFrame =
     if (df.columns.contains("u_part"))
       df.select(col("h"), coalesce(col("u_part"), lit(1L)).as("u_part"))
     else df.select(col("h"), lit(1L).as("u_part"))
 
+  /** Format sentinel for unigram components: `_ucounts` inside the
+    * parquet directory (underscore files are invisible to parquet
+    * readers) is present iff the u_part rows are occurrence COUNTS.
+    * Presence-mark-era components — bare `h` (pre-r13) or marks under
+    * a u_part column (round 12's format) — lack it, so schema
+    * inspection is never trusted to authorize a retraction. The
+    * sentinel lives INSIDE the component dir so it travels with entry
+    * renames and dies with any overwrite of the component; folds
+    * propagate it conjunctively (a fold over any unmarked input is
+    * itself unmarked — mark sums are loading-safe but must never
+    * authorize subtraction). */
+  private def countMarkerPath(entryDir: String) =
+    new org.apache.hadoop.fs.Path(s"$entryDir/unigrams/_ucounts")
+  private def writeCountMarker(fs: org.apache.hadoop.fs.FileSystem,
+                               entryDir: String): Unit =
+    fs.create(countMarkerPath(entryDir), true).close()
+  private[graft] def hasCountMarker(spark: SparkSession, entryDir: String): Boolean =
+    hfs(spark, entryDir)._1.exists(countMarkerPath(entryDir))
+
   def loadNgramStats(spark: SparkSession, dir: String): NgramStatsIndex =
     NgramStatsIndex(spark.read.parquet(s"$dir/pairs"),
       spark.read.parquet(s"$dir/contexts"),
       withUnigramMarks(spark.read.parquet(s"$dir/unigrams")),
-      spark.read.parquet(s"$dir/ids"))
+      spark.read.parquet(s"$dir/ids"),
+      ucounts = hasCountMarker(spark, dir))
 
   /** Bigram-LM counts of `target`'s bigram positions against the
     * INDEX's model — [[QualityFilters.bigramCounts]]' exact-integer
@@ -387,7 +432,8 @@ object CorpusStats {
     * said "fresh"), while a seed/compact hitting an existing entry is
     * simply a non-empty target directory. */
   private def commitComponents(spark: SparkSession, dir: String, name: String,
-                               comps: Seq[(String, DataFrame)]): Unit = {
+                               comps: Seq[(String, DataFrame)],
+                               ucounts: Boolean = true): Unit = {
     val (fs, _) = hfs(spark, dir)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name")))
       throw new IllegalStateException(
@@ -411,6 +457,8 @@ object CorpusStats {
     comps.foreach { case (c, df) =>
       df.write.mode("overwrite").parquet(s"$tmp/$c")
     }
+    if (ucounts && comps.exists(_._1 == "unigrams"))
+      writeCountMarker(fs, tmp.toString)
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/$name")))
       throw new IllegalStateException(
         s"CorpusStats: failed to commit stats entry $dir/$name " +
@@ -424,7 +472,8 @@ object CorpusStats {
   private def commitNgram(ix: NgramStatsIndex, dir: String, name: String): Unit =
     commitComponents(ix.pairParts.sparkSession, dir, name,
       Seq("pairs" -> ix.pairParts, "contexts" -> ix.contextParts,
-        "unigrams" -> ix.unigrams, "ids" -> ix.ids))
+        "unigrams" -> ix.unigrams, "ids" -> ix.ids),
+      ucounts = ix.ucounts)
 
   private def entryNamesOf(spark: SparkSession, dir: String): Seq[String] = {
     val (fs, p) = hfs(spark, dir)
@@ -523,29 +572,27 @@ object CorpusStats {
     while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
   }
 
+  private def numericSuffix(names: Seq[String], prefix: Char): Seq[Long] =
+    names.collect {
+      case n if n.length > 1 && n.head == prefix && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong
+    }
+
   private[graft] def statsStateOf(spark: SparkSession,
                                   dir: String): StatsState = {
     val names = entryNamesOf(spark, dir)
     val ranges = names.collect { case RangeName(lo, hi) => (lo.toLong, hi.toLong) }
+    val xs = numericSuffix(names, 'x')
     StatsState(
       names.contains("seed"),
-      names.collect {
-        case n if n.startsWith("b") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
-          n.drop(1).toLong
-      },
+      numericSuffix(names, 'b'),
       ranges,
       ranges.flatMap(r => sidecarOf(spark, dir, s"c${r._1}-${r._2}", "folded")
         .map(ids => r -> ids.toSet)).toMap,
       ranges.flatMap(r => sidecarOf(spark, dir, s"c${r._1}-${r._2}", "committed")
         .flatMap(_.headOption).map(r -> _)).toMap,
-      names.collect {
-        case n if n.startsWith("x") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
-          n.drop(1).toLong
-      },
-      names.collect {
-        case n if n.startsWith("x") && n.length > 1 && n.drop(1).forall(_.isDigit) =>
-          n.drop(1).toLong
-      }.flatMap(n => sidecarOf(spark, dir, s"x$n", "folded")
+      xs,
+      xs.flatMap(n => sidecarOf(spark, dir, s"x$n", "folded")
         .map(ids => n -> ids.toSet)).toMap)
   }
 
@@ -632,6 +679,12 @@ object CorpusStats {
       fold(spark.read.option("mergeSchema", "true")
           .parquet(entries.map(e => s"$dir/$e/$c"): _*))
         .write.mode("overwrite").parquet(s"$tmp/$c")
+      // the count-format sentinel propagates conjunctively: a fold over
+      // any presence-mark-era input yields mark sums — loading-safe,
+      // but it must never launder into retraction authorization
+      if (c == "unigrams" &&
+          entries.forall(e => hasCountMarker(spark, s"$dir/$e")))
+        writeCountMarker(fs, tmp.toString)
     }
     if (!isContiguous(ids))
       ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
@@ -875,7 +928,8 @@ object CorpusStats {
       .localCheckpoint()
     Dedup.requireBatchIdsSane(b, idCol, "tokenStatsSink")
     if (alreadyFolded(spark, dir, batchId, b, idCol,
-        () => resolvedIdsOf(spark, dir, statsStateOf(spark, dir)))) return
+        () => resolvedIdsOf(spark, dir, statsStateOf(spark, dir)),
+        () => statsStateOf(spark, dir).allFoldedIds.contains(batchId))) return
     commitParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
     maybeCompactStats(spark, dir, TokenComponents, compactEvery, batchId,
       retainCovered)
@@ -889,17 +943,22 @@ object CorpusStats {
     * folded it away), one with NONE ever seen is fresh (the coverage
     * test IS the disjointness guard), and a PARTIAL overlap can only
     * mean corruption or a foreign corpus — refuse loudly. A batch
-    * whose ids were all folded and then RETRACTED in place is
-    * AMBIGUOUS — a checkpoint-less replay (skip) and a deliberate
-    * re-ingest of forgotten documents (fold) are indistinguishable
-    * from the ids alone — so it also refuses loudly rather than
-    * guessing between silent data loss and silent un-forgetting.
+    * whose ids were all folded and some then RETRACTED in place is
+    * disambiguated by the BATCH fold record: if `b<batchId>` was
+    * durably folded (entry live, or its id in a compacted range's
+    * manifest), this is a crash-recovery replay of that very batch —
+    * skip; the fold is durable and the retraction stands. Without
+    * that record, a replay (skip) and a deliberate re-ingest of
+    * forgotten documents under a fresh/reset counter (fold) are
+    * indistinguishable from the ids alone — refuse loudly rather
+    * than guess between silent data loss and silent un-forgetting.
     * Counter resets (restart without checkpoint) that pass this test
     * (fresh docs under a used batchId) are caught at commit time by
     * the existing-entry check in [[commitComponents]]. */
   private def alreadyFolded(spark: SparkSession, dir: String, batchId: Long,
                             b: DataFrame, idCol: String,
-                            resolvedIds: () => DataFrame): Boolean = {
+                            resolvedIds: () => DataFrame,
+                            batchIdFolded: () => Boolean): Boolean = {
     if (entryNamesOf(spark, dir).isEmpty) return false // day-0 stream
     val incoming = b.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint()
@@ -925,15 +984,28 @@ object CorpusStats {
         "its checkpointLocation this skip may mask a counter reset; " +
         "always restart with the original checkpoint.")
       true
+    } else if (batchIdFolded()) {
+      // crash between the entry commit and the checkpoint advance, with
+      // a takedown of some of the batch's docs in between: Structured
+      // Streaming re-delivers the same data under the same batchId, and
+      // the fold record proves the commit is durable — skipping is the
+      // only answer that neither double-counts nor un-forgets, and it
+      // keeps the stream from wedging on a refusal whose suggested
+      // remedy (restart with the checkpoint) is what just happened
+      log.warn(s"CorpusStats: batch $batchId was durably folded in $dir " +
+        s"and ${n - live} of its $n docs were later RETRACTED in place — " +
+        "skipping as a crash-recovery replay (the fold is durable; the " +
+        "retraction stands).")
+      true
     } else
       throw new IllegalStateException(
         s"CorpusStats: batch $batchId's ids are archived in $dir but " +
-          s"${n - live} of $n were RETRACTED in place — either a replay " +
-          "of a later-retracted batch (restart with the original " +
-          "checkpoint so the replay window passes) or a re-ingest of " +
-          "forgotten documents (give re-ingested docs fresh ids, or " +
-          "fold the archive out-of-band into a fresh dir first). " +
-          "Refusing to guess.")
+          s"${n - live} of $n were RETRACTED in place, and no fold of " +
+          s"batch $batchId is on record — this can only be a re-ingest " +
+          "of forgotten documents under a fresh or reset batch counter. " +
+          "Give re-ingested docs fresh ids, or fold the archive " +
+          "out-of-band into a fresh dir first. Refusing to guess " +
+          "between silent data loss and silent un-forgetting.")
   }
 
   /** Streaming sink: maintain the token-stats archive from a document
@@ -1069,7 +1141,8 @@ object CorpusStats {
       // historical mark of 1
       withUnigramMarks(spark.read.option("mergeSchema", "true")
         .parquet(entries.map(e => s"$dir/$e/unigrams"): _*)),
-      ids)
+      ids,
+      ucounts = entries.forall(e => hasCountMarker(spark, s"$dir/$e")))
   }
 
   private[graft] def processNgramStatsBatch(batch: DataFrame, batchId: Long,
@@ -1082,7 +1155,8 @@ object CorpusStats {
       .localCheckpoint()
     Dedup.requireBatchIdsSane(b, idCol, "ngramStatsSink")
     if (alreadyFolded(spark, dir, batchId, b, idCol,
-        () => resolvedIdsOf(spark, dir, statsStateOf(spark, dir)))) return
+        () => resolvedIdsOf(spark, dir, statsStateOf(spark, dir)),
+        () => statsStateOf(spark, dir).allFoldedIds.contains(batchId))) return
     commitNgram(buildNgramStats(b, idCol, textCol), dir, s"b$batchId")
     maybeCompactStats(spark, dir, NgramComponents, compactEvery, batchId,
       retainCovered)
@@ -1134,17 +1208,16 @@ object CorpusStats {
     val st = statsStateOf(spark, dir)
     requireStatsFamily(spark, dir, st, "pairs", "ngram-stats",
       "retractFromNgramStatsArchive")
-    val bare = (st.liveEntries ++ st.retractionEntries).filter { e =>
-      !spark.read.parquet(s"$dir/$e/unigrams").schema.fieldNames
-        .contains("u_part")
-    }
-    require(bare.isEmpty,
-      s"retractFromNgramStatsArchive: entries [${bare.mkString(", ")}] in " +
-        s"$dir store pre-r13 presence-mark unigrams (bare h, no u_part) — " +
-        "subtracting the victims' occurrence counts against presence " +
-        "marks could silently shrink the vocabulary below the surviving " +
-        "corpus. Re-seed the archive from the corpus (current format) " +
-        "before retracting in place.")
+    val unmarked = (st.liveEntries ++ st.retractionEntries)
+      .filterNot(e => hasCountMarker(spark, s"$dir/$e"))
+    require(unmarked.isEmpty,
+      s"retractFromNgramStatsArchive: entries [${unmarked.mkString(", ")}] " +
+        s"in $dir predate the occurrence-count unigram format (no " +
+        "_ucounts sentinel): they store presence-mark-era values — bare " +
+        "h, or marks under a u_part column — and subtracting the victims' " +
+        "occurrence counts against marks could silently shrink the " +
+        "vocabulary below the surviving corpus. Re-seed the archive from " +
+        "the corpus (current format) before retracting in place.")
     Dedup.requireRetractCovered(
       resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")),
       b, idCol, "retractFromNgramStatsArchive")
@@ -1172,6 +1245,9 @@ object CorpusStats {
       ix.contextParts.groupBy(col("__h1"))
         .agg(sum(col("cc_part")).as("cc_part")),
       ix.unigrams.groupBy(col("h")).agg(sum(col("u_part")).as("u_part")),
-      ix.ids.select(col("id")).distinct()), dstDir, "seed")
+      ix.ids.select(col("id")).distinct(),
+      // mark sums are loading-safe but must not launder into
+      // retraction authorization (conjunctive sentinel propagation)
+      ucounts = ix.ucounts), dstDir, "seed")
   }
 }

@@ -672,13 +672,16 @@ object ArchiveDedup {
   // Unified sink facade (streaming twin of Dedup.deltaPairs)
   // =====================================================================
 
-  /** Which modality a seeded archive was built with — the archive is
+  /** Which modality an archive was built with — the archive is
     * self-describing: a semantic generation carries `centroids`, the
     * minhash/cosine families a `params` file whose schema names its
     * family (read from the CURRENT generation — a reseed never changes
     * modality), and the corpus-STATISTICS archives
-    * ([[graft.operators.CorpusStats]]) a `seed` entry whose component
-    * layout names theirs (`df` = token-stats, `pairs` = ngram-stats). */
+    * ([[graft.operators.CorpusStats]]) entries whose component layout
+    * names theirs (`df` = token-stats, `pairs` = ngram-stats). The
+    * stats probe inspects ANY committed entry, not just `seed` — the
+    * stats sinks support day-0 streams whose archives never get a
+    * seed entry, and those must still route through the facades. */
   def modalityOf(spark: SparkSession, dir: String): String = {
     val st = stateOf(spark, dir)
     val base = baseDirOf(dir, st)
@@ -688,15 +691,22 @@ object ArchiveDedup {
       val cols = spark.read.parquet(s"$base/params").columns.toSet
       if (cols.contains("num_hashes")) "minhash" else "cosine"
     }
-    else if (fs.exists(new Path(s"$dir/seed/df"))) "token-stats"
-    else if (fs.exists(new Path(s"$dir/seed/pairs"))) "ngram-stats"
-    else
-      throw new IllegalArgumentException(
-        s"ArchiveDedup.modalityOf: $dir is not a seeded archive (no " +
-          "base/{params,centroids} and no seed/{df,pairs}) — seed it " +
-          "with seedArchive / seedCosineArchive / seedSemanticArchive, " +
-          "or CorpusStats.seedTokenStatsArchive / seedNgramStatsArchive " +
-          "first")
+    else {
+      val entries =
+        if (fs.exists(new Path(dir)))
+          fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+            .filterNot(_.startsWith("."))
+        else Nil
+      entries.collectFirst {
+        case e if fs.exists(new Path(s"$dir/$e/df")) => "token-stats"
+        case e if fs.exists(new Path(s"$dir/$e/pairs")) => "ngram-stats"
+      }.getOrElse(throw new IllegalArgumentException(
+        s"ArchiveDedup.modalityOf: $dir is not a committed archive (no " +
+          "base/{params,centroids} and no stats entry with df/pairs) — " +
+          "seed it with seedArchive / seedCosineArchive / " +
+          "seedSemanticArchive, or CorpusStats.seedTokenStatsArchive / " +
+          "seedNgramStatsArchive (or stream a first batch) first"))
+    }
   }
 
   /** The STREAMING twin of [[Dedup.deltaPairs]]: one sink entry point

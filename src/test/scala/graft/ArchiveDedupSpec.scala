@@ -445,6 +445,17 @@ class ArchiveDedupSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("TEXT"), ex.getMessage)
     assert(CorpusStats.loadTokenStatsArchive(spark, sdir).ids.count() === 2L)
+    // a SEEDLESS stats archive (day-0 stream start, no seed entry)
+    // must still self-describe and route — takedowns don't care how
+    // the archive was born
+    val ddir = tmp("graft-arch-fg-d")
+    graft.operators.CorpusStats.processTokenStatsBatch(
+      sdocs, 0L, ddir, "doc_id", "text", compactEvery = 0)
+    assert(ArchiveDedup.modalityOf(spark, ddir) === "token-stats")
+    ArchiveDedup.forget(spark, ddir, sdocs.where(col("doc_id") === 0L),
+      idCol = "doc_id", textCol = "text")
+    assert(CorpusStats.loadTokenStatsArchive(spark, ddir).ids
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L))
     // dedup family: ids suffice, extra columns are ignored
     def vec(i: Int): Array[Float] = {
       val r = new java.util.Random(97L * i + 3)

@@ -359,6 +359,49 @@ class CorpusStatsSpec extends AnyFunSuite {
         docs.where(col("doc_id") === 5), "doc_id", "text")
     }
     assert(ex.getMessage.contains("presence-mark"), ex.getMessage)
+    // the round-12 generation stored presence marks UNDER a u_part
+    // column — schema inspection cannot tell it from counts, only the
+    // _ucounts sentinel can: strip the sentinel (as that generation
+    // never wrote one) and retraction must refuse even though the
+    // schema looks current
+    val mdir = java.nio.file.Files.createTempDirectory("graft-cstats-mark").toString
+    seedNgramStatsArchive(docs, mdir, "doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(mdir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$mdir/seed/unigrams/_ucounts"), false),
+      "fixture: the current format must have written the sentinel")
+    val exM = intercept[IllegalArgumentException] {
+      retractFromNgramStatsArchive(spark, mdir,
+        docs.where(col("doc_id") === 5), "doc_id", "text")
+    }
+    assert(exM.getMessage.contains("_ucounts"), exM.getMessage)
+    // and the unmarked state survives an out-of-band fold — compaction
+    // must not launder marks into retraction authorization
+    val cdir = java.nio.file.Files.createTempDirectory("graft-cstats-markc").toString
+    compactNgramStatsArchive(spark, mdir, cdir)
+    val exC = intercept[IllegalArgumentException] {
+      retractFromNgramStatsArchive(spark, cdir,
+        docs.where(col("doc_id") === 5), "doc_id", "text")
+    }
+    assert(exC.getMessage.contains("_ucounts"), exC.getMessage)
+    // the in-memory API carries the same refusal through load
+    val ldir = java.nio.file.Files.createTempDirectory("graft-cstats-markl").toString
+    saveNgramStats(buildNgramStats(docs, "doc_id", "text"), s"$ldir/ix")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ldir/ix/unigrams/_ucounts"), false)
+    val exL = intercept[IllegalArgumentException] {
+      retractFromNgramStats(loadNgramStats(spark, s"$ldir/ix"),
+        docs.where(col("doc_id") === 5), "doc_id", "text")
+    }
+    assert(exL.getMessage.contains("presence-mark"), exL.getMessage)
+    // while a marked save/load round trip retracts exactly
+    saveNgramStats(buildNgramStats(docs, "doc_id", "text"), s"$ldir/ok")
+    val retracted = retractFromNgramStats(loadNgramStats(spark, s"$ldir/ok"),
+      docs.where(col("doc_id") === 5), "doc_id", "text")
+    assert(rowsOf(bigramCountsAgainst(retracted,
+      docs.where(col("doc_id") < 5), "doc_id", "text"))
+      === rowsOf(QualityFilters.bigramCounts(
+        docs.where(col("doc_id") < 5), "doc_id", "text")))
   }
 
   test("in-place archive retraction (token): x entry cancels exactly; every sharp edge refuses") {
@@ -379,11 +422,22 @@ class CorpusStatsSpec extends AnyFunSuite {
       "the negated partials must cancel the retracted docs bit-for-bit")
     assert(loadTokenStatsArchive(spark, dir).ids.collect().map(_.getLong(0)).sorted
       === Array(0L, 1L, 2L, 5L), "membership must resolve folds minus retractions")
-    // a checkpoint-less replay of the retracted batch is ambiguous
-    // (replay vs re-ingest) — refuse loudly, never guess
+    // a crash-recovery replay of the retracted batch — same batchId,
+    // whose fold IS on record — skips: the fold is durable and the
+    // retraction stands (a refusal here would wedge the stream on the
+    // exact restart its own message recommends)
+    processTokenStatsBatch(docs.where(col("doc_id") >= 3 && col("doc_id") < 5),
+      0L, dir, "doc_id", "text", compactEvery = 0)
+    assert(rowsOf(tokenFrequencyMetricsAgainst(loadTokenStatsArchive(spark, dir),
+      remaining, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(remaining, "doc_id", "text")),
+      "the crash-recovery replay skip must leave the archive untouched")
+    // the same retracted docs under a NEVER-FOLDED batchId can only be
+    // a re-ingest under a fresh/reset counter — refuse loudly, never
+    // guess between silent data loss and silent un-forgetting
     val exR = intercept[IllegalStateException] {
       processTokenStatsBatch(docs.where(col("doc_id") >= 3 && col("doc_id") < 5),
-        0L, dir, "doc_id", "text", compactEvery = 0)
+        9L, dir, "doc_id", "text", compactEvery = 0)
     }
     assert(exR.getMessage.contains("RETRACTED"), exR.getMessage)
     // double retraction: ids no longer covered
