@@ -83,7 +83,8 @@ object Bench {
     }
     final case class QueryTelemetry(samples: Array[Double], gcMs: Long,
                                     gcCount: Long, jitMs: Long, uptimeS: Double,
-                                    loadedClasses: Long, heapMb: Long)
+                                    loadedClasses: Long, heapMb: Long,
+                                    extraSamples: Int)
     val telemetry = collection.mutable.LinkedHashMap.empty[String, QueryTelemetry]
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
@@ -113,7 +114,8 @@ object Bench {
           extras += 1
         }
         val tel = QueryTelemetry(samples.toArray, gcMs - g0, gcN - n0,
-          jitNow - j0, up0, cls0, memBean.getHeapMemoryUsage.getUsed >> 20)
+          jitNow - j0, up0, cls0, memBean.getHeapMemoryUsage.getUsed >> 20,
+          extras)
         telemetry.synchronized { telemetry(name) = tel }
         val last3 = samples.takeRight(3).toArray
         java.util.Arrays.sort(last3)
@@ -266,7 +268,13 @@ object Bench {
       s""""$k":{"samples":[${t.samples.map(num(_, "%.4f")).mkString(",")}]""" +
         s""","gc_ms":${t.gcMs},"gc_count":${t.gcCount},"jit_ms":${t.jitMs}""" +
         s""","uptime_s":${num(t.uptimeS, "%.1f")},"loaded_classes":${t.loadedClasses}""" +
-        s""","heap_mb":${t.heapMb}}"""
+        // JIT-settle marker (round 14, per ADVICE): samples is
+        // variable-length (3-5) since the r13 settle protocol; consumers
+        // comparing rounds must key on `settled` — a settled query's
+        // median came from post-compile-storm samples, so its delta vs a
+        // pre-r13 record partly reflects the protocol, not the plan
+        s""","heap_mb":${t.heapMb},"extra_samples":${t.extraSamples}""" +
+        s""","settled":${t.extraSamples > 0}}"""
     }.mkString("{", ",", "}")
     val scJson = operators.StageCache.hitMissCounts.toSeq.sortBy(_._1)
       .map { case (k, (h, m)) => s""""$k":{"hits":$h,"misses":$m}""" }

@@ -940,6 +940,74 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q94: IN-PLACE retraction on the NGRAM archive — the bigram twin of
+    * q93, closing the one oracle asymmetry the r13 battery left: q93
+    * hash-gates the TOKEN family's takedown end-to-end, this gates
+    * [[operators.CorpusStats.retractFromNgramStatsArchive]] — the path
+    * whose occurrence-count (`_ucounts`) unigram partials exist
+    * precisely so a SUBSET takedown shrinks the vocabulary exactly.
+    * Same lifecycle as q93 (seed < 300, fold [300, 450) and ≥ 450,
+    * retract [300, 375) with its text, multi-path load), with docs
+    * < 100 scored against the retracted model. Output ≡ the q79/q92
+    * batch operator over the surviving corpus — the oracle is q92's
+    * SQL with the retracted docs excluded, so a hash match proves all
+    * FOUR components' cancellation (pairs, contexts, the vocabulary's
+    * occurrence counts, membership) is exact through the real archive
+    * path. */
+  private val q94NgramArchiveRetraction: Q = (s, dir) => {
+    import graft.operators.CorpusStats
+    val docs = Tables(s, dir, "documents")
+    val arch = java.nio.file.Files.createTempDirectory("graft-q94").toString
+    CorpusStats.seedNgramStatsArchive(
+      docs.where(col("doc_id") < 300), arch, "doc_id", "text")
+    CorpusStats.processNgramStatsBatch(
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 450), 0L, arch,
+      "doc_id", "text", compactEvery = 0)
+    CorpusStats.processNgramStatsBatch(
+      docs.where(col("doc_id") >= 450), 1L, arch,
+      "doc_id", "text", compactEvery = 0)
+    CorpusStats.retractFromNgramStatsArchive(s, arch,
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 375), "doc_id", "text")
+    CorpusStats.bigramCountsAgainst(
+      CorpusStats.loadNgramStatsArchive(s, arch),
+      docs.where(col("doc_id") < 100), "doc_id", "text")
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** q95: WINDOWED scoring — the sliding-window regime that expires
+    * stale crawl snapshots by simply not reading them, absent from the
+    * battery until now (spec-gated only). Seed (< 300) plus three
+    * folded batches (b0 = [300, 400), b1 = [400, 450), b2 = ≥ 450);
+    * `loadTokenStatsArchive(lastBatches = Some(2))` reads ONLY b1+b2's
+    * partial counts — the seed and b0 are excluded by the window
+    * contract, not by a filter the scoring could forget — and the
+    * window's own docs score against it. Output ≡ the q73 batch
+    * operator over a corpus that is exactly the last two batches: the
+    * oracle filters the planted corpus to the window's ids (≥ 400), so
+    * a hash match proves the window excised the older history from
+    * every df sum. */
+  private val q95WindowedScoring: Q = (s, dir) => {
+    import graft.operators.CorpusStats
+    val planted = Tables(s, dir, "documents")
+      .withColumn("t", concat(col("text"), lit(" uniq"), col("doc_id").cast("string")))
+    val arch = java.nio.file.Files.createTempDirectory("graft-q95").toString
+    CorpusStats.seedTokenStatsArchive(
+      planted.where(col("doc_id") < 300), arch, "doc_id", "t")
+    CorpusStats.processTokenStatsBatch(
+      planted.where(col("doc_id") >= 300 && col("doc_id") < 400), 0L, arch,
+      "doc_id", "t", compactEvery = 0)
+    CorpusStats.processTokenStatsBatch(
+      planted.where(col("doc_id") >= 400 && col("doc_id") < 450), 1L, arch,
+      "doc_id", "t", compactEvery = 0)
+    CorpusStats.processTokenStatsBatch(
+      planted.where(col("doc_id") >= 450), 2L, arch,
+      "doc_id", "t", compactEvery = 0)
+    CorpusStats.tokenFrequencyMetricsAgainst(
+      CorpusStats.loadTokenStatsArchive(s, arch, lastBatches = Some(2)),
+      planted.where(col("doc_id") >= 400), "doc_id", "t")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality scoring (training-data pipeline operator). */
   private val q23QualityScores: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -1692,6 +1760,8 @@ object SparkEntry {
     "q91_token_df_incremental" -> q91TokenDfIncremental,
     "q92_bigram_lm_incremental" -> q92BigramLmIncremental,
     "q93_archive_retraction" -> q93ArchiveRetraction,
+    "q94_ngram_archive_retraction" -> q94NgramArchiveRetraction,
+    "q95_windowed_scoring" -> q95WindowedScoring,
     "q75_dup_clusters" -> q75DupClusters,
     "q76_semantic_dedup" -> q76SemanticDedup,
     "q77_near_dup_keep" -> q77NearDupKeep,
@@ -2642,6 +2712,52 @@ ORDER BY d.doc_id"""
         |  SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS t
         |  FROM documents
         |  WHERE doc_id < 300 OR doc_id >= 375),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(t)), '\s+'), w -> w <> '')) AS w
+        |  FROM planted),
+        |tdf AS (SELECT w, count(DISTINCT doc_id) AS tdf FROM toks GROUP BY 1)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(d.tdf) AS DOUBLE) / count(*), 6) AS mean_token_df,
+        |  CAST(min(d.tdf) AS BIGINT) AS min_token_df,
+        |  round(CAST(sum(CASE WHEN d.tdf < 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio
+        |FROM toks t JOIN tdf d USING (w)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q94: q92's bigram statistics over the SURVIVING corpus — docs
+    // [300, 375) were retracted in place from the ngram archive (all
+    // four components negated, vocabulary via occurrence counts), so
+    // the engine's multi-path load must reproduce the batch model of a
+    // corpus that never contained them
+    "q94_ngram_archive_retraction" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents
+        |  WHERE doc_id < 300 OR doc_id >= 375),
+        |big AS (
+        |  SELECT doc_id, i.i AS pos, ws[CAST(i.i AS INT)] AS w1, ws[CAST(i.i AS INT) + 1] AS w2
+        |  FROM toks, unnest(range(1, len(ws))) AS i(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS context_count FROM big GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w.w) AS vocab_size
+        |      FROM (SELECT unnest(ws) AS w FROM toks) w(w))
+        |SELECT b.doc_id, b.pos, c2.pair_count, c1.context_count, v.vocab_size
+        |FROM big b
+        |JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |JOIN c1 ON c1.w1 = b.w1
+        |CROSS JOIN v
+        |WHERE b.doc_id < 100
+        |ORDER BY b.doc_id, b.pos""".stripMargin,
+    // q95: q73's statistics over ONLY the window's corpus (the last 2
+    // of 3 folded batches = docs >= 400) — the engine reads the window
+    // through the archive's lastBatches load, the oracle by filtering
+    // the planted corpus to the same ids; a hash match proves the seed
+    // and the pre-window batch are absent from every df sum
+    "q95_windowed_scoring" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents
+        |  WHERE doc_id >= 400),
         |toks AS (
         |  SELECT doc_id,
         |    unnest(list_filter(string_split_regex(trim(lower(t)), '\s+'), w -> w <> '')) AS w

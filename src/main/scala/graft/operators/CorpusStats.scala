@@ -459,10 +459,15 @@ object CorpusStats {
     }
     if (ucounts && comps.exists(_._1 == "unigrams"))
       writeCountMarker(fs, tmp.toString)
+    // crash seams (see graft.streaming.CrashPoints): pre-rename leaves
+    // only the invisible temp; post-commit is the entry-durable /
+    // checkpoint-not-advanced replay window
+    graft.streaming.CrashPoints.reach(s"pre-rename:$dir/$name")
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/$name")))
       throw new IllegalStateException(
         s"CorpusStats: failed to commit stats entry $dir/$name " +
           "(rename returned false) — is another writer racing this archive?")
+    graft.streaming.CrashPoints.reach(s"post-commit:$dir/$name")
   }
 
   private def commitParts(ix: TokenStatsIndex, dir: String, name: String): Unit =
@@ -1058,12 +1063,19 @@ object CorpusStats {
     * [[compactTokenStatsArchive]] fold still materializes the
     * cancellation and clears them entirely. Windowed loads refuse
     * windows containing retracted docs (see the window contract). One
-    * maintainer per archive directory, as for every out-of-band
-    * archive operation. */
+    * maintainer per archive directory — ENFORCED (round 14) by
+    * [[graft.streaming.MaintenanceLease]]: every out-of-band
+    * maintenance operation holds the dir's lease, so a second
+    * concurrent maintainer refuses loudly instead of interleaving. */
   def retractFromTokenStatsArchive(spark: SparkSession, dir: String,
                                    docs: DataFrame, idCol: String,
                                    textCol: String,
-                                   xCompactEvery: Int = 8): Unit = {
+                                   xCompactEvery: Int = 8): Unit =
+    // the lease makes "one maintainer per archive directory" mechanical:
+    // a second concurrent takedown/compactor refuses with this holder's
+    // identity instead of basing its rewrite on a stale state read
+    graft.streaming.MaintenanceLease.withLease(spark, dir,
+        "retractFromTokenStatsArchive") {
     val b = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
     Dedup.requireBatchIdsSane(b, idCol, "retractFromTokenStatsArchive")
@@ -1078,7 +1090,7 @@ object CorpusStats {
       "df" -> neg.parts.select(col("w"),
         (col("tdf_part") * lit(-1L)).as("tdf_part")),
       "ids" -> neg.ids), xCompactEvery)
-  }
+    }
 
   /** Out-of-band full fold into a fresh directory (every live entry's
     * partials into one `seed`) — for readers that pin a snapshot
@@ -1093,13 +1105,19 @@ object CorpusStats {
     * against the COMPACTED dir looks fresh — the same
     * compaction-vs-replay caveat the dedup archives document). */
   def compactTokenStatsArchive(spark: SparkSession, dir: String,
-                               dstDir: String): Unit = {
+                               dstDir: String): Unit =
+    graft.streaming.MaintenanceLease.withLease(spark, dir,
+        "compactTokenStatsArchive") {
     val ix = loadTokenStatsArchive(spark, dir)
     purgeSidecarCache(dstDir)
     commitParts(TokenStatsIndex(
-      ix.parts.groupBy(col("w")).agg(sum(col("tdf_part")).as("tdf_part")),
+      // drop fully-retracted tokens (summed partials that cancelled to
+      // exactly zero): scorers already filter > 0, but without this the
+      // dead rows would persist in every future compaction forever
+      ix.parts.groupBy(col("w")).agg(sum(col("tdf_part")).as("tdf_part"))
+        .where(col("tdf_part") =!= 0),
       ix.ids.select(col("id")).distinct()), dstDir, "seed")
-  }
+    }
 
   // -------------------------------------------------------------------
   // Ngram-stats archive: identical machinery, four components
@@ -1201,7 +1219,9 @@ object CorpusStats {
   def retractFromNgramStatsArchive(spark: SparkSession, dir: String,
                                    docs: DataFrame, idCol: String,
                                    textCol: String,
-                                   xCompactEvery: Int = 8): Unit = {
+                                   xCompactEvery: Int = 8): Unit =
+    graft.streaming.MaintenanceLease.withLease(spark, dir,
+        "retractFromNgramStatsArchive") {
     val b = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
     Dedup.requireBatchIdsSane(b, idCol, "retractFromNgramStatsArchive")
@@ -1230,24 +1250,31 @@ object CorpusStats {
       "unigrams" -> neg.unigrams.select(col("h"),
         (col("u_part") * lit(-1L)).as("u_part")),
       "ids" -> neg.ids), xCompactEvery)
-  }
+    }
 
   /** Out-of-band full fold for the ngram archive — see
     * [[compactTokenStatsArchive]] (retraction entries fold in and
     * clear here too). */
   def compactNgramStatsArchive(spark: SparkSession, dir: String,
-                               dstDir: String): Unit = {
+                               dstDir: String): Unit =
+    graft.streaming.MaintenanceLease.withLease(spark, dir,
+        "compactNgramStatsArchive") {
     val ix = loadNgramStatsArchive(spark, dir)
     purgeSidecarCache(dstDir)
     commitNgram(NgramStatsIndex(
+      // =!= 0 filters: fully-retracted bigrams/contexts/vocab hashes
+      // cancelled to zero — dead rows the fresh seed need not carry
       ix.pairParts.groupBy(col("__h1"), col("__h2"))
-        .agg(sum(col("pc_part")).as("pc_part")),
+        .agg(sum(col("pc_part")).as("pc_part"))
+        .where(col("pc_part") =!= 0),
       ix.contextParts.groupBy(col("__h1"))
-        .agg(sum(col("cc_part")).as("cc_part")),
-      ix.unigrams.groupBy(col("h")).agg(sum(col("u_part")).as("u_part")),
+        .agg(sum(col("cc_part")).as("cc_part"))
+        .where(col("cc_part") =!= 0),
+      ix.unigrams.groupBy(col("h")).agg(sum(col("u_part")).as("u_part"))
+        .where(col("u_part") =!= 0),
       ix.ids.select(col("id")).distinct(),
       // mark sums are loading-safe but must not launder into
       // retraction authorization (conjunctive sentinel propagation)
       ucounts = ix.ucounts), dstDir, "seed")
-  }
+    }
 }

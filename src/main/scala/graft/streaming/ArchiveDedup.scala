@@ -335,10 +335,16 @@ object ArchiveDedup {
     write(tmp.toString)
     try beforeRename()
     catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    // crash seam OUTSIDE the validation try: an injected crash here
+    // must leave the temp dir on disk exactly as a process kill would
+    CrashPoints.reach(s"pre-rename:$dir/$name")
     if (!fs.rename(tmp, new Path(s"$dir/$name")))
       throw new IllegalStateException(
         s"ArchiveDedup: failed to commit archive entry $dir/$name " +
           "(rename returned false) — is another writer racing this archive?")
+    // rename durable, control not yet back at the caller = the stream's
+    // checkpoint has NOT advanced: the replay-window crash seam
+    CrashPoints.reach(s"post-commit:$dir/$name")
   }
 
   /** Replay guard: true = this batchId's fold is already durable, skip
@@ -787,7 +793,14 @@ object ArchiveDedup {
     * TEXT ([[graft.operators.CorpusStats.retractFromTokenStats]]), not
     * just its id. */
   def forgetDocs(spark: SparkSession, dir: String, ids: DataFrame,
-                 idCol: String = "id"): Unit = {
+                 idCol: String = "id"): Unit =
+    // "one maintainer per archive directory", made mechanical: a second
+    // concurrent takedown/reseed/compactor refuses with this holder's
+    // identity (MaintenanceLease) instead of basing its generation
+    // rewrite on a stale state read. The STREAM's in-loop work never
+    // takes the lease — its race with a leased takedown stays handled
+    // by commitReseed's abort, which is the forget-under-load contract.
+    MaintenanceLease.withLease(spark, dir, "forgetDocs") {
     val modality = modalityOf(spark, dir)
     require(modality == "minhash" || modality == "cosine" || modality == "semantic",
       s"forgetDocs: $dir is a $modality archive — stats archives hold " +
@@ -821,7 +834,7 @@ object ArchiveDedup {
         commitReseed(spark, dir, atBatch, st.allFoldedIds, "semantic forget",
             builtAtLastFolded = st.lastFolded)(Dedup.saveSemanticIndex(nix, _))
     }
-  }
+    }
 
   /** The TAKEDOWN twin of [[archiveSink]]: one call site that forgets
     * documents from whichever of the five archive families `dir`
@@ -897,10 +910,11 @@ object ArchiveDedup {
     * (reads are equivalent before and after; run out-of-band, then
     * point the stream at the compacted dir). The in-band path is the
     * automatic tiered compaction — see `compactEvery`. */
-  def compactArchive(spark: SparkSession, dir: String, dstDir: String): Unit = {
-    val (live, _) = loadLatest(spark, dir)
-    Dedup.saveMinhashIndex(live, s"$dstDir/base")
-  }
+  def compactArchive(spark: SparkSession, dir: String, dstDir: String): Unit =
+    MaintenanceLease.withLease(spark, dir, "compactArchive") {
+      val (live, _) = loadLatest(spark, dir)
+      Dedup.saveMinhashIndex(live, s"$dstDir/base")
+    }
 
   /** Out-of-band minhash reseed under NEW widths: unlike the embedding
     * twins, the archive stores only HASHED shingles — re-banding needs
@@ -914,6 +928,7 @@ object ArchiveDedup {
                            textCol: String, numHashes: Int = 16,
                            bands: Int = 4, shingleLen: Int = 3): Unit = {
     val spark = corpus.sparkSession
+    MaintenanceLease.withLease(spark, dir, "reseedMinhashArchive") {
     val st = stateOf(spark, dir)
     require(st.lastFolded >= 0L,
       s"reseedMinhashArchive: no batches folded in $dir yet — reseed the " +
@@ -935,6 +950,7 @@ object ArchiveDedup {
       Dedup.saveDriftBaseline(tmp,
         Dedup.pinDriftBaseline(Dedup.loadMinhashIndex(spark, tmp)).baseline,
         spark)
+    }
     }
   }
 
@@ -1055,12 +1071,15 @@ object ArchiveDedup {
     * `autoReseedAfter`. Cost ≈ one seed build over the cumulative
     * corpus — the price of restoring the bucket-cost model the drift
     * probe saw decaying. */
-  def reseedCosineArchive(spark: SparkSession, dir: String): Unit = {
-    val st = stateOf(spark, dir)
-    require(st.lastFolded >= 0L,
-      s"reseedCosineArchive: no batches folded in $dir yet — nothing to reseed")
-    reseedCosine(spark, dir, st, st.lastFolded)
-  }
+  def reseedCosineArchive(spark: SparkSession, dir: String): Unit =
+    // the OUT-OF-BAND entry point leases; the sink's in-loop auto-reseed
+    // calls reseedCosine directly (serialized by the stream itself)
+    MaintenanceLease.withLease(spark, dir, "reseedCosineArchive") {
+      val st = stateOf(spark, dir)
+      require(st.lastFolded >= 0L,
+        s"reseedCosineArchive: no batches folded in $dir yet — nothing to reseed")
+      reseedCosine(spark, dir, st, st.lastFolded)
+    }
 
   private[graft] def reseedCosine(spark: SparkSession, dir: String,
                            st: ArchiveState, atBatch: Long): Unit = {
@@ -1215,12 +1234,13 @@ object ArchiveDedup {
     * Scaladoc prescribes (pinned centroids make in-place recentering
     * impossible by design), run against the archive's own vectors.
     * Cost ≈ one KMeans sample fit + one full-corpus assignment pass. */
-  def reseedSemanticArchive(spark: SparkSession, dir: String): Unit = {
-    val st = stateOf(spark, dir)
-    require(st.lastFolded >= 0L,
-      s"reseedSemanticArchive: no batches folded in $dir yet — nothing to reseed")
-    reseedSemantic(spark, dir, st, st.lastFolded)
-  }
+  def reseedSemanticArchive(spark: SparkSession, dir: String): Unit =
+    MaintenanceLease.withLease(spark, dir, "reseedSemanticArchive") {
+      val st = stateOf(spark, dir)
+      require(st.lastFolded >= 0L,
+        s"reseedSemanticArchive: no batches folded in $dir yet — nothing to reseed")
+      reseedSemantic(spark, dir, st, st.lastFolded)
+    }
 
   private def reseedSemantic(spark: SparkSession, dir: String,
                              st: ArchiveState, atBatch: Long): Unit = {

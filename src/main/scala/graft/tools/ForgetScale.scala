@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
  * Scale measurement for the archive takedown operation
  * (`runMain graft.tools.ForgetScale <dir> [mode]`): seed a dedup
  * archive from 90% of the corpus, fold one 10%-sized batch, then
- * `forgetDocs` a 1% sample of the archived ids, timing the forget and
+ * `forgetDocs` a ~2% sample of the archived ids (id%100 in {7,10}, half
+ * seed-side / half folded-sliver), timing the forget and
  * the before/after delta-dedup of a probe batch. The forget's cost is
  * one anti-join plus a full index REWRITE from the archive's own
  * payload (never the corpus text) committed as a generation entry —

@@ -52,7 +52,12 @@ object JaccardScaleGate {
 
     // the band-restricted oracle: q25's SQL verbatim, with the band
     // predicate applied at the SHINGLE CTE (so DuckDB's pair space is
-    // (n/mod)² instead of n²)
+    // (n/mod)² instead of n²). NOTE on the '\\s+' below: this is an
+    // s-INTERPOLATED triple-quoted string, and the s interpolator
+    // processes escape sequences (unlike a bare """ literal), so \\
+    // yields ONE backslash — the regex DuckDB receives after the JSON
+    // round trip is \s+, identical to the q25 oracle's. A bare \s here
+    // is a compile error, which is the executable proof.
     val oracle =
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3

@@ -1,0 +1,223 @@
+package graft
+
+import graft.operators.{CorpusStats, Dedup}
+import graft.streaming.{ArchiveDedup, CrashPoints}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Crash-injection harness for the archive commit protocol (round-14
+ * ask #2). The temp+rename discipline's recovery claims were reasoned
+ * and state-simulated through r13; these cases EXECUTE them: a hook
+ * ([[CrashPoints]]) aborts the maintenance control flow at the two
+ * crash windows — (a) between temp-write and rename, (b) between the
+ * entry rename and the checkpoint advance (control returning to
+ * Structured Streaming) — leaving bit-identical on-disk state to a
+ * process kill there; the spec then "restarts the stream" by
+ * re-delivering the same batch under the same batchId, exactly the
+ * redelivery Structured Streaming performs after a crash, and asserts
+ * recovery: no torn entries ever readable, pre-rename crashes lose
+ * nothing durable (the retry commits and cleans the stale temp),
+ * post-commit crashes re-deliver into a replay SKIP (never a double
+ * count), and a takedown landing inside the crash window stays
+ * retracted through the replay (the r13 replay-guard fix, now
+ * executed rather than argued).
+ */
+class CrashRecoverySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def text(id: Long): String =
+    s"tok${id % 5} tok${(id * 3 + 1) % 5} crash$id tok${id % 5}"
+
+  private def docsDf(ids: Seq[Long]): DataFrame =
+    ids.map(id => (id, text(id))).toDF("doc_id", "text").coalesce(1)
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def exists(path: String): Boolean =
+    fsOf(path).exists(new org.apache.hadoop.fs.Path(path))
+
+  // ---- token-stats sink -------------------------------------------------
+
+  private def tokenObs(dir: String): Any = {
+    val ix = CorpusStats.loadTokenStatsArchive(spark, dir)
+    (CorpusStats.tokenDf(ix).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      ix.ids.collect().map(_.getLong(0)).toSet)
+  }
+  private def tokenRecompute(ids: Seq[Long]): Any = {
+    val ix = CorpusStats.buildTokenStats(docsDf(ids), "doc_id", "text")
+    (CorpusStats.tokenDf(ix).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      ix.ids.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("token sink: crash between temp-write and rename — nothing durable, retry commits cleanly") {
+    val dir = tmp("graft-crash-tok-a")
+    CorpusStats.seedTokenStatsArchive(docsDf(0L to 2L), dir, "doc_id", "text")
+    CrashPoints.armOnce("pre-rename", s"$dir/b0")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        CorpusStats.processTokenStatsBatch(docsDf(10L to 12L), 0L, dir,
+          "doc_id", "text", compactEvery = 0)
+      }
+    } finally CrashPoints.disarm()
+    // the crash left only the invisible temp — no torn entry, loads see
+    // exactly the pre-crash archive
+    assert(!exists(s"$dir/b0"), "no entry may exist before the rename")
+    assert(exists(s"$dir/.inprogress-b0"), "a real crash leaves the temp")
+    assert(tokenObs(dir) === tokenRecompute(0L to 2L))
+    // restart: Structured Streaming re-delivers the same batch under the
+    // same batchId — the retry must commit and clean the stale temp
+    CorpusStats.processTokenStatsBatch(docsDf(10L to 12L), 0L, dir,
+      "doc_id", "text", compactEvery = 0)
+    assert(!exists(s"$dir/.inprogress-b0"), "retry must clean the stale temp")
+    assert(tokenObs(dir) === tokenRecompute((0L to 2L) ++ (10L to 12L)))
+  }
+
+  test("token sink: crash after entry commit, before checkpoint advance — replay skips, no double count") {
+    val dir = tmp("graft-crash-tok-b")
+    CorpusStats.seedTokenStatsArchive(docsDf(0L to 2L), dir, "doc_id", "text")
+    CrashPoints.armOnce("post-commit", s"$dir/b0")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        CorpusStats.processTokenStatsBatch(docsDf(10L to 12L), 0L, dir,
+          "doc_id", "text", compactEvery = 0)
+      }
+    } finally CrashPoints.disarm()
+    assert(exists(s"$dir/b0"), "the rename was durable before the crash")
+    val after = tokenRecompute((0L to 2L) ++ (10L to 12L))
+    assert(tokenObs(dir) === after)
+    // restart: the same batch re-delivers — the replay guard must SKIP
+    // (a second fold would double every count)
+    CorpusStats.processTokenStatsBatch(docsDf(10L to 12L), 0L, dir,
+      "doc_id", "text", compactEvery = 0)
+    assert(tokenObs(dir) === after, "replay after a post-commit crash double-counted")
+  }
+
+  test("token sink: post-commit crash + intervening takedown — replay skips, retraction stands") {
+    val dir = tmp("graft-crash-tok-c")
+    CorpusStats.seedTokenStatsArchive(docsDf(0L to 2L), dir, "doc_id", "text")
+    CrashPoints.armOnce("post-commit", s"$dir/b0")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        CorpusStats.processTokenStatsBatch(docsDf(10L to 13L), 0L, dir,
+          "doc_id", "text", compactEvery = 0)
+      }
+    } finally CrashPoints.disarm()
+    // the takedown lands while the stream is down, INSIDE the crash
+    // window: the fold is durable, so part of the crashed batch retracts
+    CorpusStats.retractFromTokenStatsArchive(spark, dir,
+      docsDf(Seq(10L, 11L)), "doc_id", "text")
+    val survivors = (0L to 2L) ++ Seq(12L, 13L)
+    assert(tokenObs(dir) === tokenRecompute(survivors))
+    // restart re-delivers the crashed batch: the fold record proves the
+    // commit was durable — skip; the retraction must NOT be undone
+    CorpusStats.processTokenStatsBatch(docsDf(10L to 13L), 0L, dir,
+      "doc_id", "text", compactEvery = 0)
+    assert(tokenObs(dir) === tokenRecompute(survivors),
+      "replay after a takedown re-exposed retracted counts")
+  }
+
+  // ---- ngram-stats sink ---------------------------------------------------
+
+  private def ngramObs(ix: CorpusStats.NgramStatsIndex): Any = {
+    val pairs = ix.pairParts.groupBy(col("__h1"), col("__h2"))
+      .agg(sum(col("pc_part")).as("pc")).where(col("pc") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vocab = ix.unigrams.groupBy(col("h"))
+      .agg(sum(col("u_part")).as("u")).where(col("u") > 0).count()
+    (pairs, vocab, ix.ids.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("ngram sink: both crash windows — pre-rename loses nothing durable, post-commit replay skips") {
+    val dir = tmp("graft-crash-ng")
+    CorpusStats.seedNgramStatsArchive(docsDf(0L to 2L), dir, "doc_id", "text")
+    // window (a): between temp-write and rename
+    CrashPoints.armOnce("pre-rename", s"$dir/b0")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        CorpusStats.processNgramStatsBatch(docsDf(10L to 12L), 0L, dir,
+          "doc_id", "text", compactEvery = 0)
+      }
+    } finally CrashPoints.disarm()
+    assert(!exists(s"$dir/b0") && exists(s"$dir/.inprogress-b0"))
+    assert(ngramObs(CorpusStats.loadNgramStatsArchive(spark, dir)) ===
+      ngramObs(CorpusStats.buildNgramStats(docsDf(0L to 2L), "doc_id", "text")))
+    CorpusStats.processNgramStatsBatch(docsDf(10L to 12L), 0L, dir,
+      "doc_id", "text", compactEvery = 0)
+    val after = ngramObs(CorpusStats.buildNgramStats(
+      docsDf((0L to 2L) ++ (10L to 12L)), "doc_id", "text"))
+    assert(ngramObs(CorpusStats.loadNgramStatsArchive(spark, dir)) === after)
+    // window (b): after the entry commit, before the checkpoint advance
+    CrashPoints.armOnce("post-commit", s"$dir/b1")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        CorpusStats.processNgramStatsBatch(docsDf(20L to 21L), 1L, dir,
+          "doc_id", "text", compactEvery = 0)
+      }
+    } finally CrashPoints.disarm()
+    // + an intervening takedown inside the window, then the replay
+    CorpusStats.retractFromNgramStatsArchive(spark, dir,
+      docsDf(Seq(20L)), "doc_id", "text")
+    CorpusStats.processNgramStatsBatch(docsDf(20L to 21L), 1L, dir,
+      "doc_id", "text", compactEvery = 0)
+    assert(ngramObs(CorpusStats.loadNgramStatsArchive(spark, dir)) ===
+      ngramObs(CorpusStats.buildNgramStats(
+        docsDf((0L to 2L) ++ (10L to 12L) ++ Seq(21L)), "doc_id", "text")),
+      "ngram replay after crash+takedown must neither double-count nor un-forget")
+  }
+
+  // ---- minhash dedup sink --------------------------------------------------
+
+  test("minhash sink: both crash windows — pre-rename retry commits, post-commit replay skips") {
+    val dir = tmp("graft-crash-mh")
+    val pairsDir = tmp("graft-crash-mh-p")
+    ArchiveDedup.seedArchive(docsDf(0L to 2L), dir, "doc_id", "text")
+    def obs(): Any = {
+      val (ix, _) = ArchiveDedup.loadLatest(spark, dir)
+      (ix.sets.collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toVector).toMap,
+        ix.buckets.collect().map(r => (r.get(0), r.get(1))).toSet)
+    }
+    def fresh(ids: Seq[Long]): Any = {
+      val ix = Dedup.buildMinhashIndex(docsDf(ids), "doc_id", "text")
+      (ix.sets.collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toVector).toMap,
+        ix.buckets.collect().map(r => (r.get(0), r.get(1))).toSet)
+    }
+    // window (a)
+    CrashPoints.armOnce("pre-rename", s"$dir/b0")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        ArchiveDedup.processBatch(docsDf(10L to 12L), 0L, dir, pairsDir,
+          "doc_id", "text", 0.5, compactEvery = 0)
+      }
+    } finally CrashPoints.disarm()
+    assert(!exists(s"$dir/b0") && exists(s"$dir/.inprogress-b0"))
+    assert(obs() === fresh(0L to 2L))
+    ArchiveDedup.processBatch(docsDf(10L to 12L), 0L, dir, pairsDir,
+      "doc_id", "text", 0.5, compactEvery = 0)
+    assert(!exists(s"$dir/.inprogress-b0"))
+    assert(obs() === fresh((0L to 2L) ++ (10L to 12L)))
+    // window (b)
+    CrashPoints.armOnce("post-commit", s"$dir/b1")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        ArchiveDedup.processBatch(docsDf(20L to 21L), 1L, dir, pairsDir,
+          "doc_id", "text", 0.5, compactEvery = 0)
+      }
+    } finally CrashPoints.disarm()
+    assert(exists(s"$dir/b1"))
+    val after = fresh((0L to 2L) ++ (10L to 12L) ++ (20L to 21L))
+    assert(obs() === after)
+    ArchiveDedup.processBatch(docsDf(20L to 21L), 1L, dir, pairsDir,
+      "doc_id", "text", 0.5, compactEvery = 0)
+    assert(obs() === after, "minhash replay after a post-commit crash double-folded")
+  }
+}
