@@ -71,6 +71,209 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Takedown for a PERSISTED IVF index (round-14 ask #7) — the
+    * artifact twin of [[graft.streaming.ArchiveDedup.forgetDocs]] and
+    * the serving delta map's point delete
+    * ([[ServingIndex]]'s mutable tier): remove documents from the
+    * on-disk inverted file WITHOUT a rebuild, at a cost proportional to
+    * the CLUSTERS the victims live in, not the index. The
+    * cluster-partitioned layout is what makes this 100 TB-shaped: one
+    * column-pruned scan of (id, cluster) finds the affected partitions
+    * (victims cluster like any other vectors — a takedown batch touches
+    * a handful of the nlist directories), then ONLY those partition
+    * dirs rewrite through the same temp+rename discipline as every
+    * archive entry; centroids are pinned parameters and never change
+    * (exactly the dedup-forget contract — recall properties of the
+    * survivors are untouched).
+    *
+    * Refuses ids the index never held (a takedown that silently removes
+    * nothing is how the wrong index ships). Crash-safe and retryable: a
+    * `.forget-inprogress` sidecar (the victim ids) commits BEFORE the
+    * first cluster rewrite and clears after the last; a crash mid-sweep
+    * leaves it behind, and the retry recognizes the SAME takedown
+    * (victims already gone from rewritten clusters are excused against
+    * the sidecar) and finishes the remaining clusters. Runs under the
+    * directory's [[graft.streaming.MaintenanceLease]]. */
+  def forgetFromIndex(spark: SparkSession, path: String, ids: DataFrame,
+                      idCol: String = "id"): Unit =
+    graft.streaming.MaintenanceLease.withLease(spark, path, "forgetFromIndex") {
+      import spark.implicits._
+      val (fs, _) = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+      }
+      val victims = ids.select(col(idCol).cast("long").as("id")).distinct()
+        .localCheckpoint()
+      recoverClusterSwaps(fs, path) // finish any crashed swap first
+      // swaps REPLACE files under a stable path — unlike the archives'
+      // immutable append-only entries — so the session's shared
+      // file-status cache must be invalidated around them or later
+      // scans chase deleted part files (FAILED_READ_FILE)
+      spark.catalog.refreshByPath(s"$path/assignments")
+      val sidecar = new org.apache.hadoop.fs.Path(s"$path/.forget-inprogress")
+      val resumed: Set[Long] =
+        if (!fs.exists(sidecar)) Set.empty
+        else spark.read.parquet(sidecar.toString)
+          .collect().map(_.getLong(0)).toSet
+      if (resumed.nonEmpty) {
+        val incoming = victims.collect().map(_.getLong(0)).toSet
+        require(incoming == resumed,
+          s"forgetFromIndex: $path carries a crashed takedown's " +
+            s".forget-inprogress sidecar for a DIFFERENT victim set — " +
+            "finish or clean that takedown first (re-run it with its " +
+            "original ids; the sidecar clears on completion).")
+      }
+      // one column-pruned scan: which ids exist, in which clusters
+      val hit = spark.read.parquet(s"$path/assignments")
+        .select(col("id"), col("cluster"))
+        .join(broadcast(victims), Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val found = hit.map(_._1).toSet
+      val missing = victims.collect().map(_.getLong(0)).filterNot(found)
+        .filterNot(resumed) // already removed by the crashed sweep
+      require(missing.isEmpty || resumed.nonEmpty,
+        s"forgetFromIndex: ids [${missing.take(4).mkString(", ")}" +
+          s"${if (missing.length > 4) ", …" else ""}] are not in the " +
+          s"index at $path — refusing a takedown that would silently " +
+          "remove nothing for them (wrong index, or already forgotten?).")
+      // commit the sidecar BEFORE the first rewrite (crash-retry record)
+      if (resumed.isEmpty)
+        victims.coalesce(1).write.mode("overwrite").parquet(sidecar.toString)
+      // per-cluster RETIRE-SWAP: write the rewrite to an invisible temp,
+      // rename the live dir aside (atomic), rename the temp in (atomic),
+      // then drop the retired copy — at every instant the cluster is
+      // either the old complete data or the new complete data, and a
+      // crash at any point is recovered by recoverClusterSwaps above on
+      // the retry. (Concurrent searches during the swap may transiently
+      // re-plan — the takedown holds the maintenance lease, so pause
+      // maintenance-sensitive readers or retry their scan.)
+      val affected = hit.map(_._2).distinct.sorted
+      def swapCluster(c: Int): Unit = {
+        val cDir = new org.apache.hadoop.fs.Path(s"$path/assignments/cluster=$c")
+        val rewritten = spark.read.parquet(cDir.toString)
+          .join(broadcast(victims), Seq("id"), "left_anti")
+          .localCheckpoint() // materialize BEFORE touching the source
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/assignments/.inprogress-cluster-$c")
+        val retired = new org.apache.hadoop.fs.Path(s"$path/assignments/.retired-cluster-$c")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        rewritten.write.mode("overwrite").parquet(tmp.toString)
+        graft.streaming.CrashPoints.reach(s"pre-rename:$cDir")
+        if (fs.exists(retired)) fs.delete(retired, true)
+        if (!fs.rename(cDir, retired))
+          throw new IllegalStateException(
+            s"forgetFromIndex: failed to retire cluster $cDir")
+        if (!fs.rename(tmp, cDir))
+          throw new IllegalStateException(
+            s"forgetFromIndex: failed to commit rewritten cluster $cDir " +
+              s"(its previous data is intact at $retired)")
+        fs.delete(retired, true)
+        graft.streaming.CrashPoints.reach(s"post-commit:$cDir")
+      }
+      val nlist = centroidCountOf(spark, path)
+      if (affected.length > math.max(4, nlist / 4)) {
+        // FULL-SWEEP path: a widely-spread takedown (victims in > 1/4 of
+        // the clusters) would pay one write job PER cluster — job-floor
+        // dominated on any real cluster (the measured ×100 worst case:
+        // 100 sequential rewrites = 25.9 s vs a 3.2 s single-job
+        // persist). One anti-join over the whole assignments table,
+        // re-partitioned by cluster, swapped in atomically, costs the
+        // same as writeIndex and none of the retraining — the
+        // "rebuild-shaped takedown" with pinned centroids.
+        val tmpA = new org.apache.hadoop.fs.Path(s"$path/.inprogress-assignments")
+        val retiredA = new org.apache.hadoop.fs.Path(s"$path/.retired-assignments")
+        val liveA = new org.apache.hadoop.fs.Path(s"$path/assignments")
+        if (fs.exists(tmpA)) fs.delete(tmpA, true)
+        spark.read.parquet(liveA.toString)
+          .join(broadcast(victims), Seq("id"), "left_anti")
+          .withColumn("cluster", col("cluster").cast("int"))
+          .repartition(col("cluster"))
+          .write.partitionBy("cluster").parquet(tmpA.toString)
+        graft.streaming.CrashPoints.reach(s"pre-rename:$liveA")
+        if (fs.exists(retiredA)) fs.delete(retiredA, true)
+        if (!fs.rename(liveA, retiredA))
+          throw new IllegalStateException(
+            s"forgetFromIndex: failed to retire $liveA")
+        if (!fs.rename(tmpA, liveA))
+          throw new IllegalStateException(
+            s"forgetFromIndex: failed to commit rewritten $liveA " +
+              s"(its previous data is intact at $retiredA)")
+        fs.delete(retiredA, true)
+        graft.streaming.CrashPoints.reach(s"post-commit:$liveA")
+      } else {
+        // narrow takedown: rewrite only the affected partitions, a few
+        // at a time (independent dirs — the jobs overlap their
+        // scheduling floors; results are per-cluster atomic either way)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, math.max(1, affected.length)))
+        try {
+          val futs = affected.map(c =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = swapCluster(c)
+            }))
+          futs.foreach(f =>
+            try f.get()
+            catch { // surface the real failure, not the pool's wrapper
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            })
+        } finally {
+          // on failure, in-flight sibling swaps must FINISH before the
+          // error propagates — leaving one running in the background
+          // while the caller reacts races every subsequent read (each
+          // completed swap is individually atomic either way)
+          pool.shutdown()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        }
+      }
+      fs.delete(sidecar, true)
+      spark.catalog.refreshByPath(s"$path/assignments")
+    }
+
+  /** nlist of a persisted index, from its tiny centroids table. */
+  private def centroidCountOf(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/centroids").count().toInt
+
+  /** Crash recovery for [[forgetFromIndex]]'s retire-swap: a
+    * `.retired-cluster-<c>` left behind means a crash mid-swap — if the
+    * live dir exists the swap completed (drop the retired copy); if not,
+    * the fully-written temp renames in (it was durable before the
+    * retire). Called under the lease before a takedown scans. */
+  private def recoverClusterSwaps(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String): Unit = {
+    // assignments-level swap (the full-sweep path) first
+    val retiredA = new org.apache.hadoop.fs.Path(s"$path/.retired-assignments")
+    val liveA = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val tmpA = new org.apache.hadoop.fs.Path(s"$path/.inprogress-assignments")
+    if (fs.exists(retiredA)) {
+      if (fs.exists(liveA)) fs.delete(retiredA, true)
+      else if (fs.exists(tmpA)) {
+        if (!fs.rename(tmpA, liveA))
+          throw new IllegalStateException(
+            s"forgetFromIndex recovery: failed to restore $liveA from its temp")
+        fs.delete(retiredA, true)
+      } else if (!fs.rename(retiredA, liveA))
+        throw new IllegalStateException(
+          s"forgetFromIndex recovery: failed to restore $liveA from $retiredA")
+    }
+    val base = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    if (!fs.exists(base)) return
+    fs.listStatus(base).map(_.getPath).filter(
+        _.getName.startsWith(".retired-cluster-")).foreach { retired =>
+      val c = retired.getName.stripPrefix(".retired-cluster-")
+      val live = new org.apache.hadoop.fs.Path(s"$path/assignments/cluster=$c")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/assignments/.inprogress-cluster-$c")
+      if (fs.exists(live)) fs.delete(retired, true)
+      else if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, live))
+          throw new IllegalStateException(
+            s"forgetFromIndex recovery: failed to restore $live from its temp")
+        fs.delete(retired, true)
+      } else if (!fs.rename(retired, live)) // no temp: undo the retire
+        throw new IllegalStateException(
+          s"forgetFromIndex recovery: failed to restore $live from $retired")
+    }
+  }
+
   /** Reopen a persisted index. Search through the reopened index prunes
     * parquet partitions: only the probed cluster directories are read. */
   def openIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {

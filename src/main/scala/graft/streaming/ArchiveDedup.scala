@@ -637,6 +637,9 @@ object ArchiveDedup {
       at += 1
     }
     commitEntry(spark, dir, s"r$at", beforeRename = () => {
+      // interleaving seam: a test injects a racing fold HERE to execute
+      // the abort below (see CrashPoints.installOnce)
+      CrashPoints.reach(s"pre-reseed-check:$dir/r$at")
       val nowFolded = stateOf(spark, dir).lastFolded
       if (nowFolded != builtAtLastFolded)
         throw new IllegalStateException(

@@ -49,5 +49,19 @@ object CrashPoints {
 
   def disarm(): Unit = hook = _ => ()
 
+  /** Install a hook that runs `action` (WITHOUT throwing) the first
+    * time a matching point is reached, then auto-disarms — for
+    * interleaving injection: e.g. folding a batch at the exact window
+    * where a reseed-shaped commit re-validates `lastFolded`, to
+    * execute the racing-fold ABORT path rather than argue it. */
+  def installOnce(phase: String, pathSubstring: String)(action: () => Unit): Unit = {
+    hook = { point =>
+      if (point.startsWith(s"$phase:") && point.contains(pathSubstring)) {
+        hook = _ => ()
+        action()
+      }
+    }
+  }
+
   private[graft] def reach(point: String): Unit = hook(point)
 }

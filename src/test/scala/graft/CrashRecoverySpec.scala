@@ -220,4 +220,42 @@ class CrashRecoverySpec extends AnyFunSuite {
       "doc_id", "text", 0.5, compactEvery = 0)
     assert(obs() === after, "minhash replay after a post-commit crash double-folded")
   }
+
+  test("forget-under-load abort path: a fold racing the generation commit aborts the takedown; retry wins") {
+    val dir = tmp("graft-crash-race")
+    val pairsDir = tmp("graft-crash-race-p")
+    ArchiveDedup.seedArchive(docsDf(0L to 3L), dir, "doc_id", "text")
+    ArchiveDedup.processBatch(docsDf(10L to 12L), 0L, dir, pairsDir,
+      "doc_id", "text", 0.5, compactEvery = 0)
+    def fresh(ids: Seq[Long]): Any = {
+      val ix = Dedup.buildMinhashIndex(docsDf(ids), "doc_id", "text")
+      ix.sets.collect().map(_.getLong(0)).toSet
+    }
+    def archivedIds(): Any = {
+      val (ix, _) = ArchiveDedup.loadLatest(spark, dir)
+      ix.sets.collect().map(_.getLong(0)).toSet
+    }
+    // inject the racing fold at the EXACT window commitReseed
+    // re-validates lastFolded — the contract's "a fold racing the
+    // commit aborts loudly", executed rather than argued
+    CrashPoints.installOnce("pre-reseed-check", dir) { () =>
+      ArchiveDedup.processBatch(docsDf(20L to 21L), 1L, dir, pairsDir,
+        "doc_id", "text", 0.5, compactEvery = 0)
+    }
+    val e =
+      try intercept[IllegalStateException] {
+        ArchiveDedup.forgetDocs(spark, dir, Seq(10L).toDF("id"))
+      } finally CrashPoints.disarm()
+    assert(e.getMessage.contains("aborting") && e.getMessage.contains("concurrent"),
+      e.getMessage)
+    // the abort committed NOTHING: the archive sees the raced batch and
+    // still contains the would-be victim; the lease was released
+    assert(archivedIds() === fresh((0L to 3L) ++ (10L to 12L) ++ (20L to 21L)))
+    assert(graft.streaming.MaintenanceLease.holder(spark, dir).isEmpty,
+      "an aborted takedown must release the maintenance lease")
+    // retry without interference: the takedown wins and covers the
+    // raced batch's fold in its generation
+    ArchiveDedup.forgetDocs(spark, dir, Seq(10L).toDF("id"))
+    assert(archivedIds() === fresh((0L to 3L) ++ (11L to 12L) ++ (20L to 21L)))
+  }
 }
