@@ -695,10 +695,14 @@ object CorpusStats {
       ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
     Seq(currentBatch).toDF("id").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/committed")
+    // crash seams for the COMPACTION commit (the "crashed merge" cases
+    // the class doc reasons about — executed in CrashRecoverySpec)
+    graft.streaming.CrashPoints.reach(s"pre-rename:$dir/$name")
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/$name")))
       throw new IllegalStateException(
         s"CorpusStats: failed to commit compacted range $dir/$name " +
           "(rename returned false) — is another writer racing this archive?")
+    graft.streaming.CrashPoints.reach(s"post-commit:$dir/$name")
   }
 
   /** Deferred GC: delete slivers covered by a maximal range and ranges

@@ -221,6 +221,81 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(obs() === after, "minhash replay after a post-commit crash double-folded")
   }
 
+  test("takedown commit crash: pre-rename leaves no x entry; retry retracts exactly once") {
+    val dir = tmp("graft-crash-tok-x")
+    CorpusStats.seedTokenStatsArchive(docsDf(0L to 3L), dir, "doc_id", "text")
+    CorpusStats.processTokenStatsBatch(docsDf(10L to 12L), 0L, dir,
+      "doc_id", "text", compactEvery = 0)
+    val all = (0L to 3L) ++ (10L to 12L)
+    CrashPoints.armOnce("pre-rename", s"$dir/x0")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        CorpusStats.retractFromTokenStatsArchive(spark, dir,
+          docsDf(Seq(10L, 11L)), "doc_id", "text")
+      }
+    } finally CrashPoints.disarm()
+    // nothing durable: no x entry, counts intact. (The injected crash
+    // unwinds through withLease's finally, so the lease releases here;
+    // a REAL process kill leaves a stale lease instead — that refusal +
+    // breakLease recovery is MaintenanceLeaseSpec's stale-lease case.)
+    assert(!exists(s"$dir/x0") && exists(s"$dir/.inprogress-x0"))
+    assert(tokenObs(dir) === tokenRecompute(all))
+    // retry: the takedown completes, exactly once
+    CorpusStats.retractFromTokenStatsArchive(spark, dir,
+      docsDf(Seq(10L, 11L)), "doc_id", "text")
+    assert(!exists(s"$dir/.inprogress-x0"), "retry must clean the stale temp")
+    assert(tokenObs(dir) === tokenRecompute((0L to 3L) :+ 12L))
+  }
+
+  test("compaction merge crash: pre-rename keeps slivers live (next fold re-merges); post-commit replay never double-counts") {
+    val dir = tmp("graft-crash-tok-m")
+    CorpusStats.seedTokenStatsArchive(docsDf(0L to 1L), dir, "doc_id", "text")
+    // compactEvery=2: the tier-1 merge fires at 3 live slivers
+    (0 to 1).foreach(b => CorpusStats.processTokenStatsBatch(
+      docsDf((10L + 3 * b) to (12L + 3 * b)), b.toLong, dir,
+      "doc_id", "text", compactEvery = 2))
+    def allDocs(upTo: Int): Seq[Long] =
+      (0L to 1L) ++ (0 to upTo).flatMap(b => (10L + 3 * b) to (12L + 3 * b))
+    // window (a): the merge's own commit crashes pre-rename — the batch
+    // itself is durable, the merge is not; reads stay exact off the
+    // still-live slivers, and the NEXT fold re-attempts the merge
+    CrashPoints.armOnce("pre-rename", s"$dir/c0-1")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        CorpusStats.processTokenStatsBatch(docsDf(16L to 18L), 2L, dir,
+          "doc_id", "text", compactEvery = 2)
+      }
+    } finally CrashPoints.disarm()
+    assert(exists(s"$dir/b2") && !exists(s"$dir/c0-1"))
+    assert(tokenObs(dir) === tokenRecompute(allDocs(2)))
+    // the stream re-delivers batch 2 (its fold IS durable → replay
+    // skip; compaction stays pending), then folds batch 3 — which
+    // re-attempts and commits the merge
+    CorpusStats.processTokenStatsBatch(docsDf(16L to 18L), 2L, dir,
+      "doc_id", "text", compactEvery = 2)
+    assert(tokenObs(dir) === tokenRecompute(allDocs(2)), "replay double-counted")
+    CorpusStats.processTokenStatsBatch(docsDf(19L to 21L), 3L, dir,
+      "doc_id", "text", compactEvery = 2)
+    assert(exists(s"$dir/c0-1"), "the next fold must re-attempt the crashed merge")
+    assert(tokenObs(dir) === tokenRecompute(allDocs(3)))
+    // window (b): a later merge commits, then crashes post-commit — the
+    // re-delivered batch skips, and reads never see a sliver AND its
+    // covering range at once
+    CrashPoints.armOnce("post-commit", s"$dir/c2-3")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        CorpusStats.processTokenStatsBatch(docsDf(22L to 24L), 4L, dir,
+          "doc_id", "text", compactEvery = 2)
+      }
+    } finally CrashPoints.disarm()
+    assert(exists(s"$dir/c2-3"))
+    assert(tokenObs(dir) === tokenRecompute(allDocs(4)))
+    CorpusStats.processTokenStatsBatch(docsDf(22L to 24L), 4L, dir,
+      "doc_id", "text", compactEvery = 2)
+    assert(tokenObs(dir) === tokenRecompute(allDocs(4)),
+      "post-commit merge crash + replay double-counted")
+  }
+
   test("forget-under-load abort path: a fold racing the generation commit aborts the takedown; retry wins") {
     val dir = tmp("graft-crash-race")
     val pairsDir = tmp("graft-crash-race-p")
