@@ -325,6 +325,78 @@ class ArchiveSequenceSpec extends AnyFunSuite {
     }
   }
 
+  /** Cosine twin: fold/forget/replay/reseed against the hyperplane-LSH
+    * embedding archive. The reseed re-randomizes the hyperplane seed,
+    * so the seed-agnostic observable is (vecs = id → vector, plus the
+    * internal banding invariant that every vector is bucketed): at
+    * every step the archive's vectors must be EXACTLY the surviving
+    * fixture vectors, and buckets' id set must equal vecs' id set. */
+  private def vec(id: Long): Seq[Float] =
+    Seq.tabulate(8)(i => (((id * 31 + i * 7) % 13) - 6).toFloat)
+
+  private def vecsDf(ids: Seq[Long]): DataFrame =
+    ids.map(id => (id, vec(id))).toDF("vec_id", "v").coalesce(1)
+
+  private def runCosineSequence(seqIdx: Int): Unit = {
+    val plan = planOf(173000L + seqIdx, maxOps = 5)
+    val dir = tmp(s"graft-seq-cos-$seqIdx")
+    val pairsDir = tmp(s"graft-seq-cos-p-$seqIdx")
+    var nextDoc = 1000L * seqIdx
+    def freshIds(n: Int): Seq[Long] = {
+      val ids = nextDoc until (nextDoc + n); nextDoc += n; ids
+    }
+    val m = new Model(freshIds(plan.seedN), plan.compactEvery)
+    ArchiveDedup.seedCosineArchive(vecsDf(m.seedIds), dir, "vec_id", "v")
+
+    def check(where: String): Unit = {
+      val (ix, _) = ArchiveDedup.loadLatestCosine(spark, dir)
+      val got = ix.vecs.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+      val want = m.survivors.map(id => id -> vec(id).toVector).toMap
+      assert(got === want,
+        s"cosine seq $seqIdx: archive vecs != surviving fixture $where " +
+          s"(seed=${m.seedIds}, folded=${m.folded}, retracted=${m.retracted})")
+      val bucketIds = ix.buckets.select(col("id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(bucketIds === want.keySet,
+        s"cosine seq $seqIdx: banding lost/leaked ids $where")
+    }
+
+    check("after seed")
+    plan.draws.zipWithIndex.foreach { case (d, step) =>
+      val pick = d.pick % 10
+      if (pick < 4) { // fold
+        val ids = freshIds(2 + d.a % 3)
+        ArchiveDedup.processCosineBatch(vecsDf(ids), m.nextBatch, dir,
+          pairsDir, "vec_id", "v", 0.9, compactEvery = m.compactEvery)
+        m.onFold(m.nextBatch, ids); m.nextBatch += 1
+      } else if (pick < 7) { // forget a live subset (never the last doc)
+        val live = m.survivors
+        if (live.size >= 2) {
+          val victims = pickSubset(live, d.a, 1 + d.b % (live.size - 1))
+          ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id"))
+          m.retracted ++= victims
+        }
+      } else if (pick == 7) { // replay: must skip
+        if (m.folded.nonEmpty) {
+          val (bid, ids) = m.folded(d.a % m.folded.length)
+          ArchiveDedup.processCosineBatch(vecsDf(ids), bid, dir, pairsDir,
+            "vec_id", "v", 0.9, compactEvery = m.compactEvery)
+        }
+      } else if (pick == 8) { // in-place reseed (re-randomized hyperplanes)
+        if (m.folded.nonEmpty)
+          ArchiveDedup.reseedCosineArchive(spark, dir)
+      } else { // invalid forget
+        val bad =
+          if (m.retracted.nonEmpty && d.a % 2 == 0) m.retracted.head
+          else { val Seq(id) = freshIds(1); id }
+        intercept[IllegalArgumentException](
+          ArchiveDedup.forgetDocs(spark, dir, Seq(bad).toDF("id")))
+      }
+      check(s"after step $step (pick $pick)")
+    }
+  }
+
   test("token-stats archive: 80 random operation sequences, recompute-oracle-checked at every step") {
     inPool(80)(i => runStatsSequence(TokenFamily, i))
   }
@@ -335,5 +407,75 @@ class ArchiveSequenceSpec extends AnyFunSuite {
 
   test("minhash archive: 60 random operation sequences (incl. reseed), fresh-build-oracle-checked at every step") {
     inPool(60)(runMinhashSequence)
+  }
+
+  test("cosine archive: 40 random operation sequences (incl. re-randomizing reseed), survivor-oracle-checked at every step") {
+    inPool(40)(runCosineSequence)
+  }
+
+  /** Semantic (pinned-centroid) twin — the fifth archive family, so
+    * every family is sequence-gated. Observable: members = surviving
+    * fixture vectors exactly, with every member assigned to a cluster. */
+  private def runSemanticSequence(seqIdx: Int): Unit = {
+    val plan = planOf(251000L + seqIdx, maxOps = 5)
+    val dir = tmp(s"graft-seq-sem-$seqIdx")
+    val pairsDir = tmp(s"graft-seq-sem-p-$seqIdx")
+    var nextDoc = 1000L * seqIdx
+    def freshIds(n: Int): Seq[Long] = {
+      val ids = nextDoc until (nextDoc + n); nextDoc += n; ids
+    }
+    val m = new Model(freshIds(plan.seedN), plan.compactEvery)
+    val centroids = Array(vec(1L).toArray, vec(5L).toArray, vec(11L).toArray)
+    ArchiveDedup.seedSemanticArchive(vecsDf(m.seedIds), dir, "vec_id", "v",
+      centroids)
+
+    def check(where: String): Unit = {
+      val (ix, _) = ArchiveDedup.loadLatestSemantic(spark, dir)
+      val got = ix.members.select(col("id"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+      val want = m.survivors.map(id => id -> vec(id).toVector).toMap
+      assert(got === want,
+        s"semantic seq $seqIdx: archive members != surviving fixture $where " +
+          s"(seed=${m.seedIds}, folded=${m.folded}, retracted=${m.retracted})")
+    }
+
+    check("after seed")
+    plan.draws.zipWithIndex.foreach { case (d, step) =>
+      val pick = d.pick % 10
+      if (pick < 4) { // fold
+        val ids = freshIds(2 + d.a % 3)
+        ArchiveDedup.processSemanticBatch(vecsDf(ids), m.nextBatch, dir,
+          pairsDir, "vec_id", "v", 0.9, compactEvery = m.compactEvery)
+        m.onFold(m.nextBatch, ids); m.nextBatch += 1
+      } else if (pick < 7) { // forget
+        val live = m.survivors
+        if (live.size >= 2) {
+          val victims = pickSubset(live, d.a, 1 + d.b % (live.size - 1))
+          ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id"))
+          m.retracted ++= victims
+        }
+      } else if (pick == 7) { // replay: must skip
+        if (m.folded.nonEmpty) {
+          val (bid, ids) = m.folded(d.a % m.folded.length)
+          ArchiveDedup.processSemanticBatch(vecsDf(ids), bid, dir, pairsDir,
+            "vec_id", "v", 0.9, compactEvery = m.compactEvery)
+        }
+      } else if (pick == 8) { // reseed: centroids re-fit to the survivors
+        // k=3 refit needs at least k surviving members
+        if (m.folded.nonEmpty && m.survivors.size >= 4)
+          ArchiveDedup.reseedSemanticArchive(spark, dir)
+      } else { // invalid forget
+        val bad =
+          if (m.retracted.nonEmpty && d.a % 2 == 0) m.retracted.head
+          else { val Seq(id) = freshIds(1); id }
+        intercept[IllegalArgumentException](
+          ArchiveDedup.forgetDocs(spark, dir, Seq(bad).toDF("id")))
+      }
+      check(s"after step $step (pick $pick)")
+    }
+  }
+
+  test("semantic archive: 30 random operation sequences (incl. centroid-refit reseed), survivor-oracle-checked at every step") {
+    inPool(30)(runSemanticSequence)
   }
 }

@@ -366,6 +366,68 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"q93-score: archive partials no longer come from the entry parquet:\n$plan")
   }
 
+  test("q94 retracted-ngram-archive scoring: x entries enter via partial parquet, archived text never re-read") {
+    import graft.operators.CorpusStats
+    val docs = Tables(spark, dir, "documents")
+    val adir = java.nio.file.Files.createTempDirectory("graft-plan-csngx").toString
+    CorpusStats.seedNgramStatsArchive(
+      docs.where(col("doc_id") < 300), adir, "doc_id", "text")
+    CorpusStats.processNgramStatsBatch(
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 400), 0L, adir,
+      "doc_id", "text", compactEvery = 0)
+    CorpusStats.retractFromNgramStatsArchive(spark, adir,
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 350), "doc_id", "text")
+    val plan = planOf(CorpusStats.bigramCountsAgainst(
+      CorpusStats.loadNgramStatsArchive(spark, adir),
+      docs.where(col("doc_id") >= 400), "doc_id", "text"))
+    assertNoCartesian("q94-score", plan)
+    val textScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("text#")).toSeq
+    assert(textScans.nonEmpty, s"q94-score: expected a target text scan:\n$plan")
+    textScans.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id,400)"),
+        s"q94-score: un-pushed text scan (archive/victim re-read):\n$l\n\nfull plan:\n$plan")
+    }
+    Seq("pc_part#", "cc_part#").foreach { c =>
+      assert(plan.linesIterator.exists(l =>
+          l.contains("FileScan") && l.contains(c) && !l.contains("text#")),
+        s"q94-score: $c partials no longer come from the entry parquet:\n$plan")
+    }
+  }
+
+  test("q95 windowed load: the plan reads ONLY the window's sliver entries") {
+    import graft.operators.CorpusStats
+    val docs = Tables(spark, dir, "documents")
+    val adir = java.nio.file.Files.createTempDirectory("graft-plan-cswin").toString
+    CorpusStats.seedTokenStatsArchive(
+      docs.where(col("doc_id") < 300), adir, "doc_id", "text")
+    CorpusStats.processTokenStatsBatch(
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 400), 0L, adir,
+      "doc_id", "text", compactEvery = 0)
+    CorpusStats.processTokenStatsBatch(
+      docs.where(col("doc_id") >= 400 && col("doc_id") < 450), 1L, adir,
+      "doc_id", "text", compactEvery = 0)
+    CorpusStats.processTokenStatsBatch(
+      docs.where(col("doc_id") >= 450), 2L, adir,
+      "doc_id", "text", compactEvery = 0)
+    // the exclusion is STRUCTURAL, not a filter: the seed's and b0's
+    // partials must be absent from the scan's root paths entirely
+    val win = CorpusStats.loadTokenStatsArchive(spark, adir, Some(2))
+    val roots = win.parts.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.nonEmpty, "expected a FileSourceScanExec in the window plan")
+    assert(roots.forall(p => p.endsWith("/b1/df") || p.endsWith("/b2/df")),
+      s"q95-window: plan reads outside the window's slivers: $roots")
+    assert(roots.exists(_.endsWith("/b1/df")) && roots.exists(_.endsWith("/b2/df")),
+      s"q95-window: plan misses a window sliver: $roots")
+    assert(win.parts.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.length === 1,
+      "q95-window: the window must plan ONE multi-path FileScan, not per-entry unions")
+  }
+
   test("q85 cosine delta scan input: signature math is delta-sided, no cartesian") {
     import graft.operators.{Dedup, SimilarityJoin}
     val e = Tables(spark, dir, "embeddings")
