@@ -805,9 +805,30 @@ object Dedup {
 
   /** Persist an index snapshot: `dir/buckets` + `dir/sets` parquet and a
     * one-row `dir/params` parquet pinning the banding widths. */
+  /** Write independent component frames CONCURRENTLY — an index save
+    * (and therefore every streamed sliver commit through it) otherwise
+    * pays one sequential job wall per component. Failures surface
+    * unwrapped; in-flight siblings finish before the error propagates. */
+  private def writeConcurrently(writes: (DataFrame, String)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.length)
+    try {
+      writes.map { case (df, path) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = df.write.mode("overwrite").parquet(path)
+        })
+      }.foreach(f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        })
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
+  }
+
   def saveMinhashIndex(ix: MinhashIndex, dir: String): Unit = {
-    ix.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
-    ix.sets.write.mode("overwrite").parquet(s"$dir/sets")
+    writeConcurrently(ix.buckets -> s"$dir/buckets", ix.sets -> s"$dir/sets")
     val spark = ix.buckets.sparkSession
     import spark.implicits._
     Seq((ix.numHashes, ix.bands, ix.shingleLen))
@@ -1114,8 +1135,7 @@ object Dedup {
   /** Persist an index snapshot: `dir/buckets` + `dir/vecs` parquet and a
     * one-row `dir/params` parquet pinning the signature widths. */
   def saveCosineIndex(ix: CosineIndex, dir: String): Unit = {
-    ix.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
-    ix.vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+    writeConcurrently(ix.buckets -> s"$dir/buckets", ix.vecs -> s"$dir/vecs")
     val spark = ix.buckets.sparkSession
     import spark.implicits._
     Seq((ix.numBits, ix.bands, ix.dim, ix.seed))
