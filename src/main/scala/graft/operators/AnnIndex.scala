@@ -202,28 +202,11 @@ object AnnIndex {
       } else {
         // narrow takedown: rewrite only the affected partitions, a few
         // at a time (independent dirs — the jobs overlap their
-        // scheduling floors; results are per-cluster atomic either way)
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(8, math.max(1, affected.length)))
-        try {
-          val futs = affected.map(c =>
-            pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = swapCluster(c)
-            }))
-          futs.foreach(f =>
-            try f.get()
-            catch { // surface the real failure, not the pool's wrapper
-              case e: java.util.concurrent.ExecutionException =>
-                throw e.getCause
-            })
-        } finally {
-          // on failure, in-flight sibling swaps must FINISH before the
-          // error propagates — leaving one running in the background
-          // while the caller reacts races every subsequent read (each
-          // completed swap is individually atomic either way)
-          pool.shutdown()
-          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-        }
+        // scheduling floors; results are per-cluster atomic either way;
+        // Par finishes in-flight sibling swaps before a failure
+        // propagates, so the caller never races a background swap)
+        graft.streaming.Par.run(
+          affected.map(c => () => swapCluster(c)), maxThreads = 8)
       }
       fs.delete(sidecar, true)
       spark.catalog.refreshByPath(s"$path/assignments")

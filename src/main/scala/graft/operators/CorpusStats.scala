@@ -461,25 +461,9 @@ object CorpusStats {
     // rename below is still the single commit point, and a failure in
     // any component write surfaces before it (unwrapped from the
     // pool's wrapper).
-    if (comps.length > 1) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(comps.length)
-      try {
-        comps.map { case (c, df) =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = df.write.mode("overwrite").parquet(s"$tmp/$c")
-          })
-        }.foreach(f =>
-          try f.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException => throw e.getCause
-          })
-      } finally {
-        pool.shutdown()
-        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-      }
-    } else comps.foreach { case (c, df) =>
-      df.write.mode("overwrite").parquet(s"$tmp/$c")
-    }
+    graft.streaming.Par.run(comps.map { case (c, df) =>
+      () => df.write.mode("overwrite").parquet(s"$tmp/$c")
+    })
     if (ucounts && comps.exists(_._1 == "unigrams"))
       writeCountMarker(fs, tmp.toString)
     // crash seams (see graft.streaming.CrashPoints): pre-rename leaves
@@ -700,20 +684,26 @@ object CorpusStats {
           "maintainer per archive directory.")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.inprogress-$name")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    comps.foreach { case (c, fold) =>
-      // mergeSchema: the merge set may mix pre-r13 bare-`h` unigram
-      // entries with new (h, u_part) ones — same discipline as the
-      // load path; the fold normalizes the marks
-      fold(spark.read.option("mergeSchema", "true")
-          .parquet(entries.map(e => s"$dir/$e/$c"): _*))
-        .write.mode("overwrite").parquet(s"$tmp/$c")
-      // the count-format sentinel propagates conjunctively: a fold over
-      // any presence-mark-era input yields mark sums — loading-safe,
-      // but it must never launder into retraction authorization
-      if (c == "unigrams" &&
-          entries.forall(e => hasCountMarker(spark, s"$dir/$e")))
-        writeCountMarker(fs, tmp.toString)
-    }
+    // per-component folds write CONCURRENTLY (same rationale as
+    // commitComponents: independent frames, independent paths, the
+    // rename below is still the single commit point)
+    graft.streaming.Par.run(comps.map { case (c, fold) =>
+      () => {
+        // mergeSchema: the merge set may mix pre-r13 bare-`h` unigram
+        // entries with new (h, u_part) ones — same discipline as the
+        // load path; the fold normalizes the marks
+        fold(spark.read.option("mergeSchema", "true")
+            .parquet(entries.map(e => s"$dir/$e/$c"): _*))
+          .write.mode("overwrite").parquet(s"$tmp/$c")
+        // the count-format sentinel propagates conjunctively: a fold
+        // over any presence-mark-era input yields mark sums —
+        // loading-safe, but it must never launder into retraction
+        // authorization
+        if (c == "unigrams" &&
+            entries.forall(e => hasCountMarker(spark, s"$dir/$e")))
+          writeCountMarker(fs, tmp.toString)
+      }
+    })
     if (!isContiguous(ids))
       ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
     Seq(currentBatch).toDF("id").coalesce(1)

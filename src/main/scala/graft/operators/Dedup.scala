@@ -808,24 +808,12 @@ object Dedup {
   /** Write independent component frames CONCURRENTLY — an index save
     * (and therefore every streamed sliver commit through it) otherwise
     * pays one sequential job wall per component. Failures surface
-    * unwrapped; in-flight siblings finish before the error propagates. */
-  private def writeConcurrently(writes: (DataFrame, String)*): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.length)
-    try {
-      writes.map { case (df, path) =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = df.write.mode("overwrite").parquet(path)
-        })
-      }.foreach(f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
-        })
-    } finally {
-      pool.shutdown()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-    }
-  }
+    * unwrapped; in-flight siblings finish before the error propagates
+    * (see [[graft.streaming.Par]]). */
+  private def writeConcurrently(writes: (DataFrame, String)*): Unit =
+    graft.streaming.Par.run(writes.map { case (df, path) =>
+      () => df.write.mode("overwrite").parquet(path)
+    })
 
   def saveMinhashIndex(ix: MinhashIndex, dir: String): Unit = {
     writeConcurrently(ix.buckets -> s"$dir/buckets", ix.sets -> s"$dir/sets")

@@ -527,10 +527,15 @@ object ArchiveDedup {
     val hi = entries.map(_._3).max
     val srcDirs = entries.map(e => s"$dir/${e._1}")
     commitEntry(spark, dir, s"c$lo-$hi") { tmp =>
-      layout.components.foreach { c =>
-        spark.read.parquet(srcDirs.map(d => s"$d/$c"): _*)
-          .write.mode("overwrite").parquet(s"$tmp/$c")
-      }
+      // component copies run CONCURRENTLY (independent frames to
+      // independent paths — the same commit-wall rationale as
+      // Dedup.saveMinhashIndex's concurrent writes, via Par); the
+      // rename after this callback stays the single commit point
+      Par.run(layout.components.map { c =>
+        () =>
+          spark.read.parquet(srcDirs.map(d => s"$d/$c"): _*)
+            .write.mode("overwrite").parquet(s"$tmp/$c")
+      })
       // copy the pinned params from the CURRENT generation so every
       // entry dir is a self-contained index snapshot (loadMinhashIndex
       // on a range works) — only live (post-reseed) slivers ever merge,
