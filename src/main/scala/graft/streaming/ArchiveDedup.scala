@@ -624,9 +624,30 @@ object ArchiveDedup {
     * reseed was built from; on mismatch the temp dir is dropped and the
     * commit ABORTS loudly — stop the stream (or let the in-loop
     * auto-reseed do it, which runs inside the batch) and retry. */
+  /** The takedown LEDGER of a dedup archive: every doc id ever
+    * forgotten, persisted as a `forgotten` sidecar inside the CURRENT
+    * generation and carried forward through every later generation
+    * commit (forgets union their victims in; reseeds copy it through)
+    * — the dedup twin of the stats archives' x-entry id records. It is
+    * what makes takedowns IDEMPOTENT across crash-retries: a retried
+    * forget whose victims are all on the ledger skips with a warning
+    * instead of refusing as "never archived", while genuinely unknown
+    * ids (wrong archive) still refuse. Takedown-sized by construction.
+    * Out-of-band `compactArchive` copies write a fresh `base` without
+    * the ledger — like the stats families, compaction into a fresh dir
+    * ends replay/retry protection (documented there too). */
+  private def forgottenLedger(spark: SparkSession, dir: String,
+                              st: ArchiveState): DataFrame = {
+    val (fs, _) = hfs(spark, dir)
+    val p = s"${baseDirOf(dir, st)}/forgotten"
+    if (fs.exists(new Path(p))) spark.read.parquet(p).select(col("id"))
+    else spark.range(0).select(col("id"))
+  }
+
   private def commitReseed(spark: SparkSession, dir: String, atBatch: Long,
                            folded: Set[Long], family: String,
-                           builtAtLastFolded: Long)
+                           builtAtLastFolded: Long,
+                           forgotten: Option[DataFrame] = None)
                           (write: String => Unit): Unit = {
     import spark.implicits._
     val (fs, _) = hfs(spark, dir)
@@ -660,6 +681,11 @@ object ArchiveDedup {
       write(tmp)
       folded.toSeq.sorted.toDF("id")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
+      // the takedown ledger rides every generation forward (see
+      // forgottenLedger); written only when non-empty so pre-ledger
+      // archives stay byte-identical
+      forgotten.filter(!_.isEmpty).foreach(
+        _.coalesce(1).write.mode("overwrite").parquet(s"$tmp/forgotten"))
       if (family.endsWith("forget"))
         fs.create(new Path(s"$tmp/_forget")).close()
     }
@@ -792,8 +818,13 @@ object ArchiveDedup {
     * cycle later; the stream keeps running and every FUTURE batch
     * dedups against an archive that no longer contains the forgotten
     * documents. Pairs already emitted are history — purging them from
-    * the pairs store is the caller's downstream concern. Refuses ids
-    * the archive never folded (a takedown that silently removes
+    * the pairs store is the caller's downstream concern. IDEMPOTENT
+    * across crash-retries (round 14): every takedown records its
+    * victims on a `forgotten` ledger that rides through all later
+    * generations (see [[forgottenLedger]]), so re-running a takedown
+    * whose commit was durable skips cleanly and a MIXED batch retracts
+    * only its still-live part. Refuses ids on neither the ledger nor
+    * the live index (a takedown that silently removes
     * nothing is how the wrong archive ships); a fold racing the commit
     * aborts loudly exactly as for reseeds — prefer the stream stopped.
     * A corpus-STATISTICS archive refuses: its entries hold aggregated
@@ -818,6 +849,23 @@ object ArchiveDedup {
         "in-place stats twin of this operation.")
     val st = stateOf(spark, dir)
     val (fs, _) = hfs(spark, dir)
+    // IDEMPOTENT RETRY against the takedown ledger (round 14): victims
+    // already recorded as forgotten drop out here — a crash-retried
+    // takedown whose generation commit WAS durable skips cleanly
+    // instead of refusing as "never archived"; ids on neither the
+    // ledger nor the live index still refuse below (wrong archive).
+    val victims = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint()
+    val ledger = forgottenLedger(spark, dir, st)
+    val liveVictims = victims.join(ledger, Seq("id"), "left_anti")
+      .localCheckpoint()
+    if (liveVictims.isEmpty) {
+      log.warn(s"ArchiveDedup.forgetDocs($dir): every requested id is " +
+        "already on the takedown ledger — skipping as a crash-retry " +
+        "replay of a committed takedown (the forget generation is durable).")
+      return
+    }
+    val newLedger = ledger.unionByName(liveVictims).distinct()
     // the generation entry needs a free r<id>; a forget right after a
     // reseed (or two forgets back-to-back) takes the next free id —
     // sliver names (b<id>) are a different namespace, so no collision
@@ -830,17 +878,20 @@ object ArchiveDedup {
     // re-pin here, by contract and to skip the extra full-index scan
     modality match {
       case "minhash" =>
-        val nix = Dedup.retractFromMinhashIndex(loadLatest(spark, dir)._1, ids, idCol)
+        val nix = Dedup.retractFromMinhashIndex(loadLatest(spark, dir)._1, liveVictims, "id")
         commitReseed(spark, dir, atBatch, st.allFoldedIds, "minhash forget",
-            builtAtLastFolded = st.lastFolded)(Dedup.saveMinhashIndex(nix, _))
+            builtAtLastFolded = st.lastFolded,
+            forgotten = Some(newLedger))(Dedup.saveMinhashIndex(nix, _))
       case "cosine" =>
-        val nix = Dedup.retractFromCosineIndex(loadLatestCosine(spark, dir)._1, ids, idCol)
+        val nix = Dedup.retractFromCosineIndex(loadLatestCosine(spark, dir)._1, liveVictims, "id")
         commitReseed(spark, dir, atBatch, st.allFoldedIds, "cosine forget",
-            builtAtLastFolded = st.lastFolded)(Dedup.saveCosineIndex(nix, _))
+            builtAtLastFolded = st.lastFolded,
+            forgotten = Some(newLedger))(Dedup.saveCosineIndex(nix, _))
       case _ =>
-        val nix = Dedup.retractFromSemanticIndex(loadLatestSemantic(spark, dir)._1, ids, idCol)
+        val nix = Dedup.retractFromSemanticIndex(loadLatestSemantic(spark, dir)._1, liveVictims, "id")
         commitReseed(spark, dir, atBatch, st.allFoldedIds, "semantic forget",
-            builtAtLastFolded = st.lastFolded)(Dedup.saveSemanticIndex(nix, _))
+            builtAtLastFolded = st.lastFolded,
+            forgotten = Some(newLedger))(Dedup.saveSemanticIndex(nix, _))
     }
     }
 
@@ -953,7 +1004,11 @@ object ArchiveDedup {
     val nix = Dedup.buildMinhashIndex(corpus, idCol, textCol,
       numHashes, bands, shingleLen)
     commitReseed(spark, dir, st.lastFolded, st.allFoldedIds, "minhash",
-        builtAtLastFolded = st.lastFolded) { tmp =>
+        builtAtLastFolded = st.lastFolded,
+        // the takedown ledger rides through parameter reseeds too —
+        // otherwise the superseded forget generation's GC would end
+        // crash-retry protection for past takedowns
+        forgotten = Some(forgottenLedger(spark, dir, st))) { tmp =>
       Dedup.saveMinhashIndex(nix, tmp)
       Dedup.saveDriftBaseline(tmp,
         Dedup.pinDriftBaseline(Dedup.loadMinhashIndex(spark, tmp)).baseline,
@@ -1098,7 +1153,8 @@ object ArchiveDedup {
     val nix = Dedup.buildCosineIndex(ix.vecs.select(col("id"), col("v")),
       "id", "v", dim = ix.dim, seed = ix.seed + atBatch + 1L)
     commitReseed(spark, dir, atBatch, st.allFoldedIds, "cosine",
-        builtAtLastFolded = st.lastFolded) { tmp =>
+        builtAtLastFolded = st.lastFolded,
+        forgotten = Some(forgottenLedger(spark, dir, st))) { tmp =>
       Dedup.saveCosineIndex(nix, tmp)
       // baseline from the SAVED frames, as at seed time
       Dedup.saveDriftBaseline(tmp,
@@ -1258,7 +1314,8 @@ object ArchiveDedup {
       members, "v", ix.centroids.length, seed = atBatch + 43L)
     val nix = Dedup.buildSemanticIndex(members, "id", "v", cents)
     commitReseed(spark, dir, atBatch, st.allFoldedIds, "semantic",
-        builtAtLastFolded = st.lastFolded) { tmp =>
+        builtAtLastFolded = st.lastFolded,
+        forgotten = Some(forgottenLedger(spark, dir, st))) { tmp =>
       Dedup.saveSemanticIndex(nix, tmp)
       Dedup.saveDriftBaseline(tmp,
         Dedup.pinDriftBaseline(Dedup.loadSemanticIndex(spark, tmp)).baseline,

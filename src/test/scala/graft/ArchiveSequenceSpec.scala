@@ -314,12 +314,16 @@ class ArchiveSequenceSpec extends AnyFunSuite {
         if (m.folded.nonEmpty)
           ArchiveDedup.reseedMinhashArchive(docsDf(m.survivors), dir,
             "doc_id", "text")
-      } else { // invalid forget: un-archived or already-forgotten id
-        val bad =
-          if (m.retracted.nonEmpty && d.a % 2 == 0) m.retracted.head
-          else { val Seq(id) = freshIds(1); id }
-        intercept[IllegalArgumentException](
-          ArchiveDedup.forgetDocs(spark, dir, Seq(bad).toDF("id")))
+      } else { // retry/invalid forget: ledgered ids SKIP, unknown ids refuse
+        if (m.retracted.nonEmpty && d.a % 2 == 0)
+          // crash-retry semantics (round 14): already-ledgered victims
+          // are a clean no-op — the post-step oracle proves no change
+          ArchiveDedup.forgetDocs(spark, dir, Seq(m.retracted.head).toDF("id"))
+        else {
+          val Seq(bad) = freshIds(1)
+          intercept[IllegalArgumentException](
+            ArchiveDedup.forgetDocs(spark, dir, Seq(bad).toDF("id")))
+        }
       }
       check(s"after step $step (pick $pick)")
     }
@@ -386,12 +390,14 @@ class ArchiveSequenceSpec extends AnyFunSuite {
       } else if (pick == 8) { // in-place reseed (re-randomized hyperplanes)
         if (m.folded.nonEmpty)
           ArchiveDedup.reseedCosineArchive(spark, dir)
-      } else { // invalid forget
-        val bad =
-          if (m.retracted.nonEmpty && d.a % 2 == 0) m.retracted.head
-          else { val Seq(id) = freshIds(1); id }
-        intercept[IllegalArgumentException](
-          ArchiveDedup.forgetDocs(spark, dir, Seq(bad).toDF("id")))
+      } else { // retry/invalid forget: ledgered ids SKIP, unknown ids refuse
+        if (m.retracted.nonEmpty && d.a % 2 == 0)
+          ArchiveDedup.forgetDocs(spark, dir, Seq(m.retracted.head).toDF("id"))
+        else {
+          val Seq(bad) = freshIds(1)
+          intercept[IllegalArgumentException](
+            ArchiveDedup.forgetDocs(spark, dir, Seq(bad).toDF("id")))
+        }
       }
       check(s"after step $step (pick $pick)")
     }
@@ -464,12 +470,14 @@ class ArchiveSequenceSpec extends AnyFunSuite {
         // k=3 refit needs at least k surviving members
         if (m.folded.nonEmpty && m.survivors.size >= 4)
           ArchiveDedup.reseedSemanticArchive(spark, dir)
-      } else { // invalid forget
-        val bad =
-          if (m.retracted.nonEmpty && d.a % 2 == 0) m.retracted.head
-          else { val Seq(id) = freshIds(1); id }
-        intercept[IllegalArgumentException](
-          ArchiveDedup.forgetDocs(spark, dir, Seq(bad).toDF("id")))
+      } else { // retry/invalid forget: ledgered ids SKIP, unknown ids refuse
+        if (m.retracted.nonEmpty && d.a % 2 == 0)
+          ArchiveDedup.forgetDocs(spark, dir, Seq(m.retracted.head).toDF("id"))
+        else {
+          val Seq(bad) = freshIds(1)
+          intercept[IllegalArgumentException](
+            ArchiveDedup.forgetDocs(spark, dir, Seq(bad).toDF("id")))
+        }
       }
       check(s"after step $step (pick $pick)")
     }

@@ -296,6 +296,47 @@ class CrashRecoverySpec extends AnyFunSuite {
       "post-commit merge crash + replay double-counted")
   }
 
+  test("takedown crash-retry: a post-commit crash re-retries into a ledger SKIP; the ledger rides through reseeds") {
+    val dir = tmp("graft-crash-ledger")
+    val pairsDir = tmp("graft-crash-ledger-p")
+    ArchiveDedup.seedArchive(docsDf(0L to 3L), dir, "doc_id", "text")
+    ArchiveDedup.processBatch(docsDf(10L to 12L), 0L, dir, pairsDir,
+      "doc_id", "text", 0.5, compactEvery = 0)
+    def archivedIds(): Set[Long] = {
+      val (ix, _) = ArchiveDedup.loadLatest(spark, dir)
+      ix.sets.collect().map(_.getLong(0)).toSet
+    }
+    // the takedown's generation commit is durable, then the process
+    // dies before the caller learns it succeeded
+    CrashPoints.armOnce("post-commit", s"$dir/r")
+    try {
+      intercept[CrashPoints.InjectedCrash] {
+        ArchiveDedup.forgetDocs(spark, dir, Seq(2L, 10L).toDF("id"))
+      }
+    } finally CrashPoints.disarm()
+    assert(archivedIds() === Set(0L, 1L, 3L, 11L, 12L))
+    // (a real kill leaves a stale lease — MaintenanceLeaseSpec covers
+    // that refusal + breakLease; here the injected crash unwound it)
+    // the compliance pipeline RETRIES the same takedown: the ledger
+    // recognizes both victims and skips — no "never archived" refusal,
+    // no second generation
+    ArchiveDedup.forgetDocs(spark, dir, Seq(2L, 10L).toDF("id"))
+    assert(archivedIds() === Set(0L, 1L, 3L, 11L, 12L))
+    // a reseed supersedes the forget generation — the ledger must ride
+    // through it, or GC of the old generation would end retry protection
+    ArchiveDedup.reseedMinhashArchive(
+      docsDf(Seq(0L, 1L, 3L, 11L, 12L)), dir, "doc_id", "text")
+    ArchiveDedup.forgetDocs(spark, dir, Seq(2L, 10L).toDF("id")) // still a skip
+    assert(archivedIds() === Set(0L, 1L, 3L, 11L, 12L))
+    // a MIXED takedown retracts the live part and ledgers it
+    ArchiveDedup.forgetDocs(spark, dir, Seq(2L, 11L).toDF("id"))
+    assert(archivedIds() === Set(0L, 1L, 3L, 12L))
+    // unknown ids (wrong archive) still refuse
+    intercept[IllegalArgumentException] {
+      ArchiveDedup.forgetDocs(spark, dir, Seq(999L).toDF("id"))
+    }
+  }
+
   test("forget-under-load abort path: a fold racing the generation commit aborts the takedown; retry wins") {
     val dir = tmp("graft-crash-race")
     val pairsDir = tmp("graft-crash-race-p")
