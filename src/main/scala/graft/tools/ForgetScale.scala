@@ -68,6 +68,12 @@ object ForgetScale {
     timed(s"forgetDocs (${victims.count()} ids, index rewrite + commit)") {
       ArchiveDedup.forgetDocs(spark, archive, victims)
     }
+    // crash-retry regime (round 14): the same takedown again — the
+    // ledger recognizes every victim and skips; this wall is what a
+    // compliance pipeline's at-least-once retry actually pays
+    timed("forgetDocs retry (idempotent ledger skip)") {
+      ArchiveDedup.forgetDocs(spark, archive, victims)
+    }
     val remaining =
       if (textMode) ArchiveDedup.loadLatest(spark, archive)._1.sets.count()
       else ArchiveDedup.loadLatestCosine(spark, archive)._1.vecs.count()
