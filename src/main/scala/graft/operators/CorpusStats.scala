@@ -1099,15 +1099,47 @@ object CorpusStats {
     val st = statsStateOf(spark, dir)
     requireStatsFamily(spark, dir, st, "df", "token-stats",
       "retractFromTokenStatsArchive")
+    val bLive = splitRetryVictims(spark, dir, st, b, idCol,
+      "retractFromTokenStatsArchive").getOrElse(return)
     Dedup.requireRetractCovered(
       resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")),
-      b, idCol, "retractFromTokenStatsArchive")
-    val neg = buildTokenStats(b, idCol, textCol)
+      bLive, idCol, "retractFromTokenStatsArchive")
+    val neg = buildTokenStats(bLive, idCol, textCol)
     commitRetraction(spark, dir, st, TokenComponents, Seq(
       "df" -> neg.parts.select(col("w"),
         (col("tdf_part") * lit(-1L)).as("tdf_part")),
       "ids" -> neg.ids), xCompactEvery)
     }
+
+  /** Idempotent-retry split for the in-place stats takedowns — the
+    * stats twin of the dedup archives' takedown ledger (the x entries'
+    * id records ARE the ledger here): victims already marked retracted
+    * drop out, so an at-least-once compliance retry of a takedown
+    * whose x-entry commit was durable skips (None, with a warning)
+    * instead of refusing as uncovered; a MIXED batch retracts only its
+    * still-live part; ids the archive has NEVER folded refuse loudly
+    * (wrong archive — a takedown that silently removes nothing must
+    * not look honored). */
+  private def splitRetryVictims(spark: SparkSession, dir: String,
+                                st: StatsState, b: DataFrame, idCol: String,
+                                op: String): Option[DataFrame] = {
+    val marked = b.select(col(idCol).cast("long").as("id")).distinct()
+      .join(resolvedIdsOf(spark, dir, st), Seq("id"), "left_outer")
+      .localCheckpoint()
+    val unknown = marked.where(col("m").isNull).limit(3)
+      .collect().map(_.getLong(0))
+    require(unknown.isEmpty,
+      s"$op: ids [${unknown.mkString(", ")}] were never folded in $dir — " +
+        "retraction must replay docs the archive holds (or once held); " +
+        "is this the wrong archive?")
+    val liveIds = marked.where(col("m") > 0).select(col("id"))
+    if (liveIds.isEmpty) {
+      log.warn(s"$op($dir): every requested id is already retracted " +
+        "(x-entry records) — skipping as a crash-retry replay of a " +
+        "committed takedown.")
+      None
+    } else Some(b.join(liveIds, b(idCol) === liveIds("id"), "left_semi"))
+  }
 
   /** Out-of-band full fold into a fresh directory (every live entry's
     * partials into one `seed`) — for readers that pin a snapshot
@@ -1255,10 +1287,12 @@ object CorpusStats {
         "occurrence counts against marks could silently shrink the " +
         "vocabulary below the surviving corpus. Re-seed the archive from " +
         "the corpus (current format) before retracting in place.")
+    val bLive = splitRetryVictims(spark, dir, st, b, idCol,
+      "retractFromNgramStatsArchive").getOrElse(return)
     Dedup.requireRetractCovered(
       resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")),
-      b, idCol, "retractFromNgramStatsArchive")
-    val neg = buildNgramStats(b, idCol, textCol)
+      bLive, idCol, "retractFromNgramStatsArchive")
+    val neg = buildNgramStats(bLive, idCol, textCol)
     commitRetraction(spark, dir, st, NgramComponents, Seq(
       "pairs" -> neg.pairParts.select(col("__h1"), col("__h2"),
         (col("pc_part") * lit(-1L)).as("pc_part")),

@@ -245,10 +245,11 @@ class ArchiveSequenceSpec extends AnyFunSuite {
           val (bid, ids) = m.folded(d.a % m.folded.length)
           fam.fold(dir, bid, ids, m.compactEvery) // same id, same docs
         }
-      } else if (d.pick == 10) { // invalid retract: un-archived or re-retract
+      } else if (d.pick == 10) { // retry/invalid retract
         if (m.retracted.nonEmpty && d.a % 2 == 0)
-          intercept[IllegalArgumentException](
-            fam.retract(dir, Seq(m.retracted.head)))
+          // crash-retry semantics (round 14): an already-retracted
+          // victim set SKIPS — the post-step oracle proves no change
+          fam.retract(dir, Seq(m.retracted.head))
         else
           intercept[IllegalArgumentException](
             fam.retract(dir, freshIds(1)))

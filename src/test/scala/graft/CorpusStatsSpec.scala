@@ -440,12 +440,22 @@ class CorpusStatsSpec extends AnyFunSuite {
         9L, dir, "doc_id", "text", compactEvery = 0)
     }
     assert(exR.getMessage.contains("RETRACTED"), exR.getMessage)
-    // double retraction: ids no longer covered
+    // double retraction = a crash-retry of a committed takedown: the
+    // x-entry records recognize the victim and the call SKIPS (round
+    // 14 idempotent-retry semantics, matching the dedup ledger) —
+    // proven a no-op by the recompute oracle
+    retractFromTokenStatsArchive(spark, dir, docs.where(col("doc_id") === 3),
+      "doc_id", "text")
+    assert(rowsOf(tokenFrequencyMetricsAgainst(loadTokenStatsArchive(spark, dir),
+      remaining, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(remaining, "doc_id", "text")),
+      "an idempotent takedown retry must change nothing")
+    // ids the archive NEVER folded still refuse (wrong archive)
     val exD = intercept[IllegalArgumentException] {
-      retractFromTokenStatsArchive(spark, dir, docs.where(col("doc_id") === 3),
-        "doc_id", "text")
+      retractFromTokenStatsArchive(spark, dir,
+        Seq((9999L, "never archived")).toDF("doc_id", "text"), "doc_id", "text")
     }
-    assert(exD.getMessage.contains("retractFromTokenStatsArchive"), exD.getMessage)
+    assert(exD.getMessage.contains("never folded"), exD.getMessage)
     // a window containing retracted docs would re-expose their counts
     val exW = intercept[IllegalArgumentException] {
       loadTokenStatsArchive(spark, dir, lastBatches = Some(2))
