@@ -1099,11 +1099,12 @@ object CorpusStats {
     val st = statsStateOf(spark, dir)
     requireStatsFamily(spark, dir, st, "df", "token-stats",
       "retractFromTokenStatsArchive")
+    // coverage is guaranteed by construction: splitRetryVictims refused
+    // never-folded ids and kept only m>0 members, and requireBatchIdsSane
+    // handled nulls/dups — a second requireRetractCovered pass would
+    // re-scan the archive's id components for nothing
     val bLive = splitRetryVictims(spark, dir, st, b, idCol,
       "retractFromTokenStatsArchive").getOrElse(return)
-    Dedup.requireRetractCovered(
-      resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")),
-      bLive, idCol, "retractFromTokenStatsArchive")
     val neg = buildTokenStats(bLive, idCol, textCol)
     commitRetraction(spark, dir, st, TokenComponents, Seq(
       "df" -> neg.parts.select(col("w"),
@@ -1287,11 +1288,9 @@ object CorpusStats {
         "occurrence counts against marks could silently shrink the " +
         "vocabulary below the surviving corpus. Re-seed the archive from " +
         "the corpus (current format) before retracting in place.")
+    // coverage by construction — see retractFromTokenStatsArchive
     val bLive = splitRetryVictims(spark, dir, st, b, idCol,
       "retractFromNgramStatsArchive").getOrElse(return)
-    Dedup.requireRetractCovered(
-      resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")),
-      bLive, idCol, "retractFromNgramStatsArchive")
     val neg = buildNgramStats(bLive, idCol, textCol)
     commitRetraction(spark, dir, st, NgramComponents, Seq(
       "pairs" -> neg.pairParts.select(col("__h1"), col("__h2"),
