@@ -296,6 +296,50 @@ class CrashRecoverySpec extends AnyFunSuite {
       "post-commit merge crash + replay double-counted")
   }
 
+  test("minhash compaction merge crash: pre-rename keeps slivers live; post-commit replay never double-folds") {
+    val dir = tmp("graft-crash-mh-m")
+    val pairsDir = tmp("graft-crash-mh-m-p")
+    ArchiveDedup.seedArchive(docsDf(0L to 1L), dir, "doc_id", "text")
+    def fold(b: Long, ids: Seq[Long]): Unit =
+      ArchiveDedup.processBatch(docsDf(ids), b, dir, pairsDir,
+        "doc_id", "text", 0.5, compactEvery = 2)
+    def obs(): Any = {
+      val (ix, _) = ArchiveDedup.loadLatest(spark, dir)
+      ix.sets.collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toVector).toMap
+    }
+    def fresh(ids: Seq[Long]): Any =
+      Dedup.buildMinhashIndex(docsDf(ids), "doc_id", "text")
+        .sets.collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toVector).toMap
+    fold(0L, 10L to 12L)
+    // batch 1 triggers the tier-1 merge (dedup archives fold at K-of-K,
+    // K=2) — its own fold is durable, the merge commit crashes pre-rename
+    CrashPoints.armOnce("pre-rename", s"$dir/c0-1")
+    try {
+      intercept[CrashPoints.InjectedCrash](fold(1L, 13L to 15L))
+    } finally CrashPoints.disarm()
+    assert(exists(s"$dir/b1") && !exists(s"$dir/c0-1"))
+    val all1 = (0L to 1L) ++ (10L to 15L)
+    assert(obs() === fresh(all1), "reads must stay exact off the live slivers")
+    // replay skips (fold durable); the NEXT fold re-attempts the merge
+    fold(1L, 13L to 15L)
+    assert(obs() === fresh(all1), "replay double-folded")
+    fold(2L, 16L to 18L)
+    assert(exists(s"$dir/c0-1"), "next fold must re-attempt the crashed merge")
+    val all2 = all1 ++ (16L to 18L)
+    assert(obs() === fresh(all2))
+    // post-commit merge crash: range durable, replay skips, a reader
+    // never sees a sliver and its covering range at once
+    CrashPoints.armOnce("post-commit", s"$dir/c2-3")
+    try {
+      intercept[CrashPoints.InjectedCrash](fold(3L, 19L to 21L))
+    } finally CrashPoints.disarm()
+    assert(exists(s"$dir/c2-3"))
+    val all3 = all2 ++ (19L to 21L)
+    assert(obs() === fresh(all3))
+    fold(3L, 19L to 21L)
+    assert(obs() === fresh(all3), "post-commit merge crash + replay double-folded")
+  }
+
   test("takedown crash-retry: a post-commit crash re-retries into a ledger SKIP; the ledger rides through reseeds") {
     val dir = tmp("graft-crash-ledger")
     val pairsDir = tmp("graft-crash-ledger-p")
