@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
  */
 object AnnIndex {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Trained IVF index: driver-side centroids + cluster-keyed assignments. */
   case class IvfIndex(
       centroids: Array[(Int, Array[Double])],
@@ -92,7 +94,16 @@ object AnnIndex {
     * first cluster rewrite and clears after the last; a crash mid-sweep
     * leaves it behind, and the retry recognizes the SAME takedown
     * (victims already gone from rewritten clusters are excused against
-    * the sidecar) and finishes the remaining clusters. Runs under the
+    * the sidecar) and finishes the remaining clusters. Idempotent PAST
+    * completion too (round 15): every finished takedown unions its
+    * victims into a persistent `.forgotten` ledger beside the sidecar
+    * (written ledger-then-sidecar-delete, itself retire-swapped), so an
+    * at-least-once compliance retry whose ack was lost AFTER the
+    * sidecar cleared skips with a warning instead of refusing —
+    * exactly [[graft.streaming.ArchiveDedup.forgetDocs]]'s ledger
+    * contract, including its re-ingestion rule: a ledgered id found
+    * LIVE again (the index was rebuilt over a corpus still containing
+    * it) is retracted again, never excused. Runs under the
     * directory's [[graft.streaming.MaintenanceLease]]. */
   def forgetFromIndex(spark: SparkSession, path: String, ids: DataFrame,
                       idCol: String = "id"): Unit =
@@ -129,13 +140,29 @@ object AnnIndex {
         .join(broadcast(victims), Seq("id"))
         .collect().map(r => (r.getLong(0), r.getInt(1)))
       val found = hit.map(_._1).toSet
+      // the persistent takedown ledger excuses COMPLETED takedowns on a
+      // lost-ack retry (sidecar already cleared); a ledgered id FOUND
+      // live again was re-ingested (index rebuilt over a corpus still
+      // holding it) and is in `hit`, so it retracts again — the ledger
+      // marks past takedowns, it is not an exemption for future copies
+      val ledger = forgottenLedgerOf(spark, fs, path)
+      val ledgered: Set[Long] = victims
+        .join(ledger, Seq("id"), "left_semi")
+        .collect().map(_.getLong(0)).toSet
       val missing = victims.collect().map(_.getLong(0)).filterNot(found)
         .filterNot(resumed) // already removed by the crashed sweep
+        .filterNot(ledgered) // completed takedown, retried after its ack was lost
       require(missing.isEmpty || resumed.nonEmpty,
         s"forgetFromIndex: ids [${missing.take(4).mkString(", ")}" +
           s"${if (missing.length > 4) ", …" else ""}] are not in the " +
           s"index at $path — refusing a takedown that would silently " +
           "remove nothing for them (wrong index, or already forgotten?).")
+      if (hit.isEmpty && resumed.isEmpty) {
+        log.warn(s"AnnIndex.forgetFromIndex($path): every requested id " +
+          "is on the takedown ledger and none is live in the index — " +
+          "skipping as a retry of a completed takedown (lost ack).")
+        return
+      }
       // commit the sidecar BEFORE the first rewrite (crash-retry record)
       if (resumed.isEmpty)
         victims.coalesce(1).write.mode("overwrite").parquet(sidecar.toString)
@@ -208,9 +235,70 @@ object AnnIndex {
         graft.streaming.Par.run(
           affected.map(c => () => swapCluster(c)), maxThreads = 8)
       }
+      // ledger BEFORE sidecar delete: a crash between the two leaves the
+      // sidecar, the retry re-runs to completion and re-writes the same
+      // ledger union — idempotent; after the sidecar clears, the ledger
+      // alone carries the completed takedown across lost-ack retries
+      writeForgottenLedger(spark, fs, path,
+        ledger.unionByName(victims).distinct())
       fs.delete(sidecar, true)
       spark.catalog.refreshByPath(s"$path/assignments")
     }
+
+  /** The persistent takedown ledger of a persisted IVF index (round
+    * 15) — every id ever removed by a COMPLETED [[forgetFromIndex]],
+    * kept beside the centroids exactly as the dedup archives'
+    * `forgotten` sidecar: what makes takedowns idempotent past sidecar
+    * cleanup (lost-ack compliance retries skip instead of refusing).
+    * Reads recover a crashed ledger swap first: the new ledger temp is
+    * durable before the old one retires, so whichever of the two
+    * survives is complete. */
+  private def forgottenLedgerOf(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                path: String): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/.forgotten")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.forgotten-inprogress")
+    val retired = new org.apache.hadoop.fs.Path(s"$path/.forgotten-retired")
+    if (!fs.exists(live)) {
+      // crash between retire and commit: prefer the NEW ledger (its
+      // temp was durable before the retire), else restore the old one
+      if (fs.exists(tmp) && fs.exists(retired)) {
+        if (!fs.rename(tmp, live))
+          throw new IllegalStateException(
+            s"forgetFromIndex recovery: failed to restore $live from its temp")
+        fs.delete(retired, true)
+      } else if (fs.exists(retired) && !fs.rename(retired, live))
+        throw new IllegalStateException(
+          s"forgetFromIndex recovery: failed to restore $live from $retired")
+    } else if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(live)) {
+      // the ledger path is rewritten in place by swaps — invalidate the
+      // session's file-status cache like the assignments dir
+      spark.catalog.refreshByPath(live.toString)
+      spark.read.parquet(live.toString).select(col("id"))
+    } else spark.range(0).select(col("id"))
+  }
+
+  /** Retire-swap the ledger into place (same discipline as the cluster
+    * swaps — at every instant a complete ledger is recoverable). */
+  private def writeForgottenLedger(spark: SparkSession,
+                                   fs: org.apache.hadoop.fs.FileSystem,
+                                   path: String, ledger: DataFrame): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/.forgotten")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.forgotten-inprogress")
+    val retired = new org.apache.hadoop.fs.Path(s"$path/.forgotten-retired")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    ledger.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(live) && !fs.rename(live, retired))
+      throw new IllegalStateException(
+        s"forgetFromIndex: failed to retire the takedown ledger at $live")
+    if (!fs.rename(tmp, live))
+      throw new IllegalStateException(
+        s"forgetFromIndex: failed to commit the takedown ledger at $live " +
+          s"(its previous content is intact at $retired)")
+    fs.delete(retired, true)
+  }
 
   /** nlist of a persisted index, from its tiny centroids table. */
   private def centroidCountOf(spark: SparkSession, path: String): Int =

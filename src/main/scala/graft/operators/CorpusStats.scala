@@ -777,19 +777,24 @@ object CorpusStats {
   }
 
   /** Mark-resolved id ledger of the archive: one row per doc id ever
-    * folded, `m` = 1 if the doc is live, 0 if it was retracted in
-    * place. Membership — what scoring, disjointness and
-    * retract-coverage see — is `m > 0`; the replay guard reads the
-    * whole ledger so a batch that was RETRACTED in place is
-    * distinguishable from one never folded. The guards make every id's
-    * history at most (one fold, then at most one retraction) — the
-    * disjointness guard refuses a second fold and the coverage guard a
-    * second retraction — so the ledger needs no aggregate: it is the
-    * positive union with retracted ids re-marked 0, one anti-join
-    * against the takedown-sized x side (broadcast under any realistic
-    * corpus/takedown ratio). A groupBy(id) here would instead tax
-    * EVERY future load and replay guard with a corpus-sized shuffle
-    * the moment one takedown exists. */
+    * folded, `m` = the doc's NET multiplicity — live-entry occurrences
+    * minus retraction occurrences (round 15; previously "appears in
+    * any x entry ⇒ 0"). Membership — what scoring, disjointness and
+    * retract-coverage see — is `m > 0`. The net form matters for a doc
+    * that was retracted and later RE-FOLDED (the sink's replay guard
+    * refuses such batches, but a foreign writer or hand-committed
+    * entry may not honor it): the any-x-entry rule would classify it
+    * m = 0, so a repeat retraction would silently skip while the
+    * re-folded counts remain in every df/ngram sum; net multiplicity
+    * classifies it live and the repeat retraction lands. The shape
+    * stays shuffle-light: ids NEVER retracted — the corpus-sized side
+    * — pass through one anti-join against the takedown-sized x side
+    * (broadcast under any realistic corpus/takedown ratio, no
+    * aggregate); per-id counting happens only for ids ON some x entry
+    * (semi-join first, then a takedown-sized groupBy). A corpus-wide
+    * groupBy(id) here would instead tax EVERY future load and replay
+    * guard with a corpus-sized shuffle the moment one takedown
+    * exists. */
   private def resolvedIdsOf(spark: SparkSession, dir: String,
                             st: StatsState): DataFrame = {
     val pos = spark.read.parquet(st.liveEntries.map(e => s"$dir/$e/ids"): _*)
@@ -798,10 +803,16 @@ object CorpusStats {
     else {
       val ret = spark.read
         .parquet(st.retractionEntries.map(e => s"$dir/$e/ids"): _*)
-        .select(col("id"))
-      pos.drop("m").join(ret, Seq("id"), "left_anti")
+        .groupBy(col("id")).agg(count(lit(1)).as("r"))
+      val touched = pos.drop("m")
+        .join(ret.select(col("id")), Seq("id"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("p"))
+        .join(ret, Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(col("p"), lit(0L)) - col("r")).as("m"))
+      pos.drop("m").join(ret.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(1L).as("m"))
-        .unionByName(ret.select(col("id"), lit(0L).as("m")))
+        .unionByName(touched)
     }
   }
 
@@ -1120,7 +1131,10 @@ object CorpusStats {
     * instead of refusing as uncovered; a MIXED batch retracts only its
     * still-live part; ids the archive has NEVER folded refuse loudly
     * (wrong archive — a takedown that silently removes nothing must
-    * not look honored). */
+    * not look honored). "Live" is NET multiplicity (round 15, see
+    * [[resolvedIdsOf]]): a doc retracted once but folded AGAIN later
+    * counts live, so a repeat retraction retracts the re-folded copy
+    * instead of misreading it as a crash-retry and skipping. */
   private def splitRetryVictims(spark: SparkSession, dir: String,
                                 st: StatsState, b: DataFrame, idCol: String,
                                 op: String): Option[DataFrame] = {

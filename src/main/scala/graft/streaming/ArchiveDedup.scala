@@ -630,9 +630,13 @@ object ArchiveDedup {
     * commit (forgets union their victims in; reseeds copy it through)
     * — the dedup twin of the stats archives' x-entry id records. It is
     * what makes takedowns IDEMPOTENT across crash-retries: a retried
-    * forget whose victims are all on the ledger skips with a warning
-    * instead of refusing as "never archived", while genuinely unknown
-    * ids (wrong archive) still refuse. Takedown-sized by construction.
+    * forget whose victims are all on the ledger AND absent from the
+    * live index skips with a warning instead of refusing as "never
+    * archived"; a ledgered id still LIVE in the index was re-ingested
+    * after its takedown and is retracted again (round 15 — the ledger
+    * marks past takedowns, it is not an exemption for future copies),
+    * while genuinely unknown ids (wrong archive) still refuse.
+    * Takedown-sized by construction.
     * Out-of-band `compactArchive` copies write a fresh `base` without
     * the ledger — like the stats families, compaction into a fresh dir
     * ends replay/retry protection (documented there too). */
@@ -823,8 +827,13 @@ object ArchiveDedup {
     * victims on a `forgotten` ledger that rides through all later
     * generations (see [[forgottenLedger]]), so re-running a takedown
     * whose commit was durable skips cleanly and a MIXED batch retracts
-    * only its still-live part. Refuses ids on neither the ledger nor
-    * the live index (a takedown that silently removes
+    * only its still-live part. The ledger skip applies ONLY to ids
+    * absent from the live index (round 15): a document forgotten once
+    * but RE-INGESTED in a later batch is both ledgered and live, and a
+    * takedown of it must remove the re-archived copy — classifying it
+    * as a crash-retry replay would report a compliance takedown as
+    * honored while the document stays live. Refuses ids on neither the
+    * ledger nor the live index (a takedown that silently removes
     * nothing is how the wrong archive ships); a fold racing the commit
     * aborts loudly exactly as for reseeds — prefer the stream stopped.
     * A corpus-STATISTICS archive refuses: its entries hold aggregated
@@ -849,20 +858,60 @@ object ArchiveDedup {
         "in-place stats twin of this operation.")
     val st = stateOf(spark, dir)
     val (fs, _) = hfs(spark, dir)
-    // IDEMPOTENT RETRY against the takedown ledger (round 14): victims
-    // already recorded as forgotten drop out here — a crash-retried
-    // takedown whose generation commit WAS durable skips cleanly
-    // instead of refusing as "never archived"; ids on neither the
-    // ledger nor the live index still refuse below (wrong archive).
     val victims = ids.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint()
+    // the live index is loaded ONCE, up front: the retraction needs it
+    // anyway, and the retry split below needs its id set to tell a
+    // crash-retry replay (ledgered, NOT live) from a re-ingested
+    // document (ledgered AND live — folded again after its takedown)
+    val (liveIds, retractAndCommit): (DataFrame, (DataFrame, DataFrame, Long) => Unit) =
+      modality match {
+        case "minhash" =>
+          val ix = loadLatest(spark, dir)._1
+          (ix.sets.select(col("id")),
+            (vs: DataFrame, led: DataFrame, at: Long) =>
+              commitReseed(spark, dir, at, st.allFoldedIds,
+                "minhash forget", builtAtLastFolded = st.lastFolded,
+                forgotten = Some(led))(
+                Dedup.saveMinhashIndex(
+                  Dedup.retractFromMinhashIndex(ix, vs, "id"), _)))
+        case "cosine" =>
+          val ix = loadLatestCosine(spark, dir)._1
+          (ix.vecs.select(col("id")),
+            (vs: DataFrame, led: DataFrame, at: Long) =>
+              commitReseed(spark, dir, at, st.allFoldedIds,
+                "cosine forget", builtAtLastFolded = st.lastFolded,
+                forgotten = Some(led))(
+                Dedup.saveCosineIndex(
+                  Dedup.retractFromCosineIndex(ix, vs, "id"), _)))
+        case _ =>
+          val ix = loadLatestSemantic(spark, dir)._1
+          (ix.members.select(col("id")),
+            (vs: DataFrame, led: DataFrame, at: Long) =>
+              commitReseed(spark, dir, at, st.allFoldedIds,
+                "semantic forget", builtAtLastFolded = st.lastFolded,
+                forgotten = Some(led))(
+                Dedup.saveSemanticIndex(
+                  Dedup.retractFromSemanticIndex(ix, vs, "id"), _)))
+      }
+    // IDEMPOTENT RETRY against the takedown ledger (round 14), refined
+    // round 15: only ledgered ids ABSENT from the live index drop out
+    // as crash-retry replays — a ledgered id still present in the
+    // index was RE-INGESTED after its takedown and must be retracted
+    // again (skipping it would report the takedown honored while the
+    // re-archived copy stays live). Ids on neither the ledger nor the
+    // live index still refuse below (wrong archive).
     val ledger = forgottenLedger(spark, dir, st)
+    val reIngested = victims.join(ledger, Seq("id"), "left_semi")
+      .join(liveIds, Seq("id"), "left_semi")
     val liveVictims = victims.join(ledger, Seq("id"), "left_anti")
+      .unionByName(reIngested).distinct()
       .localCheckpoint()
     if (liveVictims.isEmpty) {
       log.warn(s"ArchiveDedup.forgetDocs($dir): every requested id is " +
-        "already on the takedown ledger — skipping as a crash-retry " +
-        "replay of a committed takedown (the forget generation is durable).")
+        "already on the takedown ledger and none is live in the index — " +
+        "skipping as a crash-retry replay of a committed takedown (the " +
+        "forget generation is durable).")
       return
     }
     val newLedger = ledger.unionByName(liveVictims).distinct()
@@ -876,23 +925,7 @@ object ArchiveDedup {
     // re-snapshotted at every takedown would under-report cumulative
     // drift and mute autoReseed), and save*Index persists it; no
     // re-pin here, by contract and to skip the extra full-index scan
-    modality match {
-      case "minhash" =>
-        val nix = Dedup.retractFromMinhashIndex(loadLatest(spark, dir)._1, liveVictims, "id")
-        commitReseed(spark, dir, atBatch, st.allFoldedIds, "minhash forget",
-            builtAtLastFolded = st.lastFolded,
-            forgotten = Some(newLedger))(Dedup.saveMinhashIndex(nix, _))
-      case "cosine" =>
-        val nix = Dedup.retractFromCosineIndex(loadLatestCosine(spark, dir)._1, liveVictims, "id")
-        commitReseed(spark, dir, atBatch, st.allFoldedIds, "cosine forget",
-            builtAtLastFolded = st.lastFolded,
-            forgotten = Some(newLedger))(Dedup.saveCosineIndex(nix, _))
-      case _ =>
-        val nix = Dedup.retractFromSemanticIndex(loadLatestSemantic(spark, dir)._1, liveVictims, "id")
-        commitReseed(spark, dir, atBatch, st.allFoldedIds, "semantic forget",
-            builtAtLastFolded = st.lastFolded,
-            forgotten = Some(newLedger))(Dedup.saveSemanticIndex(nix, _))
-    }
+    retractAndCommit(liveVictims, newLedger, atBatch)
     }
 
   /** The TAKEDOWN twin of [[archiveSink]]: one call site that forgets

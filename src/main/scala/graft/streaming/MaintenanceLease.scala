@@ -81,8 +81,23 @@ object MaintenanceLease {
               "temp+rename commit protocol, so break-and-retry is safe.",
             e)
       }
-    try out.write(holder.getBytes("UTF-8")) finally out.close()
-    try body finally fs.delete(p, false)
+    // a failed holder write must not leak an anonymous lease: delete
+    // the just-created file before rethrowing (a JVM death BETWEEN
+    // create and write still leaks — that is a genuine crash, and the
+    // stale-lease recovery path below is exactly for it)
+    try { try out.write(holder.getBytes("UTF-8")) finally out.close() }
+    catch { case t: Throwable => fs.delete(p, false); throw t }
+    // an InjectedCrash IS a process death for on-disk purposes: the
+    // crash seam's contract is bit-identical state to a kill at that
+    // instant, and a killed maintainer leaves its lease behind. Running
+    // the finally delete for it would hand the recovery specs a
+    // conveniently pre-cleaned directory the real failure never
+    // produces — so the lease stays, and recovery must verify the
+    // holder is dead and breakLease, exactly as the class doc says.
+    var simulatedKill = false
+    try body
+    catch { case c: CrashPoints.InjectedCrash => simulatedKill = true; throw c }
+    finally if (!simulatedKill) fs.delete(p, false)
   }
 
   /** Stale-lease recovery after a maintainer crash — see class doc.

@@ -101,6 +101,13 @@ class AnnForgetSpec extends AnyFunSuite {
     assert(mid.subsetOf(before))
     assert((before -- mid).forall(r => victims.contains(r._1)),
       s"crash lost non-victim rows: ${(before -- mid).filterNot(r => victims.contains(r._1))}")
+    // the kill left the maintainer's stale lease (round 15 — the crash
+    // seam no longer hands recovery a pre-cleaned directory): recovery
+    // verifies the named holder is dead and breaks it
+    assert(graft.streaming.MaintenanceLease.holder(spark, path)
+      .exists(_.contains("forgetFromIndex")),
+      "a killed takedown must leave its named stale lease behind")
+    assert(graft.streaming.MaintenanceLease.breakLease(spark, path))
     // a DIFFERENT takedown refuses until the crashed one finishes
     val other = before.map(_._1).toSeq.sorted.takeRight(1)
     val e2 = intercept[IllegalArgumentException] {
@@ -133,6 +140,40 @@ class AnnForgetSpec extends AnyFunSuite {
     assert(fs.exists(live) && !fs.exists(retired) && !fs.exists(tmpDir),
       "recovery must restore the half-swapped cluster")
     assert(rowsOf(path) === before.filterNot(_._1 == otherVictim))
+  }
+
+  test("completed takedowns skip on a lost-ack retry (persistent ledger); a rebuilt index re-retracts re-ingested ids") {
+    val path = tmp("graft-annforget-f")
+    val ix = AnnIndex.buildIvf(e, "vec_id", "embedding", nlist = 8)
+    AnnIndex.writeIndex(ix, path)
+    val before = rowsOf(path)
+    val victims = before.toSeq.sortBy(_._1).take(2).map(_._1)
+    AnnIndex.forgetFromIndex(spark, path, victims.toDF("id"))
+    val after = rowsOf(path)
+    assert(after === before.filterNot(r => victims.contains(r._1)))
+    // at-least-once compliance retry AFTER completion (the ack was
+    // lost): pre-r15 this refused "not in the index"; the persistent
+    // .forgotten ledger now recognizes the completed takedown and skips
+    AnnIndex.forgetFromIndex(spark, path, victims.toDF("id"))
+    assert(rowsOf(path) === after, "lost-ack retry must be a no-op")
+    // a MIXED batch (one completed victim + one live id) retracts only
+    // the live part — the ledger excuses, it never blocks
+    val live = after.head._1
+    AnnIndex.forgetFromIndex(spark, path, Seq(victims.head, live).toDF("id"))
+    assert(rowsOf(path) === after.filterNot(_._1 == live))
+    // genuinely unknown ids still refuse
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndex.forgetFromIndex(spark, path, Seq(999999L).toDF("id"))
+    }
+    assert(e1.getMessage.contains("not in the index"), e1.getMessage)
+    // RE-INGESTION: the index is rebuilt over a corpus that still
+    // contains a forgotten id — the ledger must not excuse the live
+    // copy; the repeat takedown removes it again
+    AnnIndex.writeIndex(ix, path)
+    assert(rowsOf(path) === before, "rebuild restores the full index")
+    AnnIndex.forgetFromIndex(spark, path, victims.toDF("id"))
+    assert(rowsOf(path) === before.filterNot(r => victims.contains(r._1)),
+      "a ledgered id live again after a rebuild must be retracted, not excused")
   }
 
   test("widely-spread victims take the full-sweep path: one-job rewrite, same exactness") {

@@ -373,6 +373,43 @@ class ArchiveDedupSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("TEXT"), e2.getMessage)
   }
 
+  test("a re-ingested forgotten doc is retracted again — the ledger never excuses a live copy") {
+    import spark.implicits._
+    val archive = tmp("graft-arch-reingest")
+    val pairsDir = tmp("graft-arch-reingest-p")
+    ArchiveDedup.seedArchive(
+      Seq((0L, tA), (1L, tB), (2L, tC)).toDF("doc_id", "text"),
+      archive, "doc_id", "text")
+    ArchiveDedup.processBatch(Seq((10L, tA)).toDF("doc_id", "text"), 0L,
+      archive, pairsDir, "doc_id", "text", 0.5)
+    def ids(): Seq[Long] = ArchiveDedup.loadLatest(spark, archive)._1
+      .sets.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    ArchiveDedup.forgetDocs(spark, archive, Seq(10L).toDF("id"))
+    assert(ids() === Seq(0L, 1L, 2L))
+    // the SAME document re-ingested under its original id in a later
+    // batch folds cleanly — it is gone from the live index, so the
+    // fold guard sees a fresh sliver
+    ArchiveDedup.processBatch(Seq((10L, tA)).toDF("doc_id", "text"), 1L,
+      archive, pairsDir, "doc_id", "text", 0.5)
+    assert(ids() === Seq(0L, 1L, 2L, 10L))
+    // the repeat takedown must retract the live copy: pre-r15 the
+    // ledger classified any ledgered id as a crash-retry replay and
+    // SKIPPED — reporting the compliance takedown honored while the
+    // re-archived document stayed live
+    ArchiveDedup.forgetDocs(spark, archive, Seq(10L).toDF("id"))
+    assert(ids() === Seq(0L, 1L, 2L),
+      "a ledgered id live again in the index must be retracted, not excused")
+    // now ledgered AND absent: a further retry is a genuine crash-retry
+    // replay and skips without refusing
+    ArchiveDedup.forgetDocs(spark, archive, Seq(10L).toDF("id"))
+    assert(ids() === Seq(0L, 1L, 2L))
+    // a batch mixing the ledgered id with a NEVER-archived one still
+    // refuses on the unknown id (wrong archive)
+    intercept[IllegalArgumentException] {
+      ArchiveDedup.forgetDocs(spark, archive, Seq(10L, 777L).toDF("id"))
+    }
+  }
+
   test("a forget slot never swallows a reseed; forgetDocs preserves the pinned baseline") {
     def vec(i: Int): Array[Float] = {
       val r = new java.util.Random(31L * i + 7)

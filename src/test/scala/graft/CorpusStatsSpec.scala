@@ -549,15 +549,63 @@ class CorpusStatsSpec extends AnyFunSuite {
         "doc_id", "text", compactEvery = 0)
     }
     assert(ex.getMessage.contains("RETRACTED"), ex.getMessage)
-    // the ledger resolves membership with a broadcast anti-join against
-    // the takedown-sized x side: one takedown must not tax every future
-    // load and replay guard with a corpus-sized shuffle
+    // the ledger resolves membership with broadcast joins against the
+    // takedown-sized x side: one takedown must not tax every future
+    // load and replay guard with a corpus-sized shuffle. (Round 15's
+    // net-multiplicity marks add counting aggregates, but they run
+    // AFTER a semi-join that filters the corpus side down to
+    // ever-retracted ids — every exchange in this plan moves
+    // takedown-sized data; the never-retracted corpus branch stays a
+    // pure broadcast anti-join, and no join sort-merges.)
     val plan = loadTokenStatsArchive(spark, dir).ids
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("hashpartitioning"),
-      s"ledger plan shuffles the full id set:\n$plan")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected a broadcast anti-join ledger plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a ledger join shuffled the corpus-sized id set:\n$plan")
+  }
+
+  test("net-multiplicity marks: a retracted doc re-folded by a foreign writer counts live; the repeat retraction lands") {
+    import graft.operators.CorpusStats._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstats-refold").toString
+    seedTokenStatsArchive(docs.where(col("doc_id") < 3), dir, "doc_id", "text")
+    processTokenStatsBatch(docs.where(col("doc_id") === 3), 0L, dir,
+      "doc_id", "text", compactEvery = 0)
+    retractFromTokenStatsArchive(spark, dir, docs.where(col("doc_id") === 3),
+      "doc_id", "text")
+    // a FOREIGN writer re-folds doc 3 behind the sink (whose own guard
+    // refuses re-ingests — this is the defense-in-depth path the
+    // "appears on any x entry ⇒ retracted" rule got wrong): the entry
+    // is hand-committed in the archive's own layout
+    val re = buildTokenStats(docs.where(col("doc_id") === 3), "doc_id", "text")
+    re.parts.write.parquet(s"$dir/b77/df")
+    re.ids.write.parquet(s"$dir/b77/ids")
+    // membership resolves by NET multiplicity (fold − retraction +
+    // re-fold = 1): the doc is live again
+    assert(loadTokenStatsArchive(spark, dir).ids.collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L, 2L, 3L),
+      "a re-folded doc must count live (net multiplicity), not retracted")
+    // and the sums agree: +b0 − x0 + b77 = exactly one live copy
+    val withDoc3 = docs.where(col("doc_id") <= 3)
+    assert(rowsOf(tokenFrequencyMetricsAgainst(loadTokenStatsArchive(spark, dir),
+      withDoc3, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(withDoc3, "doc_id", "text")))
+    // the REPEAT retraction must land — pre-r15 it silently skipped as
+    // a crash-retry while the re-folded counts stayed in every sum
+    retractFromTokenStatsArchive(spark, dir, docs.where(col("doc_id") === 3),
+      "doc_id", "text")
+    val remaining = docs.where(col("doc_id") < 3)
+    assert(loadTokenStatsArchive(spark, dir).ids.collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L, 2L))
+    assert(rowsOf(tokenFrequencyMetricsAgainst(loadTokenStatsArchive(spark, dir),
+      remaining, "doc_id", "text"))
+      === rowsOf(QualityFilters.tokenFrequencyMetrics(remaining, "doc_id", "text")),
+      "the repeat retraction must cancel the re-folded counts bit-for-bit")
+    // a THIRD call is a genuine crash-retry (net zero): skips, unchanged
+    retractFromTokenStatsArchive(spark, dir, docs.where(col("doc_id") === 3),
+      "doc_id", "text")
+    assert(loadTokenStatsArchive(spark, dir).ids.collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L, 2L))
   }
 
   test("ngram retraction entries tier-fold too (all four components sum through the merge)") {

@@ -234,13 +234,24 @@ class CrashRecoverySpec extends AnyFunSuite {
           docsDf(Seq(10L, 11L)), "doc_id", "text")
       }
     } finally CrashPoints.disarm()
-    // nothing durable: no x entry, counts intact. (The injected crash
-    // unwinds through withLease's finally, so the lease releases here;
-    // a REAL process kill leaves a stale lease instead — that refusal +
-    // breakLease recovery is MaintenanceLeaseSpec's stale-lease case.)
+    // nothing durable: no x entry, counts intact — and the killed
+    // maintainer's STALE LEASE is still on disk (round 15: withLease
+    // treats InjectedCrash as the process death it simulates, so the
+    // recovery below runs against the REAL post-kill state)
     assert(!exists(s"$dir/x0") && exists(s"$dir/.inprogress-x0"))
+    assert(graft.streaming.MaintenanceLease.holder(spark, dir)
+      .exists(_.contains("retractFromTokenStatsArchive")),
+      "a killed maintainer must leave its named stale lease behind")
     assert(tokenObs(dir) === tokenRecompute(all))
-    // retry: the takedown completes, exactly once
+    // a blind retry refuses loudly, naming the dead holder
+    val refusal = intercept[IllegalStateException] {
+      CorpusStats.retractFromTokenStatsArchive(spark, dir,
+        docsDf(Seq(10L, 11L)), "doc_id", "text")
+    }
+    assert(refusal.getMessage.contains("under maintenance"), refusal.getMessage)
+    // operator recovery: verify the holder is dead, break the lease,
+    // retry — the takedown completes, exactly once
+    assert(graft.streaming.MaintenanceLease.breakLease(spark, dir))
     CorpusStats.retractFromTokenStatsArchive(spark, dir,
       docsDf(Seq(10L, 11L)), "doc_id", "text")
     assert(!exists(s"$dir/.inprogress-x0"), "retry must clean the stale temp")
@@ -359,8 +370,13 @@ class CrashRecoverySpec extends AnyFunSuite {
       }
     } finally CrashPoints.disarm()
     assert(archivedIds() === Set(0L, 1L, 3L, 11L, 12L))
-    // (a real kill leaves a stale lease — MaintenanceLeaseSpec covers
-    // that refusal + breakLease; here the injected crash unwound it)
+    // the kill left the maintainer's stale lease behind (round 15 —
+    // InjectedCrash IS a process death for on-disk purposes): recovery
+    // verifies the named holder is dead and breaks the lease first
+    assert(graft.streaming.MaintenanceLease.holder(spark, dir)
+      .exists(_.contains("forgetDocs")),
+      "a killed takedown must leave its named stale lease behind")
+    assert(graft.streaming.MaintenanceLease.breakLease(spark, dir))
     // the compliance pipeline RETRIES the same takedown: the ledger
     // recognizes both victims and skips — no "never archived" refusal,
     // no second generation

@@ -126,6 +126,39 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     assert(ix.sets.where(col("id") === 4L).isEmpty)
   }
 
+  test("an injected crash is a process death: the stale lease stays on disk until breakLease") {
+    // round-15 fidelity fix: withLease used to run its finally-delete
+    // for InjectedCrash too, handing the crash-recovery suites a
+    // pre-cleaned directory a real kill never produces; now the lease
+    // survives the simulated kill and recovery is the documented
+    // verify-dead → breakLease → retry
+    val dir = seededTokenArchive()
+    intercept[graft.streaming.CrashPoints.InjectedCrash] {
+      MaintenanceLease.withLease(spark, dir, "killed-maintainer") {
+        throw new graft.streaming.CrashPoints.InjectedCrash("test-window")
+      }
+    }
+    assert(MaintenanceLease.holder(spark, dir).exists(_.contains("killed-maintainer")),
+      "a simulated kill must leave the named stale lease behind")
+    val e = intercept[IllegalStateException] {
+      CorpusStats.retractFromTokenStatsArchive(spark, dir,
+        docs.where(col("doc_id") === 4L), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("killed-maintainer"), e.getMessage)
+    assert(MaintenanceLease.breakLease(spark, dir))
+    CorpusStats.retractFromTokenStatsArchive(spark, dir,
+      docs.where(col("doc_id") === 4L), "doc_id", "text")
+    assert(MaintenanceLease.holder(spark, dir).isEmpty)
+    // any OTHER failure still releases in finally — nothing wedges
+    intercept[RuntimeException] {
+      MaintenanceLease.withLease(spark, dir, "guard-failure") {
+        throw new RuntimeException("own-guard refusal")
+      }
+    }
+    assert(MaintenanceLease.holder(spark, dir).isEmpty,
+      "a genuine failure (not a kill) must release the lease")
+  }
+
   test("the stream's in-loop work never takes the lease (forget-under-load contract)") {
     val dir = seededTokenArchive()
     // a held lease must NOT block the sink's batch path — the
