@@ -1008,6 +1008,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q96: the DEDUP-archive takedown end-to-end — the last lifecycle
+    * operation the battery lacked (r14 verdict "what's missing" #3):
+    * q93/q94 gate the stats families' in-place retraction, this gates
+    * [[graft.streaming.ArchiveDedup.forgetDocs]] on the minhash twin.
+    * Seed (< 400), fold one batch (≥ 400), forget every doc_id ≡ 2
+    * (mod 5) — victims span the seed AND the folded sliver — then
+    * repeat the IDENTICAL takedown: the second call must be a ledger
+    * skip (every victim ledgered, none live), exercising the
+    * crash-retry path inside the oracle-gated query. The observable is
+    * [[graft.streaming.ArchiveDedup.archivePairs]] — near-dup pairs
+    * mined from the surviving archive's OWN stored components — and
+    * the oracle is q35's LSH replay restricted to the survivors, so a
+    * hash match proves the retraction left exactly the index a corpus
+    * without the victims would have built (banding keys AND shingle
+    * sets), through the real archive path (seed + fold + two forgets +
+    * generation read). */
+  private val q96DedupArchiveForget: Q = (s, dir) => {
+    import graft.streaming.ArchiveDedup
+    val docs = Tables(s, dir, "documents")
+    val arch = java.nio.file.Files.createTempDirectory("graft-q96").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft-q96-p").toString
+    ArchiveDedup.seedArchive(
+      docs.where(col("doc_id") < 400), arch, "doc_id", "text")
+    ArchiveDedup.processBatch(
+      docs.where(col("doc_id") >= 400), 0L, arch, pairsDir,
+      "doc_id", "text", 0.5, compactEvery = 0)
+    val victims = docs.where(col("doc_id") % 5 === 2)
+      .select(col("doc_id").as("id"))
+    ArchiveDedup.forgetDocs(s, arch, victims)
+    // the ledgered retry: all victims forgotten and none live — a
+    // crash-retry replay that must SKIP (neither refuse nor re-commit)
+    ArchiveDedup.forgetDocs(s, arch, victims)
+    ArchiveDedup.archivePairs(s, arch, 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-document quality scoring (training-data pipeline operator). */
   private val q23QualityScores: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -1762,6 +1798,7 @@ object SparkEntry {
     "q93_archive_retraction" -> q93ArchiveRetraction,
     "q94_ngram_archive_retraction" -> q94NgramArchiveRetraction,
     "q95_windowed_scoring" -> q95WindowedScoring,
+    "q96_dedup_archive_forget" -> q96DedupArchiveForget,
     "q75_dup_clusters" -> q75DupClusters,
     "q76_semantic_dedup" -> q76SemanticDedup,
     "q77_near_dup_keep" -> q77NearDupKeep,
@@ -1864,12 +1901,16 @@ ORDER BY d.doc_id"""
   }
 
   // Shared oracle SQL fragments
-  private val ShinglesCte =
-    """sh AS (
+  /** The shared 3-shingle CTE; `where` restricts the corpus (q96 mines
+    * pairs over takedown SURVIVORS — the same shingles, fewer docs). */
+  private def shinglesCteOver(where: String) =
+    s"""sh AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
       |    THEN list_transform(range(len(ws)-2), i -> array_to_string(ws[(i+1):(i+3)], ' '))
       |    ELSE [array_to_string(ws, ' ')] END) AS s
-      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents))""".stripMargin
+      |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents$where))""".stripMargin
+
+  private val ShinglesCte = shinglesCteOver("")
 
   private val IrCte =
     """scored AS (
@@ -2769,6 +2810,32 @@ ORDER BY d.doc_id"""
         |  round(CAST(sum(CASE WHEN d.tdf < 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio
         |FROM toks t JOIN tdf d USING (w)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q96: q35's full minhash-LSH replay over the takedown SURVIVORS
+    // (doc_id % 5 <> 2) — the engine seeds a minhash archive, folds a
+    // batch, runs the in-place forget TWICE (the retry is a ledger
+    // skip) and mines pairs from the surviving archive's own stored
+    // components; banding is per-doc deterministic and retraction an
+    // exact row filter, so the result must equal the batch LSH over a
+    // corpus that never contained the victims
+    "q96_dedup_archive_forget" ->
+      (s"""WITH ${shinglesCteOver(" WHERE doc_id % 5 <> 2")},
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(16), h -> list_min(list_transform(s, x -> md5(x || '#' || CAST(h AS VARCHAR))))) AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    md5(array_to_string(sig[(b.b*4+1):(b.b*4+4)], '|')) AS bucket
+        |  FROM sig, unnest(range(4)) AS b(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  round(len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)), 6) AS jaccard
+        |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+        |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
+        |ORDER BY c.id_a, c.id_b""").stripMargin,
     "q67_token_counts" ->
       (s"""SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -3223,7 +3290,9 @@ ORDER BY d.doc_id"""
         |  FROM struct_base),
         |struct_short AS (
         |  SELECT doc_id, 2 AS rn,
-        |    '# Body' || chr(10) || array_to_string(list_slice(ws, 11, nw), ' ') AS ctext
+        |    '# Body' || CASE WHEN nw > 10
+        |      THEN chr(10) || array_to_string(list_slice(ws, 11, nw), ' ')
+        |      ELSE '' END AS ctext
         |  FROM struct_base WHERE len(t2) <= 12),
         |struct_long_g AS (
         |  SELECT doc_id, t2, unnest(range((len(t2) + 11) // 12)) AS gi

@@ -998,6 +998,45 @@ object ArchiveDedup {
       st.lastFolded)
   }
 
+  /** AUDIT the live archive: near-duplicate pairs AMONG the archived
+    * corpus, mined from the archive's own stored components — banding
+    * keys give the LSH candidates (bucket-equality self-join, singleton
+    * buckets pruned first: they can never emit a pair and dominate real
+    * corpora), the stored hashed shingle sets give the exact Jaccard —
+    * so the takedown/retraction story is INSPECTABLE without the raw
+    * corpus: after a [[forgetDocs]], this emits exactly
+    * [[Dedup.minhashLshPairs]] over the SURVIVORS (banding is per-doc
+    * deterministic, retraction is an exact row filter — the q96 oracle
+    * replays that equivalence in SQL). Minhash archives only (the
+    * embedding families' pairs come off [[Dedup.deltaPairs]] /
+    * compaction reads). Mass-duplicate corpora whose hot buckets need
+    * the block-grid fan-out should mine pairs off the raw corpus with
+    * minhashLshPairs instead — an audit favors the declarative join. */
+  def archivePairs(spark: SparkSession, dir: String,
+                   threshold: Double): DataFrame = {
+    val modality = modalityOf(spark, dir)
+    require(modality == "minhash",
+      s"archivePairs: $dir is a $modality archive — the stored-component " +
+        "pair audit needs minhash banding keys and shingle sets")
+    val (ix, _) = loadLatest(spark, dir)
+    val b = ix.buckets.select(col("bkt"), col("id"))
+    val multi = b.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+      .where(col("m") >= 2).select(col("bkt"))
+    val hot = b.join(multi, Seq("bkt"))
+    val cand = hot.as("a").join(hot.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(ix.sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(ix.sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Fold every entry into a fresh self-contained base at `dstDir`
     * (reads are equivalent before and after; run out-of-band, then
     * point the stream at the compacted dir). The in-band path is the

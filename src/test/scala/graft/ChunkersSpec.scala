@@ -91,6 +91,20 @@ class ChunkersSpec extends AnyFunSuite {
     assert(chunks.filter(_.doc_id == 1L).forall(_.text.length >= 50)) // merged fragments
   }
 
+  test("hybridChunks preserves a header-only trailing section (merges forward, no text lost)") {
+    // a markdown doc whose last header has an EMPTY body (found by the
+    // q58 oracle at sf0.001, r15): the header-only section must still
+    // reach the output — chunkers never drop input text — as a
+    // sub-minChunkChars fragment folded into the previous chunk
+    val text = "# Intro\none two three four five six seven eight nine ten\n# Body\n"
+    val out = Chunkers.hybridChunks(Seq((0L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 12, minChunkChars = 50).collect()
+    assert(out.length === 1, out.mkString("; "))
+    assert(out.head.text ===
+      "# Intro\none two three four five six seven eight nine ten # Body")
+    assert(out.head.n_tokens === 14)
+  }
+
   test("complexity score ranks dense prose above repetitive text") {
     val simple = ("word " * 100).trim
     val complex = (1 to 10).map(i => s"Unique$i terms punctuate, clauses; differ!").mkString(" ")
