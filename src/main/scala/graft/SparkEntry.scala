@@ -1026,7 +1026,11 @@ object SparkEntry {
     * generation read). */
   private val q96DedupArchiveForget: Q = (s, dir) => {
     import graft.streaming.ArchiveDedup
-    val docs = Tables(s, dir, "documents")
+    // < 2000 bounds the LIFECYCLE corpus (the whole 500-doc small-SF
+    // corpora; 2000 of sf0.1's 5000 — the fold's delta pair-mining is
+    // the query's cost and scale for it is ForgetScale's job, not the
+    // battery's): seed < 400, fold the rest as one batch
+    val docs = Tables(s, dir, "documents").where(col("doc_id") < 2000)
     val arch = java.nio.file.Files.createTempDirectory("graft-q96").toString
     val pairsDir = java.nio.file.Files.createTempDirectory("graft-q96-p").toString
     ArchiveDedup.seedArchive(
@@ -2818,7 +2822,7 @@ ORDER BY d.doc_id"""
     // exact row filter, so the result must equal the batch LSH over a
     // corpus that never contained the victims
     "q96_dedup_archive_forget" ->
-      (s"""WITH ${shinglesCteOver(" WHERE doc_id % 5 <> 2")},
+      (s"""WITH ${shinglesCteOver(" WHERE doc_id < 2000 AND doc_id % 5 <> 2")},
         |sig AS (
         |  SELECT doc_id, s,
         |    list_transform(range(16), h -> list_min(list_transform(s, x -> md5(x || '#' || CAST(h AS VARCHAR))))) AS sig

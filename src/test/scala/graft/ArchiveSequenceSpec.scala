@@ -34,10 +34,22 @@ import scala.concurrent.duration._
  * Oracle discipline anchor: the reference's exact-search differential
  * oracle (day_6/day6_complete.py:118-153), applied to archive state.
  *
+ * Round 15 additions: (1) ~1 in 4 generated retractions runs with a
+ * CONCURRENT MAINTAINER injected at its own commit window
+ * (CrashPoints.installOnce at pre-rename) — the second call must
+ * refuse on the held MaintenanceLease and the post-step oracle proves
+ * it changed nothing, so the lease is now exercised in composition,
+ * not just in MaintenanceLeaseSpec's isolation; (2) the per-family
+ * sequence counts scale with GRAFT_SEQ_N (unset = the full 280 the
+ * CI/driver run always gets; a smoke loop exports e.g. GRAFT_SEQ_N=56
+ * for a deterministic prefix in ~1 minute).
+ *
  * Throughput: sequences are independent (each owns a temp dir), so
  * they run 4-wide on the shared session — Spark actions are
  * thread-safe and the archive caches are keyed by path. Determinism is
- * per-sequence (seeded), unaffected by interleaving.
+ * per-sequence (seeded), unaffected by interleaving (the injected
+ * concurrent-maintainer ops serialize on the JVM-wide hook slot; all
+ * other ops stay parallel).
  */
 class ArchiveSequenceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -60,6 +72,50 @@ class ArchiveSequenceSpec extends AnyFunSuite {
 
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---- suite-wall budget (round-15 ask #5) ----------------------------
+  // The release gate's full depth is 280 sequences (~6 min of wall);
+  // an edit-test loop can export GRAFT_SEQ_N=<total> to scale every
+  // family proportionally (floor 2 — e.g. GRAFT_SEQ_N=56 is a ~1-min
+  // smoke running a deterministic PREFIX of the full set). UNSET = the
+  // full 280: the CI/driver `sbt test` sets nothing, so the release
+  // gate always pins today's full counts.
+  private val fullCounts = Map(
+    "token" -> 80, "ngram" -> 70, "minhash" -> 60,
+    "cosine" -> 40, "semantic" -> 30)
+  private def seqN(fam: String): Int = {
+    val full = fullCounts(fam)
+    sys.env.get("GRAFT_SEQ_N").flatMap(_.toIntOption) match {
+      case Some(total) =>
+        math.max(2, math.round(full.toDouble * total / 280.0).toInt)
+      case None => full
+    }
+  }
+
+  // ---- concurrent-maintainer injection (round-15 ask #4) -------------
+  // MaintenanceLeaseSpec proves the lease in isolation; the sequences
+  // now exercise it IN COMPOSITION: a randomly-chosen retraction runs
+  // with a SECOND maintenance call injected at its own commit window
+  // (CrashPoints.installOnce at pre-rename — inside the held lease),
+  // which must refuse naming the holder; the op then completes and the
+  // caller's post-step recompute oracle proves the refused maintainer
+  // changed nothing. The JVM-wide hook is one volatile slot, so
+  // injections serialize across the 4-wide pool (the lock covers only
+  // the injected ops — everything else stays parallel).
+  private val hookLock = new Object
+  private def withConcurrentMaintainer[T](window: String)
+      (op: => T)(second: () => Unit): T = hookLock.synchronized {
+    @volatile var refusal: Option[String] = None
+    graft.streaming.CrashPoints.installOnce("pre-rename", window) { () =>
+      val e = intercept[IllegalStateException](second())
+      refusal = Some(e.getMessage)
+    }
+    val r = try op finally graft.streaming.CrashPoints.disarm()
+    assert(refusal.exists(_.contains("under maintenance")),
+      s"a concurrent maintainer inside $window's commit window must " +
+        s"refuse on the held lease; got: $refusal")
+    r
+  }
 
   private def inPool[T](n: Int)(body: Int => T): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -225,7 +281,12 @@ class ArchiveSequenceSpec extends AnyFunSuite {
         val live = m.survivors
         if (live.size >= 2) {
           val victims = pickSubset(live, d.a, 1 + d.b % (live.size - 1))
-          fam.retract(dir, victims)
+          // ~1 in 4 retractions runs with a concurrent maintainer
+          // injected at its commit window — must refuse on the lease
+          if (d.b % 4 == 0)
+            withConcurrentMaintainer(s"$dir/x")(fam.retract(dir, victims))(
+              () => fam.retract(dir, Seq(live.head)))
+          else fam.retract(dir, victims)
           m.retracted ++= victims
         }
       } else if (d.pick < 9) { // windowed load (valid or must-refuse)
@@ -302,7 +363,11 @@ class ArchiveSequenceSpec extends AnyFunSuite {
         val live = m.survivors
         if (live.size >= 2) {
           val victims = pickSubset(live, d.a, 1 + d.b % (live.size - 1))
-          ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id"))
+          if (d.b % 4 == 0)
+            withConcurrentMaintainer(s"$dir/r")(
+              ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id")))(
+              () => ArchiveDedup.forgetDocs(spark, dir, Seq(live.head).toDF("id")))
+          else ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id"))
           m.retracted ++= victims
         }
       } else if (pick == 7) { // replay: must skip
@@ -379,7 +444,11 @@ class ArchiveSequenceSpec extends AnyFunSuite {
         val live = m.survivors
         if (live.size >= 2) {
           val victims = pickSubset(live, d.a, 1 + d.b % (live.size - 1))
-          ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id"))
+          if (d.b % 4 == 0)
+            withConcurrentMaintainer(s"$dir/r")(
+              ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id")))(
+              () => ArchiveDedup.forgetDocs(spark, dir, Seq(live.head).toDF("id")))
+          else ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id"))
           m.retracted ++= victims
         }
       } else if (pick == 7) { // replay: must skip
@@ -404,20 +473,20 @@ class ArchiveSequenceSpec extends AnyFunSuite {
     }
   }
 
-  test("token-stats archive: 80 random operation sequences, recompute-oracle-checked at every step") {
-    inPool(80)(i => runStatsSequence(TokenFamily, i))
+  test("token-stats archive: random operation sequences (80 full / GRAFT_SEQ_N-scaled), recompute-oracle-checked at every step") {
+    inPool(seqN("token"))(i => runStatsSequence(TokenFamily, i))
   }
 
-  test("ngram-stats archive: 70 random operation sequences, recompute-oracle-checked at every step") {
-    inPool(70)(i => runStatsSequence(NgramFamily, i))
+  test("ngram-stats archive: random operation sequences (70 full / GRAFT_SEQ_N-scaled), recompute-oracle-checked at every step") {
+    inPool(seqN("ngram"))(i => runStatsSequence(NgramFamily, i))
   }
 
-  test("minhash archive: 60 random operation sequences (incl. reseed), fresh-build-oracle-checked at every step") {
-    inPool(60)(runMinhashSequence)
+  test("minhash archive: random operation sequences (60 full / GRAFT_SEQ_N-scaled, incl. reseed), fresh-build-oracle-checked at every step") {
+    inPool(seqN("minhash"))(runMinhashSequence)
   }
 
-  test("cosine archive: 40 random operation sequences (incl. re-randomizing reseed), survivor-oracle-checked at every step") {
-    inPool(40)(runCosineSequence)
+  test("cosine archive: random operation sequences (40 full / GRAFT_SEQ_N-scaled, incl. re-randomizing reseed), survivor-oracle-checked at every step") {
+    inPool(seqN("cosine"))(runCosineSequence)
   }
 
   /** Semantic (pinned-centroid) twin — the fifth archive family, so
@@ -458,7 +527,11 @@ class ArchiveSequenceSpec extends AnyFunSuite {
         val live = m.survivors
         if (live.size >= 2) {
           val victims = pickSubset(live, d.a, 1 + d.b % (live.size - 1))
-          ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id"))
+          if (d.b % 4 == 0)
+            withConcurrentMaintainer(s"$dir/r")(
+              ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id")))(
+              () => ArchiveDedup.forgetDocs(spark, dir, Seq(live.head).toDF("id")))
+          else ArchiveDedup.forgetDocs(spark, dir, victims.toDF("id"))
           m.retracted ++= victims
         }
       } else if (pick == 7) { // replay: must skip
@@ -484,7 +557,7 @@ class ArchiveSequenceSpec extends AnyFunSuite {
     }
   }
 
-  test("semantic archive: 30 random operation sequences (incl. centroid-refit reseed), survivor-oracle-checked at every step") {
-    inPool(30)(runSemanticSequence)
+  test("semantic archive: random operation sequences (30 full / GRAFT_SEQ_N-scaled, incl. centroid-refit reseed), survivor-oracle-checked at every step") {
+    inPool(seqN("semantic"))(runSemanticSequence)
   }
 }
