@@ -803,6 +803,25 @@ object Dedup {
       numHashes, bands, shingleLen)
   }
 
+  /** [[buildMinhashIndex]] with the shingle+minhash pass SHARED across
+    * the concurrent buckets/sets writes (lazy persist: the first write
+    * materializes each partition, the cache's per-partition loading
+    * lock hands it to the other — one signature pass, writes stay
+    * concurrent, no eager-materialization barrier). For BATCH-SIZED
+    * inputs only (the archive fold's sliver build): a full-corpus seed
+    * keeps the lazy recompute trade rather than caching the whole
+    * corpus's shingle sets. Callers MUST invoke the returned cleanup
+    * after the writes to release the cached partitions. */
+  private[graft] def buildMinhashIndexShared(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleLen: Int): (MinhashIndex, () => Unit) = {
+    val sh = shingleSets(df, idCol, textCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (MinhashIndex(lightBands(sh, numHashes, bands), hashedSets(sh),
+      numHashes, bands, shingleLen),
+      () => { sh.unpersist(false); () })
+  }
+
   /** Persist an index snapshot: `dir/buckets` + `dir/sets` parquet and a
     * one-row `dir/params` parquet pinning the banding widths. */
   /** Write independent component frames CONCURRENTLY — an index save
@@ -816,13 +835,16 @@ object Dedup {
     })
 
   def saveMinhashIndex(ix: MinhashIndex, dir: String): Unit = {
-    writeConcurrently(ix.buckets -> s"$dir/buckets", ix.sets -> s"$dir/sets")
     val spark = ix.buckets.sparkSession
     import spark.implicits._
-    Seq((ix.numHashes, ix.bands, ix.shingleLen))
-      .toDF("num_hashes", "bands", "shingle_len")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    saveDriftBaseline(dir, ix.baseline, spark)
+    val params = Seq((ix.numHashes, ix.bands, ix.shingleLen))
+      .toDF("num_hashes", "bands", "shingle_len").coalesce(1)
+    // params and the drift baseline are one-row local frames — they
+    // join the component batch so a save pays ONE commit wall, not four
+    writeConcurrently(Seq(
+      ix.buckets -> s"$dir/buckets", ix.sets -> s"$dir/sets",
+      params -> s"$dir/params") ++
+      driftBaselineDf(ix.baseline, spark).map(_ -> s"$dir/drift"): _*)
   }
 
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1123,13 +1145,14 @@ object Dedup {
   /** Persist an index snapshot: `dir/buckets` + `dir/vecs` parquet and a
     * one-row `dir/params` parquet pinning the signature widths. */
   def saveCosineIndex(ix: CosineIndex, dir: String): Unit = {
-    writeConcurrently(ix.buckets -> s"$dir/buckets", ix.vecs -> s"$dir/vecs")
     val spark = ix.buckets.sparkSession
     import spark.implicits._
-    Seq((ix.numBits, ix.bands, ix.dim, ix.seed))
-      .toDF("num_bits", "bands", "dim", "seed")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    saveDriftBaseline(dir, ix.baseline, spark)
+    val params = Seq((ix.numBits, ix.bands, ix.dim, ix.seed))
+      .toDF("num_bits", "bands", "dim", "seed").coalesce(1)
+    writeConcurrently(Seq(
+      ix.buckets -> s"$dir/buckets", ix.vecs -> s"$dir/vecs",
+      params -> s"$dir/params") ++
+      driftBaselineDf(ix.baseline, spark).map(_ -> s"$dir/drift"): _*)
   }
 
   def loadCosineIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1278,13 +1301,13 @@ object Dedup {
 
   /** Persist: `dir/members` parquet + `dir/centroids` parquet (idx, ce). */
   def saveSemanticIndex(ix: SemanticIndex, dir: String): Unit = {
-    ix.members.write.mode("overwrite").parquet(s"$dir/members")
     val spark = ix.members.sparkSession
     import spark.implicits._
-    ix.centroids.zipWithIndex.map { case (ce, i) => (i, ce.toSeq) }.toSeq
-      .toDF("idx", "ce")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    saveDriftBaseline(dir, ix.baseline, spark)
+    val cents = ix.centroids.zipWithIndex.map { case (ce, i) => (i, ce.toSeq) }
+      .toSeq.toDF("idx", "ce").coalesce(1)
+    writeConcurrently(Seq(
+      ix.members -> s"$dir/members", cents -> s"$dir/centroids") ++
+      driftBaselineDf(ix.baseline, spark).map(_ -> s"$dir/drift"): _*)
   }
 
   def loadSemanticIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1397,26 +1420,37 @@ object Dedup {
                               idCol: String): MinhashIndex = {
     requireRetractCovered(ix.sets.select(col("id")), ids, idCol,
       "retractFromMinhashIndex")
-    val rm = retractIds(ids, idCol)
+    retractMinhashCovered(ix, retractIds(ids, idCol))
+  }
+
+  /** The anti-join body of [[retractFromMinhashIndex]] with coverage
+    * ALREADY proven by the caller (ArchiveDedup.forgetDocs classifies
+    * every victim against the live index in its ledger pass — a second
+    * full-component coverage scan here would be pure duplicate cost). */
+  private[graft] def retractMinhashCovered(ix: MinhashIndex,
+                                           rm: DataFrame): MinhashIndex =
     ix.copy(
       buckets = ix.buckets.select(col("bkt"), col("id"))
         .join(rm, Seq("id"), "left_anti").select(col("bkt"), col("id")),
       sets = ix.sets.select(col("id"), col("sh"))
         .join(rm, Seq("id"), "left_anti").select(col("id"), col("sh")))
-  }
 
   /** Remove embeddings from a [[CosineIndex]] at anti-join cost. */
   def retractFromCosineIndex(ix: CosineIndex, ids: DataFrame,
                              idCol: String): CosineIndex = {
     requireRetractCovered(ix.vecs.select(col("id")), ids, idCol,
       "retractFromCosineIndex")
-    val rm = retractIds(ids, idCol)
+    retractCosineCovered(ix, retractIds(ids, idCol))
+  }
+
+  /** Coverage-proven body of [[retractFromCosineIndex]]. */
+  private[graft] def retractCosineCovered(ix: CosineIndex,
+                                          rm: DataFrame): CosineIndex =
     ix.copy(
       buckets = ix.buckets.select(col("bkt"), col("id"))
         .join(rm, Seq("id"), "left_anti").select(col("bkt"), col("id")),
       vecs = ix.vecs.select(col("id"), col("v"))
         .join(rm, Seq("id"), "left_anti").select(col("id"), col("v")))
-  }
 
   /** Remove members from a [[SemanticIndex]] at anti-join cost
     * (centroids stay pinned — assignment of the remaining members is
@@ -1425,11 +1459,15 @@ object Dedup {
                                idCol: String): SemanticIndex = {
     requireRetractCovered(ix.members.select(col("id")), ids, idCol,
       "retractFromSemanticIndex")
-    val rm = retractIds(ids, idCol)
+    retractSemanticCovered(ix, retractIds(ids, idCol))
+  }
+
+  /** Coverage-proven body of [[retractFromSemanticIndex]]. */
+  private[graft] def retractSemanticCovered(ix: SemanticIndex,
+                                            rm: DataFrame): SemanticIndex =
     ix.copy(members = ix.members.select(col("id"), col("cluster"), col("v"))
       .join(rm, Seq("id"), "left_anti")
       .select(col("id"), col("cluster"), col("v")))
-  }
 
   /** Modality-dispatching retraction — the [[deltaPairs]] facade's
     * forget twin: one call site whatever the index family. */
@@ -1558,18 +1596,25 @@ object Dedup {
     * stats job scans materialized data instead of re-running the
     * build (the archive seeds pin from the saved parquet). */
   def pinDriftBaseline(ix: MinhashIndex): MinhashIndex = {
-    val n = ix.buckets.count()
-    ix.copy(baseline = Some(DriftBaseline(Double.NaN,
-      topBucketShare(ix.buckets),
-      ix.sets.select(avg(size(col("sh")))).head().getDouble(0),
-      n, Some(bucketBloomOf(ix.buckets, n)))))
+    // three independent stats jobs over the saved frames (count→bloom
+    // chains on the count) — one pin wall, not four (Par establishes
+    // happens-before at join, so the vars are safe)
+    var n = 0L; var top = Double.NaN; var mss = Double.NaN
+    var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    graft.streaming.Par.run(Seq(
+      () => { n = ix.buckets.count(); bloom = Some(bucketBloomOf(ix.buckets, n)) },
+      () => { top = topBucketShare(ix.buckets) },
+      () => { mss = ix.sets.select(avg(size(col("sh")))).head().getDouble(0) }))
+    ix.copy(baseline = Some(DriftBaseline(Double.NaN, top, mss, n, bloom)))
   }
 
   def pinDriftBaseline(ix: CosineIndex): CosineIndex = {
-    val n = ix.buckets.count()
-    ix.copy(baseline = Some(DriftBaseline(Double.NaN,
-      topBucketShare(ix.buckets), Double.NaN,
-      n, Some(bucketBloomOf(ix.buckets, n)))))
+    var n = 0L; var top = Double.NaN
+    var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    graft.streaming.Par.run(Seq(
+      () => { n = ix.buckets.count(); bloom = Some(bucketBloomOf(ix.buckets, n)) },
+      () => { top = topBucketShare(ix.buckets) }))
+    ix.copy(baseline = Some(DriftBaseline(Double.NaN, top, Double.NaN, n, bloom)))
   }
 
   def pinDriftBaseline(ix: SemanticIndex): SemanticIndex =
@@ -1589,12 +1634,12 @@ object Dedup {
       .agg(avg(col("value"))).head().getDouble(0)
   }
 
-  /** Persist a pinned baseline under `dir/drift` (one row; the Bloom
-    * rides as a binary column). No-op when nothing is pinned. */
-  private[graft] def saveDriftBaseline(dir: String,
-                                       b: Option[DriftBaseline],
-                                       spark: org.apache.spark.sql.SparkSession): Unit =
-    b.foreach { bl =>
+  /** The pinned baseline as a one-row local frame (the Bloom rides as
+    * a binary column) — shared by [[saveDriftBaseline]] and the
+    * concurrent component batches of the save*Index functions. */
+  private def driftBaselineDf(b: Option[DriftBaseline],
+                              spark: org.apache.spark.sql.SparkSession): Option[DataFrame] =
+    b.map { bl =>
       import spark.implicits._
       val bytes = bl.bucketBloom.map { f =>
         val bos = new java.io.ByteArrayOutputStream()
@@ -1603,8 +1648,16 @@ object Dedup {
       }.orNull
       Seq((bl.meanDist, bl.topShare, bl.meanSetSize, bl.seedKeyCount, bytes))
         .toDF("mean_dist", "top_share", "mean_set_size", "seed_key_count", "bloom")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/drift")
+        .coalesce(1)
     }
+
+  /** Persist a pinned baseline under `dir/drift` (one row; the Bloom
+    * rides as a binary column). No-op when nothing is pinned. */
+  private[graft] def saveDriftBaseline(dir: String,
+                                       b: Option[DriftBaseline],
+                                       spark: org.apache.spark.sql.SparkSession): Unit =
+    driftBaselineDf(b, spark).foreach(
+      _.write.mode("overwrite").parquet(s"$dir/drift"))
 
   /** Load a pinned baseline from `dir/drift` if one was persisted —
     * tolerant of pre-baseline snapshots (returns None). */

@@ -220,7 +220,29 @@ object ArchiveDedup {
     while (it.hasNext) if (it.next().startsWith(s"$dir/")) it.remove()
     val itC = committedCache.keySet().iterator()
     while (itC.hasNext) if (itC.next().startsWith(s"$dir/")) itC.remove()
+    val itG = genMetaCache.keySet().iterator()
+    while (itG.hasNext) if (itG.next().startsWith(s"$dir/")) itG.remove()
   }
+
+  // One-row generation metadata (params row, pinned drift baseline,
+  // semantic centroids) is immutable once its entry is committed (the
+  // rename is the commit point and entries are never rewritten in
+  // place), so every loadLatest* after the first stops paying its two
+  // probe jobs — memoized per JVM, purged with the manifest caches on
+  // seed (the one in-place overwrite) and entry GC.
+  private val genMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def genMemo[T <: AnyRef](key: String)(f: => T): T = {
+    val c = genMetaCache.get(key)
+    if (c != null) c.asInstanceOf[T]
+    else { val v = f; genMetaCache.putIfAbsent(key, v); v }
+  }
+  private def cachedParamsRow(spark: SparkSession,
+                              base: String): org.apache.spark.sql.Row =
+    genMemo(s"$base/params")(spark.read.parquet(s"$base/params").head())
+  private def cachedDrift(spark: SparkSession,
+                          base: String): Option[Dedup.DriftBaseline] =
+    genMemo(s"$base/drift")(Dedup.loadDriftBaseline(spark, base))
   /** Drop one deleted entry's cached manifest and generation-check
     * memos — GC'd entries otherwise pin their Sets for the JVM's
     * lifetime in a long-lived driver. */
@@ -232,6 +254,8 @@ object ArchiveDedup {
     while (itC.hasNext) if (itC.next().startsWith(prefix)) itC.remove()
     val it2 = genVerified.iterator()
     while (it2.hasNext) if (it2.next().startsWith(s"$dir|$entry|")) it2.remove()
+    val it3 = genMetaCache.keySet().iterator()
+    while (it3.hasNext) if (it3.next().startsWith(prefix)) it3.remove()
   }
 
   // (dir|entry|generation) triples whose pinned params already matched
@@ -640,12 +664,17 @@ object ArchiveDedup {
     * Out-of-band `compactArchive` copies write a fresh `base` without
     * the ledger — like the stats families, compaction into a fresh dir
     * ends replay/retry protection (documented there too). */
+  /** The takedown ledger riding the current generation, or None when
+    * no takedown ever committed — presence is a DRIVER-SIDE fs check,
+    * so callers never pay an isEmpty job to learn there is no ledger
+    * (a present ledger file is non-empty by construction: commitReseed
+    * only ever writes a ledger that gained at least one victim). */
   private def forgottenLedger(spark: SparkSession, dir: String,
-                              st: ArchiveState): DataFrame = {
+                              st: ArchiveState): Option[DataFrame] = {
     val (fs, _) = hfs(spark, dir)
     val p = s"${baseDirOf(dir, st)}/forgotten"
-    if (fs.exists(new Path(p))) spark.read.parquet(p).select(col("id"))
-    else spark.range(0).select(col("id"))
+    if (fs.exists(new Path(p))) Some(spark.read.parquet(p).select(col("id")))
+    else None
   }
 
   private def commitReseed(spark: SparkSession, dir: String, atBatch: Long,
@@ -682,14 +711,19 @@ object ArchiveDedup {
             "an out-of-band reseed, or use the sink's autoReseedAfter " +
             "(which reseeds inside the batch), then retry.")
     }) { tmp =>
-      write(tmp)
-      folded.toSeq.sorted.toDF("id")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")
-      // the takedown ledger rides every generation forward (see
-      // forgottenLedger); written only when non-empty so pre-ledger
-      // archives stay byte-identical
-      forgotten.filter(!_.isEmpty).foreach(
-        _.coalesce(1).write.mode("overwrite").parquet(s"$tmp/forgotten"))
+      // the entry's components, the folded-id sidecar, and the takedown
+      // ledger are independent jobs to independent paths under tmp —
+      // one commit wall instead of three. `forgotten` rides every
+      // generation forward (see forgottenLedger); a Some is non-empty
+      // by the ledger contract (absent file = None, never an empty
+      // frame), so pre-ledger archives stay byte-identical without an
+      // isEmpty probe job here
+      Par.run(Seq(
+        () => write(tmp),
+        () => folded.toSeq.sorted.toDF("id")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/folded")) ++
+        forgotten.map(led => () =>
+          led.coalesce(1).write.mode("overwrite").parquet(s"$tmp/forgotten")))
       if (family.endsWith("forget"))
         fs.create(new Path(s"$tmp/_forget")).close()
     }
@@ -858,74 +892,93 @@ object ArchiveDedup {
         "in-place stats twin of this operation.")
     val st = stateOf(spark, dir)
     val (fs, _) = hfs(spark, dir)
-    val victims = ids.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint()
-    // the live index is loaded ONCE, up front: the retraction needs it
-    // anyway, and the retry split below needs its id set to tell a
-    // crash-retry replay (ledgered, NOT live) from a re-ingested
-    // document (ledgered AND live — folded again after its takedown)
-    val (liveIds, retractAndCommit): (DataFrame, (DataFrame, DataFrame, Long) => Unit) =
-      modality match {
-        case "minhash" =>
-          val ix = loadLatest(spark, dir)._1
-          (ix.sets.select(col("id")),
-            (vs: DataFrame, led: DataFrame, at: Long) =>
-              commitReseed(spark, dir, at, st.allFoldedIds,
-                "minhash forget", builtAtLastFolded = st.lastFolded,
-                forgotten = Some(led))(
-                Dedup.saveMinhashIndex(
-                  Dedup.retractFromMinhashIndex(ix, vs, "id"), _)))
-        case "cosine" =>
-          val ix = loadLatestCosine(spark, dir)._1
-          (ix.vecs.select(col("id")),
-            (vs: DataFrame, led: DataFrame, at: Long) =>
-              commitReseed(spark, dir, at, st.allFoldedIds,
-                "cosine forget", builtAtLastFolded = st.lastFolded,
-                forgotten = Some(led))(
-                Dedup.saveCosineIndex(
-                  Dedup.retractFromCosineIndex(ix, vs, "id"), _)))
-        case _ =>
-          val ix = loadLatestSemantic(spark, dir)._1
-          (ix.members.select(col("id")),
-            (vs: DataFrame, led: DataFrame, at: Long) =>
-              commitReseed(spark, dir, at, st.allFoldedIds,
-                "semantic forget", builtAtLastFolded = st.lastFolded,
-                forgotten = Some(led))(
-                Dedup.saveSemanticIndex(
-                  Dedup.retractFromSemanticIndex(ix, vs, "id"), _)))
-      }
+    val layout = modality match {
+      case "minhash" => MinhashLayout
+      case "cosine" => CosineLayout
+      case _ => SemanticLayout
+    }
+    verifyGenerationConsistency(spark, dir, st, layout)
     // IDEMPOTENT RETRY against the takedown ledger (round 14), refined
     // round 15: only ledgered ids ABSENT from the live index drop out
     // as crash-retry replays — a ledgered id still present in the
     // index was RE-INGESTED after its takedown and must be retracted
     // again (skipping it would report the takedown honored while the
     // re-archived copy stays live). Ids on neither the ledger nor the
-    // live index still refuse below (wrong archive).
+    // live index refuse (wrong archive). The whole classification is
+    // ONE job — victims outer-joined against the ledger and the live
+    // id component, collected takedown-sized — so a crash-retry replay
+    // costs one probe, and the retraction's coverage is proven here
+    // (Dedup.retract*Covered skips the second full-component scan).
     val ledger = forgottenLedger(spark, dir, st)
-    val reIngested = victims.join(ledger, Seq("id"), "left_semi")
-      .join(liveIds, Seq("id"), "left_semi")
-    val liveVictims = victims.join(ledger, Seq("id"), "left_anti")
-      .unionByName(reIngested).distinct()
-      .localCheckpoint()
-    if (liveVictims.isEmpty) {
+    val liveIds = readComponent(spark, entryDirsOf(dir, st),
+      layout.idComponent).select(col("id"))
+    import spark.implicits._
+    val flags = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .join(ledger.map(_.withColumn("on_ledger", lit(true)))
+          .getOrElse(spark.range(0)
+            .select(col("id"), lit(true).as("on_ledger"))),
+        Seq("id"), "left_outer")
+      .join(liveIds.withColumn("live", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("on_ledger"), lit(false)).as("on_ledger"),
+        coalesce(col("live"), lit(false)).as("live"))
+      .collect()
+    require(!flags.exists(_.isNullAt(0)),
+      s"forgetDocs: retraction ids must be non-null and castable to " +
+        s"long (column '$idCol' has null/uncastable values)")
+    val unknown = flags.filter(r => !r.getBoolean(1) && !r.getBoolean(2))
+      .map(_.getLong(0))
+    require(unknown.isEmpty,
+      s"forgetDocs: every forgotten id must have been archived in $dir, " +
+        s"but e.g. [${unknown.take(3).mkString(", ")}] were never folded " +
+        "(nor ledgered by a past takedown) — refusing a takedown that " +
+        "would remove nothing (wrong archive?)")
+    val liveVictimIds = flags.filter(_.getBoolean(2)).map(_.getLong(0))
+    if (liveVictimIds.isEmpty) {
       log.warn(s"ArchiveDedup.forgetDocs($dir): every requested id is " +
         "already on the takedown ledger and none is live in the index — " +
         "skipping as a crash-retry replay of a committed takedown (the " +
         "forget generation is durable).")
       return
     }
-    val newLedger = ledger.unionByName(liveVictims).distinct()
+    // a LOCAL relation: the rewrite's anti-joins broadcast it, and the
+    // ledger union needs no recompute guard (no localCheckpoint jobs)
+    val liveVictims = liveVictimIds.toSeq.sorted.toDF("id")
+    val newLedger = ledger
+      .map(_.unionByName(liveVictims).distinct()).getOrElse(liveVictims)
     // the generation entry needs a free r<id>; a forget right after a
     // reseed (or two forgets back-to-back) takes the next free id —
     // sliver names (b<id>) are a different namespace, so no collision
     val atBatch = Iterator.iterate(math.max(0L, st.lastFolded))(_ + 1L)
       .find(id => !fs.exists(new Path(s"$dir/r$id"))).get
-    // retractFrom* deliberately carries the PINNED drift baseline
+    // retract*Covered deliberately carries the PINNED drift baseline
     // through (seed-scoped, exactly as for appends — a baseline that
     // re-snapshotted at every takedown would under-report cumulative
     // drift and mute autoReseed), and save*Index persists it; no
     // re-pin here, by contract and to skip the extra full-index scan
-    retractAndCommit(liveVictims, newLedger, atBatch)
+    modality match {
+      case "minhash" =>
+        val ix = loadLatest(spark, dir)._1
+        commitReseed(spark, dir, atBatch, st.allFoldedIds,
+          "minhash forget", builtAtLastFolded = st.lastFolded,
+          forgotten = Some(newLedger))(
+          Dedup.saveMinhashIndex(
+            Dedup.retractMinhashCovered(ix, liveVictims), _))
+      case "cosine" =>
+        val ix = loadLatestCosine(spark, dir)._1
+        commitReseed(spark, dir, atBatch, st.allFoldedIds,
+          "cosine forget", builtAtLastFolded = st.lastFolded,
+          forgotten = Some(newLedger))(
+          Dedup.saveCosineIndex(
+            Dedup.retractCosineCovered(ix, liveVictims), _))
+      case _ =>
+        val ix = loadLatestSemantic(spark, dir)._1
+        commitReseed(spark, dir, atBatch, st.allFoldedIds,
+          "semantic forget", builtAtLastFolded = st.lastFolded,
+          forgotten = Some(newLedger))(
+          Dedup.saveSemanticIndex(
+            Dedup.retractSemanticCovered(ix, liveVictims), _))
+    }
     }
 
   /** The TAKEDOWN twin of [[archiveSink]]: one call site that forgets
@@ -970,13 +1023,17 @@ object ArchiveDedup {
                   shingleLen: Int = 3): Unit = {
     val spark = corpus.sparkSession
     purgeManifestCache(dir)
-    Dedup.saveMinhashIndex(
-      Dedup.buildMinhashIndex(corpus, idCol, textCol, numHashes, bands, shingleLen),
-      s"$dir/base")
+    val built = Dedup.buildMinhashIndex(corpus, idCol, textCol,
+      numHashes, bands, shingleLen)
+    Dedup.saveMinhashIndex(built, s"$dir/base")
     // pin the drift baseline from the SAVED frames — stats jobs scan
     // the written parquet instead of re-running the lazy shingle pass
+    // (the widths are the ones just built; only the frames re-point,
+    // so no params re-read job)
     Dedup.saveDriftBaseline(s"$dir/base",
-      Dedup.pinDriftBaseline(Dedup.loadMinhashIndex(spark, s"$dir/base")).baseline,
+      Dedup.pinDriftBaseline(built.copy(
+        buckets = spark.read.parquet(s"$dir/base/buckets"),
+        sets = spark.read.parquet(s"$dir/base/sets"))).baseline,
       spark)
   }
 
@@ -987,14 +1044,14 @@ object ArchiveDedup {
     val st = stateOf(spark, dir)
     verifyGenerationConsistency(spark, dir, st, MinhashLayout)
     val base = baseDirOf(dir, st)
-    val p = spark.read.parquet(s"$base/params").head()
+    val p = cachedParamsRow(spark, base)
     val dirs = entryDirsOf(dir, st)
     (Dedup.MinhashIndex(
       readComponent(spark, dirs, "buckets").select(col("bkt"), col("id")),
       readComponent(spark, dirs, "sets").select(col("id"), col("sh")),
       p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
       p.getAs[Int]("shingle_len"),
-      Dedup.loadDriftBaseline(spark, base)),
+      cachedDrift(spark, base)),
       st.lastFolded)
   }
 
@@ -1080,7 +1137,7 @@ object ArchiveDedup {
         // the takedown ledger rides through parameter reseeds too —
         // otherwise the superseded forget generation's GC would end
         // crash-retry protection for past takedowns
-        forgotten = Some(forgottenLedger(spark, dir, st))) { tmp =>
+        forgotten = forgottenLedger(spark, dir, st)) { tmp =>
       Dedup.saveMinhashIndex(nix, tmp)
       Dedup.saveDriftBaseline(tmp,
         Dedup.pinDriftBaseline(Dedup.loadMinhashIndex(spark, tmp)).baseline,
@@ -1123,9 +1180,21 @@ object ArchiveDedup {
     // is the same union for in-session callers — here the sliver IS
     // the durable form of that append)
     commitEntry(spark, archiveDir, s"b$batchId") { tmp =>
-      Dedup.saveMinhashIndex(
-        Dedup.buildMinhashIndex(b, idCol, textCol,
-          ix.numHashes, ix.bands, ix.shingleLen), tmp)
+      // Shared variant (default): the sliver's buckets and sets writes
+      // run concurrently, and each would otherwise re-run the batch's
+      // whole shingle+minhash pass — at production batch sizes that is
+      // the fold's dominant CPU, paid twice. A/B-able back to the
+      // recompute trade with -Dgraft.fold.sharedShingles=false (or
+      // GRAFT_FOLD_SHARED=false for forked harnesses).
+      if (sys.props.get("graft.fold.sharedShingles")
+          .orElse(sys.env.get("GRAFT_FOLD_SHARED")).forall(_.toBoolean)) {
+        val (sliver, done) = Dedup.buildMinhashIndexShared(b, idCol, textCol,
+          ix.numHashes, ix.bands, ix.shingleLen)
+        try Dedup.saveMinhashIndex(sliver, tmp) finally done()
+      } else
+        Dedup.saveMinhashIndex(
+          Dedup.buildMinhashIndex(b, idCol, textCol,
+            ix.numHashes, ix.bands, ix.shingleLen), tmp)
     }
     maybeCompact(spark, archiveDir, MinhashLayout, compactEvery, batchId,
       retainCovered)
@@ -1169,12 +1238,14 @@ object ArchiveDedup {
                         dim: Int = -1, seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     purgeManifestCache(dir)
-    Dedup.saveCosineIndex(
-      Dedup.buildCosineIndex(corpus, idCol, vecCol, numBits, bands, dim, seed),
-      s"$dir/base")
+    val built = Dedup.buildCosineIndex(corpus, idCol, vecCol,
+      numBits, bands, dim, seed)
+    Dedup.saveCosineIndex(built, s"$dir/base")
     // baseline from the saved frames (see seedArchive)
     Dedup.saveDriftBaseline(s"$dir/base",
-      Dedup.pinDriftBaseline(Dedup.loadCosineIndex(spark, s"$dir/base")).baseline,
+      Dedup.pinDriftBaseline(built.copy(
+        buckets = spark.read.parquet(s"$dir/base/buckets"),
+        vecs = spark.read.parquet(s"$dir/base/vecs"))).baseline,
       spark)
   }
 
@@ -1185,14 +1256,14 @@ object ArchiveDedup {
     val st = stateOf(spark, dir)
     verifyGenerationConsistency(spark, dir, st, CosineLayout)
     val base = baseDirOf(dir, st)
-    val p = spark.read.parquet(s"$base/params").head()
+    val p = cachedParamsRow(spark, base)
     val dirs = entryDirsOf(dir, st)
     (Dedup.CosineIndex(
       readComponent(spark, dirs, "buckets").select(col("bkt"), col("id")),
       readComponent(spark, dirs, "vecs").select(col("id"), col("v")),
       p.getAs[Int]("num_bits"), p.getAs[Int]("bands"),
       p.getAs[Int]("dim"), p.getAs[Long]("seed"),
-      Dedup.loadDriftBaseline(spark, base)),
+      cachedDrift(spark, base)),
       st.lastFolded)
   }
 
@@ -1226,7 +1297,7 @@ object ArchiveDedup {
       "id", "v", dim = ix.dim, seed = ix.seed + atBatch + 1L)
     commitReseed(spark, dir, atBatch, st.allFoldedIds, "cosine",
         builtAtLastFolded = st.lastFolded,
-        forgotten = Some(forgottenLedger(spark, dir, st))) { tmp =>
+        forgotten = forgottenLedger(spark, dir, st)) { tmp =>
       Dedup.saveCosineIndex(nix, tmp)
       // baseline from the SAVED frames, as at seed time
       Dedup.saveDriftBaseline(tmp,
@@ -1333,12 +1404,12 @@ object ArchiveDedup {
                           centroids: Array[Array[Float]]): Unit = {
     val spark = corpus.sparkSession
     purgeManifestCache(dir)
-    Dedup.saveSemanticIndex(
-      Dedup.buildSemanticIndex(corpus, idCol, vecCol, centroids),
-      s"$dir/base")
+    val built = Dedup.buildSemanticIndex(corpus, idCol, vecCol, centroids)
+    Dedup.saveSemanticIndex(built, s"$dir/base")
     // baseline from the saved frames (see seedArchive)
     Dedup.saveDriftBaseline(s"$dir/base",
-      Dedup.pinDriftBaseline(Dedup.loadSemanticIndex(spark, s"$dir/base")).baseline,
+      Dedup.pinDriftBaseline(built.copy(
+        members = spark.read.parquet(s"$dir/base/members"))).baseline,
       spark)
   }
 
@@ -1351,14 +1422,15 @@ object ArchiveDedup {
     val st = stateOf(spark, dir)
     verifyGenerationConsistency(spark, dir, st, SemanticLayout)
     val base = baseDirOf(dir, st)
-    val cents = spark.read.parquet(s"$base/centroids")
-      .orderBy(col("idx")).collect()
-      .map(_.getSeq[Float](1).toArray)
+    val cents = genMemo(s"$base/centroids")(
+      spark.read.parquet(s"$base/centroids")
+        .orderBy(col("idx")).collect()
+        .map(_.getSeq[Float](1).toArray))
     val dirs = entryDirsOf(dir, st)
     (Dedup.SemanticIndex(
       readComponent(spark, dirs, "members")
         .select(col("id"), col("cluster"), col("v")), cents,
-      Dedup.loadDriftBaseline(spark, base)),
+      cachedDrift(spark, base)),
       st.lastFolded)
   }
 
@@ -1387,7 +1459,7 @@ object ArchiveDedup {
     val nix = Dedup.buildSemanticIndex(members, "id", "v", cents)
     commitReseed(spark, dir, atBatch, st.allFoldedIds, "semantic",
         builtAtLastFolded = st.lastFolded,
-        forgotten = Some(forgottenLedger(spark, dir, st))) { tmp =>
+        forgotten = forgottenLedger(spark, dir, st)) { tmp =>
       Dedup.saveSemanticIndex(nix, tmp)
       Dedup.saveDriftBaseline(tmp,
         Dedup.pinDriftBaseline(Dedup.loadSemanticIndex(spark, tmp)).baseline,
