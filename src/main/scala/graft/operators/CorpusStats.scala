@@ -959,8 +959,7 @@ object CorpusStats {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
-    Dedup.requireBatchIdsSane(b, idCol, "tokenStatsSink")
-    if (alreadyFolded(spark, dir, batchId, b, idCol,
+    if (alreadyFolded(spark, dir, batchId, b, idCol, "tokenStatsSink",
         () => resolvedIdsOf(spark, dir, statsStateOf(spark, dir)),
         () => statsStateOf(spark, dir).allFoldedIds.contains(batchId))) return
     commitParts(buildTokenStats(b, idCol, textCol), dir, s"b$batchId")
@@ -989,20 +988,43 @@ object CorpusStats {
     * (fresh docs under a used batchId) are caught at commit time by
     * the existing-entry check in [[commitComponents]]. */
   private def alreadyFolded(spark: SparkSession, dir: String, batchId: Long,
-                            b: DataFrame, idCol: String,
+                            b: DataFrame, idCol: String, op: String,
                             resolvedIds: () => DataFrame,
                             batchIdFolded: () => Boolean): Boolean = {
-    if (entryNamesOf(spark, dir).isEmpty) return false // day-0 stream
-    val incoming = b.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint()
-    val n = incoming.count()
-    if (n == 0) return true // empty batch: nothing to fold, skip
-    val r = incoming.join(resolvedIds(), Seq("id"))
-      .agg(count(lit(1)).as("ns"),
+    // ONE classification job per streamed batch: per-id multiplicity
+    // (the null/dup sanity the sinks used to probe separately) joined
+    // against the mark-resolved ledger, aggregated to five counters —
+    // previously a sanity scan, a localCheckpoint, a count and a
+    // join-aggregate, four sequential job walls on EVERY fold. Example
+    // ids for the refusal messages are collected only on the (rare)
+    // failure path.
+    val counted = b.select(col(idCol).cast("long").as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("c"))
+    def sanity(): Unit = {
+      if (!Dedup.checkDeltaDisjoint(spark)) return
+      Dedup.requireBatchIdsSane(b, idCol, op)
+    }
+    if (entryNamesOf(spark, dir).isEmpty) { // day-0 stream
+      sanity()
+      return false
+    }
+    val r = counted
+      .join(resolvedIds(), Seq("id"), "left_outer")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("id").isNull, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("bad"),
+        coalesce(sum(when(col("c") > 1, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("dup"),
+        coalesce(sum(when(col("m").isNotNull, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("ns"),
         coalesce(sum(when(col("m") > 0, lit(1L)).otherwise(lit(0L))), lit(0L))
           .as("nl"))
       .head()
-    val (seen, live) = (r.getLong(0), r.getLong(1))
+    val (n, seen, live) = (r.getLong(0), r.getLong(3), r.getLong(4))
+    if (Dedup.checkDeltaDisjoint(spark) &&
+        (r.getLong(1) > 0 || r.getLong(2) > 0))
+      sanity() // re-probe for the example ids; throws with the full message
+    if (n == 0) return true // empty batch: nothing to fold, skip
     if (seen == 0) false
     else if (seen < n)
       throw new IllegalStateException(
@@ -1106,14 +1128,14 @@ object CorpusStats {
         "retractFromTokenStatsArchive") {
     val b = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
-    Dedup.requireBatchIdsSane(b, idCol, "retractFromTokenStatsArchive")
     val st = statsStateOf(spark, dir)
     requireStatsFamily(spark, dir, st, "df", "token-stats",
       "retractFromTokenStatsArchive")
     // coverage is guaranteed by construction: splitRetryVictims refused
-    // never-folded ids and kept only m>0 members, and requireBatchIdsSane
-    // handled nulls/dups — a second requireRetractCovered pass would
-    // re-scan the archive's id components for nothing
+    // never-folded ids and kept only m>0 members, and its collected
+    // classification also carries the null/dup sanity checks (the
+    // separate requireBatchIdsSane scan is subsumed) — a second
+    // requireRetractCovered pass would re-scan the archive for nothing
     val bLive = splitRetryVictims(spark, dir, st, b, idCol,
       "retractFromTokenStatsArchive").getOrElse(return)
     val neg = buildTokenStats(bLive, idCol, textCol)
@@ -1138,22 +1160,49 @@ object CorpusStats {
   private def splitRetryVictims(spark: SparkSession, dir: String,
                                 st: StatsState, b: DataFrame, idCol: String,
                                 op: String): Option[DataFrame] = {
-    val marked = b.select(col(idCol).cast("long").as("id")).distinct()
+    import spark.implicits._
+    // ONE classification job, collected takedown-sized (the house
+    // takedown-path contract): per-id batch multiplicity + net archive
+    // mark in a single probe — subsumes the requireBatchIdsSane scan
+    // the retraction entry points used to run separately, the
+    // checkpointed mark join, the unknown limit-collect and the
+    // isEmpty probe. Refusals are driver-side over the collected rows.
+    val marked = b.select(col(idCol).cast("long").as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("c"))
       .join(resolvedIdsOf(spark, dir, st), Seq("id"), "left_outer")
-      .localCheckpoint()
-    val unknown = marked.where(col("m").isNull).limit(3)
-      .collect().map(_.getLong(0))
+      .collect()
+    if (Dedup.checkDeltaDisjoint(spark)) {
+      require(!marked.exists(_.isNullAt(0)),
+        s"$op: batch ids must be non-null and castable to long (column " +
+          s"'$idCol' has null/uncastable values) — filter or repair them " +
+          "before the batch commits")
+      val dup = marked.filter(_.getLong(1) > 1).take(4).map(_.getLong(0))
+      require(dup.isEmpty,
+        s"$op: batch ids must be unique within the batch, but e.g. " +
+          s"[${dup.mkString(", ")}] appear more than once — duplicated " +
+          "rows would double-count the batch's partial counts. " +
+          "Pre-compact the batch (latest wins), or disable the check " +
+          "with spark.graft.checkDeltaDisjoint=false")
+    }
+    val unknown = marked.filter(r => !r.isNullAt(0) && r.isNullAt(2))
+      .take(3).map(_.getLong(0))
     require(unknown.isEmpty,
       s"$op: ids [${unknown.mkString(", ")}] were never folded in $dir — " +
         "retraction must replay docs the archive holds (or once held); " +
         "is this the wrong archive?")
-    val liveIds = marked.where(col("m") > 0).select(col("id"))
+    val liveIds = marked
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(2) && r.getLong(2) > 0)
+      .map(_.getLong(0))
     if (liveIds.isEmpty) {
       log.warn(s"$op($dir): every requested id is already retracted " +
         "(x-entry records) — skipping as a crash-retry replay of a " +
         "committed takedown.")
       None
-    } else Some(b.join(liveIds, b(idCol) === liveIds("id"), "left_semi"))
+    } else {
+      // a LOCAL relation: the replay-text semi-join broadcasts it
+      val lv = liveIds.toSeq.sorted.toDF("live_id")
+      Some(b.join(lv, b(idCol) === col("live_id"), "left_semi"))
+    }
   }
 
   /** Out-of-band full fold into a fresh directory (every live entry's
@@ -1235,8 +1284,7 @@ object CorpusStats {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
-    Dedup.requireBatchIdsSane(b, idCol, "ngramStatsSink")
-    if (alreadyFolded(spark, dir, batchId, b, idCol,
+    if (alreadyFolded(spark, dir, batchId, b, idCol, "ngramStatsSink",
         () => resolvedIdsOf(spark, dir, statsStateOf(spark, dir)),
         () => statsStateOf(spark, dir).allFoldedIds.contains(batchId))) return
     commitNgram(buildNgramStats(b, idCol, textCol), dir, s"b$batchId")
@@ -1288,7 +1336,6 @@ object CorpusStats {
         "retractFromNgramStatsArchive") {
     val b = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
       .localCheckpoint()
-    Dedup.requireBatchIdsSane(b, idCol, "retractFromNgramStatsArchive")
     val st = statsStateOf(spark, dir)
     requireStatsFamily(spark, dir, st, "pairs", "ngram-stats",
       "retractFromNgramStatsArchive")

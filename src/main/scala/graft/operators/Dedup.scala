@@ -966,7 +966,7 @@ object Dedup {
   /** True unless the session disables the delta-disjointness guard
     * (`spark.graft.checkDeltaDisjoint=false`; unparseable values keep
     * the guard ON — fail safe). */
-  private def checkDeltaDisjoint(spark: org.apache.spark.sql.SparkSession): Boolean =
+  private[graft] def checkDeltaDisjoint(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption("spark.graft.checkDeltaDisjoint")
       .forall(v => scala.util.Try(v.trim.toBoolean).getOrElse(true))
 
