@@ -844,7 +844,10 @@ object SparkEntry {
     * strip-then-redact would keep all of them. */
   private val q74ScrubPipeline: Q = (s, dir) => {
     import graft.operators.CurationPipeline
-    val lined = Tables(s, dir, "documents")
+    // fanOut: the line-reassembly string algebra below plus scrub's
+    // PII regexes are per-row CPU, and the single-row-group small-SF
+    // file otherwise runs them all in ONE scan task (see Tables.fanOut)
+    val lined = Tables.fanOut(Tables(s, dir, "documents"))
       .withColumn("__ws", split(col("text"), " "))
       .withColumn("text", concat(
         concat_ws("\n",
@@ -1192,6 +1195,11 @@ object SparkEntry {
       .agg(concat(array_join(
         transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
           x => x.getField("text")), ". "), lit(".")).as("text"))
+      // 25 mega-documents are BYTE-small, so AQE coalesces the agg to
+      // one task and the whole sentence pass runs single-core; an
+      // explicit group-count repartition (explicit N survives AQE)
+      // spreads the regex-heavy chunking one group per task
+      .repartition(25, col("gid"))
     Chunkers.sentenceChunks(combined, "gid", "text",
         maxSentences = 3, maxWords = 120, overlapSentences = 1, minSentenceChars = 10)
       .toDF()
