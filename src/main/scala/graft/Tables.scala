@@ -12,20 +12,13 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Repair scan parallelism for map-heavy plans over small
-    * unsplittable inputs: the small-SF parquet files are single
-    * row-group, so a CPU-bound per-row chain (PII regexes, sentence
-    * splitting, line reassembly) otherwise runs ONE task however many
-    * cores the session has. A no-op when the scan already fans wide —
-    * at production scale file count >> cores, so the added exchange
-    * exists exactly where the input layout starves the plan and
-    * nowhere else. Use only on integer/string-valued chains: float
-    * AGGREGATES keep their scan partitioning so accumulation order
-    * (and the oracle's bit-exact hash) stays put. */
-  def fanOut(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= want) df
-    else df.repartition(want)
-  }
+    * unsplittable inputs — delegates to [[graft.operators.Par.widen]]
+    * (file-metadata split estimate, no AQE materialization): a no-op
+    * at production file counts, an exchange exactly where the input
+    * layout starves the plan. Use only on integer/string-valued
+    * chains: float AGGREGATES keep their scan partitioning so
+    * accumulation order (and the oracle's bit-exact hash) stays put. */
+  def fanOut(df: DataFrame): DataFrame = graft.operators.Par.widen(df)
 
   /** Collect one embedding as the query vector for k-NN entries. */
   def queryVector(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
