@@ -1100,6 +1100,11 @@ object ArchiveDedup {
     * automatic tiered compaction — see `compactEvery`. */
   def compactArchive(spark: SparkSession, dir: String, dstDir: String): Unit =
     MaintenanceLease.withLease(spark, dir, "compactArchive") {
+      // dstDir may have been READ by this JVM before (re-compacting
+      // into a recycled dir): drop its memoized generation metadata so
+      // the fresh base/params is what loaders see, same convention as
+      // the seeds' purge
+      purgeManifestCache(dstDir)
       val (live, _) = loadLatest(spark, dir)
       Dedup.saveMinhashIndex(live, s"$dstDir/base")
     }
