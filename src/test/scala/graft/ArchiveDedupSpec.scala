@@ -69,6 +69,21 @@ class ArchiveDedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(keySet(cIx) === keySet(latest))
     assert(cIx.sets.count() === 7L)
+
+    // RE-compacting into a dir this JVM already READ must serve the
+    // fresh generation metadata, not the memoized one: reseed the
+    // source under different widths, compact into the SAME dstDir,
+    // and the reload must see the new params (stale-cache regression
+    // guard for the per-JVM generation-metadata memo)
+    ArchiveDedup.reseedMinhashArchive(
+      Seq((0L, tA), (10L, tA), (11L, tB), (20L, tB), (21L, tA),
+        (1L, tB), (2L, tC)).toDF("doc_id", "text"),
+      archive, "doc_id", "text", numHashes = 32, bands = 8)
+    ArchiveDedup.compactArchive(spark, archive, compacted)
+    val (cIx2, _) = ArchiveDedup.loadLatest(spark, compacted)
+    assert(cIx2.numHashes === 32 && cIx2.bands === 8,
+      "re-compaction into a previously-read dstDir must expose the " +
+        "reseeded widths, not the memoized pre-reseed params")
   }
 
   test("cosine twin: embedding batches dedup against the archive, fold in, replay idempotently") {

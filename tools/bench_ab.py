@@ -133,7 +133,12 @@ def main():
         if "spark_agg10m" in cal_a and "spark_agg10m" in cal_b and cal_b["spark_agg10m"] > 0:
             norm = cal_a["spark_agg10m"] / cal_b["spark_agg10m"]
         norm_delta = (med_a / norm - med_b) / med_b if med_b > 0 else float("nan")
-        verdict = "CODE-FLAT" if abs(norm_delta) <= args.flat_band else "CODE-REGRESSION"
+        # sign matters: a HEAD that got FASTER than the baseline is an
+        # improvement, not a regression — only a positive delta beyond
+        # the band fails the gate
+        verdict = ("CODE-FLAT" if abs(norm_delta) <= args.flat_band
+                   else "CODE-REGRESSION" if norm_delta > 0
+                   else "CODE-IMPROVEMENT")
         result = {
             "baseline_ref": args.baseline,
             "sf": args.sf,
@@ -150,7 +155,7 @@ def main():
             "verdict": verdict,
         }
         print(json.dumps(result))
-        return 0 if verdict == "CODE-FLAT" else 2
+        return 2 if verdict == "CODE-REGRESSION" else 0
     finally:
         if not args.keep_worktree:
             run(["git", "worktree", "remove", "--force", wt], cwd=REPO)
