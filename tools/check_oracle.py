@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each oracle SQL in
 DuckDB against the sf parquet tables and compare (exactly) with the parquet
-results Verify wrote. Usage: check_oracle.py <sfDir> <verifyOutDir>."""
+results Verify wrote. Usage: check_oracle.py <sfDir> <verifyOutDir>
+[qname,qname,...] — the optional third arg restricts the replay (comma list,
+each matched as a prefix), for the ×10 hash-continuity ritual where a
+handful of targeted oracles matter and the heavyweight full-corpus SQLs
+(q25's LSH replay at 50k docs) would dominate the wall."""
 import sys, json, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = [s for s in (sys.argv[3].split(",") if len(sys.argv) > 3 else []) if s]
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
@@ -14,6 +19,9 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+if only:
+    oracle = {k: v for k, v in oracle.items()
+              if any(k.startswith(p) for p in only)}
 fail = 0
 for name, sql in sorted(oracle.items()):
     res_dir = f"{out_dir}/{name}"
