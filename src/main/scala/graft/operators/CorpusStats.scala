@@ -1170,7 +1170,13 @@ object CorpusStats {
     val marked = b.select(col(idCol).cast("long").as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("c"))
       .join(resolvedIdsOf(spark, dir, st), Seq("id"), "left_outer")
+      .limit(Dedup.takedownCollectCap(spark) + 1)
       .collect()
+    require(marked.length <= Dedup.takedownCollectCap(spark),
+      s"$op: the takedown batch exceeds spark.graft.maxTakedownCollect " +
+        s"(${Dedup.takedownCollectCap(spark)} ids) — the classification " +
+        "materializes one driver-side row per victim; split the takedown " +
+        "into smaller batches (or raise the cap)")
     if (Dedup.checkDeltaDisjoint(spark)) {
       require(!marked.exists(_.isNullAt(0)),
         s"$op: batch ids must be non-null and castable to long (column " +

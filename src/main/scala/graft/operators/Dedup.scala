@@ -966,6 +966,17 @@ object Dedup {
   /** True unless the session disables the delta-disjointness guard
     * (`spark.graft.checkDeltaDisjoint=false`; unparseable values keep
     * the guard ON — fail safe). */
+  /** Driver-side ceiling for the takedown paths' classification
+    * collects (one row per victim id): the "collects are
+    * takedown-sized" contract made mechanical — a batch beyond the cap
+    * refuses loudly BEFORE materializing on the driver, instead of
+    * OOMing it. `spark.graft.maxTakedownCollect` overrides (unparseable
+    * keeps the default). */
+  private[graft] def takedownCollectCap(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.maxTakedownCollect")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(2000000)
+
   private[graft] def checkDeltaDisjoint(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption("spark.graft.checkDeltaDisjoint")
       .forall(v => scala.util.Try(v.trim.toBoolean).getOrElse(true))

@@ -226,23 +226,33 @@ object ArchiveDedup {
 
   // One-row generation metadata (params row, pinned drift baseline,
   // semantic centroids) is immutable once its entry is committed (the
-  // rename is the commit point and entries are never rewritten in
-  // place), so every loadLatest* after the first stops paying its two
-  // probe jobs — memoized per JVM, purged with the manifest caches on
-  // seed (the one in-place overwrite) and entry GC.
+  // rename is the commit point), so every loadLatest* after the first
+  // stops paying its two probe jobs. Keyed by (path, mtime) — one
+  // driver-side fs stat, no job — so the two in-place writers (seed,
+  // compactArchive's dstDir) and maintenance from OTHER processes
+  // self-invalidate on any rewrite; the same-JVM purges (seed, entry
+  // GC) additionally bound the map's memory (the drift entry carries
+  // the seed Bloom).
   private val genMetaCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def genMemo[T <: AnyRef](key: String)(f: => T): T = {
+  private def genMemo[T <: AnyRef](spark: SparkSession, path: String)
+                                  (f: => T): T = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val mtime =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    val key = s"$path@$mtime"
     val c = genMetaCache.get(key)
     if (c != null) c.asInstanceOf[T]
     else { val v = f; genMetaCache.putIfAbsent(key, v); v }
   }
   private def cachedParamsRow(spark: SparkSession,
                               base: String): org.apache.spark.sql.Row =
-    genMemo(s"$base/params")(spark.read.parquet(s"$base/params").head())
+    genMemo(spark, s"$base/params")(spark.read.parquet(s"$base/params").head())
   private def cachedDrift(spark: SparkSession,
                           base: String): Option[Dedup.DriftBaseline] =
-    genMemo(s"$base/drift")(Dedup.loadDriftBaseline(spark, base))
+    genMemo(spark, s"$base/drift")(Dedup.loadDriftBaseline(spark, base))
   /** Drop one deleted entry's cached manifest and generation-check
     * memos — GC'd entries otherwise pin their Sets for the JVM's
     * lifetime in a long-lived driver. */
@@ -525,6 +535,7 @@ object ArchiveDedup {
     st.latestReseed.foreach { case (newest, _) =>
       if (oldEnough(Seq(newest))) {
         fs.delete(new Path(s"$dir/base"), true)
+        evictEntryCaches(dir, "base") // drops base/* genMeta (Bloom-sized)
         st.reseeds.map(_._1).filter(_ != newest).foreach { id =>
           fs.delete(new Path(s"$dir/r$id"), true)
           evictEntryCaches(dir, s"r$id")
@@ -922,7 +933,13 @@ object ArchiveDedup {
       .select(col("id"),
         coalesce(col("on_ledger"), lit(false)).as("on_ledger"),
         coalesce(col("live"), lit(false)).as("live"))
+      .limit(Dedup.takedownCollectCap(spark) + 1)
       .collect()
+    require(flags.length <= Dedup.takedownCollectCap(spark),
+      s"forgetDocs: the takedown batch exceeds " +
+        s"spark.graft.maxTakedownCollect (${Dedup.takedownCollectCap(spark)} " +
+        "ids) — the classification materializes one driver-side row per " +
+        "victim; split the takedown into smaller batches (or raise the cap)")
     require(!flags.exists(_.isNullAt(0)),
       s"forgetDocs: retraction ids must be non-null and castable to " +
         s"long (column '$idCol' has null/uncastable values)")
@@ -1191,8 +1208,13 @@ object ArchiveDedup {
       // the fold's dominant CPU, paid twice. A/B-able back to the
       // recompute trade with -Dgraft.fold.sharedShingles=false (or
       // GRAFT_FOLD_SHARED=false for forked harnesses).
+      // unparseable values keep the default ON (same fail-safe rule as
+      // spark.graft.checkDeltaDisjoint) — a typo'd env var must not
+      // kill every micro-batch of a streaming fold
       if (sys.props.get("graft.fold.sharedShingles")
-          .orElse(sys.env.get("GRAFT_FOLD_SHARED")).forall(_.toBoolean)) {
+          .orElse(sys.env.get("GRAFT_FOLD_SHARED"))
+          .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption)
+          .getOrElse(true)) {
         val (sliver, done) = Dedup.buildMinhashIndexShared(b, idCol, textCol,
           ix.numHashes, ix.bands, ix.shingleLen)
         try Dedup.saveMinhashIndex(sliver, tmp) finally done()
@@ -1427,7 +1449,7 @@ object ArchiveDedup {
     val st = stateOf(spark, dir)
     verifyGenerationConsistency(spark, dir, st, SemanticLayout)
     val base = baseDirOf(dir, st)
-    val cents = genMemo(s"$base/centroids")(
+    val cents = genMemo(spark, s"$base/centroids")(
       spark.read.parquet(s"$base/centroids")
         .orderBy(col("idx")).collect()
         .map(_.getSeq[Float](1).toArray))

@@ -135,8 +135,11 @@ def main():
         norm_delta = (med_a / norm - med_b) / med_b if med_b > 0 else float("nan")
         # sign matters: a HEAD that got FASTER than the baseline is an
         # improvement, not a regression — only a positive delta beyond
-        # the band fails the gate
-        verdict = ("CODE-FLAT" if abs(norm_delta) <= args.flat_band
+        # the band fails the gate. A NaN delta (broken/zero baseline
+        # walls) is an invalid measurement, never a pass.
+        import math
+        verdict = ("CODE-INVALID" if math.isnan(norm_delta)
+                   else "CODE-FLAT" if abs(norm_delta) <= args.flat_band
                    else "CODE-REGRESSION" if norm_delta > 0
                    else "CODE-IMPROVEMENT")
         result = {
@@ -155,7 +158,7 @@ def main():
             "verdict": verdict,
         }
         print(json.dumps(result))
-        return 2 if verdict == "CODE-REGRESSION" else 0
+        return 2 if verdict in ("CODE-REGRESSION", "CODE-INVALID") else 0
     finally:
         if not args.keep_worktree:
             run(["git", "worktree", "remove", "--force", wt], cwd=REPO)

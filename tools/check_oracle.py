@@ -22,6 +22,11 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 if only:
     oracle = {k: v for k, v in oracle.items()
               if any(k.startswith(p) for p in only)}
+    # a filter that matches nothing must not read as a vacuous pass
+    unmatched = [p for p in only if not any(k.startswith(p) for k in oracle)]
+    if unmatched or not oracle:
+        print(f"FILTER   no oracle matches prefixes {unmatched or only}")
+        sys.exit(1)
 fail = 0
 for name, sql in sorted(oracle.items()):
     res_dir = f"{out_dir}/{name}"
