@@ -378,6 +378,15 @@ class ArchiveDedupSpec extends AnyFunSuite {
       ArchiveDedup.forgetDocs(spark, archive, Seq(777L).toDF("id"))
     }
     assert(e.getMessage.contains("never"), e.getMessage)
+    // a batch beyond the driver-collect cap refuses BEFORE classifying
+    // on the driver (the takedown-sized-collect contract, mechanical)
+    spark.conf.set("spark.graft.maxTakedownCollect", "1")
+    try {
+      val eCap = intercept[IllegalArgumentException] {
+        ArchiveDedup.forgetDocs(spark, archive, Seq(0L, 2L).toDF("id"))
+      }
+      assert(eCap.getMessage.contains("maxTakedownCollect"), eCap.getMessage)
+    } finally spark.conf.unset("spark.graft.maxTakedownCollect")
     // stats archives refuse with the text-needed diagnosis
     val sdir = tmp("graft-arch-forget-stats")
     graft.operators.CorpusStats.seedTokenStatsArchive(
