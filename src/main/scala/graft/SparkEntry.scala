@@ -1051,6 +1051,69 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q97: the COSINE twin of q96 — closes the takedown-oracle asymmetry
+    * the r15 verdict named (q96 gates only the minhash modality of
+    * [[graft.streaming.ArchiveDedup.forgetDocs]]; the cosine route runs
+    * a different retraction kernel, `Dedup.retractCosineCovered`). Same
+    * lifecycle: seed the hyperplane-LSH archive (vec_id < 400, widths
+    * pinned 8×8 as q85), fold one embedding batch (≥ 400), forget every
+    * vec_id ≡ 2 (mod 5) TWICE (the second call is the ledgered
+    * crash-retry replay, in-query), then audit the surviving archive's
+    * own stored vectors with [[graft.streaming.ArchiveDedup.archivePairs]]
+    * — at oracle scale the exact blocked θ-scan, so the oracle is q85's
+    * θ-join (q15's shape) restricted to the survivors: a hash match
+    * proves the retraction left exactly the index a corpus without the
+    * victims would have built, through the real archive path. */
+  private val q97CosineArchiveForget: Q = (s, dir) => {
+    import graft.streaming.ArchiveDedup
+    val e = Tables(s, dir, "embeddings")
+    val arch = java.nio.file.Files.createTempDirectory("graft-q97").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft-q97-p").toString
+    ArchiveDedup.seedCosineArchive(
+      e.where(col("vec_id") < 400), arch, "vec_id", "embedding",
+      numBits = 8, bands = 8)
+    ArchiveDedup.processCosineBatch(
+      e.where(col("vec_id") >= 400), 0L, arch, pairsDir,
+      "vec_id", "embedding", 0.4, compactEvery = 0)
+    val victims = e.where(col("vec_id") % 5 === 2)
+      .select(col("vec_id").as("id"))
+    ArchiveDedup.forgetDocs(s, arch, victims)
+    ArchiveDedup.forgetDocs(s, arch, victims) // ledgered retry: must SKIP
+    ArchiveDedup.archivePairs(s, arch, 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q98: the SEMANTIC twin of q96/q97 — the third and last
+    * `forgetDocs` modality (`Dedup.retractSemanticCovered`: the member
+    * anti-join under PINNED centroids). Seed under q83's deterministic
+    * centroids (the 4 smallest vec_ids of the FULL table — pinned, so
+    * forgetting vec_id 2, itself a centroid source, must NOT move the
+    * centroids), fold ≥ 400, forget vec_id ≡ 2 (mod 5) twice (ledgered
+    * retry in-query), then audit within-cluster θ-pairs over the
+    * surviving members. Oracle: q88's argmin-CTE + same-cluster θ-join
+    * restricted to survivors (centroid CTE stays over the full table —
+    * the pinned-centroid contract made hash-checkable). */
+  private val q98SemanticArchiveForget: Q = (s, dir) => {
+    import graft.streaming.ArchiveDedup
+    val e = Tables(s, dir, "embeddings")
+    val cents = e.orderBy(col("vec_id")).limit(4)
+      .select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val arch = java.nio.file.Files.createTempDirectory("graft-q98").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft-q98-p").toString
+    ArchiveDedup.seedSemanticArchive(
+      e.where(col("vec_id") < 400), arch, "vec_id", "embedding", cents)
+    ArchiveDedup.processSemanticBatch(
+      e.where(col("vec_id") >= 400), 0L, arch, pairsDir,
+      "vec_id", "embedding", 0.4, compactEvery = 0)
+    val victims = e.where(col("vec_id") % 5 === 2)
+      .select(col("vec_id").as("id"))
+    ArchiveDedup.forgetDocs(s, arch, victims)
+    ArchiveDedup.forgetDocs(s, arch, victims) // ledgered retry: must SKIP
+    ArchiveDedup.archivePairs(s, arch, 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-document quality scoring (training-data pipeline operator). */
   private val q23QualityScores: Q = (s, dir) => {
     Tables(s, dir, "documents")
@@ -1811,6 +1874,8 @@ object SparkEntry {
     "q94_ngram_archive_retraction" -> q94NgramArchiveRetraction,
     "q95_windowed_scoring" -> q95WindowedScoring,
     "q96_dedup_archive_forget" -> q96DedupArchiveForget,
+    "q97_cosine_archive_forget" -> q97CosineArchiveForget,
+    "q98_semantic_archive_forget" -> q98SemanticArchiveForget,
     "q75_dup_clusters" -> q75DupClusters,
     "q76_semantic_dedup" -> q76SemanticDedup,
     "q77_near_dup_keep" -> q77NearDupKeep,
@@ -2848,6 +2913,46 @@ ORDER BY d.doc_id"""
         |FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
         |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
         |ORDER BY c.id_a, c.id_b""").stripMargin,
+    // q97: the cosine takedown twin — after forgetting vec_id ≡ 2
+    // (mod 5) the archive audit must equal q85's exact θ-join (q15's
+    // shape) over a corpus that never contained the victims
+    "q97_cosine_archive_forget" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |  AND a.vec_id % 5 <> 2 AND b.vec_id % 5 <> 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q98: the semantic takedown twin — centroids stay PINNED on the 4
+    // smallest vec_ids of the FULL table (vec_id 2 is itself a centroid
+    // source and is forgotten — the centroid CTE must NOT shrink);
+    // assignment and the same-cluster θ-join run over survivors only
+    "q98_semantic_archive_forget" ->
+      """WITH ctr AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS idx,
+        |         CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+        |), d2s AS (
+        |  SELECT e.vec_id, c.idx,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.ce[i]))) AS d2
+        |  FROM embeddings e CROSS JOIN ctr c
+        |  WHERE e.vec_id % 5 <> 2
+        |), asg AS (
+        |  SELECT vec_id, idx AS cluster FROM (
+        |    SELECT vec_id, idx, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, idx) AS rn
+        |    FROM d2s)
+        |  WHERE rn = 1
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, sa.cluster,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a
+        |JOIN embeddings b ON a.vec_id < b.vec_id
+        |JOIN asg sa ON sa.vec_id = a.vec_id
+        |JOIN asg sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "q67_token_counts" ->
       (s"""SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),

@@ -1073,25 +1073,48 @@ object ArchiveDedup {
   }
 
   /** AUDIT the live archive: near-duplicate pairs AMONG the archived
-    * corpus, mined from the archive's own stored components — banding
-    * keys give the LSH candidates (bucket-equality self-join, singleton
-    * buckets pruned first: they can never emit a pair and dominate real
-    * corpora), the stored hashed shingle sets give the exact Jaccard —
-    * so the takedown/retraction story is INSPECTABLE without the raw
-    * corpus: after a [[forgetDocs]], this emits exactly
-    * [[Dedup.minhashLshPairs]] over the SURVIVORS (banding is per-doc
-    * deterministic, retraction is an exact row filter — the q96 oracle
-    * replays that equivalence in SQL). Minhash archives only (the
-    * embedding families' pairs come off [[Dedup.deltaPairs]] /
-    * compaction reads). Mass-duplicate corpora whose hot buckets need
-    * the block-grid fan-out should mine pairs off the raw corpus with
-    * minhashLshPairs instead — an audit favors the declarative join. */
-  def archivePairs(spark: SparkSession, dir: String,
-                   threshold: Double): DataFrame = {
-    val modality = modalityOf(spark, dir)
-    require(modality == "minhash",
-      s"archivePairs: $dir is a $modality archive — the stored-component " +
-        "pair audit needs minhash banding keys and shingle sets")
+    * corpus, mined from the archive's own stored components, dispatched
+    * on the archive's modality — so the takedown/retraction story is
+    * INSPECTABLE without the raw corpus for all three dedup families:
+    * after a [[forgetDocs]], this emits exactly the batch pair operator
+    * over the SURVIVORS (banding/assignment is per-doc deterministic
+    * and retraction is an exact row filter — the q96/q97/q98 oracles
+    * replay that equivalence in SQL).
+    *
+    *  - '''minhash''': banding keys give the LSH candidates
+    *    (bucket-equality self-join, singleton buckets pruned first:
+    *    they can never emit a pair and dominate real corpora), the
+    *    stored hashed shingle sets give the exact Jaccard — equals
+    *    [[Dedup.minhashLshPairs]] over the archived corpus. Output
+    *    (id_a, id_b, jaccard). Mass-duplicate corpora whose hot
+    *    buckets need the block-grid fan-out should mine pairs off the
+    *    raw corpus with minhashLshPairs instead — an audit favors the
+    *    declarative join.
+    *  - '''cosine''': two-tier like [[Dedup.cosineDeltaPairs]] — at or
+    *    under `exactLimit` stored vectors the EXACT blocked θ-scan
+    *    ([[graft.operators.SimilarityJoin.thresholdPairs]], the q15/q97
+    *    oracle shape); above it, LSH candidates off the stored banding
+    *    keys (singleton-pruned self-join) verified with exact cosine on
+    *    the stored vectors — precision 1.0, recall the pinned widths'.
+    *    Output (id_a, id_b, sim).
+    *  - '''semantic''': within-cluster θ-pairs over the stored member
+    *    assignments ([[graft.operators.SimilarityJoin.groupedThresholdPairs]]
+    *    — Σcᵢ² pair work, never n²), exactly the SemDeDup candidate
+    *    stage over the archived corpus. Output (id_a, id_b, cluster,
+    *    sim). */
+  def archivePairs(spark: SparkSession, dir: String, threshold: Double,
+                   exactLimit: Long = 10000L): DataFrame =
+    modalityOf(spark, dir) match {
+      case "minhash" => minhashArchivePairs(spark, dir, threshold)
+      case "cosine" => cosineArchivePairs(spark, dir, threshold, exactLimit)
+      case "semantic" => semanticArchivePairs(spark, dir, threshold)
+      case stats => throw new IllegalArgumentException(
+        s"archivePairs: $dir is a $stats archive — it holds aggregated " +
+          "counts, not per-document index rows; there are no pairs to audit")
+    }
+
+  private def minhashArchivePairs(spark: SparkSession, dir: String,
+                                  threshold: Double): DataFrame = {
     val (ix, _) = loadLatest(spark, dir)
     val b = ix.buckets.select(col("bkt"), col("id"))
     val multi = b.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
@@ -1109,6 +1132,53 @@ object ArchiveDedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private def cosineArchivePairs(spark: SparkSession, dir: String,
+                                 threshold: Double,
+                                 exactLimit: Long): DataFrame = {
+    import graft.operators.SimilarityJoin
+    val (ix, _) = loadLatestCosine(spark, dir)
+    val n = ix.vecs.select(col("id")).count()
+    val pairs =
+      if (n <= exactLimit)
+        SimilarityJoin.thresholdPairs(ix.vecs, "id", "v", threshold)
+      else {
+        log.warn(s"archivePairs: $n stored vectors > exactLimit=" +
+          s"$exactLimit — auditing via the stored LSH banding keys " +
+          s"(numBits=${ix.numBits}, bands=${ix.bands}): precision 1.0 " +
+          "(exact cosine verification), recall the pinned widths'")
+        val b = ix.buckets.select(col("bkt"), col("id"))
+        val multi = b.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+          .where(col("m") >= 2).select(col("bkt"))
+        val hot = b.join(multi, Seq("bkt"))
+        val cand = hot.as("a").join(hot.as("b"),
+            col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        // declarative hydrate-and-verify, as the minhash audit does with
+        // its shingle sets (mass-duplicate corpora should mine off the
+        // raw corpus with lshCosinePairs' block grid instead)
+        cand
+          .join(ix.vecs.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
+          .join(ix.vecs.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            graft.functions.VectorFunctions
+              .cosineSimilarity(col("__va"), col("__vb")).as("sim"))
+          .where(col("sim") >= threshold)
+      }
+    pairs.select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  private def semanticArchivePairs(spark: SparkSession, dir: String,
+                                   threshold: Double): DataFrame = {
+    import graft.operators.SimilarityJoin
+    val (ix, _) = loadLatestSemantic(spark, dir)
+    SimilarityJoin.groupedThresholdPairs(
+        ix.members.select(col("cluster"), col("id"), col("v")),
+        "cluster", "id", "v", threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"),
+        round(col("sim"), 6).as("sim"))
   }
 
   /** Fold every entry into a fresh self-contained base at `dstDir`

@@ -689,4 +689,68 @@ class ArchiveDedupSpec extends AnyFunSuite {
       assert(v >= 1L)
     } finally q.stop()
   }
+
+  test("archivePairs dispatches on modality: cosine/semantic audits equal " +
+      "the batch pair operators over the survivors; stats archives refuse") {
+    import graft.operators.{Dedup, SimilarityJoin}
+    def vec(seedBase: Int): Array[Float] = {
+      val r = new scala.util.Random(seedBase)
+      Array.fill(8)(r.nextFloat() - 0.5f)
+    }
+    val rows = (0L to 9L).map(i => (i, vec((i % 4).toInt))) // 4 dup groups
+    // cosine: seed + fold + forget, then the audit must equal the exact
+    // blocked θ-scan over the SURVIVING stored vectors
+    val cArch = tmp("graft-audit-c")
+    val cPairs = tmp("graft-audit-cp")
+    ArchiveDedup.seedCosineArchive(
+      rows.take(6).toDF("vec_id", "embedding"), cArch, "vec_id", "embedding",
+      numBits = 4, bands = 4)
+    ArchiveDedup.processCosineBatch(
+      rows.drop(6).toDF("vec_id", "embedding"), 0L, cArch, cPairs,
+      "vec_id", "embedding", 0.95)
+    ArchiveDedup.forgetDocs(spark, cArch,
+      Seq(1L, 7L).toDF("id"))
+    val cGot = ArchiveDedup.archivePairs(spark, cArch, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survivors = rows.filterNot(r => r._1 == 1L || r._1 == 7L)
+    val cWant = SimilarityJoin.thresholdPairs(
+        survivors.toDF("id", "v"), "id", "v", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cGot === cWant && cGot.nonEmpty,
+      s"cosine audit must equal the θ-scan over survivors: $cGot vs $cWant")
+    assert(!cGot.exists(p => p._1 == 1L || p._2 == 1L || p._1 == 7L || p._2 == 7L))
+    // the above-exactLimit LSH tier: precision 1.0 (subset of exact)
+    val cLsh = ArchiveDedup.archivePairs(spark, cArch, 0.95, exactLimit = 0L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cLsh.subsetOf(cWant),
+      s"LSH audit tier must verify exactly (precision 1.0): $cLsh vs $cWant")
+    // semantic: within-cluster θ-pairs over surviving members
+    val c0 = Array.fill(8)(1f); val c1 = Array.fill(8)(-1f)
+    def near(base: Array[Float], eps: Float, k: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == k) eps else 0f) }
+    val sArch = tmp("graft-audit-s")
+    val sPairs = tmp("graft-audit-sp")
+    val members = Seq((0L, near(c0, 0.01f, 0)), (1L, near(c0, 0.02f, 1)),
+      (2L, near(c1, 0.01f, 2)), (3L, near(c1, 0.02f, 3)))
+    ArchiveDedup.seedSemanticArchive(
+      members.take(3).toDF("vec_id", "embedding"), sArch,
+      "vec_id", "embedding", Array(c0, c1))
+    ArchiveDedup.processSemanticBatch(
+      members.drop(3).toDF("vec_id", "embedding"), 0L, sArch, sPairs,
+      "vec_id", "embedding", 0.9)
+    ArchiveDedup.forgetDocs(spark, sArch, Seq(0L).toDF("id"))
+    val sGot = ArchiveDedup.archivePairs(spark, sArch, 0.9)
+      .select("id_a", "id_b", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sGot === Set((2L, 3L, 1)),
+      s"semantic audit: cluster-1 survivors pair, forgotten 0 gone: $sGot")
+    // stats archives hold counts, not index rows — refuse the audit
+    val tArch = tmp("graft-audit-t")
+    graft.operators.CorpusStats.seedTokenStatsArchive(
+      Seq((0L, tA), (1L, tB)).toDF("doc_id", "text"), tArch, "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ArchiveDedup.archivePairs(spark, tArch, 0.5)
+    }
+    assert(e.getMessage.contains("aggregated"))
+  }
 }
