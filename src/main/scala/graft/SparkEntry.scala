@@ -1260,9 +1260,12 @@ object SparkEntry {
           x => x.getField("text")), ". "), lit(".")).as("text"))
       // 25 mega-documents are BYTE-small, so AQE coalesces the agg to
       // one task and the whole sentence pass runs single-core; an
-      // explicit group-count repartition (explicit N survives AQE)
-      // spreads the regex-heavy chunking one group per task
-      .repartition(25, col("gid"))
+      // explicit repartition (explicit N survives AQE) spreads the
+      // regex-heavy chunking across tasks. 64 partitions for 25 keys,
+      // not 25: hashing k keys into k partitions leaves ~1/e of them
+      // empty and stacks 2+ groups on others — a few-× multiple keeps
+      // collisions rare so most groups really do get their own task
+      .repartition(64, col("gid"))
     Chunkers.sentenceChunks(combined, "gid", "text",
         maxSentences = 3, maxWords = 120, overlapSentences = 1, minSentenceChars = 10)
       .toDF()

@@ -170,25 +170,48 @@ object ArchiveDedup {
 
   private val RangeName = "c(\\d+)-(\\d+)".r
   private val ReseedName = "r(\\d+)".r
+
+  /** Content token for a per-JVM memo key: the target's LEAF part-files'
+    * (name, length, mtime) folded into one hash, via one listStatus. The
+    * previous key used the parent DIRECTORY's mtime, which is unreliable
+    * exactly where the archive is documented to live (hfs): S3A
+    * getFileStatus on a pseudo-directory reports mtime 0, and several
+    * filesystems have second-granularity mtimes — so a rewrite by
+    * ANOTHER process (re-compacting into a recycled dstDir, re-seeding
+    * in place) could leave this JVM serving stale generation metadata
+    * (wrong banding widths silently corrupting dedup). The files a
+    * writer actually committed always change the token (parquet part
+    * names carry a fresh job UUID, so even same-length same-second
+    * rewrites re-key). Missing path → -1, re-probed when it appears. */
+  private def contentToken(fs: FileSystem, path: Path): Long =
+    try {
+      var h = 1125899906842597L
+      fs.listStatus(path).foreach { st =>
+        h = h * 31 + st.getPath.getName.hashCode
+        h = h * 31 + st.getLen
+        h = h * 31 + st.getModificationTime
+      }
+      h
+    } catch { case _: java.io.FileNotFoundException => -1L }
+
   // folded-id manifests are immutable once their entry is committed —
   // cache so stateOf (called several times per batch) reads each at
-  // most once per JVM. The cache key carries the ENTRY directory's
-  // modification time: a long-lived JVM (tests, notebooks) that deletes
-  // and re-creates an archive at the same path gets a fresh key instead
-  // of a stale folded-id set (or a stale None) corrupting covered() /
-  // replay-skip decisions; seed*Archive additionally purges the path
-  // outright (belt and braces — two creations within one mtime tick).
+  // most once per JVM. The cache key carries the manifest files'
+  // content token (see contentToken): a long-lived JVM (tests,
+  // notebooks) that deletes and re-creates an archive at the same path
+  // — or another PROCESS that rewrites a recycled path — gets a fresh
+  // key instead of a stale folded-id set (or a stale None) corrupting
+  // covered() / replay-skip decisions; seed*Archive additionally purges
+  // the path outright (belt and braces).
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Set[Long]]]()
   private def manifestOf(spark: SparkSession, dir: String,
                          entry: String): Option[Set[Long]] = {
     val (fs, _) = hfs(spark, dir)
-    val mtime =
-      try fs.getFileStatus(new Path(s"$dir/$entry")).getModificationTime
-      catch { case _: java.io.FileNotFoundException => -1L }
-    manifestCache.computeIfAbsent(s"$dir/$entry/folded@$mtime", { _ =>
-      val path = s"$dir/$entry/folded"
-      if (!fs.exists(new Path(path))) None
+    val path = s"$dir/$entry/folded"
+    val token = contentToken(fs, new Path(path))
+    manifestCache.computeIfAbsent(s"$path@$token", { _ =>
+      if (token == -1L) None
       else Some(spark.read.parquet(path)
         .select(col("id")).collect().map(_.getLong(0)).toSet)
     })
@@ -203,12 +226,10 @@ object ArchiveDedup {
   private def committedAtOf(spark: SparkSession, dir: String,
                             entry: String): Option[Long] = {
     val (fs, _) = hfs(spark, dir)
-    val mtime =
-      try fs.getFileStatus(new Path(s"$dir/$entry")).getModificationTime
-      catch { case _: java.io.FileNotFoundException => -1L }
-    committedCache.computeIfAbsent(s"$dir/$entry/committed@$mtime", { _ =>
-      val path = s"$dir/$entry/committed"
-      if (!fs.exists(new Path(path))) None
+    val path = s"$dir/$entry/committed"
+    val token = contentToken(fs, new Path(path))
+    committedCache.computeIfAbsent(s"$path@$token", { _ =>
+      if (token == -1L) None
       else spark.read.parquet(path)
         .select(col("id")).collect().headOption.map(_.getLong(0))
     })
@@ -227,22 +248,21 @@ object ArchiveDedup {
   // One-row generation metadata (params row, pinned drift baseline,
   // semantic centroids) is immutable once its entry is committed (the
   // rename is the commit point), so every loadLatest* after the first
-  // stops paying its two probe jobs. Keyed by (path, mtime) — one
-  // driver-side fs stat, no job — so the two in-place writers (seed,
-  // compactArchive's dstDir) and maintenance from OTHER processes
-  // self-invalidate on any rewrite; the same-JVM purges (seed, entry
-  // GC) additionally bound the map's memory (the drift entry carries
-  // the seed Bloom).
+  // stops paying its two probe jobs. Keyed by (path, content token) —
+  // one driver-side listStatus over the leaf part-files, no job — so
+  // the two in-place writers (seed, compactArchive's dstDir) and
+  // maintenance from OTHER processes self-invalidate on any rewrite
+  // (directory mtime alone would miss S3A pseudo-dirs and
+  // second-granularity filesystems — see contentToken); the same-JVM
+  // purges (seed, entry GC) additionally bound the map's memory (the
+  // drift entry carries the seed Bloom).
   private val genMetaCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private def genMemo[T <: AnyRef](spark: SparkSession, path: String)
                                   (f: => T): T = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val mtime =
-      try fs.getFileStatus(p).getModificationTime
-      catch { case _: java.io.FileNotFoundException => -1L }
-    val key = s"$path@$mtime"
+    val key = s"$path@${contentToken(fs, p)}"
     val c = genMetaCache.get(key)
     if (c != null) c.asInstanceOf[T]
     else { val v = f; genMetaCache.putIfAbsent(key, v); v }
@@ -924,7 +944,19 @@ object ArchiveDedup {
     val liveIds = readComponent(spark, entryDirsOf(dir, st),
       layout.idComponent).select(col("id"))
     import spark.implicits._
-    val flags = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val cap = Dedup.takedownCollectCap(spark)
+    val vIds = ids.select(col(idCol).cast("long").as("id")).distinct()
+    // cap refusal BEFORE any driver-side materialization: one cheap
+    // limit-count job over the victims frame alone (no archive scan, no
+    // boxed Rows on the driver) — the old form collected cap+1 rows
+    // first, which at the default cap is hundreds of MB of driver heap
+    // spent only to refuse
+    require(vIds.limit(cap + 1).count() <= cap,
+      s"forgetDocs: the takedown batch exceeds " +
+        s"spark.graft.maxTakedownCollect ($cap ids) — the classification " +
+        "materializes one driver-side row per victim; split the takedown " +
+        "into smaller batches (or raise the cap)")
+    val flags = vIds
       .join(ledger.map(_.withColumn("on_ledger", lit(true)))
           .getOrElse(spark.range(0)
             .select(col("id"), lit(true).as("on_ledger"))),
@@ -933,13 +965,7 @@ object ArchiveDedup {
       .select(col("id"),
         coalesce(col("on_ledger"), lit(false)).as("on_ledger"),
         coalesce(col("live"), lit(false)).as("live"))
-      .limit(Dedup.takedownCollectCap(spark) + 1)
       .collect()
-    require(flags.length <= Dedup.takedownCollectCap(spark),
-      s"forgetDocs: the takedown batch exceeds " +
-        s"spark.graft.maxTakedownCollect (${Dedup.takedownCollectCap(spark)} " +
-        "ids) — the classification materializes one driver-side row per " +
-        "victim; split the takedown into smaller batches (or raise the cap)")
     require(!flags.exists(_.isNullAt(0)),
       s"forgetDocs: retraction ids must be non-null and castable to " +
         s"long (column '$idCol' has null/uncastable values)")
