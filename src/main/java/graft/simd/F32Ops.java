@@ -14,4 +14,13 @@ public interface F32Ops {
   float dot(float[] q, float[] v, int off, int n);
 
   float cosine(float[] q, float[] v, int off, int n);
+
+  /**
+   * Dequantize one SQ8 code stripe: {@code out[i] = mn[i] + (codes[base+i] & 0xFF) * st[i]}.
+   * Lane-wise mul-then-add matches the scalar loop's two-rounding order
+   * exactly (no cross-lane reduction), so SIMD and scalar dequant are
+   * bit-identical — unlike the distance kernels, this one IS safe
+   * anywhere the scalar form was.
+   */
+  void dequant(byte[] codes, int base, int n, float[] mn, float[] st, float[] out);
 }

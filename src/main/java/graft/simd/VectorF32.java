@@ -111,4 +111,44 @@ public final class VectorF32 implements F32Ops {
     }
     return (float) (d / Math.sqrt((double) nq * (double) nv));
   }
+
+  @Override
+  public void dequant(byte[] codes, int base, int n, float[] mn, float[] st, float[] out) {
+    var fs = jdk.incubator.vector.FloatVector.SPECIES_PREFERRED;
+    int lanes = fs.length();
+    // the byte vector carrying `lanes` codes is lanes*8 bits wide — only
+    // legal for lanes >= 8 (64-bit shape); a 128-bit-float host (4 lanes)
+    // falls through to the scalar tail, which is the whole loop there
+    jdk.incubator.vector.VectorSpecies<Byte> bs = null;
+    switch (lanes * 8) {
+      case 64: bs = jdk.incubator.vector.ByteVector.SPECIES_64; break;
+      case 128: bs = jdk.incubator.vector.ByteVector.SPECIES_128; break;
+      case 256: bs = jdk.incubator.vector.ByteVector.SPECIES_256; break;
+      default: break;
+    }
+    int i = 0;
+    if (bs != null) {
+      var is = jdk.incubator.vector.VectorSpecies.of(int.class, fs.vectorShape());
+      int upper = fs.loopBound(n);
+      for (; i < upper; i += lanes) {
+        var bv = jdk.incubator.vector.ByteVector.fromArray(bs, codes, base + i);
+        // signed B2I + AND 0xFF == zero extension (ZERO_EXTEND_B2I throws
+        // on this JDK's resize path — the sign-extend conversion is the
+        // one with a working intrinsic)
+        var iv = ((jdk.incubator.vector.IntVector) bv.convertShape(
+            jdk.incubator.vector.VectorOperators.B2I, is, 0))
+            .lanewise(jdk.incubator.vector.VectorOperators.AND, 0xFF);
+        var cv = (jdk.incubator.vector.FloatVector) iv.convert(
+            jdk.incubator.vector.VectorOperators.I2F, 0);
+        // mul then add (NOT fma): per-lane two-rounding order identical
+        // to the scalar loop, so both paths dequantize bit-identically
+        cv.mul(jdk.incubator.vector.FloatVector.fromArray(fs, st, i))
+            .add(jdk.incubator.vector.FloatVector.fromArray(fs, mn, i))
+            .intoArray(out, i);
+      }
+    }
+    for (; i < n; i++) {
+      out[i] = mn[i] + (codes[base + i] & 0xFF) * st[i];
+    }
+  }
 }

@@ -209,15 +209,17 @@ object ServingIndex {
     }
   }
 
-  /** Dequantize one code stripe into `out`: `min(i) + code·step(i)`. */
+  /** Dequantize one code stripe into `out`: `min(i) + code·step(i)`.
+    * Routed through [[SimdSupport.ops]] (round 16): the scalar loop was
+    * the ADC scan's dominant cost — at dim 384 with ~10 queries sharing a
+    * probed vector, 384 scalar mul-adds per vector outweighed the SIMD
+    * query dots it fed. The SIMD form is BIT-identical to the scalar one
+    * (per-lane mul-then-add, no cross-lane reduction — asserted in the
+    * SimdSupport probe), so quantized scores are unchanged on every
+    * JVM configuration. */
   private[operators] def dequant(codes: Array[Byte], base: Int, d: Int,
-                      mn: Array[Float], st: Array[Float], out: Array[Float]): Unit = {
-    var i = 0
-    while (i < d) {
-      out(i) = mn(i) + (codes(base + i) & 0xFF) * st(i)
-      i += 1
-    }
-  }
+                      mn: Array[Float], st: Array[Float], out: Array[Float]): Unit =
+    SimdSupport.ops.dequant(codes, base, d, mn, st, out)
 
   /**
    * Train per-dim `[min, max]` over the corpus (one map-side-combined

@@ -29,6 +29,14 @@ object SimdSupport {
       KnnSearch.F32Kernels.dot(q, v, off, n)
     def cosine(q: Array[Float], v: Array[Float], off: Int, n: Int): Float =
       KnnSearch.F32Kernels.cosine(q, v, off, n)
+    def dequant(codes: Array[Byte], base: Int, n: Int,
+                mn: Array[Float], st: Array[Float], out: Array[Float]): Unit = {
+      var i = 0
+      while (i < n) {
+        out(i) = mn(i) + (codes(base + i) & 0xFF) * st(i)
+        i += 1
+      }
+    }
   }
 
   /** The SIMD kernels, iff loadable AND numerically sane on this JVM. */
@@ -44,7 +52,16 @@ object SimdSupport {
       val cosRef = KnnSearch.F32Kernels.cosine(a, b, 0, 20)
       val cosOk = math.abs(ops.cosine(a, b, 0, 20) - cosRef) < 1e-4f
       val zeroOk = ops.cosine(new Array[Float](4), a, 0, 4) == 0.0f
-      if (l2Ok && dotOk && cosOk && zeroOk) Some(ops) else None
+      // dequant must be BIT-identical to the scalar loop (per-lane
+      // mul-then-add, no reduction) — 20 dims covers vector body + tail
+      val codes = Array.tabulate(20)(i => ((i * 37 + 5) % 256).toByte)
+      val mn = Array.tabulate(20)(i => -1.5f + i * 0.1f)
+      val st = Array.tabulate(20)(i => 0.001f * (i + 1))
+      val dqGot = new Array[Float](20)
+      ops.dequant(codes, 0, 20, mn, st, dqGot)
+      val dqOk = (0 until 20).forall(i =>
+        dqGot(i) == mn(i) + (codes(i) & 0xFF) * st(i))
+      if (l2Ok && dotOk && cosOk && zeroOk && dqOk) Some(ops) else None
     } catch { case _: Throwable => None }
 
   /** Best available kernels for serving scans. */

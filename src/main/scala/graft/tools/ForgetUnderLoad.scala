@@ -25,8 +25,17 @@ import org.apache.spark.sql.functions._
  * blip and the end-state count-exactness under the race (the
  * forget-under-load contract the archives' scaladoc promises).
  *
+ * The EMBEDDING families (round 16, verdict ask #5): `semantic` and
+ * `cosine` run the same protocol over synthesized clustered gaussians
+ * keyed by doc_id (the corpus tables carry no vectors at ×100 scale;
+ * the archive machinery is payload-agnostic, so a deterministic
+ * generator measures the same commit/abort interaction). Their
+ * takedowns rebuild a generation like minhash — the abort/retry path
+ * is live — and the end-state check is the member/vector id sets:
+ * victims absent, survivors + raced batches exact.
+ *
  * Usage: runMain graft.tools.ForgetUnderLoad <dir> [nBatches]
- *   [batchRows] [foldAfter] [family: minhash|token|ngram]
+ *   [batchRows] [foldAfter] [family: minhash|token|ngram|semantic|cosine]
  * (victims = seed-side id%100==7, ~1% of the corpus.)
  */
 object ForgetUnderLoad {
@@ -36,8 +45,8 @@ object ForgetUnderLoad {
     val batchRows = args.lift(2).map(_.toLong).getOrElse(5000L)
     val foldAfter = args.lift(3).map(_.toInt).getOrElse(3)
     val family = args.lift(4).getOrElse("minhash")
-    require(Set("minhash", "token", "ngram")(family),
-      s"unknown family '$family' — minhash|token|ngram")
+    require(Set("minhash", "token", "ngram", "semantic", "cosine")(family),
+      s"unknown family '$family' — minhash|token|ngram|semantic|cosine")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -47,7 +56,35 @@ object ForgetUnderLoad {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rows = spark.read.parquet(s"$dir/documents.parquet")
+    val embedFamily = family == "semantic" || family == "cosine"
+    val docsRaw = spark.read.parquet(s"$dir/documents.parquet")
+    // embedding families: synthesize clustered gaussian vectors keyed by
+    // doc_id (deterministic — id picks a cluster center, per-id RNG adds
+    // noise; the day_6 generator's shape). The archive machinery only
+    // sees (id, vector), so the measured commit/abort interaction is the
+    // production one.
+    val dim = 64
+    val nClusters = 100
+    val centers = Array.tabulate(nClusters) { c =>
+      val r = new java.util.Random(42L + c)
+      Array.fill(dim)(r.nextGaussian() * 5.0)
+    }
+    val rows: DataFrame =
+      if (!embedFamily) docsRaw
+      else {
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(centers)
+        docsRaw.select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val ctr = bc.value((id % nClusters).toInt)
+              val r = new java.util.Random(1000L + id)
+              (id, Array.tabulate(dim)(i => (ctr(i) + r.nextGaussian()).toFloat))
+            }
+          }
+          .toDF("doc_id", "embedding")
+      }
+    val payloadCol = if (embedFamily) "embedding" else "text"
     val archive = java.nio.file.Files.createTempDirectory(s"graft-ful-$family").toString
     val pairsDir = java.nio.file.Files.createTempDirectory("graft-ful-p").toString
     val oldSide = rows.where(col("doc_id") % 10 =!= 0)
@@ -61,6 +98,13 @@ object ForgetUnderLoad {
         CorpusStats.seedTokenStatsArchive(oldSide, archive, "doc_id", "text")
       case "ngram" =>
         CorpusStats.seedNgramStatsArchive(oldSide, archive, "doc_id", "text")
+      case "semantic" =>
+        // pinned centroids = the generator's own 16 lead centers — the
+        // production shape (centroids fitted once at seed, pinned after)
+        ArchiveDedup.seedSemanticArchive(oldSide, archive, "doc_id",
+          "embedding", centers.take(16).map(_.map(_.toFloat)))
+      case "cosine" =>
+        ArchiveDedup.seedCosineArchive(oldSide, archive, "doc_id", "embedding")
     }
     def fold(batch: DataFrame, b: Long): Unit = family match {
       case "minhash" => ArchiveDedup.processBatch(batch, b, archive, pairsDir,
@@ -69,6 +113,10 @@ object ForgetUnderLoad {
         "doc_id", "text", compactEvery = 8)
       case "ngram" => CorpusStats.processNgramStatsBatch(batch, b, archive,
         "doc_id", "text", compactEvery = 8)
+      case "semantic" => ArchiveDedup.processSemanticBatch(batch, b, archive,
+        pairsDir, "doc_id", "embedding", 0.95, compactEvery = 8)
+      case "cosine" => ArchiveDedup.processCosineBatch(batch, b, archive,
+        pairsDir, "doc_id", "embedding", 0.95, compactEvery = 8)
     }
 
     val t0 = System.nanoTime()
@@ -83,7 +131,7 @@ object ForgetUnderLoad {
       (0 until nBatches).foreach { b =>
         val batch = newSide
           .where(col("__rn") > b * batchRows && col("__rn") <= (b + 1) * batchRows)
-          .select(col("doc_id"), col("text"))
+          .select(col("doc_id"), col(payloadCol))
         val s0 = System.nanoTime()
         fold(batch, b.toLong)
         walls.put(b, (System.nanoTime() - s0) / 1e9)
@@ -97,7 +145,7 @@ object ForgetUnderLoad {
     // victims need TEXT for the stats families (counts subtract by
     // replaying the folded text); the dedup twin ignores extra columns
     val victimDocs = rows.where(col("doc_id") % 100 === 7)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col(payloadCol))
     val nVictims = victimDocs.count()
     var aborts = 0
     var done = false
@@ -107,8 +155,9 @@ object ForgetUnderLoad {
       val a0 = System.nanoTime()
       try {
         family match {
-          case "minhash" => ArchiveDedup.forgetDocs(spark, archive,
-            victimDocs.select(col("doc_id").cast("long").as("id")))
+          case "minhash" | "semantic" | "cosine" =>
+            ArchiveDedup.forgetDocs(spark, archive,
+              victimDocs.select(col("doc_id").cast("long").as("id")))
           case "token" => CorpusStats.retractFromTokenStatsArchive(
             spark, archive, victimDocs, "doc_id", "text")
           case "ngram" => CorpusStats.retractFromNgramStatsArchive(
@@ -138,21 +187,29 @@ object ForgetUnderLoad {
 
     // ---- end-state check: victims gone, everything else present/exact ----
     val foldedDocs = newSide.where(col("__rn") <= nBatches * batchRows)
-      .select(col("doc_id"), col("text"))
-    val survivors = oldSide.select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col(payloadCol))
+    val survivors = oldSide.select(col("doc_id"), col(payloadCol))
       .unionByName(foldedDocs)
       .where(col("doc_id") % 100 =!= 7)
+    def idSetCheck(archived: DataFrame): Boolean = {
+      val victimLeft = archived
+        .join(victimDocs.select(col("doc_id").cast("long").as("id")), Seq("id"))
+        .count()
+      val expected = survivors.count()
+      println(s"victims still archived: $victimLeft (must be 0); " +
+        s"archived rows ${archived.count()} (expected $expected)")
+      victimLeft != 0 || archived.count() != expected
+    }
     val exitBad: Boolean = family match {
       case "minhash" =>
         val (ix, _) = ArchiveDedup.loadLatest(spark, archive)
-        val archived = ix.sets.select(col("id"))
-        val victimLeft = archived
-          .join(victimDocs.select(col("doc_id").cast("long").as("id")), Seq("id"))
-          .count()
-        val expected = survivors.count()
-        println(s"victims still archived: $victimLeft (must be 0); " +
-          s"archived rows ${archived.count()} (expected $expected)")
-        victimLeft != 0 || archived.count() != expected
+        idSetCheck(ix.sets.select(col("id")))
+      case "semantic" =>
+        val (ix, _) = ArchiveDedup.loadLatestSemantic(spark, archive)
+        idSetCheck(ix.members.select(col("id")))
+      case "cosine" =>
+        val (ix, _) = ArchiveDedup.loadLatestCosine(spark, archive)
+        idSetCheck(ix.vecs.select(col("id")))
       case _ =>
         // count-exactness under the race: the live archive's sums must
         // equal a from-scratch build over (survivors + raced batches) —
