@@ -62,7 +62,13 @@ object ForgetUnderLoad {
     // doc_id (deterministic — id picks a cluster center, per-id RNG adds
     // noise; the day_6 generator's shape). The archive machinery only
     // sees (id, vector), so the measured commit/abort interaction is the
-    // production one.
+    // production one. Noise std 2.5 (not the day_6 generator's 1.0): at
+    // std 1 intra-cluster cosine sits ≈ 0.96 — ABOVE the 0.95 dedup
+    // threshold — so every batch would emit its full cluster-mate pair
+    // space (~20M rows/batch, OOMing the grid shuffle); at 2.5 it sits
+    // ≈ 0.8 and near-dup pairs are sparse, which is the realistic regime
+    // for a takedown-interaction measurement (pair-volume scaling is
+    // DedupScale's experiment, not this one's).
     val dim = 64
     val nClusters = 100
     val centers = Array.tabulate(nClusters) { c =>
@@ -79,7 +85,8 @@ object ForgetUnderLoad {
             it.map { id =>
               val ctr = bc.value((id % nClusters).toInt)
               val r = new java.util.Random(1000L + id)
-              (id, Array.tabulate(dim)(i => (ctr(i) + r.nextGaussian()).toFloat))
+              (id, Array.tabulate(dim)(i =>
+                (ctr(i) + r.nextGaussian() * 2.5).toFloat))
             }
           }
           .toDF("doc_id", "embedding")
@@ -127,15 +134,26 @@ object ForgetUnderLoad {
     // ---- the "stream": back-to-back folds on a background thread ----
     @volatile var batchDone = 0
     val walls = new java.util.concurrent.ConcurrentHashMap[Int, Double]()
+    @volatile var streamError: Throwable = null
     val streamT = new Thread(() => {
-      (0 until nBatches).foreach { b =>
-        val batch = newSide
-          .where(col("__rn") > b * batchRows && col("__rn") <= (b + 1) * batchRows)
-          .select(col("doc_id"), col(payloadCol))
-        val s0 = System.nanoTime()
-        fold(batch, b.toLong)
-        walls.put(b, (System.nanoTime() - s0) / 1e9)
-        batchDone = b + 1
+      try {
+        (0 until nBatches).foreach { b =>
+          val batch = newSide
+            .where(col("__rn") > b * batchRows && col("__rn") <= (b + 1) * batchRows)
+            .select(col("doc_id"), col(payloadCol))
+          val s0 = System.nanoTime()
+          fold(batch, b.toLong)
+          walls.put(b, (System.nanoTime() - s0) / 1e9)
+          batchDone = b + 1
+        }
+      } catch {
+        // a dead stream thread must FAIL the run loudly (an earlier form
+        // printed null walls and exited 0 — a measurement tool that
+        // swallows the failure it exists to expose)
+        case e: Throwable =>
+          streamError = e
+          System.err.println(s"STREAM THREAD DIED at batch $batchDone:")
+          e.printStackTrace()
       }
     }, "graft-ful-stream")
     streamT.start()
@@ -181,7 +199,14 @@ object ForgetUnderLoad {
       val mark =
         if (b >= takedownStartedAt && b < takedownEndedAt + 1) " <- takedown window"
         else ""
-      println(f"batch $b%3d wall ${walls.get(b)}%8.2f s$mark")
+      val w = walls.get(b)
+      println(if (w == null) f"batch $b%3d wall   FAILED$mark"
+        else f"batch $b%3d wall $w%8.2f s$mark")
+    }
+    if (streamError != null) {
+      println(s"STREAM FAILED: $streamError")
+      spark.stop()
+      sys.exit(1)
     }
     println(f"takedown total (incl. $aborts aborts/retries)      $takedownWall%8.2f s")
 
