@@ -981,6 +981,26 @@ object Dedup {
     spark.conf.getOption("spark.graft.checkDeltaDisjoint")
       .forall(v => scala.util.Try(v.trim.toBoolean).getOrElse(true))
 
+  /** Run `body` with adaptive execution OFF (round 16 job diet): the
+    * sanity guards are bounded limit-collects over one or two TINY
+    * exchanges, and AQE materializes each exchange as its own driver
+    * job — measured 5-6 driver round-trips per guard for a ≤4-row
+    * answer, which at sf-battery scale is the guards' entire cost.
+    * Static planning collapses a guard to one job; AQE is an
+    * optimization, so a concurrent query that plans inside this window
+    * merely plans statically too (correctness unaffected). */
+  private[graft] def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)
+                                  (body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The null/within-batch-uniqueness half of [[requireDeltaDisjoint]],
     * for paths whose index-overlap condition is enforced elsewhere (the
     * streaming stats sinks' id-membership replay guard handles overlap,
@@ -990,10 +1010,12 @@ object Dedup {
   private[graft] def requireBatchIdsSane(batch: DataFrame, idCol: String,
                                          op: String): Unit = {
     if (!checkDeltaDisjoint(batch.sparkSession)) return
-    val offenders = batch.select(col(idCol).cast("long").as("id"))
-      .groupBy("id").count()
-      .where(col("id").isNull || col("count") > 1)
-      .limit(4).collect()
+    val offenders = withoutAqe(batch.sparkSession) {
+      batch.select(col(idCol).cast("long").as("id"))
+        .groupBy("id").count()
+        .where(col("id").isNull || col("count") > 1)
+        .limit(4).collect()
+    }
     val (nullKeys, dup) = offenders.partition(_.isNullAt(0))
     require(nullKeys.isEmpty,
       s"$op: batch ids must be non-null and castable to long (column " +
@@ -1071,12 +1093,14 @@ object Dedup {
     // not data volume)
     val counts = newDf.select(col(idCol).cast("long").as("id"))
       .groupBy("id").count()
-    val offenders = counts.where(col("id").isNull || col("count") > 1)
-      .select(col("id"), lit("within").as("kind")).limit(4)
-      .unionByName(ixIds
-        .join(counts.select(col("id")), "id")
-        .select(col("id"), lit("overlap").as("kind")).limit(3))
-      .collect()
+    val offenders = withoutAqe(newDf.sparkSession) {
+      counts.where(col("id").isNull || col("count") > 1)
+        .select(col("id"), lit("within").as("kind")).limit(4)
+        .unionByName(ixIds
+          .join(counts.select(col("id")), "id")
+          .select(col("id"), lit("overlap").as("kind")).limit(3))
+        .collect()
+    }
     val (within, overlap) = offenders.partition(_.getString(1) == "within")
     val (nullKeys, dup0) = within.partition(_.isNullAt(0))
     require(nullKeys.isEmpty,
