@@ -133,7 +133,9 @@ object ForgetUnderLoad {
 
     // ---- the "stream": back-to-back folds on a background thread ----
     @volatile var batchDone = 0
-    val walls = new java.util.concurrent.ConcurrentHashMap[Int, Double]()
+    // boxed Double: get() on a missing key (a failed batch) must return
+    // null, not auto-unbox to 0.00 s
+    val walls = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Double]()
     @volatile var streamError: Throwable = null
     val streamT = new Thread(() => {
       try {
