@@ -988,16 +988,34 @@ object Dedup {
     * answer, which at sf-battery scale is the guards' entire cost.
     * Static planning collapses a guard to one job; AQE is an
     * optimization, so a concurrent query that plans inside this window
-    * merely plans statically too (correctness unaffected). */
+    * merely plans statically too (correctness unaffected).
+    *
+    * JVM-global lock: two UNSERIALIZED guards interleaving their
+    * save/set/restore would let the second snapshot the first's "false"
+    * as its restore value and leave AQE off for the session's lifetime.
+    * Guards are single-digit-millisecond collects, so serializing them
+    * costs nothing (and concurrent streams' guards were already
+    * serialized by their own batch loops). */
+  private val aqeGuardLock = new Object
   private[graft] def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)
                                   (body: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    // A/B switch (-Dgraft.guard.staticPlan=false / GRAFT_GUARD_STATIC):
+    // unparseable keeps the default ON, same fail-safe rule as the
+    // other house flags
+    val enabled = sys.props.get("graft.guard.staticPlan")
+      .orElse(sys.env.get("GRAFT_GUARD_STATIC"))
+      .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption)
+      .getOrElse(true)
+    if (!enabled) body
+    else aqeGuardLock.synchronized {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 

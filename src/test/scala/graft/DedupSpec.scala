@@ -719,4 +719,34 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
     assert(sGot === sWant && sGot.nonEmpty)
   }
+
+  test("withoutAqe restores the session conf under nesting, errors, and racing guards") {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.getOption(key)
+    // plain + nested: conf off inside, restored after
+    Dedup.withoutAqe(spark) {
+      assert(spark.conf.get(key) === "false")
+      Dedup.withoutAqe(spark)(assert(spark.conf.get(key) === "false"))
+      assert(spark.conf.get(key) === "false")
+    }
+    assert(spark.conf.getOption(key) === before)
+    // a throwing body still restores
+    intercept[IllegalStateException] {
+      Dedup.withoutAqe(spark)(throw new IllegalStateException("boom"))
+    }
+    assert(spark.conf.getOption(key) === before)
+    // racing guards: unserialized save/set/restore would let one thread
+    // snapshot the other's "false" and leave AQE off forever — the
+    // JVM-global lock makes the window atomic
+    spark.conf.set(key, "true")
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      (1 to 50).foreach(_ => Dedup.withoutAqe(spark)(()))))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(spark.conf.get(key) === "true",
+      "concurrent guards must never leak their temporary AQE-off state")
+    before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
