@@ -231,10 +231,14 @@ object Bench {
         case Some(t) if v >= 0 && inRecordDrift &&
             relSpread(t.samples.takeRight(3)) > outOfBand =>
           if (t.samples.length > 3) {
+            // substitute in BOTH directions: a drift-tainted FASTER
+            // median is a false speedup exactly as a slower one is a
+            // false regression — the settled window is the trustworthy
+            // estimate either way, and the annotation keeps it auditable
             val settled = t.samples.sliding(3).minBy(relSpread)
             val settledMed = { val s = settled.sorted; s(1) }
-            if (settledMed < v) { drifted(name) = v; name -> settledMed }
-            else name -> v
+            drifted(name) = v
+            name -> settledMed
           } else { drifted(name) = v; name -> v } // annotate-only
         case _ => name -> v
       }

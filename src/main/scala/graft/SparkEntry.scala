@@ -408,8 +408,13 @@ object SparkEntry {
     val e = Tables(s, dir, "embeddings")
     val ix = Dedup.buildCosineIndex(e.where(col("vec_id") < 400),
       "vec_id", "embedding", numBits = 8, bands = 8)
+    // exactLimit pinned wide open: the oracle replays the exact θ-join,
+    // so the delta route must stay on the exact tier at every battery
+    // scale (sf1's 20k rows would trip the default 10k gate into the
+    // bounded-recall LSH tier and hash-mismatch); production callers
+    // keep the operator's two-tier default
     Dedup.cosineDeltaPairs(ix, e.where(col("vec_id") >= 400),
-        "vec_id", "embedding", threshold = 0.4)
+        "vec_id", "embedding", threshold = 0.4, exactLimit = Long.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -483,8 +488,9 @@ object SparkEntry {
       "vec_id", "embedding", numBits = 8, bands = 8)
     val ix1 = Dedup.appendToCosineIndex(ix0,
       e.where(col("vec_id") >= 300 && col("vec_id") < 400), "vec_id", "embedding")
+    // exactLimit pinned wide open — same oracle-contract rationale as q85
     Dedup.cosineDeltaPairs(ix1, e.where(col("vec_id") >= 400),
-        "vec_id", "embedding", threshold = 0.4)
+        "vec_id", "embedding", threshold = 0.4, exactLimit = Long.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1079,7 +1085,12 @@ object SparkEntry {
       .select(col("vec_id").as("id"))
     ArchiveDedup.forgetDocs(s, arch, victims)
     ArchiveDedup.forgetDocs(s, arch, victims) // ledgered retry: must SKIP
-    ArchiveDedup.archivePairs(s, arch, 0.4)
+    // exactLimit pinned wide OPEN: the q97 oracle is the exact θ-join,
+    // so the audit must stay on the exact blocked tier at EVERY battery
+    // scale (at sf1's 16k survivors the default 10k gate would silently
+    // route to the bounded-recall LSH tier and hash-mismatch the
+    // oracle); production audits keep the operator's two-tier default
+    ArchiveDedup.archivePairs(s, arch, 0.4, exactLimit = Long.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
   }
 

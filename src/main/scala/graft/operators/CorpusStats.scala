@@ -1167,21 +1167,21 @@ object CorpusStats {
     // the retraction entry points used to run separately, the
     // checkpointed mark join, the unknown limit-collect and the
     // isEmpty probe. Refusals are driver-side over the collected rows.
-    // cap refusal BEFORE any driver-side materialization: one cheap
-    // limit-count over the batch's distinct ids (no archive scan, no
-    // boxed Rows) — the old form collected cap+1 classification rows
-    // first, spending hundreds of MB of driver heap only to refuse
+    // the limit bounds the collect at cap+1 rows — the cap is a ceiling
+    // on what the driver MAY hold, not a promise that a refusal costs
+    // nothing (a takedown at the cap pays the same heap on success);
+    // one job, no separate pre-count round-trip
     val cap = Dedup.takedownCollectCap(spark)
-    require(b.select(col(idCol).cast("long").as("id")).distinct()
-        .limit(cap + 1).count() <= cap,
-      s"$op: the takedown batch exceeds spark.graft.maxTakedownCollect " +
-        s"($cap ids) — the classification materializes one driver-side " +
-        "row per victim; split the takedown into smaller batches (or " +
-        "raise the cap)")
     val marked = b.select(col(idCol).cast("long").as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("c"))
       .join(resolvedIdsOf(spark, dir, st), Seq("id"), "left_outer")
+      .limit(cap + 1)
       .collect()
+    require(marked.length <= cap,
+      s"$op: the takedown batch exceeds spark.graft.maxTakedownCollect " +
+        s"($cap ids) — the classification collects one driver-side row " +
+        "per victim (bounded at the cap); split the takedown into " +
+        "smaller batches (or raise the cap)")
     if (Dedup.checkDeltaDisjoint(spark)) {
       require(!marked.exists(_.isNullAt(0)),
         s"$op: batch ids must be non-null and castable to long (column " +

@@ -968,9 +968,11 @@ object Dedup {
     * the guard ON — fail safe). */
   /** Driver-side ceiling for the takedown paths' classification
     * collects (one row per victim id): the "collects are
-    * takedown-sized" contract made mechanical — a batch beyond the cap
-    * refuses loudly BEFORE materializing on the driver, instead of
-    * OOMing it. `spark.graft.maxTakedownCollect` overrides (unparseable
+    * takedown-sized" contract made mechanical — the collect is BOUNDED
+    * at cap+1 rows by a limit and a batch beyond the cap refuses
+    * loudly, so the driver never holds more than the cap (it may hold
+    * up to the cap, on success and refusal alike — size the cap to the
+    * heap). `spark.graft.maxTakedownCollect` overrides (unparseable
     * keeps the default). */
   private[graft] def takedownCollectCap(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("spark.graft.maxTakedownCollect")
@@ -993,12 +995,16 @@ object Dedup {
     * JVM-global lock: two UNSERIALIZED guards interleaving their
     * save/set/restore would let the second snapshot the first's "false"
     * as its restore value and leave AQE off for the session's lifetime.
-    * Guards are single-digit-millisecond collects, so serializing them
-    * costs nothing (and concurrent streams' guards were already
-    * serialized by their own batch loops). */
+    * Only PLANNING runs inside the lock (the AQE decision is taken by
+    * the planner — `InsertAdaptiveSparkPlan` reads the conf when
+    * `executedPlan` is forced; the memoized static plan then executes
+    * unchanged whatever the conf says): execution — the
+    * batch-proportional scan — happens outside, so concurrent streams'
+    * guard scans stay parallel and the locked window is milliseconds
+    * of planning. */
   private val aqeGuardLock = new Object
-  private[graft] def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)
-                                  (body: => T): T = {
+  private[graft] def withoutAqe(spark: org.apache.spark.sql.SparkSession,
+                                frame: DataFrame): Array[org.apache.spark.sql.Row] = {
     // A/B switch (-Dgraft.guard.staticPlan=false / GRAFT_GUARD_STATIC):
     // unparseable keeps the default ON, same fail-safe rule as the
     // other house flags
@@ -1006,17 +1012,19 @@ object Dedup {
       .orElse(sys.env.get("GRAFT_GUARD_STATIC"))
       .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption)
       .getOrElse(true)
-    if (!enabled) body
-    else aqeGuardLock.synchronized {
+    if (enabled) aqeGuardLock.synchronized {
       val key = "spark.sql.adaptive.enabled"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "false")
-      try body
+      // force the (memoized) physical plan under AQE-off; collect()
+      // below reuses this QueryExecution
+      try frame.queryExecution.executedPlan
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
     }
+    frame.collect()
   }
 
   /** The null/within-batch-uniqueness half of [[requireDeltaDisjoint]],
@@ -1028,12 +1036,11 @@ object Dedup {
   private[graft] def requireBatchIdsSane(batch: DataFrame, idCol: String,
                                          op: String): Unit = {
     if (!checkDeltaDisjoint(batch.sparkSession)) return
-    val offenders = withoutAqe(batch.sparkSession) {
+    val offenders = withoutAqe(batch.sparkSession,
       batch.select(col(idCol).cast("long").as("id"))
         .groupBy("id").count()
         .where(col("id").isNull || col("count") > 1)
-        .limit(4).collect()
-    }
+        .limit(4))
     val (nullKeys, dup) = offenders.partition(_.isNullAt(0))
     require(nullKeys.isEmpty,
       s"$op: batch ids must be non-null and castable to long (column " +
@@ -1111,14 +1118,12 @@ object Dedup {
     // not data volume)
     val counts = newDf.select(col(idCol).cast("long").as("id"))
       .groupBy("id").count()
-    val offenders = withoutAqe(newDf.sparkSession) {
+    val offenders = withoutAqe(newDf.sparkSession,
       counts.where(col("id").isNull || col("count") > 1)
         .select(col("id"), lit("within").as("kind")).limit(4)
         .unionByName(ixIds
           .join(counts.select(col("id")), "id")
-          .select(col("id"), lit("overlap").as("kind")).limit(3))
-        .collect()
-    }
+          .select(col("id"), lit("overlap").as("kind")).limit(3)))
     val (within, overlap) = offenders.partition(_.getString(1) == "within")
     val (nullKeys, dup0) = within.partition(_.isNullAt(0))
     require(nullKeys.isEmpty,

@@ -185,11 +185,17 @@ object ArchiveDedup {
     * rewrites re-key). Missing path → -1, re-probed when it appears. */
   private def contentToken(fs: FileSystem, path: Path): Long =
     try {
+      // per-file hashes combine by SUM (order-independent): listStatus
+      // ordering is not guaranteed stable on every filesystem, and an
+      // order-sensitive fold would spuriously re-key an unchanged dir
+      // (re-reading the manifest and growing the never-evicted memo)
       var h = 1125899906842597L
       fs.listStatus(path).foreach { st =>
-        h = h * 31 + st.getPath.getName.hashCode
-        h = h * 31 + st.getLen
-        h = h * 31 + st.getModificationTime
+        var f = 1099511628211L
+        f = f * 31 + st.getPath.getName.hashCode
+        f = f * 31 + st.getLen
+        f = f * 31 + st.getModificationTime
+        h += f * 0x9E3779B97F4A7C15L
       }
       h
     } catch { case _: java.io.FileNotFoundException => -1L }
@@ -944,19 +950,12 @@ object ArchiveDedup {
     val liveIds = readComponent(spark, entryDirsOf(dir, st),
       layout.idComponent).select(col("id"))
     import spark.implicits._
+    // the limit bounds the collect at cap+1 rows — the cap is a ceiling
+    // on what the driver MAY hold, not a promise that a refusal costs
+    // nothing (a takedown at the cap pays the same heap on success);
+    // one job, no separate pre-count round-trip
     val cap = Dedup.takedownCollectCap(spark)
-    val vIds = ids.select(col(idCol).cast("long").as("id")).distinct()
-    // cap refusal BEFORE any driver-side materialization: one cheap
-    // limit-count job over the victims frame alone (no archive scan, no
-    // boxed Rows on the driver) — the old form collected cap+1 rows
-    // first, which at the default cap is hundreds of MB of driver heap
-    // spent only to refuse
-    require(vIds.limit(cap + 1).count() <= cap,
-      s"forgetDocs: the takedown batch exceeds " +
-        s"spark.graft.maxTakedownCollect ($cap ids) — the classification " +
-        "materializes one driver-side row per victim; split the takedown " +
-        "into smaller batches (or raise the cap)")
-    val flags = vIds
+    val flags = ids.select(col(idCol).cast("long").as("id")).distinct()
       .join(ledger.map(_.withColumn("on_ledger", lit(true)))
           .getOrElse(spark.range(0)
             .select(col("id"), lit(true).as("on_ledger"))),
@@ -965,7 +964,13 @@ object ArchiveDedup {
       .select(col("id"),
         coalesce(col("on_ledger"), lit(false)).as("on_ledger"),
         coalesce(col("live"), lit(false)).as("live"))
+      .limit(cap + 1)
       .collect()
+    require(flags.length <= cap,
+      s"forgetDocs: the takedown batch exceeds " +
+        s"spark.graft.maxTakedownCollect ($cap ids) — the classification " +
+        "collects one driver-side row per victim (bounded at the cap); " +
+        "split the takedown into smaller batches (or raise the cap)")
     require(!flags.exists(_.isNullAt(0)),
       s"forgetDocs: retraction ids must be non-null and castable to " +
         s"long (column '$idCol' has null/uncastable values)")

@@ -161,7 +161,14 @@ object ForgetUnderLoad {
     streamT.start()
 
     // ---- the takedown, mid-stream, with retry-on-abort ----
-    while (batchDone < foldAfter) Thread.sleep(50)
+    // also watch streamError: a stream that dies before foldAfter
+    // batches must fail the run, not hang this wait forever
+    while (batchDone < foldAfter && streamError == null) Thread.sleep(50)
+    if (streamError != null) {
+      println(s"STREAM FAILED before the takedown could fire: $streamError")
+      spark.stop()
+      sys.exit(1)
+    }
     // victims need TEXT for the stats families (counts subtract by
     // replaying the folded text); the dedup twin ignores extra columns
     val victimDocs = rows.where(col("doc_id") % 100 === 7)
@@ -223,9 +230,10 @@ object ForgetUnderLoad {
         .join(victimDocs.select(col("doc_id").cast("long").as("id")), Seq("id"))
         .count()
       val expected = survivors.count()
+      val got = archived.count()
       println(s"victims still archived: $victimLeft (must be 0); " +
-        s"archived rows ${archived.count()} (expected $expected)")
-      victimLeft != 0 || archived.count() != expected
+        s"archived rows $got (expected $expected)")
+      victimLeft != 0 || got != expected
     }
     val exitBad: Boolean = family match {
       case "minhash" =>

@@ -720,27 +720,28 @@ class DedupSpec extends AnyFunSuite {
     assert(sGot === sWant && sGot.nonEmpty)
   }
 
-  test("withoutAqe restores the session conf under nesting, errors, and racing guards") {
+  test("withoutAqe plans statically, restores the conf, and never leaks under racing guards") {
+    import spark.implicits._
     val key = "spark.sql.adaptive.enabled"
     val before = spark.conf.getOption(key)
-    // plain + nested: conf off inside, restored after
-    Dedup.withoutAqe(spark) {
-      assert(spark.conf.get(key) === "false")
-      Dedup.withoutAqe(spark)(assert(spark.conf.get(key) === "false"))
-      assert(spark.conf.get(key) === "false")
-    }
-    assert(spark.conf.getOption(key) === before)
-    // a throwing body still restores
-    intercept[IllegalStateException] {
-      Dedup.withoutAqe(spark)(throw new IllegalStateException("boom"))
-    }
-    assert(spark.conf.getOption(key) === before)
+    spark.conf.set(key, "true")
+    val frame = Seq(1L, 2L, 2L).toDF("id")
+      .groupBy("id").count().where(col("count") > 1)
+    // result matches a plain collect; the memoized plan is static (no
+    // AdaptiveSparkPlanExec root) even though the session conf is back on
+    val rows = Dedup.withoutAqe(spark, frame)
+    assert(rows.map(_.getLong(0)).toSet === Set(2L))
+    assert(spark.conf.get(key) === "true", "conf must be restored")
+    assert(!frame.queryExecution.executedPlan.getClass.getSimpleName
+      .contains("Adaptive"),
+      s"guard plan must be static: ${frame.queryExecution.executedPlan.getClass}")
     // racing guards: unserialized save/set/restore would let one thread
     // snapshot the other's "false" and leave AQE off forever — the
-    // JVM-global lock makes the window atomic
-    spark.conf.set(key, "true")
-    val threads = (1 to 8).map(_ => new Thread(() =>
-      (1 to 50).foreach(_ => Dedup.withoutAqe(spark)(()))))
+    // JVM-global planning lock makes the window atomic
+    val threads = (1 to 8).map(t => new Thread(() =>
+      (1 to 25).foreach { i =>
+        Dedup.withoutAqe(spark, Seq(t.toLong, i.toLong).toDF("id").limit(1))
+      }))
     threads.foreach(_.start()); threads.foreach(_.join())
     assert(spark.conf.get(key) === "true",
       "concurrent guards must never leak their temporary AQE-off state")
