@@ -28,6 +28,45 @@ import org.apache.spark.sql.SparkSession
  * published record (the tools/bench_ab.py adjudication trigger).
  */
 object Bench {
+
+  /** Relative spread of a 3-sample window: (max − min) / median. */
+  private[graft] def relSpread(w: Array[Double]): Double = {
+    val s = w.sorted
+    if (s(1) > 0) (s(2) - s(0)) / s(1) else 0.0
+  }
+
+  /** The sweep's own out-of-band threshold: 3× the p90 of every query's
+    * settled-window (last-3) relative spread, floored at 0.25. */
+  private[graft] def driftBand(allSamples: Seq[Array[Double]]): Double = {
+    val spreads = allSamples.filter(_.length >= 3)
+      .map(s => relSpread(s.takeRight(3))).toArray.sorted
+    val p90 = if (spreads.isEmpty) 0.0 else spreads((spreads.length * 9) / 10)
+    math.max(0.25, 3.0 * p90)
+  }
+
+  /** The drift-aware publishing decision (round 16, pure so it's
+    * spec-gated): given a query's warm samples and its raw published
+    * median (median of the last 3), return Some(value to publish
+    * instead) when the query must be ANNOTATED as drifted — i.e. its
+    * last-3 spread blows the sweep's band AND the calibration bracket
+    * confirmed in-record machine drift. The substituted value is the
+    * median of the LEAST-spread contiguous 3-sample window, in BOTH
+    * directions (a drift-tainted faster median is a false speedup
+    * exactly as a slower one is a false regression); queries carrying
+    * only 3 samples have no alternative window and republish their raw
+    * value (annotate-only). None = publish raw, no annotation. */
+  private[graft] def settledPublish(samples: Array[Double], raw: Double,
+                                    inRecordDrift: Boolean,
+                                    outOfBand: Double): Option[Double] = {
+    if (!inRecordDrift || samples.length < 3 ||
+        relSpread(samples.takeRight(3)) <= outOfBand) None
+    else if (samples.length == 3) Some(raw) // annotate-only
+    else {
+      val settled = samples.sliding(3).minBy(relSpread)
+      Some { val s = settled.sorted; s(1) }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -211,35 +250,20 @@ object Bench {
     // no longer print a false +59% headline, and the annotation keeps
     // the substitution auditable. Queries with only 3 samples have no
     // alternative window: they are annotated, never rewritten.
-    def relSpread(w: Array[Double]): Double = {
-      val s = w.sorted
-      if (s(1) > 0) (s(2) - s(0)) / s(1) else 0.0
-    }
     val inRecordDrift = calibStart.exists { case (k, v0) =>
       val v1 = calibEnd.find(_._1 == k).map(_._2).getOrElse(v0)
       v0 > 0 && math.abs(v1 / v0 - 1.0) > 0.10
     }
-    val sweepSpreads = telemetry.values
-      .map(t => relSpread(t.samples.takeRight(3))).toArray.sorted
-    val bandP90 =
-      if (sweepSpreads.isEmpty) 0.0
-      else sweepSpreads((sweepSpreads.length * 9) / 10)
-    val outOfBand = math.max(0.25, 3.0 * bandP90)
+    val outOfBand = driftBand(
+      telemetry.values.map(_.samples).toSeq)
     val drifted = collection.mutable.LinkedHashMap.empty[String, Double]
     val results = rawResults.map { case (name, v) =>
       telemetry.get(name) match {
-        case Some(t) if v >= 0 && inRecordDrift &&
-            relSpread(t.samples.takeRight(3)) > outOfBand =>
-          if (t.samples.length > 3) {
-            // substitute in BOTH directions: a drift-tainted FASTER
-            // median is a false speedup exactly as a slower one is a
-            // false regression — the settled window is the trustworthy
-            // estimate either way, and the annotation keeps it auditable
-            val settled = t.samples.sliding(3).minBy(relSpread)
-            val settledMed = { val s = settled.sorted; s(1) }
-            drifted(name) = v
-            name -> settledMed
-          } else { drifted(name) = v; name -> v } // annotate-only
+        case Some(t) if v >= 0 =>
+          settledPublish(t.samples, v, inRecordDrift, outOfBand) match {
+            case Some(published) => drifted(name) = v; name -> published
+            case None => name -> v
+          }
         case _ => name -> v
       }
     }

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The drift-aware publishing rule (BENCH.md "Per-query publishing
+ * rule") as executable spec: the q64 false-headline class — a machine
+ * degrading mid-record printing a fake regression — must be corrected
+ * and annotated, per-query noise on a stationary machine must pass
+ * through untouched, and the correction must apply in BOTH directions.
+ */
+class BenchPublishSpec extends AnyFunSuite {
+
+  private val band = 0.25
+
+  test("the r15 q64 shape: settled early samples, drifted tail -> settled median, annotated") {
+    // the literal telemetry that motivated the rule
+    val samples = Array(2.52, 2.30, 2.64, 5.53, 11.60)
+    val published = Bench.settledPublish(samples, raw = 5.53,
+      inRecordDrift = true, outOfBand = band)
+    assert(published === Some(2.52),
+      "must publish the least-spread window's median ([2.30,2.52,2.64] -> 2.52)")
+  }
+
+  test("fast-direction drift is corrected too (no false speedups)") {
+    // machine speeds up mid-record: last-3 median is drift-tainted LOW
+    val samples = Array(5.0, 5.1, 4.9, 2.5, 2.4)
+    val published = Bench.settledPublish(samples, raw = 2.5,
+      inRecordDrift = true, outOfBand = band)
+    assert(published.exists(_ >= 4.9),
+      s"a drift-tainted faster median is a false speedup: $published")
+  }
+
+  test("blown spread on a STATIONARY machine passes through (per-query noise)") {
+    val samples = Array(2.5, 2.6, 9.0, 2.4, 8.0)
+    assert(Bench.settledPublish(samples, raw = 8.0,
+      inRecordDrift = false, outOfBand = band) === None)
+  }
+
+  test("in-band samples on a drifted machine pass through") {
+    val samples = Array(2.50, 2.55, 2.52)
+    assert(Bench.settledPublish(samples, raw = 2.52,
+      inRecordDrift = true, outOfBand = band) === None)
+  }
+
+  test("3-sample queries with blown spread annotate without rewriting") {
+    val samples = Array(2.0, 2.1, 9.0)
+    assert(Bench.settledPublish(samples, raw = 2.1,
+      inRecordDrift = true, outOfBand = band) === Some(2.1),
+      "no alternative window exists — annotate-only, raw value kept")
+  }
+
+  test("the band is the sweep's own: 3x settled-spread p90, floored at 0.25") {
+    val tight = Seq.fill(20)(Array(1.0, 1.01, 1.02))
+    assert(Bench.driftBand(tight) === 0.25, "floor binds on a quiet sweep")
+    val noisy = Seq.fill(20)(Array(1.0, 1.5, 2.0))
+    assert(Bench.driftBand(noisy) > 0.25 &&
+      Bench.driftBand(noisy) === 3.0 * Bench.relSpread(Array(1.0, 1.5, 2.0)))
+  }
+
+  test("published wall never exceeds 1.5x the settled floor without annotation") {
+    // the verdict's acceptance invariant, fuzzed over random sweeps
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val n = 3 + rnd.nextInt(3)
+      val samples = Array.fill(n)(0.5 + rnd.nextDouble() * 10.0)
+      val last3 = samples.takeRight(3).sorted
+      val raw = last3(1)
+      Bench.settledPublish(samples, raw, inRecordDrift = true,
+          outOfBand = band) match {
+        case Some(pub) => () // annotated — any substitution is audited
+        case None =>
+          // unannotated: the raw median's window was in-band, so it
+          // cannot sit far above its own window floor
+          assert(raw <= 1.5 * last3(0) || Bench.relSpread(last3) > band,
+            s"unannotated publish $raw vs floor ${last3(0)} " +
+              s"(samples ${samples.mkString(",")})")
+      }
+    }
+  }
+}
