@@ -36,13 +36,89 @@ object Bench {
   }
 
   /** The sweep's own out-of-band threshold: 3× the p90 of every query's
-    * settled-window (last-3) relative spread, floored at 0.25. */
+    * settled-window (last-3) relative spread, floored at 0.25.
+    *
+    * p90 is the NEAREST-RANK percentile (ceil(0.9·n)-th smallest): the
+    * earlier floor-index form `(n*9)/10` selected the MAXIMUM spread for
+    * any sweep of ≤10 queries, letting one blown window inflate the band
+    * and suppress its own annotation (r16 ADVICE). Known remaining bias,
+    * documented rather than modeled: windows already past the floor
+    * participate in the distribution, so a sweep where MANY queries drift
+    * raises the band conservatively — annotation under-fires, published
+    * values stay raw-auditable, never silently rewritten. */
   private[graft] def driftBand(allSamples: Seq[Array[Double]]): Double = {
     val spreads = allSamples.filter(_.length >= 3)
       .map(s => relSpread(s.takeRight(3))).toArray.sorted
-    val p90 = if (spreads.isEmpty) 0.0 else spreads((spreads.length * 9) / 10)
+    val p90 =
+      if (spreads.isEmpty) 0.0
+      else spreads(math.min(spreads.length - 1,
+        math.max(0, math.ceil(spreads.length * 0.9).toInt - 1)))
     math.max(0.25, 3.0 * p90)
   }
+
+  /** Median of the LEAST-spread contiguous 3-sample window — the settled
+    * value a drift-annotated query publishes (needs ≥3 samples). */
+  private[graft] def leastSpreadMedian(samples: Array[Double]): Double = {
+    val s = samples.sliding(3).minBy(relSpread).sorted
+    s(1)
+  }
+
+  /** Round-17 re-sampling rule (r16 verdict ask #3): a 3-sample query
+    * whose spread blows the band under confirmed in-record drift has no
+    * alternative window — instead of annotating its raw (possibly 3–4×
+    * drift-inflated) median, the sweep takes up to 2 extra post-sweep
+    * samples and publishes [[leastSpreadMedian]] of the extended array.
+    * This predicate is the pure trigger; the publish path stays
+    * [[leastSpreadMedian]] so BenchPublishSpec gates both halves. */
+  private[graft] def needsResample(samples: Array[Double],
+                                   inRecordDrift: Boolean,
+                                   outOfBand: Double): Boolean =
+    inRecordDrift && samples.length == 3 && relSpread(samples) > outOfBand
+
+  /** Post-resample publish decision: Some(median of the trailing
+    * 3-sample window) when that window settled within the band, None
+    * when even the extra samples failed to produce a settled window —
+    * the caller then annotates-only and keeps the raw value, exactly
+    * the pre-r17 3-sample behavior. Pure so BenchPublishSpec gates it. */
+  private[graft] def settledWindow(extended: Array[Double],
+                                   outOfBand: Double): Option[Double] =
+    if (extended.length >= 3 && relSpread(extended.takeRight(3)) <= outOfBand) {
+      val w = extended.takeRight(3).sorted
+      Some(w(1))
+    } else None
+
+  /** The working tree's current git HEAD sha, by FILE reads only (no
+    * process exec — the bench must not fork). Stamped into every record
+    * so the ab trigger can recognize — and skip — a prior record that
+    * THIS code state produced (r16 ADVICE: a re-run within a round
+    * otherwise degenerates to self-comparison and reports
+    * triggered:false even though the machine drifted vs the actual
+    * previous round). */
+  private[graft] def currentGitHead(): Option[String] = try {
+    val headFile = java.nio.file.Paths.get(".git/HEAD")
+    if (!java.nio.file.Files.exists(headFile)) None
+    else {
+      val head = new String(
+        java.nio.file.Files.readAllBytes(headFile), "UTF-8").trim
+      if (!head.startsWith("ref:")) Some(head).filter(_.nonEmpty)
+      else {
+        val ref = head.drop(4).trim
+        val refFile = java.nio.file.Paths.get(s".git/$ref")
+        if (java.nio.file.Files.exists(refFile))
+          Some(new String(
+            java.nio.file.Files.readAllBytes(refFile), "UTF-8").trim)
+            .filter(_.nonEmpty)
+        else {
+          val packed = java.nio.file.Paths.get(".git/packed-refs")
+          if (!java.nio.file.Files.exists(packed)) None
+          else new String(java.nio.file.Files.readAllBytes(packed), "UTF-8")
+            .linesIterator.map(_.trim)
+            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+            .map(_.split(' ')(0)).filter(_.nonEmpty)
+        }
+      }
+    }
+  } catch { case _: Throwable => None }
 
   /** The drift-aware publishing decision (round 16, pure so it's
     * spec-gated): given a query's warm samples and its raw published
@@ -60,11 +136,11 @@ object Bench {
                                     outOfBand: Double): Option[Double] = {
     if (!inRecordDrift || samples.length < 3 ||
         relSpread(samples.takeRight(3)) <= outOfBand) None
-    else if (samples.length == 3) Some(raw) // annotate-only
-    else {
-      val settled = samples.sliding(3).minBy(relSpread)
-      Some { val s = settled.sorted; s(1) }
-    }
+    else if (samples.length == 3) Some(raw) // annotate-only (no extra
+      // samples available — the main loop re-samples via [[needsResample]]
+      // before reaching here, so this branch is the fallback when a
+      // re-sample attempt itself failed)
+    else Some(leastSpreadMedian(samples))
   }
 
   def main(args: Array[String]): Unit = {
@@ -256,9 +332,48 @@ object Bench {
     }
     val outOfBand = driftBand(
       telemetry.values.map(_.samples).toSeq)
+
+    // ---- 3-sample re-sampling (round 17, verdict ask #3): the r16
+    // record annotated q19/q40 but still published raw medians 3–4×
+    // their own sample floors — a 3-sample query has no alternative
+    // window to settle into. When the band blows AND calib confirms
+    // in-record drift AND the query carries only 3 samples, take up to
+    // 3 extra post-sweep samples (stopping as soon as the trailing
+    // 3-window settles — the 3rd fires only when the machine changed
+    // regime between sweep and re-sample, so the trailing window needs
+    // to be all-fresh) and publish the settled window's median. If no
+    // window settles even then, fall back to annotate-only (raw kept) —
+    // the record never prints an unauditable substitution.
+    val extendedSamples = collection.mutable.LinkedHashMap.empty[String, Array[Double]]
+    rawResults.foreach { case (name, v) =>
+      telemetry.get(name).foreach { t =>
+        if (v >= 0 && needsResample(t.samples, inRecordDrift, outOfBand))
+          try {
+            val fn = SparkEntry.queries(name)
+            System.gc()
+            var samples = t.samples
+            var extras = 0
+            while (extras < 3 && relSpread(samples.takeRight(3)) > outOfBand) {
+              samples = samples :+ time(() => fn(spark, sfDir).count())
+              extras += 1
+            }
+            extendedSamples(name) = samples
+            telemetry.synchronized {
+              telemetry(name) = t.copy(samples = samples,
+                extraSamples = t.extraSamples + extras)
+            }
+          } catch { case _: Throwable => () }
+      }
+    }
+
     val drifted = collection.mutable.LinkedHashMap.empty[String, Double]
     val results = rawResults.map { case (name, v) =>
       telemetry.get(name) match {
+        case Some(t) if v >= 0 && extendedSamples.contains(name) =>
+          settledWindow(extendedSamples(name), outOfBand) match {
+            case Some(published) => drifted(name) = v; name -> published
+            case None => drifted(name) = v; name -> v // annotate-only
+          }
         case Some(t) if v >= 0 =>
           settledPublish(t.samples, v, inRecordDrift, outOfBand) match {
             case Some(published) => drifted(name) = v; name -> published
@@ -276,15 +391,36 @@ object Bench {
     // interleaved two-HEAD A/B (tools/bench_ab.py) must adjudicate any
     // headline claim; when both are within 10%, the record says so and
     // raw deltas stand on their own.
+    // the record stamps the producing code state so a later run at the
+    // SAME HEAD can recognize (and skip past) its own prior record when
+    // picking the comparison baseline — without the skip, a re-run
+    // within a round compared against itself and reported
+    // triggered:false regardless of actual cross-round drift (r16
+    // ADVICE). SPARK_GRAFT_AB_PREV pins the baseline explicitly when
+    // the ambient ordering is not what the operator wants.
+    val headSha = currentGitHead()
     val abBlock: String = try {
       val dir = new java.io.File(".")
       val files = Option(dir.listFiles(
         (_: java.io.File, n: String) => n.matches("BENCH_r\\d+\\.json")))
         .getOrElse(Array.empty[java.io.File])
-      if (files.isEmpty) """{"prev":null,"triggered":false,"note":"no prior record"}"""
+      val pinned = sys.env.get("SPARK_GRAFT_AB_PREV")
+        .map(new java.io.File(_)).filter(_.isFile)
+      val candidates = pinned.map(Array(_)).getOrElse(
+        files.sortBy(f =>
+          -"\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt)))
+      // newest-first, skipping records this HEAD produced (their stamped
+      // sha matches) — the baseline must predate this code state
+      val chosen = candidates.find { f =>
+        pinned.nonEmpty || headSha.forall { sha =>
+          try !new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").contains(sha)
+          catch { case _: Throwable => true }
+        }
+      }
+      if (chosen.isEmpty) """{"prev":null,"triggered":false,"note":"no prior record"}"""
       else {
-        val latest = files.maxBy(f =>
-          "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+        val latest = chosen.get
         val txt = new String(
           java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
         // the driver wraps the compact line as an ESCAPED string inside
@@ -441,8 +577,11 @@ object Bench {
     val driftedJson =
       if (drifted.isEmpty) ""
       else s""","drifted":${jsonMap(drifted.toSeq, num(_, "%.3f"))}"""
+    // the producing HEAD rides every record (see abBlock: it is how a
+    // later run at this HEAD knows to skip this record as its baseline)
+    val headJson = headSha.fold("null")(s => "\"" + s + "\"")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"calib":$calibJson,"ab":$abBlock$driftedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"calib":$calibJson,"head":$headJson,"ab":$abBlock$driftedJson,"sf":"$sfDir"}"""
 
     // Full-precision detail (all q* + artifact builds + resweep
     // sentinels + x_day6 serving keys) goes to a sidecar file and a

@@ -58,6 +58,44 @@ class BenchPublishSpec extends AnyFunSuite {
       Bench.driftBand(noisy) === 3.0 * Bench.relSpread(Array(1.0, 1.5, 2.0)))
   }
 
+  test("p90 is nearest-rank: one blown window in a 10-query sweep no longer sets the band") {
+    // r16 ADVICE: the floor-index form (n*9)/10 picked the MAXIMUM
+    // spread for sweeps of <=10 samples — a single blown window then
+    // inflated the band and suppressed its own annotation
+    val nine = Seq.fill(9)(Array(1.0, 1.01, 1.02))
+    val one = Seq(Array(1.0, 5.0, 9.0)) // spread 1.6
+    val band = Bench.driftBand(nine ++ one)
+    assert(band === 0.25,
+      s"the blown window must fall above p90, leaving the floor: $band")
+  }
+
+  test("3-sample drifted queries trigger a re-sample; settled ones do not") {
+    assert(Bench.needsResample(Array(0.3, 1.2, 1.3), inRecordDrift = true,
+      outOfBand = band), "blown 3-sample spread under drift -> re-sample")
+    assert(!Bench.needsResample(Array(0.3, 1.2, 1.3), inRecordDrift = false,
+      outOfBand = band), "stationary machine -> per-query noise, no re-sample")
+    assert(!Bench.needsResample(Array(1.2, 1.25, 1.3), inRecordDrift = true,
+      outOfBand = band), "in-band 3-sample window -> no re-sample")
+    assert(!Bench.needsResample(Array(0.3, 1.2, 1.3, 1.25), inRecordDrift = true,
+      outOfBand = band), "4+ samples have a window to settle into already")
+  }
+
+  test("re-sampled queries publish the settled trailing window's median") {
+    // the q19 shape: two drift-inflated samples, extras land at the floor
+    val extended = Array(0.3, 1.2, 1.3, 0.31, 0.32, 0.30)
+    assert(Bench.settledWindow(extended, band) === Some(0.31),
+      "trailing [0.31,0.32,0.30] settled -> publish its median")
+    // extras failed to settle (machine still moving) -> annotate-only
+    val unsettled = Array(0.3, 1.2, 1.3, 0.31, 2.0)
+    assert(Bench.settledWindow(unsettled, band) === None,
+      "no settled window even after extras -> raw kept, annotated")
+  }
+
+  test("leastSpreadMedian picks the quietest contiguous window in both directions") {
+    assert(Bench.leastSpreadMedian(Array(2.52, 2.30, 2.64, 5.53, 11.60)) === 2.52)
+    assert(Bench.leastSpreadMedian(Array(5.0, 5.1, 4.9, 2.5, 2.4)) === 5.0)
+  }
+
   test("published wall never exceeds 1.5x the settled floor without annotation") {
     // the verdict's acceptance invariant, fuzzed over random sweeps
     val rnd = new scala.util.Random(42)
