@@ -188,14 +188,27 @@ object ArchiveDedup {
       // per-file hashes combine by SUM (order-independent): listStatus
       // ordering is not guaranteed stable on every filesystem, and an
       // order-sensitive fold would spuriously re-key an unchanged dir
-      // (re-reading the manifest and growing the never-evicted memo)
+      // (re-reading the manifest and growing the never-evicted memo).
+      // Each file's (name, len, mtime) hash passes through murmur3's
+      // fmix64 finalizer BEFORE the sum (r16 ADVICE): under the weak
+      // `*31` mix alone, two distinct directory states could collide
+      // via compensating per-file changes (len +k here, mtime −31k
+      // there), silently serving stale generation metadata — the exact
+      // staleness this token exists to prevent. fmix64's avalanche makes
+      // a compensating pair require a full 64-bit collision.
+      def fmix64(x0: Long): Long = {
+        var x = x0
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+        x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+        x ^= x >>> 33; x
+      }
       var h = 1125899906842597L
       fs.listStatus(path).foreach { st =>
         var f = 1099511628211L
         f = f * 31 + st.getPath.getName.hashCode
         f = f * 31 + st.getLen
         f = f * 31 + st.getModificationTime
-        h += f * 0x9E3779B97F4A7C15L
+        h += fmix64(f)
       }
       h
     } catch { case _: java.io.FileNotFoundException => -1L }
@@ -1170,7 +1183,11 @@ object ArchiveDedup {
                                  exactLimit: Long): DataFrame = {
     import graft.operators.SimilarityJoin
     val (ix, _) = loadLatestCosine(spark, dir)
-    val n = ix.vecs.select(col("id")).count()
+    // callers that pin exactLimit=Long.MaxValue (the q85/q97 oracle
+    // regime) have already chosen the exact tier — the row-count job
+    // that picks the tier would be a pure driver round-trip (r16 ADVICE)
+    val n = if (exactLimit == Long.MaxValue) 0L
+      else ix.vecs.select(col("id")).count()
     val pairs =
       if (n <= exactLimit)
         SimilarityJoin.thresholdPairs(ix.vecs, "id", "v", threshold)
@@ -1450,7 +1467,8 @@ object ArchiveDedup {
                                         compactEvery: Int = 8,
                                         driftDir: Option[String] = None,
                                         autoReseedAfter: Int = 0,
-                                        retainCovered: Int = 1): Unit = {
+                                        retainCovered: Int = 1,
+                                        hotBucketPairCap: Long = Long.MaxValue): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
@@ -1463,7 +1481,8 @@ object ArchiveDedup {
           .select(col(idCol).cast("long").as("id")).distinct(), CosineLayout))
       return
     val (ix, _) = loadLatestCosine(spark, archiveDir)
-    Dedup.cosineDeltaPairs(ix, b, idCol, vecCol, threshold, exactLimit)
+    Dedup.cosineDeltaPairs(ix, b, idCol, vecCol, threshold, exactLimit,
+        hotBucketPairCap)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
     val tripped = driftDir.exists(d => emitDrift(d, batchId, "cosine",
       Dedup.cosineDriftProbe(ix, b, idCol, vecCol)))
@@ -1497,7 +1516,8 @@ object ArchiveDedup {
                              compactEvery: Int = 8,
                              driftDir: Option[String] = None,
                              autoReseedAfter: Int = 0,
-                             retainCovered: Int = 1): StreamingQuery = {
+                             retainCovered: Int = 1,
+                             hotBucketPairCap: Long = Long.MaxValue): StreamingQuery = {
     requireSaneCompactEvery(compactEvery)
     warnIfNoCheckpoint(checkpoint, "cosineArchiveDedupSink")
     require(autoReseedAfter <= 0 || driftDir.nonEmpty,
@@ -1508,7 +1528,7 @@ object ArchiveDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processCosineBatch(batch, batchId, archiveDir, pairsDir,
           idCol, vecCol, threshold, exactLimit, compactEvery, driftDir,
-          autoReseedAfter, retainCovered)
+          autoReseedAfter, retainCovered, hotBucketPairCap)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
@@ -1608,7 +1628,8 @@ object ArchiveDedup {
                                           compactEvery: Int = 8,
                                           driftDir: Option[String] = None,
                                           autoReseedAfter: Int = 0,
-                                          retainCovered: Int = 1): Unit = {
+                                          retainCovered: Int = 1,
+                                          hotClusterPairCap: Long = Long.MaxValue): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
@@ -1627,7 +1648,7 @@ object ArchiveDedup {
       "processSemanticBatch")
     val asg = Dedup.assignMembers(b, idCol, vecCol, ix.centroids)
       .localCheckpoint()
-    Dedup.semanticDeltaPairsAssigned(ix, asg, threshold)
+    Dedup.semanticDeltaPairsAssigned(ix, asg, threshold, hotClusterPairCap)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
     val tripped = driftDir.exists(d => emitDrift(d, batchId, "semantic",
       Dedup.semanticDriftProbeAssigned(ix, asg)))
@@ -1655,7 +1676,8 @@ object ArchiveDedup {
                                compactEvery: Int = 8,
                                driftDir: Option[String] = None,
                                autoReseedAfter: Int = 0,
-                               retainCovered: Int = 1): StreamingQuery = {
+                               retainCovered: Int = 1,
+                               hotClusterPairCap: Long = Long.MaxValue): StreamingQuery = {
     requireSaneCompactEvery(compactEvery)
     warnIfNoCheckpoint(checkpoint, "semanticArchiveDedupSink")
     require(autoReseedAfter <= 0 || driftDir.nonEmpty,
@@ -1666,7 +1688,7 @@ object ArchiveDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processSemanticBatch(batch, batchId, archiveDir, pairsDir,
           idCol, vecCol, threshold, compactEvery, driftDir, autoReseedAfter,
-          retainCovered)
+          retainCovered, hotClusterPairCap)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
