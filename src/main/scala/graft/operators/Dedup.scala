@@ -1278,9 +1278,16 @@ object Dedup {
    * Output: (id_a, id_b, sim), id_a < id_b, sim rounded to 6 — the
    * same shape the batch consumers publish.
    */
+  /** `hotBucketPairCap` (round 17): forwarded to the LSH tier's
+    * [[SimilarityJoin.lshCosineDeltaPairs]] — buckets whose candidate
+    * pair work exceeds the cap emit one covering edge per new row
+    * instead of the full pair space (the dense-duplicate regime; see
+    * that method's verdict-preservation contract). The exact tier is
+    * unaffected: its pair space is already bounded by `exactLimit`². */
   def cosineDeltaPairs(ix: CosineIndex, newDf: DataFrame,
                        idCol: String, vecCol: String, threshold: Double,
-                       exactLimit: Long = 10000L): DataFrame = {
+                       exactLimit: Long = 10000L,
+                       hotBucketPairCap: Long = Long.MaxValue): DataFrame = {
     requireDeltaDisjoint(ix.vecs.select(col("id")), newDf, idCol,
       "cosineDeltaPairs")
     val n = ix.vecs.select(col("id")).count() +
@@ -1298,9 +1305,14 @@ object Dedup {
           f"cosineDeltaPairs: $n rows > exactLimit=$exactLimit — routing to " +
             f"LSH delta candidates (numBits=${ix.numBits}, bands=${ix.bands}): " +
             f"precision stays 1.0 (exact cosine verification); predicted " +
-            f"recall for a pair AT cosine $threshold is $predicted%.3f")
+            f"recall for a pair AT cosine $threshold is $predicted%.3f" + (
+            if (hotBucketPairCap != Long.MaxValue)
+              f"; hot buckets (candidate work > $hotBucketPairCap) emit " +
+                "covering edges only (KEEP/DROP-preserving on dense clusters)"
+            else ""))
         SimilarityJoin.lshCosineDeltaPairs(ix.buckets, ix.vecs, newDf,
-          idCol, vecCol, threshold, ix.numBits, ix.bands, ix.dim, ix.seed)
+          idCol, vecCol, threshold, ix.numBits, ix.bands, ix.dim, ix.seed,
+          hotBucketPairCap)
       }
     pairs.select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
@@ -1395,11 +1407,13 @@ object Dedup {
    */
   def semanticDeltaPairs(ix: SemanticIndex, newDf: DataFrame,
                          idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         hotClusterPairCap: Long = Long.MaxValue): DataFrame = {
     requireDeltaDisjoint(ix.members.select(col("id")), newDf, idCol,
       "semanticDeltaPairs")
     semanticDeltaPairsAssigned(ix,
-      assignMembers(newDf, idCol, vecCol, ix.centroids), threshold)
+      assignMembers(newDf, idCol, vecCol, ix.centroids), threshold,
+      hotClusterPairCap)
   }
 
   /** The DECLARATIVE prefix of [[semanticDeltaPairs]] — the pinned-
@@ -1427,11 +1441,13 @@ object Dedup {
     * disjointness guard. */
   private[graft] def semanticDeltaPairsAssigned(ix: SemanticIndex,
                                                 newAsg: DataFrame,
-                                                threshold: Double): DataFrame =
+                                                threshold: Double,
+                                                hotClusterPairCap: Long = Long.MaxValue): DataFrame =
     SimilarityJoin.groupedThresholdPairsDelta(
         ix.members.select(col("cluster"), col("id"), col("v")),
         newAsg.select(col("cluster"), col("id"), col("v")),
-        "cluster", "id", "v", threshold)
+        "cluster", "id", "v", threshold,
+        hotGroupPairCap = hotClusterPairCap)
       .select(col("id_a"), col("id_b"), col("cluster"),
         round(col("sim"), 6).as("sim"))
 

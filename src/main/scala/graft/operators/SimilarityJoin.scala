@@ -611,19 +611,44 @@ object SimilarityJoin {
    * [[lshCosinePairs]] — see [[Dedup.cosineDeltaPairs]] for the routed
    * public form.
    */
+  /**
+   * `hotBucketPairCap` (round 17 — the dense-duplicate regime): a bucket
+   * whose candidate pair work `m_new × m` exceeds the cap routes through
+   * REPRESENTATIVE-EDGE emission instead of the full pair space — each
+   * new row emits at most ONE covering edge, to its minimum-id verified
+   * mate in the bucket (exact cosine ≥ threshold, the same widened-double
+   * kernel). A boilerplate-heavy corpus (intra-cluster cosine above the
+   * threshold — the ForgetUnderLoad σ1.0 regime that emitted ~20M
+   * pairs/batch and OOMed the grid shuffle) then emits O(batch) edges
+   * per batch while the KEEP/DROP verdict under
+   * [[graft.operators.Components]] closure is unchanged on dense
+   * clusters: edges stay a SUBSET of the true pair set (never
+   * over-merge), every coverable new doc still receives a covering edge
+   * (same covered set), and within a fully-dense bucket the min-id
+   * stars close into the same component the full graph does
+   * (CappedEmissionSpec gates all three). On PARTIALLY-dense hot buckets
+   * components can come out finer (some dup pairs unreported) — the same
+   * bounded-recall contract as the banding itself, logged at route time
+   * by the callers. Grid cost per hot bucket drops from m×(m/blockRows)
+   * replicated rows to m + m_new×(m/blockRows). Default = MaxValue
+   * (unbounded — the pre-r17 path, bit-identical plans).
+   */
   def lshCosineDeltaPairs(ixBuckets: DataFrame, ixVecs: DataFrame,
                           newDf: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, numBits: Int, bands: Int,
-                          dim: Int, seed: Long): DataFrame = {
+                          dim: Int, seed: Long,
+                          hotBucketPairCap: Long = Long.MaxValue): DataFrame = {
     val spark = newDf.sparkSession
     import spark.implicits._
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val blockRows = 2048
-    val grid = cosineDeltaScanInput(ixBuckets, ixVecs, newDf, idCol, vecCol,
+    val input = cosineDeltaScanInput(ixBuckets, ixVecs, newDf, idCol, vecCol,
         numBits, bands, dim, seed)
-      .as[(Long, Long, Array[Float], Long, Boolean)]
+      .as[(Long, Long, Array[Float], Long, Long, Boolean)]
       .rdd
-      .flatMap { case (bkt, id, v, m, isNew) =>
+    if (hotBucketPairCap == Long.MaxValue) {
+      // unbounded: the pre-r17 path, unchanged
+      val grid = input.flatMap { case (bkt, id, v, m, _, isNew) =>
         val nb2 = math.max(1L, (m + blockRows - 1) / blockRows).toInt
         if (nb2 == 1) Iterator(((bkt, 0, 0), (0, id, v, isNew)))
         else {
@@ -632,17 +657,75 @@ object SimilarityJoin {
             ((bkt, math.min(b, x), math.max(b, x)), (b, id, v, isNew)))
         }
       }
-    scanCells(grid, 4 * parallelism) { case ((_, ba, bb), it) =>
-        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
-        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
-        it.foreach { case (b, id, v, isNew) =>
-          if (b == ba) aBuf += ((id, v, isNew))
-          else if (b == bb) bBuf += ((id, v, isNew))
+      scanCells(grid, 4 * parallelism) { case ((_, ba, bb), it) =>
+          val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+          val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+          it.foreach { case (b, id, v, isNew) =>
+            if (b == ba) aBuf += ((id, v, isNew))
+            else if (b == bb) bBuf += ((id, v, isNew))
+          }
+          scanBlockPairThresholdDelta(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
         }
-        scanBlockPairThresholdDelta(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
+        .toDF("id_a", "id_b", "sim")
+        .dropDuplicates("id_a", "id_b")
+    } else {
+      // capped: one grid carries both routes — cold buckets keep the
+      // symmetric pair cells (key (bkt, ba, bb)); hot buckets place each
+      // resident row in ONE cell (key (bkt, blk, HotMark)) and replicate
+      // only the (small) new side to every cell, so nothing m²-shaped is
+      // ever shuffled
+      val HotMark = -1
+      val grid = input.flatMap { case (bkt, id, v, m, mNew, isNew) =>
+        val nb2 = math.max(1L, (m + blockRows - 1) / blockRows).toInt
+        if (!isHotBucket(m, mNew, hotBucketPairCap)) {
+          if (nb2 == 1) Iterator(((bkt, 0, 0), (0, id, v, isNew)))
+          else {
+            val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb2
+            (0 until nb2).iterator.map(x =>
+              ((bkt, math.min(b, x), math.max(b, x)), (b, id, v, isNew)))
+          }
+        } else if (isNew) {
+          (0 until nb2).iterator.map(x => ((bkt, x, HotMark), (x, id, v, true)))
+        } else {
+          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb2
+          Iterator(((bkt, b, HotMark), (b, id, v, false)))
+        }
       }
-      .toDF("id_a", "id_b", "sim")
-      .dropDuplicates("id_a", "id_b")
+      // covering rows ride DIRECTED ((newId, 0, true) keys) so the
+      // reduce can pick each new row's bucket-global min mate; cold pairs
+      // ride canonical ((a, b, false)) keys — the reduce doubles as their
+      // cross-band dedup. A final dropDuplicates folds the rare pair
+      // found by BOTH routes (different buckets).
+      scanCells(grid, 4 * parallelism) { case ((_, blk, bb), it) =>
+          if (bb == HotMark) {
+            val res = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+            val news = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+            it.foreach { case (_, id, v, isNew) =>
+              if (isNew) news += ((id, v)) else res += ((id, v))
+            }
+            scanCellCovering(res.toArray, news.toArray, threshold,
+                newNew = blk == 0)
+              .map { case (nid, mid, sim) => ((nid, 0L, true), (mid, sim)) }
+          } else {
+            val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+            val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+            it.foreach { case (b, id, v, isNew) =>
+              if (b == blk) aBuf += ((id, v, isNew))
+              else if (b == bb) bBuf += ((id, v, isNew))
+            }
+            scanBlockPairThresholdDelta(aBuf.toArray,
+                if (blk == bb) null else bBuf.toArray, threshold)
+              .map { case (ia, ib, sim) => ((ia, ib, false), (Long.MinValue, sim)) }
+          }
+        }
+        .reduceByKey((x, y) => if (x._1 <= y._1) x else y)
+        .map { case ((ka, kb, covering), (mate, sim)) =>
+          if (covering) { if (ka < mate) (ka, mate, sim) else (mate, ka, sim) }
+          else (ka, kb, sim)
+        }
+        .toDF("id_a", "id_b", "sim")
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** The DECLARATIVE prefix of [[lshCosineDeltaPairs]] — everything up
@@ -675,7 +758,80 @@ object SimilarityJoin {
       .unionByName(ixVecs.select(col("id"), col("v")))
       .join(survivorIds, "id")
     survivors.join(vecs, "id")
-      .select(col("bkt"), col("id"), col("v"), col("m"), col("is_new"))
+      .select(col("bkt"), col("id"), col("v"), col("m"), col("m_new"),
+        col("is_new"))
+  }
+
+  /** Hot-bucket trigger of the capped delta routes: candidate pair work
+    * `m_new × m` exceeds `cap` (overflow-safe division form). */
+  private[operators] def isHotBucket(m: Long, mNew: Long, cap: Long): Boolean =
+    mNew > 0 && m > cap / math.max(1L, mNew)
+
+  /** Exact cosine of two float vectors in the block kernels' own
+    * arithmetic (widened-double accumulation in index order, norms from
+    * the same interleaving-independent sums), so a covering edge's sim is
+    * bit-identical to the same pair's sim from the unbounded pair scan —
+    * CappedEmissionSpec gates the subset property on exact row equality. */
+  private def exactCosineF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var x = 0
+    while (x < n) {
+      val xa = a(x).toDouble; val yb = b(x).toDouble
+      dot += xa * yb; nx += xa * xa; ny += yb * yb
+      x += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  /** One hot-bucket cell of the capped delta route: every NEW row in the
+    * cell scans the cell's RESIDENT (old) rows and emits, per new row,
+    * only its cell-local MINIMUM-id verified mate (exact cosine ≥
+    * threshold) — the reduce across cells then yields the bucket-global
+    * minimum, which is deterministic under any partitioning. `newNew`
+    * additionally scans new rows among themselves (exactly one cell per
+    * bucket sets it — new rows are replicated to every cell, so one pass
+    * suffices and the reduce still sees the global minimum). Output rows
+    * are DIRECTED (newId, candidateMateId, sim); the caller reduces per
+    * newId and canonicalizes. */
+  private def scanCellCovering(resident: Array[(Long, Array[Float])],
+                               news: Array[(Long, Array[Float])],
+                               threshold: Double,
+                               newNew: Boolean): Iterator[(Long, Long, Double)] = {
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < news.length) {
+      val nid = news(i)._1; val nv = news(i)._2
+      var bestId = Long.MaxValue
+      var bestSim = 0.0
+      // only ids BELOW the current best can improve it, so the kernel
+      // skips their cosine outright — the final best is still the
+      // bucket-cell minimum verified id regardless of scan order
+      var j = 0
+      while (j < resident.length) {
+        val rid = resident(j)._1
+        if (rid != nid && rid < bestId) {
+          val sim = exactCosineF(nv, resident(j)._2)
+          if (sim >= threshold) { bestId = rid; bestSim = sim }
+        }
+        j += 1
+      }
+      if (newNew) {
+        var k = 0
+        while (k < news.length) {
+          val oid = news(k)._1
+          if (k != i && oid != nid && oid < bestId) {
+            val sim = exactCosineF(nv, news(k)._2)
+            if (sim >= threshold) { bestId = oid; bestSim = sim }
+          }
+          k += 1
+        }
+      }
+      if (bestId != Long.MaxValue) out += ((nid, bestId, bestSim))
+      i += 1
+    }
+    out.iterator
   }
 
   /**
@@ -766,48 +922,97 @@ object SimilarityJoin {
       .unionByName(shaped(ixMembers, isNew = false))
   }
 
+  /** `hotGroupPairCap`: the grouped twin of [[lshCosineDeltaPairs]]'s
+    * `hotBucketPairCap` — a cluster whose candidate pair work
+    * `m_new × m` exceeds the cap emits one covering edge per new member
+    * (min-id verified mate within the cluster) instead of the full
+    * within-cluster pair space; see that method's contract for the
+    * verdict-preservation argument. Default MaxValue = unbounded
+    * (pre-r17 path, bit-identical). */
   def groupedThresholdPairsDelta(ixMembers: DataFrame, newMembers: DataFrame,
                                  groupCol: String, idCol: String,
                                  vecCol: String, threshold: Double,
-                                 blockRows: Int = -1): DataFrame = {
+                                 blockRows: Int = -1,
+                                 hotGroupPairCap: Long = Long.MaxValue): DataFrame = {
     val spark = newMembers.sparkSession
     import spark.implicits._
     val rows = groupedDeltaScanInput(ixMembers, newMembers, groupCol, idCol, vecCol)
       .as[(String, Long, Array[Float], Boolean)]
       .filter(_._3 != null)
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-    // per-group counts over the UNION → the same grid the batch scan of
-    // (ix ∪ delta) derives; driver state O(#groups)
-    val counts: Map[String, Long] =
-      rows.rdd.map(r => (r._1, 1L)).reduceByKey(_ + _).collect().toMap
+    // per-group (total, new) counts over the UNION → the same grid the
+    // batch scan of (ix ∪ delta) derives; driver state O(#groups)
+    val counts: Map[String, (Long, Long)] =
+      rows.rdd.map(r => (r._1, (1L, if (r._4) 1L else 0L)))
+        .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2)).collect().toMap
     val targetNb = math.max(1, math.ceil(math.sqrt(8.0 * parallelism)).toInt)
-    val nbOf: Map[String, Int] = counts.map { case (g, m) =>
+    val nbOf: Map[String, Int] = counts.map { case (g, (m, _)) =>
       val nb =
         if (blockRows > 0) ((m + blockRows - 1) / blockRows).toInt
         else math.min(targetNb.toLong, (m + 1023) / 1024).toInt
       (g, math.max(1, nb))
     }
+    val hotOf: Map[String, Boolean] =
+      counts.map { case (g, (m, mNew)) =>
+        (g, isHotBucket(m, mNew, hotGroupPairCap))
+      }
     val bcNb = spark.sparkContext.broadcast(nbOf)
+    val bcHot = spark.sparkContext.broadcast(hotOf)
+    val HotMark = -1
     val grid = rows.rdd
       .flatMap { case (g, id, v, isNew) =>
         val nb = bcNb.value.getOrElse(g, 1)
-        if (nb == 1) Iterator(((g, 0, 0), (0, id, v, isNew)))
+        if (bcHot.value.getOrElse(g, false)) {
+          // hot cluster: residents land in ONE cell; the (small) new
+          // side replicates to every cell — nothing m²-shaped shuffles
+          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
+          if (isNew) (0 until nb).iterator.map(x => ((g, x, HotMark), (x, id, v, true)))
+          else Iterator(((g, b, HotMark), (b, id, v, false)))
+        } else if (nb == 1) Iterator(((g, 0, 0), (0, id, v, isNew)))
         else {
           val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
           (0 until nb).iterator.map(x =>
             ((g, math.min(b, x), math.max(b, x)), (b, id, v, isNew)))
         }
       }
-    val pairs = scanCells(grid, math.max(1, parallelism)) { case ((g, ba, bb), it) =>
-        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
-        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
-        it.foreach { case (b, id, v, isNew) =>
-          if (b == ba) aBuf += ((id, v, isNew))
-          else if (b == bb) bBuf += ((id, v, isNew))
+    val scanned = scanCells(grid, math.max(1, parallelism)) { case ((g, ba, bb), it) =>
+        if (bb == HotMark) {
+          val res = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+          val news = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+          it.foreach { case (_, id, v, isNew) =>
+            if (isNew) news += ((id, v)) else res += ((id, v))
+          }
+          scanCellCovering(res.toArray, news.toArray, threshold,
+              newNew = ba == 0)
+            .map { case (nid, mid, sim) => ((g, nid, 0L, true), (mid, sim)) }
+        } else {
+          val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+          val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+          it.foreach { case (b, id, v, isNew) =>
+            if (b == ba) aBuf += ((id, v, isNew))
+            else if (b == bb) bBuf += ((id, v, isNew))
+          }
+          scanBlockPairThresholdDelta(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
+            .map { case (ia, ib, sim) => ((g, ia, ib, false), (Long.MinValue, sim)) }
         }
-        scanBlockPairThresholdDelta(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
-          .map { case (ia, ib, sim) => (g, ia, ib, sim) }
       }
+    val pairs = (
+        if (hotGroupPairCap == Long.MaxValue)
+          // unbounded: no covering rows exist — skip the reduce entirely
+          // (the downstream consumer dedups; pre-r17 shape)
+          scanned.map { case ((g, ia, ib, _), (_, sim)) => (g, ia, ib, sim) }
+        else scanned
+          .reduceByKey((x, y) => if (x._1 <= y._1) x else y)
+          .map { case ((g, ka, kb, covering), (mate, sim)) =>
+            if (covering) {
+              if (ka < mate) (g, ka, mate, sim) else (g, mate, ka, sim)
+            } else (g, ka, kb, sim)
+          }
+          // two new rows can pick each other as covering mates — after
+          // canonicalization that is the same row twice (sims are
+          // bit-identical), and the emit-once output contract must hold
+          .distinct()
+      )
       .toDF("__g", "id_a", "id_b", "sim")
     // restore the group column's ORIGINAL type via its encoded form —
     // the broadcast side is the #groups-row distinct table; encGroup

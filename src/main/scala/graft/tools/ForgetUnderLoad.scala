@@ -34,8 +34,19 @@ import org.apache.spark.sql.functions._
  * is live — and the end-state check is the member/vector id sets:
  * victims absent, survivors + raced batches exact.
  *
+ * Round 17: the DENSE-duplicate regime is now runnable instead of
+ * documented away — `noiseStd` (arg 5, default 2.5) and `hotPairCap`
+ * (arg 6, default unbounded) expose the σ1.0 boilerplate shape (intra-
+ * cluster cosine ≈ 0.96 > the 0.95 threshold, so every batch's pair
+ * space is cluster-quadratic) together with the capped fold routes
+ * (`hotBucketPairCap`/`hotClusterPairCap`): hot buckets emit one
+ * covering edge per new doc (KEEP/DROP-preserving — CappedEmissionSpec)
+ * and the 20M-pairs-per-batch grid shuffle that OOMed the r16 attempt
+ * never materializes.
+ *
  * Usage: runMain graft.tools.ForgetUnderLoad <dir> [nBatches]
  *   [batchRows] [foldAfter] [family: minhash|token|ngram|semantic|cosine]
+ *   [noiseStd] [hotPairCap]
  * (victims = seed-side id%100==7, ~1% of the corpus.)
  */
 object ForgetUnderLoad {
@@ -45,6 +56,8 @@ object ForgetUnderLoad {
     val batchRows = args.lift(2).map(_.toLong).getOrElse(5000L)
     val foldAfter = args.lift(3).map(_.toInt).getOrElse(3)
     val family = args.lift(4).getOrElse("minhash")
+    val noiseStd = args.lift(5).map(_.toDouble).getOrElse(2.5)
+    val hotPairCap = args.lift(6).map(_.toLong).getOrElse(Long.MaxValue)
     require(Set("minhash", "token", "ngram", "semantic", "cosine")(family),
       s"unknown family '$family' — minhash|token|ngram|semantic|cosine")
     val spark = SparkSession.builder()
@@ -62,13 +75,12 @@ object ForgetUnderLoad {
     // doc_id (deterministic — id picks a cluster center, per-id RNG adds
     // noise; the day_6 generator's shape). The archive machinery only
     // sees (id, vector), so the measured commit/abort interaction is the
-    // production one. Noise std 2.5 (not the day_6 generator's 1.0): at
-    // std 1 intra-cluster cosine sits ≈ 0.96 — ABOVE the 0.95 dedup
-    // threshold — so every batch would emit its full cluster-mate pair
-    // space (~20M rows/batch, OOMing the grid shuffle); at 2.5 it sits
-    // ≈ 0.8 and near-dup pairs are sparse, which is the realistic regime
-    // for a takedown-interaction measurement (pair-volume scaling is
-    // DedupScale's experiment, not this one's).
+    // production one. noiseStd picks the regime: 2.5 (default) puts
+    // intra-cluster cosine ≈ 0.8, below the 0.95 threshold — the sparse
+    // near-dup shape; 1.0 puts it ≈ 0.96 — the BOILERPLATE shape where
+    // every batch's pair space is cluster-quadratic (~20M rows/batch at
+    // ×100), which needs `hotPairCap` to route hot buckets through
+    // covering-edge emission (run without it to reproduce the r16 OOM).
     val dim = 64
     val nClusters = 100
     val centers = Array.tabulate(nClusters) { c =>
@@ -86,7 +98,7 @@ object ForgetUnderLoad {
               val ctr = bc.value((id % nClusters).toInt)
               val r = new java.util.Random(1000L + id)
               (id, Array.tabulate(dim)(i =>
-                (ctr(i) + r.nextGaussian() * 2.5).toFloat))
+                (ctr(i) + r.nextGaussian() * noiseStd).toFloat))
             }
           }
           .toDF("doc_id", "embedding")
@@ -121,9 +133,11 @@ object ForgetUnderLoad {
       case "ngram" => CorpusStats.processNgramStatsBatch(batch, b, archive,
         "doc_id", "text", compactEvery = 8)
       case "semantic" => ArchiveDedup.processSemanticBatch(batch, b, archive,
-        pairsDir, "doc_id", "embedding", 0.95, compactEvery = 8)
+        pairsDir, "doc_id", "embedding", 0.95, compactEvery = 8,
+        hotClusterPairCap = hotPairCap)
       case "cosine" => ArchiveDedup.processCosineBatch(batch, b, archive,
-        pairsDir, "doc_id", "embedding", 0.95, compactEvery = 8)
+        pairsDir, "doc_id", "embedding", 0.95, compactEvery = 8,
+        hotBucketPairCap = hotPairCap)
     }
 
     val t0 = System.nanoTime()

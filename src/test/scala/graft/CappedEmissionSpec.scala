@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{Components, Dedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The dense-duplicate regime of the streaming fold (round 17, verdict
+ * ask #1): a boilerplate-heavy corpus whose intra-cluster cosine sits
+ * ABOVE the dedup threshold makes every batch's delta pair space
+ * cluster-quadratic (the ForgetUnderLoad σ1.0 run emitted ~20M
+ * pairs/batch and OOMed the grid shuffle). The capped routes
+ * (`hotBucketPairCap` / `hotClusterPairCap`) must:
+ *
+ *  1. emit a SUBSET of the unbounded path's verified pairs (bit-exact
+ *     rows — never an unverified or re-scored edge),
+ *  2. cover the SAME set of new docs (a doc with a verified mate always
+ *     receives a covering edge),
+ *  3. produce the SAME KEEP/DROP verdict under [[Components]] closure
+ *     on dense clusters (the product of the fold is the verdict, not
+ *     the pair list — ref: day_2/noramalization.py:121-205 keeps one
+ *     representative per duplicate group),
+ *  4. bound the emission to O(new × bands) instead of O(cluster²),
+ *  5. and degrade to EXACTLY the unbounded output when no bucket is hot
+ *     (the capped branch's plumbing, not just the `cap == MaxValue`
+ *     short-circuit).
+ */
+class CappedEmissionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val nClusters = 3
+  private val perCluster = 60
+  private val threshold = 0.95
+
+  private lazy val centers: Array[Array[Double]] = Array.tabulate(nClusters) { c =>
+    val r = new java.util.Random(7L + c)
+    Array.fill(dim)(r.nextGaussian() * 5.0)
+  }
+
+  /** Dense corpus: every cluster member is its center plus σ=0.01 noise
+    * (intra-cluster cosine ≈ 0.9999 — far above the threshold, the
+    * boilerplate regime), plus a mutually-near pair of NEW outliers
+    * (exercises the new×new covering pass) and one lone NEW outlier
+    * (must appear in no output). ids % 5 == 0 are the delta batch. */
+  private lazy val all: Seq[(Long, Array[Float])] = {
+    val clustered = (0 until nClusters * perCluster).map { i =>
+      val c = i % nClusters
+      val r = new java.util.Random(100L + i)
+      (i.toLong,
+        Array.tabulate(dim)(j => (centers(c)(j) + r.nextGaussian() * 0.01).toFloat))
+    }
+    val outDir = {
+      val r = new java.util.Random(999L)
+      Array.fill(dim)(r.nextGaussian() * 5.0)
+    }
+    val pairA = (1000L, outDir.map(x => x.toFloat))
+    val pairB = (1005L, outDir.map(x => (x * 1.2).toFloat)) // same direction
+    val lone = (1010L, {
+      val r = new java.util.Random(31337L)
+      Array.fill(dim)((r.nextGaussian() * 5.0).toFloat)
+    })
+    clustered ++ Seq(pairA, pairB, lone)
+  }
+  private lazy val newIds: Set[Long] = all.map(_._1).filter(_ % 5 == 0).toSet
+  private lazy val oldDf: DataFrame =
+    all.filterNot(t => newIds(t._1)).toDF("id", "v")
+  private lazy val newDf: DataFrame =
+    all.filter(t => newIds(t._1)).toDF("id", "v")
+  private lazy val allDf: DataFrame = all.toDF("id", "v")
+
+  private def rows(p: DataFrame): Set[(Long, Long, Double)] =
+    p.select(col("id_a"), col("id_b"), col("sim"))
+      .as[(Long, Long, Double)].collect().toSet
+  private def coveredNew(p: Set[(Long, Long, Double)]): Set[Long] =
+    p.flatMap(t => Seq(t._1, t._2)).filter(newIds)
+  /** KEEP/DROP verdict over the BATCH: a delta pair set adjudicates the
+    * new docs only (old docs' verdicts were decided when their own batch
+    * folded — old×old pairs are never re-emitted, so closure over delta
+    * pairs must not be read as re-adjudicating the archive). */
+  private def keptNew(p: DataFrame): Set[Long] =
+    Components.dropByPairs(allDf, "id", p)
+      .select(col("id")).as[Long].collect().toSet.intersect(newIds)
+
+  private def checkFamily(unbounded: DataFrame, capped: DataFrame,
+                          cappedNoHot: DataFrame, emissionBound: Long): Unit = {
+    val unb = rows(unbounded)
+    val cap = rows(capped)
+    assert(cap.subsetOf(unb),
+      s"capped pairs must be a bit-exact subset: extras ${cap -- unb}")
+    assert(coveredNew(cap) === coveredNew(unb),
+      "every coverable new doc must still receive a covering edge")
+    assert(!coveredNew(unb).contains(1010L), "the lone outlier pairs with nothing")
+    assert(coveredNew(cap).contains(1000L) && coveredNew(cap).contains(1005L),
+      "the new×new outlier pair must cover each other (block-0 pass)")
+    assert(keptNew(capped) === keptNew(unbounded),
+      "the batch's KEEP/DROP verdict under Components closure must match " +
+        "on dense clusters")
+    assert(cap.size <= emissionBound,
+      s"capped emission ${cap.size} must be O(new), bound $emissionBound " +
+        s"(unbounded emitted ${unb.size})")
+    assert(unb.size > 10L * cap.size,
+      s"fixture sanity: the dense regime must actually explode the " +
+        s"unbounded pair space (${unb.size} vs ${cap.size})")
+    assert(rows(cappedNoHot) === unb,
+      "a finite cap with no hot buckets must reproduce the unbounded " +
+        "output exactly (the capped branch's cold plumbing)")
+  }
+
+  test("cosine LSH delta: capped hot buckets preserve coverage and verdict") {
+    val ix = Dedup.buildCosineIndex(oldDf, "id", "v", numBits = 8, bands = 8)
+    def run(cap: Long): DataFrame =
+      Dedup.cosineDeltaPairs(ix, newDf, "id", "v", threshold,
+        exactLimit = 1L, hotBucketPairCap = cap)
+    // per band-bucket: m ≈ 60, m_new ≈ 12 → candidate work ≈ 720
+    checkFamily(run(Long.MaxValue), run(64L), run(Long.MaxValue - 1),
+      emissionBound = newIds.size.toLong * 8 + 2)
+  }
+
+  test("semantic grouped delta: capped hot clusters preserve coverage and verdict") {
+    val ix = Dedup.buildSemanticIndex(oldDf, "id", "v",
+      centers.map(_.map(_.toFloat)))
+    def run(cap: Long): DataFrame =
+      Dedup.semanticDeltaPairs(ix, newDf, "id", "v", threshold,
+        hotClusterPairCap = cap)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    checkFamily(run(Long.MaxValue), run(64L), run(Long.MaxValue - 1),
+      emissionBound = newIds.size.toLong + 2)
+  }
+}
