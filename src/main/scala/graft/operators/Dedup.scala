@@ -1290,8 +1290,14 @@ object Dedup {
                        hotBucketPairCap: Long = Long.MaxValue): DataFrame = {
     requireDeltaDisjoint(ix.vecs.select(col("id")), newDf, idCol,
       "cosineDeltaPairs")
-    val n = ix.vecs.select(col("id")).count() +
-      newDf.select(col(idCol)).count()
+    // ONE tier-pick job (round 17 job diet): the union count replaces
+    // two separate count round-trips, and a pinned exactLimit=MaxValue
+    // (the q85/q97 oracle regime) skips the job outright — the caller
+    // already chose the exact tier
+    val n = if (exactLimit == Long.MaxValue) 0L
+      else ix.vecs.select(col("id"))
+        .unionByName(newDf.select(col(idCol).cast("long").as("id")))
+        .count()
     val pairs =
       if (n <= exactLimit)
         SimilarityJoin.thresholdPairsDelta(ix.vecs, newDf, idCol, vecCol,
@@ -1639,9 +1645,13 @@ object Dedup {
     * against a much larger frame need the absolute-occupancy gate
     * below. */
   private def bucketStats(keys: DataFrame): (Double, Double) = {
-    val r = keys.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
-      .agg(max(col("m")).cast("double").as("mx"), sum(col("m")).cast("double").as("n"))
-      .head()
+    // static planning: the two-level aggregate is one bounded job, and
+    // AQE would otherwise materialize its exchange as an extra driver
+    // round-trip per probe (round 17 job diet; same rule as the guards)
+    val r = withoutAqe(keys.sparkSession,
+      keys.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+        .agg(max(col("m")).cast("double").as("mx"),
+          sum(col("m")).cast("double").as("n"))).head
     if (r.isNullAt(1) || r.getDouble(1) == 0.0) (0.0, 0.0)
     else (r.getDouble(0), r.getDouble(1))
   }
@@ -1670,24 +1680,26 @@ object Dedup {
     * stats job scans materialized data instead of re-running the
     * build (the archive seeds pin from the saved parquet). */
   def pinDriftBaseline(ix: MinhashIndex): MinhashIndex = {
-    // three independent stats jobs over the saved frames (count→bloom
-    // chains on the count) — one pin wall, not four (Par establishes
-    // happens-before at join, so the vars are safe)
+    // bucketStats' total IS the key count (one row per key), so the pin
+    // pays (stats -> bloom) plus the set-size mean — one wall, three
+    // jobs, no separate count round-trip (round 17 job diet; Par
+    // establishes happens-before at join, so the vars are safe)
     var n = 0L; var top = Double.NaN; var mss = Double.NaN
     var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
     graft.streaming.Par.run(Seq(
-      () => { n = ix.buckets.count(); bloom = Some(bucketBloomOf(ix.buckets, n)) },
-      () => { top = topBucketShare(ix.buckets) },
+      () => { val (mx, nn) = bucketStats(ix.buckets)
+              n = nn.toLong; top = if (nn == 0.0) 0.0 else mx / nn
+              bloom = Some(bucketBloomOf(ix.buckets, n)) },
       () => { mss = ix.sets.select(avg(size(col("sh")))).head().getDouble(0) }))
     ix.copy(baseline = Some(DriftBaseline(Double.NaN, top, mss, n, bloom)))
   }
 
   def pinDriftBaseline(ix: CosineIndex): CosineIndex = {
-    var n = 0L; var top = Double.NaN
-    var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
-    graft.streaming.Par.run(Seq(
-      () => { n = ix.buckets.count(); bloom = Some(bucketBloomOf(ix.buckets, n)) },
-      () => { top = topBucketShare(ix.buckets) }))
+    // stats -> bloom in sequence: two jobs total (see the minhash twin)
+    val (mx, nn) = bucketStats(ix.buckets)
+    val n = nn.toLong
+    val top = if (nn == 0.0) 0.0 else mx / nn
+    val bloom = Some(bucketBloomOf(ix.buckets, n))
     ix.copy(baseline = Some(DriftBaseline(Double.NaN, top, Double.NaN, n, bloom)))
   }
 
@@ -1741,7 +1753,15 @@ object Dedup {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) None
     else {
-      val r = spark.read.parquet(s"$dir/drift").head()
+      val driftSchema = {
+        import org.apache.spark.sql.types._
+        StructType(Seq(StructField("mean_dist", DoubleType),
+          StructField("top_share", DoubleType),
+          StructField("mean_set_size", DoubleType),
+          StructField("seed_key_count", LongType),
+          StructField("bloom", BinaryType)))
+      }
+      val r = spark.read.schema(driftSchema).parquet(s"$dir/drift").head()
       val bloom = Option(r.getAs[Array[Byte]]("bloom")).map(bs =>
         org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(bs)))

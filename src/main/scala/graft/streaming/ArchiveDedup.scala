@@ -111,6 +111,47 @@ object ArchiveDedup {
   private val CosineLayout = Layout(Seq("buckets", "vecs"), "vecs", "params")
   private val SemanticLayout = Layout(Seq("members"), "members", "centroids")
 
+  // Pinned component schemas (round 17 job diet): a schema-less
+  // spark.read.parquet pays a footer-inference job per NEW path set
+  // before anything executes, and the lifecycle paths (load → forget →
+  // audit) traverse a fresh path set per generation — measured 15-20
+  // pure-inference jobs per q97/q98 run. The components' schemas are
+  // fixed by this file's own writers, so every hot read passes them
+  // explicitly (the sf-battery oracle re-proves byte-equality of the
+  // results).
+  private val IdOnlySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType)))
+  private val componentSchemas: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "buckets" -> StructType(Seq(StructField("bkt", LongType),
+        StructField("id", LongType))),
+      "sets" -> StructType(Seq(StructField("id", LongType),
+        StructField("sh", ArrayType(LongType)))),
+      "vecs" -> StructType(Seq(StructField("id", LongType),
+        StructField("v", ArrayType(FloatType)))),
+      "members" -> StructType(Seq(StructField("id", LongType),
+        StructField("cluster", IntegerType),
+        StructField("v", ArrayType(FloatType)))))
+  }
+  private val MinhashParamsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("num_hashes", IntegerType),
+      StructField("bands", IntegerType), StructField("shingle_len", IntegerType)))
+  }
+  private val CosineParamsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("num_bits", IntegerType),
+      StructField("bands", IntegerType), StructField("dim", IntegerType),
+      StructField("seed", LongType)))
+  }
+  private val CentroidsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("idx", IntegerType),
+      StructField("ce", ArrayType(FloatType))))
+  }
+
   // Hadoop FS, not java.io.File: the archive lives wherever the corpus
   // does (HDFS/S3/local) — same convention as serving.DocStore
   private def hfs(spark: SparkSession, dir: String): (FileSystem, Path) = {
@@ -231,7 +272,7 @@ object ArchiveDedup {
     val token = contentToken(fs, new Path(path))
     manifestCache.computeIfAbsent(s"$path@$token", { _ =>
       if (token == -1L) None
-      else Some(spark.read.parquet(path)
+      else Some(spark.read.schema(IdOnlySchema).parquet(path)
         .select(col("id")).collect().map(_.getLong(0)).toSet)
     })
   }
@@ -249,7 +290,7 @@ object ArchiveDedup {
     val token = contentToken(fs, new Path(path))
     committedCache.computeIfAbsent(s"$path@$token", { _ =>
       if (token == -1L) None
-      else spark.read.parquet(path)
+      else spark.read.schema(IdOnlySchema).parquet(path)
         .select(col("id")).collect().headOption.map(_.getLong(0))
     })
   }
@@ -286,9 +327,10 @@ object ArchiveDedup {
     if (c != null) c.asInstanceOf[T]
     else { val v = f; genMetaCache.putIfAbsent(key, v); v }
   }
-  private def cachedParamsRow(spark: SparkSession,
-                              base: String): org.apache.spark.sql.Row =
-    genMemo(spark, s"$base/params")(spark.read.parquet(s"$base/params").head())
+  private def cachedParamsRow(spark: SparkSession, base: String,
+                              schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Row =
+    genMemo(spark, s"$base/params")(
+      spark.read.schema(schema).parquet(s"$base/params").head())
   private def cachedDrift(spark: SparkSession,
                           base: String): Option[Dedup.DriftBaseline] =
     genMemo(spark, s"$base/drift")(Dedup.loadDriftBaseline(spark, base))
@@ -389,10 +431,14 @@ object ArchiveDedup {
         st.liveSlivers.map(b => s"$dir/b$b"))
 
   /** One multi-path parquet relation over every live entry's copy of a
-    * component — O(1) plan nodes however old the stream is. */
+    * component — O(1) plan nodes however old the stream is. Schemas are
+    * pinned (componentSchemas), so no inference job fires per path set. */
   private def readComponent(spark: SparkSession, dirs: Seq[String],
                             comp: String): DataFrame =
-    spark.read.parquet(dirs.map(d => s"$d/$comp"): _*)
+    componentSchemas.get(comp)
+      .map(sc => spark.read.schema(sc))
+      .getOrElse(spark.read)
+      .parquet(dirs.map(d => s"$d/$comp"): _*)
 
   /** Write an entry to `.inprogress-<name>` via `write`, then rename
     * into place — the rename is the commit point (see class doc).
@@ -435,7 +481,7 @@ object ArchiveDedup {
     val (fs, _) = hfs(spark, archiveDir)
     val sliver = new Path(s"$archiveDir/b$batchId")
     if (fs.exists(sliver)) {
-      val stored = spark.read
+      val stored = spark.read.schema(componentSchemas(layout.idComponent))
         .parquet(s"$archiveDir/b$batchId/${layout.idComponent}")
         .select(col("id"))
       val mismatch = stored.except(batchIds)
@@ -723,7 +769,8 @@ object ArchiveDedup {
                               st: ArchiveState): Option[DataFrame] = {
     val (fs, _) = hfs(spark, dir)
     val p = s"${baseDirOf(dir, st)}/forgotten"
-    if (fs.exists(new Path(p))) Some(spark.read.parquet(p).select(col("id")))
+    if (fs.exists(new Path(p)))
+      Some(spark.read.schema(IdOnlySchema).parquet(p).select(col("id")))
     else None
   }
 
@@ -816,8 +863,15 @@ object ArchiveDedup {
     val (fs, _) = hfs(spark, dir)
     if (fs.exists(new Path(s"$base/centroids"))) "semantic"
     else if (fs.exists(new Path(s"$base/params"))) {
-      val cols = spark.read.parquet(s"$base/params").columns.toSet
-      if (cols.contains("num_hashes")) "minhash" else "cosine"
+      // component layout names the family without any job (round 17):
+      // minhash archives always carry sets, cosine always vecs; the
+      // params-columns probe stays as the fallback for exotic layouts
+      if (fs.exists(new Path(s"$base/sets"))) "minhash"
+      else if (fs.exists(new Path(s"$base/vecs"))) "cosine"
+      else {
+        val cols = spark.read.parquet(s"$base/params").columns.toSet
+        if (cols.contains("num_hashes")) "minhash" else "cosine"
+      }
     }
     else {
       val entries =
@@ -968,33 +1022,51 @@ object ArchiveDedup {
     // nothing (a takedown at the cap pays the same heap on success);
     // one job, no separate pre-count round-trip
     val cap = Dedup.takedownCollectCap(spark)
-    val flags = ids.select(col(idCol).cast("long").as("id")).distinct()
-      .join(ledger.map(_.withColumn("on_ledger", lit(true)))
-          .getOrElse(spark.range(0)
-            .select(col("id"), lit(true).as("on_ledger"))),
-        Seq("id"), "left_outer")
-      .join(liveIds.withColumn("live", lit(true)), Seq("id"), "left_outer")
-      .select(col("id"),
-        coalesce(col("on_ledger"), lit(false)).as("on_ledger"),
-        coalesce(col("live"), lit(false)).as("live"))
-      .limit(cap + 1)
-      .collect()
-    require(flags.length <= cap,
-      s"forgetDocs: the takedown batch exceeds " +
-        s"spark.graft.maxTakedownCollect ($cap ids) — the classification " +
-        "collects one driver-side row per victim (bounded at the cap); " +
-        "split the takedown into smaller batches (or raise the cap)")
-    require(!flags.exists(_.isNullAt(0)),
+    // classification in TWO bounded static-planned jobs (round 17 job
+    // diet; the earlier one-frame double-outer-join paid a broadcast
+    // materialization job per join side): (1) the victim ids
+    // themselves, cap-bounded; (2) one scan over (ledger ∪ live ids)
+    // joined to the broadcast LOCAL victim relation — a LocalRelation
+    // build side broadcasts without a driver job, so membership costs
+    // exactly the scan. Same cap/null/unknown refusals as before.
+    // ONE aggregation job for the victim set: a distinct+limit collect
+    // executes CollectLimit incrementally (1, 4, 16… partitions — four
+    // driver jobs before the 2M cap could ever bind), while a
+    // collect_set aggregate is a single two-stage job. The cap stays a
+    // ceiling on what the driver (and the final aggregation buffer)
+    // holds — as documented since r15, a refusal at the cap pays the
+    // same heap a success would.
+    val victimAgg = Dedup.withoutAqe(spark,
+      ids.select(col(idCol).cast("long").as("id"))
+        .agg(count(lit(1)).as("n_rows"), count(col("id")).as("n_ids"),
+          collect_set(col("id")).as("ids"))).head
+    require(victimAgg.getLong(0) == victimAgg.getLong(1),
       s"forgetDocs: retraction ids must be non-null and castable to " +
         s"long (column '$idCol' has null/uncastable values)")
-    val unknown = flags.filter(r => !r.getBoolean(1) && !r.getBoolean(2))
-      .map(_.getLong(0))
+    val victimIds = victimAgg.getSeq[Long](2).toArray
+    require(victimIds.length <= cap,
+      s"forgetDocs: the takedown batch exceeds " +
+        s"spark.graft.maxTakedownCollect ($cap ids) — the classification " +
+        "collects one driver-side entry per victim (ceiling at the cap); " +
+        "split the takedown into smaller batches (or raise the cap)")
+    import spark.implicits._
+    val vdf = victimIds.toSeq.toDF("id")
+    val membership = Dedup.withoutAqe(spark,
+      ledger.map(_.select(col("id"), lit("L").as("k")))
+        .getOrElse(spark.range(0).select(col("id"), lit("L").as("k")))
+        .unionByName(liveIds.select(col("id"), lit("V").as("k")))
+        .join(broadcast(vdf), Seq("id")))
+    val onLedger = membership.filter(_.getString(1) == "L")
+      .map(_.getLong(0)).toSet
+    val live = membership.filter(_.getString(1) == "V")
+      .map(_.getLong(0)).toSet
+    val unknown = victimIds.filterNot(id => onLedger(id) || live(id))
     require(unknown.isEmpty,
       s"forgetDocs: every forgotten id must have been archived in $dir, " +
         s"but e.g. [${unknown.take(3).mkString(", ")}] were never folded " +
         "(nor ledgered by a past takedown) — refusing a takedown that " +
         "would remove nothing (wrong archive?)")
-    val liveVictimIds = flags.filter(_.getBoolean(2)).map(_.getLong(0))
+    val liveVictimIds = victimIds.filter(live)
     if (liveVictimIds.isEmpty) {
       log.warn(s"ArchiveDedup.forgetDocs($dir): every requested id is " +
         "already on the takedown ledger and none is live in the index — " +
@@ -1093,8 +1165,10 @@ object ArchiveDedup {
     // so no params re-read job)
     Dedup.saveDriftBaseline(s"$dir/base",
       Dedup.pinDriftBaseline(built.copy(
-        buckets = spark.read.parquet(s"$dir/base/buckets"),
-        sets = spark.read.parquet(s"$dir/base/sets"))).baseline,
+        buckets = spark.read.schema(componentSchemas("buckets"))
+          .parquet(s"$dir/base/buckets"),
+        sets = spark.read.schema(componentSchemas("sets"))
+          .parquet(s"$dir/base/sets"))).baseline,
       spark)
   }
 
@@ -1105,7 +1179,7 @@ object ArchiveDedup {
     val st = stateOf(spark, dir)
     verifyGenerationConsistency(spark, dir, st, MinhashLayout)
     val base = baseDirOf(dir, st)
-    val p = cachedParamsRow(spark, base)
+    val p = cachedParamsRow(spark, base, MinhashParamsSchema)
     val dirs = entryDirsOf(dir, st)
     (Dedup.MinhashIndex(
       readComponent(spark, dirs, "buckets").select(col("bkt"), col("id")),
@@ -1389,8 +1463,10 @@ object ArchiveDedup {
     // baseline from the saved frames (see seedArchive)
     Dedup.saveDriftBaseline(s"$dir/base",
       Dedup.pinDriftBaseline(built.copy(
-        buckets = spark.read.parquet(s"$dir/base/buckets"),
-        vecs = spark.read.parquet(s"$dir/base/vecs"))).baseline,
+        buckets = spark.read.schema(componentSchemas("buckets"))
+          .parquet(s"$dir/base/buckets"),
+        vecs = spark.read.schema(componentSchemas("vecs"))
+          .parquet(s"$dir/base/vecs"))).baseline,
       spark)
   }
 
@@ -1401,7 +1477,7 @@ object ArchiveDedup {
     val st = stateOf(spark, dir)
     verifyGenerationConsistency(spark, dir, st, CosineLayout)
     val base = baseDirOf(dir, st)
-    val p = cachedParamsRow(spark, base)
+    val p = cachedParamsRow(spark, base, CosineParamsSchema)
     val dirs = entryDirsOf(dir, st)
     (Dedup.CosineIndex(
       readComponent(spark, dirs, "buckets").select(col("bkt"), col("id")),
@@ -1571,7 +1647,7 @@ object ArchiveDedup {
     verifyGenerationConsistency(spark, dir, st, SemanticLayout)
     val base = baseDirOf(dir, st)
     val cents = genMemo(spark, s"$base/centroids")(
-      spark.read.parquet(s"$base/centroids")
+      spark.read.schema(CentroidsSchema).parquet(s"$base/centroids")
         .orderBy(col("idx")).collect()
         .map(_.getSeq[Float](1).toArray))
     val dirs = entryDirsOf(dir, st)
