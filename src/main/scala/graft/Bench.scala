@@ -491,6 +491,10 @@ object Bench {
           s"${name}_ivfpq_refined" -> r.ivfPqRefSec,
           s"${name}_ivfpq_refined_recall10" -> r.ivfPqRefRecall,
           s"${name}_dist" -> r.ivfDistSec, s"${name}_exact_dist" -> r.exactDistSec,
+          s"${name}_batch1k_exact_dist_perq" -> r.batch1kExactPerQ,
+          s"${name}_batch1k_dist_perq" -> r.batch1kIvfPerQ,
+          s"${name}_batch1k_ivfsq8_perq" -> r.batch1kIvfSq8PerQ,
+          s"${name}_batch1k_ivfsq8_recall10" -> r.batch1kIvfSq8Recall,
           // build-time keys (BASELINE.md publishes FAISS build times too:
           // exact/IVF/HNSW per dataset) — one-shot wall time of the
           // distributed index build, reported separately from search
@@ -648,6 +652,8 @@ object Bench {
   }
 
   private final case class Day6(
+      batch1kExactPerQ: Double, batch1kIvfPerQ: Double,
+      batch1kIvfSq8PerQ: Double, batch1kIvfSq8Recall: Double,
       ivfSec: Double, exactSec: Double, ivfRecall: Double,
       hnswSec: Double, hnswRecall: Double,
       hnswMidSec: Double, hnswMidRecall: Double,
@@ -799,6 +805,37 @@ object Bench {
       ivf.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
     val ivfSq8Sec = timed(() =>
       ivfSq8Res = ivfSq8.search(queries, 10, nprobe = 10, operators.KnnSearch.L2))
+    // serving-THROUGHPUT row (round 17 ask #4): the distributed tiers
+    // pay one ~15-20 ms job-scheduling floor per BATCH, which at the
+    // FAISS workload's 100 queries dominates their per-query wall. A
+    // 1000-query batch — still one fused runJob, driver merge bounded by
+    // partitions × |Q| × k tuples — divides the floor 10×; the keys are
+    // WALL PER QUERY (seconds), directly comparable to BASELINE.md's
+    // 100-query totals ÷ 100. Large dataset only (the headline regime).
+    var b1kExact = -1.0; var b1kIvf = -1.0; var b1kSq8 = -1.0
+    var b1kSq8Recall = -1.0
+    if (n >= 50000) {
+      val queries1k = (0 until 1000).map { q =>
+        val r = new java.util.Random(9000L + q)
+        val ctr = centers(q % nClusters)
+        (q.toLong, Array.tabulate(d)(i => (ctr(i) + r.nextGaussian()).toFloat))
+      }.toArray
+      var sq8Res1k: Array[(Long, Array[(Float, Long)])] = null
+      var exactRes1k: Array[(Long, Array[(Float, Long)])] = null
+      b1kExact = timed(() =>
+        flat.search(queries1k, 10, operators.KnnSearch.L2)) / 1000.0
+      b1kIvf = timed(() =>
+        ivf.search(queries1k, 10, nprobe = 10, operators.KnnSearch.L2)) / 1000.0
+      b1kSq8 = timed(() => sq8Res1k =
+        ivfSq8.search(queries1k, 10, nprobe = 10, operators.KnnSearch.L2)) / 1000.0
+      // recall oracle for the 1k batch: the local exact tier (identical
+      // results to the distributed flat — LocalServingSpec), untimed
+      exactRes1k = localFlat.search(queries1k, 10, operators.KnnSearch.L2)
+      val sets1k = exactRes1k.map { case (q, arr) => q -> arr.map(_._2).toSet }.toMap
+      b1kSq8Recall = sq8Res1k.map { case (q, arr) =>
+        arr.map(_._2).count(sets1k(q).contains).toDouble / sets1k(q).size
+      }.sum / sq8Res1k.length
+    }
     val exactSets = exactRes.map { case (q, arr) => q -> arr.map(_._2).toSet }.toMap
     def recallOf(res: Array[(Long, Array[(Float, Long)])]): Double =
       res.map { case (q, arr) =>
@@ -818,7 +855,8 @@ object Bench {
     flat.slabs.unpersist(); ivf.slabs.unpersist(); hnsw.shards.unpersist()
     sq8.slabs.unpersist(); ivfSq8.slabs.unpersist()
     pq.slabs.unpersist(); ivfPq.slabs.unpersist()
-    Day6(ivfSec, exactSec, recall, hnswSec, hnswRecall,
+    Day6(b1kExact, b1kIvf, b1kSq8, b1kSq8Recall,
+      ivfSec, exactSec, recall, hnswSec, hnswRecall,
       hnswMidSec, hnswMidRecall, hnswEf48Sec, hnswEf48Recall,
       hnswHiSec, hnswHiRecall,
       sq8Sec, sq8Recall, ivfSq8Sec, ivfSq8Recall, pqSec, pqRecall,

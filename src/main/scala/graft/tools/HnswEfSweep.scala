@@ -62,7 +62,9 @@ object HnswEfSweep {
       exact = localFlat.search(queries, 10, graft.operators.KnnSearch.L2))
     val exactSets = exact.map { case (q, a) => q -> a.map(_._2).toSet }.toMap
     println(f"exact ${exactSec}%.4f s (FAISS HNSW baseline: 0.0036 s / recall 0.485)")
-    Seq(6, 8, 10, 12, 16, 24, 32, 48, 64).foreach { ef =>
+    // r17: the accuracy end (96–256) joined the sweep — the verdict's
+    // ask #5 wants a published point ≤2× baseline wall at recall ≥0.88
+    Seq(6, 8, 10, 12, 16, 24, 32, 48, 64, 96, 128, 160, 192, 256).foreach { ef =>
       var res: Array[(Long, Array[(Float, Long)])] = null
       val sec = timed(() => res = localHnsw.search(queries, 10, efSearch = ef))
       val recall = res.map { case (q, a) =>
