@@ -770,14 +770,16 @@ object Bench {
     val hnswSec = timed(() => hnswRes = localHnsw.search(queries, 10, efSearch = 64))
     // the ef knob is HNSW's recall/latency dial — publish the curve's
     // two ends around the ef64 default (hnswlib's own bench sweeps ef
-    // the same way): ef32 is the point that dominates the FAISS HNSW
-    // baseline row on BOTH axes (tools.HnswEfSweep: 0.86× its wall at
-    // 1.63× its recall on large), ef256 the higher-accuracy end
+    // the same way). Since the r17 diversity-selection build (Malkov
+    // Alg. 4 — see HnswIndex.buildShard) the whole curve sits at
+    // recall ≈ 1.0 on the day_6 large workload, with ef32 ≈ 0.9× the
+    // FAISS baseline wall; the keys keep their names for round-over-
+    // round continuity
     var hnswMidRes: Array[(Long, Array[(Float, Long)])] = null
     val hnswMidSec = timed(() => hnswMidRes = localHnsw.search(queries, 10, efSearch = 32))
-    // ef48: the mid-beam point between ef32 (1.1x FAISS wall) and ef64 —
-    // the r15 verdict asked for a published row at <=1.5x baseline wall
-    // with recall >=0.8 (ask #3); ef48 is that operating point
+    // ef48: the r15 operating point (<=1.5x baseline wall at recall
+    // >=0.8), kept for continuity — post-diversity it is dominated by
+    // ef32 on both axes
     var hnswEf48Res: Array[(Long, Array[(Float, Long)])] = null
     val hnswEf48Sec = timed(() => hnswEf48Res = localHnsw.search(queries, 10, efSearch = 48))
     var hnswHiRes: Array[(Long, Array[(Float, Long)])] = null
