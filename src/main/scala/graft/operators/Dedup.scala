@@ -873,9 +873,20 @@ object Dedup {
    * with the delta. Hot buckets fan out over the same count-sized block
    * grid as the batch operator.
    */
+  /** `hotBucketPairCap` (round 17): the TEXT twin of the embedding
+    * routes' dense-duplicate valve — boilerplate document clusters put
+    * intra-cluster Jaccard above the threshold, making the delta pair
+    * space cluster-quadratic; buckets whose candidate work `m_new × m`
+    * exceeds the cap emit one covering edge per new doc (min-id
+    * verified mate, exact Jaccard in the same merge-count kernel)
+    * instead of the full pair list. Same verdict-preservation contract
+    * as [[SimilarityJoin.lshCosineDeltaPairs]] (CappedEmissionSpec
+    * gates the minhash case too). Default MaxValue = the pre-r17 path,
+    * bit-identical. */
   def minhashDeltaPairs(ix: MinhashIndex, newDf: DataFrame,
                         idCol: String, textCol: String,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        hotBucketPairCap: Long = Long.MaxValue): DataFrame = {
     val spark = newDf.sparkSession
     import spark.implicits._
     requireDeltaDisjoint(ix.sets.select(col("id")), newDf, idCol,
@@ -883,10 +894,11 @@ object Dedup {
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val blockRows = 2048
     val thr = threshold
-    val grid = minhashDeltaScanInput(ix, newDf, idCol, textCol)
-      .as[(Long, Long, Array[Long], Long, Boolean)]
+    val input = minhashDeltaScanInput(ix, newDf, idCol, textCol)
+      .as[(Long, Long, Array[Long], Long, Long, Boolean)]
       .rdd
-      .flatMap { case (bkt, id, hs, m, isNew) =>
+    val pairs = if (hotBucketPairCap == Long.MaxValue) {
+      val grid = input.flatMap { case (bkt, id, hs, m, _, isNew) =>
         val nb = math.max(1L, (m + blockRows - 1) / blockRows).toInt
         if (nb == 1) Iterator(((bkt, 0, 0), (0, id, hs, isNew)))
         else {
@@ -895,16 +907,67 @@ object Dedup {
             ((bkt, math.min(b, x), math.max(b, x)), (b, id, hs, isNew)))
         }
       }
-    SimilarityJoin.scanCells(grid, 4 * parallelism) { case ((_, ba, bb), it) =>
-        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
-        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
-        it.foreach { case (b, id, hs, isNew) =>
-          if (b == ba) aBuf += ((id, hs, isNew))
-          else if (b == bb) bBuf += ((id, hs, isNew))
+      SimilarityJoin.scanCells(grid, 4 * parallelism) { case ((_, ba, bb), it) =>
+          val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
+          val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
+          it.foreach { case (b, id, hs, isNew) =>
+            if (b == ba) aBuf += ((id, hs, isNew))
+            else if (b == bb) bBuf += ((id, hs, isNew))
+          }
+          scanBlockPairJaccardDelta(aBuf.toArray, if (ba == bb) null else bBuf.toArray, thr)
         }
-        scanBlockPairJaccardDelta(aBuf.toArray, if (ba == bb) null else bBuf.toArray, thr)
+        .toDF("id_a", "id_b", "jaccard")
+    } else {
+      // capped: same unified-grid shape as the cosine route — cold
+      // buckets keep the symmetric pair cells; hot buckets place each
+      // resident set in ONE cell and replicate only the new side
+      val HotMark = -1
+      val grid = input.flatMap { case (bkt, id, hs, m, mNew, isNew) =>
+        val nb = math.max(1L, (m + blockRows - 1) / blockRows).toInt
+        if (!SimilarityJoin.isHotBucket(m, mNew, hotBucketPairCap)) {
+          if (nb == 1) Iterator(((bkt, 0, 0), (0, id, hs, isNew)))
+          else {
+            val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
+            (0 until nb).iterator.map(x =>
+              ((bkt, math.min(b, x), math.max(b, x)), (b, id, hs, isNew)))
+          }
+        } else if (isNew) {
+          (0 until nb).iterator.map(x => ((bkt, x, HotMark), (x, id, hs, true)))
+        } else {
+          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
+          Iterator(((bkt, b, HotMark), (b, id, hs, false)))
+        }
       }
-      .toDF("id_a", "id_b", "jaccard")
+      SimilarityJoin.scanCells(grid, 4 * parallelism) { case ((_, blk, bb), it) =>
+          if (bb == HotMark) {
+            val res = collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+            val news = collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+            it.foreach { case (_, id, hs, isNew) =>
+              if (isNew) news += ((id, hs)) else res += ((id, hs))
+            }
+            scanCellCoveringJaccard(res.toArray, news.toArray, thr,
+                newNew = blk == 0)
+              .map { case (nid, mid, j) => ((nid, 0L, true), (mid, j)) }
+          } else {
+            val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
+            val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean)]
+            it.foreach { case (b, id, hs, isNew) =>
+              if (b == blk) aBuf += ((id, hs, isNew))
+              else if (b == bb) bBuf += ((id, hs, isNew))
+            }
+            scanBlockPairJaccardDelta(aBuf.toArray,
+                if (blk == bb) null else bBuf.toArray, thr)
+              .map { case (ia, ib, j) => ((ia, ib, false), (Long.MinValue, j)) }
+          }
+        }
+        .reduceByKey((x, y) => if (x._1 <= y._1) x else y)
+        .map { case ((ka, kb, covering), (mate, j)) =>
+          if (covering) { if (ka < mate) (ka, mate, j) else (mate, ka, j) }
+          else (ka, kb, j)
+        }
+        .toDF("id_a", "id_b", "jaccard")
+    }
+    pairs
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -936,7 +999,8 @@ object Dedup {
       .unionByName(ix.sets.select(col("id"), col("sh")))
       .join(survivorIds, "id")
     survivors.join(sets, "id")
-      .select(col("bkt"), col("id"), col("sh"), col("m"), col("is_new"))
+      .select(col("bkt"), col("id"), col("sh"), col("m"), col("m_new"),
+        col("is_new"))
   }
 
   /** Fold a NEW batch into an existing index so the NEXT delta dedups
@@ -1966,6 +2030,62 @@ object Dedup {
         }
         j += 1
       }
+      i += 1
+    }
+    out.iterator
+  }
+
+  /** One hot-bucket cell of the capped minhash delta route — the
+    * Jaccard twin of SimilarityJoin's covering kernel: per NEW set, emit
+    * only the cell-local minimum-id verified mate (exact Jaccard, same
+    * size-ratio prune + merge-count arithmetic as the pair kernel, so a
+    * covering edge's score is bit-identical to the same pair's from the
+    * unbounded scan). `newNew` compares new sets among themselves —
+    * exactly one cell per bucket sets it. Output rows are DIRECTED
+    * (newId, candidateMateId, jaccard); the caller reduces per newId. */
+  private def scanCellCoveringJaccard(resident: Array[(Long, Array[Long])],
+                                      news: Array[(Long, Array[Long])],
+                                      threshold: Double,
+                                      newNew: Boolean): Iterator[(Long, Long, Double)] = {
+    def jac(ha: Array[Long], hb: Array[Long]): Double = {
+      val sa = ha.length; val sb = hb.length
+      val mn = math.min(sa, sb); val mx = math.max(sa, sb)
+      if (mn == 0 || mn.toDouble / mx < threshold) return -1.0
+      var x = 0; var y = 0; var inter = 0
+      while (x < sa && y < sb) {
+        val a = ha(x); val b = hb(y)
+        if (a < b) x += 1 else if (a > b) y += 1
+        else { inter += 1; x += 1; y += 1 }
+      }
+      inter.toDouble / (sa + sb - inter)
+    }
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < news.length) {
+      val nid = news(i)._1; val nh = news(i)._2
+      var bestId = Long.MaxValue
+      var bestJ = 0.0
+      var j = 0
+      while (j < resident.length) {
+        val rid = resident(j)._1
+        if (rid != nid && rid < bestId) {
+          val jc = jac(nh, resident(j)._2)
+          if (jc >= threshold) { bestId = rid; bestJ = jc }
+        }
+        j += 1
+      }
+      if (newNew) {
+        var k = 0
+        while (k < news.length) {
+          val oid = news(k)._1
+          if (k != i && oid != nid && oid < bestId) {
+            val jc = jac(nh, news(k)._2)
+            if (jc >= threshold) { bestId = oid; bestJ = jc }
+          }
+          k += 1
+        }
+      }
+      if (bestId != Long.MaxValue) out += ((nid, bestId, bestJ))
       i += 1
     }
     out.iterator

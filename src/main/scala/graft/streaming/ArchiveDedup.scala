@@ -1375,7 +1375,8 @@ object ArchiveDedup {
                                   threshold: Double,
                                   compactEvery: Int = 8,
                                   driftDir: Option[String] = None,
-                                  retainCovered: Int = 1): Unit = {
+                                  retainCovered: Int = 1,
+                                  hotBucketPairCap: Long = Long.MaxValue): Unit = {
     val spark = batch.sparkSession
     // one materialization of the batch feeds banding, sets, guard, and
     // the fold — micro-batches are delta-sized by definition
@@ -1385,7 +1386,8 @@ object ArchiveDedup {
         b.select(col(idCol).cast("long").as("id")).distinct(), MinhashLayout))
       return
     val (ix, _) = loadLatest(spark, archiveDir)
-    Dedup.minhashDeltaPairs(ix, b, idCol, textCol, threshold)
+    Dedup.minhashDeltaPairs(ix, b, idCol, textCol, threshold,
+        hotBucketPairCap)
       .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
     driftDir.foreach(d => emitDrift(d, batchId, "minhash",
       Dedup.minhashDriftProbe(ix, b, idCol, textCol)))
@@ -1427,14 +1429,15 @@ object ArchiveDedup {
                        checkpoint: Option[String] = None,
                        compactEvery: Int = 8,
                        driftDir: Option[String] = None,
-                       retainCovered: Int = 1): StreamingQuery = {
+                       retainCovered: Int = 1,
+                       hotBucketPairCap: Long = Long.MaxValue): StreamingQuery = {
     requireSaneCompactEvery(compactEvery)
     warnIfNoCheckpoint(checkpoint, "archiveDedupSink")
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, archiveDir, pairsDir, idCol, textCol,
-          threshold, compactEvery, driftDir, retainCovered)
+          threshold, compactEvery, driftDir, retainCovered, hotBucketPairCap)
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()

@@ -129,4 +129,69 @@ class CappedEmissionSpec extends AnyFunSuite {
     checkFamily(run(Long.MaxValue), run(64L), run(Long.MaxValue - 1),
       emissionBound = newIds.size.toLong + 2)
   }
+
+  // ---- the TEXT twin: boilerplate document clusters whose shingle
+  // Jaccard sits above the threshold — the most common 100 TB dense
+  // regime (license headers, templated pages). Same contract, same
+  // assertions, through the minhash delta route.
+
+  private val nTextClusters = 3
+  private val perTextCluster = 60
+  private lazy val textAll: Seq[(Long, String)] = {
+    // each cluster is one ~40-word template; each member appends one
+    // unique token (3-gram shingles: ~3 of ~40 shingles differ ->
+    // Jaccard ≈ 0.85, far above the 0.5 threshold)
+    def template(c: Int): String = {
+      val r = new scala.util.Random(55L + c)
+      (0 until 40).map(_ => "w" + r.nextInt(5000)).mkString(" ")
+    }
+    val clustered = (0 until nTextClusters * perTextCluster).map { i =>
+      val c = i % nTextClusters
+      (i.toLong, template(c) + s" uniq$i")
+    }
+    // a mutually-near NEW pair on their own template + a lone NEW doc
+    val pairT = template(97)
+    Seq((1000L, pairT + " uniqA"), (1005L, pairT + " uniqB"),
+      (1010L, {
+        val r = new scala.util.Random(4242L)
+        (0 until 40).map(_ => "z" + r.nextInt(5000)).mkString(" ")
+      })) ++ clustered
+  }
+  private lazy val textNewIds: Set[Long] =
+    textAll.map(_._1).filter(_ % 5 == 0).toSet
+  private lazy val textOldDf: DataFrame =
+    textAll.filterNot(t => textNewIds(t._1)).toDF("id", "text")
+  private lazy val textNewDf: DataFrame =
+    textAll.filter(t => textNewIds(t._1)).toDF("id", "text")
+  private lazy val textAllDf: DataFrame = textAll.toDF("id", "text")
+
+  test("minhash text delta: capped hot buckets preserve coverage and verdict") {
+    val ix = Dedup.buildMinhashIndex(textOldDf, "id", "text",
+      numHashes = 16, bands = 4, shingleLen = 3)
+    def run(cap: Long): DataFrame =
+      Dedup.minhashDeltaPairs(ix, textNewDf, "id", "text", threshold = 0.5,
+        hotBucketPairCap = cap)
+        .select(col("id_a"), col("id_b"), col("jaccard").as("sim"))
+    val unb = rows(run(Long.MaxValue))
+    val cap = rows(run(64L))
+    def keptNewText(p: Set[(Long, Long, Double)]): Set[Long] = {
+      val pdf = p.toSeq.toDF("id_a", "id_b", "sim")
+      Components.dropByPairs(textAllDf, "id", pdf)
+        .select(col("id")).as[Long].collect().toSet.intersect(textNewIds)
+    }
+    assert(cap.subsetOf(unb), s"capped extras: ${cap -- unb}")
+    val covUnb = unb.flatMap(t => Seq(t._1, t._2)).filter(textNewIds)
+    val covCap = cap.flatMap(t => Seq(t._1, t._2)).filter(textNewIds)
+    assert(covCap === covUnb, "covered set of new docs must match")
+    assert(!covUnb.contains(1010L), "the lone outlier pairs with nothing")
+    assert(covCap.contains(1000L) && covCap.contains(1005L),
+      "the new×new outlier pair must cover each other")
+    assert(keptNewText(cap) === keptNewText(unb),
+      "the batch KEEP/DROP verdict must match on dense text clusters")
+    assert(unb.size > 10L * cap.size,
+      s"fixture sanity: dense regime must explode the unbounded space " +
+        s"(${unb.size} vs ${cap.size})")
+    assert(rows(run(Long.MaxValue - 1)) === unb,
+      "finite cap with no hot buckets must equal the unbounded output")
+  }
 }
