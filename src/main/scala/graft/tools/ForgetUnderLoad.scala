@@ -55,11 +55,21 @@ object ForgetUnderLoad {
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val batchRows = args.lift(2).map(_.toLong).getOrElse(5000L)
     val foldAfter = args.lift(3).map(_.toInt).getOrElse(3)
-    val family = args.lift(4).getOrElse("minhash")
+    val familyArg = args.lift(4).getOrElse("minhash")
     val noiseStd = args.lift(5).map(_.toDouble).getOrElse(2.5)
     val hotPairCap = args.lift(6).map(_.toLong).getOrElse(Long.MaxValue)
-    require(Set("minhash", "token", "ngram", "semantic", "cosine")(family),
-      s"unknown family '$family' — minhash|token|ngram|semantic|cosine")
+    require(Set("minhash", "minhash-dense", "token", "ngram", "semantic",
+        "cosine")(familyArg),
+      s"unknown family '$familyArg' — minhash|minhash-dense|token|ngram|" +
+        "semantic|cosine")
+    // minhash-dense: the TEXT boilerplate regime — every doc is its
+    // cluster's ~40-word template plus one unique token (intra-cluster
+    // 3-gram Jaccard ≈ 0.85, far above the 0.5 threshold), the license-
+    // header / templated-page shape a 100 TB web corpus has in bulk;
+    // without hotPairCap each 5000-doc batch would emit its ~20M-row
+    // cluster-mate pair space exactly like the σ1.0 embedding runs
+    val denseText = familyArg == "minhash-dense"
+    val family = if (denseText) "minhash" else familyArg
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -87,8 +97,19 @@ object ForgetUnderLoad {
       val r = new java.util.Random(42L + c)
       Array.fill(dim)(r.nextGaussian() * 5.0)
     }
+    val templates = Array.tabulate(nClusters) { c =>
+      val r = new java.util.Random(77L + c)
+      (0 until 40).map(_ => "w" + r.nextInt(5000)).mkString(" ")
+    }
     val rows: DataFrame =
-      if (!embedFamily) docsRaw
+      if (denseText) {
+        import spark.implicits._
+        val bcT = spark.sparkContext.broadcast(templates)
+        docsRaw.select(col("doc_id").cast("long")).as[Long]
+          .map(id => (id, bcT.value((id % nClusters).toInt) + s" uniq$id"))
+          .toDF("doc_id", "text")
+      }
+      else if (!embedFamily) docsRaw
       else {
         import spark.implicits._
         val bc = spark.sparkContext.broadcast(centers)
@@ -127,7 +148,8 @@ object ForgetUnderLoad {
     }
     def fold(batch: DataFrame, b: Long): Unit = family match {
       case "minhash" => ArchiveDedup.processBatch(batch, b, archive, pairsDir,
-        "doc_id", "text", 0.5, compactEvery = 8)
+        "doc_id", "text", 0.5, compactEvery = 8,
+        hotBucketPairCap = hotPairCap)
       case "token" => CorpusStats.processTokenStatsBatch(batch, b, archive,
         "doc_id", "text", compactEvery = 8)
       case "ngram" => CorpusStats.processNgramStatsBatch(batch, b, archive,
