@@ -65,6 +65,34 @@ import org.apache.spark.sql.functions._
  */
 object CorpusStats {
 
+  // Pinned component schemas (round 17 job diet — same rule as
+  // ArchiveDedup's): a schema-less spark.read.parquet pays a
+  // footer-inference driver job per NEW path set, and the stats
+  // lifecycles (load → retract → window) traverse fresh path sets per
+  // entry; the writers in this file fix every component's schema, so
+  // the readers pass them explicitly (oracle battery re-proves
+  // byte-equality).
+  private val statsComponentSchemas: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "df" -> StructType(Seq(StructField("w", StringType),
+        StructField("tdf_part", LongType))),
+      "ids" -> StructType(Seq(StructField("id", LongType))),
+      "folded" -> StructType(Seq(StructField("id", LongType))),
+      "pairs" -> StructType(Seq(StructField("__h1", LongType),
+        StructField("__h2", LongType), StructField("pc_part", LongType))),
+      "contexts" -> StructType(Seq(StructField("__h1", LongType),
+        StructField("cc_part", LongType))),
+      "unigrams" -> StructType(Seq(StructField("h", LongType),
+        StructField("u_part", LongType))))
+  }
+  private def readStatsComp(spark: SparkSession, comp: String,
+                            paths: Seq[String]): DataFrame =
+    statsComponentSchemas.get(comp)
+      .map(sc => spark.read.schema(sc))
+      .getOrElse(spark.read)
+      .parquet(paths: _*)
+
   // ===================================================================
   // Token document frequency (the q73 family)
   // ===================================================================
@@ -130,8 +158,8 @@ object CorpusStats {
   }
 
   def loadTokenStats(spark: SparkSession, dir: String): TokenStatsIndex =
-    TokenStatsIndex(spark.read.parquet(s"$dir/df"),
-      spark.read.parquet(s"$dir/ids"))
+    TokenStatsIndex(readStatsComp(spark, "df", Seq(s"$dir/df")),
+      readStatsComp(spark, "ids", Seq(s"$dir/ids")))
 
   /** Final document frequency per token — one narrow-key aggregate
     * over the compact partial-count rows. Non-positive sums (a token
@@ -320,10 +348,10 @@ object CorpusStats {
     hfs(spark, entryDir)._1.exists(countMarkerPath(entryDir))
 
   def loadNgramStats(spark: SparkSession, dir: String): NgramStatsIndex =
-    NgramStatsIndex(spark.read.parquet(s"$dir/pairs"),
-      spark.read.parquet(s"$dir/contexts"),
-      withUnigramMarks(spark.read.parquet(s"$dir/unigrams")),
-      spark.read.parquet(s"$dir/ids"),
+    NgramStatsIndex(readStatsComp(spark, "pairs", Seq(s"$dir/pairs")),
+      readStatsComp(spark, "contexts", Seq(s"$dir/contexts")),
+      withUnigramMarks(readStatsComp(spark, "unigrams", Seq(s"$dir/unigrams"))),
+      readStatsComp(spark, "ids", Seq(s"$dir/ids")),
       ucounts = hasCountMarker(spark, dir))
 
   /** Bigram-LM counts of `target`'s bigram positions against the
@@ -567,7 +595,7 @@ object CorpusStats {
     sidecarCache.computeIfAbsent(s"$dir/$entry/$comp@$mtime", { _ =>
       val path = s"$dir/$entry/$comp"
       if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
-      else Some(spark.read.parquet(path)
+      else Some(readStatsComp(spark, "ids", Seq(path))
         .select(col("id")).collect().map(_.getLong(0)).toSeq)
     })
   }
@@ -797,12 +825,13 @@ object CorpusStats {
     * exists. */
   private def resolvedIdsOf(spark: SparkSession, dir: String,
                             st: StatsState): DataFrame = {
-    val pos = spark.read.parquet(st.liveEntries.map(e => s"$dir/$e/ids"): _*)
+    val pos = readStatsComp(spark, "ids",
+        st.liveEntries.map(e => s"$dir/$e/ids"))
       .select(col("id"), lit(1L).as("m"))
     if (st.retractions.isEmpty) pos
     else {
-      val ret = spark.read
-        .parquet(st.retractionEntries.map(e => s"$dir/$e/ids"): _*)
+      val ret = readStatsComp(spark, "ids",
+          st.retractionEntries.map(e => s"$dir/$e/ids"))
         .groupBy(col("id")).agg(count(lit(1)).as("r"))
       val touched = pos.drop("m")
         .join(ret.select(col("id")), Seq("id"), "left_semi")
@@ -825,10 +854,10 @@ object CorpusStats {
                                               dir: String, st: StatsState,
                                               entries: Seq[String]): Unit = {
     if (st.retractions.isEmpty) return
-    val win = spark.read.parquet(entries.map(e => s"$dir/$e/ids"): _*)
+    val win = readStatsComp(spark, "ids", entries.map(e => s"$dir/$e/ids"))
       .select(col("id"))
-    val ret = spark.read
-      .parquet(st.retractionEntries.map(e => s"$dir/$e/ids"): _*)
+    val ret = readStatsComp(spark, "ids",
+        st.retractionEntries.map(e => s"$dir/$e/ids"))
       .select(col("id"))
     require(win.join(ret, Seq("id")).isEmpty,
       s"CorpusStats: the requested window over $dir includes documents " +
@@ -874,7 +903,7 @@ object CorpusStats {
     if (xCompactEvery > 0 && liveX.length >= xCompactEvery) {
       val merged = neg.map { case (c, negDf) =>
         val fold = comps.find(_._1 == c).get._2
-        c -> fold(spark.read.parquet(liveX.map(n => s"$dir/x$n/$c"): _*)
+        c -> fold(readStatsComp(spark, c, liveX.map(n => s"$dir/x$n/$c"))
           .unionByName(negDf))
       } :+ ("folded" -> liveX.toDF("id").coalesce(1))
       commitComponents(spark, dir, name, merged)
@@ -926,9 +955,9 @@ object CorpusStats {
         val entries = windowEntriesOf(st, w, dir)
         requireWindowClearOfRetractions(spark, dir, st, entries)
         TokenStatsIndex(
-          spark.read.parquet(entries.map(e => s"$dir/$e/df"): _*)
+          readStatsComp(spark, "df", entries.map(e => s"$dir/$e/df"))
             .select(col("w"), col("tdf_part")),
-          spark.read.parquet(entries.map(e => s"$dir/$e/ids"): _*)
+          readStatsComp(spark, "ids", entries.map(e => s"$dir/$e/ids"))
             .select(col("id")))
       case None =>
         require(st.liveEntries.nonEmpty,
@@ -938,9 +967,8 @@ object CorpusStats {
         // sum, and membership resolves by mark (folds minus
         // retractions per id)
         TokenStatsIndex(
-          spark.read
-            .parquet((st.liveEntries ++ st.retractionEntries)
-              .map(e => s"$dir/$e/df"): _*)
+          readStatsComp(spark, "df",
+              (st.liveEntries ++ st.retractionEntries).map(e => s"$dir/$e/df"))
             .select(col("w"), col("tdf_part")),
           resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")))
     }
@@ -1265,7 +1293,8 @@ object CorpusStats {
       case Some(w) =>
         val es = windowEntriesOf(st, w, dir)
         requireWindowClearOfRetractions(spark, dir, st, es)
-        (es, spark.read.parquet(es.map(e => s"$dir/$e/ids"): _*).select(col("id")))
+        (es, readStatsComp(spark, "ids", es.map(e => s"$dir/$e/ids"))
+          .select(col("id")))
       case None =>
         require(st.liveEntries.nonEmpty,
           s"CorpusStats: no committed entries in $dir — seed or stream first")
@@ -1273,7 +1302,7 @@ object CorpusStats {
           resolvedIdsOf(spark, dir, st).where(col("m") > 0).select(col("id")))
     }
     def comp(c: String, cols: Seq[String]) =
-      spark.read.parquet(entries.map(e => s"$dir/$e/$c"): _*)
+      readStatsComp(spark, c, entries.map(e => s"$dir/$e/$c"))
         .select(cols.map(col): _*)
     NgramStatsIndex(
       comp("pairs", Seq("__h1", "__h2", "pc_part")),
