@@ -66,10 +66,11 @@ object Bench {
   /** Round-17 re-sampling rule (r16 verdict ask #3): a 3-sample query
     * whose spread blows the band under confirmed in-record drift has no
     * alternative window — instead of annotating its raw (possibly 3–4×
-    * drift-inflated) median, the sweep takes up to 2 extra post-sweep
-    * samples and publishes [[leastSpreadMedian]] of the extended array.
-    * This predicate is the pure trigger; the publish path stays
-    * [[leastSpreadMedian]] so BenchPublishSpec gates both halves. */
+    * drift-inflated) median, the sweep takes up to 3 extra post-sweep
+    * samples (stopping as soon as the trailing 3-window settles) and
+    * publishes [[settledWindow]]'s trailing median; if no window
+    * settles even then, annotate-only (raw kept). This predicate is the
+    * pure trigger; BenchPublishSpec gates both halves. */
   private[graft] def needsResample(samples: Array[Double],
                                    inRecordDrift: Boolean,
                                    outOfBand: Double): Boolean =
@@ -95,26 +96,45 @@ object Bench {
     * triggered:false even though the machine drifted vs the actual
     * previous round). */
   private[graft] def currentGitHead(): Option[String] = try {
-    val headFile = java.nio.file.Paths.get(".git/HEAD")
-    if (!java.nio.file.Files.exists(headFile)) None
-    else {
-      val head = new String(
-        java.nio.file.Files.readAllBytes(headFile), "UTF-8").trim
-      if (!head.startsWith("ref:")) Some(head).filter(_.nonEmpty)
+    import java.nio.file.{Files, Paths, Path}
+    def text(p: Path): String = new String(Files.readAllBytes(p), "UTF-8").trim
+    // `.git` may be a FILE (worktree/submodule gitdir pointer) — follow
+    // it, else the stamp would be null there and a same-HEAD re-run
+    // would silently self-compare again (r17 self-review finding #4).
+    // head:null in a record means this skip is inoperative.
+    val dotGit = Paths.get(".git")
+    val gitDir: Option[Path] =
+      if (Files.isDirectory(dotGit)) Some(dotGit)
+      else if (Files.isRegularFile(dotGit))
+        text(dotGit).linesIterator.toSeq.headOption
+          .filter(_.startsWith("gitdir:"))
+          .map(l => Paths.get(l.drop(7).trim))
+          .filter(Files.isDirectory(_))
+      else None
+    gitDir.flatMap { gd =>
+      val headFile = gd.resolve("HEAD")
+      if (!Files.exists(headFile)) None
       else {
-        val ref = head.drop(4).trim
-        val refFile = java.nio.file.Paths.get(s".git/$ref")
-        if (java.nio.file.Files.exists(refFile))
-          Some(new String(
-            java.nio.file.Files.readAllBytes(refFile), "UTF-8").trim)
-            .filter(_.nonEmpty)
+        val head = text(headFile)
+        if (!head.startsWith("ref:")) Some(head).filter(_.nonEmpty)
         else {
-          val packed = java.nio.file.Paths.get(".git/packed-refs")
-          if (!java.nio.file.Files.exists(packed)) None
-          else new String(java.nio.file.Files.readAllBytes(packed), "UTF-8")
-            .linesIterator.map(_.trim)
-            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
-            .map(_.split(' ')(0)).filter(_.nonEmpty)
+          val ref = head.drop(4).trim
+          // refs live in the COMMON dir for worktrees (gitdir carries a
+          // `commondir` pointer); the main checkout's commondir is itself
+          val common = {
+            val cd = gd.resolve("commondir")
+            if (Files.isRegularFile(cd)) gd.resolve(text(cd)).normalize()
+            else gd
+          }
+          val refFile = Seq(gd.resolve(ref), common.resolve(ref))
+            .find(Files.exists(_))
+          refFile.map(text).filter(_.nonEmpty).orElse {
+            val packed = common.resolve("packed-refs")
+            if (!Files.exists(packed)) None
+            else text(packed).linesIterator.map(_.trim)
+              .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+              .map(_.split(' ')(0)).filter(_.nonEmpty)
+          }
         }
       }
     }
@@ -255,7 +275,8 @@ object Bench {
     final case class QueryTelemetry(samples: Array[Double], gcMs: Long,
                                     gcCount: Long, jitMs: Long, uptimeS: Double,
                                     loadedClasses: Long, heapMb: Long,
-                                    extraSamples: Int)
+                                    extraSamples: Int,
+                                    resampled: Boolean = false)
     val telemetry = collection.mutable.LinkedHashMap.empty[String, QueryTelemetry]
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
@@ -358,9 +379,14 @@ object Bench {
               extras += 1
             }
             extendedSamples(name) = samples
+            // extraSamples stays the r13 JIT-settle counter (and with it
+            // the record's `settled` flag keeps its documented meaning);
+            // drift re-samples are marked separately as `resampled` —
+            // conflating them misreported both directions (r17
+            // self-review finding #2). The extra sample count is visible
+            // from the samples array itself.
             telemetry.synchronized {
-              telemetry(name) = t.copy(samples = samples,
-                extraSamples = t.extraSamples + extras)
+              telemetry(name) = t.copy(samples = samples, resampled = true)
             }
           } catch { case _: Throwable => () }
       }
@@ -404,8 +430,17 @@ object Bench {
       val files = Option(dir.listFiles(
         (_: java.io.File, n: String) => n.matches("BENCH_r\\d+\\.json")))
         .getOrElse(Array.empty[java.io.File])
-      val pinned = sys.env.get("SPARK_GRAFT_AB_PREV")
-        .map(new java.io.File(_)).filter(_.isFile)
+      val pinnedRaw = sys.env.get("SPARK_GRAFT_AB_PREV")
+      val pinned = pinnedRaw.map(new java.io.File(_)).filter(_.isFile)
+      // an explicit pin that cannot be honored must not silently fall
+      // back to ambient ordering (r17 self-review finding #3) — the
+      // record says so and skips the comparison instead
+      if (pinnedRaw.nonEmpty && pinned.isEmpty) {
+        val safe = pinnedRaw.get.replace('"', '\'').replace('\\', '/')
+        "{\"prev\":null,\"triggered\":false,\"note\":\"SPARK_GRAFT_AB_PREV=" +
+          safe + " is not a readable file - pin refused, comparison " +
+          "skipped (no silent fallback)\"}"
+      } else {
       val candidates = pinned.map(Array(_)).getOrElse(
         files.sortBy(f =>
           -"\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt)))
@@ -449,6 +484,7 @@ object Bench {
             else "calib within 10% of the previous record: raw deltas stand"
           s"""{"prev":"${latest.getName}",$rs,"triggered":$triggered,"note":"$note"}"""
         }
+      }
       }
     } catch { case _: Throwable => """{"prev":null,"triggered":false,"note":"trigger check failed"}""" }
 
@@ -609,7 +645,8 @@ object Bench {
         // median came from post-compile-storm samples, so its delta vs a
         // pre-r13 record partly reflects the protocol, not the plan
         s""","heap_mb":${t.heapMb},"extra_samples":${t.extraSamples}""" +
-        s""","settled":${t.extraSamples > 0},"drifted":${drifted.contains(k)}}"""
+        s""","settled":${t.extraSamples > 0},"resampled":${t.resampled}""" +
+        s""","drifted":${drifted.contains(k)}}"""
     }.mkString("{", ",", "}")
     val scJson = operators.StageCache.hitMissCounts.toSeq.sortBy(_._1)
       .map { case (k, (h, m)) => s""""$k":{"hits":$h,"misses":$m}""" }

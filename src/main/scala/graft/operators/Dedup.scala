@@ -978,7 +978,8 @@ object Dedup {
     * produces: delta-sided banding (every corpus scan in this subtree
     * must carry the delta predicate; index data enters only through the
     * index frames), no cartesian pair space. Columns:
-    * (bkt, id, sh, m, is_new). */
+    * (bkt, id, sh, m, m_new, is_new) — m_new feeds the hot-bucket
+    * trigger of the capped route (r17). */
   private[graft] def minhashDeltaScanInput(ix: MinhashIndex, newDf: DataFrame,
                                            idCol: String,
                                            textCol: String): DataFrame = {

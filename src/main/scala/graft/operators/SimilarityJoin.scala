@@ -733,7 +733,8 @@ object SimilarityJoin {
     * PlanInvariantsSpec can gate the optimized plan: delta-sided
     * banding (signature math runs over the delta only; index data
     * enters through the index frames), no cartesian pair space.
-    * Columns: (bkt, id, v, m, is_new). */
+    * Columns: (bkt, id, v, m, m_new, is_new) — m_new feeds the
+    * hot-bucket trigger of the capped route (r17). */
   private[graft] def cosineDeltaScanInput(ixBuckets: DataFrame,
                                           ixVecs: DataFrame,
                                           newDf: DataFrame, idCol: String,
@@ -763,7 +764,17 @@ object SimilarityJoin {
   }
 
   /** Hot-bucket trigger of the capped delta routes: candidate pair work
-    * `m_new × m` exceeds `cap` (overflow-safe division form). */
+    * `m_new × m` exceeds `cap` (overflow-safe division form).
+    *
+    * NOTE on structure: the hot/cold grid routing + directed covering
+    * keys + min-mate reduce appear in three places — here
+    * ([[lshCosineDeltaPairs]]), [[groupedThresholdPairsDelta]], and
+    * [[Dedup.minhashDeltaPairs]] — because each route's payload tuple
+    * and verify kernel differ, mirroring the pre-existing triplication
+    * of the UNBOUNDED grids across the same three families. A change to
+    * the routing scheme must land in all three; CappedEmissionSpec runs
+    * the identical contract against each, so a missed one fails its
+    * family's case. */
   private[operators] def isHotBucket(m: Long, mNew: Long, cap: Long): Boolean =
     mNew > 0 && m > cap / math.max(1L, mNew)
 

@@ -1017,38 +1017,43 @@ object ArchiveDedup {
     val liveIds = readComponent(spark, entryDirsOf(dir, st),
       layout.idComponent).select(col("id"))
     import spark.implicits._
-    // the limit bounds the collect at cap+1 rows — the cap is a ceiling
-    // on what the driver MAY hold, not a promise that a refusal costs
-    // nothing (a takedown at the cap pays the same heap on success);
-    // one job, no separate pre-count round-trip
     val cap = Dedup.takedownCollectCap(spark)
-    // classification in TWO bounded static-planned jobs (round 17 job
+    // classification in THREE bounded static-planned jobs (round 17 job
     // diet; the earlier one-frame double-outer-join paid a broadcast
-    // materialization job per join side): (1) the victim ids
-    // themselves, cap-bounded; (2) one scan over (ledger ∪ live ids)
+    // materialization job per join side, plus CollectLimit's
+    // incremental ramp): (1) a counting probe that enforces the cap and
+    // null-freeness, (2) the victim ids themselves — now provably
+    // cap-bounded before they materialize, (3) one scan over (ledger ∪
+    // live ids)
     // joined to the broadcast LOCAL victim relation — a LocalRelation
     // build side broadcasts without a driver job, so membership costs
     // exactly the scan. Same cap/null/unknown refusals as before.
-    // ONE aggregation job for the victim set: a distinct+limit collect
-    // executes CollectLimit incrementally (1, 4, 16… partitions — four
-    // driver jobs before the 2M cap could ever bind), while a
-    // collect_set aggregate is a single two-stage job. The cap stays a
-    // ceiling on what the driver (and the final aggregation buffer)
-    // holds — as documented since r15, a refusal at the cap pays the
-    // same heap a success would.
-    val victimAgg = Dedup.withoutAqe(spark,
+    // TWO bounded aggregation jobs for the victim set (was one
+    // distinct+limit collect, which executes CollectLimit incrementally
+    // — 1, 4, 16… partitions, four driver jobs before the 2M cap could
+    // ever bind): (a) a COUNTING probe (count / non-null count /
+    // distinct count — hash-aggregate state, spills, never a monolithic
+    // buffer) that enforces the cap and null-freeness BEFORE anything
+    // victim-sized materializes, so an over-cap takedown refuses
+    // cleanly instead of OOMing a collect_set buffer (r17 self-review
+    // finding #1); then (b) the collect_set itself, now provably
+    // cap-bounded.
+    val probe = Dedup.withoutAqe(spark,
       ids.select(col(idCol).cast("long").as("id"))
         .agg(count(lit(1)).as("n_rows"), count(col("id")).as("n_ids"),
-          collect_set(col("id")).as("ids"))).head
-    require(victimAgg.getLong(0) == victimAgg.getLong(1),
+          count_distinct(col("id")).as("n_distinct"))).head
+    require(probe.getLong(0) == probe.getLong(1),
       s"forgetDocs: retraction ids must be non-null and castable to " +
         s"long (column '$idCol' has null/uncastable values)")
-    val victimIds = victimAgg.getSeq[Long](2).toArray
-    require(victimIds.length <= cap,
-      s"forgetDocs: the takedown batch exceeds " +
-        s"spark.graft.maxTakedownCollect ($cap ids) — the classification " +
-        "collects one driver-side entry per victim (ceiling at the cap); " +
-        "split the takedown into smaller batches (or raise the cap)")
+    require(probe.getLong(2) <= cap,
+      s"forgetDocs: the takedown batch (${probe.getLong(2)} distinct ids) " +
+        s"exceeds spark.graft.maxTakedownCollect ($cap) — the " +
+        "classification holds one driver-side entry per victim; split " +
+        "the takedown into smaller batches (or raise the cap)")
+    val victimIds = Dedup.withoutAqe(spark,
+      ids.select(col(idCol).cast("long").as("id"))
+        .agg(collect_set(col("id")).as("ids"))).head
+      .getSeq[Long](0).toArray
     import spark.implicits._
     val vdf = victimIds.toSeq.toDF("id")
     val membership = Dedup.withoutAqe(spark,
@@ -1174,8 +1179,8 @@ object ArchiveDedup {
 
   /** (live index = current generation ∪ every live entry, last folded
     * batchId or -1). */
-  private[graft] def loadLatest(spark: SparkSession,
-                                dir: String): (Dedup.MinhashIndex, Long) = {
+  private[graft] def loadLatest(spark: SparkSession, dir: String,
+                                withDrift: Boolean = true): (Dedup.MinhashIndex, Long) = {
     val st = stateOf(spark, dir)
     verifyGenerationConsistency(spark, dir, st, MinhashLayout)
     val base = baseDirOf(dir, st)
@@ -1186,7 +1191,7 @@ object ArchiveDedup {
       readComponent(spark, dirs, "sets").select(col("id"), col("sh")),
       p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"),
       p.getAs[Int]("shingle_len"),
-      cachedDrift(spark, base)),
+      if (withDrift) cachedDrift(spark, base) else None),
       st.lastFolded)
   }
 
@@ -1233,7 +1238,10 @@ object ArchiveDedup {
 
   private def minhashArchivePairs(spark: SparkSession, dir: String,
                                   threshold: Double): DataFrame = {
-    val (ix, _) = loadLatest(spark, dir)
+    // audits mine pairs from stored components and write nothing — the
+    // pinned drift baseline is dead weight here, so its read job is
+    // skipped (round 17 job diet)
+    val (ix, _) = loadLatest(spark, dir, withDrift = false)
     val b = ix.buckets.select(col("bkt"), col("id"))
     val multi = b.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
       .where(col("m") >= 2).select(col("bkt"))
@@ -1256,7 +1264,7 @@ object ArchiveDedup {
                                  threshold: Double,
                                  exactLimit: Long): DataFrame = {
     import graft.operators.SimilarityJoin
-    val (ix, _) = loadLatestCosine(spark, dir)
+    val (ix, _) = loadLatestCosine(spark, dir, withDrift = false)
     // callers that pin exactLimit=Long.MaxValue (the q85/q97 oracle
     // regime) have already chosen the exact tier — the row-count job
     // that picks the tier would be a pure driver round-trip (r16 ADVICE)
@@ -1295,7 +1303,7 @@ object ArchiveDedup {
   private def semanticArchivePairs(spark: SparkSession, dir: String,
                                    threshold: Double): DataFrame = {
     import graft.operators.SimilarityJoin
-    val (ix, _) = loadLatestSemantic(spark, dir)
+    val (ix, _) = loadLatestSemantic(spark, dir, withDrift = false)
     SimilarityJoin.groupedThresholdPairs(
         ix.members.select(col("cluster"), col("id"), col("v")),
         "cluster", "id", "v", threshold)
@@ -1475,8 +1483,8 @@ object ArchiveDedup {
 
   /** (live cosine index = current generation ∪ every live entry, last
     * batchId or -1). */
-  private[graft] def loadLatestCosine(spark: SparkSession,
-                                      dir: String): (Dedup.CosineIndex, Long) = {
+  private[graft] def loadLatestCosine(spark: SparkSession, dir: String,
+                                      withDrift: Boolean = true): (Dedup.CosineIndex, Long) = {
     val st = stateOf(spark, dir)
     verifyGenerationConsistency(spark, dir, st, CosineLayout)
     val base = baseDirOf(dir, st)
@@ -1487,7 +1495,7 @@ object ArchiveDedup {
       readComponent(spark, dirs, "vecs").select(col("id"), col("v")),
       p.getAs[Int]("num_bits"), p.getAs[Int]("bands"),
       p.getAs[Int]("dim"), p.getAs[Long]("seed"),
-      cachedDrift(spark, base)),
+      if (withDrift) cachedDrift(spark, base) else None),
       st.lastFolded)
   }
 
@@ -1644,8 +1652,8 @@ object ArchiveDedup {
     * batchId or -1); centroids come from the generation dir — every
     * LIVE sliver was assigned under them (a reseed re-assigns the whole
     * corpus, so pre-reseed slivers never mix in). */
-  private[graft] def loadLatestSemantic(spark: SparkSession,
-                                        dir: String): (Dedup.SemanticIndex, Long) = {
+  private[graft] def loadLatestSemantic(spark: SparkSession, dir: String,
+                                         withDrift: Boolean = true): (Dedup.SemanticIndex, Long) = {
     val st = stateOf(spark, dir)
     verifyGenerationConsistency(spark, dir, st, SemanticLayout)
     val base = baseDirOf(dir, st)
@@ -1657,7 +1665,7 @@ object ArchiveDedup {
     (Dedup.SemanticIndex(
       readComponent(spark, dirs, "members")
         .select(col("id"), col("cluster"), col("v")), cents,
-      cachedDrift(spark, base)),
+      if (withDrift) cachedDrift(spark, base) else None),
       st.lastFolded)
   }
 

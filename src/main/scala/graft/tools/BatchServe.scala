@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
  * IVF 0.173 ms/q at recall 0.871).
  *
  * Usage: runMain graft.tools.BatchServe [n] [dim]
+ *
+ * The generator seeds (42L+c centers, 1000L+id docs, 9000L+i queries)
+ * and the warm-twice/min-of-9 harness are the day_6 CONTRACT constants
+ * (BASELINE.md / day_6/day6_complete.py:26-52) — Bench.day6Workload
+ * pins the same ones, and cross-record comparability rests on both
+ * staying at the published values, not on either file being free to
+ * drift.
  */
 object BatchServe {
   def main(args: Array[String]): Unit = {
