@@ -371,10 +371,17 @@ object Bench {
         if (v >= 0 && needsResample(t.samples, inRecordDrift, outOfBand))
           try {
             val fn = SparkEntry.queries(name)
-            System.gc()
             var samples = t.samples
             var extras = 0
+            // each extra gets measure()'s gc isolation (one System.gc()
+            // immediately before the timed run — r17 ADVICE: a shared gc
+            // for all extras let cross-sample garbage ride the later
+            // ones); no cold discard applies — the query already ran 3+
+            // times in this JVM, and the record marks these samples via
+            // `resampled` + `resample_note` so the protocol mix is
+            // auditable
             while (extras < 3 && relSpread(samples.takeRight(3)) > outOfBand) {
+              System.gc()
               samples = samples :+ time(() => fn(spark, sfDir).count())
               extras += 1
             }
@@ -646,6 +653,11 @@ object Bench {
         // pre-r13 record partly reflects the protocol, not the plan
         s""","heap_mb":${t.heapMb},"extra_samples":${t.extraSamples}""" +
         s""","settled":${t.extraSamples > 0},"resampled":${t.resampled}""" +
+        // resampled extras are post-sweep, gc-isolated per sample, no
+        // cold discard (already warm) — a different window than the
+        // in-sweep samples, so the record says so next to the flag
+        (if (t.resampled)
+          s""","resample_note":"extras post-sweep, gc per sample, no cold discard"""" else "") +
         s""","drifted":${drifted.contains(k)}}"""
     }.mkString("{", ",", "}")
     val scJson = operators.StageCache.hitMissCounts.toSeq.sortBy(_._1)

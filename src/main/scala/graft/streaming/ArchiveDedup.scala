@@ -1038,8 +1038,17 @@ object ArchiveDedup {
     // cleanly instead of OOMing a collect_set buffer (r17 self-review
     // finding #1); then (b) the collect_set itself, now provably
     // cap-bounded.
+    // the probe and the collect_set must see the SAME materialization:
+    // a non-deterministic ids source (sample/limit/changing view) could
+    // pass the counting probe yet materialize a different — or larger —
+    // id set in the collect, voiding the driver-heap guard the probe
+    // exists to provide (r17 ADVICE). localCheckpoint pins the casted
+    // projection once (takedown-sized by the cap this probe enforces);
+    // both jobs below read the pinned partitions.
+    val idsPinned = ids.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint(false)
     val probe = Dedup.withoutAqe(spark,
-      ids.select(col(idCol).cast("long").as("id"))
+      idsPinned
         .agg(count(lit(1)).as("n_rows"), count(col("id")).as("n_ids"),
           count_distinct(col("id")).as("n_distinct"))).head
     require(probe.getLong(0) == probe.getLong(1),
@@ -1051,7 +1060,7 @@ object ArchiveDedup {
         "classification holds one driver-side entry per victim; split " +
         "the takedown into smaller batches (or raise the cap)")
     val victimIds = Dedup.withoutAqe(spark,
-      ids.select(col(idCol).cast("long").as("id"))
+      idsPinned
         .agg(collect_set(col("id")).as("ids"))).head
       .getSeq[Long](0).toArray
     import spark.implicits._
