@@ -298,8 +298,10 @@ object SparkEntry {
     * `dot += va(x)*vb(x)` suggests (va is the widened double array). */
   private val q76SemanticDedup: Q = (s, dir) => {
     val e = Tables(s, dir, "embeddings")
+    // cap pinned wide open: the q76 oracle replays the exact
+    // within-cluster pair closure (same rationale as the delta queries)
     val marks = Dedup.semanticDedupMarks(e, "vec_id", "embedding",
-      threshold = 0.4, k = 8)
+      threshold = 0.4, k = 8, hotClusterPairCap = Long.MaxValue)
     val pairs = SimilarityJoin.thresholdPairs(e, "vec_id", "embedding", 0.4)
     val withNbr = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
@@ -332,7 +334,8 @@ object SparkEntry {
       .select(col("embedding").cast("array<float>"))
       .collect().map(_.getSeq[Float](0).toArray)
     Dedup.semanticDedupMarks(e, "vec_id", "embedding", threshold = 0.4,
-        k = 4, keepFarthest = true, centroids = Some(cents))
+        k = 4, keepFarthest = true, centroids = Some(cents),
+        hotClusterPairCap = Long.MaxValue)
       .select(col("id").as("vec_id"), col("cluster"), col("canonical"), col("kept"))
       .orderBy(col("vec_id"))
   }
@@ -357,8 +360,14 @@ object SparkEntry {
       operators.StageCache.cached("q84_ix_buckets_16x4_sh3_lt400", docs)(built.buckets),
       operators.StageCache.cached("q84_ix_sets_sh3_lt400", docs)(built.sets),
       built.numHashes, built.bands, built.shingleLen)
+    // hot-pair cap pinned wide open on EVERY delta oracle query (r18:
+    // the engine default flipped to a finite safe-by-default cap): the
+    // oracle's product is the exact full pair list, which the capped
+    // route would legitimately thin on a dense corpus — production
+    // callers keep the safe default
     Dedup.minhashDeltaPairs(ix, docs.where(col("doc_id") >= 400),
-        "doc_id", "text", threshold = 0.5)
+        "doc_id", "text", threshold = 0.5,
+        hotBucketPairCap = Long.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -390,7 +399,8 @@ object SparkEntry {
       built.numHashes, built.bands, built.shingleLen)
     operators.StageCache.cached("q90_facade_pairs_t05_ge400", docs)(
         Dedup.deltaPairs(ix, docs.where(col("doc_id") >= 400),
-          "doc_id", "text", threshold = 0.5))
+          "doc_id", "text", threshold = 0.5,
+          hotPairCap = Long.MaxValue))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -414,7 +424,8 @@ object SparkEntry {
     // bounded-recall LSH tier and hash-mismatch); production callers
     // keep the operator's two-tier default
     Dedup.cosineDeltaPairs(ix, e.where(col("vec_id") >= 400),
-        "vec_id", "embedding", threshold = 0.4, exactLimit = Long.MaxValue)
+        "vec_id", "embedding", threshold = 0.4, exactLimit = Long.MaxValue,
+        hotBucketPairCap = Long.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -443,7 +454,8 @@ object SparkEntry {
     val ix = Dedup.buildSemanticIndex(e.where(col("vec_id") < 400),
       "vec_id", "embedding", cents)
     Dedup.semanticDeltaPairs(ix, e.where(col("vec_id") >= 400),
-        "vec_id", "embedding", threshold = 0.4)
+        "vec_id", "embedding", threshold = 0.4,
+        hotClusterPairCap = Long.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -469,7 +481,8 @@ object SparkEntry {
     val ix1 = Dedup.appendToSemanticIndex(ix0,
       e.where(col("vec_id") >= 300 && col("vec_id") < 400), "vec_id", "embedding")
     Dedup.semanticDeltaPairs(ix1, e.where(col("vec_id") >= 400),
-        "vec_id", "embedding", threshold = 0.4)
+        "vec_id", "embedding", threshold = 0.4,
+        hotClusterPairCap = Long.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -490,7 +503,8 @@ object SparkEntry {
       e.where(col("vec_id") >= 300 && col("vec_id") < 400), "vec_id", "embedding")
     // exactLimit pinned wide open — same oracle-contract rationale as q85
     Dedup.cosineDeltaPairs(ix1, e.where(col("vec_id") >= 400),
-        "vec_id", "embedding", threshold = 0.4, exactLimit = Long.MaxValue)
+        "vec_id", "embedding", threshold = 0.4, exactLimit = Long.MaxValue,
+        hotBucketPairCap = Long.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -509,7 +523,8 @@ object SparkEntry {
     val ix1 = Dedup.appendToMinhashIndex(ix0,
       docs.where(col("doc_id") >= 400 && col("doc_id") < 450), "doc_id", "text")
     Dedup.minhashDeltaPairs(ix1, docs.where(col("doc_id") >= 450),
-        "doc_id", "text", threshold = 0.5)
+        "doc_id", "text", threshold = 0.5,
+        hotBucketPairCap = Long.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -1393,7 +1393,7 @@ object ArchiveDedup {
                                   compactEvery: Int = 8,
                                   driftDir: Option[String] = None,
                                   retainCovered: Int = 1,
-                                  hotBucketPairCap: Long = Long.MaxValue): Unit = {
+                                  hotBucketPairCap: Long = graft.operators.SimilarityJoin.AutoCap): Unit = {
     val spark = batch.sparkSession
     // one materialization of the batch feeds banding, sets, guard, and
     // the fold — micro-batches are delta-sized by definition
@@ -1447,7 +1447,7 @@ object ArchiveDedup {
                        compactEvery: Int = 8,
                        driftDir: Option[String] = None,
                        retainCovered: Int = 1,
-                       hotBucketPairCap: Long = Long.MaxValue): StreamingQuery = {
+                       hotBucketPairCap: Long = graft.operators.SimilarityJoin.AutoCap): StreamingQuery = {
     requireSaneCompactEvery(compactEvery)
     warnIfNoCheckpoint(checkpoint, "archiveDedupSink")
     val w = docs.writeStream
@@ -1564,7 +1564,7 @@ object ArchiveDedup {
                                         driftDir: Option[String] = None,
                                         autoReseedAfter: Int = 0,
                                         retainCovered: Int = 1,
-                                        hotBucketPairCap: Long = Long.MaxValue): Unit = {
+                                        hotBucketPairCap: Long = graft.operators.SimilarityJoin.AutoCap): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
@@ -1613,7 +1613,7 @@ object ArchiveDedup {
                              driftDir: Option[String] = None,
                              autoReseedAfter: Int = 0,
                              retainCovered: Int = 1,
-                             hotBucketPairCap: Long = Long.MaxValue): StreamingQuery = {
+                             hotBucketPairCap: Long = graft.operators.SimilarityJoin.AutoCap): StreamingQuery = {
     requireSaneCompactEvery(compactEvery)
     warnIfNoCheckpoint(checkpoint, "cosineArchiveDedupSink")
     require(autoReseedAfter <= 0 || driftDir.nonEmpty,
@@ -1725,7 +1725,7 @@ object ArchiveDedup {
                                           driftDir: Option[String] = None,
                                           autoReseedAfter: Int = 0,
                                           retainCovered: Int = 1,
-                                          hotClusterPairCap: Long = Long.MaxValue): Unit = {
+                                          hotClusterPairCap: Long = graft.operators.SimilarityJoin.AutoCap): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
@@ -1773,7 +1773,7 @@ object ArchiveDedup {
                                driftDir: Option[String] = None,
                                autoReseedAfter: Int = 0,
                                retainCovered: Int = 1,
-                               hotClusterPairCap: Long = Long.MaxValue): StreamingQuery = {
+                               hotClusterPairCap: Long = graft.operators.SimilarityJoin.AutoCap): StreamingQuery = {
     requireSaneCompactEvery(compactEvery)
     warnIfNoCheckpoint(checkpoint, "semanticArchiveDedupSink")
     require(autoReseedAfter <= 0 || driftDir.nonEmpty,

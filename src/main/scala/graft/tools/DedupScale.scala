@@ -56,8 +56,11 @@ object DedupScale {
 
     val k = math.max(8, math.sqrt(n.toDouble).toInt)
     timed(s"semantic_dedup_marks (k=$k)") {
+      // cap pinned unbounded: this row measures the EXACT algorithm's
+      // scale cost, r17-comparable; the dense capped one-shot has its
+      // own dedicated run (BENCH.md round 18)
       val m = Dedup.semanticDedupMarks(e, "vec_id", "embedding",
-        threshold = 0.9, k = k)
+        threshold = 0.9, k = k, hotClusterPairCap = Long.MaxValue)
       val dropped = m.where(!col("kept")).count()
       println(s"  dropped: $dropped of $n")
     }
@@ -66,7 +69,8 @@ object DedupScale {
       // one window over the component key (q83 gates its correctness;
       // this row is its scale cost at the √n-cluster operating point)
       val m = Dedup.semanticDedupMarks(e, "vec_id", "embedding",
-        threshold = 0.9, k = k, keepFarthest = true)
+        threshold = 0.9, k = k, keepFarthest = true,
+        hotClusterPairCap = Long.MaxValue)
       val dropped = m.where(!col("kept")).count()
       println(s"  dropped: $dropped of $n")
     }

@@ -57,7 +57,13 @@ object ForgetUnderLoad {
     val foldAfter = args.lift(3).map(_.toInt).getOrElse(3)
     val familyArg = args.lift(4).getOrElse("minhash")
     val noiseStd = args.lift(5).map(_.toDouble).getOrElse(2.5)
-    val hotPairCap = args.lift(6).map(_.toLong).getOrElse(Long.MaxValue)
+    // default AUTO (round 18): no cap argument now exercises the
+    // engine's own safe-by-default resolution (spark.graft.hotPairCap
+    // or parallelism × 2048) — the production default-config path the
+    // σ1.0 dense runs must survive; pass Long.MaxValue (9223372036854775807)
+    // explicitly to reproduce the unbounded pre-r17 behavior
+    val hotPairCap = args.lift(6).map(_.toLong)
+      .getOrElse(graft.operators.SimilarityJoin.AutoCap)
     require(Set("minhash", "minhash-dense", "token", "ngram", "semantic",
         "cosine")(familyArg),
       s"unknown family '$familyArg' — minhash|minhash-dense|token|ngram|" +

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Components, Dedup}
+import graft.operators.{Components, Dedup, SimilarityJoin}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -193,5 +193,79 @@ class CappedEmissionSpec extends AnyFunSuite {
         s"(${unb.size} vs ${cap.size})")
     assert(rows(run(Long.MaxValue - 1)) === unb,
       "finite cap with no hot buckets must equal the unbounded output")
+  }
+
+  // ---- the BATCH (one-shot) twins (round 18, verdict ask #2): the
+  // KEEP/DROP curation transforms — q77-shape minhash pairs→Components
+  // and semanticDedupMarks — route hot buckets/clusters through
+  // REPRESENTATIVE covering edges (every row emits one edge to its
+  // min-id verified block-0 representative; see
+  // SimilarityJoin.batchGrid). Same contract: bit-exact subset, same
+  // verdict under closure on dense clusters, bounded emission,
+  // exact equality when no bucket is hot.
+
+  private def keptAllText(p: DataFrame): Set[Long] =
+    Components.dropByPairs(textAllDf, "id", p)
+      .select(col("id")).as[Long].collect().toSet
+
+  test("minhash batch: capped hot buckets preserve the KEEP/DROP verdict") {
+    def run(cap: Long): DataFrame =
+      Dedup.minhashLshPairs(textAllDf, "id", "text",
+        numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5,
+        hotBucketPairCap = cap)
+        .select(col("id_a"), col("id_b"), col("jaccard").as("sim"))
+    val unb = rows(run(Long.MaxValue))
+    val cap = rows(run(64L)) // template buckets: m ≈ 60 → m² far over
+    assert(cap.subsetOf(unb), s"capped extras: ${cap -- unb}")
+    assert(keptAllText(run(64L).withColumnRenamed("sim", "jaccard")) ===
+      keptAllText(run(Long.MaxValue).withColumnRenamed("sim", "jaccard")),
+      "the one-shot KEEP/DROP verdict under Components closure must " +
+        "match on dense template clusters")
+    val nDocs = textAll.size.toLong
+    assert(cap.size <= nDocs * 4 + 8,
+      s"capped batch emission ${cap.size} must be O(rows × bands) " +
+        s"(unbounded emitted ${unb.size})")
+    assert(unb.size > 10L * cap.size,
+      s"fixture sanity: dense regime must explode the unbounded space " +
+        s"(${unb.size} vs ${cap.size})")
+    assert(rows(run(Long.MaxValue - 1)) === unb,
+      "finite cap with no hot buckets must equal the unbounded output " +
+        "(and the forced-grid route must reproduce the small-corpus join)")
+  }
+
+  test("minhashDedup transform: capped route keeps exactly the unbounded survivors") {
+    val unbKept = keptAllText(
+      Dedup.minhashLshPairs(textAllDf, "id", "text", 16, 4, 3, 0.5,
+        hotBucketPairCap = Long.MaxValue))
+    val capKept = Dedup.minhashDedup(textAllDf, "id", "text", 16, 4, 3, 0.5,
+        hotBucketPairCap = 64L)
+      .select(col("id")).as[Long].collect().toSet
+    assert(capKept === unbKept,
+      "minhashDedup under the cap must keep exactly the ids the " +
+        "unbounded closure keeps on a dense 3-template corpus")
+  }
+
+  test("semanticDedupMarks batch: capped hot clusters preserve every mark") {
+    def marks(cap: Long): Set[(Long, Int, Long, Boolean)] =
+      Dedup.semanticDedupMarks(allDf, "id", "v", threshold, nClusters,
+          centroids = Some(centers.map(_.map(_.toFloat))),
+          hotClusterPairCap = cap)
+        .select(col("id"), col("cluster"), col("canonical"), col("kept"))
+        .as[(Long, Int, Long, Boolean)].collect().toSet
+    // clusters of ~62 dense members: m² ≈ 3.8k ≫ 64 → every cluster hot
+    assert(marks(64L) === marks(Long.MaxValue),
+      "every (id, cluster, canonical, kept) mark must match the " +
+        "unbounded transform on dense clusters")
+    // and the underlying pair primitive: subset + cold-equality
+    val asg = allDf.withColumn("c", lit(0))
+    def gp(cap: Long): Set[(Long, Long, Double)] =
+      SimilarityJoin.groupedThresholdPairs(asg, "c", "id", "v", threshold,
+          hotGroupPairCap = cap)
+        .select(col("id_a"), col("id_b"), col("sim"))
+        .as[(Long, Long, Double)].collect().toSet
+    val unbP = gp(Long.MaxValue)
+    assert(gp(64L).subsetOf(unbP), "grouped batch pairs: bit-exact subset")
+    assert(gp(Long.MaxValue - 1) === unbP,
+      "grouped batch: finite cap with no hot groups must equal unbounded")
   }
 }
