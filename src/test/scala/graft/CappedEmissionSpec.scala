@@ -268,4 +268,31 @@ class CappedEmissionSpec extends AnyFunSuite {
     assert(gp(Long.MaxValue - 1) === unbP,
       "grouped batch: finite cap with no hot groups must equal unbounded")
   }
+
+  test("batch covering: multi-cell hot groups with STRUCTURED ids stay covered") {
+    // adversarial shape the ×100 dense one-shot caught: group members'
+    // ids are all ≡ g (mod 2), so a raw id-derived block draw would
+    // starve one group of block-0 representatives entirely (0 covering
+    // targets → 0 edges → everything kept); batchGrid's fmix64 block
+    // draw must keep every dense row covered across MULTIPLE cells
+    // (blockRows = 50 forces nb = 4 per 200-row group)
+    val structured = (0 until 400).map { i =>
+      val c = i % 2
+      val r = new java.util.Random(100L + i)
+      (i.toLong,
+        Array.tabulate(dim)(j => (centers(c)(j) + r.nextGaussian() * 0.01).toFloat))
+    }
+    val df = structured.toDF("id", "v").withColumn("g", col("id") % 2)
+    val capped = SimilarityJoin.groupedThresholdPairs(df, "g", "id", "v",
+      threshold, blockRows = 50, hotGroupPairCap = 64L)
+    val covered = capped.select(col("id_a")).union(capped.select(col("id_b")))
+      .distinct().count()
+    assert(covered === 400L,
+      s"every dense row must receive a covering edge across cells, got $covered")
+    // and the verdict: one component per group, component-min canonical
+    val kept = Components.dropByPairs(df, "id", capped)
+      .select(col("id")).as[Long].collect().toSet
+    assert(kept === Set(0L, 1L),
+      s"KEEP/DROP verdict must keep exactly the per-group min ids, got $kept")
+  }
 }
