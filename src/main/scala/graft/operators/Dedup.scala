@@ -2259,7 +2259,8 @@ object Dedup {
                             threshold: Double,
                             exactLimit: Long = 10000L,
                             numBits: Int = -1, bands: Int = -1,
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L,
+                            hotBucketPairCap: Long = Long.MaxValue): DataFrame = {
     val n = df.select(col(idCol)).count()
     if (n <= exactLimit)
       // exact branch runs the blocked threshold scan: same answer as
@@ -2286,8 +2287,27 @@ object Dedup {
           f"$predicted%.3f) — raise exactLimit (exact scan), pass explicit " +
           f"numBits/bands, or use MinHash on text shingles for loose matching")
       SimilarityJoin.lshCosinePairs(df, idCol, vecCol, threshold,
-        numBits = bits, bands = b, seed = seed)
+        numBits = bits, bands = b, seed = seed,
+        hotBucketPairCap = hotBucketPairCap)
     }
+  }
+
+  /** The embedding-cosine dedup TRANSFORM (round 18): near-dup pairs at
+    * `threshold` (two-tier exact/LSH routing of
+    * [[embeddingNearDupPairs]]) closed into clusters, non-canonical
+    * members anti-joined away — the cosine twin of [[minhashDedup]] /
+    * [[semanticDedup]], and like them the product is the KEEP/DROP
+    * verdict, so the dense-duplicate cap defaults SAFE. Pin
+    * `hotBucketPairCap = Long.MaxValue` for the exact-pair-list
+    * closure. */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double,
+                     exactLimit: Long = 10000L,
+                     hotBucketPairCap: Long = SimilarityJoin.AutoCap): DataFrame = {
+    val cap = SimilarityJoin.resolveHotPairCap(df.sparkSession, hotBucketPairCap)
+    Components.dropByPairs(df, idCol,
+      embeddingNearDupPairs(df, idCol, vecCol, threshold, exactLimit,
+        hotBucketPairCap = cap))
   }
 
   /**

@@ -1231,9 +1231,15 @@ object SimilarityJoin {
     out.iterator
   }
 
+  /** `hotBucketPairCap` (round 18, verdict ask #2): the batch-cosine
+    * twin of [[Dedup.minhashLshPairs]]'s cap — hot signature buckets
+    * route through [[batchGrid]]'s representative covering edges.
+    * Default MaxValue (pair-list primitive — the q15 oracle contract);
+    * the safe default lives on [[Dedup.embeddingDedup]]. */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numBits: Int = 8, bands: Int = 8,
-                     dim: Int = -1, seed: Long = 42L): DataFrame = {
+                     dim: Int = -1, seed: Long = 42L,
+                     hotBucketPairCap: Long = Long.MaxValue): DataFrame = {
     require(numBits >= 1 && numBits <= 56, s"numBits must be in [1,56], got $numBits")
     // infer the vector dimension from the data unless given: max(size) over
     // non-null vectors is deterministic under any row order (a limit(1)
@@ -1308,27 +1314,29 @@ object SimilarityJoin {
     val counts = cosineBuckets(df, idCol, vecCol, numBits, bands, d, seed)
       .groupBy(col("bkt")).agg(count(lit(1)).as("m"))
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-    val grid = bucketed.join(counts, "bkt")
+    val cap = resolveHotPairCap(spark, hotBucketPairCap)
+    val anyHot = cap != Long.MaxValue
+    if (anyHot)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"lshCosinePairs: hot buckets (pair work > $cap) emit " +
+          "representative covering edges only (KEEP/DROP-preserving on " +
+          "dense buckets; finer on partially-dense ones)")
+    val gridRows = bucketed.join(counts, "bkt")
       .select(col("bkt"), col("id"), col("v"), col("m"))
       .as[(Long, Long, Array[Float], Long)]
       .rdd
-      .flatMap { case (bkt, id, v, m) =>
+      .map { case (bkt, id, v, m) =>
         val nb = math.max(1L, (m + blockRows - 1) / blockRows).toInt
-        if (nb == 1) Iterator(((bkt, 0, 0), (0, id, v)))
-        else {
-          val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % nb
-          (0 until nb).iterator.map(x => ((bkt, math.min(b, x), math.max(b, x)), (b, id, v)))
-        }
+        ((bkt, nb, anyHot && isHotBucket(m, m, cap)), (id, v))
       }
-    scanCells(grid, 4 * parallelism) { case ((_, ba, bb), it) =>
-        val aBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
-        val bBuf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
-        it.foreach { case (b, id, v) =>
-          if (b == ba) aBuf += ((id, v))
-          else if (b == bb) bBuf += ((id, v))
-        }
-        scanBlockPairThreshold(aBuf.toArray, if (ba == bb) null else bBuf.toArray, threshold)
-      }
+    // cold cells: scanBlockPairThresholdDelta over all-true flags IS
+    // scanBlockPairThreshold (identical kernel, no skips)
+    routedPairScan[Long, Int, Array[Float]](
+        batchGrid(gridRows), 4 * parallelism, anyHot, _ => 0,
+        (a, b) => scanBlockPairThresholdDelta(a, b, threshold),
+        (part, repl, _) =>
+          scanCellCovering(repl, part, threshold, newNew = false))
+      .map { case (_, ia, ib, sim) => (ia, ib, sim) }
       .toDF("id_a", "id_b", "sim")
       .dropDuplicates("id_a", "id_b")
   }

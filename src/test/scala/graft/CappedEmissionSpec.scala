@@ -269,6 +269,31 @@ class CappedEmissionSpec extends AnyFunSuite {
       "grouped batch: finite cap with no hot groups must equal unbounded")
   }
 
+  test("cosine batch (lshCosinePairs): capped hot buckets preserve the verdict") {
+    def run(cap: Long): DataFrame =
+      SimilarityJoin.lshCosinePairs(allDf, "id", "v", threshold,
+        numBits = 8, bands = 8, hotBucketPairCap = cap)
+    val unb = rows(run(Long.MaxValue))
+    val cap = rows(run(64L))
+    assert(cap.subsetOf(unb), s"capped extras: ${cap -- unb}")
+    def keptAll(p: DataFrame): Set[Long] =
+      Components.dropByPairs(allDf, "id", p)
+        .select(col("id")).as[Long].collect().toSet
+    assert(keptAll(run(64L)) === keptAll(run(Long.MaxValue)),
+      "the cosine batch KEEP/DROP verdict must match on dense clusters")
+    assert(unb.size > 10L * cap.size,
+      s"fixture sanity: dense regime must explode the unbounded space " +
+        s"(${unb.size} vs ${cap.size})")
+    assert(rows(run(Long.MaxValue - 1)) === unb,
+      "finite cap with no hot buckets must equal the unbounded output")
+    // the transform: capped survivors == unbounded-closure survivors
+    val capKept = Dedup.embeddingDedup(allDf, "id", "v", threshold,
+        exactLimit = 1L, hotBucketPairCap = 64L)
+      .select(col("id")).as[Long].collect().toSet
+    assert(capKept === keptAll(run(Long.MaxValue)),
+      "embeddingDedup under the cap must keep exactly the unbounded survivors")
+  }
+
   test("batch covering: multi-cell hot groups with STRUCTURED ids stay covered") {
     // adversarial shape the ×100 dense one-shot caught: group members'
     // ids are all ≡ g (mod 2), so a raw id-derived block draw would
