@@ -245,7 +245,8 @@ object SimilarityJoin {
       }
       val hotOf: Map[String, Boolean] =
         counts.map { case (g, m) => (g, isHotBucket(m, m, cap)) }
-      if (hotOf.valuesIterator.contains(true))
+      val anyHot = hotOf.valuesIterator.contains(true)
+      if (anyHot)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"groupedThresholdPairs: ${hotOf.count(_._2)} hot group(s) " +
             s"(pair work > $cap) emit representative covering edges only " +
@@ -257,12 +258,15 @@ object SimilarityJoin {
         ((g, bcNb.value.getOrElse(g, 1), bcHot.value.getOrElse(g, false)),
           (id, v))
       }
-      routedPairScan[String, String, Array[Float]](
-          batchGrid(gridRows), parallelism, anyHot = true, identity,
+      val scanned0 = routedPairScan[String, String, Array[Float]](
+          batchGrid(gridRows), parallelism, anyHot, identity,
           (a, b) => scanBlockPairThresholdDelta(a, b, threshold),
           (part, repl, _) =>
             scanCellCovering(repl, part, threshold, newNew = false))
-        .distinct() // two rows can pick each other as covering mates
+      (if (anyHot) scanned0.distinct() else scanned0)
+      // two rows can pick each other as covering mates — the distinct
+      // folds the doubled canonical row; with no hot group no covering
+      // rows exist and each pair already appears exactly once
     })
       .toDF("__g", "id_a", "id_b", "sim")
     // restore the group column's ORIGINAL type via its encoded form
@@ -850,6 +854,12 @@ object SimilarityJoin {
           .map { case (ia, ib, s) => ((scopeOf(k), ia, ib, false), (Long.MinValue, s)) }
       }
     }
+    // NOTE: splitting covering/cold into two branches here would scan
+    // every cell TWICE (the branches re-pull the same un-cached shuffle)
+    // — the single mixed reduce is the cheaper shape. Callers that can
+    // PROVE no bucket is hot (the grouped routes hold their counts on
+    // the driver) pass anyHot = false and skip the reduce entirely —
+    // that is the zero-cost common case under the safe default.
     if (!anyHot)
       scanned.map { case ((s, ia, ib, _), (_, sim)) => (s, ia, ib, sim) }
     else scanned
@@ -1108,7 +1118,7 @@ object SimilarityJoin {
       .filter(_._3 != null)
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
     val cap = resolveHotPairCap(spark, hotGroupPairCap)
-    val anyHot = cap != Long.MaxValue
+    val capFinite = cap != Long.MaxValue
     // per-group (total, new) counts over the UNION → the same grid the
     // batch scan of (ix ∪ delta) derives; driver state O(#groups)
     val counts: Map[String, (Long, Long)] =
@@ -1123,8 +1133,14 @@ object SimilarityJoin {
     }
     val hotOf: Map[String, Boolean] =
       counts.map { case (g, (m, mNew)) =>
-        (g, anyHot && isHotBucket(m, mNew, cap))
+        (g, capFinite && isHotBucket(m, mNew, cap))
       }
+    // the counts are ALREADY on the driver, so a finite cap with no
+    // actually-hot group skips the min-mate reduce outright — under the
+    // r18 safe default that is the common (sparse) case, and it keeps
+    // the unbounded plan shape instead of shuffling every cold pair
+    // through the reduce (measured ~250 ms per lifecycle fold at sf1)
+    val anyHot = hotOf.valuesIterator.contains(true)
     // unlike the banded routes (whose counts live in a count join, not
     // on the driver), this route KNOWS which groups went hot — so the
     // documented bounded-recall loss on partially-dense hot clusters
