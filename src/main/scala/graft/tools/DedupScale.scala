@@ -89,8 +89,14 @@ object DedupScale {
       i.buckets.persist().count(); i.sets.persist().count()
       i
     }
+    // hotBucketPairCap pinned UNBOUNDED on the three delta rows (r19,
+    // ADVICE): these printed pair counts and walls are continuity
+    // records vs pre-r18 rounds — a bucket going hot at ×10/×100 under
+    // the AutoCap default would silently change both. Same rationale as
+    // the semanticDedupMarks rows below.
     timed(s"delta near-dup (~${nd / 10} new vs ~${nd * 9 / 10} indexed)") {
-      val p = Dedup.minhashDeltaPairs(ix, newSide, "doc_id", "text", 0.5)
+      val p = Dedup.minhashDeltaPairs(ix, newSide, "doc_id", "text", 0.5,
+        hotBucketPairCap = Long.MaxValue)
       println(s"  delta pairs: ${p.count()}")
     }
     // append fold: day N's delta becomes part of day N+1's index — the
@@ -116,7 +122,8 @@ object DedupScale {
       i
     }
     timed(s"cosine delta near-dup (~${n / 10} new vs ~${n * 9 / 10} indexed)") {
-      val p = Dedup.cosineDeltaPairs(cix, eNew, "vec_id", "embedding", 0.9)
+      val p = Dedup.cosineDeltaPairs(cix, eNew, "vec_id", "embedding", 0.9,
+        hotBucketPairCap = Long.MaxValue)
       println(s"  delta pairs: ${p.count()}")
     }
     timed(s"append delta into cosine index (~${n / 10} vecs folded)") {
@@ -139,7 +146,8 @@ object DedupScale {
       i
     }
     timed(s"semantic delta pairs (~${n / 10} new vs ~${n * 9 / 10} archived)") {
-      val p = Dedup.semanticDeltaPairs(six, eNew, "vec_id", "embedding", 0.9)
+      val p = Dedup.semanticDeltaPairs(six, eNew, "vec_id", "embedding", 0.9,
+        hotClusterPairCap = Long.MaxValue)
       println(s"  delta pairs: ${p.count()}")
     }
     six.members.unpersist()

@@ -142,8 +142,16 @@ object ReseedScale {
       val sample = batch.where(col("vec_id") < lo + sampleRows)
         .select(lit(0).as("g"), col("vec_id").as("id"),
           col("embedding").cast("array<float>").as("v"))
+      // hotGroupPairCap pinned UNBOUNDED (r19, ADVICE): this is the
+      // recall oracle's exact denominator — all theta-pairs touching the
+      // sample. The single group's candidate work (~archive × sample)
+      // dwarfs the AutoCap default, so an unpinned call would go hot and
+      // emit covering edges only, voiding the recall metric and phase-B
+      // dip detection. Same exact-reference rationale as the oracle
+      // queries and DedupScale's marks rows.
       val exact = SimilarityJoin.groupedThresholdPairsDelta(
-        archiveVecs.unionByName(nonSample), sample, "g", "id", "v", theta).count()
+        archiveVecs.unionByName(nonSample), sample, "g", "id", "v", theta,
+        hotGroupPairCap = Long.MaxValue).count()
       val emitted = spark.read.parquet(s"$pairsDir/batch_id=$b")
         .where(col("id_a").isin(sampleIds.toSeq.map(Long.box): _*) ||
           col("id_b").isin(sampleIds.toSeq.map(Long.box): _*))
