@@ -374,16 +374,33 @@ object CorpusStats {
     val c2 = ix.pairParts.groupBy(col("__h1"), col("__h2"))
       .agg(sum(col("pc_part")).as("pair_count"))
       .where(col("pair_count") > 0)
-    val c1 = ix.contextParts.groupBy(col("__h1"))
-      .agg(sum(col("cc_part")).as("context_count"))
+    // context counts DERIVED from the aggregated pair counts (r20,
+    // guide §2.3/§2.4): C(w₁·) = Σ_w₂ C(w₁w₂) identically — zero-sum
+    // pairs the filter drops contribute 0 to the prefix sum, and the
+    // replay contract keeps per-pair sums non-negative, so the derived
+    // values equal the contextParts sums bit for bit. Summing c2's
+    // OUTPUT lets AQE's stage cache reuse c2's exchange: for an
+    // in-memory index (q92) the contextParts subtree's full tokenize
+    // passes disappear from the scoring job; for an archive (q94) the
+    // contexts component is simply not read here (it stays persisted —
+    // the component layout is the archive contract, and mark-era
+    // readers/compactors still fold it).
+    val c1 = c2.groupBy(col("__h1"))
+      .agg(sum(col("pair_count")).as("context_count"))
       .where(col("context_count") > 0)
-    val vocab = ix.unigrams.groupBy(col("h"))
-      .agg(sum(col("u_part")).as("u")).where(col("u") > 0).count()
+    // vocabulary as a broadcast 1-row aggregate riding the SAME job —
+    // was a blocking .count() at DataFrame-construction time (one extra
+    // driver job per call, plus an un-shared tokenize of the unigram
+    // subtree for in-memory indexes)
+    val vocabDf = ix.unigrams.groupBy(col("h"))
+      .agg(sum(col("u_part")).as("u")).where(col("u") > 0)
+      .agg(count(lit(1)).as("vocab_size"))
     bigramFrame(target, idCol, textCol)
       .join(c2, Seq("__h1", "__h2"))
       .join(c1, Seq("__h1"))
+      .crossJoin(broadcast(vocabDf))
       .select(col("doc_id"), col("pos"), col("pair_count"),
-        col("context_count"), lit(vocab).as("vocab_size"))
+        col("context_count"), col("vocab_size"))
   }
 
   /** Smoothed bigram-LM perplexity scoring of `target` against the
@@ -399,8 +416,11 @@ object CorpusStats {
                             idCol: String, textCol: String): DataFrame = {
     val c2 = ix.pairParts.groupBy(col("__h1"), col("__h2"))
       .agg(sum(col("pc_part")).as("__c2")).where(col("__c2") > 0)
-    val c1 = ix.contextParts.groupBy(col("__h1"))
-      .agg(sum(col("cc_part")).as("__c1")).where(col("__c1") > 0)
+    // derived from c2 — see bigramCountsAgainst: identical sums, and
+    // AQE stage reuse shares c2's exchange instead of re-aggregating
+    // (and, for in-memory indexes, re-tokenizing) the contexts subtree
+    val c1 = c2.groupBy(col("__h1"))
+      .agg(sum(col("__c2")).as("__c1")).where(col("__c1") > 0)
     val vocab = ix.unigrams.groupBy(col("h"))
       .agg(sum(col("u_part")).as("u")).where(col("u") > 0).count()
     QualityFilters.bigramLmScoreFrom(c2, c1, vocab, target, idCol, textCol)

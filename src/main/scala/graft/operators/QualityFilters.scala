@@ -427,26 +427,38 @@ object QualityFilters {
     val toks = tokenHashStream(docs, idCol, textCol)
     // MULTI-CONSUMER TRADE, MEASURED (the repo's two-consumer rule asks
     // for a checkpoint OR a justified recompute): the bigram frame
-    // feeds three consumers (pair counts, prefix counts, the final
-    // position join) and `toks` a fourth (vocabulary), so tokenization
-    // re-evaluates per consumer. A localCheckpoint here was measured
-    // SLOWER at ×100 (500k docs, ~50M bigram rows): 1.90 s recomputed
-    // vs 3.04 s checkpointed (trimmed-mean-of-5) — materializing and
-    // re-reading ~32 bytes × 50M rows costs more than three passes of
-    // the regex split + FNV hash, whose output feeds map-side-combined
-    // aggregates that never see the raw rows twice. Same verdict as the
-    // cosine-LSH bucket frame; re-measure if tokenization ever grows a
-    // per-token model.
+    // feeds two consumers (pair counts, the final position join —
+    // prefix counts derive from the pair counts since r20) and `toks`
+    // a third (vocabulary), so tokenization re-evaluates per consumer.
+    // A localCheckpoint here was measured SLOWER at ×100 (500k docs,
+    // ~50M bigram rows): 1.90 s recomputed vs 3.04 s checkpointed
+    // (trimmed-mean-of-5) — materializing and re-reading ~32 bytes ×
+    // 50M rows costs more than the remaining passes of the regex split
+    // + FNV hash, whose output feeds map-side-combined aggregates that
+    // never see the raw rows twice. Same verdict as the cosine-LSH
+    // bucket frame; re-measure if tokenization ever grows a per-token
+    // model.
     val bigrams = toks.flatMap { case (id, hs) =>
       Iterator.range(1, hs.length).map(i => (id, i.toLong, hs(i - 1), hs(i)))
     }.toDF("doc_id", "pos", "__h1", "__h2")
     val c2 = bigrams.groupBy(col("__h1"), col("__h2"))
       .agg(count(lit(1)).as("pair_count"))
-    val c1 = bigrams.groupBy(col("__h1")).agg(count(lit(1)).as("context_count"))
-    val vocab = toks.flatMap(_._2.iterator).distinct().count()
+    // context counts DERIVED from the pair counts (r20, guide §2.3/§2.4):
+    // C(w₁·) = Σ_w₂ C(w₁w₂) identically, and summing the PRE-AGGREGATED
+    // c2 rows lets AQE's stage cache reuse c2's exchange — the third
+    // full tokenize pass (+ its corpus-text repartition exchange) this
+    // job used to pay for a direct bigrams.groupBy(__h1) disappears.
+    val c1 = c2.groupBy(col("__h1"))
+      .agg(sum(col("pair_count")).as("context_count"))
+    // vocabulary as a broadcast 1-row aggregate riding the SAME job
+    // (was a blocking .count() at construction time — one extra driver
+    // job per call, and the operator wasn't lazily composable)
+    val vocabDf = toks.flatMap(_._2.iterator).toDF("h").distinct()
+      .agg(count(lit(1)).as("vocab_size"))
     bigrams.join(c2, Seq("__h1", "__h2")).join(c1, Seq("__h1"))
+      .crossJoin(broadcast(vocabDf))
       .select(col("doc_id"), col("pos"), col("pair_count"),
-        col("context_count"), lit(vocab).as("vocab_size"))
+        col("context_count"), col("vocab_size"))
   }
 
   /** md5-derived integer (first 13 hex digits) — the q34 mock-encoder
@@ -582,7 +594,10 @@ object QualityFilters {
     }.toDF("__h1", "__h2")
     val c2 = refBigrams.groupBy(col("__h1"), col("__h2"))
       .agg(count(lit(1)).as("__c2"))
-    val c1 = refBigrams.groupBy(col("__h1")).agg(count(lit(1)).as("__c1"))
+    // derived from c2 (r20): C(w₁·) = Σ_w₂ C(w₁w₂) — AQE stage reuse
+    // shares c2's exchange, dropping the reference corpus's third
+    // tokenize pass (see bigramCounts)
+    val c1 = c2.groupBy(col("__h1")).agg(sum(col("__c2")).as("__c1"))
     val vocab = refToks.flatMap(_._2.iterator).distinct().count()
     bigramLmScoreFrom(c2, c1, vocab, target, idCol, textCol)
   }
