@@ -978,6 +978,63 @@ object ArchiveDedup {
     * counts, not per-document rows — subtracting a document needs its
     * TEXT ([[graft.operators.CorpusStats.retractFromTokenStats]]), not
     * just its id. */
+  /** Over-cap-safe distinct-id collector (r20 job diet — r19 verdict
+    * ask #3): ONE aggregate replaces the r17 probe-then-collect job
+    * pair (and the localCheckpoint pin that kept the two consistent).
+    * The buffer holds at most `cap` distinct ids; the first id that
+    * would exceed the cap flips the overflow flag and CLEARS the
+    * buffer, so an over-cap takedown costs O(cap) memory per partial
+    * on its way to a clean refusal — never an unbounded collect_set.
+    * Null inputs are ignored here (the sibling count columns catch
+    * them). Output: (over_cap, sorted distinct ids). */
+  private[graft] final case class BoundedIdSet(overCap: Boolean, ids: Array[Long])
+
+  private[graft] final class BoundedIdSetBuf extends Serializable {
+    var overCap: Boolean = false
+    val set: java.util.HashSet[java.lang.Long] = new java.util.HashSet
+  }
+
+  private[graft] final class BoundedIdSetAgg(cap: Long)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, BoundedIdSetBuf, BoundedIdSet] {
+    override def zero: BoundedIdSetBuf = new BoundedIdSetBuf
+    private def add(b: BoundedIdSetBuf, a: java.lang.Long): Unit =
+      if (!b.overCap && a != null) {
+        b.set.add(a)
+        if (b.set.size > cap) { b.overCap = true; b.set.clear() }
+      }
+    override def reduce(b: BoundedIdSetBuf, a: java.lang.Long): BoundedIdSetBuf = {
+      add(b, a); b
+    }
+    override def merge(x: BoundedIdSetBuf, y: BoundedIdSetBuf): BoundedIdSetBuf = {
+      if (y.overCap) { x.overCap = true; x.set.clear() }
+      else {
+        val it = y.set.iterator()
+        while (it.hasNext && !x.overCap) add(x, it.next())
+        if (x.overCap) x.set.clear()
+      }
+      x
+    }
+    override def finish(b: BoundedIdSetBuf): BoundedIdSet =
+      if (b.overCap) BoundedIdSet(overCap = true, Array.emptyLongArray)
+      else {
+        val arr = new Array[Long](b.set.size)
+        val it = b.set.iterator()
+        var i = 0
+        while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        java.util.Arrays.sort(arr)
+        BoundedIdSet(overCap = false, arr)
+      }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[BoundedIdSetBuf] =
+      org.apache.spark.sql.Encoders.kryo[BoundedIdSetBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[BoundedIdSet] =
+      org.apache.spark.sql.Encoders.product[BoundedIdSet]
+  }
+
+  private[graft] def boundedIdSetUdaf(cap: Long)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new BoundedIdSetAgg(cap), org.apache.spark.sql.Encoders.LONG)
+
   def forgetDocs(spark: SparkSession, dir: String, ids: DataFrame,
                  idCol: String = "id"): Unit =
     // "one maintainer per archive directory", made mechanical: a second
@@ -1018,51 +1075,36 @@ object ArchiveDedup {
       layout.idComponent).select(col("id"))
     import spark.implicits._
     val cap = Dedup.takedownCollectCap(spark)
-    // classification in THREE bounded static-planned jobs (round 17 job
-    // diet; the earlier one-frame double-outer-join paid a broadcast
-    // materialization job per join side, plus CollectLimit's
-    // incremental ramp): (1) a counting probe that enforces the cap and
-    // null-freeness, (2) the victim ids themselves — now provably
-    // cap-bounded before they materialize, (3) one scan over (ledger ∪
-    // live ids)
-    // joined to the broadcast LOCAL victim relation — a LocalRelation
-    // build side broadcasts without a driver job, so membership costs
-    // exactly the scan. Same cap/null/unknown refusals as before.
-    // TWO bounded aggregation jobs for the victim set (was one
-    // distinct+limit collect, which executes CollectLimit incrementally
-    // — 1, 4, 16… partitions, four driver jobs before the 2M cap could
-    // ever bind): (a) a COUNTING probe (count / non-null count /
-    // distinct count — hash-aggregate state, spills, never a monolithic
-    // buffer) that enforces the cap and null-freeness BEFORE anything
-    // victim-sized materializes, so an over-cap takedown refuses
-    // cleanly instead of OOMing a collect_set buffer (r17 self-review
-    // finding #1); then (b) the collect_set itself, now provably
-    // cap-bounded.
-    // the probe and the collect_set must see the SAME materialization:
-    // a non-deterministic ids source (sample/limit/changing view) could
-    // pass the counting probe yet materialize a different — or larger —
-    // id set in the collect, voiding the driver-heap guard the probe
-    // exists to provide (r17 ADVICE). localCheckpoint pins the casted
-    // projection once (takedown-sized by the cap this probe enforces);
-    // both jobs below read the pinned partitions.
-    val idsPinned = ids.select(col(idCol).cast("long").as("id"))
-      .localCheckpoint(false)
+    // classification in TWO bounded static-planned jobs (r20 job diet —
+    // the r19 verdict's ask #3; was three jobs plus a localCheckpoint
+    // pin): (1) ONE aggregate over the ids that counts rows/non-nulls
+    // AND collects the distinct victim set through a CAP-BOUNDED typed
+    // aggregator — the buffer stops growing the moment it would exceed
+    // the cap and flags overflow instead, so an over-cap takedown still
+    // refuses cleanly before anything victim-sized reaches the driver
+    // (the r17 probe-before-collect guarantee, now enforced INSIDE the
+    // aggregation buffer rather than by a preceding counting job);
+    // (2) one scan over (ledger ∪ live ids) joined to the broadcast
+    // LOCAL victim relation — a LocalRelation build side broadcasts
+    // without a driver job, so membership costs exactly the scan. Same
+    // cap/null/unknown refusals as before. The r17 localCheckpoint pin
+    // (probe and collect_set had to see the same materialization of a
+    // possibly non-deterministic ids source) is obsolete: the single
+    // job reads the ids exactly once.
     val probe = Dedup.withoutAqe(spark,
-      idsPinned
+      ids.select(col(idCol).cast("long").as("id"))
         .agg(count(lit(1)).as("n_rows"), count(col("id")).as("n_ids"),
-          count_distinct(col("id")).as("n_distinct"))).head
+          boundedIdSetUdaf(cap)(col("id")).as("vs"))).head
     require(probe.getLong(0) == probe.getLong(1),
       s"forgetDocs: retraction ids must be non-null and castable to " +
         s"long (column '$idCol' has null/uncastable values)")
-    require(probe.getLong(2) <= cap,
-      s"forgetDocs: the takedown batch (${probe.getLong(2)} distinct ids) " +
+    val vs = probe.getStruct(2)
+    require(!vs.getBoolean(0),
+      s"forgetDocs: the takedown batch (more than $cap distinct ids) " +
         s"exceeds spark.graft.maxTakedownCollect ($cap) — the " +
         "classification holds one driver-side entry per victim; split " +
         "the takedown into smaller batches (or raise the cap)")
-    val victimIds = Dedup.withoutAqe(spark,
-      idsPinned
-        .agg(collect_set(col("id")).as("ids"))).head
-      .getSeq[Long](0).toArray
+    val victimIds = vs.getSeq[Long](1).toArray
     import spark.implicits._
     val vdf = victimIds.toSeq.toDF("id")
     val membership = Dedup.withoutAqe(spark,
