@@ -54,15 +54,19 @@ object CurationPipeline {
     *    same assumption every semi/anti-join stage already makes.)
     *  - Stages 3–4 are one aggregate over the decontaminated frame:
     *    mixing is a deterministic per-row hash predicate, so its count
-    *    rides the same job. Only this frame is cached — it is the
-    *    smallest surviving stage, and the packing job (stage 5) reads
-    *    it again.
+    *    rides the same job.
     *
-    * Six stage counts, three jobs, one cache of the final pool — at
-    * corpus scale the dominant cost is the decontamination gram join,
-    * paid once, exactly as [[curate]] pays it. `decontamN` defaults
-    * to [[Decontaminate]]'s production 8 — q64 passes 3 explicitly for
-    * the synthetic corpus. */
+    * Six stage counts, ONE job (r20, guide §2.4): the three 1-row
+    * aggregates crossJoin into a single action, so AQE's stage cache
+    * shares the quality battery's corpus exchange between the head
+    * aggregate and the pipeline subtree, and the decontamination gram
+    * join's exchanges between the stage-3/4 aggregate and the packing
+    * branch — the r18 cache of the decontaminated frame (plus its
+    * materialization job and unpersist) is obsolete: stage reuse
+    * dedups the shared subtrees within the one job. At corpus scale
+    * the dominant cost is still the gram join, paid once, exactly as
+    * [[curate]] pays it. `decontamN` defaults to [[Decontaminate]]'s
+    * production 8 — q64 passes 3 explicitly for the synthetic corpus. */
   def report(train: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String, mixWeight: Column,
              decontamN: Int = 8, budgetWords: Int = 120,
@@ -75,32 +79,28 @@ object CurationPipeline {
     // higher-order lambdas are CodegenFallback and re-split per metric —
     // the typed twin is parity-spec'd and q59-oracle-gated
     val keepU = udf(QualityFilters.gopherKeepOf _)
-    val head = Par.widen(train)
+    val headAgg = Par.widen(train)
       .select(keepU(col(textCol)).as("keep"),
         graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_input"),
         count(when(col("keep"), lit(1))).as("n_quality"),
         countDistinct(when(col("keep"), col("fp"))).as("n_dedup"))
-      .head()
     val s = stages(train, benchmark, idCol, textCol, mixWeight, decontamN)
-    s.decontaminated.cache()
-    try {
-      val decRow = s.decontaminated
-        .agg(count(lit(1)).as("n_dec"),
-          count(when(Mixing.hashUniform(col(idCol)) < mixWeight, lit(1)))
-            .as("n_mixed"))
-        .head()
-      val seqs = Packing.packGreedy(s.mixed, idCol, textCol, budgetWords, bucketSize)
-        .toDF().select(col("bucket"), col("seq_index")).distinct()
-      Seq(
-        (0, "input", head.getLong(0)), (1, "quality", head.getLong(1)),
-        (2, "exact_dedup", head.getLong(2)),
-        (3, "decontaminated", decRow.getLong(0)),
-        (4, "mixed", decRow.getLong(1)), (5, "packed_sequences", seqs.count()))
-        .toDF("stage_index", "stage", "n")
-    } finally {
-      s.decontaminated.unpersist(false)
-    }
+    val decAgg = s.decontaminated
+      .agg(count(lit(1)).as("n_dec"),
+        count(when(Mixing.hashUniform(col(idCol)) < mixWeight, lit(1)))
+          .as("n_mixed"))
+    val packedAgg = Packing.packGreedy(s.mixed, idCol, textCol,
+        budgetWords, bucketSize)
+      .toDF().select(col("bucket"), col("seq_index")).distinct()
+      .agg(count(lit(1)).as("n_packed"))
+    val r = headAgg.crossJoin(decAgg).crossJoin(packedAgg).head()
+    Seq(
+      (0, "input", r.getLong(0)), (1, "quality", r.getLong(1)),
+      (2, "exact_dedup", r.getLong(2)),
+      (3, "decontaminated", r.getLong(3)),
+      (4, "mixed", r.getLong(4)), (5, "packed_sequences", r.getLong(5)))
+      .toDF("stage_index", "stage", "n")
   }
 
   /** The curated corpus itself (everything the report counts at stage 4,
