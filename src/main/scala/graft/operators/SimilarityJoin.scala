@@ -234,30 +234,17 @@ object SimilarityJoin {
         .as[(String, Long, Array[Float])]
         .filter(_._3 != null)
       val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-      val counts: Map[String, Long] =
-        rows.rdd.map(r => (r._1, 1L)).reduceByKey(_ + _).collect().toMap
       val targetNb = math.max(1, math.ceil(math.sqrt(8.0 * parallelism)).toInt)
-      val nbOf: Map[String, Int] = counts.map { case (g, m) =>
-        val nb =
-          if (blockRows > 0) ((m + blockRows - 1) / blockRows).toInt
-          else math.min(targetNb.toLong, (m + 1023) / 1024).toInt
-        (g, math.max(1, nb))
-      }
-      val hotOf: Map[String, Boolean] =
-        counts.map { case (g, m) => (g, isHotBucket(m, m, cap)) }
-      val anyHot = hotOf.valuesIterator.contains(true)
+      val (gridRows, anyHot, nHot) = groupGridRows[(Long, Array[Float])](
+        rows.rdd.map(r => (r._1, (r._2, r._3))), _ => false,
+        batchSemantics = true, blockRows, targetNb, cap,
+        maxDriverGroupCounts(spark))
       if (anyHot)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"groupedThresholdPairs: ${hotOf.count(_._2)} hot group(s) " +
+          s"groupedThresholdPairs: $nHot hot group(s) " +
             s"(pair work > $cap) emit representative covering edges only " +
             "— KEEP/DROP verdict preserved on dense groups; components " +
             "can come out finer on partially-dense ones")
-      val bcNb = spark.sparkContext.broadcast(nbOf)
-      val bcHot = spark.sparkContext.broadcast(hotOf)
-      val gridRows = rows.rdd.map { case (g, id, v) =>
-        ((g, bcNb.value.getOrElse(g, 1), bcHot.value.getOrElse(g, false)),
-          (id, v))
-      }
       val scanned0 = routedPairScan[String, String, Array[Float]](
           batchGrid(gridRows), parallelism, anyHot, identity,
           (a, b) => scanBlockPairThresholdDelta(a, b, threshold),
@@ -355,6 +342,141 @@ object SimilarityJoin {
   private def encGroup(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c.isNull, lit("n")).otherwise(concat(lit("s"), c.cast("string")))
 
+  /** Driver-side bound on the grouped routes' (group → count) maps
+    * (r20 — the r18 verdict's item 5): the maps are O(#groups) driver
+    * heap, collected unconditionally before this round; at 10⁸ groups
+    * that is a driver OOM. Default 4M entries (a few hundred MB with
+    * map overhead); `spark.graft.maxDriverGroupCounts` overrides. */
+  private[graft] def maxDriverGroupCounts(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.maxDriverGroupCounts")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0)
+      .getOrElse(4000000)
+
+  /** Per-group (rows, new-rows) counts as a driver map, or None when
+    * the group count exceeds `bound` — the caller then falls back to
+    * the distributed count-join scheme (the banded routes' shape).
+    * ONE job either way: a treeAggregate whose per-buffer map stops
+    * growing and flags overflow the moment it would exceed the bound,
+    * so nothing #groups-sized ships to the driver on the way to a
+    * fallback decision. (This also replaces the former
+    * reduceByKey+collect — a map-side hash aggregate with no shuffle.) */
+  private[graft] def boundedGroupCounts[P](
+      rows: RDD[(String, P)], newFlag: P => Boolean, bound: Int)
+      : Option[Map[String, (Long, Long)]] = {
+    final class Buf extends Serializable {
+      var overflow = false
+      val m = new java.util.HashMap[String, Array[Long]]()
+      def add(g: String, n: Long, nNew: Long): Unit = if (!overflow) {
+        val arr = m.get(g)
+        if (arr != null) { arr(0) += n; arr(1) += nNew }
+        else if (m.size >= bound) { overflow = true; m.clear() }
+        else m.put(g, Array(n, nNew))
+      }
+      def merge(o: Buf): Buf = {
+        if (o.overflow) { overflow = true; m.clear() }
+        else {
+          val it = o.m.entrySet().iterator()
+          while (it.hasNext && !overflow) {
+            val e = it.next()
+            add(e.getKey, e.getValue()(0), e.getValue()(1))
+          }
+        }
+        this
+      }
+    }
+    val agg = rows.treeAggregate(new Buf)(
+      (b, r) => { b.add(r._1, 1L, if (newFlag(r._2)) 1L else 0L); b },
+      (x, y) => x.merge(y))
+    if (agg.overflow) None
+    else {
+      val out = Map.newBuilder[String, (Long, Long)]
+      agg.m.forEach((g, arr) => out += ((g, (arr(0), arr(1)))))
+      Some(out.result())
+    }
+  }
+
+  /** Block count per group for the grid (shared by every grouped
+    * route): explicit `blockRows`, or the auto-sizing that targets
+    * ~8×parallelism block-pair tasks with a 1024-row minimum block. */
+  private def nbFor(m: Long, blockRows: Int, targetNb: Int): Int =
+    math.max(1,
+      if (blockRows > 0) ((m + blockRows - 1) / blockRows).toInt
+      else math.min(targetNb.toLong, (m + 1023) / 1024).toInt)
+
+  /** Attach per-group grid metadata `(nb, hot)` to grouped rows —
+    * ((group, nb, hot), payload), plus (anyHot, hotGroupCount). Two
+    * strategies behind one contract (r20):
+    *
+    *  - DRIVER MAP (#groups ≤ [[maxDriverGroupCounts]], the common
+    *    case): one bounded treeAggregate job, metadata broadcast,
+    *    rows mapped in place — no extra shuffle, the pre-r20 plan.
+    *  - COUNT JOIN (beyond the bound): counts stay distributed
+    *    (reduceByKey), one tiny job answers (anyHot, nHot), and the
+    *    metadata attaches to the rows by join — the banded routes'
+    *    scheme, paying one row shuffle by group instead of holding
+    *    #groups entries on the driver.
+    *
+    * `batchSemantics` = hot trigger is m × m (one-shot scans);
+    * otherwise m_new × m (delta scans). An infinite cap short-circuits
+    * the hot machinery (hot = false everywhere) in both strategies. */
+  private[graft] def groupGridRows[P: ClassTag](
+      rows: RDD[(String, P)], newFlag: P => Boolean,
+      batchSemantics: Boolean, blockRows: Int, targetNb: Int,
+      cap: Long, bound: Int)
+      : (RDD[((String, Int, Boolean), P)], Boolean, Long) = {
+    val capFinite = cap != Long.MaxValue
+    def hotOf(m: Long, mNew: Long): Boolean =
+      capFinite && isHotBucket(m, if (batchSemantics) m else mNew, cap)
+    boundedGroupCounts(rows, newFlag, bound) match {
+      case Some(counts) =>
+        val nbOf: Map[String, Int] =
+          counts.map { case (g, (m, _)) => (g, nbFor(m, blockRows, targetNb)) }
+        val hots: Map[String, Boolean] =
+          counts.map { case (g, (m, mNew)) => (g, hotOf(m, mNew)) }
+        val nHot = hots.valuesIterator.count(identity).toLong
+        val sc = rows.sparkContext
+        val bcNb = sc.broadcast(nbOf)
+        val bcHot = sc.broadcast(hots)
+        (rows.map { case (g, p) =>
+          ((g, bcNb.value.getOrElse(g, 1), bcHot.value.getOrElse(g, false)), p)
+        }, nHot > 0, nHot)
+      case None =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"grouped scan: group count exceeds " +
+            s"spark.graft.maxDriverGroupCounts ($bound) — grid metadata " +
+            "attaches by count join instead of a driver map (one extra " +
+            "row shuffle; set the conf higher if the driver has the heap)")
+        // locals only in the executor-side closures below — a reference
+        // to the enclosing object's defs (nbFor/isHotBucket) would drag
+        // the non-serializable object into the task closure
+        val (br, tnb, capL, cf, bs) =
+          (blockRows, targetNb, cap, capFinite, batchSemantics)
+        val nf = newFlag
+        val meta = rows.mapValues(p => (1L, if (nf(p)) 1L else 0L))
+          .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2))
+          .mapValues { case (m, mNew) =>
+            // same formulas as nbFor/isHotBucket, inlined (see above)
+            val nb = math.max(1L,
+              if (br > 0) (m + br - 1) / br
+              else math.min(tnb.toLong, (m + 1023) / 1024)).toInt
+            val mn = if (bs) m else mNew
+            (nb, cf && mn > 0 && m > capL / math.max(1L, mn))
+          }
+        meta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // plan-shape decision (does the scan need the min-mate reduce?)
+        // needs a driver answer — one tiny job over the #groups-row
+        // metadata, never over the rows (blocks are freed by the
+        // ContextCleaner once the returned RDD is dereferenced)
+        val nHot =
+          if (!capFinite) 0L
+          else meta.aggregate(0L)(
+            (n, kv) => n + (if (kv._2._2) 1L else 0L), _ + _)
+        (rows.join(meta).map { case (g, (p, (nb, hot))) => ((g, nb, hot), p) },
+          nHot > 0, nHot)
+    }
+  }
+
   private def replicateToBlocks(df: DataFrame, groupCol: Option[String],
                                 idCol: String, vecCol: String, blockRows: Int)
       : org.apache.spark.rdd.RDD[((String, Int, Int), (Int, Long, Array[Float]))] = {
@@ -369,19 +491,14 @@ object SimilarityJoin {
     val rows = keyed.as[(String, Long, Array[Float])]
       .filter(_._3 != null)
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-    // counts per group → block grid; driver state O(#groups)
-    val counts: Map[String, Long] =
-      rows.rdd.map(r => (r._1, 1L)).reduceByKey(_ + _).collect().toMap
+    // counts per group → block grid; driver state bounded by
+    // maxDriverGroupCounts with a count-join fallback beyond it (r20)
     val targetNb = math.max(1, math.ceil(math.sqrt(8.0 * parallelism)).toInt)
-    val nbOf: Map[String, Int] = counts.map { case (g, m) =>
-      val nb =
-        if (blockRows > 0) ((m + blockRows - 1) / blockRows).toInt
-        else math.min(targetNb.toLong, (m + 1023) / 1024).toInt
-      (g, math.max(1, nb))
-    }
-    val bcNb = spark.sparkContext.broadcast(nbOf)
-    rows.rdd.flatMap { case (g, id, v) =>
-      val nb = bcNb.value.getOrElse(g, 1)
+    val (metaRows, _, _) = groupGridRows[(Long, Array[Float])](
+      rows.rdd.map(r => (r._1, (r._2, r._3))), _ => false,
+      batchSemantics = true, blockRows, targetNb, Long.MaxValue,
+      maxDriverGroupCounts(spark))
+    metaRows.flatMap { case ((g, nb, _), (id, v)) =>
       if (nb == 1) Iterator(((g, 0, 0), (0, id, v)))
       else {
         // deterministic block from the id, not the row order
@@ -1198,44 +1315,30 @@ object SimilarityJoin {
     val cap = resolveHotPairCap(spark, hotGroupPairCap)
     val capFinite = cap != Long.MaxValue
     // per-group (total, new) counts over the UNION → the same grid the
-    // batch scan of (ix ∪ delta) derives; driver state O(#groups)
-    val counts: Map[String, (Long, Long)] =
-      rows.rdd.map(r => (r._1, (1L, if (r._4) 1L else 0L)))
-        .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2)).collect().toMap
+    // batch scan of (ix ∪ delta) derives; driver state bounded by
+    // maxDriverGroupCounts with a count-join fallback beyond it (r20 —
+    // the r18 verdict's item 5). When the counts ARE on the driver, a
+    // finite cap with no actually-hot group skips the min-mate reduce
+    // outright — under the r18 safe default that is the common (sparse)
+    // case, and it keeps the unbounded plan shape instead of shuffling
+    // every cold pair through the reduce (measured ~250 ms per
+    // lifecycle fold at sf1); the fallback answers the same question
+    // with one tiny job over the distributed count metadata.
     val targetNb = math.max(1, math.ceil(math.sqrt(8.0 * parallelism)).toInt)
-    val nbOf: Map[String, Int] = counts.map { case (g, (m, _)) =>
-      val nb =
-        if (blockRows > 0) ((m + blockRows - 1) / blockRows).toInt
-        else math.min(targetNb.toLong, (m + 1023) / 1024).toInt
-      (g, math.max(1, nb))
-    }
-    val hotOf: Map[String, Boolean] =
-      counts.map { case (g, (m, mNew)) =>
-        (g, capFinite && isHotBucket(m, mNew, cap))
-      }
-    // the counts are ALREADY on the driver, so a finite cap with no
-    // actually-hot group skips the min-mate reduce outright — under the
-    // r18 safe default that is the common (sparse) case, and it keeps
-    // the unbounded plan shape instead of shuffling every cold pair
-    // through the reduce (measured ~250 ms per lifecycle fold at sf1)
-    val anyHot = hotOf.valuesIterator.contains(true)
-    // unlike the banded routes (whose counts live in a count join, not
-    // on the driver), this route KNOWS which groups went hot — so the
-    // documented bounded-recall loss on partially-dense hot clusters
-    // gets a precise runtime trace (r17 ADVICE: the grouped/semantic
-    // route engaged the cap silently)
-    if (hotOf.valuesIterator.contains(true))
+    val (gridRows, anyHot, nHot) = groupGridRows[(Long, Array[Float], Boolean)](
+      rows.rdd.map(r => (r._1, (r._2, r._3, r._4))), _._3,
+      batchSemantics = false, blockRows, targetNb,
+      if (capFinite) cap else Long.MaxValue, maxDriverGroupCounts(spark))
+    // this route KNOWS how many groups went hot — so the documented
+    // bounded-recall loss on partially-dense hot clusters gets a
+    // precise runtime trace (r17 ADVICE: the grouped/semantic route
+    // engaged the cap silently)
+    if (anyHot)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"groupedThresholdPairsDelta: ${hotOf.count(_._2)} hot group(s) " +
+        s"groupedThresholdPairsDelta: $nHot hot group(s) " +
           s"(candidate work > $cap) emit covering edges only — KEEP/DROP " +
           "verdict preserved on dense clusters; components can come out " +
           "finer on partially-dense ones")
-    val bcNb = spark.sparkContext.broadcast(nbOf)
-    val bcHot = spark.sparkContext.broadcast(hotOf)
-    val gridRows = rows.rdd.map { case (g, id, v, isNew) =>
-      ((g, bcNb.value.getOrElse(g, 1), bcHot.value.getOrElse(g, false)),
-        (id, v, isNew))
-    }
     val scanned = routedPairScan[String, String, Array[Float]](
       deltaGrid(gridRows), math.max(1, parallelism), anyHot, identity,
       (a, b) => scanBlockPairThresholdDelta(a, b, threshold),
