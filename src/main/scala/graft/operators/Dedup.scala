@@ -638,6 +638,14 @@ object Dedup {
     * default lives on [[minhashDedup]], the KEEP/DROP transform). A
     * finite cap forces the grid route — the small-corpus self-join has
     * no covering form and would materialize the dense pair space the
+    *
+    * EAGERNESS (r19 probe, documented r20): under a FINITE cap this
+    * method runs the banding pass plus one tiny aggregate (the
+    * hot-bucket probe) at DataFrame-CONSTRUCTION time — the probe's
+    * answer decides the scan plan's shape, so construction blocks on
+    * one driver job and upstream errors surface here rather than at
+    * the first action. One probe per invocation; unbounded
+    * (Long.MaxValue) callers stay fully lazy.
     * cap exists to avoid. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
@@ -915,6 +923,14 @@ object Dedup {
     * as [[SimilarityJoin.lshCosineDeltaPairs]] (CappedEmissionSpec
     * gates the minhash case too). Default [[SimilarityJoin.AutoCap]]
     * (r18): SAFE — resolved from session config; Long.MaxValue is the
+    *
+    * EAGERNESS (r19 probe, documented r20): under a FINITE cap this
+    * method runs the banding pass plus one tiny aggregate (the
+    * hot-bucket probe) at DataFrame-CONSTRUCTION time — the probe's
+    * answer decides the scan plan's shape, so construction blocks on
+    * one driver job and upstream errors surface here rather than at
+    * the first action. One probe per invocation; unbounded
+    * (Long.MaxValue) callers stay fully lazy.
     * explicit unbounded opt-out (the pre-r17 path). */
   def minhashDeltaPairs(ix: MinhashIndex, newDf: DataFrame,
                         idCol: String, textCol: String,
@@ -1358,6 +1374,14 @@ object Dedup {
     * pair work exceeds the cap emit one covering edge per new row
     * instead of the full pair space (the dense-duplicate regime; see
     * that method's verdict-preservation contract). The exact tier is
+    *
+    * EAGERNESS (r19 probe, documented r20): under a FINITE cap this
+    * method runs the banding pass plus one tiny aggregate (the
+    * hot-bucket probe) at DataFrame-CONSTRUCTION time — the probe's
+    * answer decides the scan plan's shape, so construction blocks on
+    * one driver job and upstream errors surface here rather than at
+    * the first action. One probe per invocation; unbounded
+    * (Long.MaxValue) callers stay fully lazy.
     * unaffected: its pair space is already bounded by `exactLimit`². */
   def cosineDeltaPairs(ix: CosineIndex, newDf: DataFrame,
                        idCol: String, vecCol: String, threshold: Double,

@@ -809,6 +809,14 @@ object SimilarityJoin {
    * replicated rows to m + m_new×(m/blockRows). Default [[AutoCap]]
    * (r18): SAFE — resolved from session config; Long.MaxValue is the
    * explicit unbounded opt-out (the pre-r17 path).
+    *
+    * EAGERNESS (r19 probe, documented r20): under a FINITE cap this
+    * method runs the banding pass plus one tiny aggregate (the
+    * hot-bucket probe) at DataFrame-CONSTRUCTION time — the probe's
+    * answer decides the scan plan's shape, so construction blocks on
+    * one driver job and upstream errors surface here rather than at
+    * the first action. One probe per invocation; unbounded
+    * (Long.MaxValue) callers stay fully lazy.
    */
   def lshCosineDeltaPairs(ixBuckets: DataFrame, ixVecs: DataFrame,
                           newDf: DataFrame, idCol: String, vecCol: String,
@@ -973,10 +981,22 @@ object SimilarityJoin {
   /** Scan-stage width from a probed/driver-known grid cell count:
     * 2× oversubscription spreads hash collisions across tasks, clamped
     * to the route's full width (so scale keeps its parallelism and a
-    * tiny delta stops scheduling empty tasks). */
-  private[graft] def gridPartitions(cells: Long, maxPartitions: Int): Int =
-    math.max(1, math.min(maxPartitions.toLong,
-      if (cells > Int.MaxValue / 2) Int.MaxValue.toLong else 2L * cells).toInt)
+    * tiny delta stops scheduling empty tasks), FLOORED at the session
+    * parallelism when any cell exists (r20, r19 ADVICE #3: a dense
+    * corpus collapsing into a handful of buckets has few cells but up
+    * to blockRows² pair work per cell — at 2×cells partitions two such
+    * cells hash-collide onto one task with ~1/2 probability, exactly
+    * in the regime the cap targets; empty tasks up to the parallelism
+    * floor cost ~ms). Call sites pass maxPartitions = 4×parallelism. */
+  private[graft] def gridPartitions(cells: Long, maxPartitions: Int): Int = {
+    if (cells <= 0L) 1
+    else {
+      val floor = math.max(1L, maxPartitions.toLong / 4)
+      val byCells =
+        if (cells > Int.MaxValue / 2) Int.MaxValue.toLong else 2L * cells
+      math.min(maxPartitions.toLong, math.max(floor, byCells)).toInt
+    }
+  }
 
   /** Cell marker distinguishing a COVERING cell (hot route) from a pair
     * cell in the unified grid key (its `bb` slot can never be a real
@@ -1432,6 +1452,14 @@ object SimilarityJoin {
     * twin of [[Dedup.minhashLshPairs]]'s cap — hot signature buckets
     * route through [[batchGrid]]'s representative covering edges.
     * Default MaxValue (pair-list primitive — the q15 oracle contract);
+    *
+    * EAGERNESS (r19 probe, documented r20): under a FINITE cap this
+    * method runs the banding pass plus one tiny aggregate (the
+    * hot-bucket probe) at DataFrame-CONSTRUCTION time — the probe's
+    * answer decides the scan plan's shape, so construction blocks on
+    * one driver job and upstream errors surface here rather than at
+    * the first action. One probe per invocation; unbounded
+    * (Long.MaxValue) callers stay fully lazy.
     * the safe default lives on [[Dedup.embeddingDedup]]. */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numBits: Int = 8, bands: Int = 8,

@@ -99,6 +99,16 @@ object DedupScale {
         hotBucketPairCap = Long.MaxValue)
       println(s"  delta pairs: ${p.count()}")
     }
+    // the SAME delta under the AutoCap engine default (r20, r19 ADVICE
+    // #2): scale coverage for the probed capped route (probe job +
+    // covering emission when a bucket goes hot) — a hot-path regression
+    // at ×10/×100 surfaces here instead of only in unit specs. Pair
+    // count printed so a cap engagement (count below the unbounded row)
+    // is visible, not silent.
+    timed(s"delta near-dup AutoCap (probed capped route)") {
+      val p = Dedup.minhashDeltaPairs(ix, newSide, "doc_id", "text", 0.5)
+      println(s"  delta pairs (AutoCap): ${p.count()}")
+    }
     // append fold: day N's delta becomes part of day N+1's index — the
     // cost is materializing the delta's banding keys + set payloads
     // into the union (here: persist + count of the grown frames)

@@ -88,12 +88,18 @@ class ProbeBandedGridSpec extends AnyFunSuite {
     assert(cells === 0L)
   }
 
-  test("gridPartitions: 2x cells, clamped to [1, maxPartitions], overflow-safe") {
+  test("gridPartitions: 2x cells, floored at parallelism, clamped to maxPartitions") {
     assert(SimilarityJoin.gridPartitions(0L, 128) === 1)
-    assert(SimilarityJoin.gridPartitions(1L, 128) === 2)
-    assert(SimilarityJoin.gridPartitions(10L, 128) === 20)
+    // r20 (r19 ADVICE #3): any non-zero cell count floors at the
+    // session parallelism (maxPartitions/4) — a handful of heavy cells
+    // must not share 2×cells partitions in the dense-capped regime
+    assert(SimilarityJoin.gridPartitions(1L, 128) === 32)
+    assert(SimilarityJoin.gridPartitions(10L, 128) === 32)
+    assert(SimilarityJoin.gridPartitions(20L, 128) === 40)    // 2x above floor
     assert(SimilarityJoin.gridPartitions(64L, 128) === 128)   // 2x hits max
     assert(SimilarityJoin.gridPartitions(1000000L, 128) === 128)
     assert(SimilarityJoin.gridPartitions(Long.MaxValue / 2, 128) === 128)
+    // degenerate width: floor never exceeds the clamp
+    assert(SimilarityJoin.gridPartitions(1L, 2) === 2)
   }
 }
