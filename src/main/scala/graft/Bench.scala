@@ -163,6 +163,42 @@ object Bench {
     else Some(leastSpreadMedian(samples))
   }
 
+  /** Max relative deviation of a calibration attempt vs the previous
+    * record's probes (0.0 when no key overlaps). */
+  private[graft] def calibDeviation(attempt: Seq[(String, Double)],
+                                    prev: Map[String, Double]): Double =
+    attempt.flatMap { case (k, v) =>
+      prev.get(k).filter(_ > 0).map(p => math.abs(v / p - 1.0))
+    }.foldLeft(0.0)(math.max)
+
+  /** REFUSAL RULE (r18 verdict ask #3 / r19 verdict ask #1, shipped
+    * r20): a record must not open with a calibration that already
+    * disagrees >10% with the previous record's — that is the window the
+    * r19 record published 34 phantom "regressions" from. The sweep
+    * re-runs the start calibration (up to 3 retries, the main loop's
+    * job) and this PURE chooser picks what to publish: the FIRST
+    * attempt whose every probe is within 10% of the previous record
+    * (conforming — raw cross-round deltas stand), else the
+    * least-deviating attempt (the machine genuinely moved between
+    * rounds; the record still publishes — the driver contract requires
+    * one JSON line — but `ab.triggered` stays true and the attempt
+    * count makes the refusal auditable). No baseline → first attempt,
+    * trivially conforming. Returns (attempt, 1-based index, conforms). */
+  private[graft] def chooseCalib(attempts: Seq[Seq[(String, Double)]],
+                                 prev: Option[Map[String, Double]])
+      : (Seq[(String, Double)], Int, Boolean) = prev match {
+    case None => (attempts.head, 1, true)
+    case Some(p) =>
+      attempts.zipWithIndex
+        .find { case (a, _) => calibDeviation(a, p) <= 0.10 } match {
+        case Some((a, i)) => (a, i + 1, true)
+        case None =>
+          val (a, i) = attempts.zipWithIndex
+            .minBy { case (a, _) => calibDeviation(a, p) }
+          (a, i + 1, false)
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -246,7 +282,69 @@ object Bench {
       }
       Seq("cpu_sort8m" -> med3(cpuOnce), "spark_agg10m" -> med3(sparkOnce))
     }
-    val calibStart = calibrate()
+    // ---- previous-record baseline lookup (shared by the refusal rule
+    // below and the ab block): newest BENCH_r*.json not produced by
+    // this HEAD, or the SPARK_GRAFT_AB_PREV pin. Left = refused pin.
+    val headSha = currentGitHead()
+    val prevRecord: Either[String, Option[(String, String)]] = try {
+      val dir = new java.io.File(".")
+      val files = Option(dir.listFiles(
+        (_: java.io.File, n: String) => n.matches("BENCH_r\\d+\\.json")))
+        .getOrElse(Array.empty[java.io.File])
+      val pinnedRaw = sys.env.get("SPARK_GRAFT_AB_PREV")
+      val pinned = pinnedRaw.map(new java.io.File(_)).filter(_.isFile)
+      // an explicit pin that cannot be honored must not silently fall
+      // back to ambient ordering (r17 self-review finding #3) — the
+      // record says so and skips the comparison instead
+      if (pinnedRaw.nonEmpty && pinned.isEmpty) {
+        val safe = pinnedRaw.get.replace('"', '\'').replace('\\', '/')
+        Left("SPARK_GRAFT_AB_PREV=" + safe + " is not a readable file - " +
+          "pin refused, comparison skipped (no silent fallback)")
+      } else {
+        val candidates = pinned.map(Array(_)).getOrElse(
+          files.sortBy(f =>
+            -"\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt)))
+        // newest-first, skipping records this HEAD produced (their
+        // stamped sha matches) — the baseline must predate this code
+        val chosen = candidates.find { f =>
+          pinned.nonEmpty || headSha.forall { sha =>
+            try !new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").contains(sha)
+            catch { case _: Throwable => true }
+          }
+        }
+        Right(chosen.map(f => (f.getName,
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))))
+      }
+    } catch { case _: Throwable => Right(None) }
+    // the driver wraps the compact line as an ESCAPED string inside its
+    // own JSON (keys appear as `cpu_sort8m\":1.12`), so the pattern
+    // tolerates an optional backslash before the closing quote
+    def prevOf(txt: String, k: String): Option[Double] =
+      (java.util.regex.Pattern.quote(k) + "\\\\?\"\\s*:\\s*([0-9][0-9.Ee+-]*)").r
+        .findFirstMatchIn(txt).flatMap(m =>
+          scala.util.Try(m.group(1).toDouble).toOption)
+    val prevCalib: Option[Map[String, Double]] = prevRecord.toOption.flatten
+      .map { case (_, txt) =>
+        Seq("cpu_sort8m", "spark_agg10m")
+          .flatMap(k => prevOf(txt, k).filter(_ > 0).map(k -> _)).toMap
+      }.filter(_.nonEmpty)
+    // ---- REFUSAL RULE (r18 verdict ask #3 / r19 verdict ask #1): a
+    // start calibration disagreeing >10% with the previous record is
+    // exactly the window the r19 record published 34 phantom
+    // "regressions" from — re-measure it (up to 3 retries, short
+    // settles between) instead of opening the record there; the pure
+    // chooser [[chooseCalib]] picks the published attempt and
+    // BenchPublishSpec gates it. If no window conforms the record still
+    // publishes (the driver contract requires one JSON line) with
+    // triggered:true and the attempt count in the ab block.
+    val attempts = collection.mutable.Buffer(calibrate())
+    while (attempts.size < 4 &&
+        prevCalib.exists(p => calibDeviation(attempts.last, p) > 0.10)) {
+      Thread.sleep(3000) // let a transient co-tenant/JIT window pass
+      attempts += calibrate()
+    }
+    val (calibStart, calibAttempt, _) = chooseCalib(attempts.toSeq, prevCalib)
 
     // ---- sweep self-diagnosis (round 12): the driver's single sweep is
     // the published record, and rounds 10–11 saw it inflate (+12%
@@ -431,53 +529,17 @@ object Bench {
     // triggered:false regardless of actual cross-round drift (r16
     // ADVICE). SPARK_GRAFT_AB_PREV pins the baseline explicitly when
     // the ambient ordering is not what the operator wants.
-    val headSha = currentGitHead()
-    val abBlock: String = try {
-      val dir = new java.io.File(".")
-      val files = Option(dir.listFiles(
-        (_: java.io.File, n: String) => n.matches("BENCH_r\\d+\\.json")))
-        .getOrElse(Array.empty[java.io.File])
-      val pinnedRaw = sys.env.get("SPARK_GRAFT_AB_PREV")
-      val pinned = pinnedRaw.map(new java.io.File(_)).filter(_.isFile)
-      // an explicit pin that cannot be honored must not silently fall
-      // back to ambient ordering (r17 self-review finding #3) — the
-      // record says so and skips the comparison instead
-      if (pinnedRaw.nonEmpty && pinned.isEmpty) {
-        val safe = pinnedRaw.get.replace('"', '\'').replace('\\', '/')
-        "{\"prev\":null,\"triggered\":false,\"note\":\"SPARK_GRAFT_AB_PREV=" +
-          safe + " is not a readable file - pin refused, comparison " +
-          "skipped (no silent fallback)\"}"
-      } else {
-      val candidates = pinned.map(Array(_)).getOrElse(
-        files.sortBy(f =>
-          -"\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt)))
-      // newest-first, skipping records this HEAD produced (their stamped
-      // sha matches) — the baseline must predate this code state
-      val chosen = candidates.find { f =>
-        pinned.nonEmpty || headSha.forall { sha =>
-          try !new String(
-            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").contains(sha)
-          catch { case _: Throwable => true }
-        }
-      }
-      if (chosen.isEmpty) """{"prev":null,"triggered":false,"note":"no prior record"}"""
-      else {
-        val latest = chosen.get
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
-        // the driver wraps the compact line as an ESCAPED string inside
-        // its own JSON (keys appear as `cpu_sort8m\":1.12`), so the
-        // pattern tolerates an optional backslash before the closing
-        // quote and matches both the raw and the wrapped form
-        def prevOf(k: String): Option[Double] =
-          (java.util.regex.Pattern.quote(k) + "\\\\?\"\\s*:\\s*([0-9][0-9.Ee+-]*)").r
-            .findFirstMatchIn(txt).flatMap(m =>
-              scala.util.Try(m.group(1).toDouble).toOption)
+    val abBlock: String = prevRecord match {
+      case Left(refused) =>
+        s"""{"prev":null,"triggered":false,"note":"$refused"}"""
+      case Right(None) =>
+        """{"prev":null,"triggered":false,"note":"no prior record"}"""
+      case Right(Some((name, txt))) =>
         val ratios = calibStart.flatMap { case (k, now) =>
-          prevOf(k).filter(_ > 0).map(prev => k -> now / prev)
+          prevOf(txt, k).filter(_ > 0).map(prev => k -> now / prev)
         }
         if (ratios.isEmpty)
-          s"""{"prev":"${latest.getName}","triggered":false,"note":"prior record carries no calib keys"}"""
+          s"""{"prev":"$name","triggered":false,"note":"prior record carries no calib keys"}"""
         else {
           val triggered = ratios.exists { case (_, r) => math.abs(r - 1.0) > 0.10 }
           val rs = ratios.map { case (k, r) =>
@@ -485,15 +547,19 @@ object Bench {
           }.mkString(",")
           val note =
             if (triggered)
-              "calib moved >10% vs the previous record: raw deltas are " +
-                "not comparable — adjudicate headline claims with " +
-                "tools/bench_ab.py (interleaved two-HEAD A/B)"
+              "calib moved >10% vs the previous record even after " +
+                s"${attempts.size} start-calibration attempt(s) (refusal " +
+                "rule): raw deltas are not comparable — adjudicate " +
+                "headline claims with tools/bench_ab.py (interleaved " +
+                "two-HEAD A/B)"
+            else if (attempts.size > 1)
+              s"calib within 10% of the previous record on attempt " +
+                s"$calibAttempt of ${attempts.size} (refusal rule: " +
+                "non-conforming start windows re-measured): raw deltas stand"
             else "calib within 10% of the previous record: raw deltas stand"
-          s"""{"prev":"${latest.getName}",$rs,"triggered":$triggered,"note":"$note"}"""
+          s"""{"prev":"$name",$rs,"triggered":$triggered,"calib_attempts":${attempts.size},"note":"$note"}"""
         }
-      }
-      }
-    } catch { case _: Throwable => """{"prev":null,"triggered":false,"note":"trigger check failed"}""" }
+    }
 
     // day_6-shaped workloads (BASELINE.md): k=10 search, 100 queries,
     // seeded clustered gaussians at the baseline's three dataset sizes.

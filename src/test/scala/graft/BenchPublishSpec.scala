@@ -96,6 +96,31 @@ class BenchPublishSpec extends AnyFunSuite {
     assert(Bench.leastSpreadMedian(Array(5.0, 5.1, 4.9, 2.5, 2.4)) === 5.0)
   }
 
+  test("calibDeviation: max relative deviation over shared keys only") {
+    val prev = Map("cpu_sort8m" -> 1.0, "spark_agg10m" -> 0.5)
+    assert(math.abs(
+      Bench.calibDeviation(Seq("cpu_sort8m" -> 1.05), prev) - 0.05) < 1e-12)
+    assert(math.abs(Bench.calibDeviation(
+      Seq("cpu_sort8m" -> 1.2, "spark_agg10m" -> 0.45), prev) - 0.2) < 1e-12)
+    // unknown keys are ignored; nothing shared -> 0 (trivially conforming)
+    assert(Bench.calibDeviation(Seq("other" -> 9.0), prev) === 0.0)
+  }
+
+  test("refusal rule: first conforming attempt published, else least-deviating") {
+    val prev = Some(Map("cpu_sort8m" -> 1.0))
+    val bad = Seq("cpu_sort8m" -> 1.3)
+    val worse = Seq("cpu_sort8m" -> 1.5)
+    val good = Seq("cpu_sort8m" -> 1.05)
+    // first conforming attempt wins, with its 1-based index
+    assert(Bench.chooseCalib(Seq(bad, good, worse), prev) === ((good, 2, true)))
+    // a conforming FIRST attempt never retries past itself
+    assert(Bench.chooseCalib(Seq(good), prev) === ((good, 1, true)))
+    // no conforming window: publish the least-deviating one, non-conforming
+    assert(Bench.chooseCalib(Seq(worse, bad), prev) === ((bad, 2, false)))
+    // no baseline: first attempt, trivially conforming
+    assert(Bench.chooseCalib(Seq(bad, good), None) === ((bad, 1, true)))
+  }
+
   test("published wall never exceeds 1.5x the settled floor without annotation") {
     // the verdict's acceptance invariant, fuzzed over random sweeps
     val rnd = new scala.util.Random(42)
