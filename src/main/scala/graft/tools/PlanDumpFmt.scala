@@ -26,8 +26,15 @@ object PlanDumpFmt {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // GRAFT_PLANDUMP_EXEC=1: execute the frame's own QueryExecution
+    // first (collect — a noop write would plan a SEPARATE execution)
+    // so the dump shows the FINAL adaptive plan: AQE-reused stages
+    // (the r20 stage-sharing claims) are runtime artifacts invisible
+    // in the initial `isFinalPlan=false` plan
+    val exec = sys.env.get("GRAFT_PLANDUMP_EXEC").exists(_.trim == "1")
     args.drop(3).foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, dir)
+      if (exec) df.collect()
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       java.nio.file.Files.write(

@@ -330,9 +330,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(nplan.linesIterator.exists(l =>
         l.contains("FileScan") && l.contains("pc_part#") && !l.contains("text#")),
       s"q92-score: pair partials no longer come from the index parquet:\n$nplan")
-    assert(nplan.linesIterator.exists(l =>
-        l.contains("FileScan") && l.contains("cc_part#") && !l.contains("text#")),
-      s"q92-score: context partials no longer come from the index parquet:\n$nplan")
+    // r20: context counts DERIVE from the pair partials (C(w₁·) =
+    // Σ_w₂ C(w₁w₂) — same values, one shared exchange), so the contexts
+    // component is no longer read at scoring time; the invariant's
+    // INTENT (archived text never re-read, model counts enter only via
+    // compact partial parquet) is now pinned by the pc_part scan above
+    // plus the absence of any cc_part-bearing TEXT scan
+    assert(!nplan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("cc_part#") && l.contains("text#")),
+      s"q92-score: a context-partial scan re-reads text:\n$nplan")
   }
 
   test("q93 retracted-archive scoring: x entries enter via partial parquet, archived text never re-read") {
@@ -388,11 +394,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
       assert(l.contains("GreaterThanOrEqual(doc_id,400)"),
         s"q94-score: un-pushed text scan (archive/victim re-read):\n$l\n\nfull plan:\n$plan")
     }
-    Seq("pc_part#", "cc_part#").foreach { c =>
-      assert(plan.linesIterator.exists(l =>
-          l.contains("FileScan") && l.contains(c) && !l.contains("text#")),
-        s"q94-score: $c partials no longer come from the entry parquet:\n$plan")
-    }
+    // r20: cc_part no longer read at scoring time — context counts
+    // derive from the pair partials (see the q92 case above)
+    assert(plan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("pc_part#") && !l.contains("text#")),
+      s"q94-score: pc_part# partials no longer come from the entry parquet:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("cc_part#") && l.contains("text#")),
+      s"q94-score: a context-partial scan re-reads text:\n$plan")
   }
 
   test("q95 windowed load: the plan reads ONLY the window's sliver entries") {
